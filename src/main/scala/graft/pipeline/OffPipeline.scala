@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.clean.{TextClean, Validate}
+import graft.dedup.Dedup
+import graft.ingest.Ingest
+import graft.model.OffModel
+import graft.star.Star
+
+/** The full Bronze → Silver → Gold medallion pipeline of the reference
+  * (pipeline_etl.ipynb end-to-end, SURVEY §3 EP-1), as one lazy Catalyst
+  * plan per layer — no MySQL, no JDBC round trips, no Python workers.
+  */
+object OffPipeline {
+
+  /** Bronze → Silver: allowlist projection, renames, text cleaning,
+    * semantic fill, array split, bounds, derivations, rounding, time
+    * parts, window dedup, code filter (pipeline_etl.ipynb:167-436). */
+  def silver(bronze: DataFrame): DataFrame = {
+    val projected = Ingest.renameDashes(
+      Ingest.selectExisting(bronze, OffModel.rawAllowlist))
+
+    // O-10 full clean on every string col except the three excluded
+    // (pipeline_etl.ipynb:214-216)
+    val excluded = Set("countries_en", "main_category", "categories_en")
+    val cleaned = TextClean.cleanAllStringCols(projected, excluded)
+
+    // O-11 + O-12 (pipeline_etl.ipynb:246-257)
+    val lightCleaned = excluded.foldLeft(
+      cleaned.withColumn("main_category",
+        TextClean.mainCategoryExtract(col("main_category")))) {
+      (d, c) => d.withColumn(c, TextClean.lightClean(col(c)))
+    }
+
+    // O-13/O-14 semantic fill + truncate (pipeline_etl.ipynb:270-302)
+    val filled = Validate.fillDefaults(lightCleaned, OffModel.textDefaults, OffModel.invalidVals)
+
+    // O-15: countries → real array (the reference stringifies for MySQL;
+    // we keep ArrayType — pipeline_etl.ipynb:305-312)
+    val withArray = filled.withColumn("countries_en", Validate.splitToArray(col("countries_en")))
+
+    // numeric pipeline: cast the string columns, bounds, derive, round
+    // (pipeline_etl.ipynb:345-388)
+    val numericCols = OffModel.nutrientBounds.map(_._1)
+    val casted = numericCols.filter(withArray.columns.contains).foldLeft(withArray) {
+      (d, c) => d.withColumn(c, col(c).cast("double"))
+    }.withColumn("last_modified_t", col("last_modified_t").cast("long"))
+    val bounded = Validate.boundsNullOut(casted, OffModel.nutrientBounds)
+    val derived = Validate.deriveNutrients(bounded)
+    val rounded = Validate.roundCols(derived, OffModel.colsToRound)
+
+    // O-20 time parts + O-23 dedup + O-21 code filter
+    // (pipeline_etl.ipynb:405-436)
+    val withTime = Validate.addTimeParts(rounded)
+    val deduped = Dedup.latestPerKey(withTime, Seq("code"),
+      Seq(col("last_modified_t").cast("long").desc, col("product_name").asc_nulls_last))
+    deduped.filter(Validate.validCode(col("code")))
+      .drop("last_modified_ts", "last_modified_date")
+  }
+
+  /** Silver → Gold: the five dims + fact (pipeline_etl.ipynb:493-691). */
+  def gold(silver: DataFrame): Map[String, DataFrame] = {
+    val time = Star.dimTime(silver)
+    val brand = Star.dimBrand(silver)
+    val category = Star.dimCategory(silver)
+    val country = Star.dimCountry(silver)
+    val product = Star.dimProduct(silver, brand, category)
+    val factDf = Star.fact(silver, product)
+    Map(
+      "dim_time" -> time, "dim_brand" -> brand, "dim_category" -> category,
+      "dim_country" -> country, "dim_product" -> product,
+      "fact_nutrition_snapshot" -> factDf)
+  }
+
+  /** Full run from a TSV path; registers gold tables as temp views so
+    * the six analytic queries (requetes_analytiques.sql) run via
+    * spark.sql against them. */
+  def run(spark: SparkSession, csvPath: String): Map[String, DataFrame] = {
+    val bronze = Ingest.bronzeCsv(spark, csvPath)
+    val s = silver(bronze)
+    val g = gold(s)
+    (g + ("silver_products" -> s)).foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    g
+  }
+}

@@ -1,0 +1,67 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One quality-check outcome. */
+case class CheckResult(check: String, passed: Boolean, violations: Long, detail: String)
+
+/** First-class data-quality suite (SURVEY §3 EP-3). The reference runs
+  * these as ad-hoc notebook asserts (docs/quality_report.md:518-572);
+  * here they are engine operators returning typed results, and they
+  * replace MySQL's PK/UNIQUE/FK constraint enforcement (database.py DDL)
+  * which Spark intentionally does not do.
+  */
+object QualitySuite {
+
+  /** PK/UNIQUE check: zero keys with more than one row
+    * (quality_report.md:518-530). */
+  def uniqueness(df: DataFrame, keys: Seq[String]): CheckResult = {
+    val dups = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
+    CheckResult(s"unique(${keys.mkString(",")})", dups == 0, dups,
+      s"$dups duplicated key(s)")
+  }
+
+  /** FK check: zero child rows without a parent — left-anti join
+    * (quality_report.md:534-544). */
+  def referentialIntegrity(child: DataFrame, parent: DataFrame, key: String): CheckResult = {
+    val orphans = child.join(parent.select(key), Seq(key), "left_anti").count()
+    CheckResult(s"fk($key)", orphans == 0, orphans, s"$orphans orphan row(s)")
+  }
+
+  /** Bounds re-validation: all values in [lo,hi] or NULL
+    * (quality_report.md:561-572). One pass over the table for all
+    * columns (single aggregate, not one job per column). */
+  def bounds(df: DataFrame, boundsSpec: Seq[(String, (Double, Double))]): Seq[CheckResult] = {
+    val present = boundsSpec.filter { case (n, _) => df.columns.contains(n) }
+    if (present.isEmpty) return Seq.empty
+    val aggs: Seq[Column] = present.map { case (n, (lo, hi)) =>
+      sum(when(col(n).isNotNull && (col(n) < lo || col(n) > hi), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    present.zipWithIndex.map { case ((n, (lo, hi)), i) =>
+      val v = row.getLong(i)
+      CheckResult(s"bounds($n in [$lo,$hi])", v == 0, v, s"$v out-of-bounds value(s)")
+    }
+  }
+
+  /** Row-count parity between two layers (quality_report.md:548-557). */
+  def countParity(a: DataFrame, b: DataFrame, label: String): CheckResult = {
+    val (ca, cb) = (a.count(), b.count())
+    CheckResult(s"countParity($label)", ca == cb, math.abs(ca - cb), s"$ca vs $cb")
+  }
+
+  /** Run the full reference invariant set over a built star schema. */
+  def fullSuite(
+      silver: DataFrame, dimProduct: DataFrame, dimBrand: DataFrame,
+      dimCategory: DataFrame, fact: DataFrame,
+      boundsSpec: Seq[(String, (Double, Double))]): Seq[CheckResult] =
+    Seq(
+      uniqueness(silver, Seq("code")),
+      uniqueness(dimProduct, Seq("code")),
+      uniqueness(dimBrand, Seq("brand_name")),
+      uniqueness(dimCategory, Seq("category_name")),
+      referentialIntegrity(fact, dimProduct, "product_sk"),
+      countParity(silver, dimProduct, "silver=dim_product")) ++
+      bounds(silver, boundsSpec)
+}
