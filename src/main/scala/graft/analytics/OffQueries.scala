@@ -123,7 +123,7 @@ object OffQueries {
               |  AVG((CAST(f.energy_kcal_100g IS NOT NULL AS INT) + CAST(f.fat_100g IS NOT NULL AS INT)
               |     + CAST(f.saturated_fat_100g IS NOT NULL AS INT) + CAST(f.sugars_100g IS NOT NULL AS INT)
               |     + CAST(f.salt_100g IS NOT NULL AS INT) + CAST(f.proteins_100g IS NOT NULL AS INT)
-              |     + CAST(f.fiber_100g IS NOT NULL AS INT) + CAST(f.sodium_100g IS NOT NULL AS INT)) / 8.0)
+              |     + CAST(f.fiber_100g IS NOT NULL AS INT) + CAST(f.sodium_100g IS NOT NULL AS INT)) / CAST(8.0 AS DOUBLE))
               |    AS completeness_rate
               |FROM fact_nutrition_snapshot f
               |JOIN dim_product p ON f.product_sk = p.product_sk

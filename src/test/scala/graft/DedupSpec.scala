@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+import graft.dedup.Dedup
+
+/** Dedup family: O-23 latest-per-key (the engine's canonical dedup,
+  * pipeline_etl.ipynb:425-429) + the training-data extensions (exact,
+  * shingles, MinHash-LSH, Jaccard, SimHash). */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("latestPerKey keeps exactly the argmax row per key (O-23)") {
+    val df = Seq(
+      ("a", 1L, "old"), ("a", 5L, "new"), ("b", 3L, "only"),
+      ("c", 2L, "x"), ("c", 2L, "y")) // tie on ts → tiebreak by payload desc
+      .toDF("code", "ts", "payload")
+    val out = Dedup.latestPerKey(df, Seq("code"),
+        Seq(col("ts").desc, col("payload").desc))
+      .orderBy("code").as[(String, Long, String)].collect()
+    assert(out.toSeq == Seq(("a", 5L, "new"), ("b", 3L, "only"), ("c", 2L, "y")))
+  }
+
+  test("latestPerKey is the per-key argmax for arbitrary data (property)") {
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 5); ts <- Gen.chooseNum(0L, 20L); v <- Gen.chooseNum(0, 1000)
+    } yield (s"k$k", ts, v)
+    ScalaCheckSupport.checkProp(Prop.forAll(Gen.listOfN(60, rowGen)) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("code", "ts", "v")
+        val got = Dedup.latestPerKey(df, Seq("code"), Seq(col("ts").desc, col("v").desc))
+          .as[(String, Long, Int)].collect().toSet
+        val want = rows.groupBy(_._1).values.map(_.maxBy(r => (r._2, r._3))).toSet
+        got == want
+      }
+    }, minSuccessful = 10)
+  }
+
+  test("exactDupGroups + exactDedup agree: one kept row per content") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"), (4L, "same text"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(df, "text", "doc_id")
+      .orderBy("keep_id").as[(String, Long, Long)].collect()
+    assert(groups.map(g => (g._2, g._3)).toSeq == Seq((3L, 1L), (1L, 3L)))
+    val kept = Dedup.exactDedup(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("shingles: char n-grams as a distinct set; short text → whole text") {
+    val df = Seq("abcd", "ab", "aaaa").toDF("t")
+    val out = df.select(Dedup.shingles(col("t"), 3).as("s")).as[Seq[String]].collect()
+    assert(out(0).toSet == Set("abc", "bcd"))
+    assert(out(1) == Seq("ab"))
+    assert(out(2) == Seq("aaa")) // distinct collapses repeats
+  }
+
+  test("wordShingles: word n-grams; short docs → joined whole") {
+    val df = Seq("the quick brown fox", "hi there").toDF("t")
+    val out = df.select(Dedup.wordShingles(col("t"), 3).as("s")).as[Seq[String]].collect()
+    assert(out(0).toSet == Set("the quick brown", "quick brown fox"))
+    assert(out(1) == Seq("hi there"))
+  }
+
+  test("minhashCandidatePairs: identical docs always pair; disjoint never") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "completely different content about databases and distributed query engines"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccardOnPairs: identical → 1.0, disjoint → 0.0, known overlap exact") {
+    val docs = Seq((1L, "abcde"), (2L, "abcde"), (3L, "vwxyz"), (4L, "abcdf"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", 3)
+      .orderBy("id_b").as[(Long, Long, Double)].collect()
+    assert(out(0)._3 == 1.0)
+    assert(out(1)._3 == 0.0)
+    // shingles3(abcde)={abc,bcd,cde}, shingles3(abcdf)={abc,bcd,cdf}: |∩|=2,|∪|=4
+    assert(out(2)._3 == 0.5)
+  }
+
+  test("simhash64: equal token sets → identical hash; hamming sane") {
+    val df = Seq(
+      ("a", "alpha beta gamma delta epsilon"),
+      ("b", "epsilon delta gamma beta alpha"), // permutation — same token set
+      ("c", "totally unrelated words here now"))
+      .toDF("id", "t")
+    val h = df.select(col("id"), Dedup.simhash64(col("t")).as("h"))
+      .as[(String, Long)].collect().toMap
+    assert(h("a") == h("b"))
+    val df2 = Seq((h("a"), h("b")), (h("a"), h("c"))).toDF("x", "y")
+    val dist = df2.select(Dedup.hamming64(col("x"), col("y"))).as[Long].collect()
+    assert(dist(0) == 0L)
+    assert(dist(1) > 0L && dist(1) <= 64L)
+  }
+
+  test("hamming64 on known bit patterns") {
+    val df = Seq((7L, 0L), (-1L, 0L), (5L, 4L)).toDF("x", "y")
+    val out = df.select(Dedup.hamming64(col("x"), col("y"))).as[Long].collect()
+    assert(out.toSeq == Seq(3L, 64L, 1L))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.quality.QualitySuite
+import graft.star.{Sk, Star}
+
+/** Star build (O-24…O-28, §7.1 step 5) + QualitySuite (§3 EP-3). */
+class StarQualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def miniSilver = Seq(
+    ("001", "choco a", "brandx", "chocolate", "chocolate spreads", Seq("france", "belgium"),
+      1700000000L, "d", Some(550.0), Some(30.0), Some(57.0), Some(0.5)),
+    ("002", "choco b", "brandx", "chocolate", "chocolates", Seq("france"),
+      1700000100L, "a", Some(400.0), Some(20.0), Some(30.0), None),
+    ("003", "juice", "brandy", "beverages", "juices", Seq("spain"),
+      1650000000L, "b", Some(45.0), Some(0.0), Some(10.0), Some(0.01)))
+    .toDF("code", "product_name", "brands", "main_category", "categories_en", "countries_en",
+      "last_modified_t", "nutriscore_grade", "energy_kcal_100g", "fat_100g", "sugars_100g",
+      "salt_100g")
+    .withColumn("saturated_fat_100g", lit(null).cast("double"))
+    .withColumn("proteins_100g", lit(null).cast("double"))
+    .withColumn("fiber_100g", lit(null).cast("double"))
+    .withColumn("sodium_100g", lit(null).cast("double"))
+    .withColumn("completeness", lit(0.5))
+
+  test("withWindowSk assigns dense 1..n keys in order") {
+    val df = Seq("c", "a", "b").toDF("k")
+    val out = Sk.withWindowSk(df, "sk", Seq(col("k").asc))
+      .orderBy("sk").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
+  test("withDistributedSk matches withWindowSk on same ordering") {
+    val df = (1 to 100).map(i => (s"k${100 - i}", i)).toDF("k", "v").repartition(7)
+    val a = Sk.withWindowSk(df, "sk", Seq(col("k").asc))
+      .select("k", "sk").as[(String, Long)].collect().toSet
+    val b = Sk.withDistributedSk(df, "sk", Seq(col("k").asc))
+      .select("k", "sk").as[(String, Long)].collect().toSet
+    assert(a == b)
+    assert(b.map(_._2) == (1L to 100L).toSet)
+  }
+
+  test("dimBrand: distinct non-empty brands with dense SKs") {
+    val out = Star.dimBrand(miniSilver).orderBy("brand_sk")
+      .as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "brandx"), (2L, "brandy")))
+  }
+
+  test("dimTime: week == iso_week == Spark weekofyear; degenerate SK = ts") {
+    val out = Star.dimTime(miniSilver)
+    assert(out.count() == 3)
+    assert(out.filter(col("week") =!= col("iso_week")).count() == 0)
+    val r = out.filter(col("time_sk") === 1700000000L).collect()(0)
+    assert(r.getAs[java.sql.Date]("date").toString == "2023-11-14")
+  }
+
+  test("dimProduct resolves FK lookups; fact count == silver count") {
+    val brand = Star.dimBrand(miniSilver)
+    val category = Star.dimCategory(miniSilver)
+    val product = Star.dimProduct(miniSilver, brand, category)
+    assert(product.count() == 3)
+    assert(product.filter(col("brand_sk").isNull).count() == 0)
+    val factDf = Star.fact(miniSilver, product)
+    assert(factDf.count() == 3)
+    assert(factDf.select("product_sk").distinct().count() == 3)
+  }
+
+  test("QualitySuite detects violations and passes on clean data") {
+    val clean = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val dirty = Seq(("a", 1), ("a", 2)).toDF("k", "v")
+    assert(QualitySuite.uniqueness(clean, Seq("k")).passed)
+    val dup = QualitySuite.uniqueness(dirty, Seq("k"))
+    assert(!dup.passed && dup.violations == 1)
+
+    val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("id")
+    val child = Seq(Tuple1(1L), Tuple1(3L)).toDF("id")
+    val ri = QualitySuite.referentialIntegrity(child, parent, "id")
+    assert(!ri.passed && ri.violations == 1)
+
+    val b = Seq(Some(5.0), Some(-1.0), None).toDF("fat_100g")
+    val res = QualitySuite.bounds(b, Seq("fat_100g" -> (0d, 100d)))
+    assert(res.head.violations == 1)
+  }
+
+  test("fullSuite passes over a built star schema") {
+    val brand = Star.dimBrand(miniSilver)
+    val category = Star.dimCategory(miniSilver)
+    val product = Star.dimProduct(miniSilver, brand, category)
+    val factDf = Star.fact(miniSilver, product)
+    val results = QualitySuite.fullSuite(miniSilver, product, brand, category, factDf,
+      graft.model.OffModel.nutrientBounds)
+    assert(results.forall(_.passed), results.filterNot(_.passed).mkString("; "))
+  }
+}
