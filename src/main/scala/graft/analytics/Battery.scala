@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
 import graft.Tables
 import graft.clean.TextClean
 import graft.dedup.Dedup
+import graft.similarity.Similarity
 import graft.star.Sk
 
 /** One driver-checkable query: a Spark DataFrame builder over the
@@ -463,7 +464,234 @@ object Battery {
       FROM base, q
       ORDER BY cosine DESC, vec_id LIMIT 10"""))
 
+  // ---------------------------------------------------------------- //
+  // C. Near-dup dedup + similarity-search block (SURVEY §2.E north-   //
+  // star: MinHash-LSH, n-gram Jaccard, SimHash, embedding near-dup,   //
+  // IVF probing, BPE tokens, rolling-hash fingerprints)               //
+  // ---------------------------------------------------------------- //
+
+  /** DuckDB char-n-gram shingle-set expression (matches
+    * Dedup.shingles). */
+  private def shingleSql(n: Int, textExpr: String = "text"): String =
+    s"""CASE WHEN len($textExpr) >= $n
+       THEN list_distinct(list_transform(range(1, len($textExpr)-$n+2),
+            i -> substr($textExpr, CAST(i AS INT), $n)))
+       ELSE [$textExpr] END"""
+
+  /** DuckDB word-n-gram shingle-set (matches Dedup.wordShingles);
+    * `toks` must name a token-list column. */
+  private def wordShingleSql(n: Int, toks: String): String =
+    s"""CASE WHEN len($toks) >= $n
+       THEN list_distinct(list_transform(range(0, len($toks)-$n+1),
+            i -> array_to_string(list_slice($toks, CAST(i+1 AS INT), CAST(i+$n AS INT)), ' ')))
+       ELSE [array_to_string($toks, ' ')] END"""
+
+  /** DuckDB CTEs `sig` + `banded` + `cand` replicating
+    * Dedup.minhashCandidatePairsBy over a CTE `sh(doc_id, s)`. */
+  private def lshCandSql(bands: Int, rpb: Int): String = {
+    val k = bands * rpb
+    val mins = (0 until k).map(i =>
+      s"list_min(list_transform(s, x -> md5('$i' || x))) AS m$i").mkString(", ")
+    val bandRows = (0 until bands).map { b =>
+      val sig = (0 until rpb).map(r => s"m${b * rpb + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $sig AS bandsig FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""sig AS (SELECT doc_id, $mins FROM sh),
+       banded AS ($bandRows),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id)"""
+  }
+
+  private def jaccardSql(sa: String, sb: String): String =
+    s"""CAST(len(list_intersect($sa, $sb)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat($sa, $sb))) AS DOUBLE)"""
+
+  /** MinHash-LSH candidate pairs over char-5-gram shingles: the
+    * banding replaces the O(n²) all-pairs cross product with an
+    * equi-join on (band, band-signature) — the core scale move. */
+  val q26 = Q("q26_minhash_lsh_pairs",
+    (s, dir) => Dedup.minhashCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text", shingleN = 5, bands = 4, rowsPerBand = 2)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
+      ${lshCandSql(4, 2)}
+      SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"""))
+
+  /** LSH candidates → exact char-5-gram Jaccard verification ≥ 0.25:
+    * the full two-stage near-dup dedup pipeline. */
+  val q27 = Q("q27_lsh_jaccard_neardup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 5, 4, 2)
+      Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", 5)
+        .filter(col("jaccard") >= 0.25)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
+      ${lshCandSql(4, 2)}
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b, ${jaccardSql("sa.s", "sb.s")} AS jaccard
+        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+      WHERE jaccard >= 0.25 ORDER BY id_a, id_b"""))
+
+  /** Word-bigram Jaccard near-dup (n-gram Jaccard over tokens instead
+    * of chars), LSH-prefiltered with the same banding. */
+  val q28 = Q("q28_word_jaccard_neardup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mode = Dedup.WordShingles(2)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", mode, 4, 2)
+      Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", mode)
+        .filter(col("jaccard") >= 0.2)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+      sh AS (SELECT doc_id, ${wordShingleSql(2, "toks")} AS s FROM tk),
+      ${lshCandSql(4, 2)}
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b, ${jaccardSql("sa.s", "sb.s")} AS jaccard
+        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+      WHERE jaccard >= 0.2 ORDER BY id_a, id_b"""))
+
+  /** 32-bit md5-SimHash near-dup: byte-band bucket join (4 bands of
+    * 8 bits) → hamming ≤ 8 — banding again avoids all-pairs. */
+  val q29 = Q("q29_simhash_neardup",
+    (s, dir) => {
+      val withH = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash32Md5(col("text")).as("h"))
+      val banded = withH.select(col("doc_id"), col("h"),
+        explode(array((0 until 4).map { i =>
+          struct(lit(i).as("band"),
+            shiftrightunsigned(col("h"), 8 * i).bitwiseAND(lit(255L)).as("bv"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("h"), col("bk.band"), col("bk.bv"))
+      val a = banded.as("a"); val b = banded.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast(LongType).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val bitSum = (0 until 32).map(bit =>
+        s"CASE WHEN 2*list_sum(list_transform(hl, h -> (h >> $bit) & 1)) > n THEN ${1L << bit} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id,
+          list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS toks
+          FROM documents),
+        hs AS (SELECT doc_id,
+          list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hl,
+          len(toks) AS n FROM tk),
+        sh2 AS (SELECT doc_id, $bitSum AS h FROM hs),
+        banded AS (SELECT doc_id, h, band, (h >> (8*band)) & 255 AS bv
+                   FROM sh2, (SELECT unnest([0,1,2,3]) AS band)),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+                  FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b"""
+    })
+
+  private def cosSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) AS DOUBLE)
+        / (sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE)))"""
+  private val quantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  /** Embedding-cosine near-dup via sign-LSH buckets (8 bits): bucket
+    * equi-join instead of all-pairs, then exact cosine ≥ 0.3. */
+  val q30 = Q("q30_embedding_neardup",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+        .withColumn("bucket", Similarity.signBucket(col("qv"), 8))
+      val a = base.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("bucket"))
+      val b = base.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("bucket"))
+      a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), Similarity.cosineQ(col("qa"), col("qb")).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val bucket = (0 until 8).map(i =>
+        s"CASE WHEN qv[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH base AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+        bk AS (SELECT vec_id, qv, $bucket AS bucket FROM base)
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.qv", "b.qv")} AS cosine
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        WHERE cosine >= 0.3 ORDER BY id_a, id_b"""
+    })
+
+  /** IVF-style ANN: per-label integer centroid sums → probe the top-2
+    * lists by query-centroid cosine → exact top-10 within the probed
+    * lists only. The scan cost drops from N to N·(probed/lists). */
+  val q31 = Q("q31_ivf_topk",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Similarity.quantize(col("embedding")).as("qv"))
+      val query = base.filter(col("vec_id") === 0).select(col("qv").as("qqv"))
+      val cents = Similarity.listCentroidSums(base, "label", "qv")
+      val top2 = cents.crossJoin(broadcast(query))
+        .select(col("label"), Similarity.cosineQ(col("cvec"), col("qqv")).as("cscore"))
+        .orderBy(col("cscore").desc, col("label").asc).limit(2).select("label")
+      base.join(broadcast(top2), Seq("label")).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(query))
+        .select(col("vec_id"), col("label"), Similarity.cosineQ(col("qv"), col("qqv")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc).limit(10)
+    },
+    Some(s"""WITH base AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+      q AS (SELECT qv AS qqv FROM base WHERE vec_id = 0),
+      expl AS (SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM base),
+      cent AS (SELECT label, list(sv ORDER BY pos) AS cvec FROM
+                 (SELECT label, pos, SUM(v) AS sv FROM expl GROUP BY label, pos)
+               GROUP BY label),
+      top2 AS (SELECT label FROM cent, q
+               ORDER BY ${cosSql("cvec", "qqv")} DESC, label ASC LIMIT 2)
+      SELECT b.vec_id, b.label, ${cosSql("b.qv", "q.qqv")} AS cosine
+      FROM base b, q
+      WHERE b.label IN (SELECT label FROM top2) AND b.vec_id <> 0
+      ORDER BY cosine DESC, b.vec_id LIMIT 10"""))
+
+  /** BPE-ish regex tokenization stats per language (letters / digit
+    * runs / punctuation runs, GPT-2-pattern flavor). */
+  val q32 = Q("q32_bpe_token_stats",
+    (s, dir) => {
+      val toks = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)")
+      t(s, dir, "documents")
+        .select(col("lang"), size(toks).cast(LongType).as("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_bpe_tokens"),
+          (sum(col("n")).cast("double") / count(lit(1)).cast("double")).as("avg_bpe_per_doc"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))) AS BIGINT) AS total_bpe_tokens,
+      CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS avg_bpe_per_doc
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Karp-Rabin polynomial rolling-hash document fingerprint
+    * (base 257 mod 1e9+7 over char codes) — exact in both engines. */
+  val q33 = Q("q33_rolling_fingerprint",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        aggregate(transform(split(col("text"), ""), c => ascii(c).cast(LongType)),
+          lit(0L), (acc, x) => (acc * 257 + x) % 1000000007L).as("fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc * 257 + x) % 1000000007) AS fp
+      FROM documents ORDER BY doc_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q20, q21, q22, q23, q24, q25)
+    q11, q12, q13, q14, q15, q16, q20, q21, q22, q23, q24, q25,
+    q26, q27, q28, q29, q30, q31, q32, q33)
 }

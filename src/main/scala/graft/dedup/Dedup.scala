@@ -1,7 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: the reference's latest-per-key window dedup
@@ -51,59 +51,112 @@ object Dedup {
       Seq("__h"),
       Seq(col(idCol).asc)).drop("__h")
 
-  /** Character n-gram shingle set of `text` (distinct, order of first
-    * appearance irrelevant — treated as a set). Built-ins only
-    * (sequence/transform/substr) so identical shingling is expressible
-    * in an ANSI-SQL oracle. Texts shorter than n yield the whole text
-    * as the single shingle. */
-  def shingles(text: Column, n: Int): Column =
-    array_distinct(
-      when(length(text) >= n,
-        transform(sequence(lit(1), length(text) - n + 1), i => text.substr(i, lit(n))))
-        .otherwise(array(text)))
+  /** Char n-gram shingle set, in plain Scala (distinct, first-appearance
+    * order; texts shorter than n yield the whole text). */
+  def charShinglesScala(text: String, n: Int): Seq[String] =
+    if (text.length >= n) (0 to text.length - n).map(i => text.substring(i, i + n)).distinct
+    else Seq(text)
 
-  /** Word n-gram shingles over whitespace-tokenized text. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n), i =>
-          array_join(slice(toks, i + 1, lit(n)), " ")))
-        .otherwise(array(array_join(toks, " "))))
+  /** Word n-gram shingles over whitespace tokens, in plain Scala. */
+  def wordShinglesScala(text: String, n: Int): Seq[String] = {
+    val toks = text.trim.split("\\s+").toSeq
+    if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    else Seq(toks.mkString(" "))
   }
 
-  /** One MinHash value: min over the shingle set of a keyed md5. Using
-    * the lexicographic min of md5 hex strings keeps the construction
-    * reproducible in any engine with md5(). */
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => md5(concat_ws("", lit(seed.toString), s))))
+  private val charShinglesUdf: UserDefinedFunction =
+    udf((t: String, n: Int) => Option(t).map(charShinglesScala(_, n)))
+  private val wordShinglesUdf: UserDefinedFunction =
+    udf((t: String, n: Int) => Option(t).map(wordShinglesScala(_, n)))
 
-  /** MinHash signature as `k` columns named minhash_0..minhash_{k-1}. */
-  def withMinhashSignature(df: DataFrame, textCol: String, shingleN: Int, k: Int): DataFrame = {
-    val sh = shingles(col(textCol), shingleN)
-    val withSh = df.withColumn("__sh", sh)
-    val sig = (0 until k).map(i => minhash(col("__sh"), i).as(s"minhash_$i"))
-    withSh.select((df.columns.map(col).toIndexedSeq ++ sig): _*)
+  /** Character n-gram shingle set of `text` (a set: distinct, order
+    * irrelevant). Implemented as an in-JVM UDF rather than
+    * `transform(sequence(...), i -> substr ...)`: on Spark 4.1.2,
+    * feeding a lambda-bearing array expression into further outer
+    * higher-order functions (as MinHash does, k times) NONDETERMINISTICALLY
+    * mis-resolves the nested lambda variables and silently returns
+    * wrong shingles — caught only by the DuckDB oracle. The UDF output
+    * is an opaque array, so downstream lambdas never nest. Semantics
+    * are mirrored by the range+substr SQL in the oracles. */
+  def shingles(text: Column, n: Int): Column = charShinglesUdf(text, lit(n))
+
+  /** Word n-gram shingles over whitespace-tokenized text (same
+    * UDF-not-nested-lambda rationale as [[shingles]]). */
+  def wordShingles(text: Column, n: Int): Column = wordShinglesUdf(text, lit(n))
+
+  /** Shingling mode for the MinHash/Jaccard family. */
+  sealed trait ShingleMode extends Serializable { def apply(text: String): Seq[String] }
+  final case class CharShingles(n: Int) extends ShingleMode {
+    def apply(text: String): Seq[String] = Dedup.charShinglesScala(text, n)
+  }
+  final case class WordShingles(n: Int) extends ShingleMode {
+    def apply(text: String): Seq[String] = Dedup.wordShinglesScala(text, n)
   }
 
-  /** MinHash-LSH candidate pairs: band the k-row signature into
-    * `bands` groups of `rowsPerBand`, bucket-join on (band id, band
-    * signature), emit distinct (id_a < id_b) candidate pairs. The join
-    * is an equi-join on the band key — a plain shuffle join, no
-    * cross-product. */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** Lowercase hex md5, identical to Spark's and DuckDB's `md5()`. */
+  def md5Hex(s: String): String = {
+    val d = md5Digest.get(); d.reset()
+    val bytes = d.digest(s.getBytes("UTF-8"))
+    val sb = new StringBuilder(32)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** k MinHash values of a shingle set: per seed, the lexicographic min
+    * of md5(seed || shingle) hex strings — reproducible in any engine
+    * with md5(). */
+  def minhashSigScala(sh: Seq[String], k: Int): IndexedSeq[String] =
+    (0 until k).map(seed => sh.iterator.map(s => md5Hex(seed.toString + s)).min)
+
+  /** Signature + banding computed in ONE in-JVM UDF returning the
+    * band-signature strings ("m_i|m_j|...", one per band).
+    *
+    * WHY a monolithic UDF: two independent Spark 4.1.2 wrong-results
+    * hazards surfaced (caught only by the DuckDB oracle) when this was
+    * composed from expression-level pieces: (a) one lambda-bearing
+    * shingle `transform` reused by several outer higher-order minhash
+    * lambdas nondeterministically mis-binds the nested lambda
+    * variables; (b) a UDF-produced array consumed by several
+    * `transform`s in a full-table scan showed cross-row result
+    * contamination (29 distinct minhash values across 500 distinct
+    * docs). A single opaque UDF has neither problem and is also the
+    * fastest formulation (one shingling + k*|sh| md5s per row, no
+    * Catalyst array churn). */
+  private def bandSigsUdf(mode: ShingleMode, bands: Int, rowsPerBand: Int): UserDefinedFunction =
+    udf { (text: String) =>
+      Option(text).map { t =>
+        val mins = minhashSigScala(mode(t), bands * rowsPerBand)
+        (0 until bands).map(b =>
+          (0 until rowsPerBand).map(r => mins(b * rowsPerBand + r)).mkString("|"))
+      }
+    }
+
+  /** MinHash signature as `k` columns named minhash_0..minhash_{k-1}
+    * over char n-gram shingles. */
+  def withMinhashSignature(
+      df: DataFrame, textCol: String, shingleN: Int, k: Int): DataFrame = {
+    val sigUdf = bandSigsUdf(CharShingles(shingleN), k, 1)
+    val withSig = df.withColumn("__sig", sigUdf(col(textCol)))
+    withSig.select((df.columns.map(col).toIndexedSeq ++
+      (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"minhash_$i"))): _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the (bands*rowsPerBand)-row
+    * signature, bucket-join on (band index, band signature), emit
+    * distinct (id_a < id_b) candidate pairs. The join is an equi-join
+    * on the band key — a plain shuffle join, no cross-product; at scale
+    * the shuffle partitions by band signature, and skew appears only
+    * where many docs share a band (i.e. genuine near-dup clusters). */
   def minhashCandidatePairs(
-      df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = withMinhashSignature(df.select(col(idCol), col(textCol)), textCol, shingleN, k)
-    val banded = sig.select(
-      col(idCol).as("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("|", (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}")): _*)
-            .as("bandsig"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bandsig"))
+      df: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigUdf = bandSigsUdf(mode, bands, rowsPerBand)
+    val banded = df.select(col(idCol).as("id"),
+        posexplode(sigUdf(col(textCol))).as(Seq("band", "bandsig")))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig")
@@ -112,20 +165,41 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard similarity on shingle sets for a pair DataFrame with
-    * columns (id_a, id_b) — verification stage after LSH candidates. */
+  /** MinHash-LSH candidate pairs over char n-gram shingles. */
+  def minhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    minhashCandidatePairs(df, idCol, textCol, CharShingles(shingleN), bands, rowsPerBand)
+
+  private def jaccardUdf(mode: ShingleMode): UserDefinedFunction =
+    udf { (ta: String, tb: String) =>
+      if (ta == null || tb == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val sa = mode(ta).toSet; val sb = mode(tb).toSet
+        java.lang.Double.valueOf((sa & sb).size.toDouble / (sa | sb).size.toDouble)
+      }
+    }
+
+  /** Exact Jaccard over shingle sets for a pair DataFrame with columns
+    * (id_a, id_b) — the verification stage after LSH candidates. Texts
+    * are joined back by id; the set arithmetic runs in one UDF (see
+    * bandSigsUdf for why not expression-level array ops). */
   def jaccardOnPairs(
       pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      mode: ShingleMode): DataFrame = {
+    val d = docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
     pairs
-      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .join(d.withColumnRenamed("__id", "id_a").withColumnRenamed("__text", "ta"), "id_a")
+      .join(d.withColumnRenamed("__id", "id_b").withColumnRenamed("__text", "tb"), "id_b")
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+        jaccardUdf(mode)(col("ta"), col("tb")).as("jaccard"))
   }
+
+  /** Exact Jaccard on char n-gram shingle sets. */
+  def jaccardOnPairs(
+      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    jaccardOnPairs(pairs, docs, idCol, textCol, CharShingles(shingleN))
 
   /** 64-bit SimHash over word tokens, via xxhash64 token hashes: sum the
     * per-bit contributions (+1/-1) and keep the sign bit-vector. Pure
@@ -145,4 +219,36 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 32-bit SimHash with md5-derived token hashes — the cross-engine
+    * reproducible variant (an ANSI-SQL oracle can rebuild it from
+    * `md5()` + bit ops, unlike xxhash64). One-pass in-JVM UDF: a
+    * built-in-only formulation needs 32 `aggregate` passes over the
+    * token array (one per bit), which is strictly worse than a single
+    * UDF pass; candidate for a codegen `Expression` later. Token hash =
+    * first 8 hex chars of md5(token) parsed as unsigned. */
+  val simhash32Md5Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val toks = text.trim.toLowerCase.split("\\s+").distinct.filter(_.nonEmpty)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val counts = new Array[Int](32)
+        toks.foreach { t =>
+          md.reset()
+          val d = md.digest(t.getBytes("UTF-8"))
+          // first 4 bytes == first 8 hex chars, big-endian unsigned
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          var b = 0
+          while (b < 32) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        }
+        var out = 0L
+        var b = 0
+        while (b < 32) { if (counts(b) * 2 > toks.length) out |= (1L << b); b += 1 }
+        java.lang.Long.valueOf(out)
+      }
+    }
+
+  def simhash32Md5(text: Column): Column = simhash32Md5Udf(text)
 }

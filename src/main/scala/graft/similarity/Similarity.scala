@@ -1,0 +1,55 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Similarity search over embedding columns (north-star extension,
+  * SURVEY §2.E / BASELINE.json): brute-force cosine as the exactness
+  * baseline, sign-LSH bucketing and IVF-style list probing as the scale
+  * paths.
+  *
+  * Exactness strategy (shared with the DuckDB oracle): embeddings are
+  * quantized to integer units (×1000, round-half-up), so dot products
+  * and squared norms are exact BIGINT arithmetic; the cosine is then a
+  * single IEEE division of identical exact operands in any engine.
+  */
+object Similarity {
+
+  /** Quantize a float/double array to integer units (×scale). */
+  def quantize(c: Column, scale: Int = 1000): Column =
+    transform(c, x => round(x.cast("double") * scale, 0).cast(LongType))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer squared norm. */
+  def normSqQ(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity of quantized vectors — deterministic double. */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") / (sqrt(normSqQ(a).cast("double")) * sqrt(normSqQ(b).cast("double")))
+
+  /** Sign-LSH bucket id from the first `bits` components: bit i set iff
+    * component i+1 > 0. Random-hyperplane LSH with axis-aligned planes —
+    * crude but deterministic and engine-portable; at scale the bucket
+    * join replaces the O(n²) all-pairs cross product with a shuffle on
+    * the bucket key. */
+  def signBucket(qv: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      when(element_at(qv, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** IVF-style list vectors: per-list (label) elementwise SUM of
+    * quantized vectors. Sums, not means: cosine is scale-invariant, and
+    * integer sums stay exact and order-independent (a float mean would
+    * be neither). One shuffle on (label, pos), then regroup. */
+  def listCentroidSums(base: DataFrame, labelCol: String, qvCol: String): DataFrame =
+    base.select(col(labelCol), posexplode(col(qvCol)).as(Seq("pos", "v")))
+      .groupBy(labelCol, "pos").agg(sum("v").as("sv"))
+      .groupBy(labelCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+        s => s.getField("sv")).as("cvec"))
+}

@@ -102,6 +102,21 @@ class DedupSpec extends SparkTestBase {
     assert(dist(1) > 0L && dist(1) <= 64L)
   }
 
+  test("minhash signature matches per-row Scala reference on a real table " +
+    "(regression: Spark 4.1.2 nested-lambda + cross-row contamination hazards)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sig = Dedup.withMinhashSignature(docs, "text", 5, 8)
+      .select("doc_id", "text", "minhash_0", "minhash_7")
+      .collect()
+    assert(sig.length > 10)
+    sig.foreach { r =>
+      val want = Dedup.minhashSigScala(Dedup.charShinglesScala(r.getString(1), 5), 8)
+      assert(r.getString(2) == want(0), s"doc ${r.getLong(0)} minhash_0")
+      assert(r.getString(3) == want(7), s"doc ${r.getLong(0)} minhash_7")
+    }
+  }
+
   test("hamming64 on known bit patterns") {
     val df = Seq((7L, 0L), (-1L, 0L), (5L, 4L)).toDF("x", "y")
     val out = df.select(Dedup.hamming64(col("x"), col("y"))).as[Long].collect()
