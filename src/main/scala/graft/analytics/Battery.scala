@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
 import graft.Tables
 import graft.clean.TextClean
 import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.star.Sk
 
@@ -690,8 +691,44 @@ object Battery {
         (acc, x) -> (acc * 257 + x) % 1000000007) AS fp
       FROM documents ORDER BY doc_id"""))
 
+  /** Multimodal binary-column plumbing, oracle-checked half: documents
+    * as opaque payloads → byte length + content hash per kind (pure
+    * built-ins over a binary column; scan-friendly). */
+  val q34 = Q("q34_media_payload_stats",
+    (s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.payloadStats(media.toDF())
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_bytes").cast(LongType)).as("total_bytes"),
+          countDistinct(col("content_md5")).as("n_distinct_payloads"))
+        .orderBy("kind")
+    },
+    Some("""SELECT CASE WHEN doc_id % 3 = 0 THEN 'video'
+                 WHEN doc_id % 3 = 1 THEN 'image' ELSE 'audio' END AS kind,
+      COUNT(*) AS n_media,
+      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+      FROM documents GROUP BY 1 ORDER BY kind"""))
+
+  /** Multimodal decode→frame-sample→embed path (DecodeStub is a
+    * deterministic fake; the mapPartitions batch shape is real). No
+    * ANSI-SQL oracle — driver records the weaker rows-only check. */
+  val q35 = Q("q35_media_frame_features",
+    (s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      val feats = Multimodal.decodeAndEmbed(media, stride = 2, maxFrames = 4)
+      feats.toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0d), (acc, v) => acc + v)).as("sum_sq_embed"))
+        .orderBy("media_id")
+    },
+    None)
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
 }

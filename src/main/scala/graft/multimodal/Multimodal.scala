@@ -1,0 +1,155 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (north-star extension): image/audio/video as
+  * opaque `binary` payloads with typed metadata, processed by
+  * per-partition batch operators.
+  *
+  * The actual media codecs are NOT in this environment, so the decode
+  * kernel is a clearly-marked DETERMINISTIC FAKE ([[DecodeStub]]) — but
+  * every Spark-side piece is real and tested: the schema contract, the
+  * mapPartitions batch shape (decoder state amortized per partition,
+  * exactly how a JNI/FFmpeg handle would be reused), partitioning, and
+  * the downstream feature pipeline (embeddings feed
+  * [[graft.similarity.Similarity]] as-is).
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the payload. */
+  case class MediaMeta(
+      kind: String, // "image" | "audio" | "video"
+      declaredWidth: Int,
+      declaredHeight: Int,
+      sampleRateHz: Int,
+      durationMs: Long)
+
+  case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+
+  /** Decoded-frame features (one row per sampled frame). */
+  case class FrameFeature(
+      media_id: Long, frame_idx: Int, width: Int, height: Int,
+      embedding: Array[Float])
+
+  /** Dataset[MediaRow] schema (nullability as the case-class Encoder
+    * emits it: AnyRef-typed fields are nullable). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType, nullable = true),
+      StructField("declaredWidth", IntegerType, nullable = false),
+      StructField("declaredHeight", IntegerType, nullable = false),
+      StructField("sampleRateHz", IntegerType, nullable = false),
+      StructField("durationMs", LongType, nullable = false))), nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** DETERMINISTIC FAKE decode kernel. A real deployment swaps this
+    * object for a codec binding (libjpeg/FFmpeg); the call signature —
+    * bytes in, dimensioned frame matrix out — is the real contract.
+    * The fake derives "pixels" from a rolling hash of the payload so
+    * outputs are stable across runs/partitionings. */
+  object DecodeStub {
+    /** Fake-decode one frame: an 8×8 grid of hash-derived bytes. */
+    def decodeFrame(payload: Array[Byte], frameIdx: Int): Array[Array[Int]] = {
+      val grid = Array.ofDim[Int](8, 8)
+      var h = 1125899906842597L + frameIdx * 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+          grid(r)(c) = (h & 0xff).toInt
+          c += 1
+        }
+        r += 1
+      }
+      grid
+    }
+
+    /** Number of frames the fake container "holds". */
+    def frameCount(meta: MediaMeta): Int = meta.kind match {
+      case "video" => math.max(1, (meta.durationMs / 1000L).toInt)
+      case _ => 1
+    }
+  }
+
+  /** Uniform frame sampling: every `stride`-th frame, at most
+    * `maxFrames`. Pure index arithmetic — the real scheduling logic. */
+  def sampleFrameIndices(total: Int, stride: Int, maxFrames: Int): Seq[Int] =
+    (0 until total by stride).take(maxFrames)
+
+  /** 8×8 "pixels" → 16-dim mean-pooled embedding (2×2 pooling over the
+    * grid, quantized to float). Deterministic; the real version would
+    * run a vision encoder over the decoded frame batch. */
+  def embedFrame(grid: Array[Array[Int]]): Array[Float] = {
+    val out = new Array[Float](16)
+    var pr = 0
+    while (pr < 4) {
+      var pc = 0
+      while (pc < 4) {
+        var s = 0
+        var r = pr * 2
+        while (r < pr * 2 + 2) {
+          var c = pc * 2
+          while (c < pc * 2 + 2) { s += grid(r)(c); c += 1 }
+          r += 1
+        }
+        out(pr * 4 + pc) = s / 4.0f / 255.0f
+        pc += 1
+      }
+      pr += 1
+    }
+    out
+  }
+
+  /** Decode → frame-sample → embed, as ONE mapPartitions pass: the
+    * decoder handle ("stub state") is created once per partition and
+    * reused across rows — the batch shape a native codec needs. Output
+    * is a flat Dataset[FrameFeature] ready for similarity search. */
+  def decodeAndEmbed(
+      media: Dataset[MediaRow], stride: Int = 2, maxFrames: Int = 8): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (JNI handle, buffers)
+      rows.flatMap { m =>
+        val total = DecodeStub.frameCount(m.meta)
+        sampleFrameIndices(total, stride, maxFrames).map { fi =>
+          val grid = DecodeStub.decodeFrame(m.payload, fi)
+          FrameFeature(m.media_id, fi, 8, 8, embedFrame(grid))
+        }
+      }
+    }
+  }
+
+  /** Payload-level metadata extraction — pure Spark built-ins (no UDF):
+    * byte length, content hash, kind split. Works on any binary column
+    * at any scale; filters/projection push into the scan. */
+  def payloadStats(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.select(
+      col("media_id"),
+      col("meta.kind").as("kind"),
+      octet_length(col(payloadCol)).as("n_bytes"),
+      md5(col(payloadCol)).as("content_md5"))
+
+  /** Build a MediaRow dataset from the documents table (text bytes as
+    * payload) — a deterministic stand-in corpus so the multimodal path
+    * is exercised against driver testdata. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      struct(
+        when(col("doc_id") % 3 === 0, "video")
+          .when(col("doc_id") % 3 === 1, "image").otherwise("audio").as("kind"),
+        lit(640).as("declaredWidth"),
+        lit(480).as("declaredHeight"),
+        lit(16000).as("sampleRateHz"),
+        (col("n_chars").cast("long") * 100L).as("durationMs")).as("meta"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (north-star extension; the reference
+  * is batch-only, SURVEY §2.E). The same engine semantics — dedup,
+  * windowed aggregation, sessionization — expressed over unbounded
+  * event streams with watermark-bounded state, so the 100 TB/day
+  * version of the `events` table runs incrementally instead of as
+  * nightly full scans.
+  */
+object StreamOps {
+
+  /** Streaming exact dedup on event_id with watermark-bounded state:
+    * duplicates arriving within the watermark horizon are dropped;
+    * state for expired watermarks is reclaimed automatically (without
+    * the watermark, dedup state grows unboundedly). */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Sliding/tumbling windowed counts + value sums per event type —
+    * the streaming analog of the batch time-rollup (O-39). Emits one
+    * row per (window, event_type); late rows beyond the watermark are
+    * dropped, so results are eventually-exact. */
+  def windowedTypeCounts(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      slideDur: Option[String] = None,
+      watermark: String = "15 minutes"): DataFrame = {
+    val w = slideDur.fold(window(col("ts"), windowDur))(s => window(col("ts"), windowDur, s))
+    events.withWatermark("ts", watermark)
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
+  case class UserSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState with
+    * EVENT-TIME timeouts: a session closes either in-batch (a new event
+    * for the user arrives past the gap) or when the watermark passes
+    * lastSeen + gap (timeout). Event-time rather than processing-time
+    * makes the operator deterministic and replayable — the same input
+    * stream always yields the same sessions. State per user is O(1) —
+    * start/last/count/sum — so state scales with distinct active users,
+    * not event volume. */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "1 minute"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.nEvents + 1, s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= UserSession(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the event-time watermark passes the gap
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

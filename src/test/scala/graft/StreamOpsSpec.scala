@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.SessionEvent
+
+/** Structured Streaming operators driven through MemoryStream — real
+  * incremental execution (micro-batches, state store, watermarks). */
+class StreamOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("dedupEvents drops duplicate event_ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamOps.dedupEvents(events)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData((1L, ts(0), "click", 1.0), (2L, ts(1), "view", 2.0), (1L, ts(2), "click", 1.0))
+    q.processAllAvailable()
+    input.addData((2L, ts(3), "view", 2.0), (3L, ts(4), "buy", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("windowedTypeCounts aggregates into tumbling windows incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamOps.windowedTypeCounts(events, windowDur = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    input.addData(
+      (1L, ts(0), "click", 1.0), (2L, ts(3), "click", 2.0),
+      (3L, ts(5), "view", 5.0), (4L, ts(12), "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .select("event_type", "n_events", "total_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0), ("click", 1L, 4.0)))
+  }
+
+  test("sessionize: in-batch gap close and event-time timeout close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = StreamOps.sessionize(input.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // user 7: events at minutes 0,5; user 9 at minute 2
+    input.addData(SessionEvent(7L, 1L, ts(0), 1.0), SessionEvent(7L, 2L, ts(5), 2.0),
+      SessionEvent(9L, 10L, ts(2), 9.0))
+    q.processAllAvailable()
+    // user 7 again at minute 35 (past the 10-min gap) → in-batch close
+    // of [0,5]; user 9's session closes via the event-time timeout once
+    // the watermark (35 - 1-min delay) passes 2 + 10.
+    input.addData(SessionEvent(7L, 3L, ts(35), 3.0))
+    q.processAllAvailable()
+    // one more batch so the watermark from the previous batch fires timeouts
+    input.addData(SessionEvent(7L, 4L, ts(36), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_out")
+      .as[StreamOps.UserSession].collect().sortBy(_.user_id)
+    assert(sessions.length == 2, sessions.mkString("; "))
+    val s7 = sessions(0); val s9 = sessions(1)
+    assert(s7.user_id == 7L && s7.n_events == 2L && s7.total_value == 3.0)
+    assert(s7.session_start == ts(0) && s7.session_end == ts(5))
+    assert(s9.user_id == 9L && s9.n_events == 1L && s9.total_value == 9.0)
+  }
+}
