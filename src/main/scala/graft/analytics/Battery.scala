@@ -504,9 +504,16 @@ object Battery {
                 ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id)"""
   }
 
-  private def jaccardSql(sa: String, sb: String): String =
-    s"""CAST(len(list_intersect($sa, $sb)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat($sa, $sb))) AS DOUBLE)"""
+  /** CTE turning shingle-string lists `sh(doc_id, s)` into 60-bit md5
+    * hash sets (mirrors Dedup.shingleHash60). */
+  private val hashSetCte =
+    """shh AS (SELECT doc_id,
+       list_distinct(list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+       FROM sh)"""
+
+  private def jaccardSql(ha: String, hb: String): String =
+    s"""CAST(len(list_intersect($ha, $hb)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat($ha, $hb))) AS DOUBLE)"""
 
   /** MinHash-LSH candidate pairs over char-5-gram shingles: the
     * banding replaces the O(n²) all-pairs cross product with an
@@ -530,10 +537,11 @@ object Battery {
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
-      ${lshCandSql(4, 2)}
+      ${lshCandSql(4, 2)},
+      $hashSetCte
       SELECT id_a, id_b, jaccard FROM (
-        SELECT id_a, id_b, ${jaccardSql("sa.s", "sb.s")} AS jaccard
-        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, ${jaccardSql("sa.h", "sb.h")} AS jaccard
+        FROM cand JOIN shh sa ON sa.doc_id = id_a JOIN shh sb ON sb.doc_id = id_b)
       WHERE jaccard >= 0.25 ORDER BY id_a, id_b"""))
 
   /** Word-bigram Jaccard near-dup (n-gram Jaccard over tokens instead
@@ -549,10 +557,11 @@ object Battery {
     },
     Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
       sh AS (SELECT doc_id, ${wordShingleSql(2, "toks")} AS s FROM tk),
-      ${lshCandSql(4, 2)}
+      ${lshCandSql(4, 2)},
+      $hashSetCte
       SELECT id_a, id_b, jaccard FROM (
-        SELECT id_a, id_b, ${jaccardSql("sa.s", "sb.s")} AS jaccard
-        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, ${jaccardSql("sa.h", "sb.h")} AS jaccard
+        FROM cand JOIN shh sa ON sa.doc_id = id_a JOIN shh sb ON sb.doc_id = id_b)
       WHERE jaccard >= 0.2 ORDER BY id_a, id_b"""))
 
   /** 32-bit md5-SimHash near-dup: byte-band bucket join (4 bands of

@@ -97,13 +97,22 @@ object Dedup {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  /** Lowercase hex md5, identical to Spark's and DuckDB's `md5()`. */
+  private val hexChars = "0123456789abcdef".toCharArray
+  /** Lowercase hex md5, identical to Spark's and DuckDB's `md5()`.
+    * Table-driven hex — this runs ~k·|shingles| times per row in the
+    * MinHash path, so no per-byte Formatter allocations. */
   def md5Hex(s: String): String = {
     val d = md5Digest.get(); d.reset()
     val bytes = d.digest(s.getBytes("UTF-8"))
-    val sb = new StringBuilder(32)
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val v = bytes(i) & 0xff
+      out(i * 2) = hexChars(v >>> 4)
+      out(i * 2 + 1) = hexChars(v & 15)
+      i += 1
+    }
+    new String(out)
   }
 
   /** k MinHash values of a shingle set: per seed, the lexicographic min
@@ -171,28 +180,61 @@ object Dedup {
       shingleN: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
     minhashCandidatePairs(df, idCol, textCol, CharShingles(shingleN), bands, rowsPerBand)
 
-  private def jaccardUdf(mode: ShingleMode): UserDefinedFunction =
-    udf { (ta: String, tb: String) =>
-      if (ta == null || tb == null) null.asInstanceOf[java.lang.Double]
+  /** 60-bit shingle hash: the first 15 hex chars of md5(shingle) as a
+    * BIGINT — i.e. the top 60 bits of the digest. Engine-portable
+    * (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`), and since BOTH
+    * engines hash identically before the set ops, cross-engine parity
+    * is exact even under (astronomically unlikely) collisions. */
+  def shingleHash60(s: String): Long = {
+    val d = md5Digest.get(); d.reset()
+    val b = d.digest(s.getBytes("UTF-8"))
+    val top64 =
+      ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) | ((b(2) & 0xffL) << 40) |
+        ((b(3) & 0xffL) << 32) | ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+        ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+    top64 >>> 4
+  }
+
+  private def shingleHashSetUdf(mode: ShingleMode): UserDefinedFunction =
+    udf { (text: String) =>
+      Option(text).map(t => mode(t).map(shingleHash60).distinct.sorted.toArray)
+    }
+
+  /** Jaccard of two sorted long arrays via linear merge — primitive
+    * Array[Long] params so the 10⁶-scale pair joins don't box every
+    * element. */
+  private val jaccardOfHashSetsUdf: UserDefinedFunction =
+    udf { (sa: Array[Long], sb: Array[Long]) =>
+      if (sa == null || sb == null) null.asInstanceOf[java.lang.Double]
       else {
-        val sa = mode(ta).toSet; val sb = mode(tb).toSet
-        java.lang.Double.valueOf((sa & sb).size.toDouble / (sa | sb).size.toDouble)
+        var i = 0; var j = 0; var inter = 0
+        while (i < sa.length && j < sb.length) {
+          val c = java.lang.Long.compare(sa(i), sb(j))
+          if (c == 0) { inter += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
+        val union = sa.length + sb.length - inter
+        java.lang.Double.valueOf(inter.toDouble / union.toDouble)
       }
     }
 
-  /** Exact Jaccard over shingle sets for a pair DataFrame with columns
-    * (id_a, id_b) — the verification stage after LSH candidates. Texts
-    * are joined back by id; the set arithmetic runs in one UDF (see
-    * bandSigsUdf for why not expression-level array ops). */
+  /** Exact Jaccard over (hashed) shingle sets for a pair DataFrame with
+    * columns (id_a, id_b) — the verification stage after LSH candidates.
+    * Scale design: shingle sets are computed ONCE PER DOC (an LSH
+    * candidate set can be ≫ the doc count) and carried to the pairs as
+    * sorted 60-bit hash arrays — ~5-10× smaller on the shuffle wire
+    * than the string shingles, with a linear-merge intersection. */
   def jaccardOnPairs(
       pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       mode: ShingleMode): DataFrame = {
-    val d = docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val sh = docs.select(col(idCol).as("__id"),
+      shingleHashSetUdf(mode)(col(textCol)).as("__sh"))
     pairs
-      .join(d.withColumnRenamed("__id", "id_a").withColumnRenamed("__text", "ta"), "id_a")
-      .join(d.withColumnRenamed("__id", "id_b").withColumnRenamed("__text", "tb"), "id_b")
+      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccardUdf(mode)(col("ta"), col("tb")).as("jaccard"))
+        jaccardOfHashSetsUdf(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
   /** Exact Jaccard on char n-gram shingle sets. */
