@@ -30,8 +30,11 @@ object TextClean {
 
   val cleanAsciiUdf: UserDefinedFunction = udf(cleanAsciiString _)
 
-  /** O-9 as a Column. */
-  def cleanAscii(c: Column): Column = cleanAsciiUdf(c)
+  /** O-9 as a Column — the native Catalyst expression (stays inside
+    * whole-stage codegen; the UDF variant above is kept for reference
+    * and equivalence testing). */
+  def cleanAscii(c: Column): Column =
+    graft.functions.CleanAsciiExpression.cleanAsciiNative(c)
 
   /** O-10: full clean chain — ascii → strip non-alnum → trim → lower →
     * collapse whitespace (pipeline_etl.ipynb:214-240, exact composition

@@ -1,0 +1,55 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Engine-managed table catalog (SURVEY §2.A O-2…O-5, §7.1 step 6).
+  *
+  * The reference persists every layer into MySQL over JDBC and manages
+  * it with external DDL + TRUNCATE choreography
+  * (tools/database.py:19-151; pipeline_etl.ipynb:469-474,540-556).
+  * Here the engine owns its tables: parquet-backed catalog tables with
+  * idempotent full-overwrite semantics (the reference's contract,
+  * docs/architecture_notes.md:251-254) — no external RDBMS in the
+  * execution path.
+  *
+  * Scale notes: `overwrite` maps to an atomic catalog swap of parquet
+  * files (no row-at-a-time JDBC inserts); `partitionBy` turns the fact
+  * table into partition-pruned scans (e.g. by year); appends are new
+  * files, not transactions.
+  */
+object Store {
+
+  /** CREATE DATABASE IF NOT EXISTS + USE (replaces database.py:19-42's
+    * DROP/CREATE DATABASE round trip; idempotent). */
+  def ensureDatabase(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+    spark.catalog.setCurrentDatabase(name)
+  }
+
+  /** Idempotent full reload — the TRUNCATE+INSERT contract as one
+    * atomic overwrite. Optional partition columns for big tables. */
+  def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
+  }
+
+  /** Append (the reference's dims/fact append writes, O-3). */
+  def append(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+
+  /** Read back a managed table (replaces the JDBC SK read-back O-4 —
+    * though with in-plan SKs the round trip itself is gone). */
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  def drop(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  /** Persist a full gold layer; fact partitioned if requested. */
+  def persistGold(
+      gold: Map[String, DataFrame],
+      factPartitionBy: Seq[String] = Nil): Unit =
+    gold.foreach { case (name, df) =>
+      if (name.startsWith("fact_")) overwrite(df, name, factPartitionBy)
+      else overwrite(df, name)
+    }
+}
