@@ -9,6 +9,7 @@ import graft.Tables
 import graft.clean.TextClean
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
+import graft.operators.AsOfJoin
 import graft.similarity.Similarity
 import graft.star.Sk
 
@@ -289,10 +290,12 @@ object Battery {
       ORDER BY l_orderkey, l_linenumber"""))
 
   /** In-plan surrogate keys + FK-lookup join (O-27/O-28 analog, §7.1
-    * step 5): dim_customer with window SK, orders as fact. */
+    * step 5): dim_customer SK via the scalable two-phase rank (range-
+    * partitioned sort + per-partition offsets — no single-partition
+    * global window), orders as fact. */
   val q15 = Q("q15_star_sk_roundtrip",
     (s, dir) => {
-      val dim = Sk.withWindowSk(
+      val dim = Sk.withDistributedSk(
         t(s, dir, "customer").select("c_custkey", "c_nationkey"),
         "customer_sk", Seq(col("c_custkey").asc))
       val fact = t(s, dir, "orders")
@@ -320,6 +323,68 @@ object Battery {
     },
     Some("""SELECT COUNT(*) AS n_childless_orders FROM orders
       WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"""))
+
+  /** Hierarchy rollup + grouping_id (beyond-reference coverage:
+    * grouping sets family). */
+  val q17 = Q("q17_rollup",
+    (s, dir) => t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("gid").asc, col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first),
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  /** Ranking + lag/lead + frame-bounded moving sum (window-function
+    * family; money math in integer cents for cross-engine exactness). */
+  val q18 = Q("q18_window_funcs",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(-2, Window.currentRow)
+      t(s, dir, "orders").filter(col("o_custkey") % 20 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast(LongType).as("rnk"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          (sum(cents(col("o_totalprice"))).over(wf).cast("double") / 100.0).as("moving3"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some(s"""SELECT o_custkey, o_orderkey,
+      CAST(rank() OVER w AS BIGINT) AS rnk,
+      lag(o_totalprice, 1) OVER w AS prev_price,
+      lead(o_totalprice, 1) OVER w AS next_price,
+      CAST(SUM(${centsSql("o_totalprice")}) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS moving3
+      FROM orders WHERE o_custkey % 20 = 0
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** Set operations: INTERSECT / EXCEPT / UNION over nation keys. */
+  val q19 = Q("q19_set_ops",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("k")).distinct()
+      def cnt(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      cnt(c.intersect(su), "intersect")
+        .unionByName(cnt(c.except(su), "except"))
+        .unionByName(cnt(c.union(su).distinct(), "union"))
+        .orderBy("op")
+    },
+    Some("""SELECT 'intersect' AS op, (SELECT COUNT(*) FROM
+        (SELECT DISTINCT c_nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)) AS n
+      UNION ALL SELECT 'except', (SELECT COUNT(*) FROM
+        (SELECT DISTINCT c_nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier))
+      UNION ALL SELECT 'union', (SELECT COUNT(*) FROM
+        (SELECT DISTINCT c_nationkey FROM customer UNION SELECT DISTINCT s_nationkey FROM supplier))
+      ORDER BY op"""))
 
   // ---------------------------------------------------------------- //
   // B. Training-data extension block (dedup / text / similarity)     //
@@ -736,8 +801,36 @@ object Battery {
     },
     None)
 
+  /** Backward as-of join (events ← latest prior order per user) —
+    * a single-shuffle union+window composition; oracle via DuckDB's
+    * native ASOF JOIN. Right side pre-deduped to one row per
+    * (key, date) so both engines break ties identically. */
+  val q36 = Q("q36_asof_join",
+    (s, dir) => {
+      val ded = Dedup.latestPerKey(
+        t(s, dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey").desc))
+      val ev = t(s, dir, "events").filter(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(timestamp_seconds(ts DIV 1000000000) AS DATE)").as("event_date"))
+      AsOfJoin.backward(ev, ded, "user_id", "o_custkey", "event_date", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"), inner = true)
+        .withColumn("event_date", col("event_date").cast("string"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ded AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+               max_by(o_totalprice, o_orderkey) AS o_totalprice
+             FROM orders GROUP BY o_custkey, o_orderdate),
+      ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date
+             FROM events WHERE event_id % 20 = 0)
+      SELECT event_id, user_id, CAST(event_date AS VARCHAR) AS event_date,
+        o_orderkey, o_totalprice
+      FROM ev ASOF JOIN ded
+        ON ev.user_id = ded.o_custkey AND ev.event_date >= ded.o_orderdate
+      ORDER BY event_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
 }
