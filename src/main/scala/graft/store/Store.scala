@@ -37,6 +37,18 @@ object Store {
   def append(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
 
+  /** Bucketed overwrite: co-locates future joins/aggregations on the
+    * bucket key — two tables bucketed the same way join with NO
+    * exchange on either side, the decisive shuffle-elimination move for
+    * repeated large-fact⋈large-fact joins at 100 TB. */
+  def overwriteBucketed(
+      df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit = {
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Read back a managed table (replaces the JDBC SK read-back O-4 —
     * though with in-plan SKs the round trip itself is gone). */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

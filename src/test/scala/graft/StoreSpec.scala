@@ -27,6 +27,23 @@ class StoreSpec extends SparkTestBase {
     Store.drop(spark, "t_append")
   }
 
+  test("co-bucketed tables join without a shuffle on either side") {
+    Store.ensureDatabase(spark, "graft_test")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Store.overwriteBucketed(orders, "b_orders", Seq("o_orderkey"), 4)
+    Store.overwriteBucketed(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", Seq("o_orderkey"), 4)
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(b_orders) */ o.o_orderkey, l.l_quantity
+        |FROM b_orders o JOIN b_lineitem l USING (o_orderkey)""".stripMargin)
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+    Store.drop(spark, "b_orders"); Store.drop(spark, "b_lineitem")
+  }
+
   test("partitioned fact table gets partition-pruned scans") {
     Store.ensureDatabase(spark, "graft_test")
     val fact = Seq((1L, 2023, 10.0), (2L, 2023, 20.0), (3L, 2024, 30.0))
