@@ -33,6 +33,29 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("as-of matches an in-memory reference for arbitrary data (property)") {
+    import org.scalacheck.{Gen, Prop}
+    val lGen = Gen.listOfN(40, for {
+      k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 30L)
+    } yield (k, t))
+    val rGen = Gen.listOfN(15, for {
+      k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 30L); v <- Gen.chooseNum(0, 99)
+    } yield (k, t, v))
+    ScalaCheckSupport.checkProp(Prop.forAll(lGen, rGen) { (ls, rs) =>
+      // dedup right to one row per (k,t) — the operator's precondition
+      val rd = rs.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+      val lDf = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+      val rDf = rd.toDF("k", "t", "v")
+      val got = AsOfJoin.backward(lDf, rDf, "k", "k", "t", "t", Seq("v"))
+        .select("id", "v").as[(Long, Option[Int])].collect().toMap
+      ls.zipWithIndex.forall { case ((k, t), i) =>
+        val want = rd.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        got(i.toLong) == want
+      }
+    }, minSuccessful = 10)
+  }
+
   test("multiple right payload columns come from the same right row") {
     val r2 = Seq((100L, 10L, "a", 1.0), (100L, 20L, "b", 2.0))
       .toDF("k", "t", "tag", "v")
