@@ -32,6 +32,28 @@ object OffQueries {
       .orderBy(col("proportion_ab").desc, col("brand_name").asc)
       .limit(10)
 
+  /** Q1 fast mode (SURVEY §7.3): HLL approximate distinct counts.
+    * Same query shape, but `approx_count_distinct` (HyperLogLog++,
+    * default 5% rsd) replaces the exact distinct — at 100 TB the exact
+    * version shuffles every (brand, product_sk) pair, the sketch is a
+    * fixed-size buffer merged map-side. Not oracle-hashable by design;
+    * use for interactive exploration, keep the exact form for parity. */
+  def q1TopBrandsAbShareApprox(
+      fact: DataFrame, product: DataFrame, brand: DataFrame, rsd: Double = 0.05): DataFrame =
+    fact.filter(col("nutriscore_grade").isNotNull)
+      .join(product.select("product_sk", "brand_sk"), Seq("product_sk"))
+      .join(broadcast(brand.select("brand_sk", "brand_name")), Seq("brand_sk"))
+      .groupBy("brand_name")
+      .agg(
+        (approx_count_distinct(
+          when(col("nutriscore_grade").isin("A", "B"), col("product_sk")), rsd)
+          .cast("double") /
+          approx_count_distinct(col("product_sk"), rsd).cast("double")).as("proportion_ab"),
+        approx_count_distinct(col("product_sk"), rsd).as("nb_products"))
+      .filter(col("nb_products") >= 10)
+      .orderBy(col("proportion_ab").desc, col("brand_name").asc)
+      .limit(10)
+
   /** Q2 (sql:18-34): Nutri-Score distribution by category level 1/2. */
   def q2GradeByCategory(fact: DataFrame, product: DataFrame, category: DataFrame): DataFrame =
     fact.filter(col("nutriscore_grade").isNotNull)

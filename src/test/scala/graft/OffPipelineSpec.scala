@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 import graft.analytics.OffQueries
 import graft.metrics.Metrics
@@ -155,6 +156,20 @@ class OffPipelineSpec extends SparkTestBase {
       val viaDf = df.collect().map(_.toSeq).toSeq
       assert(viaSql == viaDf, s"$name: SQL and DataFrame results differ")
     }
+  }
+
+  test("Q1 approx fast mode (HLL) tracks the exact distinct within rsd") {
+    // on larger data: exact vs approx distinct over the part table
+    val part = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+    val exact = part.select(countDistinct(col("p_partkey"))).collect()(0).getLong(0)
+    val approx = part.select(approx_count_distinct(col("p_partkey"), 0.05))
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+    // and the full approx query runs on the tiny gold star
+    val q1a = OffQueries.q1TopBrandsAbShareApprox(
+      gold("fact_nutrition_snapshot"), gold("dim_product"), gold("dim_brand"))
+    q1a.collect() // executes; tiny data won't clear the HAVING >= 10
   }
 
   test("metrics single-pass aggregate matches the layer counts (O-6/O-29)") {

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.SessionEvent
@@ -48,6 +48,34 @@ class StreamOpsSpec extends SparkTestBase {
       .select("event_type", "n_events", "total_value")
       .as[(String, Long, Double)].collect().toSet
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0), ("click", 1L, 4.0)))
+  }
+
+  test("streaming windowed aggregation == batch aggregation on the real events table") {
+    // stream the driver events.parquet through windowedTypeCounts and
+    // cross-check against the equivalent batch groupBy — incremental
+    // execution must not change the result
+    val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_seconds(expr("ts DIV 1000000000"))) // nanos → timestamp
+    // readStream needs a directory of homogeneous files — restage the
+    // converted events into a temp dir and stream from there
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchDf.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = StreamOps.windowedTypeCounts(stream, windowDur = "1 day", watermark = "1 hour")
+      .writeStream.format("memory").queryName("win_events")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("win_events")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = batchDf
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("win.start"), col("event_type"), col("n_events"), col("total_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
   }
 
   test("sessionize: in-batch gap close and event-time timeout close") {
