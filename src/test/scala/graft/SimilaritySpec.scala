@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+import graft.similarity.Similarity
+
+/** Similarity primitives: quantization, exact integer dot/norm, cosine
+  * identities, sign-LSH bucketing, IVF centroid sums. */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quantize rounds to integer units; dotQ/normSqQ are exact") {
+    val df = Seq((Seq(0.1f, -0.25f, 2.0f), Seq(1.0f, 0.5f, -1.0f))).toDF("a", "b")
+    val row = df.select(
+      Similarity.quantize(col("a")).as("qa"),
+      Similarity.dotQ(Similarity.quantize(col("a")), Similarity.quantize(col("b"))).as("dot"),
+      Similarity.normSqQ(Similarity.quantize(col("a"))).as("nsq")).collect()(0)
+    assert(row.getSeq[Long](0) == Seq(100L, -250L, 2000L))
+    // dot = 100*1000 + (-250)*500 + 2000*(-1000) = 100000 - 125000 - 2000000
+    assert(row.getLong(1) == 100000L - 125000L - 2000000L)
+    assert(row.getLong(2) == 100L * 100 + 250L * 250 + 2000L * 2000)
+  }
+
+  test("cosine identities: cos(v,v)=1, cos(v,-v)=-1, bounded (property)") {
+    val vGen = Gen.listOfN(8, Gen.chooseNum(-2.0, 2.0))
+      .suchThat(_.exists(x => math.abs(x) > 0.01))
+    ScalaCheckSupport.checkProp(Prop.forAll(vGen, vGen) { (a, b) =>
+      val df = Seq((a.map(_.toFloat), b.map(_.toFloat))).toDF("a", "b")
+      val r = df.select(
+        Similarity.cosineQ(Similarity.quantize(col("a")), Similarity.quantize(col("a"))).as("aa"),
+        Similarity.cosineQ(Similarity.quantize(col("a")),
+          Similarity.quantize(transform(col("a"), x => -x))).as("anega"),
+        Similarity.cosineQ(Similarity.quantize(col("a")), Similarity.quantize(col("b"))).as("ab"))
+        .collect()(0)
+      val ok = math.abs(r.getDouble(0) - 1.0) < 1e-12 &&
+        math.abs(r.getDouble(1) + 1.0) < 1e-12 &&
+        (r.isNullAt(2) || (r.getDouble(2) >= -1.0 - 1e-12 && r.getDouble(2) <= 1.0 + 1e-12))
+      ok
+    }, minSuccessful = 10)
+  }
+
+  test("signBucket packs the sign bits of the leading components") {
+    val df = Seq(Tuple1(Seq(1.0f, -1.0f, 0.5f, 0.0f, 2.0f, -2.0f, 0.1f, -0.1f)))
+      .toDF("v")
+    val b = df.select(Similarity.signBucket(Similarity.quantize(col("v")), 8)).collect()(0).getLong(0)
+    // positive components at indices 0,2,4,6 → bits 0,2,4,6 → 0b01010101
+    assert(b == 0x55L)
+  }
+
+  test("listCentroidSums = elementwise per-label integer sums") {
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(10.0f, 20.0f)))
+      .toDF("label", "v")
+      .select(col("label"), Similarity.quantize(col("v")).as("qv"))
+    val out = Similarity.listCentroidSums(df, "label", "qv")
+      .orderBy("label").as[(Int, Seq[Long])].collect()
+    assert(out.toSeq == Seq((0, Seq(4000L, 6000L)), (1, Seq(10000L, 20000L))))
+  }
+}
