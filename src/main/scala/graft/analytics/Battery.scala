@@ -829,8 +829,29 @@ object Battery {
         ON ev.user_id = ded.o_custkey AND ev.event_date >= ded.o_orderdate
       ORDER BY event_id"""))
 
+  /** JSON scalar extraction over the events props column (JSON family
+    * beyond the reference's single JSON_TABLE explode). */
+  val q37 = Q("q37_json_extract",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        (sum(col("k")).cast("double") / count(col("k")).cast("double")).as("avg_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+      CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+        / CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) AS avg_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }
