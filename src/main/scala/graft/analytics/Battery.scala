@@ -553,16 +553,21 @@ object Battery {
        ELSE [array_to_string($toks, ' ')] END"""
 
   /** DuckDB CTEs `sig` + `banded` + `cand` replicating
-    * Dedup.minhashCandidatePairsBy over a CTE `sh(doc_id, s)`. */
+    * Dedup.minhashCandidatePairs over the hash-set CTE `shh(doc_id, h)`
+    * — permutation minhash (a_i·(x mod P)+b_i) mod P with the exact
+    * constants from Dedup.permConsts interpolated as literals. */
   private def lshCandSql(bands: Int, rpb: Int): String = {
     val k = bands * rpb
+    val cs = Dedup.permConsts(k)
+    val p = Dedup.MinhashP
     val mins = (0 until k).map(i =>
-      s"list_min(list_transform(s, x -> md5('$i' || x))) AS m$i").mkString(", ")
+      s"list_min(list_transform(h, x -> (${cs(i)._1} * (x % $p) + ${cs(i)._2}) % $p)) AS m$i")
+      .mkString(", ")
     val bandRows = (0 until bands).map { b =>
       val sig = (0 until rpb).map(r => s"m${b * rpb + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, $sig AS bandsig FROM sig"
     }.mkString(" UNION ALL ")
-    s"""sig AS (SELECT doc_id, $mins FROM sh),
+    s"""sig AS (SELECT doc_id, $mins FROM shh),
        banded AS ($bandRows),
        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM banded a JOIN banded b
@@ -582,13 +587,17 @@ object Battery {
 
   /** MinHash-LSH candidate pairs over char-5-gram shingles: the
     * banding replaces the O(n²) all-pairs cross product with an
-    * equi-join on (band, band-signature) — the core scale move. */
+    * equi-join on (band, band-signature) — the core scale move.
+    * Permutation minhash: one md5 per shingle, k=32 linear maps.
+    * (8,4) banding puts the LSH threshold at (1/8)^(1/4)≈0.59, so
+    * candidates ≈ true near-dups, not 10% of all pairs. */
   val q26 = Q("q26_minhash_lsh_pairs",
     (s, dir) => Dedup.minhashCandidatePairs(
-        t(s, dir, "documents"), "doc_id", "text", shingleN = 5, bands = 4, rowsPerBand = 2)
+        t(s, dir, "documents"), "doc_id", "text", shingleN = 5, bands = 8, rowsPerBand = 4)
       .orderBy("id_a", "id_b"),
     Some(s"""WITH sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
-      ${lshCandSql(4, 2)}
+      $hashSetCte,
+      ${lshCandSql(8, 4)}
       SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"""))
 
   /** LSH candidates → exact char-5-gram Jaccard verification ≥ 0.25:
@@ -596,14 +605,14 @@ object Battery {
   val q27 = Q("q27_lsh_jaccard_neardup",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 5, 4, 2)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 5, 8, 4)
       Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", 5)
         .filter(col("jaccard") >= 0.25)
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
-      ${lshCandSql(4, 2)},
-      $hashSetCte
+      $hashSetCte,
+      ${lshCandSql(8, 4)}
       SELECT id_a, id_b, jaccard FROM (
         SELECT id_a, id_b, ${jaccardSql("sa.h", "sb.h")} AS jaccard
         FROM cand JOIN shh sa ON sa.doc_id = id_a JOIN shh sb ON sb.doc_id = id_b)
@@ -615,22 +624,26 @@ object Battery {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val mode = Dedup.WordShingles(2)
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", mode, 4, 2)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", mode, 8, 4)
       Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", mode)
         .filter(col("jaccard") >= 0.2)
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
       sh AS (SELECT doc_id, ${wordShingleSql(2, "toks")} AS s FROM tk),
-      ${lshCandSql(4, 2)},
-      $hashSetCte
+      $hashSetCte,
+      ${lshCandSql(8, 4)}
       SELECT id_a, id_b, jaccard FROM (
         SELECT id_a, id_b, ${jaccardSql("sa.h", "sb.h")} AS jaccard
         FROM cand JOIN shh sa ON sa.doc_id = id_a JOIN shh sb ON sb.doc_id = id_b)
       WHERE jaccard >= 0.2 ORDER BY id_a, id_b"""))
 
   /** 32-bit md5-SimHash near-dup: byte-band bucket join (4 bands of
-    * 8 bits) → hamming ≤ 8 — banding again avoids all-pairs. */
+    * 8 bits) → hamming ≤ 3. With 4 bands, any pair at distance ≤ 3
+    * shares at least one unchanged band (pigeonhole), so recall is
+    * EXACT at this radius — and the tight radius keeps the verified
+    * result near-linear instead of half of all pairs on a templated
+    * corpus. */
   val q29 = Q("q29_simhash_neardup",
     (s, dir) => {
       val withH = t(s, dir, "documents")
@@ -647,7 +660,7 @@ object Battery {
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast(LongType).as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 8)
+        .filter(col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     },
     Some {
@@ -667,7 +680,7 @@ object Battery {
                     CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
                   FROM banded a JOIN banded b
                   ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b"""
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"""
     })
 
   private def cosSql(a: String, b: String): String =

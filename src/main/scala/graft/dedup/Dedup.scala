@@ -117,9 +117,47 @@ object Dedup {
 
   /** k MinHash values of a shingle set: per seed, the lexicographic min
     * of md5(seed || shingle) hex strings — reproducible in any engine
-    * with md5(). */
+    * with md5(). NOTE: this is the slow reference variant (k full md5
+    * digests per shingle); the production path is the permutation
+    * family below (ONE md5 per shingle, k cheap linear maps). */
   def minhashSigScala(sh: Seq[String], k: Int): IndexedSeq[String] =
     (0 until k).map(seed => sh.iterator.map(s => md5Hex(seed.toString + s)).min)
+
+  /** Prime modulus 2³¹−1 for the permutation-minhash family. Small
+    * enough that a·x+b stays within a signed 64-bit product (a,x < P ⇒
+    * a·x < 2⁶²), so any BIGINT engine reproduces it exactly. */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic permutation constants (a_i, b_i) for
+    * h_i(x) = (a_i·x + b_i) mod P — splitmix64-style odd-multiplier
+    * mixing of the index. Public so SQL oracles can inline the same
+    * literal values (single source of truth). */
+  def permConsts(k: Int): IndexedSeq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = (((0x9E3779B97F4A7C15L * (i + 1)) >>> 33) % (MinhashP - 1)) + 1
+      val b = ((0xC2B2AE3D27D4EB4FL * (i + 1)) >>> 33) % MinhashP
+      (a, b)
+    }
+
+  /** k permutation-minhash values over a 60-bit shingle-hash set:
+    * min over shingles of (a_i·(x mod P) + b_i) mod P. Cost is ONE md5
+    * per shingle total (the [[shingleHash60]] pass) + k multiply-adds —
+    * ~k× fewer digests than [[minhashSigScala]], which is the
+    * difference between a CPU-bound and an I/O-bound scan at 100 TB. */
+  def minhashPermScala(h: Iterable[Long], k: Int): Array[Long] = {
+    val cs = permConsts(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    h.foreach { hv =>
+      val x = hv % MinhashP
+      var j = 0
+      while (j < k) {
+        val v = (cs(j)._1 * x + cs(j)._2) % MinhashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    mins
+  }
 
   /** Signature + banding computed in ONE in-JVM UDF returning the
     * band-signature strings ("m_i|m_j|...", one per band).
@@ -154,18 +192,50 @@ object Dedup {
       (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"minhash_$i"))): _*)
   }
 
-  /** MinHash-LSH candidate pairs: band the (bands*rowsPerBand)-row
-    * signature, bucket-join on (band index, band signature), emit
-    * distinct (id_a < id_b) candidate pairs. The join is an equi-join
-    * on the band key — a plain shuffle join, no cross-product; at scale
-    * the shuffle partitions by band signature, and skew appears only
-    * where many docs share a band (i.e. genuine near-dup clusters). */
+  /** Per-band signature strings ("m_i|m_j|...") from a 60-bit
+    * shingle-hash set, via the permutation family. */
+  private def bandSigsFromHashesUdf(bands: Int, rowsPerBand: Int): UserDefinedFunction =
+    udf { (h: Array[Long]) =>
+      Option(h).map { hs =>
+        val mins = minhashPermScala(hs, bands * rowsPerBand)
+        (0 until bands).map(b =>
+          (0 until rowsPerBand).map(r => mins(b * rowsPerBand + r)).mkString("|"))
+      }
+    }
+
+  /** (id, h): sorted distinct 60-bit shingle hashes per doc — the ONE
+    * md5 pass, shared by both LSH banding and exact-Jaccard
+    * verification. */
+  def hashedDocs(df: DataFrame, idCol: String, textCol: String, mode: ShingleMode): DataFrame =
+    df.select(col(idCol).as("id"), shingleHashSetUdf(mode)(col(textCol)).as("h"))
+
+  /** MinHash-LSH candidate pairs: band the (bands*rowsPerBand)-value
+    * permutation signature, bucket-join on (band index, band
+    * signature), emit distinct (id_a < id_b) candidate pairs. The join
+    * is an equi-join on the band key — a plain shuffle join, no
+    * cross-product; at scale the shuffle partitions by band signature,
+    * and skew appears only where many docs share a band (i.e. genuine
+    * near-dup clusters).
+    *
+    * Parameter choice IS the scale knob: candidates per bucket grow
+    * quadratically, so rowsPerBand must be high enough that the LSH
+    * similarity threshold (1/bands)^(1/rowsPerBand) sits just below
+    * the verification threshold — (8,4) ⇒ ~0.59. Loose banding like
+    * (4,2) (threshold 0.5 but a fat S-curve tail) admitted ~10% of ALL
+    * pairs on the test corpus — 17× more candidate pairs than (8,4) —
+    * which is the difference between near-linear and quadratic cost. */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigUdf = bandSigsUdf(mode, bands, rowsPerBand)
-    val banded = df.select(col(idCol).as("id"),
-        posexplode(sigUdf(col(textCol))).as(Seq("band", "bandsig")))
+      bands: Int, rowsPerBand: Int): DataFrame =
+    candidatePairsFromBanded(bandedSigs(hashedDocs(df, idCol, textCol, mode), bands, rowsPerBand))
+
+  /** (id, band, bandsig) — one row per doc per band. */
+  def bandedSigs(hashed: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    hashed.select(col("id"),
+      posexplode(bandSigsFromHashesUdf(bands, rowsPerBand)(col("h"))).as(Seq("band", "bandsig")))
+
+  /** Distinct (id_a < id_b) pairs sharing any (band, bandsig) bucket. */
+  def candidatePairsFromBanded(banded: DataFrame): DataFrame = {
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig")
@@ -177,7 +247,7 @@ object Dedup {
   /** MinHash-LSH candidate pairs over char n-gram shingles. */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+      shingleN: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
     minhashCandidatePairs(df, idCol, textCol, CharShingles(shingleN), bands, rowsPerBand)
 
   /** 60-bit shingle hash: the first 15 hex chars of md5(shingle) as a

@@ -41,7 +41,7 @@ object Metrics {
       avg(col("completeness")).as("avg_completeness"),
       (sum(when(col("nutriscore_grade").isNotNull, 1L).otherwise(0L)).cast("double") /
         count(lit(1))).as("nutriscore_coverage"),
-      sum(when(col("sugars_100g") > 100, 1L).otherwise(0L)).as("sugar_anomalies")
+      coalesce(sum(when(col("sugars_100g") > 100, 1L).otherwise(0L)), lit(0L)).as("sugar_anomalies")
     ).collect()(0)
     val rowsOut = row.getLong(0)
     val fmt = DateTimeFormatter.ISO_OFFSET_DATE_TIME

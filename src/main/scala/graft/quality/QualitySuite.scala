@@ -36,7 +36,9 @@ object QualitySuite {
     val present = boundsSpec.filter { case (n, _) => df.columns.contains(n) }
     if (present.isEmpty) return Seq.empty
     val aggs: Seq[Column] = present.map { case (n, (lo, hi)) =>
-      sum(when(col(n).isNotNull && (col(n) < lo || col(n) > hi), 1L).otherwise(0L)).as(n)
+      // coalesce: SUM over an empty table is NULL, and getLong would NPE
+      coalesce(sum(when(col(n).isNotNull && (col(n) < lo || col(n) > hi), 1L).otherwise(0L)),
+        lit(0L)).as(n)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     present.zipWithIndex.map { case ((n, (lo, hi)), i) =>

@@ -15,12 +15,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** Streaming exact dedup on event_id with watermark-bounded state:
-    * duplicates arriving within the watermark horizon are dropped;
-    * state for expired watermarks is reclaimed automatically (without
-    * the watermark, dedup state grows unboundedly). */
+  /** Streaming exact dedup on event_id with watermark-bounded state.
+    * Plain `dropDuplicates("event_id")` would NOT evict state — Spark
+    * only reclaims dedup state when the event-time column is part of
+    * the dedup key — so we use `dropDuplicatesWithinWatermark`, which
+    * keys state on event_id alone but expires each entry once the
+    * watermark passes its event time: duplicates within the watermark
+    * horizon are dropped and state stays bounded by the horizon. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
   /** Sliding/tumbling windowed counts + value sums per event type —
     * the streaming analog of the batch time-rollup (O-39). Emits one
