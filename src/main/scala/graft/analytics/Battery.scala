@@ -863,8 +863,341 @@ object Battery {
         / CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) AS avg_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- //
+  // D. Wider relational/analytic coverage block (round 2): pivot,     //
+  // cube, exact percentiles, moment-based stats, batch sessions,      //
+  // semi/anti, range joins, map/struct, date math, fuzzy matching,    //
+  // deterministic sampling, unpivot, top-k per group, vocabulary.     //
+  // ---------------------------------------------------------------- //
+
+  /** Pivot (wide aggregation): returnflag columns per linestatus.
+    * Explicit pivot values keep the schema static — at scale an
+    * inferred pivot would need an extra distinct-values job. */
+  val q38 = Q("q38_pivot_returnflag",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+      .orderBy("l_linestatus"),
+    Some(s"""SELECT l_linestatus,
+      ${dsumSql("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
+      ${dsumSql("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_n,
+      ${dsumSql("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** CUBE: all grouping-set combinations (completes the grouping-sets
+    * family next to q17's ROLLUP). */
+  val q39 = Q("q39_cube",
+    (s, dir) => t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("gid").asc, col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first),
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  /** Exact percentiles over integer cents: interpolation operands are
+    * exact, binary-fraction quantiles (.25/.5/.75) keep every product
+    * representable, so Spark's (1−d)·lo + d·hi and DuckDB's
+    * lo + d·(hi−lo) land on the same double. Exact percentile is a
+    * per-group sort — the scale path is approx_percentile; this is the
+    * parity-checkable form. */
+  val q40 = Q("q40_percentiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(CAST(round(l_extendedprice*100) AS BIGINT), array(0.25, 0.5, 0.75))")
+          .as("ps"),
+        count(lit(1)).as("n"))
+      // one percentile buffer per group, not three — the collect-all
+      // sort happens once and the three quantiles read from it
+      .select(col("l_returnflag"),
+        (element_at(col("ps"), 1) / 100.0).as("p25"),
+        (element_at(col("ps"), 2) / 100.0).as("p50"),
+        (element_at(col("ps"), 3) / 100.0).as("p75"),
+        col("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.25) / 100.0 AS p25,
+      quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) / 100.0 AS p50,
+      quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.75) / 100.0 AS p75,
+      COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Variance/stddev/correlation via exact integer moments: one
+    * map-side-combinable pass collecting (n, Σx, Σy, Σx², Σy², Σxy) in
+    * exact decimal, then the closed-form stats as IEEE expressions of
+    * exactly-determined operands. Spark's builtin stddev/corr are
+    * Welford-style and ORDER-DEPENDENT in the last ulp across
+    * partitionings — moments are the deterministic-at-scale form. */
+  val q41 = Q("q41_exact_moments",
+    (s, dir) => {
+      val big = DecimalType(38, 0)
+      val x = cents(col("l_quantity")).cast(big)
+      val y = cents(col("l_discount")).cast(big)
+      val agged = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      val n = col("n").cast(big)
+      val dx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+      val dy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+      val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+      val denom = (col("n") * (col("n") - 1)).cast("double")
+      agged.select(col("l_returnflag"), col("n"),
+          (dx / denom / 1e4).as("var_qty"),
+          (sqrt(dx / denom) / 100.0).as("stddev_qty"),
+          (num / (sqrt(dx) * sqrt(dy))).as("corr_qty_disc"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val x = s"CAST(${centsSql("l_quantity")} AS HUGEINT)"
+      val y = s"CAST(${centsSql("l_discount")} AS HUGEINT)"
+      s"""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+          SUM($x) AS sx, SUM($y) AS sy,
+          SUM($x * $x) AS sxx, SUM($y * $y) AS syy, SUM($x * $y) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS var_qty,
+        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 100.0 AS stddev_qty,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_disc
+      FROM m ORDER BY l_returnflag"""
+    })
+
+  /** Batch sessionization (gaps-and-islands): lag to mark session
+    * starts, running sum to number sessions, per-user rollup — the
+    * batch twin of StreamOps.sessionize, single shuffle on user_id
+    * shared by both windows and the final groupBy. `ts` is read as
+    * nanos-since-epoch (LongType), so the 30-min gap is integer math. */
+  val q42 = Q("q42_batch_sessions",
+    (s, dir) => {
+      val gapNs = 30L * 60 * 1000000000L
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val prev = lag(col("ts"), 1).over(w)
+      val marked = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("new_sess",
+          when(prev.isNull || col("ts") - prev > gapNs, 1L).otherwise(0L))
+      marked
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"),
+          (count(lit(1)).cast("double") / max(col("sess_id")).cast("double"))
+            .as("events_per_session"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events),
+      m AS (SELECT user_id, tns, event_id,
+        CASE WHEN lag(tns) OVER w IS NULL OR tns - lag(tns) OVER w > 1800000000000
+             THEN 1 ELSE 0 END AS new_sess
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+      s AS (SELECT user_id, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+              ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id FROM m)
+      SELECT user_id, MAX(sess_id) AS n_sessions, COUNT(*) AS n_events,
+        CAST(COUNT(*) AS DOUBLE) / CAST(MAX(sess_id) AS DOUBLE) AS events_per_session
+      FROM s GROUP BY user_id ORDER BY user_id"""))
+
+  /** Left-semi + left-anti joins (EXISTS / NOT EXISTS family). */
+  val q43 = Q("q43_semi_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      def cnt(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      cnt(c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi"), "semi")
+        .unionByName(cnt(c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti"), "anti"))
+        .orderBy("op")
+    },
+    Some("""SELECT 'anti' AS op, (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')) AS n
+      UNION ALL SELECT 'semi', (SELECT COUNT(*) FROM customer WHERE EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'))
+      ORDER BY op"""))
+
+  /** Range (band) join: tiny literal tier table broadcast against the
+    * fact, non-equi predicate. BroadcastNestedLoopJoin is exactly the
+    * right physical plan when one side is a handful of rows — no
+    * shuffle of the big side at all. */
+  val q44 = Q("q44_range_band_join",
+    (s, dir) => {
+      val sp = s; import sp.implicits._
+      val tiers = Seq((0.0, 10.0, "t1_low"), (10.0, 25.0, "t2_mid"),
+        (25.0, 40.0, "t3_high"), (40.0, 1e9, "t4_top")).toDF("lo", "hi", "tier")
+      t(s, dir, "lineitem")
+        .join(broadcast(tiers), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("tier")
+    },
+    Some(s"""SELECT tier, COUNT(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
+      FROM lineitem JOIN (VALUES (0.0, 10.0, 't1_low'), (10.0, 25.0, 't2_mid'),
+        (25.0, 40.0, 't3_high'), (40.0, 1000000000.0, 't4_top')) AS tiers(lo, hi, tier)
+      ON l_quantity >= lo AND l_quantity < hi
+      GROUP BY tier ORDER BY tier"""))
+
+  /** Map/struct ops: per-status priority histogram built as a map
+    * (collect_list → struct → map_from_entries), scalar lookups out.
+    * The map is engine-internal; the oracle checks the extracted
+    * scalars. */
+  val q45 = Q("q45_map_struct_ops",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_orderstatus")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("o_orderpriority"), col("cnt"))))).as("m"))
+      .select(col("o_orderstatus"),
+        element_at(col("m"), "1-URGENT").as("n_urgent"),
+        element_at(col("m"), "5-LOW").as("n_low"),
+        size(col("m")).cast(LongType).as("n_priorities"))
+      .orderBy("o_orderstatus"),
+    Some("""WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderstatus,
+        MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN cnt END) AS n_urgent,
+        MAX(CASE WHEN o_orderpriority = '5-LOW' THEN cnt END) AS n_low,
+        CAST(COUNT(*) AS BIGINT) AS n_priorities
+      FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Date-math battery: quarter, day-of-week (normalized to DuckDB's
+    * Sunday=0), month boundaries via date_trunc/last_day, day diffs. */
+  val q46 = Q("q46_date_math",
+    (s, dir) => t(s, dir, "orders")
+      .select(
+        quarter(col("o_orderdate")).cast(LongType).as("q"),
+        (dayofweek(col("o_orderdate")) - 1).cast(LongType).as("dow"),
+        date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("month_start"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast(LongType).as("days_since"))
+      .groupBy("q", "dow")
+      .agg(count(lit(1)).as("n"), min(col("month_start")).as("min_month_start"),
+        max(col("month_end")).as("max_month_end"), max(col("days_since")).as("max_days_since"))
+      .orderBy("q", "dow"),
+    Some("""SELECT CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        COUNT(*) AS n,
+        MIN(CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)) AS min_month_start,
+        MAX(CAST(last_day(o_orderdate) AS VARCHAR)) AS max_month_end,
+        MAX(CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)) AS max_days_since
+      FROM orders GROUP BY 1, 2 ORDER BY q, dow"""))
+
+  /** Fuzzy matching: Levenshtein edit distance over blocking buckets
+    * (p_brand, p_size) — blocking turns O(n²) distance computation
+    * into per-bucket work, the classic entity-resolution shape. */
+  val q47 = Q("q47_levenshtein_pairs",
+    (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+      val a = p.as("a"); val b = p.as("b")
+      a.join(b, col("a.p_brand") === col("b.p_brand") && col("a.p_size") === col("b.p_size")
+          && col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).cast(LongType).as("dist"))
+        .filter(col("dist") <= 8)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 8 ORDER BY id_a, id_b"""))
+
+  /** Deterministic hash sampling: md5(id) mod 100 < 7 — a reproducible
+    * 7% Bernoulli sample with no RNG state, the only sampling that is
+    * stable across engines, retries, and partitionings at 100 TB. */
+  val q48 = Q("q48_hash_sample",
+    (s, dir) => t(s, dir, "documents")
+      .filter(expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        % 100 < 7)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, source FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 7
+      ORDER BY doc_id"""))
+
+  /** Unpivot (long-form measures) via stack + per-measure aggregate. */
+  val q49 = Q("q49_unpivot_measures",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(expr("stack(3, 'quantity', l_quantity, 'price', l_extendedprice, " +
+        "'discount', l_discount) AS (measure, v)"))
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), dsum(col("v")).as("total"))
+      .orderBy("measure"),
+    Some(s"""SELECT measure, COUNT(*) AS n, ${dsumSql("v")} AS total FROM (
+        SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
+        UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'discount', l_discount FROM lineitem)
+      GROUP BY measure ORDER BY measure"""))
+
+  /** Top-k per group (row_number + filter): the distributed top-k that
+    * TakeOrderedAndProject can't do (per-group limits). */
+  val q50 = Q("q50_topk_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      t(s, dir, "part")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("rn").cast(LongType).as("rn"),
+          col("p_partkey"), col("p_retailprice"))
+        .orderBy("p_brand", "rn")
+    },
+    Some("""SELECT p_brand, CAST(rn AS BIGINT) AS rn, p_partkey, p_retailprice FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part)
+      WHERE rn <= 3 ORDER BY p_brand, rn"""))
+
+  /** Vocabulary build: tokenize, frequency-filter, top-k — the
+    * token-count side of a training-data tokenizer pipeline. */
+  val q51 = Q("q51_vocab_topk",
+    (s, dir) => t(s, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 3)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 5)
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(50),
+    Some("""SELECT token, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
+      WHERE length(token) >= 3
+      GROUP BY token HAVING COUNT(*) >= 5
+      ORDER BY freq DESC, token LIMIT 50"""))
+
+  /** Document frequency + IDF as an exact ratio (N/df — no
+    * transcendental log, so cross-engine parity is exact). */
+  val q52 = Q("q52_doc_frequency",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      docs.select(explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("token"))
+        .filter(length(col("token")) >= 3)
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 20)
+        .crossJoin(broadcast(total))
+        .select(col("token"), col("df"),
+          (col("n_total").cast("double") / col("df").cast("double")).as("idf_ratio"))
+        .orderBy(col("df").desc, col("token").asc)
+        .limit(30)
+    },
+    Some("""WITH tot AS (SELECT COUNT(*) AS n_total FROM documents),
+      tk AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS token
+             FROM documents)
+      SELECT token, COUNT(*) AS df,
+        CAST((SELECT n_total FROM tot) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS idf_ratio
+      FROM tk WHERE length(token) >= 3
+      GROUP BY token HAVING COUNT(*) >= 20
+      ORDER BY df DESC, token LIMIT 30"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
 }
