@@ -51,7 +51,46 @@ object Bench {
     // so a crash never *reduces* the reported bench time
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+
+    // End-to-end pipeline throughput at the reference's published scale
+    // (BASELINE.md: 418,676 rows × 215 cols, 6.55-9.67 min on local[1]
+    // ≈ 722-1,065 rows/s). Input generation is untimed; the timed span
+    // is scan → silver (materialized, like the reference's silver write)
+    // → all six gold tables → run metrics.
+    val pipeline = if (args.isEmpty || args.contains("pipeline")) {
+      try {
+        val tsv = java.nio.file.Files.createTempDirectory("graft-off-bench").toString + "/off"
+        graft.bench.OffTsvGen.generate(spark, tsv)
+        val silverPath = tsv + "_silver"
+        val t0 = System.nanoTime()
+        def lap(label: String, start: Long): Long = {
+          val now = System.nanoTime()
+          System.err.println(f"[bench] pipeline/$label: ${(now - start) / 1e9}%.2fs")
+          now
+        }
+        val bronze = graft.ingest.Ingest.bronzeCsv(spark, tsv)
+        val silver = graft.pipeline.OffPipeline.silver(bronze)
+        silver.write.mode("overwrite").parquet(silverPath)
+        val t1 = lap("silver", t0)
+        val silverBack = spark.read.parquet(silverPath)
+        graft.pipeline.OffPipeline.goldMaterialized(silverBack, (name, df) => {
+          val p = s"${tsv}_gold_$name"
+          df.write.mode("overwrite").parquet(p)
+          spark.read.parquet(p)
+        })
+        val t2 = lap("gold", t1)
+        val m = graft.metrics.Metrics.compute(
+          silverBack, graft.bench.OffTsvGen.ReferenceRows, 0L, 0L)
+        lap("metrics", t2)
+        val sec = (System.nanoTime() - t0) / 1e9
+        s""","pipeline_sec":$sec,"pipeline_rows_in":${graft.bench.OffTsvGen.ReferenceRows}""" +
+          s""","pipeline_rows_out":${m.rowsOut},"pipeline_rows_per_sec":${graft.bench.OffTsvGen.ReferenceRows / sec}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline: ${e.getMessage}")
+        ",\"pipeline_sec\":-1.0"
+      }
+    } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed$pipeline,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,6 +74,28 @@ object OffPipeline {
       "fact_nutrition_snapshot" -> factDf)
   }
 
+  /** Silver → Gold with a materialization boundary after every table:
+    * `mat` persists a DataFrame and returns the re-read handle, so
+    * downstream joins read the stored table instead of re-executing the
+    * upstream plan (dim_brand would otherwise be recomputed by
+    * dim_product AND by fact). This is the EP-1 shape — the reference
+    * writes each dim and reads it back for the SK joins
+    * (pipeline_etl.ipynb:553-571,630-656) — and the right plan at scale:
+    * each layer computed exactly once. */
+  def goldMaterialized(
+      silver: DataFrame, mat: (String, DataFrame) => DataFrame): Map[String, DataFrame] = {
+    val time = mat("dim_time", Star.dimTime(silver))
+    val brand = mat("dim_brand", Star.dimBrand(silver))
+    val category = mat("dim_category", Star.dimCategory(silver))
+    val country = mat("dim_country", Star.dimCountry(silver))
+    val product = mat("dim_product", Star.dimProduct(silver, brand, category))
+    val factDf = mat("fact_nutrition_snapshot", Star.fact(silver, product))
+    Map(
+      "dim_time" -> time, "dim_brand" -> brand, "dim_category" -> category,
+      "dim_country" -> country, "dim_product" -> product,
+      "fact_nutrition_snapshot" -> factDf)
+  }
+
   /** Full run from a TSV path; registers gold tables as temp views so
     * the six analytic queries (requetes_analytiques.sql) run via
     * spark.sql against them. */
