@@ -55,4 +55,39 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"LSH degenerated to cross product:\n$p")
   }
+
+  test("q44 band join broadcasts the tiny tier table (nested-loop, no fact shuffle)") {
+    val p = plan(Battery.q44.run(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"tier table not broadcast:\n$p")
+  }
+
+  test("q42 sessionization shares ONE user_id shuffle across both windows") {
+    val p = plan(Battery.q42.run(spark, dir))
+    // lag-window, running-sum window, and the groupBy all hash-partition
+    // on user_id; a correct plan exchanges once (plus the final orderBy's
+    // range partition)
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(p.contains("Window"), s"no window op:\n$p")
+    assert(exchanges <= 1, s"extra user_id shuffles ($exchanges):\n$p")
+  }
+
+  test("q43 semi/anti joins plan as Semi/Anti, not inner+distinct") {
+    val p = plan(Battery.q43.run(spark, dir))
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+  }
+
+  test("q48 hash sampling pushes no UDF barrier — scan-level filter only") {
+    val df = Battery.q48.run(spark, dir)
+    val p = plan(df)
+    assert(p.contains("Filter"), s"no filter:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"), s"UDF in sampling path:\n$p")
+  }
+
+  test("q50 per-group top-k filters on row_number without extra shuffle after window") {
+    val p = plan(Battery.q50.run(spark, dir))
+    assert(p.contains("Window"), s"no window:\n$p")
+    val exchanges = "hashpartitioning\\(p_brand".r.findAllIn(p).size
+    assert(exchanges <= 1, s"extra p_brand shuffles:\n$p")
+  }
 }
