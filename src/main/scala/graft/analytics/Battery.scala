@@ -654,7 +654,9 @@ object Battery {
             shiftrightunsigned(col("h"), 8 * i).bitwiseAND(lit(255L)).as("bv"))
         }: _*)).as("bk"))
         .select(col("doc_id"), col("h"), col("bk.band"), col("bk.bv"))
-      val a = banded.as("a"); val b = banded.as("b")
+      // merge-hinted self-join: identical exchanges on both sides are
+      // computed once (ReuseExchange) — see Dedup.candidatePairsFromBanded
+      val a = banded.as("a").hint("merge"); val b = banded.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -234,9 +234,14 @@ object Dedup {
     hashed.select(col("id"),
       posexplode(bandSigsFromHashesUdf(bands, rowsPerBand)(col("h"))).as(Seq("band", "bandsig")))
 
-  /** Distinct (id_a < id_b) pairs sharing any (band, bandsig) bucket. */
+  /** Distinct (id_a < id_b) pairs sharing any (band, bandsig) bucket.
+    * Merge-hinted: a broadcast self-join would compute the banding UDF
+    * on BOTH sides (stream + build); forcing sort-merge gives the two
+    * sides identical hash-partition exchanges, which ReuseExchange
+    * collapses into one — the signatures are computed once. SMJ is also
+    * what a 100 TB run would pick (neither side broadcastable). */
   def candidatePairsFromBanded(banded: DataFrame): DataFrame = {
-    val a = banded.as("a")
+    val a = banded.as("a").hint("merge")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig")
         && col("a.id") < col("b.id"))
@@ -300,9 +305,14 @@ object Dedup {
       mode: ShingleMode): DataFrame = {
     val sh = docs.select(col(idCol).as("__id"),
       shingleHashSetUdf(mode)(col(textCol)).as("__sh"))
+    // merge-hinted like candidatePairsFromBanded: the two sh joins key on
+    // the same child exchange (hashpartitioning of __id), so forcing SMJ
+    // lets ReuseExchange run the shingle-hash pass once, not twice
     pairs
-      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a")
+        .hint("merge"), "id_a")
+      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b")
+        .hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
         jaccardOfHashSetsUdf(col("sh_a"), col("sh_b")).as("jaccard"))
   }
