@@ -42,6 +42,27 @@ object StreamOps {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Stream-stream inner join with an event-time interval condition:
+    * each left row matches right rows with the same key whose time lies
+    * in [leftTime − lookback, leftTime]. Both watermarks plus the
+    * two-sided time bound are exactly what Spark needs to expire join
+    * state — without them a stream-stream join buffers forever. At
+    * 100 TB/day the state held is one lookback window per key, not the
+    * full history. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      lookback: String = "1 hour",
+      leftWatermark: String = "10 minutes",
+      rightWatermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTime, leftWatermark)
+    val r = right.withWatermark(rightTime, rightWatermark)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTime) >= col(leftTime) - expr(s"INTERVAL '$lookback'") &&
+      col(rightTime) <= col(leftTime))
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
   case class UserSession(

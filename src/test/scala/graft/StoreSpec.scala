@@ -44,6 +44,40 @@ class StoreSpec extends SparkTestBase {
     Store.drop(spark, "b_orders"); Store.drop(spark, "b_lineitem")
   }
 
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    Store.ensureDatabase(spark, "graft_test")
+    // a crashed run leaves files without a catalog entry (the test
+    // catalog is in-memory, the warehouse is on disk) — clear the
+    // orphaned locations or CTAS refuses with LOCATION_ALREADY_EXISTS
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    Seq("fact_dpp", "dim_dpp").foreach { t =>
+      Store.drop(spark, t)
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/graft_test.db/$t")
+      if (loc.exists) rm(loc)
+    }
+    val fact = spark.range(1000)
+      .selectExpr("id AS k", "CAST(id % 5 AS INT) AS year", "id * 1.0 AS v")
+    Store.overwrite(fact, "fact_dpp", partitionBy = Seq("year"))
+    // the dim must be a STORED table: an inline Seq dim gets collapsed by
+    // ConvertToLocalRelation, the Filter node disappears, and the DPP
+    // rule's selectivity check never sees a predicate to prune with
+    Store.overwrite(spark.range(5)
+      .selectExpr("CAST(id AS INT) AS year", "CAST(2020 + id AS INT) AS label_year"), "dim_dpp")
+    val joined = Store.table(spark, "fact_dpp")
+      .join(broadcast(Store.table(spark, "dim_dpp").filter(col("label_year") === 2024)), "year")
+    assert(joined.count() == 200)
+    val p = joined.queryExecution.executedPlan.toString
+    // the fact scan's PartitionFilters must carry a runtime pruning
+    // subquery fed by the dim — only year=4 files are read
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$p")
+    Store.drop(spark, "fact_dpp"); Store.drop(spark, "dim_dpp")
+  }
+
   test("partitioned fact table gets partition-pruned scans") {
     Store.ensureDatabase(spark, "graft_test")
     val fact = Seq((1L, 2023, 10.0), (2L, 2023, 20.0), (3L, 2024, 30.0))

@@ -78,6 +78,28 @@ class StreamOpsSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("intervalJoin: events join same-user orders within the lookback only") {
+    implicit val sqlCtx = spark.sqlContext
+    val evIn = MemoryStream[(Long, Timestamp, String)]
+    val orIn = MemoryStream[(Long, Timestamp, Double)]
+    val events = evIn.toDF().toDF("user_id", "ts", "event_type")
+    val orders = orIn.toDF().toDF("o_user_id", "o_ts", "o_total")
+    val q = StreamOps.intervalJoin(events, orders,
+        "user_id", "o_user_id", "ts", "o_ts", lookback = "10 minutes")
+      .select("user_id", "event_type", "o_total")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    // user 1: order at min 0 -> event at min 5 joins (within 10m);
+    //         event at min 20 does NOT (order too old)
+    // user 2: order at min 6 AFTER the event at min 4 -> no join
+    orIn.addData((1L, ts(0), 50.0), (2L, ts(6), 70.0))
+    evIn.addData((1L, ts(5), "click"), (1L, ts(20), "view"), (2L, ts(4), "click"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ij_out").as[(Long, String, Double)].collect().toSet
+    assert(out == Set((1L, "click", 50.0)))
+  }
+
   test("sessionize: in-batch gap close and event-time timeout close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
