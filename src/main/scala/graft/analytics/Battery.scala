@@ -1197,9 +1197,27 @@ object Battery {
       GROUP BY token HAVING COUNT(*) >= 20
       ORDER BY df DESC, token LIMIT 30"""))
 
+  /** Per-group top-k via the native TypedImperativeAggregate
+    * (graft.functions.TopKBy): map-side keeps ≤k candidates per group,
+    * so only k·|groups| rows cross the shuffle — the scale-correct form
+    * of q50's window pattern (which shuffles every row). Same result,
+    * same oracle shape. */
+  val q53 = Q("q53_topk_agg",
+    (s, dir) => t(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(graft.functions.TopKBy.topkBy(col("p_retailprice"), col("p_partkey"), 3).as("top"))
+      .select(col("p_brand"), posexplode(col("top")).as(Seq("i", "p_partkey")))
+      .select(col("p_brand"), (col("i") + 1).cast(LongType).as("rn"), col("p_partkey"))
+      .orderBy("p_brand", "rn"),
+    Some("""SELECT p_brand, CAST(rn AS BIGINT) AS rn, p_partkey FROM (
+        SELECT p_brand, p_partkey,
+          row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part)
+      WHERE rn <= 3 ORDER BY p_brand, rn"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }
