@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{CleanAsciiExpression, TopKBy}
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * Catalyst functions available to plain SQL texts on any session built
+  * with `.withExtensions(new GraftExtensions)` or launched with
+  * `spark.sql.extensions=graft.GraftExtensions` — the standard way a
+  * library ships custom expressions to a cluster without code changes
+  * in the consuming job.
+  *
+  *  - `clean_ascii(s)` — codegen unicode→ASCII normalize (O-9)
+  *  - `topk_by(order, payload, k)` — map-side-bounded per-group top-k
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("clean_ascii"),
+      new ExpressionInfo(classOf[CleanAsciiExpression].getName, "clean_ascii"),
+      (exprs: Seq[Expression]) => CleanAsciiExpression(exprs.head)),
+    (FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_by k must be an integer literal, got $other")
+        }
+        TopKBy(exprs(0), exprs(1), k).toAggregateExpression()
+      }))
+
+  /** Register the same functions on an already-running session (e.g. in
+    * tests or notebooks where the session pre-exists the library). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

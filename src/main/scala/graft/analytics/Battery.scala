@@ -1215,9 +1215,86 @@ object Battery {
         FROM part)
       WHERE rn <= 3 ORDER BY p_brand, rn"""))
 
+  /** The composite training-data curation pipeline, as one funnel
+    * query: quality filter → language-consistency filter → exact dedup
+    * (keep min id per content hash) → near-dup removal (LSH + Jaccard
+    * ≥ 0.5, drop the larger id of each pair) → deterministic 50% hash
+    * sample. Emits per-stage surviving counts. Every stage is the
+    * battery operator it reuses (q22, q23, q20, q26/q27, q48) — this is
+    * the end-to-end shape a 100 TB corpus actually runs. */
+  val q54 = Q("q54_corpus_curation",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toksL = split(trim(lower(col("text"))), "\\s+")
+      val nTok = size(toksL).cast(LongType)
+      val nStop = size(filter(toksL, tk =>
+        tk.isInCollection(Seq("the", "a", "and", "of", "to")))).cast(LongType)
+      val stopRatio = nStop.cast("double") / nTok.cast("double")
+      val s1 = docs.filter(nTok >= 20 && stopRatio < lit(0.5))
+      def hits(words: Seq[String]) =
+        size(filter(toksL, tk => tk.isInCollection(words))).cast(LongType)
+      val cEn = hits(Seq("the", "a", "and", "of")); val cDe = hits(Seq("der", "die", "das", "und"))
+      val cFr = hits(Seq("le", "la", "et", "les")); val cEs = hits(Seq("el", "los", "y", "es"))
+      val best = greatest(cEn, cDe, cFr, cEs)
+      val pred = when(cEn === best, "en").when(cDe === best, "de")
+        .when(cFr === best, "fr").otherwise("es")
+      val s2 = s1.filter(pred === col("lang"))
+      val s3 = Dedup.exactDedup(s2.select("doc_id", "text"), "text", "doc_id")
+      val pairs = Dedup.minhashCandidatePairs(s3, "doc_id", "text", 5, 8, 4)
+      val drops = Dedup.jaccardOnPairs(pairs, s3, "doc_id", "text", 5)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      val s4 = s3.join(drops, Seq("doc_id"), "left_anti")
+      val s5 = s4.filter(
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          % 2 === 0)
+      def cnt(df: DataFrame, st: String) =
+        df.agg(count(lit(1)).as("n_docs")).select(lit(st).as("stage"), col("n_docs"))
+      cnt(docs, "s0_all").unionByName(cnt(s1, "s1_quality")).unionByName(cnt(s2, "s2_lang"))
+        .unionByName(cnt(s3, "s3_exact_dedup")).unionByName(cnt(s4, "s4_near_dedup"))
+        .unionByName(cnt(s5, "s5_sample")).orderBy("stage")
+    },
+    Some(s"""WITH toks0 AS (SELECT doc_id, text, lang,
+          string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+      qf AS (SELECT doc_id, text, lang, tk, CAST(len(tk) AS BIGINT) AS n_tok,
+          CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
+            / CAST(len(tk) AS DOUBLE) AS stop_ratio FROM toks0),
+      s1 AS (SELECT * FROM qf WHERE n_tok >= 20 AND stop_ratio < 0.5),
+      lf AS (SELECT *,
+          CAST(len(list_filter(tk, x -> x IN ('the','a','and','of'))) AS BIGINT) AS c_en,
+          CAST(len(list_filter(tk, x -> x IN ('der','die','das','und'))) AS BIGINT) AS c_de,
+          CAST(len(list_filter(tk, x -> x IN ('le','la','et','les'))) AS BIGINT) AS c_fr,
+          CAST(len(list_filter(tk, x -> x IN ('el','los','y','es'))) AS BIGINT) AS c_es
+        FROM s1),
+      s2 AS (SELECT doc_id, text FROM lf WHERE
+          (CASE WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                ELSE 'es' END) = lang),
+      s3 AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM s2)
+          WHERE rn = 1),
+      sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM s3),
+      $hashSetCte,
+      ${lshCandSql(8, 4)},
+      drops AS (SELECT DISTINCT id_b AS doc_id FROM (
+          SELECT id_a, id_b, ${jaccardSql("sa.h", "sb.h")} AS j
+          FROM cand JOIN shh sa ON sa.doc_id = id_a JOIN shh sb ON sb.doc_id = id_b)
+        WHERE j >= 0.5),
+      s4 AS (SELECT doc_id, text FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+      s5 AS (SELECT * FROM s4 WHERE
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0)
+      SELECT 's0_all' AS stage, COUNT(*) AS n_docs FROM documents
+      UNION ALL SELECT 's1_quality', COUNT(*) FROM s1
+      UNION ALL SELECT 's2_lang', COUNT(*) FROM s2
+      UNION ALL SELECT 's3_exact_dedup', COUNT(*) FROM s3
+      UNION ALL SELECT 's4_near_dedup', COUNT(*) FROM s4
+      UNION ALL SELECT 's5_sample', COUNT(*) FROM s5
+      ORDER BY stage"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }
