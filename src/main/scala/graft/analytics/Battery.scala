@@ -1224,35 +1224,10 @@ object Battery {
     * the end-to-end shape a 100 TB corpus actually runs. */
   val q54 = Q("q54_corpus_curation",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toksL = split(trim(lower(col("text"))), "\\s+")
-      val nTok = size(toksL).cast(LongType)
-      val nStop = size(filter(toksL, tk =>
-        tk.isInCollection(Seq("the", "a", "and", "of", "to")))).cast(LongType)
-      val stopRatio = nStop.cast("double") / nTok.cast("double")
-      val s1 = docs.filter(nTok >= 20 && stopRatio < lit(0.5))
-      def hits(words: Seq[String]) =
-        size(filter(toksL, tk => tk.isInCollection(words))).cast(LongType)
-      val cEn = hits(Seq("the", "a", "and", "of")); val cDe = hits(Seq("der", "die", "das", "und"))
-      val cFr = hits(Seq("le", "la", "et", "les")); val cEs = hits(Seq("el", "los", "y", "es"))
-      val best = greatest(cEn, cDe, cFr, cEs)
-      val pred = when(cEn === best, "en").when(cDe === best, "de")
-        .when(cFr === best, "fr").otherwise("es")
-      val s2 = s1.filter(pred === col("lang"))
-      val s3 = Dedup.exactDedup(s2.select("doc_id", "text"), "text", "doc_id")
-      val pairs = Dedup.minhashCandidatePairs(s3, "doc_id", "text", 5, 8, 4)
-      val drops = Dedup.jaccardOnPairs(pairs, s3, "doc_id", "text", 5)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("id_b").as("doc_id")).distinct()
-      val s4 = s3.join(drops, Seq("doc_id"), "left_anti")
-      val s5 = s4.filter(
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-          % 2 === 0)
-      def cnt(df: DataFrame, st: String) =
+      val stages = graft.text.Curation.funnel(t(s, dir, "documents"), "doc_id", "text", "lang")
+      stages.map { case (st, df) =>
         df.agg(count(lit(1)).as("n_docs")).select(lit(st).as("stage"), col("n_docs"))
-      cnt(docs, "s0_all").unionByName(cnt(s1, "s1_quality")).unionByName(cnt(s2, "s2_lang"))
-        .unionByName(cnt(s3, "s3_exact_dedup")).unionByName(cnt(s4, "s4_near_dedup"))
-        .unionByName(cnt(s5, "s5_sample")).orderBy("stage")
+      }.reduce(_ unionByName _).orderBy("stage")
     },
     Some(s"""WITH toks0 AS (SELECT doc_id, text, lang,
           string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Curation
+
+/** Unit coverage of the reusable curation stages (battery q54 checks
+  * the full composition against the DuckDB oracle). */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val long20 = ("the quick brown fox jumps over the lazy dog " * 3).trim
+
+  test("qualityFilter drops short docs and stopword soup") {
+    val df = Seq(
+      (1L, long20),                                   // keeps: long, moderate stopwords
+      (2L, "too short"),                              // drops: < 20 tokens
+      (3L, Seq.fill(30)("the a of").mkString(" ")))   // drops: all stopwords
+      .toDF("doc_id", "text")
+    val kept = df.transform(Curation.qualityFilter("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("predictedLang picks the argmax marker language, marker order on ties") {
+    val df = Seq(
+      ("der hund und die katze das haus", "de"),
+      ("the cat and the dog of a house", "en"),
+      ("xyz qrs", "en")) // zero hits everywhere -> tie -> first marker (en)
+      .toDF("text", "want")
+    val got = df.select(Curation.predictedLang("text").as("p"), col("want"))
+      .as[(String, String)].collect()
+    got.foreach { case (p, want) => assert(p == want, s"predicted $p wanted $want") }
+  }
+
+  test("nearDedup keeps the smaller id of a near-identical pair") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank " * 3
+    val df = Seq(
+      (10L, base), (20L, base + "extra tail words"), (30L, "completely different content entirely"))
+      .toDF("doc_id", "text")
+    val kept = df.transform(Curation.nearDedup("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 30L))
+  }
+
+  test("hashSample is deterministic and roughly proportional") {
+    val df = spark.range(1000).toDF("doc_id")
+    val a = df.transform(Curation.hashSample("doc_id", keep = 10)).count()
+    val b = df.transform(Curation.hashSample("doc_id", keep = 10)).count()
+    assert(a == b)
+    assert(a > 50 && a < 200, s"10% of 1000 gave $a")
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counts = Curation.funnel(docs, "doc_id", "text", "lang").map(_._2.count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, counts.toString)
+    assert(counts.last > 0)
+  }
+}
