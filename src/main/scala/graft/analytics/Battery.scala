@@ -1267,9 +1267,33 @@ object Battery {
       UNION ALL SELECT 's5_sample', COUNT(*) FROM s5
       ORDER BY stage"""))
 
+  /** The frame-sampling SCHEDULE of the multimodal path, cross-checked
+    * in SQL: per kind, how many frames decodeAndEmbed(stride=2,
+    * maxFrames=4) emits. The decode kernel is a stub, but the
+    * scheduling arithmetic (frameCount → stride/cap sampling) is real
+    * and this pins it against an independent engine. */
+  val q55 = Q("q55_media_frame_schedule",
+    (s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      val feats = Multimodal.decodeAndEmbed(media, stride = 2, maxFrames = 4)
+      feats.toDF().groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .join(media.toDF().select(col("media_id"), col("meta.kind").as("kind")), "media_id")
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_media"), sum("n_frames").as("total_frames"))
+        .orderBy("kind")
+    },
+    Some("""WITH m AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'video'
+             WHEN doc_id % 3 = 1 THEN 'image' ELSE 'audio' END AS kind,
+        CASE WHEN doc_id % 3 = 0 THEN greatest(1, (n_chars * 100) // 1000) ELSE 1 END AS fc
+      FROM documents)
+      SELECT kind, COUNT(*) AS n_media,
+        CAST(SUM(least(4, (fc + 1) // 2)) AS BIGINT) AS total_frames
+      FROM m GROUP BY kind ORDER BY kind"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
 }

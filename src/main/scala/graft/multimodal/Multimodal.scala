@@ -82,6 +82,38 @@ object Multimodal {
   def sampleFrameIndices(total: Int, stride: Int, maxFrames: Int): Seq[Int] =
     (0 until total by stride).take(maxFrames)
 
+  /** Nearest-neighbor resize — real index mapping over any matrix (the
+    * operation a codec-backed pipeline runs between decode and encode);
+    * deterministic, no interpolation-rounding ambiguity. */
+  def resizeFrame(grid: Array[Array[Int]], outH: Int, outW: Int): Array[Array[Int]] = {
+    val inH = grid.length
+    val inW = grid(0).length
+    Array.tabulate(outH, outW)((r, c) => grid(r * inH / outH)(c * inW / outW))
+  }
+
+  /** Audio windowing: (start, end) sample-index ranges for a
+    * window/hop spec — the scheduling arithmetic of any STFT-style
+    * feature extractor, pure integer math. Windows that would run past
+    * the end are dropped (no partial windows). */
+  def audioWindowIndices(
+      durationMs: Long, sampleRateHz: Int, windowMs: Int, hopMs: Int): Seq[(Long, Long)] = {
+    val totalSamples = durationMs * sampleRateHz / 1000
+    val win = windowMs.toLong * sampleRateHz / 1000
+    val hop = hopMs.toLong * sampleRateHz / 1000
+    if (totalSamples < win || win <= 0 || hop <= 0) Seq.empty
+    else (0L to totalSamples - win by hop).map(s => (s, s + win))
+  }
+
+  /** DETERMINISTIC FAKE window energy (stands in for mean-square PCM
+    * amplitude): hash of payload + window index, scaled to [0, 1). */
+  def windowEnergyStub(payload: Array[Byte], windowIdx: Int): Double = {
+    var h = 0x9e3779b97f4a7c15L * (windowIdx + 1)
+    var i = 0
+    while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
+    h ^= h >>> 33
+    (h & 0xfffff).toDouble / 0x100000.toDouble
+  }
+
   /** 8×8 "pixels" → 16-dim mean-pooled embedding (2×2 pooling over the
     * grid, quantized to float). Deterministic; the real version would
     * run a vision encoder over the decoded frame batch. */
