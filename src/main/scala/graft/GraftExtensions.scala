@@ -15,10 +15,14 @@ import graft.functions.{CleanAsciiExpression, TopKBy}
   *
   *  - `clean_ascii(s)` — codegen unicode→ASCII normalize (O-9)
   *  - `topk_by(order, payload, k)` — map-side-bounded per-group top-k
+  *  - the [[graft.plans.AsOfJoinStrategy]] planner strategy for the
+  *    native as-of join operator
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

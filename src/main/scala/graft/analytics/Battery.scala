@@ -1291,9 +1291,39 @@ object Battery {
         CAST(SUM(least(4, (fc + 1) // 2)) AS BIGINT) AS total_frames
       FROM m GROUP BY kind ORDER BY kind"""))
 
+  /** The NATIVE as-of join operator (custom LogicalPlan + Strategy +
+    * SparkPlan, graft.plans.AsOfJoinPlan) on the q36 workload shape —
+    * one streaming merge over two sorted co-partitioned sides instead
+    * of the union+window composition. Oracle: DuckDB's ASOF JOIN. */
+  val q56 = Q("q56_asof_native",
+    (s, dir) => {
+      val ded = Dedup.latestPerKey(
+        t(s, dir, "orders").withColumn("o_orderdate", col("o_orderdate").cast("date"))
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey").desc))
+      val ev = t(s, dir, "events").filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(timestamp_seconds(ts DIV 1000000000) AS DATE)").as("event_date"))
+      graft.plans.AsOfJoinPlan.backward(ev, ded, "user_id", "o_custkey",
+          "event_date", "o_orderdate", Seq("o_orderkey", "o_totalprice"), inner = true)
+        .withColumn("event_date", col("event_date").cast("string"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ded AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               max(o_orderkey) AS o_orderkey,
+               max_by(o_totalprice, o_orderkey) AS o_totalprice
+             FROM orders GROUP BY 1, 2),
+      ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date
+             FROM events WHERE event_id % 10 = 0)
+      SELECT event_id, user_id, CAST(event_date AS VARCHAR) AS event_date,
+        o_orderkey, o_totalprice
+      FROM ev ASOF JOIN ded
+        ON ev.user_id = ded.o_custkey AND ev.event_date >= ded.o_orderdate
+      ORDER BY event_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
 }
