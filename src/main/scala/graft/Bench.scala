@@ -37,10 +37,11 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       try {
         val warm = once(fn)
-        // cheap queries: min-of-2 sheds host noise; expensive ones:
-        // one timed run, so total bench time stays bounded
+        // min-of-2 timed runs: host noise swings 2-10x on this box, and
+        // a single unlucky sample would be recorded as the query's time;
+        // no battery query exceeds ~6s warm, so the extra run is cheap
         val t1 = once(fn)
-        name -> (if (t1 > 10.0) t1 else math.min(t1, once(fn)))
+        name -> math.min(t1, once(fn))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name: ${e.getMessage}")
         name -> -1.0

@@ -1321,9 +1321,72 @@ object Battery {
         ON ev.user_id = ded.o_custkey AND ev.event_date >= ded.o_orderdate
       ORDER BY event_id"""))
 
+  /** Multiset (ALL) set operations — completes q19's distinct family. */
+  val q57 = Q("q57_set_ops_all",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      def cnt(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      cnt(c.exceptAll(su), "except_all")
+        .unionByName(cnt(c.intersectAll(su), "intersect_all"))
+        .unionByName(cnt(c.unionAll(su), "union_all"))
+        .orderBy("op")
+    },
+    Some("""SELECT 'except_all' AS op, (SELECT COUNT(*) FROM
+        (SELECT c_nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)) AS n
+      UNION ALL SELECT 'intersect_all', (SELECT COUNT(*) FROM
+        (SELECT c_nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier))
+      UNION ALL SELECT 'union_all', (SELECT COUNT(*) FROM
+        (SELECT c_nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier))
+      ORDER BY op"""))
+
+  /** Calendar-series zero-fill: generate the full day range with
+    * `sequence`, left-join daily counts — the generated-dimension
+    * pattern (no day silently missing from a trend). */
+  val q58 = Q("q58_calendar_zero_fill",
+    (s, dir) => {
+      val o = t(s, dir, "orders").withColumn("d", col("o_orderdate").cast("date"))
+      val days = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      val daily = o.groupBy("d").agg(count(lit(1)).as("n_orders"))
+      days.join(daily, Seq("d"), "left")
+        .select(col("d").cast("string").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("day")
+    },
+    Some("""WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+               MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+      days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM b),
+      daily AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+                FROM orders GROUP BY 1)
+      SELECT CAST(days.d AS VARCHAR) AS day, coalesce(daily.n_orders, 0) AS n_orders
+      FROM days LEFT JOIN daily ON days.d = daily.d
+      ORDER BY day"""))
+
+  /** Skewed aggregation via deterministic two-phase salting
+    * (graft.operators.Salt): groupBy(key, salt) partial → groupBy(key)
+    * final, spreading a hot key over `buckets` reducers. The oracle is
+    * the PLAIN aggregation — proving the salted plan computes the
+    * identical result. */
+  val q59 = Q("q59_skew_salted_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("price_cents", cents(col("l_extendedprice")))
+      graft.operators.Salt.saltedSumCount(li, Seq("l_suppkey"), "price_cents", buckets = 8)
+        .select(col("l_suppkey"),
+          (col("sum_price_cents").cast("double") / 100.0).as("total_price"),
+          col("n_rows"))
+        .orderBy("l_suppkey")
+    },
+    Some(s"""SELECT l_suppkey,
+      CAST(SUM(${centsSql("l_extendedprice")}) AS DOUBLE) / 100.0 AS total_price,
+      COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }
