@@ -74,7 +74,7 @@ object Bench {
         silver.write.mode("overwrite").parquet(silverPath)
         val t1 = lap("silver", t0)
         val silverBack = spark.read.parquet(silverPath)
-        graft.pipeline.OffPipeline.goldMaterialized(silverBack, (name, df) => {
+        val gold = graft.pipeline.OffPipeline.goldMaterialized(silverBack, (name, df) => {
           val p = s"${tsv}_gold_$name"
           df.write.mode("overwrite").parquet(p)
           spark.read.parquet(p)
@@ -82,10 +82,29 @@ object Bench {
         val t2 = lap("gold", t1)
         val m = graft.metrics.Metrics.compute(
           silverBack, graft.bench.OffTsvGen.ReferenceRows, 0L, 0L)
-        lap("metrics", t2)
+        val t3 = lap("metrics", t2)
+        // the six reference analytic queries (requetes_analytiques.sql),
+        // executed in-engine against the just-built star schema — the
+        // workload MySQL ran for the reference (no timings published
+        // there; ours become the baseline)
+        val fact = gold("fact_nutrition_snapshot"); val product = gold("dim_product")
+        val brand = gold("dim_brand"); val category = gold("dim_category")
+        val time = gold("dim_time")
+        import graft.analytics.OffQueries
+        Seq(
+          OffQueries.q1TopBrandsAbShare(fact, product, brand),
+          OffQueries.q2GradeByCategory(fact, product, category),
+          OffQueries.q3CountryCategorySugar(fact, product, category),
+          OffQueries.q4CompletenessByBrand(fact, product, brand),
+          OffQueries.q5Anomalies(fact, product, brand),
+          OffQueries.q6WeeklyCompleteness(fact, time)
+        ).foreach(_.write.format("noop").mode("overwrite").save())
+        val t4 = lap("off_queries", t3)
+        val offQSec = (t4 - t3) / 1e9
         val sec = (System.nanoTime() - t0) / 1e9
         s""","pipeline_sec":$sec,"pipeline_rows_in":${graft.bench.OffTsvGen.ReferenceRows}""" +
-          s""","pipeline_rows_out":${m.rowsOut},"pipeline_rows_per_sec":${graft.bench.OffTsvGen.ReferenceRows / sec}"""
+          s""","pipeline_rows_out":${m.rowsOut},"pipeline_rows_per_sec":${graft.bench.OffTsvGen.ReferenceRows / sec}""" +
+          s""","off_queries_sec":$offQSec"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline: ${e.getMessage}")
         ",\"pipeline_sec\":-1.0"

@@ -1383,10 +1383,45 @@ object Battery {
       COUNT(*) AS n_rows
       FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""))
 
+  /** Array-function battery: sort/distinct/position/slice over token
+    * arrays, scalar outputs for cross-engine parity. */
+  val q60 = Q("q60_array_ops",
+    (s, dir) => {
+      val toks = split(col("p_name"), " ")
+      t(s, dir, "part").select(col("p_partkey"),
+          array_join(array_sort(toks), "|").as("sorted_tokens"),
+          size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+          coalesce(array_position(toks, "tan"), lit(0L)).as("tan_pos"),
+          array_join(slice(array_sort(toks), 1, 2), "|").as("first_two"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+      array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_tokens,
+      CAST(len(list_distinct(string_split(p_name, ' '))) AS BIGINT) AS n_distinct,
+      CAST(coalesce(list_position(string_split(p_name, ' '), 'tan'), 0) AS BIGINT) AS tan_pos,
+      array_to_string(list_slice(list_sort(string_split(p_name, ' ')), 1, 2), '|') AS first_two
+      FROM part ORDER BY p_partkey"""))
+
+  /** Regex group extraction + conditional/boolean aggregates. */
+  val q61 = Q("q61_regex_conditional_agg",
+    (s, dir) => t(s, dir, "part")
+      .groupBy(regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"))
+      .agg(count(lit(1)).as("n"),
+        expr("count_if(p_size > 25)").as("n_large"),
+        expr("bool_or(p_size > 45)").as("has_huge"),
+        expr("bool_and(p_size >= 1)").as("all_positive"))
+      .orderBy("type_head"),
+    Some("""SELECT regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+      COUNT(*) AS n,
+      COUNT(*) FILTER (WHERE p_size > 25) AS n_large,
+      bool_or(p_size > 45) AS has_huge,
+      bool_and(p_size >= 1) AS all_positive
+      FROM part GROUP BY 1 ORDER BY type_head"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 }
