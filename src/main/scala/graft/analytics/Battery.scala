@@ -1418,10 +1418,39 @@ object Battery {
       bool_and(p_size >= 1) AS all_positive
       FROM part GROUP BY 1 ORDER BY type_head"""))
 
+  /** Ranking-family windows: ntile, percent_rank, cume_dist, nth_value
+    * (completes q18's rank/lag/lead/frames coverage). percent_rank and
+    * cume_dist are exact rational doubles — same integer operands, same
+    * IEEE division in any engine. */
+  val q62 = Q("q62_rank_family",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").filter(col("o_custkey") % 50 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_orderkey"), 2)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("second_key"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      percent_rank() OVER w AS pr,
+      cume_dist() OVER w AS cd,
+      nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+      FROM orders WHERE o_custkey % 50 = 0
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }
