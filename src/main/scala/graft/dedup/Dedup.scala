@@ -170,9 +170,12 @@ object Dedup {
     * variables; (b) a UDF-produced array consumed by several
     * `transform`s in a full-table scan showed cross-row result
     * contamination (29 distinct minhash values across 500 distinct
-    * docs). A single opaque UDF has neither problem and is also the
-    * fastest formulation (one shingling + k*|sh| md5s per row, no
-    * Catalyst array churn). */
+    * docs). A single opaque UDF has neither problem.
+    *
+    * NOTE: this is the LEGACY md5-string signature (k digests per
+    * shingle), kept for [[withMinhashSignature]] and its regression
+    * spec; the production LSH path is [[bandSigsFromHashesUdf]] below
+    * (one md5 per shingle + k linear permutations). */
   private def bandSigsUdf(mode: ShingleMode, bands: Int, rowsPerBand: Int): UserDefinedFunction =
     udf { (text: String) =>
       Option(text).map { t =>
