@@ -63,6 +63,27 @@ object StreamOps {
       col(rightTime) <= col(leftTime))
   }
 
+  /** One micro-batch of the idempotent sink: the batch overwrites ITS
+    * OWN batch_id partition only (dynamic partition overwrite), so a
+    * replayed batch after a failure rewrites the same files instead of
+    * appending duplicates — the retry-safe exactly-once-ish pattern for
+    * plain-parquet sinks (no transactional table format needed). */
+  def upsertBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Streaming parquet sink built on [[upsertBatch]] via foreachBatch. */
+  def idempotentParquetSink(
+      stream: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) => upsertBatch(b.toDF(), id, path))
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
   case class UserSession(

@@ -100,6 +100,28 @@ class StreamOpsSpec extends SparkTestBase {
     assert(out == Set((1L, "click", 50.0)))
   }
 
+  test("idempotentParquetSink: a replayed batch does not duplicate rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.idempotentParquetSink(
+      input.toDF().toDF("id", "v"), s"$dir/data", s"$dir/ckpt")
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val before = spark.read.parquet(s"$dir/data")
+    assert(before.count() == 3)
+    // simulate a failure-replay of batch 1: same data, same id
+    StreamOps.upsertBatch(Seq((3L, "c")).toDF("id", "v"), 1L, s"$dir/data")
+    val after = spark.read.parquet(s"$dir/data")
+    assert(after.count() == 3, "replayed batch duplicated rows")
+    // while a NEW batch id appends
+    StreamOps.upsertBatch(Seq((4L, "d")).toDF("id", "v"), 2L, s"$dir/data")
+    assert(spark.read.parquet(s"$dir/data").count() == 4)
+  }
+
   test("sessionize: in-batch gap close and event-time timeout close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
