@@ -1447,10 +1447,31 @@ object Battery {
       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       ORDER BY o_orderpriority, o_orderkey"""))
 
+  /** Sliding time windows in BATCH (`window(ts, "7 days", "1 day")`):
+    * every order contributes to 7 overlapping windows — the batch twin
+    * of the streaming windowed aggregation, and a Generator the oracle
+    * reproduces by expanding each row to its 7 window starts. Windows
+    * are epoch-aligned at UTC midnight (session TZ pinned UTC). */
+  val q63 = Q("q63_sliding_windows",
+    (s, dir) => t(s, dir, "orders")
+      .filter(col("o_custkey") % 10 === 0)
+      .groupBy(window(col("o_orderdate"), "7 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .select(col("w.start").cast("date").cast("string").as("window_start"),
+        col("n_orders"), col("total_price"))
+      .orderBy("window_start"),
+    Some(s"""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS od, o_totalprice
+          FROM orders WHERE o_custkey % 10 = 0),
+      w AS (SELECT od - CAST(unnest(range(0, 7)) AS INT) * INTERVAL 1 DAY AS ws, o_totalprice
+            FROM d)
+      SELECT CAST(CAST(ws AS DATE) AS VARCHAR) AS window_start,
+        COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+      FROM w GROUP BY 1 ORDER BY window_start"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 }
