@@ -42,6 +42,20 @@ object StreamOps {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Streaming near-exact document dedup: normalize text (lowercase,
+    * collapsed whitespace) → md5 fingerprint → watermark-bounded
+    * dedup state on the fingerprint. Whitespace/case variants of a doc
+    * arriving within the horizon are dropped — the streaming face of
+    * the batch fingerprint dedup (battery q24), with state bounded by
+    * the watermark exactly like [[dedupEvents]]. */
+  def dedupByFingerprint(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("__fp", md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Stream-stream inner join with an event-time interval condition:
     * each left row matches right rows with the same key whose time lies
     * in [leftTime − lookback, leftTime]. Both watermarks plus the

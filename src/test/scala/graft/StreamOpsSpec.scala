@@ -78,6 +78,23 @@ class StreamOpsSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("dedupByFingerprint drops whitespace/case variants within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.dedupByFingerprint(docs, "text", "ts")
+      .writeStream.format("memory").queryName("fp_out")
+      .outputMode("append").start()
+    input.addData(
+      (1L, ts(0), "The Quick   Brown Fox"),
+      (2L, ts(1), "the quick brown fox"), // variant of 1 -> dropped
+      (3L, ts(2), "something else entirely"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("fp_out").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
   test("intervalJoin: events join same-user orders within the lookback only") {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, Timestamp, String)]
