@@ -1468,10 +1468,42 @@ object Battery {
         COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
       FROM w GROUP BY 1 ORDER BY window_start"""))
 
+  /** Near-dup CLUSTERING: LSH + Jaccard ≥ 0.5 pairs → distributed
+    * connected components (min-label propagation + pointer jumping,
+    * graft.operators.ConnectedComponents) → (doc, component). The step
+    * that turns pairwise near-dups into "keep one doc per cluster".
+    * Oracle: recursive-CTE transitive closure. */
+  val q64 = Q("q64_neardup_clusters",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 5, 8, 4)
+      val verified = Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", 5)
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+      graft.operators.ConnectedComponents.components(verified)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
+      $hashSetCte,
+      ${lshCandSql(8, 4)},
+      ver AS (SELECT id_a, id_b FROM (
+          SELECT id_a, id_b, ${jaccardSql("sa.h", "sb.h")} AS j
+          FROM cand JOIN shh sa ON sa.doc_id = id_a JOIN shh sb ON sb.doc_id = id_b)
+        WHERE j >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION SELECT id_b, id_a FROM ver),
+      walk(src, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+      SELECT src AS doc_id, MIN(reach) AS component FROM walk
+      GROUP BY src ORDER BY doc_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+import graft.operators.ConnectedComponents
+
+/** Connected components vs an in-memory union-find reference. */
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def reference(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(x => x -> find(x)).toMap
+  }
+
+  test("chains, stars, and separate components resolve to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain -> comp 1
+      (10L, 11L), (10L, 12L), (10L, 13L),         // star  -> comp 10
+      (20L, 21L))                                 // pair  -> comp 20
+      .toDF("id_a", "id_b")
+    val got = ConnectedComponents.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges within the round budget (pointer jumping)") {
+    val n = 60
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.components(pairs).as[(Long, Long)].collect()
+    assert(got.length == n.toInt + 1)
+    assert(got.forall(_._2 == 0L), got.filter(_._2 != 0L).take(5).mkString(","))
+  }
+
+  test("matches union-find on arbitrary graphs (property)") {
+    val pairGen = Gen.listOfN(30, for {
+      a <- Gen.chooseNum(0L, 20L); b <- Gen.chooseNum(0L, 20L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    ScalaCheckSupport.checkProp(Prop.forAll(pairGen) { ps =>
+      ps.isEmpty || {
+        val got = ConnectedComponents.components(ps.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        got == reference(ps)
+      }
+    }, minSuccessful = 8)
+  }
+}
