@@ -82,6 +82,27 @@ object Curation {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-aware near-dup removal: verified pairs → connected
+    * components → keep ONLY the min-id doc of each cluster. Differs
+    * from [[nearDedup]] on transitive chains: pair-based dropping keeps
+    * docs that are only transitively similar (1-3, 2-3 keeps 1 AND 2);
+    * cluster-based keeps one representative per component — the
+    * standard corpus-dedup policy when near-dup is treated as an
+    * equivalence. */
+  def nearDedupClustered(
+      idCol: String, textCol: String, shingleN: Int = 5,
+      bands: Int = 8, rowsPerBand: Int = 4, jaccardThreshold: Double = 0.5)(
+      df: DataFrame): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairs(df, idCol, textCol, shingleN, bands, rowsPerBand)
+    val verified = Dedup.jaccardOnPairs(pairs, df, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b")
+    val drops = graft.operators.ConnectedComponents.components(verified)
+      .filter(col("id") =!= col("comp")) // non-representatives
+      .select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic Bernoulli sample: md5(id) mod `outOf` < `keep` —
     * reproducible across engines, retries, and partitionings. */
   def hashSample(idCol: String, keep: Int, outOf: Int = 100)(df: DataFrame): DataFrame =

@@ -43,6 +43,18 @@ class CurationSpec extends SparkTestBase {
     assert(kept == Set(10L, 30L))
   }
 
+  test("nearDedupClustered keeps one representative per transitive cluster") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today " * 3
+    // 10 ~ 20 and 20 ~ 30 (transitively one cluster); 40 unrelated
+    val df = Seq(
+      (10L, base), (20L, base + " tail one"), (30L, base + " tail one two"),
+      (40L, "completely different content about query engines entirely"))
+      .toDF("doc_id", "text")
+    val clustered = df.transform(Curation.nearDedupClustered("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(clustered == Set(10L, 40L), s"got $clustered")
+  }
+
   test("hashSample is deterministic and roughly proportional") {
     val df = spark.range(1000).toDF("doc_id")
     val a = df.transform(Curation.hashSample("doc_id", keep = 10)).count()
