@@ -35,6 +35,10 @@ object ConnectedComponents {
 
     var round = 0
     var converged = false
+    // labels are monotonically non-increasing per vertex, so the fixpoint
+    // test is simply "sum(comp) unchanged" — one cheap aggregate per
+    // round instead of a self-join diff
+    var prevSum = Long.MinValue
     while (!converged && round < maxRounds) {
       // 1) neighbor-min propagation
       val nbrMin = edges
@@ -47,9 +51,9 @@ object ConnectedComponents {
         .join(propagated.select(col("id").as("comp"), col("comp").as("ccomp")), Seq("comp"), "left")
         .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
         .localCheckpoint()
-      val changed = jumped.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).limit(1).count()
-      converged = changed == 0
+      val s = jumped.agg(sum(col("comp"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels = jumped
       round += 1
     }
