@@ -24,8 +24,13 @@ object Bench {
     // 10-35s of one-time JVM cost (JIT, whole-stage-codegen compile,
     // parquet footer + OS page-cache reads) that is not query
     // throughput. Steady-state per-query time is what scales to a
-    // cluster, so warm once, then time min-of-2 to shed host noise.
+    // cluster, so warm once, then time two full passes and keep the
+    // per-query min. clearCache() before each run keeps persist-based
+    // operators (near-dup fingerprint reuse) honest — a timed run must
+    // not read a previous run's materialized cache — and bounds cache
+    // growth across the 64-query battery.
     def once(fn: (SparkSession, String) => DataFrame): Double = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -34,18 +39,23 @@ object Bench {
     // iterate on one hot query without paying for the full battery
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
-    val results = selected.map { case (name, fn) =>
-      try {
-        val warm = once(fn)
-        // min-of-2 timed runs: host noise swings 2-10x on this box, and
-        // a single unlucky sample would be recorded as the query's time;
-        // no battery query exceeds ~6s warm, so the extra run is cheap
-        val t1 = once(fn)
-        name -> math.min(t1, once(fn))
-      } catch { case e: Throwable =>
+    def pass(): Map[String, Double] = selected.map { case (name, fn) =>
+      name -> (try once(fn) catch { case e: Throwable =>
         System.err.println(s"[bench] $name: ${e.getMessage}")
-        name -> -1.0
-      }
+        -1.0
+      })
+    }.toMap
+    // Two FULL timed passes (not two back-to-back runs per query), then
+    // per-query min across passes: host-contention windows on this box
+    // last minutes and inflate a contiguous run of queries 5-10x; two
+    // consecutive runs of one query both land inside the window, while
+    // the same query in a second full pass lands minutes away from it.
+    // Same total cost as min-of-2-consecutive, far better isolation.
+    pass() // warm
+    val (p1, p2) = (pass(), pass())
+    val results = selected.map { case (name, _) =>
+      val samples = Seq(p1(name), p2(name)).filter(_ >= 0)
+      name -> (if (samples.isEmpty) -1.0 else samples.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries report the -1.0 sentinel; keep them out of the total
@@ -63,47 +73,55 @@ object Bench {
         val tsv = java.nio.file.Files.createTempDirectory("graft-off-bench").toString + "/off"
         graft.bench.OffTsvGen.generate(spark, tsv)
         val silverPath = tsv + "_silver"
-        val t0 = System.nanoTime()
-        def lap(label: String, start: Long): Long = {
-          val now = System.nanoTime()
-          System.err.println(f"[bench] pipeline/$label: ${(now - start) / 1e9}%.2fs")
-          now
+        // one full pipeline run: TSV scan → silver (materialized, like
+        // the reference's silver write) → all six gold tables → run
+        // metrics → the six reference analytic queries in-engine
+        // (requetes_analytiques.sql — the workload MySQL ran for the
+        // reference; no timings published there, ours are the baseline)
+        def runPipeline(): (Double, Double, Long) = {
+          val t0 = System.nanoTime()
+          def lap(label: String, start: Long): Long = {
+            val now = System.nanoTime()
+            System.err.println(f"[bench] pipeline/$label: ${(now - start) / 1e9}%.2fs")
+            now
+          }
+          val bronze = graft.ingest.Ingest.bronzeCsv(spark, tsv)
+          val silver = graft.pipeline.OffPipeline.silver(bronze)
+          silver.write.mode("overwrite").parquet(silverPath)
+          val t1 = lap("silver", t0)
+          val silverBack = spark.read.parquet(silverPath)
+          val gold = graft.pipeline.OffPipeline.goldMaterialized(silverBack, (name, df) => {
+            val p = s"${tsv}_gold_$name"
+            df.write.mode("overwrite").parquet(p)
+            spark.read.parquet(p)
+          })
+          val t2 = lap("gold", t1)
+          val m = graft.metrics.Metrics.compute(
+            silverBack, graft.bench.OffTsvGen.ReferenceRows, 0L, 0L)
+          val t3 = lap("metrics", t2)
+          val fact = gold("fact_nutrition_snapshot"); val product = gold("dim_product")
+          val brand = gold("dim_brand"); val category = gold("dim_category")
+          val time = gold("dim_time")
+          import graft.analytics.OffQueries
+          Seq(
+            OffQueries.q1TopBrandsAbShare(fact, product, brand),
+            OffQueries.q2GradeByCategory(fact, product, category),
+            OffQueries.q3CountryCategorySugar(fact, product, category),
+            OffQueries.q4CompletenessByBrand(fact, product, brand),
+            OffQueries.q5Anomalies(fact, product, brand),
+            OffQueries.q6WeeklyCompleteness(fact, time)
+          ).foreach(_.write.format("noop").mode("overwrite").save())
+          val t4 = lap("off_queries", t3)
+          ((System.nanoTime() - t0) / 1e9, (t4 - t3) / 1e9, m.rowsOut)
         }
-        val bronze = graft.ingest.Ingest.bronzeCsv(spark, tsv)
-        val silver = graft.pipeline.OffPipeline.silver(bronze)
-        silver.write.mode("overwrite").parquet(silverPath)
-        val t1 = lap("silver", t0)
-        val silverBack = spark.read.parquet(silverPath)
-        val gold = graft.pipeline.OffPipeline.goldMaterialized(silverBack, (name, df) => {
-          val p = s"${tsv}_gold_$name"
-          df.write.mode("overwrite").parquet(p)
-          spark.read.parquet(p)
-        })
-        val t2 = lap("gold", t1)
-        val m = graft.metrics.Metrics.compute(
-          silverBack, graft.bench.OffTsvGen.ReferenceRows, 0L, 0L)
-        val t3 = lap("metrics", t2)
-        // the six reference analytic queries (requetes_analytiques.sql),
-        // executed in-engine against the just-built star schema — the
-        // workload MySQL ran for the reference (no timings published
-        // there; ours become the baseline)
-        val fact = gold("fact_nutrition_snapshot"); val product = gold("dim_product")
-        val brand = gold("dim_brand"); val category = gold("dim_category")
-        val time = gold("dim_time")
-        import graft.analytics.OffQueries
-        Seq(
-          OffQueries.q1TopBrandsAbShare(fact, product, brand),
-          OffQueries.q2GradeByCategory(fact, product, category),
-          OffQueries.q3CountryCategorySugar(fact, product, category),
-          OffQueries.q4CompletenessByBrand(fact, product, brand),
-          OffQueries.q5Anomalies(fact, product, brand),
-          OffQueries.q6WeeklyCompleteness(fact, time)
-        ).foreach(_.write.format("noop").mode("overwrite").save())
-        val t4 = lap("off_queries", t3)
-        val offQSec = (t4 - t3) / 1e9
-        val sec = (System.nanoTime() - t0) / 1e9
+        // min-of-2 full runs, same contention-window rationale as the
+        // battery passes (the first run doubles as the warm pass for
+        // the second, so the steady-state run is what gets reported)
+        val r1 = runPipeline()
+        val r2 = runPipeline()
+        val (sec, offQSec, rowsOut) = if (r2._1 <= r1._1) r2 else r1
         s""","pipeline_sec":$sec,"pipeline_rows_in":${graft.bench.OffTsvGen.ReferenceRows}""" +
-          s""","pipeline_rows_out":${m.rowsOut},"pipeline_rows_per_sec":${graft.bench.OffTsvGen.ReferenceRows / sec}""" +
+          s""","pipeline_rows_out":$rowsOut,"pipeline_rows_per_sec":${graft.bench.OffTsvGen.ReferenceRows / sec}""" +
           s""","off_queries_sec":$offQSec"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline: ${e.getMessage}")

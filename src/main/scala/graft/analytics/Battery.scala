@@ -601,15 +601,13 @@ object Battery {
       SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"""))
 
   /** LSH candidates → exact char-5-gram Jaccard verification ≥ 0.25:
-    * the full two-stage near-dup dedup pipeline. */
+    * the full two-stage near-dup dedup pipeline, via the shared-pass
+    * operator (one persisted shingle-hash scan feeds both stages). */
   val q27 = Q("q27_lsh_jaccard_neardup",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 5, 8, 4)
-      Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", 5)
-        .filter(col("jaccard") >= 0.25)
-        .orderBy("id_a", "id_b")
-    },
+    (s, dir) => Dedup.verifiedNearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text", Dedup.CharShingles(5), 8, 4)
+      .filter(col("jaccard") >= 0.25)
+      .orderBy("id_a", "id_b"),
     Some(s"""WITH sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
       $hashSetCte,
       ${lshCandSql(8, 4)}
@@ -1475,9 +1473,8 @@ object Battery {
     * Oracle: recursive-CTE transitive closure. */
   val q64 = Q("q64_neardup_clusters",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 5, 8, 4)
-      val verified = Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", 5)
+      val verified = Dedup.verifiedNearDupPairs(
+          t(s, dir, "documents"), "doc_id", "text", Dedup.CharShingles(5), 8, 4)
         .filter(col("jaccard") >= 0.5)
         .select("id_a", "id_b")
       graft.operators.ConnectedComponents.components(verified)

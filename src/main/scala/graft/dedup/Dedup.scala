@@ -297,6 +297,19 @@ object Dedup {
       }
     }
 
+  /** Exact Jaccard for a pair DataFrame (id_a, id_b) over an
+    * already-hashed docs table (id, h) — see [[hashedDocs]].
+    * Merge-hinted like candidatePairsFromBanded: the two hash joins key
+    * on the same child exchange (hashpartitioning of the id), so
+    * forcing SMJ lets ReuseExchange build the hashed side once, not
+    * twice. */
+  def jaccardOnHashed(pairs: DataFrame, hashed: DataFrame): DataFrame =
+    pairs
+      .join(hashed.select(col("id").as("id_a"), col("h").as("sh_a")).hint("merge"), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("h").as("sh_b")).hint("merge"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardOfHashSetsUdf(col("sh_a"), col("sh_b")).as("jaccard"))
+
   /** Exact Jaccard over (hashed) shingle sets for a pair DataFrame with
     * columns (id_a, id_b) — the verification stage after LSH candidates.
     * Scale design: shingle sets are computed ONCE PER DOC (an LSH
@@ -305,19 +318,30 @@ object Dedup {
     * than the string shingles, with a linear-merge intersection. */
   def jaccardOnPairs(
       pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-      mode: ShingleMode): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"),
-      shingleHashSetUdf(mode)(col(textCol)).as("__sh"))
-    // merge-hinted like candidatePairsFromBanded: the two sh joins key on
-    // the same child exchange (hashpartitioning of __id), so forcing SMJ
-    // lets ReuseExchange run the shingle-hash pass once, not twice
-    pairs
-      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a")
-        .hint("merge"), "id_a")
-      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b")
-        .hint("merge"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        jaccardOfHashSetsUdf(col("sh_a"), col("sh_b")).as("jaccard"))
+      mode: ShingleMode): DataFrame =
+    jaccardOnHashed(pairs, hashedDocs(docs, idCol, textCol, mode))
+
+  /** The full two-stage near-dup operator — LSH candidates + exact
+    * Jaccard — sharing ONE shingle-hash pass. [[minhashCandidatePairs]]
+    * followed by [[jaccardOnPairs]] runs the md5-per-shingle scan twice
+    * (the banding exchange and the verification exchange partition
+    * differently, so ReuseExchange cannot merge them); here the hashed
+    * docs are persisted (MEMORY_AND_DISK) and both stages read the
+    * materialized fingerprints. This is also the 100 TB design: the
+    * fingerprint table is the thing you keep — columnar, ~8 bytes per
+    * distinct shingle — while raw text stays on disk. The persisted
+    * intermediate lives until the caller clears it
+    * (`spark.catalog.clearCache()`) or the session ends. */
+  def verifiedNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      persistFingerprints: Boolean = false): DataFrame = {
+    val base = hashedDocs(df, idCol, textCol, mode)
+    val hashed = if (persistFingerprints)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base
+    val pairs = candidatePairsFromBanded(bandedSigs(hashed, bands, rowsPerBand))
+    jaccardOnHashed(pairs, hashed)
   }
 
   /** Exact Jaccard on char n-gram shingle sets. */

@@ -75,8 +75,8 @@ object Curation {
       idCol: String, textCol: String, shingleN: Int = 5,
       bands: Int = 8, rowsPerBand: Int = 4, jaccardThreshold: Double = 0.5)(
       df: DataFrame): DataFrame = {
-    val pairs = Dedup.minhashCandidatePairs(df, idCol, textCol, shingleN, bands, rowsPerBand)
-    val drops = Dedup.jaccardOnPairs(pairs, df, idCol, textCol, shingleN)
+    val drops = Dedup.verifiedNearDupPairs(
+        df, idCol, textCol, Dedup.CharShingles(shingleN), bands, rowsPerBand)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
@@ -93,8 +93,8 @@ object Curation {
       idCol: String, textCol: String, shingleN: Int = 5,
       bands: Int = 8, rowsPerBand: Int = 4, jaccardThreshold: Double = 0.5)(
       df: DataFrame): DataFrame = {
-    val pairs = Dedup.minhashCandidatePairs(df, idCol, textCol, shingleN, bands, rowsPerBand)
-    val verified = Dedup.jaccardOnPairs(pairs, df, idCol, textCol, shingleN)
+    val verified = Dedup.verifiedNearDupPairs(
+        df, idCol, textCol, Dedup.CharShingles(shingleN), bands, rowsPerBand)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b")
     val drops = graft.operators.ConnectedComponents.components(verified)
