@@ -39,9 +39,11 @@ object Bench {
     // iterate on one hot query without paying for the full battery
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
-    def pass(): Map[String, Double] = selected.map { case (name, fn) =>
+    def pass(label: String): Map[String, Double] = selected.map { case (name, fn) =>
       name -> (try once(fn) catch { case e: Throwable =>
-        System.err.println(s"[bench] $name: ${e.getMessage}")
+        // label distinguishes warm-pass failures (otherwise invisible —
+        // warm results are discarded) from timed-pass failures
+        System.err.println(s"[bench] $label $name: ${e.getMessage}")
         -1.0
       })
     }.toMap
@@ -51,8 +53,8 @@ object Bench {
     // consecutive runs of one query both land inside the window, while
     // the same query in a second full pass lands minutes away from it.
     // Same total cost as min-of-2-consecutive, far better isolation.
-    pass() // warm
-    val (p1, p2) = (pass(), pass())
+    pass("warm") // warm
+    val (p1, p2) = (pass("pass1"), pass("pass2"))
     val results = selected.map { case (name, _) =>
       val samples = Seq(p1(name), p2(name)).filter(_ >= 0)
       name -> (if (samples.isEmpty) -1.0 else samples.min)

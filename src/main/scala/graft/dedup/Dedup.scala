@@ -331,11 +331,14 @@ object Dedup {
     * fingerprint table is the thing you keep — columnar, ~8 bytes per
     * distinct shingle — while raw text stays on disk. The persisted
     * intermediate lives until the caller clears it
-    * (`spark.catalog.clearCache()`) or the session ends. */
+    * (`spark.catalog.clearCache()` — Bench/Verify do this per query —
+    * or `unpersist()`) or the session ends; pass
+    * `persistFingerprints = false` to opt out where the caller would
+    * rather recompute than hold cache (e.g. a memory-tight stage). */
   def verifiedNearDupPairs(
       df: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
       bands: Int = 8, rowsPerBand: Int = 4,
-      persistFingerprints: Boolean = false): DataFrame = {
+      persistFingerprints: Boolean = true): DataFrame = {
     val base = hashedDocs(df, idCol, textCol, mode)
     val hashed = if (persistFingerprints)
       base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
