@@ -323,25 +323,34 @@ object Dedup {
 
   /** The full two-stage near-dup operator — LSH candidates + exact
     * Jaccard — sharing ONE shingle-hash pass. [[minhashCandidatePairs]]
-    * followed by [[jaccardOnPairs]] runs the md5-per-shingle scan twice
-    * (the banding exchange and the verification exchange partition
-    * differently, so ReuseExchange cannot merge them); here the hashed
-    * docs are persisted (MEMORY_AND_DISK) and both stages read the
-    * materialized fingerprints. This is also the 100 TB design: the
-    * fingerprint table is the thing you keep — columnar, ~8 bytes per
-    * distinct shingle — while raw text stays on disk. The persisted
-    * intermediate lives until the caller clears it
-    * (`spark.catalog.clearCache()` — Bench/Verify do this per query —
-    * or `unpersist()`) or the session ends; pass
-    * `persistFingerprints = false` to opt out where the caller would
-    * rather recompute than hold cache (e.g. a memory-tight stage). */
+    * followed by [[jaccardOnPairs]] runs the md5-per-shingle scan three
+    * times (the banding exchange and the two verification-join
+    * exchanges partition differently, so ReuseExchange cannot merge
+    * them); here the hashed docs are materialized once via
+    * `localCheckpoint` (lazy, MEMORY_AND_DISK RDD blocks) and every
+    * stage reads the stored fingerprints. This is also the 100 TB
+    * design: the fingerprint table is the thing you keep — ~8 bytes
+    * per distinct shingle — while raw text stays on disk.
+    *
+    * Why localCheckpoint and not `persist`: measured at sf0.1
+    * (min-of-5 in one JVM), SQL-cache persist LOSES to plain
+    * recompute (q27 2.95s vs 2.30s — the columnar encode of the
+    * Array[Long] column costs more than the extra md5 scans at test
+    * scale), while localCheckpoint beats both (2.13s): it stores raw
+    * RDD blocks with no columnar encode AND truncates lineage, which
+    * iterating consumers (ConnectedComponents in q64: 4.2→2.7s)
+    * re-plan from cheaply. Caveat: localCheckpoint is not
+    * fault-tolerant — a lost executor fails the job instead of
+    * recomputing — so a 1000-executor run on preemptible nodes should
+    * pass `persistFingerprints = false` or write the fingerprint
+    * table out explicitly (the durable form of the same design). */
   def verifiedNearDupPairs(
       df: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
       bands: Int = 8, rowsPerBand: Int = 4,
       persistFingerprints: Boolean = true): DataFrame = {
     val base = hashedDocs(df, idCol, textCol, mode)
     val hashed = if (persistFingerprints)
-      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.localCheckpoint(false)
     else base
     val pairs = candidatePairsFromBanded(bandedSigs(hashed, bands, rowsPerBand))
     jaccardOnHashed(pairs, hashed)
