@@ -1497,10 +1497,144 @@ object Battery {
       SELECT src AS doc_id, MIN(reach) AS component FROM walk
       GROUP BY src ORDER BY doc_id"""))
 
+  /** Benchmark DECONTAMINATION (training-data op): count distinct word
+    * 5-grams each corpus doc shares with an "eval set" (here: doc_id %
+    * 20 == 0). Grams compared as broadcast 60-bit hashes — the corpus
+    * side never shuffles until the per-doc count
+    * (Curation.contaminationCounts). */
+  val q65 = Q("q65_decontamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Curation.contaminationCounts(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+      sh AS (SELECT doc_id, ${wordShingleSql(5, "toks")} AS s FROM tk),
+      $hashSetCte,
+      ev AS (SELECT DISTINCT unnest(h) AS g FROM shh WHERE doc_id % 20 = 0),
+      cg AS (SELECT doc_id, unnest(h) AS g FROM shh WHERE doc_id % 20 <> 0)
+      SELECT cg.doc_id, COUNT(DISTINCT cg.g) AS n_shared_grams
+      FROM cg JOIN ev ON cg.g = ev.g
+      GROUP BY cg.doc_id ORDER BY cg.doc_id"""))
+
+  /** PII redaction (training-data op): ordered regex rewrite (phone →
+    * digit-run catch-all) + per-pattern hit counts over a
+    * deterministically synthesized log line (the testdata carries no
+    * natural PII; concat/lpad build the same bytes in both engines).
+    * Narrow, codegen'd, zero shuffle — graft.text.Redact. */
+  val q66 = Q("q66_pii_redact",
+    (s, dir) => {
+      import graft.text.Redact
+      val phone = concat_ws("-",
+        lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+        lpad((col("c_custkey") * 7 % 1000).cast("string"), 3, "0"),
+        lpad((col("c_custkey") * 13 % 10000).cast("string"), 4, "0"))
+      val line = concat(lit("reach "), col("c_name"), lit(" at "), phone,
+        lit(" acct "), cents(col("c_acctbal")).cast("string"))
+      val phoneRedacted = regexp_replace(line, Redact.PhonePattern, "[PHONE]")
+      t(s, dir, "customer")
+        .filter(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey"),
+          Redact.redact(line,
+            Seq(Redact.PhonePattern -> "[PHONE]", Redact.DigitRunPattern -> "[NUM]"))
+            .as("redacted"),
+          Redact.hits(line, Redact.PhonePattern).as("n_phone"),
+          Redact.hits(phoneRedacted, Redact.DigitRunPattern).as("n_num"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH lines AS (SELECT c_custkey,
+        'reach ' || c_name || ' at ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+          || '-' || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0')
+          || '-' || lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0')
+          || ' acct ' || CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS line
+      FROM customer WHERE c_custkey % 50 = 0)
+      SELECT c_custkey,
+        regexp_replace(regexp_replace(line, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+          '[0-9]{3,}', '[NUM]', 'g') AS redacted,
+        CAST(len(regexp_extract_all(line, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        CAST(len(regexp_extract_all(
+          regexp_replace(line, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+          '[0-9]{3,}')) AS BIGINT) AS n_num
+      FROM lines ORDER BY c_custkey"""))
+
+  /** Intra-doc repetition stats (Gopher-style quality signal): total vs
+    * distinct word trigrams + repeated fraction and keep flag. Narrow
+    * scan — Curation.repetitionStats. */
+  val q67 = Q("q67_intradoc_repetition",
+    (s, dir) => graft.text.Curation.repetitionStats("doc_id", "text", n = 3)(
+        t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct_ngrams"), col("rep_ratio"),
+        (col("rep_ratio") <= 0.2).cast("int").as("keep"))
+      .orderBy("doc_id"),
+    Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+      st AS (SELECT doc_id,
+        greatest(CAST(len(toks) AS BIGINT) - 2, 1) AS n_ngrams,
+        CAST(len(${wordShingleSql(3, "toks")}) AS BIGINT) AS n_distinct_ngrams
+      FROM tk)
+      SELECT doc_id, n_ngrams, n_distinct_ngrams,
+        1.0 - CAST(n_distinct_ngrams AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS rep_ratio,
+        CAST((1.0 - CAST(n_distinct_ngrams AS DOUBLE) / CAST(n_ngrams AS DOUBLE)) <= 0.2 AS INT) AS keep
+      FROM st ORDER BY doc_id"""))
+
+  /** Deterministic stratified sample: first 20 docs per language in
+    * md5(id) order (Curation.stratifiedSample — the reproducible twin
+    * of reservoir sampling; scale path pre-thins with hashSample or
+    * uses the k-bounded TopKBy aggregate, see q53). */
+  val q68 = Q("q68_stratified_sample",
+    (s, dir) => graft.text.Curation.stratifiedSample(
+        "lang", "doc_id", 20, rankCol = Some("rn"))(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("rn").cast(LongType).as("rn"))
+      .orderBy("lang", "rn"),
+    Some("""WITH r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+      SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 20
+      ORDER BY lang, rn"""))
+
+  /** Embedding outlier screen: top-20 vectors by EXACT integer squared
+    * deviation from their label centroid — Σ(n·x − S)², all BIGINT, no
+    * float centroid (Similarity.centroidDeviations), so the ranking is
+    * order-independent at any partitioning. */
+  val q69 = Q("q69_centroid_outliers",
+    (s, dir) => Similarity.centroidDeviations(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      .orderBy(col("dist2").desc, col("vec_id"))
+      .limit(20),
+    Some("""WITH base AS (SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      FROM embeddings),
+      ex AS (SELECT vec_id, label, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS x
+             FROM base, range(1, 65) t(i)),
+      cent AS (SELECT label, pos, SUM(x) AS s, COUNT(*) AS n FROM ex GROUP BY label, pos)
+      SELECT vec_id, ex.label, CAST(SUM((n*x - s)*(n*x - s)) AS BIGINT) AS dist2
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+      GROUP BY vec_id, ex.label ORDER BY dist2 DESC, vec_id LIMIT 20"""))
+
+  /** Repeated-span discovery (the scan behind substring-level dedup,
+    * Lee et al. 2021): word 8-grams appearing in ≥2 distinct docs,
+    * top-20 by doc frequency. Per-doc distinct grams explode to one
+    * shuffle on the gram — at 100 TB this is the job you run to find
+    * boilerplate. */
+  val q70 = Q("q70_repeated_ngrams",
+    (s, dir) => t(s, dir, "documents")
+      .select(explode(Dedup.wordShingles(col("text"), 8)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(20),
+    Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+      g AS (SELECT doc_id, unnest(${wordShingleSql(8, "toks")}) AS gram FROM tk)
+      SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram HAVING COUNT(*) >= 2
+      ORDER BY n_docs DESC, gram LIMIT 20"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
+    q65, q66, q67, q68, q69, q70)
 }

@@ -52,4 +52,26 @@ object Similarity {
       .groupBy(labelCol)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
         s => s.getField("sv")).as("cvec"))
+
+  /** Per-vector EXACT integer squared deviation from its group
+    * centroid: dist2 = Σ_pos (n·x_pos − S_pos)², where S/n are the
+    * per-(group, pos) sum/count of quantized components. This is
+    * n²·‖x − centroid‖² kept entirely in BIGINT — no float centroid,
+    * so the ranking is order-independent and engine-portable (q69's
+    * outlier screen). Shuffle shape: one aggregate on (group, pos)
+    * producing |groups|·dims rows (tiny → broadcast back), then one
+    * aggregate on the vector id. Overflow headroom: |n·x| ≤ n·2¹¹ for
+    * ×1000-quantized unit-scale embeddings ⇒ the squared sum stays
+    * < 2⁶³ for corpora up to ~10⁸ vectors per group at 64 dims. */
+  def centroidDeviations(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val exploded = emb
+      .select(col(idCol), col(labelCol), posexplode(quantize(col(vecCol))).as(Seq("pos", "x")))
+    val cent = exploded.groupBy(labelCol, "pos")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val dev = col("n") * col("x") - col("s")
+    exploded.join(broadcast(cent), Seq(labelCol, "pos"))
+      .groupBy(idCol, labelCol)
+      .agg(sum(dev * dev).as("dist2"))
+  }
 }

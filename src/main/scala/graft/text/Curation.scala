@@ -110,6 +110,83 @@ object Curation {
       expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
         % outOf < keep)
 
+  /** Deterministic stratified sample: the first `nPerStratum` rows of
+    * each stratum in md5(id) order — a fixed-size-per-group sample
+    * that is reproducible across engines, retries, and partitionings
+    * (unlike reservoir sampling, whose kept set depends on encounter
+    * order). One shuffle on the stratum key. At scale, when strata are
+    * huge, pre-thin with [[hashSample]] (narrow) so the sort input per
+    * stratum is ~nPerStratum·oversample rather than the full stratum,
+    * or use the k-bounded graft.functions.TopKBy aggregate — the
+    * window form here is the oracle-checkable parity form (q68). */
+  def stratifiedSample(
+      strataCol: String, idCol: String, nPerStratum: Int,
+      rankCol: Option[String] = None)(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val rc = rankCol.getOrElse("__rn")
+    val ranked = df.withColumn(rc, row_number().over(w))
+      .filter(col(rc) <= nPerStratum)
+    if (rankCol.isDefined) ranked else ranked.drop(rc)
+  }
+
+  /** Per-corpus-doc count of distinct word n-grams shared with an
+    * eval/benchmark set — the discovery half of benchmark
+    * DECONTAMINATION (a training corpus must not contain eval data;
+    * the standard screen is long-n-gram overlap). Grams are compared
+    * as 60-bit md5 hashes ([[Dedup.shingleHash60]]), so the eval-side
+    * gram set is ~8 bytes per distinct gram and is BROADCAST: the
+    * corpus side — the 100 TB side — joins without shuffling; the only
+    * exchange is the per-doc count aggregate. */
+  def contaminationCounts(
+      corpus: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val corpusGrams = Dedup.hashedDocs(corpus, idCol, textCol, Dedup.WordShingles(n))
+      .select(col("id").as(idCol), explode(col("h")).as("g"))
+    val evalGrams = Dedup.hashedDocs(evalSet, idCol, textCol, Dedup.WordShingles(n))
+      .select(explode(col("h")).as("g")).distinct()
+    corpusGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(idCol).agg(countDistinct(col("g")).as("n_shared_grams"))
+  }
+
+  /** Drop corpus docs sharing more than `maxShared` word n-grams with
+    * the eval set (left-anti against [[contaminationCounts]]). */
+  def decontaminate(
+      evalSet: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, maxShared: Long = 0)(corpus: DataFrame): DataFrame =
+    corpus.join(
+      contaminationCounts(corpus, evalSet, idCol, textCol, n)
+        .filter(col("n_shared_grams") > maxShared).select(idCol),
+      Seq(idCol), "left_anti")
+
+  /** Intra-document repetition stats: total vs distinct word n-gram
+    * counts and the repeated fraction — the Gopher-style "excessive
+    * repetition" quality signal. Total n-gram count is plain
+    * arithmetic on the token count (max(tokens−n+1, 1), matching the
+    * whole-text fallback of [[Dedup.wordShinglesScala]] for short
+    * docs); the distinct count reuses the shingle UDF. Narrow — no
+    * shuffle, one scan. */
+  def repetitionStats(idCol: String, textCol: String, n: Int = 3)(df: DataFrame): DataFrame = {
+    val nTok = size(split(trim(col(textCol)), "\\s+")).cast(LongType)
+    val total = greatest(nTok - (n - 1), lit(1L))
+    val distinctN = size(Dedup.wordShingles(col(textCol), n)).cast(LongType)
+    df.withColumn("n_ngrams", total)
+      .withColumn("n_distinct_ngrams", distinctN)
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct_ngrams").cast("double") / col("n_ngrams").cast("double"))
+  }
+
+  /** Keep docs whose repeated word-n-gram fraction is ≤ maxRepRatio. */
+  def repetitionFilter(
+      idCol: String, textCol: String, n: Int = 3, maxRepRatio: Double = 0.2)(
+      df: DataFrame): DataFrame = {
+    val cols = df.columns
+    repetitionStats(idCol, textCol, n)(df)
+      .filter(col("rep_ratio") <= maxRepRatio)
+      .select(cols.map(col).toIndexedSeq: _*)
+  }
+
   /** The full default funnel; returns each stage's surviving DataFrame
     * in order (s0 input … s5 sample) so callers can count, persist, or
     * continue from any stage. */

@@ -69,4 +69,45 @@ class CurationSpec extends SparkTestBase {
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, counts.toString)
     assert(counts.last > 0)
   }
+
+  test("contaminationCounts finds shared 5-grams; decontaminate drops those docs") {
+    val shared = "alpha beta gamma delta epsilon zeta"            // 2 shared 5-grams
+    val corpus = Seq(
+      (1L, shared + " unrelated tail entirely here"),
+      (2L, "nothing in common with the benchmark at all today"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, shared)).toDF("doc_id", "text")
+    val counts = Curation.contaminationCounts(corpus, eval, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 2L), s"got $counts")
+    val clean = corpus.transform(Curation.decontaminate(eval, "doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+
+  test("repetitionStats: repeated trigrams raise rep_ratio; short docs are safe") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),   // 7 trigrams, distinct: abc bca cab -> 3
+      (2L, "w x"))                 // < 3 tokens -> 1/1, ratio 0
+      .toDF("doc_id", "text")
+    val got = df.transform(Curation.repetitionStats("doc_id", "text"))
+      .select("doc_id", "n_ngrams", "n_distinct_ngrams")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 7L, 3L), (2L, 1L, 1L)), s"got $got")
+    val kept = df.transform(Curation.repetitionFilter("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("stratifiedSample keeps exactly n per stratum, deterministically") {
+    val df = spark.range(200)
+      .selectExpr("id AS doc_id", "CAST(id % 4 AS STRING) AS lang")
+    val a = df.transform(Curation.stratifiedSample("lang", "doc_id", 5))
+    assert(a.groupBy("lang").count().select("count").as[Long].collect().forall(_ == 5L))
+    val ids1 = a.select("doc_id").as[Long].collect().toSet
+    val ids2 = df.orderBy(col("doc_id").desc) // encounter order must not matter
+      .transform(Curation.stratifiedSample("lang", "doc_id", 5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
 }
