@@ -90,4 +90,18 @@ class PlanSpec extends SparkTestBase {
     val exchanges = "hashpartitioning\\(p_brand".r.findAllIn(p).size
     assert(exchanges <= 1, s"extra p_brand shuffles:\n$p")
   }
+
+  test("q65 decontamination broadcasts the eval gram set — corpus side joins shuffle-free") {
+    val p = plan(Battery.q65.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
+    // the only exchanges should be the per-doc count agg + final sort —
+    // no hash exchange of the exploded corpus-gram stream for the join
+    assert(!p.contains("SortMergeJoin"), s"corpus grams shuffled for the join:\n$p")
+  }
+
+  test("q69 centroid deviations broadcast the |labels|x|dims| centroid table") {
+    val p = plan(Battery.q69.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"centroid table not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k outliers:\n$p")
+  }
 }
