@@ -53,6 +53,20 @@ object Store {
     * though with in-plan SKs the round trip itself is gone). */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Collect table (+ optional column) statistics so the cost-based
+    * optimizer plans from real row counts and NDVs instead of
+    * file-size guesses (SURVEY §4: CBO join reordering and broadcast
+    * decisions are free once `spark.sql.cbo.enabled` is on AND stats
+    * exist — this is the ANALYZE half). Run after each overwrite of a
+    * table that feeds multi-join queries; cost is one scan, amortized
+    * across every subsequent plan. */
+  def analyze(spark: SparkSession, table: String, columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(
+        s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+  }
+
   def drop(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")
 

@@ -91,4 +91,20 @@ class StoreSpec extends SparkTestBase {
       s"partition pruning missing in plan:\n$plan")
     Store.drop(spark, "fact_part")
   }
+
+  test("analyze records row-count + column stats the optimizer can read") {
+    Store.ensureDatabase(spark, "graft_test")
+    Store.overwrite(spark.range(500).selectExpr("id AS k", "id % 7 AS grp"), "stats_t")
+    Store.analyze(spark, "stats_t", columns = Seq("k", "grp"))
+    val cboWas = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = Store.table(spark, "stats_t").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(500)), s"row count not visible to CBO: $stats")
+      val desc = spark.sql("DESC EXTENDED stats_t grp").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc.get("distinct_count").exists(_.toLong >= 6L), s"no NDV for grp: $desc")
+    } finally spark.conf.set("spark.sql.cbo.enabled", cboWas)
+    Store.drop(spark, "stats_t")
+  }
 }
