@@ -1630,11 +1630,30 @@ object Battery {
       SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram HAVING COUNT(*) >= 2
       ORDER BY n_docs DESC, gram LIMIT 20"""))
 
+  /** Training-mixture sampling: per-source deterministic Bernoulli
+    * rates (src0 keep-all, src1 half, src2 quarter, rest 10%) —
+    * Curation.mixtureSample, the data-mixing step of corpus assembly.
+    * Narrow scan-local filter; per-source kept counts verified. */
+  val q71 = Q("q71_mixture_sample",
+    (s, dir) => graft.text.Curation.mixtureSample(
+        "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)(
+        t(s, dir, "documents"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .orderBy("source"),
+    Some("""WITH b AS (SELECT source,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+      FROM documents)
+      SELECT source, COUNT(*) AS n_kept FROM b
+      WHERE bucket < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                                 WHEN 'src2' THEN 2500 ELSE 1000 END
+      GROUP BY source ORDER BY source"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70)
+    q65, q66, q67, q68, q69, q70, q71)
 }

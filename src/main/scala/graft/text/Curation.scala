@@ -131,6 +131,24 @@ object Curation {
     if (rankCol.isDefined) ranked else ranked.drop(rc)
   }
 
+  /** Training-mixture sampling: per-source deterministic Bernoulli
+    * rates (md5-bucket < rate·outOf) — the "data mixing" step that
+    * up-/down-weights sources when assembling a training corpus.
+    * Narrow scan-local filter like [[hashSample]]; reproducible at any
+    * partitioning, across retries, and in any engine with md5().
+    * Sources not in `fractions` keep `default`. */
+  def mixtureSample(
+      sourceCol: String, idCol: String, fractions: Map[String, Double],
+      default: Double = 0.0, outOf: Int = 10000)(df: DataFrame): DataFrame = {
+    val bucket =
+      expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)") % outOf
+    val threshold = fractions.toSeq.sortBy(_._1).foldRight(
+      lit(math.round(default * outOf)): Column) { case ((s, f), other) =>
+      when(col(sourceCol) === s, lit(math.round(f * outOf))).otherwise(other)
+    }
+    df.filter(bucket < threshold)
+  }
+
   /** Per-corpus-doc count of distinct word n-grams shared with an
     * eval/benchmark set — the discovery half of benchmark
     * DECONTAMINATION (a training corpus must not contain eval data;

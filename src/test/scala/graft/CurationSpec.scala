@@ -99,6 +99,17 @@ class CurationSpec extends SparkTestBase {
     assert(kept == Set(2L))
   }
 
+  test("mixtureSample applies per-source rates: keep-all, drop-all, default") {
+    val df = spark.range(300)
+      .selectExpr("id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS source")
+    val kept = df.transform(Curation.mixtureSample(
+        "source", "doc_id", Map("a" -> 1.0, "b" -> 0.0), default = 0.5))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("a") == 100L, s"keep-all source lost rows: $kept")
+    assert(!kept.contains("b"), s"drop-all source kept rows: $kept")
+    assert(kept("c") > 20L && kept("c") < 80L, s"default-rate source off: $kept")
+  }
+
   test("stratifiedSample keeps exactly n per stratum, deterministically") {
     val df = spark.range(200)
       .selectExpr("id AS doc_id", "CAST(id % 4 AS STRING) AS lang")
