@@ -646,6 +646,7 @@ object Battery {
     (s, dir) => {
       val withH = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash32Md5(col("text")).as("h"))
+        .localCheckpoint(false)
       val banded = withH.select(col("doc_id"), col("h"),
         explode(array((0 until 4).map { i =>
           struct(lit(i).as("band"),
