@@ -25,12 +25,12 @@ object Bench {
     // parquet footer + OS page-cache reads) that is not query
     // throughput. Steady-state per-query time is what scales to a
     // cluster, so warm once, then time two full passes and keep the
-    // per-query min. clearCache() before each run keeps persist-based
-    // operators (near-dup fingerprint reuse) honest — a timed run must
-    // not read a previous run's materialized cache — and bounds cache
-    // growth across the 64-query battery.
+    // per-query min. CacheReset before each run keeps materializing
+    // operators (near-dup fingerprint localCheckpoint reuse) honest —
+    // a timed run must not read a previous run's stored blocks — and
+    // bounds storage growth across the 71-query battery.
     def once(fn: (SparkSession, String) => DataFrame): Double = {
-      spark.catalog.clearCache()
+      CacheReset(spark)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

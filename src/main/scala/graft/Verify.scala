@@ -34,9 +34,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop persisted intermediates (near-dup fingerprints) so cache
-      // doesn't accumulate across the 60+-query run on local[4]
-      spark.catalog.clearCache()
+      // drop persisted intermediates — SQL cache AND localCheckpoint
+      // RDD blocks (near-dup fingerprints) — so storage doesn't
+      // accumulate across the 70+-query run on local[4]
+      CacheReset(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1565,7 +1565,7 @@ object Battery {
     * distinct word trigrams + repeated fraction and keep flag. Narrow
     * scan — Curation.repetitionStats. */
   val q67 = Q("q67_intradoc_repetition",
-    (s, dir) => graft.text.Curation.repetitionStats("doc_id", "text", n = 3)(
+    (s, dir) => graft.text.Curation.repetitionStats("text", n = 3)(
         t(s, dir, "documents"))
       .select(col("doc_id"), col("n_ngrams"), col("n_distinct_ngrams"), col("rep_ratio"),
         (col("rep_ratio") <= 0.2).cast("int").as("keep"))
@@ -1595,14 +1595,16 @@ object Battery {
       SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 20
       ORDER BY lang, rn"""))
 
-  /** Embedding outlier screen: top-20 vectors by EXACT integer squared
-    * deviation from their label centroid — Σ(n·x − S)², all BIGINT, no
-    * float centroid (Similarity.centroidDeviations), so the ranking is
+  /** Embedding outlier screen: top-20 vectors by squared deviation
+    * from their label centroid, computed in EXACT integer arithmetic
+    * (Σ(n·x − S)², all BIGINT, no float centroid) and ranked on the
+    * group-size-normalized dev2 = dist2/n² so groups of unequal size
+    * compete fairly (Similarity.centroidDeviations). Ranking is
     * order-independent at any partitioning. */
   val q69 = Q("q69_centroid_outliers",
     (s, dir) => Similarity.centroidDeviations(
         t(s, dir, "embeddings"), "vec_id", "embedding", "label")
-      .orderBy(col("dist2").desc, col("vec_id"))
+      .orderBy(col("dev2").desc, col("vec_id"))
       .limit(20),
     Some("""WITH base AS (SELECT vec_id, label,
         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
@@ -1610,9 +1612,12 @@ object Battery {
       ex AS (SELECT vec_id, label, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS x
              FROM base, range(1, 65) t(i)),
       cent AS (SELECT label, pos, SUM(x) AS s, COUNT(*) AS n FROM ex GROUP BY label, pos)
-      SELECT vec_id, ex.label, CAST(SUM((n*x - s)*(n*x - s)) AS BIGINT) AS dist2
-      FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
-      GROUP BY vec_id, ex.label ORDER BY dist2 DESC, vec_id LIMIT 20"""))
+      SELECT vec_id, label, dist2, CAST(dist2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS dev2
+      FROM (SELECT vec_id, ex.label, CAST(SUM((n*x - s)*(n*x - s)) AS BIGINT) AS dist2,
+              MAX(n) AS n
+            FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+            GROUP BY vec_id, ex.label)
+      ORDER BY dev2 DESC, vec_id LIMIT 20"""))
 
   /** Repeated-span discovery (the scan behind substring-level dedup,
     * Lee et al. 2021): word 8-grams appearing in ≥2 distinct docs,

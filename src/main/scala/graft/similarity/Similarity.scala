@@ -53,16 +53,24 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
         s => s.getField("sv")).as("cvec"))
 
-  /** Per-vector EXACT integer squared deviation from its group
-    * centroid: dist2 = Σ_pos (n·x_pos − S_pos)², where S/n are the
-    * per-(group, pos) sum/count of quantized components. This is
-    * n²·‖x − centroid‖² kept entirely in BIGINT — no float centroid,
-    * so the ranking is order-independent and engine-portable (q69's
-    * outlier screen). Shuffle shape: one aggregate on (group, pos)
-    * producing |groups|·dims rows (tiny → broadcast back), then one
-    * aggregate on the vector id. Overflow headroom: |n·x| ≤ n·2¹¹ for
-    * ×1000-quantized unit-scale embeddings ⇒ the squared sum stays
-    * < 2⁶³ for corpora up to ~10⁸ vectors per group at 64 dims. */
+  /** Per-vector squared deviation from its group centroid, built from
+    * EXACT integer arithmetic: dist2 = Σ_pos (n·x_pos − S_pos)² (all
+    * BIGINT — no float centroid), where S/n are the per-(group, pos)
+    * sum/count of quantized components; dist2 = n²·‖x − centroid‖².
+    * Because the n² factor differs per group, `dev2` = dist2/n² (one
+    * IEEE division of exact operands — deterministic and
+    * engine-portable) is ALSO emitted and is the column to rank
+    * outliers on across groups of unequal size (q69).
+    *
+    * Shuffle shape: one aggregate on (group, pos) producing
+    * |groups|·dims rows (tiny → broadcast back), then one aggregate on
+    * the vector id. Overflow headroom: |n·x − S| ≤ 2n·2¹¹ for
+    * ×1000-quantized unit-scale embeddings, so dist2 ≤ dims·n²·2²⁴ —
+    * under 2⁶³ up to n ≈ 9·10⁴ vectors per group at 64 dims. Beyond
+    * that, route the squared terms through DECIMAL(38,0) (exact,
+    * slower) or pre-aggregate per shard; the BIGINT form is the fast
+    * path, not a silent-wraparound trap — callers with bigger groups
+    * must opt into the decimal variant. */
   def centroidDeviations(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
     val exploded = emb
@@ -72,6 +80,8 @@ object Similarity {
     val dev = col("n") * col("x") - col("s")
     exploded.join(broadcast(cent), Seq(labelCol, "pos"))
       .groupBy(idCol, labelCol)
-      .agg(sum(dev * dev).as("dist2"))
+      .agg(sum(dev * dev).as("dist2"), max(col("n")).as("n"))
+      .select(col(idCol), col(labelCol), col("dist2"),
+        (col("dist2").cast("double") / (col("n") * col("n")).cast("double")).as("dev2"))
   }
 }

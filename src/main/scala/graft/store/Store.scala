@@ -63,8 +63,8 @@ object Store {
   def analyze(spark: SparkSession, table: String, columns: Seq[String] = Nil): Unit = {
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
     if (columns.nonEmpty)
-      spark.sql(
-        s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS " +
+        columns.map(c => s"`$c`").mkString(", "))
   }
 
   def drop(spark: SparkSession, table: String): Unit =

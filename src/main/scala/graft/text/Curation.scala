@@ -73,10 +73,12 @@ object Curation {
     * drop the larger id of each verified pair. */
   def nearDedup(
       idCol: String, textCol: String, shingleN: Int = 5,
-      bands: Int = 8, rowsPerBand: Int = 4, jaccardThreshold: Double = 0.5)(
+      bands: Int = 8, rowsPerBand: Int = 4, jaccardThreshold: Double = 0.5,
+      persistFingerprints: Boolean = true)(
       df: DataFrame): DataFrame = {
     val drops = Dedup.verifiedNearDupPairs(
-        df, idCol, textCol, Dedup.CharShingles(shingleN), bands, rowsPerBand)
+        df, idCol, textCol, Dedup.CharShingles(shingleN), bands, rowsPerBand,
+        persistFingerprints)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
@@ -91,10 +93,12 @@ object Curation {
     * equivalence. */
   def nearDedupClustered(
       idCol: String, textCol: String, shingleN: Int = 5,
-      bands: Int = 8, rowsPerBand: Int = 4, jaccardThreshold: Double = 0.5)(
+      bands: Int = 8, rowsPerBand: Int = 4, jaccardThreshold: Double = 0.5,
+      persistFingerprints: Boolean = true)(
       df: DataFrame): DataFrame = {
     val verified = Dedup.verifiedNearDupPairs(
-        df, idCol, textCol, Dedup.CharShingles(shingleN), bands, rowsPerBand)
+        df, idCol, textCol, Dedup.CharShingles(shingleN), bands, rowsPerBand,
+        persistFingerprints)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b")
     val drops = graft.operators.ConnectedComponents.components(verified)
@@ -164,8 +168,12 @@ object Curation {
       .select(col("id").as(idCol), explode(col("h")).as("g"))
     val evalGrams = Dedup.hashedDocs(evalSet, idCol, textCol, Dedup.WordShingles(n))
       .select(explode(col("h")).as("g")).distinct()
+    // plain count, not countDistinct: the per-doc gram sets are already
+    // distinct (hashedDocs) and the eval side is deduplicated, so the
+    // join emits each (doc, gram) at most once — a distinct-agg here
+    // would re-shuffle the exploded corpus-gram stream for nothing
     corpusGrams.join(broadcast(evalGrams), Seq("g"))
-      .groupBy(idCol).agg(countDistinct(col("g")).as("n_shared_grams"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared_grams"))
   }
 
   /** Drop corpus docs sharing more than `maxShared` word n-grams with
@@ -185,7 +193,7 @@ object Curation {
     * whole-text fallback of [[Dedup.wordShinglesScala]] for short
     * docs); the distinct count reuses the shingle UDF. Narrow — no
     * shuffle, one scan. */
-  def repetitionStats(idCol: String, textCol: String, n: Int = 3)(df: DataFrame): DataFrame = {
+  def repetitionStats(textCol: String, n: Int = 3)(df: DataFrame): DataFrame = {
     val nTok = size(split(trim(col(textCol)), "\\s+")).cast(LongType)
     val total = greatest(nTok - (n - 1), lit(1L))
     val distinctN = size(Dedup.wordShingles(col(textCol), n)).cast(LongType)
@@ -197,10 +205,10 @@ object Curation {
 
   /** Keep docs whose repeated word-n-gram fraction is ≤ maxRepRatio. */
   def repetitionFilter(
-      idCol: String, textCol: String, n: Int = 3, maxRepRatio: Double = 0.2)(
+      textCol: String, n: Int = 3, maxRepRatio: Double = 0.2)(
       df: DataFrame): DataFrame = {
     val cols = df.columns
-    repetitionStats(idCol, textCol, n)(df)
+    repetitionStats(textCol, n)(df)
       .filter(col("rep_ratio") <= maxRepRatio)
       .select(cols.map(col).toIndexedSeq: _*)
   }

@@ -14,9 +14,13 @@ object QueryLoop {
     val sfDir = args(0)
     val reps = args(1).toInt
     val names = args.drop(2).toSeq
+    // mirror Bench's session exactly (same SPARK_GRAFT_CPUS contract) —
+    // an A/B timed under a different parallelism than the benchmark it
+    // explains would mislead
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -26,7 +30,7 @@ object QueryLoop {
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val samples = (1 to reps).map { _ =>
-        spark.catalog.clearCache()
+        graft.CacheReset(spark)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -90,11 +90,11 @@ class CurationSpec extends SparkTestBase {
       (1L, "a b c a b c a b c"),   // 7 trigrams, distinct: abc bca cab -> 3
       (2L, "w x"))                 // < 3 tokens -> 1/1, ratio 0
       .toDF("doc_id", "text")
-    val got = df.transform(Curation.repetitionStats("doc_id", "text"))
+    val got = df.transform(Curation.repetitionStats("text"))
       .select("doc_id", "n_ngrams", "n_distinct_ngrams")
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 7L, 3L), (2L, 1L, 1L)), s"got $got")
-    val kept = df.transform(Curation.repetitionFilter("doc_id", "text"))
+    val kept = df.transform(Curation.repetitionFilter("text"))
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L))
   }

@@ -58,14 +58,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq((0, Seq(4000L, 6000L)), (1, Seq(10000L, 20000L))))
   }
 
-  test("centroidDeviations = n^2 * squared distance to the group centroid, exactly") {
+  test("centroidDeviations: exact integer dist2 = n^2 * squared distance, dev2 normalizes") {
     // label 0: vecs (0,0) and (2,2) in 0.001 units -> centroid (1,1),
-    // each vec at squared distance 2e6 in quantized units; n=2 -> dist2 = 8e6
+    // each vec at squared distance 2e6 in quantized units; n=2 ->
+    // dist2 = 8e6, dev2 = dist2/n^2 = 2e6 (comparable across groups)
     val df = Seq(
       (1L, 0, Seq(0.0f, 0.0f)), (2L, 0, Seq(2.0f, 2.0f)), (3L, 1, Seq(5.0f, 5.0f)))
       .toDF("vec_id", "label", "embedding")
     val out = Similarity.centroidDeviations(df, "vec_id", "embedding", "label")
-      .orderBy("vec_id").as[(Long, Int, Long)].collect().toSeq
-    assert(out == Seq((1L, 0, 8000000L), (2L, 0, 8000000L), (3L, 1, 0L)), s"got $out")
+      .orderBy("vec_id").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 8000000L, 2000000.0), (2L, 0, 8000000L, 2000000.0), (3L, 1, 0L, 0.0)),
+      s"got $out")
   }
 }
