@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
 
 import graft.text.Curation
 
@@ -108,6 +109,36 @@ class CurationSpec extends SparkTestBase {
     assert(kept("a") == 100L, s"keep-all source lost rows: $kept")
     assert(!kept.contains("b"), s"drop-all source kept rows: $kept")
     assert(kept("c") > 20L && kept("c") < 80L, s"default-rate source off: $kept")
+  }
+
+  test("property: repetitionStats bounds — distinct <= total, 0 <= rep_ratio < 1") {
+    val wordGen = Gen.oneOf("a", "b", "c", "dd", "eee")
+    val textGen = Gen.chooseNum(1, 40).flatMap(k => Gen.listOfN(k, wordGen)).map(_.mkString(" "))
+    ScalaCheckSupport.checkProp(Prop.forAll(Gen.listOfN(8, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      Curation.repetitionStats("text")(df)
+        .select("n_ngrams", "n_distinct_ngrams", "rep_ratio")
+        .as[(Long, Long, Double)].collect().forall { case (tot, dis, r) =>
+          dis >= 1 && dis <= tot && r >= 0.0 && r < 1.0
+        }
+    }, minSuccessful = 20)
+  }
+
+  test("property: decontaminate + contaminated ids partition the corpus") {
+    val wordGen = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")
+    val textGen = Gen.chooseNum(5, 15).flatMap(k => Gen.listOfN(k, wordGen)).map(_.mkString(" "))
+    ScalaCheckSupport.checkProp(Prop.forAll(
+      Gen.listOfN(10, textGen), Gen.listOfN(2, textGen)) { (corpusTexts, evalTexts) =>
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val eval = evalTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val clean = corpus.transform(Curation.decontaminate(eval, "doc_id", "text", n = 3))
+        .select("doc_id").as[Long].collect().toSet
+      val flagged = Curation.contaminationCounts(corpus, eval, "doc_id", "text", n = 3)
+        .select("doc_id").as[Long].collect().toSet
+      (clean intersect flagged).isEmpty && (clean union flagged) == (0L until 10L).toSet
+    }, minSuccessful = 10)
   }
 
   test("stratifiedSample keeps exactly n per stratum, deterministically") {

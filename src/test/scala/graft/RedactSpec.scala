@@ -34,4 +34,23 @@ class RedactSpec extends SparkTestBase {
       .select(Redact.hits(col("t"), Redact.PhonePattern).as("n")).as[Long].head()
     assert(n == 2L)
   }
+
+  test("property: redacted text matches no rule pattern, and redact is idempotent") {
+    import org.scalacheck.{Gen, Prop}
+    val piece = Gen.oneOf(
+      Gen.alphaStr.map(_.take(8)), Gen.numStr.map(_.take(6)),
+      Gen.const("a@b.co"), Gen.const("555-123-4567"), Gen.const(" "), Gen.const("-"))
+    val textGen = Gen.listOfN(8, piece).map(_.mkString)
+    ScalaCheckSupport.checkProp(Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = texts.toDF("t")
+      val once = df.select(Redact.redact(col("t")).as("r"))
+      val counts = once.select(
+        (Redact.hits(col("r"), Redact.EmailPattern) +
+          Redact.hits(col("r"), Redact.PhonePattern) +
+          Redact.hits(col("r"), Redact.DigitRunPattern)).as("n")).as[Long].collect()
+      val twice = once.select(Redact.redact(col("r")).as("r2")).as[String].collect()
+      val onceVals = once.as[String].collect()
+      counts.forall(_ == 0L) && twice.sameElements(onceVals)
+    }, minSuccessful = 20)
+  }
 }
