@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   * driver only runs the loop and the convergence check; `localCheckpoint`
   * breaks lineage each round so plans don't grow exponentially.
   *
+  * Small-side escape hatch: after Jaccard verification the edge list
+  * is normally ≪ the corpus (near-dup rate is a few percent), while
+  * the distributed fixpoint costs 4-6 shuffle rounds of fixed
+  * overhead. When the deduplicated edge list fits comfortably on the
+  * driver (explicit bound, default 2M edges ≈ 32 MB of longs) and ids
+  * are integral, a driver union-find computes the identical labels in
+  * microseconds — the same adaptive small-side move as a broadcast
+  * join, with the distributed loop as the unconditional fallback. The
+  * edge count is free: the edges are localCheckpointed for the loop
+  * anyway, so `count()` reads materialized blocks.
+  *
   * Scale: rounds scale with log of the largest cluster's diameter;
   * near-dup clusters are short-diameter by construction. State per
   * round is one (id, comp) table the size of the vertex set.
@@ -21,13 +32,24 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param pairs DataFrame with columns (id_a, id_b), undirected edges
+    * @param driverThreshold max deduplicated directed-edge count for
+    *        the driver union-find path (0 forces the distributed loop)
     * @return (id, component): every vertex appearing in `pairs`, with
     *         component = min id of its connected component */
-  def components(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def components(
+      pairs: DataFrame, maxRounds: Int = 25,
+      driverThreshold: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
+
+    // LongType only, so the driver path's output schema matches the
+    // distributed path's exactly
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= driverThreshold)
+      return driverUnionFind(edges)
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -58,6 +80,32 @@ object ConnectedComponents {
       round += 1
     }
     labels
+  }
+
+  /** Path-compressing union-find over a collected (src, dst) edge list
+    * with min-id representatives — byte-identical labels to the
+    * distributed fixpoint, used below [[components]]'s driverThreshold. */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = row.getLong(0)
+      val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // min id becomes the representative, matching min-label propagation
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val labels = parent.keys.toSeq.map(id => (id, find(id)))
+    import spark.implicits._
+    labels.toDF("id", "comp")
   }
 
   /** Cluster histogram: (component, n_members), smallest id is the

@@ -22,34 +22,42 @@ class ConnectedComponentsSpec extends SparkTestBase {
     pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(x => x -> find(x)).toMap
   }
 
-  test("chains, stars, and separate components resolve to min id") {
+  test("chains, stars, and separate components resolve to min id (both paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain -> comp 1
       (10L, 11L), (10L, 12L), (10L, 13L),         // star  -> comp 10
       (20L, 21L))                                 // pair  -> comp 20
       .toDF("id_a", "id_b")
-    val got = ConnectedComponents.components(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L)
+    // default threshold -> driver union-find path
+    assert(ConnectedComponents.components(pairs)
+      .as[(Long, Long)].collect().toMap == want)
+    // threshold 0 -> distributed min-label fixpoint
+    assert(ConnectedComponents.components(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap == want)
   }
 
-  test("long path converges within the round budget (pointer jumping)") {
+  test("long path converges within the round budget (pointer jumping, distributed path)") {
     val n = 60
     val pairs = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = ConnectedComponents.components(pairs).as[(Long, Long)].collect()
+    val got = ConnectedComponents.components(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect()
     assert(got.length == n.toInt + 1)
     assert(got.forall(_._2 == 0L), got.filter(_._2 != 0L).take(5).mkString(","))
   }
 
-  test("matches union-find on arbitrary graphs (property)") {
+  test("driver and distributed paths match union-find on arbitrary graphs (property)") {
     val pairGen = Gen.listOfN(30, for {
       a <- Gen.chooseNum(0L, 20L); b <- Gen.chooseNum(0L, 20L) if a != b
     } yield (math.min(a, b), math.max(a, b)))
     ScalaCheckSupport.checkProp(Prop.forAll(pairGen) { ps =>
       ps.isEmpty || {
-        val got = ConnectedComponents.components(ps.toDF("id_a", "id_b"))
+        val df = ps.toDF("id_a", "id_b")
+        val driver = ConnectedComponents.components(df)
           .as[(Long, Long)].collect().toMap
-        got == reference(ps)
+        val distributed = ConnectedComponents.components(df, driverThreshold = 0L)
+          .as[(Long, Long)].collect().toMap
+        driver == reference(ps) && distributed == driver
       }
     }, minSuccessful = 8)
   }
