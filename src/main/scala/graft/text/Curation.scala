@@ -215,12 +215,27 @@ object Curation {
 
   /** The full default funnel; returns each stage's surviving DataFrame
     * in order (s0 input … s5 sample) so callers can count, persist, or
-    * continue from any stage. */
-  def funnel(docs: DataFrame, idCol: String, textCol: String, langCol: String): Seq[(String, DataFrame)] = {
+    * continue from any stage.
+    *
+    * `materialize` (default true) lazily localCheckpoints the shuffled
+    * stages (exact dedup, near-dedup): callers typically act on SEVERAL
+    * stages (per-stage counts, or count-then-continue), and each stage's
+    * plan embeds its whole prefix — without materialization, six
+    * per-stage counts recompute the prefix quadratically, and the
+    * near-dedup stage even recomputes inside itself (its anti-join
+    * reads the input twice). With it, every stage runs once and later
+    * readers hit stored RDD blocks. Same fault-tolerance caveat as
+    * [[graft.dedup.Dedup.verifiedNearDupPairs]]'s fingerprints. The
+    * narrow stages (quality/lang filters, sample) stay unmaterialized —
+    * rescanning them is one codegen'd pass, cheaper than storing. */
+  def funnel(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      materialize: Boolean = true): Seq[(String, DataFrame)] = {
+    def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(false) else df
     val s1 = docs.transform(qualityFilter(textCol))
     val s2 = s1.transform(langConsistencyFilter(textCol, langCol))
-    val s3 = s2.select(idCol, textCol).transform(exactDedup(idCol, textCol))
-    val s4 = s3.transform(nearDedup(idCol, textCol))
+    val s3 = mat(s2.select(idCol, textCol).transform(exactDedup(idCol, textCol)))
+    val s4 = mat(s3.transform(nearDedup(idCol, textCol)))
     val s5 = s4.transform(hashSample(idCol, keep = 1, outOf = 2))
     Seq("s0_all" -> docs, "s1_quality" -> s1, "s2_lang" -> s2,
       "s3_exact_dedup" -> s3, "s4_near_dedup" -> s4, "s5_sample" -> s5)
