@@ -48,4 +48,20 @@ object GraftExtensions {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+
+  /** Register the engine's UDF-backed text/dedup primitives for SQL
+    * texts (session-scoped, unlike the Catalyst functions above which
+    * also ship via `spark.sql.extensions`): a user migrating raw SQL
+    * can shingle, fingerprint, and verify near-dups without touching
+    * the DataFrame API. */
+  def registerUdfs(spark: SparkSession): Unit = {
+    import graft.dedup.Dedup
+    spark.udf.register("char_shingles", Dedup.charShinglesUdf)
+    spark.udf.register("word_shingles", Dedup.wordShinglesUdf)
+    spark.udf.register("simhash32", Dedup.simhash32Md5Udf)
+    spark.udf.register("jaccard_hash_sets", Dedup.jaccardOfHashSetsUdf)
+    spark.udf.register("shingle_hash60",
+      org.apache.spark.sql.functions.udf((s: String) =>
+        Option(s).map(Dedup.shingleHash60)))
+  }
 }

@@ -64,9 +64,11 @@ object Dedup {
     else Seq(toks.mkString(" "))
   }
 
-  private val charShinglesUdf: UserDefinedFunction =
+  /** Public so [[graft.GraftExtensions.registerUdfs]] can expose them
+    * to SQL texts (`char_shingles(text, n)` etc.). */
+  val charShinglesUdf: UserDefinedFunction =
     udf((t: String, n: Int) => Option(t).map(charShinglesScala(_, n)))
-  private val wordShinglesUdf: UserDefinedFunction =
+  val wordShinglesUdf: UserDefinedFunction =
     udf((t: String, n: Int) => Option(t).map(wordShinglesScala(_, n)))
 
   /** Character n-gram shingle set of `text` (a set: distinct, order
@@ -280,8 +282,8 @@ object Dedup {
 
   /** Jaccard of two sorted long arrays via linear merge — primitive
     * Array[Long] params so the 10⁶-scale pair joins don't box every
-    * element. */
-  private val jaccardOfHashSetsUdf: UserDefinedFunction =
+    * element. Public for SQL registration (`jaccard_hash_sets`). */
+  val jaccardOfHashSetsUdf: UserDefinedFunction =
     udf { (sa: Array[Long], sb: Array[Long]) =>
       if (sa == null || sb == null) null.asInstanceOf[java.lang.Double]
       else {

@@ -26,4 +26,25 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("literal") ||
       e.getMessage.toLowerCase.contains("topk_by"))
   }
+
+  test("registerUdfs exposes the near-dup primitives to plain SQL end to end") {
+    GraftExtensions.registerUdfs(spark)
+    Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"), (3L, "zzz yyy xxx www"))
+      .toDF("id", "t").createOrReplaceTempView("udf_t")
+    // full near-dup verification in SQL: word shingles → 60-bit hashes →
+    // pairwise exact Jaccard
+    val j = spark.sql(
+      """WITH h AS (SELECT id,
+           sort_array(array_distinct(transform(word_shingles(t, 2), s -> shingle_hash60(s)))) AS hs
+         FROM udf_t)
+         SELECT a.id, b.id, jaccard_hash_sets(a.hs, b.hs) AS j
+         FROM h a JOIN h b ON a.id < b.id ORDER BY a.id, b.id""")
+      .as[(Long, Long, Double)].collect()
+    assert(j.toSeq == Seq((1L, 2L, 1.0), (1L, 3L, 0.0), (2L, 3L, 0.0)), j.mkString(","))
+    val sh = spark.sql("SELECT simhash32(t) FROM udf_t WHERE id IN (1, 2)")
+      .as[Long].collect()
+    assert(sh(0) == sh(1) && sh(0) != 0L)
+    assert(spark.sql("SELECT char_shingles('abcd', 3)").as[Seq[String]].head() ==
+      Seq("abc", "bcd"))
+  }
 }
