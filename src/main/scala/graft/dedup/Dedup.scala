@@ -244,10 +244,32 @@ object Dedup {
     * on BOTH sides (stream + build); forcing sort-merge gives the two
     * sides identical hash-partition exchanges, which ReuseExchange
     * collapses into one — the signatures are computed once. SMJ is also
-    * what a 100 TB run would pick (neither side broadcastable). */
-  def candidatePairsFromBanded(banded: DataFrame): DataFrame = {
-    val a = banded.as("a").hint("merge")
-    val b = banded.as("b")
+    * what a 100 TB run would pick (neither side broadcastable).
+    *
+    * `maxBucketSize` is the quadratic-blowup safety valve for huge
+    * corpora: pairs per bucket grow as n², so ONE degenerate bucket
+    * (mass-duplicated boilerplate, an empty-text signature) of 10⁶
+    * docs would emit ~5·10¹¹ pairs and sink the job. Buckets above the
+    * cap are excluded from pair generation — their members are
+    * near-certain exact-or-near duplicates that the cheaper exact
+    * content-hash dedup ([[exactDedup]]) or a per-bucket sample should
+    * handle instead; a capped run should log the excluded buckets.
+    * Disabled by default so small-corpus results stay exhaustive. */
+  def candidatePairsFromBanded(
+      banded: DataFrame, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val base =
+      if (maxBucketSize == Int.MaxValue) banded
+      else {
+        // one extra agg on the bucket key — same partitioning as the
+        // self-join, so it rides the exchange that exists anyway
+        val ok = banded.groupBy("band", "bandsig")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select("band", "bandsig")
+        banded.join(ok, Seq("band", "bandsig"))
+      }
+    val a = base.as("a").hint("merge")
+    val b = base.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig")
         && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -349,12 +371,14 @@ object Dedup {
   def verifiedNearDupPairs(
       df: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
       bands: Int = 8, rowsPerBand: Int = 4,
-      persistFingerprints: Boolean = true): DataFrame = {
+      persistFingerprints: Boolean = true,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val base = hashedDocs(df, idCol, textCol, mode)
     val hashed = if (persistFingerprints)
       base.localCheckpoint(false)
     else base
-    val pairs = candidatePairsFromBanded(bandedSigs(hashed, bands, rowsPerBand))
+    val pairs =
+      candidatePairsFromBanded(bandedSigs(hashed, bands, rowsPerBand), maxBucketSize)
     jaccardOnHashed(pairs, hashed)
   }
 

@@ -122,4 +122,17 @@ class DedupSpec extends SparkTestBase {
     val out = df.select(Dedup.hamming64(col("x"), col("y"))).as[Long].collect()
     assert(out.toSeq == Seq(3L, 64L, 1L))
   }
+
+  test("maxBucketSize excludes hot LSH buckets from pair generation") {
+    // bucket A: 40 members (a degenerate boilerplate bucket -> 780
+    // pairs); bucket B: 2 members (a genuine near-dup candidate)
+    val banded = ((1L to 40L).map(i => (i, 0, "hot")) ++ Seq((100L, 0, "cold"), (101L, 0, "cold")))
+      .toDF("id", "band", "bandsig")
+    val capped = Dedup.candidatePairsFromBanded(banded, maxBucketSize = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)), s"got $capped")
+    // disabled cap keeps everything
+    val full = Dedup.candidatePairsFromBanded(banded).count()
+    assert(full == 40L * 39 / 2 + 1)
+  }
 }
