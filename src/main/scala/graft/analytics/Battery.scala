@@ -1655,11 +1655,32 @@ object Battery {
                                  WHEN 'src2' THEN 2500 ELSE 1000 END
       GROUP BY source ORDER BY source"""))
 
+  /** Sequence packing (Curation.packSequences): greedy token-budget
+    * bins over a deterministic intra-shard order — corpus → training
+    * sequences. The window partitions by source, so a 100 TB corpus
+    * packs in parallel; per-(source, bin) doc and token counts are the
+    * verified output. */
+  val q72 = Q("q72_sequence_packing",
+    (s, dir) => graft.text.Curation.packSequences("source", "doc_id", "text", 512L)(
+        t(s, dir, "documents"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("source", "bin"),
+    Some("""WITH tk AS (SELECT doc_id, source,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+      b AS (SELECT doc_id, source, n_tokens,
+        CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens) // 512
+          AS BIGINT) AS bin
+      FROM tk)
+      SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM b GROUP BY source, bin ORDER BY source, bin"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71)
+    q65, q66, q67, q68, q69, q70, q71, q72)
 }

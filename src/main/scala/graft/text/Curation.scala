@@ -213,6 +213,30 @@ object Curation {
       .select(cols.map(col).toIndexedSeq: _*)
   }
 
+  /** Sequence packing: assign documents to contiguous token-budget
+    * bins (greedy running-total packing) WITHIN each shard — the step
+    * that turns a curated corpus into fixed-budget training sequences.
+    * bin = floor(cumulative-tokens-before-this-doc / budget), over a
+    * deterministic (shard, id) order.
+    *
+    * Scale shape: packing only needs contiguity INSIDE a shard, so the
+    * window partitions by the shard column and the whole corpus packs
+    * in parallel — a single global ordering (one-partition window)
+    * would serialize 100 TB through one task and is deliberately not
+    * offered. Docs longer than the budget get a bin of their own (the
+    * running total just jumps past them). */
+  def packSequences(
+      shardCol: String, idCol: String, textCol: String, tokenBudget: Long)(
+      df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    val nTok = size(split(trim(col(textCol)), "\\s+")).cast(LongType)
+    df.withColumn("n_tokens", nTok)
+      .withColumn("bin",
+        ((sum(col("n_tokens")).over(w) - col("n_tokens")) / tokenBudget)
+          .cast(LongType))
+  }
+
   /** The full default funnel; returns each stage's surviving DataFrame
     * in order (s0 input … s5 sample) so callers can count, persist, or
     * continue from any stage.

@@ -100,6 +100,19 @@ class CurationSpec extends SparkTestBase {
     assert(kept == Set(2L))
   }
 
+  test("packSequences: greedy contiguous bins per shard, long docs get their own bin") {
+    val df = Seq(
+      (1L, "s", "a b c"),           // 3 toks, cum-before 0  -> bin 0
+      (2L, "s", "d e"),             // 2 toks, cum-before 3  -> bin 0
+      (3L, "s", ("x " * 12).trim),  // 12 toks (> budget), cum-before 5 -> bin 1, fills past it
+      (4L, "s", "f g"),             // cum-before 17 -> bin 3
+      (5L, "t", "h"))               // separate shard restarts at bin 0
+      .toDF("doc_id", "source", "text")
+    val got = Curation.packSequences("source", "doc_id", "text", tokenBudget = 5L)(df)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L, 5L -> 0L), s"got $got")
+  }
+
   test("mixtureSample applies per-source rates: keep-all, drop-all, default") {
     val df = spark.range(300)
       .selectExpr("id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS source")
