@@ -1657,24 +1657,28 @@ object Battery {
 
   /** Sequence packing (Curation.packSequences): greedy token-budget
     * bins over a deterministic intra-shard order — corpus → training
-    * sequences. The window partitions by source, so a 100 TB corpus
-    * packs in parallel; per-(source, bin) doc and token counts are the
-    * verified output. */
+    * sequences. The shard key IS the parallelism, so the demo derives
+    * a high-cardinality md5(id)-mod-8 shard (portable to the oracle)
+    * rather than sharding by the 20-value source column; at 100 TB the
+    * same derivation with k ≈ cores keeps every window task-sized.
+    * Per-(shard, bin) doc and token counts are the verified output. */
   val q72 = Q("q72_sequence_packing",
-    (s, dir) => graft.text.Curation.packSequences("source", "doc_id", "text", 512L)(
-        t(s, dir, "documents"))
-      .groupBy("source", "bin")
+    (s, dir) => graft.text.Curation.packSequences("shard", "doc_id", "text", 512L)(
+        t(s, dir, "documents").withColumn("shard",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 8")))
+      .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
-      .orderBy("source", "bin"),
-    Some("""WITH tk AS (SELECT doc_id, source,
+      .orderBy("shard", "bin"),
+    Some("""WITH tk AS (SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
       FROM documents),
-      b AS (SELECT doc_id, source, n_tokens,
-        CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens) // 512
+      b AS (SELECT doc_id, shard, n_tokens,
+        CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens) // 512
           AS BIGINT) AS bin
       FROM tk)
-      SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-      FROM b GROUP BY source, bin ORDER BY source, bin"""))
+      SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM b GROUP BY shard, bin ORDER BY shard, bin"""))
 
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,

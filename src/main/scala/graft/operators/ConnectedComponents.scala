@@ -18,12 +18,17 @@ import org.apache.spark.sql.functions._
   * is normally ≪ the corpus (near-dup rate is a few percent), while
   * the distributed fixpoint costs 4-6 shuffle rounds of fixed
   * overhead. When the deduplicated edge list fits comfortably on the
-  * driver (explicit bound, default 2M edges ≈ 32 MB of longs) and ids
-  * are integral, a driver union-find computes the identical labels in
-  * microseconds — the same adaptive small-side move as a broadcast
-  * join, with the distributed loop as the unconditional fallback. The
-  * edge count is free: the edges are localCheckpointed for the loop
-  * anyway, so `count()` reads materialized blocks.
+  * driver (explicit bound, default 1M directed edges ≈ 50 MB of
+  * collected tuples — sized for a modest driver heap, not this box)
+  * and ids are LongType, a driver union-find computes the identical
+  * labels in microseconds — the same adaptive small-side move as a
+  * broadcast join, with the distributed loop as the unconditional
+  * fallback. The edge count is free: the edges are localCheckpointed
+  * for the loop anyway, so `count()` reads materialized blocks.
+  *
+  * Null ids are dropped from the edge list up front (garbage-in for a
+  * dedup-pairs operator), which also keeps the two paths
+  * behavior-identical on malformed input.
   *
   * Scale: rounds scale with log of the largest cluster's diameter;
   * near-dup clusters are short-diameter by construction. State per
@@ -38,17 +43,19 @@ object ConnectedComponents {
     *         component = min id of its connected component */
   def components(
       pairs: DataFrame, maxRounds: Int = 25,
-      driverThreshold: Long = 2000000L): DataFrame = {
+      driverThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint()
 
     // LongType only, so the driver path's output schema matches the
-    // distributed path's exactly
+    // distributed path's exactly; strict < honors "0 forces the
+    // distributed loop" even for an empty edge list
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && edges.count() <= driverThreshold)
+    if (longIds && edges.count() < driverThreshold)
       return driverUnionFind(edges)
 
     var labels = edges.select(col("src").as("id")).distinct()
@@ -87,6 +94,7 @@ object ConnectedComponents {
     * distributed fixpoint, used below [[components]]'s driverThreshold. */
   private def driverUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
+    import spark.implicits._
     val parent = new scala.collection.mutable.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -95,17 +103,16 @@ object ConnectedComponents {
       while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
       r
     }
-    edges.collect().foreach { row =>
-      val a = row.getLong(0)
-      val b = row.getLong(1)
+    // primitive-tuple encoder, not Row collect: ~3x less transient heap
+    // per edge (no Row wrapper / boxed fields) at the threshold
+    edges.as[(Long, Long)].collect().foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
       // min id becomes the representative, matching min-label propagation
       if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
     }
     val labels = parent.keys.toSeq.map(id => (id, find(id)))
-    import spark.implicits._
-    labels.toDF("id", "comp")
+    spark.createDataset(labels).toDF("id", "comp")
   }
 
   /** Cluster histogram: (component, n_members), smallest id is the

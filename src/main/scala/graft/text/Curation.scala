@@ -220,11 +220,16 @@ object Curation {
     * deterministic (shard, id) order.
     *
     * Scale shape: packing only needs contiguity INSIDE a shard, so the
-    * window partitions by the shard column and the whole corpus packs
-    * in parallel — a single global ordering (one-partition window)
-    * would serialize 100 TB through one task and is deliberately not
-    * offered. Docs longer than the budget get a bin of their own (the
-    * running total just jumps past them). */
+    * window partitions by the shard column and shards pack in
+    * parallel — a single global ordering (one-partition window) would
+    * serialize 100 TB through one task and is deliberately not
+    * offered. The shard key's CARDINALITY is the parallelism: when no
+    * natural high-cardinality key exists, derive one (e.g. an
+    * md5(id)-mod-k shard as in battery q72) so each window partition
+    * stays task-sized. Docs longer than the budget get a bin of their
+    * own (the running total just jumps past them). Bin arithmetic is
+    * integer `div` — exact at any cumulative-token magnitude (a double
+    * division would go inexact past 2⁵³ tokens per shard). */
   def packSequences(
       shardCol: String, idCol: String, textCol: String, tokenBudget: Long)(
       df: DataFrame): DataFrame = {
@@ -232,9 +237,9 @@ object Curation {
       .partitionBy(col(shardCol)).orderBy(col(idCol))
     val nTok = size(split(trim(col(textCol)), "\\s+")).cast(LongType)
     df.withColumn("n_tokens", nTok)
-      .withColumn("bin",
-        ((sum(col("n_tokens")).over(w) - col("n_tokens")) / tokenBudget)
-          .cast(LongType))
+      .withColumn("__cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", expr(s"__cum div ${tokenBudget}L"))
+      .drop("__cum")
   }
 
   /** The full default funnel; returns each stage's surviving DataFrame
