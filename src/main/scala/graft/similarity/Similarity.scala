@@ -67,17 +67,19 @@ object Similarity {
     * the vector id. Overflow headroom: |n·x − S| ≤ 2n·2¹¹ for
     * ×1000-quantized unit-scale embeddings, so dist2 ≤ dims·n²·2²⁴ —
     * under 2⁶³ up to n ≈ 9·10⁴ vectors per group at 64 dims. Beyond
-    * that, route the squared terms through DECIMAL(38,0) (exact,
-    * slower) or pre-aggregate per shard; the BIGINT form is the fast
-    * path, not a silent-wraparound trap — callers with bigger groups
-    * must opt into the decimal variant. */
+    * that, pass `decimalExact = true` to route the squared terms
+    * through DECIMAL(38,0) — exact to ~10¹⁵ vectors per group, at
+    * decimal-arithmetic cost; the BIGINT form is the fast path, not a
+    * silent-wraparound trap. */
   def centroidDeviations(
-      emb: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      decimalExact: Boolean = false): DataFrame = {
     val exploded = emb
       .select(col(idCol), col(labelCol), posexplode(quantize(col(vecCol))).as(Seq("pos", "x")))
     val cent = exploded.groupBy(labelCol, "pos")
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-    val dev = col("n") * col("x") - col("s")
+    val devL = col("n") * col("x") - col("s")
+    val dev = if (decimalExact) devL.cast(org.apache.spark.sql.types.DecimalType(38, 0)) else devL
     exploded.join(broadcast(cent), Seq(labelCol, "pos"))
       .groupBy(idCol, labelCol)
       .agg(sum(dev * dev).as("dist2"), max(col("n")).as("n"))

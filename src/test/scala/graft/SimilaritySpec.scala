@@ -70,5 +70,12 @@ class SimilaritySpec extends SparkTestBase {
     assert(out == Seq(
       (1L, 0, 8000000L, 2000000.0), (2L, 0, 8000000L, 2000000.0), (3L, 1, 0L, 0.0)),
       s"got $out")
+    // decimal-exact path: same values, overflow-proof dist2 type
+    val dec = Similarity.centroidDeviations(df, "vec_id", "embedding", "label",
+        decimalExact = true)
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("dist2").cast("long"), col("dev2"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(dec == Seq((1L, 8000000L, 2000000.0), (2L, 8000000L, 2000000.0), (3L, 0L, 0.0)))
   }
 }
