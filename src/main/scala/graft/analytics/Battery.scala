@@ -1680,11 +1680,28 @@ object Battery {
       SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
       FROM b GROUP BY shard, bin ORDER BY shard, bin"""))
 
+  /** Unigram-frequency quality scoring (Curation.unigramQuality):
+    * corpus vocab aggregate → broadcast join over the exploded token
+    * stream → per-doc exact mean token frequency. Raw mean (not mean
+    * log-prob) keeps the score an integer-exact sum / count, so it
+    * hash-matches across engines where ln() differs in the last ulp. */
+  val q73 = Q("q73_unigram_quality",
+    (s, dir) => graft.text.Curation.unigramQuality("doc_id", "text")(
+        t(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some("""WITH ex AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+      vocab AS (SELECT tok, COUNT(*) AS tok_freq FROM ex GROUP BY tok)
+      SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(tok_freq) AS BIGINT) AS freq_sum,
+        CAST(SUM(tok_freq) AS DOUBLE) / COUNT(*) AS mean_tok_freq
+      FROM ex JOIN vocab USING (tok)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }

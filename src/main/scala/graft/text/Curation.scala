@@ -213,6 +213,30 @@ object Curation {
       .select(cols.map(col).toIndexedSeq: _*)
   }
 
+  /** CCNet-style unigram-frequency quality signal: per doc, the mean
+    * corpus frequency of its tokens — boilerplate-y docs made of
+    * common tokens score high, gibberish scores low. (The classic
+    * formulation averages log-probabilities; this uses the raw mean
+    * frequency so the score is an exact integer sum / count — one IEEE
+    * division — and thus bit-reproducible in any engine, where ln()
+    * implementations differ in the last ulp.)
+    *
+    * Two passes over the token stream: one aggregate to build the
+    * vocab (token → count), one join back. The vocab is Zipf-bounded
+    * (≪ corpus size) and is BROADCAST, so the per-doc scoring join
+    * never shuffles the exploded corpus; the only wide op is the
+    * per-doc sum. */
+  def unigramQuality(idCol: String, textCol: String)(df: DataFrame): DataFrame = {
+    val toksOf = split(trim(lower(col(textCol))), "\\s+")
+    val exploded = df.select(col(idCol), explode(toksOf).as("tok"))
+    val vocab = exploded.groupBy("tok").agg(count(lit(1)).as("tok_freq"))
+    exploded.join(broadcast(vocab), Seq("tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tok_freq")).as("freq_sum"))
+      .withColumn("mean_tok_freq",
+        col("freq_sum").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Sequence packing: assign documents to contiguous token-budget
     * bins (greedy running-total packing) WITHIN each shard — the step
     * that turns a curated corpus into fixed-budget training sequences.

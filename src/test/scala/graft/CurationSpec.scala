@@ -100,6 +100,17 @@ class CurationSpec extends SparkTestBase {
     assert(kept == Set(2L))
   }
 
+  test("unigramQuality: common-token docs outscore rare-token docs, values exact") {
+    val df = Seq(
+      (1L, "the the the"),  // 'the' freq 4 -> mean 4.0
+      (2L, "the rare"))     // freqs 4, 1 -> mean 2.5
+      .toDF("doc_id", "text")
+    val got = Curation.unigramQuality("doc_id", "text")(df)
+      .select("doc_id", "n_tokens", "freq_sum", "mean_tok_freq")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 3L, 12L, 4.0), (2L, 2L, 5L, 2.5)), s"got $got")
+  }
+
   test("packSequences: greedy contiguous bins per shard, long docs get their own bin") {
     val df = Seq(
       (1L, "s", "a b c"),           // 3 toks, cum-before 0  -> bin 0
