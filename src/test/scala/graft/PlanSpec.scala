@@ -104,4 +104,10 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"centroid table not broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k outliers:\n$p")
   }
+
+  test("q73 unigram scoring broadcasts the Zipf-bounded vocab — token stream never shuffles for the join") {
+    val p = plan(Battery.q73.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream shuffled for the vocab join:\n$p")
+  }
 }
