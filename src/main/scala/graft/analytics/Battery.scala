@@ -1697,11 +1697,47 @@ object Battery {
       FROM ex JOIN vocab USING (tok)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Training-mixture composition report: per-source doc/token counts,
+    * token share (exact long sums → one IEEE division), and cumulative
+    * share over a deterministic source order — the table you read
+    * before choosing mixtureSample weights. Cumulative doubles sum in
+    * the same window order in both engines, so even the running share
+    * is bit-identical. */
+  val q74 = Q("q74_domain_mix",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perSource = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+")).cast(LongType)).as("n_tokens"))
+      // full-frame window for the grand total: single-partition, but
+      // over the ALREADY-AGGREGATED |sources| rows, not the corpus —
+      // fine at any scale (sources ≪ data), and keeps the query one
+      // declarative plan instead of a driver-side collect
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wCum = Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      perSource
+        .withColumn("token_share",
+          col("n_tokens").cast("double") / sum(col("n_tokens")).over(wAll).cast("double"))
+        .withColumn("cum_share", sum(col("token_share")).over(wCum))
+        .orderBy("source")
+    },
+    Some("""WITH ps AS (SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM ps)
+      SELECT source, n_docs, n_tokens,
+        CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS token_share,
+        SUM(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE))
+          OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) AS cum_share
+      FROM ps, tot ORDER BY source"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
 }
