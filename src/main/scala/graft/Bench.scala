@@ -28,7 +28,7 @@ object Bench {
     // per-query min. CacheReset before each run keeps materializing
     // operators (near-dup fingerprint localCheckpoint reuse) honest —
     // a timed run must not read a previous run's stored blocks — and
-    // bounds storage growth across the 72-query battery.
+    // bounds storage growth across the 74-query battery.
     def once(fn: (SparkSession, String) => DataFrame): Double = {
       CacheReset(spark)
       val t0 = System.nanoTime()

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * blocks (the near-dup fingerprint table, q29's simhash table) live
   * in the RDD block manager, which `spark.catalog.clearCache()` does
   * NOT touch — without the unpersist sweep they accumulate across a
-  * 72-query run until ContextCleaner's periodic GC. Unpersisting a
+  * 74-query run until ContextCleaner's periodic GC. Unpersisting a
   * localCheckpointed RDD invalidates it (lineage is truncated, so it
   * cannot recompute), which is safe here precisely because the plans
   * referencing it are discarded with the finished run.
