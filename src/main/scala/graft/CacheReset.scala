@@ -11,10 +11,27 @@ import org.apache.spark.sql.SparkSession
   * localCheckpointed RDD invalidates it (lineage is truncated, so it
   * cannot recompute), which is safe here precisely because the plans
   * referencing it are discarded with the finished run.
+  *
+  * Callers still HOLDING a localCheckpoint-backed DataFrame across the
+  * reset (e.g. `Curation.funnel(materialize = true)` stage outputs)
+  * must pass those RDD ids in `keep` — otherwise their next action
+  * fails (unrecomputable) instead of recomputing. Collect the ids with
+  * [[rddIds]] on each DataFrame to protect.
   */
 object CacheReset {
-  def apply(spark: SparkSession): Unit = {
+  def apply(spark: SparkSession, keep: Set[Int] = Set.empty): Unit = {
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.sparkContext.getPersistentRDDs.values
+      .filterNot(r => keep.contains(r.id))
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  /** RDD ids backing a DataFrame's physical plan — pass to `keep` to
+    * exempt a live checkpointed intermediate from the sweep. Resolves
+    * the plan (one `.rdd` call, no job) and walks its RDD lineage. */
+  def rddIds(df: org.apache.spark.sql.DataFrame): Set[Int] = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Set[Int] =
+      r.dependencies.map(_.rdd).flatMap(walk).toSet + r.id
+    walk(df.rdd)
   }
 }
