@@ -800,8 +800,16 @@ object Battery {
       FROM documents GROUP BY 1 ORDER BY kind"""))
 
   /** Multimodal decode→frame-sample→embed path (DecodeStub is a
-    * deterministic fake; the mapPartitions batch shape is real). No
-    * ANSI-SQL oracle — driver records the weaker rows-only check. */
+    * deterministic fake; the mapPartitions batch shape is real), HARD
+    * oracle-checked: each embedding value is pool_sum/4f/255f with
+    * pool_sum an integer ≤ 1020, so round(x·1020) inverts the float
+    * normalization EXACTLY (float rounding error ≲ 6e-5 ≪ 0.5) and the
+    * check is pure 64-bit integer math end to end — a wrong decode,
+    * wrong pooling, OR wrong float normalization all shift the
+    * recovered integers. The DuckDB side replays the stub's wrapping
+    * arithmetic in HUGEINT mod 2^64 (rolling hash over the UTF-8
+    * payload — ASCII in this corpus — then 64 xorshift steps per frame
+    * via a recursive CTE). */
   val q35 = Q("q35_media_frame_features",
     (s, dir) => {
       val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
@@ -809,11 +817,53 @@ object Battery {
       feats.toDF()
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"),
-          sum(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-            lit(0.0d), (acc, v) => acc + v)).as("sum_sq_embed"))
+          sum(aggregate(
+            transform(col("embedding"), x => round(x.cast("double") * 1020d).cast(LongType)),
+            lit(0L), (acc, v) => acc + v * v)).as("sum_sq_pool"))
         .orderBy("media_id")
     },
-    None)
+    Some("""WITH RECURSIVE
+      m AS (
+        SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 3 = 0
+            THEN greatest(1, CAST((n_chars * 100) // 1000 AS BIGINT))
+            ELSE 1 END AS total_frames,
+          list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS HUGEINT)) AS bs
+        FROM documents),
+      fr AS (
+        SELECT media_id, bs, CAST(f AS BIGINT) AS frame_idx
+        FROM m, unnest(generate_series(0, CAST(least(total_frames - 1, 6) AS BIGINT), 2)) AS t(f)),
+      seed AS (
+        SELECT media_id, frame_idx,
+          list_reduce(
+            list_prepend(
+              (CAST(1125899906842597 AS HUGEINT)
+               + CAST(frame_idx AS HUGEINT) * CAST(11400714819323198485 AS HUGEINT))
+              % 18446744073709551616,
+              bs),
+            (acc, x) -> (acc * 31 + x) % 18446744073709551616) AS h
+        FROM fr),
+      xs AS (
+        SELECT media_id, frame_idx, 0 AS step, h, CAST(NULL AS HUGEINT) AS gv FROM seed
+        UNION ALL
+        SELECT media_id, frame_idx, step,
+          xor(h2, (h2 * 131072) % 18446744073709551616) AS h,
+          xor(h2, (h2 * 131072) % 18446744073709551616) % 256 AS gv
+        FROM (
+          SELECT media_id, frame_idx, step, xor(h1, h1 // 128) AS h2
+          FROM (
+            SELECT media_id, frame_idx, step + 1 AS step,
+              xor(h, (h * 8192) % 18446744073709551616) AS h1
+            FROM xs WHERE step < 64))),
+      pools AS (
+        SELECT media_id, frame_idx,
+          ((step - 1) // 8) // 2 AS pr, ((step - 1) % 8) // 2 AS pc,
+          SUM(gv) AS s
+        FROM xs WHERE step >= 1
+        GROUP BY media_id, frame_idx, pr, pc),
+      pf AS (SELECT media_id, frame_idx, SUM(s * s) AS ssq FROM pools GROUP BY media_id, frame_idx)
+      SELECT media_id, COUNT(*) AS n_frames, CAST(SUM(ssq) AS BIGINT) AS sum_sq_pool
+      FROM pf GROUP BY media_id ORDER BY media_id"""))
 
   /** Backward as-of join (events ← latest prior order per user) —
     * a single-shuffle union+window composition; oracle via DuckDB's
@@ -1092,13 +1142,14 @@ object Battery {
 
   /** Fuzzy matching: Levenshtein edit distance over blocking buckets
     * (p_brand, p_size) — blocking turns O(n²) distance computation
-    * into per-bucket work, the classic entity-resolution shape. */
+    * into per-bucket work, the classic entity-resolution shape. Runs
+    * through [[graft.operators.Blocking.selfPairs]], which carries the
+    * hot-block quadratic-blowup valve (`maxBlockSize`) for real
+    * corpora; uncapped here so the oracle comparison stays exhaustive. */
   val q47 = Q("q47_levenshtein_pairs",
     (s, dir) => {
       val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
-      val a = p.as("a"); val b = p.as("b")
-      a.join(b, col("a.p_brand") === col("b.p_brand") && col("a.p_size") === col("b.p_size")
-          && col("a.p_partkey") < col("b.p_partkey"))
+      graft.operators.Blocking.selfPairs(p, "p_partkey", Seq("p_brand", "p_size"))
         .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
           levenshtein(col("a.p_name"), col("b.p_name")).cast(LongType).as("dist"))
         .filter(col("dist") <= 8)

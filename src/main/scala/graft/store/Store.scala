@@ -19,10 +19,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Store {
 
+  /** Backtick-quote a (possibly db-qualified) identifier for SQL-text
+    * DDL — each dot-separated part quoted, embedded backticks doubled,
+    * so names with reserved words or odd characters can't break (or
+    * inject into) the statement. */
+  def quoted(ident: String): String =
+    ident.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+
   /** CREATE DATABASE IF NOT EXISTS + USE (replaces database.py:19-42's
     * DROP/CREATE DATABASE round trip; idempotent). */
   def ensureDatabase(spark: SparkSession, name: String): Unit = {
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${quoted(name)}")
     spark.catalog.setCurrentDatabase(name)
   }
 
@@ -61,14 +68,30 @@ object Store {
     * table that feeds multi-join queries; cost is one scan, amortized
     * across every subsequent plan. */
   def analyze(spark: SparkSession, table: String, columns: Seq[String] = Nil): Unit = {
-    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    spark.sql(s"ANALYZE TABLE ${quoted(table)} COMPUTE STATISTICS")
     if (columns.nonEmpty)
-      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS " +
-        columns.map(c => s"`$c`").mkString(", "))
+      spark.sql(s"ANALYZE TABLE ${quoted(table)} COMPUTE STATISTICS FOR COLUMNS " +
+        columns.map(quoted).mkString(", "))
   }
 
   def drop(spark: SparkSession, table: String): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
+
+  /** Optional JDBC compat sink (SURVEY §2.A O-2's `.write.jdbc` shim):
+    * a thin passthrough for users who still need the reference's
+    * MySQL-shaped landing zone. Deliberately NOT in the engine's own
+    * execution path — row-at-a-time JDBC inserts are the bottleneck the
+    * parquet catalog exists to remove (BASELINE.md: the reference
+    * spends minutes here) — and it funnels the whole DataFrame through
+    * however many partitions it has, so `coalesce` first if the target
+    * DB can't take the connection fan-out. Requires the target's JDBC
+    * driver on the classpath; fails fast with the driver/URL error
+    * otherwise. */
+  def writeJdbc(
+      df: DataFrame, url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties(),
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).jdbc(url, table, properties)
 
   /** Persist a full gold layer; fact partitioned if requested. */
   def persistGold(

@@ -222,15 +222,38 @@ object Curation {
     * implementations differ in the last ulp.)
     *
     * Two passes over the token stream: one aggregate to build the
-    * vocab (token → count), one join back. The vocab is Zipf-bounded
-    * (≪ corpus size) and is BROADCAST, so the per-doc scoring join
-    * never shuffles the exploded corpus; the only wide op is the
-    * per-doc sum. */
-  def unigramQuality(idCol: String, textCol: String)(df: DataFrame): DataFrame = {
+    * vocab (token → count), one join back. With the default broadcast
+    * the per-doc scoring join never shuffles the exploded corpus; the
+    * only wide op is the per-doc sum.
+    *
+    * Broadcasting the vocab is only executor-memory-safe when the
+    * vocab is Zipf-bounded (natural-language tokens). Real web text is
+    * NOT: URLs, hex blobs, and ids make the distinct-token count grow
+    * with the corpus. Two gates, composable:
+    *  - `minTokenFreq` > 1 prunes the vocab BEFORE the broadcast and
+    *    gives a hard size bound independent of token distribution:
+    *    at most totalTokens / minTokenFreq rows survive (each kept
+    *    token accounts for ≥ minTokenFreq stream occurrences). The
+    *    classic CCNet formulation prunes its LM vocab the same way;
+    *    sub-cutoff tokens (the hapax/junk tail) drop out of BOTH
+    *    `n_tokens` and `freq_sum`, so the score is the mean frequency
+    *    over in-vocab tokens. Docs with no in-vocab token disappear —
+    *    exactly the all-junk docs the signal exists to flag.
+    *  - `broadcastVocab = false` removes the hint entirely: the join
+    *    plans as a shuffle join and AQE's runtime size check (not a
+    *    guess) converts it back to broadcast when the built vocab is
+    *    actually small. The re-shuffle of the exploded corpus only
+    *    materializes in the giant-vocab case where it is the only
+    *    correct plan. */
+  def unigramQuality(
+      idCol: String, textCol: String, minTokenFreq: Long = 1L,
+      broadcastVocab: Boolean = true)(df: DataFrame): DataFrame = {
     val toksOf = split(trim(lower(col(textCol))), "\\s+")
     val exploded = df.select(col(idCol), explode(toksOf).as("tok"))
-    val vocab = exploded.groupBy("tok").agg(count(lit(1)).as("tok_freq"))
-    exploded.join(broadcast(vocab), Seq("tok"))
+    val vocabAll = exploded.groupBy("tok").agg(count(lit(1)).as("tok_freq"))
+    val vocab =
+      if (minTokenFreq > 1L) vocabAll.filter(col("tok_freq") >= minTokenFreq) else vocabAll
+    exploded.join(if (broadcastVocab) broadcast(vocab) else vocab, Seq("tok"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), sum(col("tok_freq")).as("freq_sum"))
       .withColumn("mean_tok_freq",
@@ -253,12 +276,23 @@ object Curation {
     * stays task-sized. Docs longer than the budget get a bin of their
     * own (the running total just jumps past them). Bin arithmetic is
     * integer `div` — exact at any cumulative-token magnitude (a double
-    * division would go inexact past 2⁵³ tokens per shard). */
+    * division would go inexact past 2⁵³ tokens per shard).
+    *
+    * The frame is ROWS, not the default RANGE: under RANGE, order-by
+    * PEERS (rows sharing one (shard, id) value) would all see the
+    * running total AFTER the whole peer group — every duplicate lands
+    * past its own tokens and greedy packing silently deviates. ROWS
+    * keeps one-row-at-a-time accumulation regardless. Precondition for
+    * DETERMINISTIC bins, though: (shardCol, idCol) should be unique —
+    * duplicate ids still pack greedily under ROWS, but their relative
+    * order (hence bin split points) is whatever the sort produced. */
   def packSequences(
       shardCol: String, idCol: String, textCol: String, tokenBudget: Long)(
       df: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val nTok = size(split(trim(col(textCol)), "\\s+")).cast(LongType)
     df.withColumn("n_tokens", nTok)
       .withColumn("__cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
@@ -280,7 +314,17 @@ object Curation {
     * readers hit stored RDD blocks. Same fault-tolerance caveat as
     * [[graft.dedup.Dedup.verifiedNearDupPairs]]'s fingerprints. The
     * narrow stages (quality/lang filters, sample) stay unmaterialized —
-    * rescanning them is one codegen'd pass, cheaper than storing. */
+    * rescanning them is one codegen'd pass, cheaper than storing.
+    *
+    * LIFETIME CONTRACT: the materialized stages are localCheckpoint
+    * blocks, and a localCheckpoint that has been unpersisted CANNOT
+    * recompute (lineage is truncated) — the next action on a held stage
+    * fails instead of recomputing. So a caller holding stage DataFrames
+    * across a [[graft.CacheReset]] (or any block-manager sweep) must
+    * exempt them: `CacheReset(spark, keep = stages.map(s =>
+    * CacheReset.rddIds(s._2)).reduce(_ ++ _))`. Consume-then-discard
+    * callers (battery q54, Bench — the plan is rebuilt per run) need
+    * nothing. */
   def funnel(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       materialize: Boolean = true): Seq[(String, DataFrame)] = {

@@ -11,10 +11,7 @@ class BatterySpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   test("every battery query has an oracle (full correctness-gate coverage)") {
-    // q35's decode stub is JVM code with no ANSI-SQL equivalent — the
-    // driver records the weaker rows-only check for it by design.
-    val allowedNoOracle = Set("q35_media_frame_features")
-    val missing = Battery.all.filter(_.oracle.isEmpty).map(_.name).filterNot(allowedNoOracle)
+    val missing = Battery.all.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 

@@ -124,6 +124,30 @@ class CurationSpec extends SparkTestBase {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L, 5L -> 0L), s"got $got")
   }
 
+  test("packSequences: duplicate ids still accumulate one row at a time (ROWS frame)") {
+    // two peer rows (same shard, same id), 3 tokens each, budget 3:
+    // greedy packing puts them in bins {0, 1}. The default RANGE frame
+    // would give both rows the whole peer-group total -> both bin 1.
+    val df = Seq((1L, "s", "a b c"), (1L, "s", "d e f")).toDF("doc_id", "source", "text")
+    val bins = Curation.packSequences("source", "doc_id", "text", tokenBudget = 3L)(df)
+      .select("bin").as[Long].collect().sorted.toSeq
+    assert(bins == Seq(0L, 1L), s"got $bins")
+  }
+
+  test("unigramQuality: minTokenFreq prunes the rare tail; shuffle-join path agrees") {
+    val df = Seq((1L, "the the the"), (2L, "the rare")).toDF("doc_id", "text")
+    // 'rare' (freq 1) drops out of both counts; doc 2 scores over 'the' only
+    val pruned = Curation.unigramQuality("doc_id", "text", minTokenFreq = 2L)(df)
+      .select("doc_id", "n_tokens", "freq_sum", "mean_tok_freq")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(pruned == Set((1L, 3L, 12L, 4.0), (2L, 1L, 4L, 4.0)), s"got $pruned")
+    // the giant-vocab fallback (no broadcast hint) is result-identical
+    val viaShuffle = Curation.unigramQuality("doc_id", "text", broadcastVocab = false)(df)
+      .select("doc_id", "n_tokens", "freq_sum", "mean_tok_freq")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaShuffle == Set((1L, 3L, 12L, 4.0), (2L, 2L, 5L, 2.5)), s"got $viaShuffle")
+  }
+
   test("mixtureSample applies per-source rates: keep-all, drop-all, default") {
     val df = spark.range(300)
       .selectExpr("id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS source")

@@ -15,6 +15,43 @@ class MultimodalSpec2 extends SparkTestBase {
     assert(up(15)(15) == grid(7)(7) && up(1)(1) == grid(0)(0))
   }
 
+  test("q35's round(x*1020) inverts the float embedding back to exact integer pool sums") {
+    // embedding value = pool_sum/4f/255f with pool_sum an integer in
+    // [0, 1020]; the battery oracle depends on round(x*1020) recovering
+    // pool_sum EXACTLY for every representable float on that path
+    (0 to 1020).foreach { s =>
+      val x: Float = s / 4.0f / 255.0f
+      assert(math.round(x.toDouble * 1020d) == s, s"pool sum $s not recovered")
+    }
+  }
+
+  test("q35 battery output matches a driver-side replay of the stub (sf0.001)") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.analytics.Battery.q35.run(spark, dir)
+      .select("media_id", "n_frames", "sum_sq_pool")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+    val want = docs.map { r =>
+      val (id, text, nChars) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val kind = if (id % 3 == 0) "video" else if (id % 3 == 1) "image" else "audio"
+      val meta = Multimodal.MediaMeta(kind, 640, 480, 16000, nChars * 100L)
+      val payload = text.getBytes("UTF-8")
+      val frames = Multimodal.sampleFrameIndices(Multimodal.DecodeStub.frameCount(meta), 2, 4)
+      val ssq = frames.map { fi =>
+        val grid = Multimodal.DecodeStub.decodeFrame(payload, fi)
+        (0 until 4).flatMap(pr => (0 until 4).map { pc =>
+          val s = grid(2 * pr)(2 * pc) + grid(2 * pr)(2 * pc + 1) +
+            grid(2 * pr + 1)(2 * pc) + grid(2 * pr + 1)(2 * pc + 1)
+          s.toLong * s
+        }).sum
+      }.sum
+      id -> ((frames.size.toLong, ssq))
+    }.toMap
+    assert(got == want)
+  }
+
   test("audioWindowIndices: full windows only, hop spacing, empty when too short") {
     // 1 second at 16 kHz: 16000 samples; 25ms window = 400, 10ms hop = 160
     val w = Multimodal.audioWindowIndices(1000L, 16000, 25, 10)

@@ -92,6 +92,27 @@ class StoreSpec extends SparkTestBase {
     Store.drop(spark, "fact_part")
   }
 
+  test("quoted backticks each part of a qualified identifier, doubling embedded backticks") {
+    assert(Store.quoted("t") == "`t`")
+    assert(Store.quoted("db.t") == "`db`.`t`")
+    assert(Store.quoted("we`ird") == "`we``ird`")
+  }
+
+  test("analyze works on reserved-word and db-qualified table names") {
+    Store.ensureDatabase(spark, "graft_test")
+    Store.overwrite(spark.range(10).selectExpr("id AS k"), "`select`")
+    Store.analyze(spark, "select", columns = Seq("k"))
+    Store.analyze(spark, "graft_test.select")
+    Store.drop(spark, "select")
+  }
+
+  test("writeJdbc passthrough fails fast without a driver (compat shim, not engine path)") {
+    val df = Seq((1L, "a")).toDF("id", "v")
+    intercept[Exception] {
+      Store.writeJdbc(df, "jdbc:mysql://localhost:1/none", "t")
+    }
+  }
+
   test("analyze records row-count + column stats the optimizer can read") {
     Store.ensureDatabase(spark, "graft_test")
     Store.overwrite(spark.range(500).selectExpr("id AS k", "id % 7 AS grp"), "stats_t")
