@@ -24,17 +24,42 @@ object Sk {
     df.withColumn(skName, row_number().over(Window.orderBy(order: _*)).cast(LongType))
 
   /** Scalable dense SK: global sort (range-partitioned, fully parallel)
-    * + two-phase zipWithIndex (per-partition counts, then offsets).
-    * Deterministic when `order` is a total order. Used for big tables
-    * (dim_product, fact at 100 TB). */
+    * + two-phase rank — per-partition row index and partition id from
+    * `monotonically_increasing_id` (= pid<<33 + row-in-partition on the
+    * sorted layout), per-partition counts, cumulative offsets broadcast
+    * back, sk = offset + row index. Deterministic when `order` is a
+    * total order. Used for big tables (dim_product, fact at 100 TB).
+    *
+    * All-DataFrame on purpose: the previous `rdd.zipWithIndex` form
+    * paid an external-Row encoder round trip per row and fenced
+    * whole-stage codegen + AQE at the SK step; here every phase is
+    * Tungsten (the wide side of the offsets join is a broadcast hash
+    * join, no extra shuffle beyond the sort itself).
+    *
+    * The one subtlety is the lazy `localCheckpoint`: the counts pass
+    * and the SK pass must see the SAME partition layout, and two
+    * independent lazy reads of the sort exchange don't guarantee that
+    * (AQE may coalesce each read differently, which would silently
+    * misalign offsets — duplicate/gapped SKs). Materializing the
+    * sorted+mid frame once pins the layout; blocks are stored as
+    * InternalRows, so there is still no encoder round trip. Same
+    * lifetime contract as [[graft.text.Curation.funnel]]: the result
+    * cannot recompute past a block-manager sweep. */
   def withDistributedSk(df: DataFrame, skName: String, order: Seq[Column], startAt: Long = 1L): DataFrame = {
-    val spark = df.sparkSession
     val sorted = df.orderBy(order: _*)
-    val schema = sorted.schema.add(skName, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + startAt))
-    }
-    spark.createDataFrame(rdd, schema)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(false)
+    val pid = shiftright(col("__mid"), 33)
+    val counts = sorted.groupBy(pid.as("__pid")).agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    sorted.join(broadcast(offsets), pid === col("__pid"))
+      .withColumn(skName,
+        (col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(startAt))
+          .cast(LongType))
+      .drop("__mid", "__pid", "__off")
   }
 }
 

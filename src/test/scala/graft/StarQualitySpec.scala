@@ -42,6 +42,16 @@ class StarQualitySpec extends SparkTestBase {
     assert(b.map(_._2) == (1L to 100L).toSet)
   }
 
+  test("withDistributedSk: dense from startAt across many partitions; broadcast offsets join") {
+    val df = spark.range(10000).selectExpr("CAST(id AS STRING) AS k").repartition(16)
+    val out = Sk.withDistributedSk(df, "sk", Seq(col("k").asc), startAt = 100L)
+    val sks = out.select("sk").as[Long].collect().sorted
+    assert(sks.toSeq == (100L until 10100L).toSeq, "SKs not dense from startAt")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"big side shuffled for the offsets join:\n$p")
+  }
+
   test("dimBrand: distinct non-empty brands with dense SKs") {
     val out = Star.dimBrand(miniSilver).orderBy("brand_sk")
       .as[(Long, String)].collect()
