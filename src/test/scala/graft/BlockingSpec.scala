@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
 
 import graft.operators.Blocking
 
@@ -30,6 +31,27 @@ class BlockingSpec extends SparkTestBase {
     val over = Blocking.oversizedBlocks(rows, Seq("blk"), maxBlockSize = 3)
       .as[(String, Long)].collect().toSet
     assert(over == Set(("hot", 4L)), s"got $over")
+  }
+
+  test("property: selfPairs == naive in-block pairs; cap == naive over small blocks only") {
+    val rowGen = for {
+      n <- Gen.chooseNum(0, 30)
+      blks <- Gen.listOfN(n, Gen.oneOf("b0", "b1", "b2"))
+    } yield blks.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+    ScalaCheckSupport.checkProp(Prop.forAll(rowGen, Gen.chooseNum(1, 10)) { (data, cap) =>
+      val df = data.toDF("id", "blk")
+      def naive(maxN: Int) = {
+        val sizes = data.groupBy(_._2).view.mapValues(_.size).toMap
+        (for {
+          (ia, ba) <- data; (ib, bb) <- data
+          if ba == bb && ia < ib && sizes(ba) <= maxN
+        } yield (ia, ib)).toSet
+      }
+      def run(maxN: Int) = Blocking.selfPairs(df, "id", Seq("blk"), maxN)
+        .select(col("a.id").as("ia"), col("b.id").as("ib"))
+        .as[(Long, Long)].collect().toSet
+      run(Int.MaxValue) == naive(Int.MaxValue) && run(cap) == naive(cap)
+    }, minSuccessful = 15)
   }
 
   test("multi-column blocking keys behave like a composite key") {
