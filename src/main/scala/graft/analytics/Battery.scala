@@ -1784,11 +1784,89 @@ object Battery {
           OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) AS cum_share
       FROM ps, tot ORDER BY source"""))
 
+  /** Substring-level dedup, remove phase (Curation.dedupSpans — the
+    * transform half of Lee-et-al-style span dedup; q70 is the discovery
+    * half): 25-token non-overlapping chunks, keep each span's global
+    * first occurrence (min (doc_id, pos)), reassemble surviving spans
+    * in order. The oracle re-derives the chunks with DuckDB list
+    * slicing and hash-verifies the reassembled TEXT byte-for-byte —
+    * the strongest possible check on a text-transform operator. */
+  val q75 = Q("q75_span_dedup",
+    (s, dir) => graft.text.Curation.dedupSpans("doc_id", "text", chunkTokens = 25)(
+        t(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+      ch AS (SELECT doc_id, CAST(i AS INT) AS pos,
+          array_to_string(toks[(CAST(i AS INT)*25+1):(CAST(i AS INT)*25+25)], ' ') AS chunk
+        FROM (SELECT doc_id, toks,
+                unnest(range(0, CAST(ceil(len(toks)/25.0) AS BIGINT))) AS i
+              FROM tk)),
+      k AS (SELECT doc_id, pos, chunk,
+          row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        FROM ch)
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text,
+        COUNT(*) AS n_spans_kept
+      FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Tokenizer merge-pair scoring / collocation lift
+    * (Curation.mergePairScores): adjacent-pair counts vs unigram
+    * margins, score = n_pair·N/(n_left·n_right) as one identical
+    * double expression tree over exact BIGINTs in both engines.
+    * Top-20 by score — the pairs a BPE trainer would merge first. */
+  val q76 = Q("q76_merge_pairs",
+    (s, dir) => graft.text.Curation.mergePairScores("doc_id", "text", minPairFreq = 3L)(
+        t(s, dir, "documents"))
+      .orderBy(col("score").desc, col("pair"))
+      .limit(20),
+    Some("""WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      p AS (SELECT toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] AS pair
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk WHERE len(toks) >= 2)),
+      pc AS (SELECT pair, COUNT(*) AS n_pair FROM p GROUP BY pair HAVING COUNT(*) >= 3),
+      uc AS (SELECT tok, COUNT(*) AS n_tok
+        FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY tok),
+      tot AS (SELECT COUNT(*) AS n_total FROM p)
+      SELECT pair, n_pair, l.n_tok AS n_left, r.n_tok AS n_right,
+        (CAST(n_pair AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+          (CAST(l.n_tok AS DOUBLE) * CAST(r.n_tok AS DOUBLE)) AS score
+      FROM pc
+      JOIN uc l ON l.tok = string_split(pair, ' ')[1]
+      JOIN uc r ON r.tok = string_split(pair, ' ')[2], tot
+      ORDER BY score DESC, pair LIMIT 20"""))
+
+  /** k-means assignment step (Similarity.kmeansAssign): 8 smallest-id
+    * seed centroids, exact integer squared distances over ×1000-
+    * quantized components, ties to the smaller centroid id; per-cluster
+    * sizes and total distortion verified. Plus listCentroidSums this is
+    * a full deterministic Lloyd iteration. */
+  val q77 = Q("q77_kmeans_assign",
+    (s, dir) => Similarity.kmeansAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_assigned"), sum(col("dist2")).as("total_dist2"))
+      .orderBy("cid"),
+    Some("""WITH base AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      FROM embeddings),
+      c AS (SELECT vec_id AS cid, qv AS cqv FROM base ORDER BY vec_id LIMIT 8),
+      ex AS (SELECT vec_id, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS x
+             FROM base, range(1, 65) t(i)),
+      cx AS (SELECT cid, CAST(i AS INT) AS pos, cqv[CAST(i AS INT)] AS cv
+             FROM c, range(1, 65) t(i)),
+      d AS (SELECT vec_id, cid, CAST(SUM((x-cv)*(x-cv)) AS BIGINT) AS dist2
+            FROM ex JOIN cx USING (pos) GROUP BY vec_id, cid),
+      a AS (SELECT vec_id, cid, dist2,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM d)
+      SELECT cid, COUNT(*) AS n_assigned, CAST(SUM(dist2) AS BIGINT) AS total_dist2
+      FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
 }

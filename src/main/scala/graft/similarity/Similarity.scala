@@ -53,6 +53,39 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
         s => s.getField("sv")).as("cvec"))
 
+  /** One k-means ASSIGNMENT step over an embedding column — the
+    * clustering primitive of corpus curation (topic bucketing, per-
+    * cluster mixture weighting, semantic dedup beyond [[signBucket]]).
+    * Seeds are the `k` vectors with the smallest ids (deterministic,
+    * engine-portable — no RNG); each vector goes to the centroid with
+    * the minimum EXACT integer squared distance Σ(x−c)² over ×1000-
+    * quantized components, ties to the smaller centroid id. Returns
+    * (idCol, cid, dist2).
+    *
+    * A full Lloyd iteration is this plus [[listCentroidSums]] on the
+    * assignment (cosine-invariant integer centroid sums) — both halves
+    * stay exact, so iterating is deterministic in any engine.
+    *
+    * Scale shape: the seed set is k·dims longs — broadcast; the
+    * assignment is a narrow scan over the vectors (no shuffle at all:
+    * broadcast nested-loop against k rows, then a per-id reduce that
+    * collapses in the same stage). Overflow: |x−c| ≤ 2¹² for unit-scale
+    * ×1000 quantization, so dist2 ≤ dims·2²⁴ — nowhere near BIGINT. */
+  def kmeansAssign(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val base = emb.select(col(idCol), quantize(col(vecCol)).as("qv"))
+    val seeds = base.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cid"), col("qv").as("cqv"))
+    val dist2 = aggregate(
+      zip_with(col("qv"), col("cqv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    base.crossJoin(broadcast(seeds))
+      .select(col(idCol), col("cid"), dist2.as("dist2"))
+      .groupBy(idCol)
+      .agg(min(struct(col("dist2"), col("cid"))).as("best"))
+      .select(col(idCol), col("best.cid").as("cid"), col("best.dist2").as("dist2"))
+  }
+
   /** Per-vector squared deviation from its group centroid, built from
     * EXACT integer arithmetic: dist2 = Σ_pos (n·x_pos − S_pos)² (all
     * BIGINT — no float centroid), where S/n are the per-(group, pos)

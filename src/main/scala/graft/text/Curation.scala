@@ -300,6 +300,106 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Adjacent-token pair association scores — the merge-selection step
+    * of tokenizer training (BPE picks the highest-scoring adjacent
+    * pair; q32's token stats are the other half) and, equivalently,
+    * corpus collocation discovery (PMI without the log: the score is
+    * the raw probability ratio p(xy)/(p(x)·p(y)) = n_pair·N_pairs /
+    * (n_left·n_right·(N_pairs/N_toks)²)… simplified here to the
+    * standard lift form n_pair·N_pairs/(n_left·n_right), monotone in
+    * PMI for fixed margins). All counts are exact BIGINTs; the score
+    * is (a·b)/(c·d) over doubles cast FROM those exact integers — the
+    * identical expression tree in any engine, hence bit-identical.
+    *
+    * `minPairFreq` prunes the hapax pair tail BEFORE the unigram
+    * joins — the same broadcast-size bound as [[unigramQuality]]'s
+    * `minTokenFreq`. Shuffle shape: one aggregate on the pair stream,
+    * one on the token stream, two joins on token (the pruned pair
+    * table is the small side at any corpus size — pair frequency ≥
+    * minPairFreq caps it at N_pairs/minPairFreq rows). */
+  def mergePairScores(
+      idCol: String, textCol: String, minPairFreq: Long = 2L)(
+      df: DataFrame): DataFrame = {
+    val toksOf = split(trim(lower(col(textCol))), "\\s+")
+    // materialize the token array in its own projection BEFORE the
+    // pair lambda: element_at(split(text), i) inside the lambda would
+    // re-split the whole text per pair — O(tokens²) per document
+    val toksDf = df.select(toksOf.as("__toks"))
+    val tk = col("__toks")
+    val pairsOf = when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val pairCounts = toksDf.select(explode(pairsOf).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairFreq)
+    val tokCounts = toksDf.select(explode(tk).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    // N over ALL pairs (pre-prune) — the score's normalizer is a corpus
+    // property, not a property of the surviving pair table. A doc with
+    // t tokens has max(t−1, 0) adjacent pairs, so N is plain arithmetic
+    // on token counts: no third explode of the token stream, just a
+    // narrow scan + scalar agg.
+    val totalPairs = df.agg(
+      sum(greatest(size(toksOf) - 1, lit(0)).cast(LongType)).as("n_total"))
+    pairCounts
+      .withColumn("left_tok", split(col("pair"), " ").getItem(0))
+      .withColumn("right_tok", split(col("pair"), " ").getItem(1))
+      .join(tokCounts.withColumnRenamed("tok", "left_tok")
+        .withColumnRenamed("n_tok", "n_left"), Seq("left_tok"))
+      .join(tokCounts.withColumnRenamed("tok", "right_tok")
+        .withColumnRenamed("n_tok", "n_right"), Seq("right_tok"))
+      .crossJoin(broadcast(totalPairs))
+      .select(col("pair"), col("n_pair"), col("n_left"), col("n_right"),
+        ((col("n_pair").cast("double") * col("n_total").cast("double")) /
+          (col("n_left").cast("double") * col("n_right").cast("double"))).as("score"))
+  }
+
+  /** Substring-level dedup, REMOVE phase (the transform half of Lee et
+    * al. 2021's "Deduplicating Training Data Makes Language Models
+    * Better", approximated at scale by fixed-width token chunks — the
+    * discovery half is battery q70's repeated-n-gram scan): chunk each
+    * document into non-overlapping `chunkTokens`-token spans, keep only
+    * each distinct span's globally FIRST occurrence (min (id, position)
+    * — deterministic at any partitioning), and reassemble the surviving
+    * spans in document order. Documents whose every span was seen
+    * earlier drop out entirely (they are exact-duplicate content).
+    *
+    * Returns (idCol, textCol-deduplicated, n_spans_kept).
+    *
+    * Scale shape: chunking is narrow (one scan, array ops in codegen);
+    * the winner election is ONE shuffle — a window over the span text.
+    * At 100 TB the wire bytes are dominated by the span strings; the
+    * cheaper two-pass variant elects winners on 60-bit span HASHES
+    * (8 bytes each, [[Dedup.shingleHash60]]-style) and joins the
+    * (id, pos) winner set back to a narrowly re-derived chunk stream —
+    * two light shuffles instead of one heavy one. This parity form
+    * keeps the single-shuffle plan so the DuckDB oracle (battery q75)
+    * can hash-verify the reassembled text byte-for-byte. */
+  def dedupSpans(
+      idCol: String, textCol: String, chunkTokens: Int = 50)(
+      df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk")).orderBy(col(idCol), col("pos"))
+    // token array materialized BEFORE the chunk lambda — slice(split(..))
+    // inside the lambda would re-split the text once per chunk
+    val toksDf = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+    val tk = col("__toks")
+    val nChunks = ceil(size(tk) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(tk, i * chunkTokens + 1, lit(chunkTokens))))
+    toksDf.select(col(idCol), posexplode(chunks).as(Seq("pos", "chunk")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(idCol)
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s.getField("chunk"))).as(textCol),
+        count(lit(1)).as("n_spans_kept"))
+  }
+
   /** The full default funnel; returns each stage's surviving DataFrame
     * in order (s0 input … s5 sample) so callers can count, persist, or
     * continue from any stage.

@@ -189,6 +189,61 @@ class CurationSpec extends SparkTestBase {
     }, minSuccessful = 10)
   }
 
+  test("mergePairScores: lift from exact pair/unigram counts, normalizer is pre-prune") {
+    // tokens: a:3 b:3 c:3 z:1; pairs: "a b":3, "b a":1, "b c":1, "c c":1 (N=6);
+    // single-token doc "z" contributes no pairs and must not crash the chain
+    val df = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "c c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val all = df.transform(Curation.mergePairScores("doc_id", "text", minPairFreq = 1L))
+      .orderBy("pair")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(all.map(_._1) == Seq("a b", "b a", "b c", "c c"))
+    assert(all.head == (("a b", 3L, 3L, 3L, 2.0)), s"got ${all.head}")
+    assert(all(1)._5 == 6.0 / 9.0)
+    // pruning drops rare pairs but keeps N at the corpus total (6)
+    val pruned = df.transform(Curation.mergePairScores("doc_id", "text", minPairFreq = 2L))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(pruned == Seq(("a b", 3L, 3L, 3L, 2.0)), s"got $pruned")
+  }
+
+  test("dedupSpans keeps each span's first (id, pos) occurrence and reassembles in order") {
+    // 4-token chunks; doc 1 owns "a b c d" and "e f g h"; doc 2 repeats
+    // "a b c d" (dropped) then contributes "x y z w"; doc 3 is entirely
+    // built from already-seen spans and must vanish.
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "e f g h a b c d"))
+      .toDF("doc_id", "text")
+    val got = df.transform(Curation.dedupSpans("doc_id", "text", chunkTokens = 4))
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a b c d e f g h", 2L), (2L, "x y z w", 1L)))
+  }
+
+  test("dedupSpans intra-doc repeat keeps only the earlier position") {
+    val df = Seq((7L, "p q r s p q r s t u v w")).toDF("doc_id", "text")
+    val got = df.transform(Curation.dedupSpans("doc_id", "text", chunkTokens = 4))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((7L, "p q r s t u v w", 2L)))
+  }
+
+  test("property: dedupSpans output spans are globally distinct and cover all distinct input spans") {
+    val wordGen = Gen.oneOf("a", "b", "c", "d")
+    val textGen = Gen.chooseNum(4, 24).flatMap(k => Gen.listOfN(k, wordGen)).map(_.mkString(" "))
+    ScalaCheckSupport.checkProp(Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
+      val n = 4
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val outSpans = Curation.dedupSpans("doc_id", "text", chunkTokens = n)(df)
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .flatMap { case (_, t) => t.split(" ").grouped(n).map(_.mkString(" ")) }
+      val inSpans = texts.flatMap(_.split(" ").grouped(n).map(_.mkString(" ")))
+      outSpans.length == outSpans.distinct.length &&
+        outSpans.toSet == inSpans.toSet
+    }, minSuccessful = 20)
+  }
+
   test("stratifiedSample keeps exactly n per stratum, deterministically") {
     val df = spark.range(200)
       .selectExpr("id AS doc_id", "CAST(id % 4 AS STRING) AS lang")

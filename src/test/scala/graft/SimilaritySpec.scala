@@ -58,6 +58,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq((0, Seq(4000L, 6000L)), (1, Seq(10000L, 20000L))))
   }
 
+  test("kmeansAssign: nearest seed by exact integer distance, ties to smaller cid") {
+    // seeds are the k smallest ids (1, 2): s1=(0,0), s2=(10,0).
+    // v3=(1,0) -> s1 (1e6 vs 81e6); v4=(6,0) -> s2 (36e6 vs 16e6);
+    // v5=(5,0) equidistant (25e6) -> tie -> smaller cid 1.
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(6.0f, 0.0f)), (5L, Seq(5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2)
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 0L), (2L, 2L, 0L), (3L, 1L, 1000000L),
+      (4L, 2L, 16000000L), (5L, 1L, 25000000L)), s"got $out")
+  }
+
   test("centroidDeviations: exact integer dist2 = n^2 * squared distance, dev2 normalizes") {
     // label 0: vecs (0,0) and (2,2) in 0.001 units -> centroid (1,1),
     // each vec at squared distance 2e6 in quantized units; n=2 ->
