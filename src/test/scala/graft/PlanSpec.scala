@@ -110,4 +110,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"token stream shuffled for the vocab join:\n$p")
   }
+
+  test("q75 span dedup: winner election is ONE chunk shuffle, no join back") {
+    val p = plan(Battery.q75.run(spark, dir))
+    assert(p.contains("Window"), s"no window op:\n$p")
+    val chunkExchanges = "hashpartitioning\\(chunk".r.findAllIn(p).size
+    assert(chunkExchanges <= 1, s"extra chunk shuffles ($chunkExchanges):\n$p")
+    // the token array must be materialized once per row, not re-split
+    // inside the chunk lambda (the O(tokens^2) trap)
+    assert("split\\(".r.findAllIn(p).size <= 1, s"split re-evaluated per chunk:\n$p")
+  }
+
+  test("q76 merge pairs: pruned pair table joins against unigram counts without a cross product") {
+    val p = plan(Battery.q76.run(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"pair/unigram join degenerated:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k pairs:\n$p")
+  }
+
+  test("q77 kmeans assignment broadcasts the k seeds — vector side scans shuffle-free") {
+    val p = plan(Battery.q77.run(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"seed set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vectors shuffled against the k seeds:\n$p")
+  }
 }
