@@ -20,8 +20,8 @@ object Bench {
     * reference for the outlier guard. Tolerant parse: missing dir, no
     * files, truncated JSON all degrade to "no prior" (guard disabled).
     */
-  private def priorRoundTimes(): Map[String, Double] = try {
-    val dir = new java.io.File(".")
+  private[graft] def priorRoundTimes(
+      dir: java.io.File = new java.io.File(".")): Map[String, Double] = try {
     val benches = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
     benches.lastOption.map { f =>

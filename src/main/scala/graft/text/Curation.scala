@@ -367,20 +367,23 @@ object Curation {
     *
     * Returns (idCol, textCol-deduplicated, n_spans_kept).
     *
-    * Scale shape: chunking is narrow (one scan, array ops in codegen);
-    * the winner election is ONE shuffle — a window over the span text.
-    * At 100 TB the wire bytes are dominated by the span strings; the
-    * cheaper two-pass variant elects winners on 60-bit span HASHES
-    * (8 bytes each, [[Dedup.shingleHash60]]-style) and joins the
-    * (id, pos) winner set back to a narrowly re-derived chunk stream —
-    * two light shuffles instead of one heavy one. This parity form
-    * keeps the single-shuffle plan so the DuckDB oracle (battery q75)
-    * can hash-verify the reassembled text byte-for-byte. */
+    * Scale shape: chunking is narrow (one scan, array ops in codegen).
+    * The default (parity) form elects winners with a window over the
+    * span TEXT, so the span strings cross the wire twice — once for the
+    * window shuffle, once for the reassembly aggregate. That form is
+    * what battery q75's DuckDB oracle hash-verifies byte-for-byte.
+    * `hashedWinners = true` is the 100 TB form: winners are elected on
+    * codegen'd xxhash64(span) — 8 bytes per span on the wire — and the
+    * per-doc winner POSITIONS (a tiny array) join back to the narrowly
+    * re-derived chunk stream on the doc id; the reassembly aggregate
+    * then rides that join's exchange, so the span text is shuffled ONCE
+    * instead of twice and the heavy sort keys on long strings disappear.
+    * Same output (spec-pinned), modulo a 2⁻⁶⁴ hash-collision risk —
+    * the same accepted class as [[Dedup.shingleHash60]]. */
   def dedupSpans(
-      idCol: String, textCol: String, chunkTokens: Int = 50)(
+      idCol: String, textCol: String, chunkTokens: Int = 50,
+      hashedWinners: Boolean = false)(
       df: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("chunk")).orderBy(col(idCol), col("pos"))
     // token array materialized BEFORE the chunk lambda — slice(split(..))
     // inside the lambda would re-split the text once per chunk
     val toksDf = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
@@ -389,10 +392,25 @@ object Curation {
     val chunks = transform(
       sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(tk, i * chunkTokens + 1, lit(chunkTokens))))
-    toksDf.select(col(idCol), posexplode(chunks).as(Seq("pos", "chunk")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .groupBy(idCol)
+    val exploded = toksDf.select(col(idCol), posexplode(chunks).as(Seq("pos", "chunk")))
+    val kept =
+      if (!hashedWinners) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk")).orderBy(col(idCol), col("pos"))
+        exploded.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+      } else {
+        val winners = exploded
+          .select(xxhash64(col("chunk")).as("__h"),
+            struct(col(idCol).as("id"), col("pos").as("pos")).as("__occ"))
+          .groupBy("__h").agg(min(col("__occ")).as("w"))
+          .select(col("w.id").as(idCol), col("w.pos").as("pos"))
+        val winnersPerDoc = winners.groupBy(idCol)
+          .agg(collect_set(col("pos")).as("__wpos"))
+        exploded.join(winnersPerDoc, Seq(idCol))
+          .filter(array_contains(col("__wpos"), col("pos")))
+      }
+    kept.groupBy(idCol)
       .agg(
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("chunk")))),

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench outlier guard's previous-round parser: pure JVM, no Spark.
+  * The guard's failure mode must always be "no prior" (disabled), never
+  * a crash — a broken guard would take the whole benchmark down. */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private def tmpDirWith(files: (String, String)*): java.io.File = {
+    val d = Files.createTempDirectory("benchguard").toFile
+    files.foreach { case (name, body) =>
+      Files.writeString(new java.io.File(d, name).toPath, body)
+    }
+    d
+  }
+
+  test("picks the newest BENCH_r file and parses per-query seconds") {
+    val d = tmpDirWith(
+      "BENCH_r04.json" -> """{"queries":{"q01_x":9.0}}""",
+      "BENCH_r05.json" ->
+        """{"metric":"total","value":1.5,"queries":{"q01_x":1.25,"q27_y":2.950},"failed":0}""")
+    val got = Bench.priorRoundTimes(d)
+    assert(got == Map("q01_x" -> 1.25, "q27_y" -> 2.95))
+  }
+
+  test("TRUNCATED json (the BENCH_r05 tail-capture case) still yields the surviving entries") {
+    val d = tmpDirWith(
+      "BENCH_r05.json" -> """_sample":0.183,"q49_unpivot":1.319,"q50_topk":0.3""")
+    // q49 is complete in the fragment; the cut-off q50 value still parses
+    // as a number prefix — both usable, neither fatal
+    val got = Bench.priorRoundTimes(d)
+    assert(got.get("q49_unpivot").contains(1.319))
+  }
+
+  test("missing dir, empty dir, and junk files all degrade to no-prior") {
+    assert(Bench.priorRoundTimes(new java.io.File("/nonexistent-xyz")).isEmpty)
+    assert(Bench.priorRoundTimes(tmpDirWith()).isEmpty)
+    assert(Bench.priorRoundTimes(tmpDirWith("BENCH_r05.json" -> "not json at all")).isEmpty)
+    assert(Bench.priorRoundTimes(tmpDirWith("OTHER.json" -> """{"q01_x":1.0}""")).isEmpty)
+  }
+}

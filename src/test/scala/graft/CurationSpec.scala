@@ -244,6 +244,23 @@ class CurationSpec extends SparkTestBase {
     }, minSuccessful = 20)
   }
 
+  test("property: dedupSpans hashedWinners scale path equals the parity form") {
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "ee")
+    val textGen = Gen.chooseNum(3, 20).flatMap(k => Gen.listOfN(k, wordGen)).map(_.mkString(" "))
+    ScalaCheckSupport.checkProp(Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def run(hashed: Boolean) =
+        Curation.dedupSpans("doc_id", "text", chunkTokens = 3, hashedWinners = hashed)(df)
+          .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+      run(false) == run(true)
+    }, minSuccessful = 15)
+    // and the hashed plan must not shuffle on the span text
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val p = Curation.dedupSpans("doc_id", "text", 3, hashedWinners = true)(df)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning(chunk"), s"hashed path shuffles span text:\n$p")
+  }
+
   test("stratifiedSample keeps exactly n per stratum, deterministically") {
     val df = spark.range(200)
       .selectExpr("id AS doc_id", "CAST(id % 4 AS STRING) AS lang")
