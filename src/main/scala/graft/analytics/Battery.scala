@@ -644,6 +644,9 @@ object Battery {
     * corpus. */
   val q29 = Q("q29_simhash_neardup",
     (s, dir) => {
+      // NOTE: deliberately NOT behind Rebalance.forCpuStage — the
+      // 32-bit simhash pass is one md5 per TOKEN (not per shingle),
+      // measured cheaper than the rebalance exchange it would buy
       val withH = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash32Md5(col("text")).as("h"))
         .localCheckpoint(false)

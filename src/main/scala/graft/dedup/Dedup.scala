@@ -210,9 +210,15 @@ object Dedup {
 
   /** (id, h): sorted distinct 60-bit shingle hashes per doc — the ONE
     * md5 pass, shared by both LSH banding and exact-Jaccard
-    * verification. */
+    * verification. The md5-per-shingle scan is the CPU-dominant stage
+    * of the whole near-dup family, so it runs behind
+    * [[graft.operators.Rebalance.forCpuStage]]: inputs whose scan
+    * splits ≪ cores (single-row-group files) get one round-robin
+    * exchange before the digest work; healthy layouts pass through
+    * untouched. */
   def hashedDocs(df: DataFrame, idCol: String, textCol: String, mode: ShingleMode): DataFrame =
-    df.select(col(idCol).as("id"), shingleHashSetUdf(mode)(col(textCol)).as("h"))
+    graft.operators.Rebalance.forCpuStage(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), shingleHashSetUdf(mode)(col(textCol)).as("h"))
 
   /** MinHash-LSH candidate pairs: band the (bands*rowsPerBand)-value
     * permutation signature, bucket-join on (band index, band
