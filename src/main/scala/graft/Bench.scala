@@ -10,24 +10,41 @@ object Bench {
   /** Millisecond precision is plenty for seconds-scale timings and keeps
     * the single stdout JSON line ~40% shorter (full double toString emits
     * 15+ digits/query x 74 queries — long lines are what the driver's
-    * tail capture truncated in BENCH_r05).
+    * tail capture truncated in BENCH_r05). Locale.ROOT: the default
+    * locale's decimal COMMA (de_DE etc.) would make the JSON line the
+    * driver parses invalid.
     */
   private def fmt(v: Double): String =
-    if (v < 0) "-1.0" else f"$v%.3f"
+    if (v < 0) "-1.0"
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** Per-query times from the newest BENCH_r*.json in the working dir
     * (the repo root when the driver runs us), as the previous-round
-    * reference for the outlier guard. Tolerant parse: missing dir, no
-    * files, truncated JSON all degrade to "no prior" (guard disabled).
+    * reference for the outlier guard. "Newest" sorts the round number
+    * NUMERICALLY (lexicographic would pin r99 above r100 forever).
+    * When `expectedSf` is given and the file records a different "sf",
+    * the prior is discarded — cross-scale comparisons would mis-trigger
+    * the guard on every query. Tolerant parse: missing dir, no files,
+    * truncated JSON all degrade to "no prior" (guard disabled).
     */
   private[graft] def priorRoundTimes(
-      dir: java.io.File = new java.io.File(".")): Map[String, Double] = try {
+      dir: java.io.File = new java.io.File("."),
+      expectedSf: Option[String] = None): Map[String, Double] = try {
     val benches = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toLong)
     benches.lastOption.map { f =>
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val re = """"(q\d+\w*)"\s*:\s*(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)""".r
-      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val sfRe = """"sf"\s*:\s*"([^"]*)"""".r
+      val sfOk = (expectedSf, sfRe.findFirstMatchIn(txt)) match {
+        case (Some(want), Some(m)) => m.group(1) == want
+        case _ => true // either side unknown -> trust the file
+      }
+      if (!sfOk) Map.empty[String, Double]
+      else {
+        val re = """"(q\d+\w*)"\s*:\s*(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)""".r
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     }.getOrElse(Map.empty)
   } catch { case _: Throwable => Map.empty[String, Double] }
 
@@ -85,7 +102,7 @@ object Bench {
     // exceeds 3x the same query's previous-round value (and the delta is
     // >1s, so sub-second jitter never triggers it), buy ONE extra timed
     // pass for that query alone and keep the overall min.
-    val prior = priorRoundTimes()
+    val prior = priorRoundTimes(expectedSf = Some(sfDir))
     val results = selected.map { case (name, fn) =>
       val samples = Seq(p1(name), p2(name)).filter(_ >= 0)
       val min2 = if (samples.isEmpty) -1.0 else samples.min

@@ -389,9 +389,13 @@ object Curation {
     val toksDf = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
     val tk = col("__toks")
     val nChunks = ceil(size(tk) / lit(chunkTokens.toDouble)).cast("int")
-    val chunks = transform(
+    // null-text guard: size(null) = -1 would make sequence(0, -2) emit
+    // PHANTOM spans (Spark auto-steps backwards); null-text docs must
+    // instead produce no spans at all — matching the oracle, where
+    // range(0, NULL) unnests to zero rows. posexplode skips null arrays.
+    val chunks = when(tk.isNotNull, transform(
       sequence(lit(0), nChunks - 1),
-      i => concat_ws(" ", slice(tk, i * chunkTokens + 1, lit(chunkTokens))))
+      i => concat_ws(" ", slice(tk, i * chunkTokens + 1, lit(chunkTokens)))))
     val exploded = toksDf.select(col(idCol), posexplode(chunks).as(Seq("pos", "chunk")))
     val kept =
       if (!hashedWinners) {

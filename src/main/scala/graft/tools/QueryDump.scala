@@ -23,12 +23,29 @@ object QueryDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // same stale-output discipline as Verify: remove the previous dump
+    // BEFORE running, so a query that throws cannot leave old parquet
+    // for the oracle compare to "pass" on; and keep going so one broken
+    // query doesn't hide the others' results
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    var failed = 0
     names.foreach { name =>
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      val dest = new java.io.File(s"$outDir/$name")
+      if (dest.exists()) rmrf(dest)
+      try {
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        println(s"[dump] $name -> $outDir/$name")
+      } catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[dump] $name FAILED: ${e.getMessage}")
+      }
       graft.CacheReset(spark)
-      println(s"[dump] $name -> $outDir/$name")
     }
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

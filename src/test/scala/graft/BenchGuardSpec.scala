@@ -35,6 +35,23 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(got.get("q49_unpivot").contains(1.319))
   }
 
+  test("round numbers sort numerically — r100 is newer than r99") {
+    val d = tmpDirWith(
+      "BENCH_r99.json" -> """{"queries":{"q01_x":9.9}}""",
+      "BENCH_r100.json" -> """{"queries":{"q01_x":1.0}}""")
+    assert(Bench.priorRoundTimes(d) == Map("q01_x" -> 1.0))
+  }
+
+  test("a prior recorded at a different scale factor is discarded") {
+    val d = tmpDirWith(
+      "BENCH_r05.json" -> """{"queries":{"q01_x":1.0},"sf":"/root/testdata/sf0.01"}""")
+    assert(Bench.priorRoundTimes(d, expectedSf = Some("/root/testdata/sf0.1")).isEmpty)
+    assert(Bench.priorRoundTimes(d, expectedSf = Some("/root/testdata/sf0.01")).nonEmpty)
+    // file without an sf field -> trusted (pre-guard rounds)
+    val d2 = tmpDirWith("BENCH_r05.json" -> """{"queries":{"q01_x":1.0}}""")
+    assert(Bench.priorRoundTimes(d2, expectedSf = Some("x")).nonEmpty)
+  }
+
   test("missing dir, empty dir, and junk files all degrade to no-prior") {
     assert(Bench.priorRoundTimes(new java.io.File("/nonexistent-xyz")).isEmpty)
     assert(Bench.priorRoundTimes(tmpDirWith()).isEmpty)

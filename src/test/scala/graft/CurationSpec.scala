@@ -222,6 +222,14 @@ class CurationSpec extends SparkTestBase {
     assert(got == Seq((1L, "a b c d e f g h", 2L), (2L, "x y z w", 1L)))
   }
 
+  test("dedupSpans: null-text docs yield no spans (no phantom empty chunks)") {
+    val df = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = df.transform(Curation.dedupSpans("doc_id", "text", chunkTokens = 4))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a b c d", 1L)), s"got $got")
+  }
+
   test("dedupSpans intra-doc repeat keeps only the earlier position") {
     val df = Seq((7L, "p q r s p q r s t u v w")).toDF("doc_id", "text")
     val got = df.transform(Curation.dedupSpans("doc_id", "text", chunkTokens = 4))
