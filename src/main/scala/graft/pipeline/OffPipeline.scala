@@ -19,6 +19,17 @@ object OffPipeline {
     * semantic fill, array split, bounds, derivations, rounding, time
     * parts, window dedup, code filter (pipeline_etl.ipynb:167-436). */
   def silver(bronze: DataFrame): DataFrame = {
+    // NOTE on scan parallelism: the bronze CSV scan is UNSPLITTABLE
+    // (multiLine=true, reference parity — a quoted field may span line
+    // breaks, so Spark cannot chop the file at arbitrary offsets), and
+    // this whole chain is narrow until the dedup window's shuffle. A
+    // Rebalance.forCpuStage here was MEASURED SLOWER (silver lap
+    // 7.8-9.9s → 10.9-12.6s at reference scale): the single-task cost
+    // is the CSV *parse* itself, which no post-scan exchange can
+    // parallelize, and the codegen'd clean cascade is cheap enough
+    // that shuffling 418k rows to spread it loses. At real scale the
+    // fix is upstream — many input files (each its own task) or
+    // multiLine=false when fields are known newline-free.
     val projected = Ingest.renameDashes(
       Ingest.selectExisting(bronze, OffModel.rawAllowlist))
 
