@@ -1865,11 +1865,30 @@ object Battery {
       SELECT cid, COUNT(*) AS n_assigned, CAST(SUM(dist2) AS BIGINT) AS total_dist2
       FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid"""))
 
+  /** Lexical-diversity report: per-source token count, vocabulary size,
+    * and type-token ratio (one IEEE division of exact BIGINTs) — the
+    * corpus-richness signal read next to q74's domain mix when choosing
+    * mixture weights (boilerplate-heavy sources score low). One
+    * shuffle: the distinct-agg on (source, tok). */
+  val q78 = Q("q78_lexical_diversity",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct_tokens"))
+      .withColumn("ttr",
+        col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("source"),
+    Some("""WITH ex AS (SELECT source,
+        unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents)
+      SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct_tokens,
+        CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ttr
+      FROM ex GROUP BY source ORDER BY source"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }

@@ -141,7 +141,16 @@ object Multimodal {
   /** Decode → frame-sample → embed, as ONE mapPartitions pass: the
     * decoder handle ("stub state") is created once per partition and
     * reused across rows — the batch shape a native codec needs. Output
-    * is a flat Dataset[FrameFeature] ready for similarity search. */
+    * is a flat Dataset[FrameFeature] ready for similarity search.
+    *
+    * Parallelism note: mapPartitions inherits the INPUT partitioning,
+    * so a split-starved scan (few files / single row groups) runs the
+    * decode on few cores. With a real codec (10ms+ per frame, unlike
+    * this stub) wrap the input in
+    * [[graft.operators.Rebalance.forCpuStage]] first — with the stub,
+    * the extra exchange costs more than the fake decode saves, so it
+    * is deliberately NOT wired here (same measurement as q29's simhash
+    * pass). */
   def decodeAndEmbed(
       media: Dataset[MediaRow], stride: Int = 2, maxFrames: Int = 8): Dataset[FrameFeature] = {
     import media.sparkSession.implicits._
