@@ -73,6 +73,30 @@ class SimilaritySpec extends SparkTestBase {
       (4L, 2L, 16000000L), (5L, 1L, 25000000L)), s"got $out")
   }
 
+  test("property: kmeansAssign matches a brute-force argmin over the seed set") {
+    // component values are exact hundredths so quantize(x*1000) hits no
+    // rounding boundary and the Scala-side model is bit-exact
+    val compGen = Gen.chooseNum(-200, 200).map(_ / 100.0f)
+    val vecGen = Gen.listOfN(4, compGen)
+    ScalaCheckSupport.checkProp(Prop.forAll(Gen.listOfN(8, vecGen)) { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+      val df = rows.toDF("vec_id", "embedding")
+      val k = 3
+      def q(v: List[Float]): Array[Long] = v.map(x => math.round(x * 1000.0)).toArray
+      val seeds = rows.sortBy(_._1).take(k).map { case (id, v) => (id, q(v)) }
+      val expected = rows.map { case (id, v) =>
+        val qv = q(v)
+        val best = seeds.map { case (cid, cv) =>
+          (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }.min // (dist2, cid) lexicographic — ties to the smaller cid
+        (id, best._2, best._1)
+      }.sortBy(_._1)
+      val got = Similarity.kmeansAssign(df, "vec_id", "embedding", k)
+        .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+      got == expected
+    }, minSuccessful = 15)
+  }
+
   test("centroidDeviations: exact integer dist2 = n^2 * squared distance, dev2 normalizes") {
     // label 0: vecs (0,0) and (2,2) in 0.001 units -> centroid (1,1),
     // each vec at squared distance 2e6 in quantized units; n=2 ->
