@@ -22,6 +22,26 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** JSON-lines scan (one object per line — the interchange format of
+    * most web-corpus dumps). `schema = None` infers (requiring an extra
+    * pass over the data — fine interactively, wasteful in a pipeline);
+    * production callers pass the schema so the scan is single-pass and
+    * malformed rows land in PERMISSIVE nulls instead of failing the
+    * job. Unlike the bronze TSV, JSONL is SPLITTABLE (one record per
+    * line, no multi-line quoting), so scan parallelism follows file
+    * size, not file count. */
+  def jsonLines(
+      spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("mode", "PERMISSIVE")
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** ORC scan — the other columnar format a warehouse migration brings
+    * along; Spark's vectorized reader handles it like parquet
+    * (pushdown, pruning). */
+  def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
   /** O-7: allowlist projection, skipping columns absent in the source
     * (pipeline_etl.ipynb:167-175). Manual pruning is kept as the schema
     * contract even though Catalyst would prune anyway. */

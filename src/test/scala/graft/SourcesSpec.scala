@@ -19,19 +19,21 @@ class SourcesSpec extends SparkTestBase {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
     df.orderBy("o_orderkey").collect().map(_.toSeq.toList).toList
 
-  test("ORC round-trip preserves schema and values") {
+  test("ORC round-trip preserves schema and values (Ingest.orc)") {
     val p = tmp("orc")
     orders.write.orc(p)
-    val back = spark.read.orc(p)
+    val back = graft.ingest.Ingest.orc(spark, p)
     assert(back.schema == orders.schema)
     assert(rows(back) == rows(orders))
   }
 
-  test("JSON-lines round-trip preserves values under the explicit schema") {
+  test("JSON-lines round-trip preserves values under the explicit schema (Ingest.jsonLines)") {
     val p = tmp("json")
     orders.write.json(p)
-    val back = spark.read.schema(orders.schema).json(p)
+    val back = graft.ingest.Ingest.jsonLines(spark, p, Some(orders.schema))
     assert(rows(back) == rows(orders))
+    // schema-less read infers (interactive convenience, documented cost)
+    assert(graft.ingest.Ingest.jsonLines(spark, p).count() == orders.count())
   }
 
   test("CSV round-trip preserves values under the explicit schema") {
