@@ -1868,8 +1868,10 @@ object Battery {
   /** Lexical-diversity report: per-source token count, vocabulary size,
     * and type-token ratio (one IEEE division of exact BIGINTs) — the
     * corpus-richness signal read next to q74's domain mix when choosing
-    * mixture weights (boilerplate-heavy sources score low). One
-    * shuffle: the distinct-agg on (source, tok). */
+    * mixture weights (boilerplate-heavy sources score low). Shuffle
+    * shape: countDistinct plans two-level aggregation — one exchange on
+    * (source, tok), a second on source — plus the final sort's range
+    * exchange over |sources| rows. */
   val q78 = Q("q78_lexical_diversity",
     (s, dir) => t(s, dir, "documents")
       .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
