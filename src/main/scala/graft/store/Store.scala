@@ -93,6 +93,39 @@ object Store {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).jdbc(url, table, properties)
 
+  /** Small-file compaction: rewrite a managed table into
+    * ~`targetBytes`-sized files. Streaming sinks and micro-batch
+    * appends accumulate file sprawl (every [[append]] is new files),
+    * and at 100 TB a table of 10⁶ tiny files spends more time in
+    * footer reads and task scheduling than in data — periodic
+    * compaction is the standing maintenance job of any large parquet
+    * store.
+    *
+    * Target file count = catalog-stats bytes / targetBytes (falling
+    * back to row-count-based sizing only if stats are absent —
+    * `sizeInBytes` for file-backed tables is always available from the
+    * file index). A table CANNOT be overwritten from a plan that reads
+    * it, so the rewrite goes through a temp table + catalog swap:
+    * write `<table>__compact`, drop the original, rename. The window
+    * where the original name is absent is the same non-atomic window
+    * Spark's own non-transactional catalog has for overwrite-by-name;
+    * callers needing stronger guarantees layer a transactional table
+    * format on top. Partitioning/bucketing metadata is NOT carried
+    * over — compact the unpartitioned silver/report tables; for
+    * partitioned facts, rewrite via [[overwrite]] with `partitionBy`
+    * instead. */
+  def compact(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.table(table)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1L, ((bytes + targetBytes - 1) / targetBytes).toLong)
+    val tmp = table + "__compact"
+    df.repartition(nFiles.toInt).write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
+    spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
+  }
+
   /** Persist a full gold layer; fact partitioned if requested. */
   def persistGold(
       gold: Map[String, DataFrame],

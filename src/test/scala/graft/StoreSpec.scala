@@ -92,6 +92,23 @@ class StoreSpec extends SparkTestBase {
     Store.drop(spark, "fact_part")
   }
 
+  test("compact rewrites a sprawled table into few files, preserving data") {
+    Store.ensureDatabase(spark, "graft_test")
+    val df = spark.range(1000).selectExpr("id", "CAST(id % 7 AS STRING) AS v")
+    df.repartition(20).write.mode("overwrite").format("parquet").saveAsTable("t_sprawl")
+    val before = spark.table("t_sprawl").inputFiles.length
+    assert(before >= 20, s"setup should sprawl, got $before files")
+    val want = spark.table("t_sprawl").orderBy("id").collect().toSeq
+    Store.compact(spark, "t_sprawl") // tiny table -> one target file
+    val after = spark.table("t_sprawl").inputFiles.length
+    assert(after < before && after <= 2, s"still sprawled: $after files")
+    assert(spark.table("t_sprawl").orderBy("id").collect().toSeq == want)
+    // idempotent: compacting a compact table keeps data + file count sane
+    Store.compact(spark, "t_sprawl")
+    assert(spark.table("t_sprawl").orderBy("id").collect().toSeq == want)
+    Store.drop(spark, "t_sprawl")
+  }
+
   test("quoted backticks each part of a qualified identifier, doubling embedded backticks") {
     assert(Store.quoted("t") == "`t`")
     assert(Store.quoted("db.t") == "`db`.`t`")
