@@ -86,6 +86,40 @@ object Similarity {
       .select(col(idCol), col("best.cid").as("cid"), col("best.dist2").as("dist2"))
   }
 
+  /** Assignment against a LITERAL centroid set — the stateless twin of
+    * [[kmeansAssign]] for when the centroids are already known (a
+    * trained codebook, the output of a batch Lloyd run). Because the
+    * centroids are inlined as literal arrays, the expression is fully
+    * narrow — no join, no shuffle, no state — which makes it legal in
+    * a Structured Streaming micro-batch as-is: route each incoming
+    * document's embedding to its topic cluster at ingest time (online
+    * curation), with batch/stream results identical by construction.
+    * Ties go to the smaller centroid id via the lexicographic
+    * (dist2, cid) least().
+    *
+    * The quantized vector is materialized in its OWN projection before
+    * the k zip_with lambdas: feeding one lambda-bearing array
+    * expression into k outer higher-order functions is the documented
+    * Spark 4.1.2 nested-lambda wrong-results hazard
+    * (Dedup.scala bandSigsUdf scaladoc). */
+  def assignToCentroids(
+      df: DataFrame, vecCol: String, centroids: Seq[(Long, Array[Long])]): DataFrame = {
+    require(centroids.nonEmpty, "assignToCentroids needs at least one centroid")
+    val withQ = df.withColumn("__qv", quantize(col(vecCol)))
+    val candidates = centroids.map { case (cid, cv) =>
+      val cvLit = array(cv.map(lit).toIndexedSeq: _*)
+      val d = aggregate(
+        zip_with(col("__qv"), cvLit, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+      struct(d.as("dist2"), lit(cid).as("cid"))
+    }
+    withQ
+      .withColumn("__best", least(candidates: _*))
+      .withColumn("cid", col("__best.cid"))
+      .withColumn("dist2", col("__best.dist2"))
+      .drop("__qv", "__best")
+  }
+
   /** Per-vector squared deviation from its group centroid, built from
     * EXACT integer arithmetic: dist2 = Σ_pos (n·x_pos − S_pos)² (all
     * BIGINT — no float centroid), where S/n are the per-(group, pos)

@@ -97,6 +97,21 @@ class SimilaritySpec extends SparkTestBase {
     }, minSuccessful = 15)
   }
 
+  test("assignToCentroids equals kmeansAssign when given the same seed set") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(6.0f, 0.0f)), (5L, Seq(5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Seq(
+      1L -> Array(0L, 0L), 2L -> Array(10000L, 0L)) // the two smallest-id vectors, quantized
+    val viaLiteral = Similarity.assignToCentroids(df, "embedding", seeds)
+      .select("vec_id", "cid", "dist2")
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    val viaJoin = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2)
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(viaLiteral == viaJoin, s"literal=$viaLiteral join=$viaJoin")
+  }
+
   test("centroidDeviations: exact integer dist2 = n^2 * squared distance, dev2 normalizes") {
     // label 0: vecs (0,0) and (2,2) in 0.001 units -> centroid (1,1),
     // each vec at squared distance 2e6 in quantized units; n=2 ->

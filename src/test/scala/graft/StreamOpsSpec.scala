@@ -166,4 +166,24 @@ class StreamOpsSpec extends SparkTestBase {
     assert(s7.session_start == ts(0) && s7.session_end == ts(5))
     assert(s9.user_id == 9L && s9.n_events == 1L && s9.total_value == 9.0)
   }
+
+  test("assignToCentroids runs stateless on a stream — online cluster routing at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val docs = input.toDF().toDF("doc_id", "embedding")
+    val centroids = Seq(1L -> Array(0L, 0L), 2L -> Array(10000L, 0L))
+    val q = graft.similarity.Similarity.assignToCentroids(docs, "embedding", centroids)
+      .select("doc_id", "cid", "dist2")
+      .writeStream.format("memory").queryName("assign_out")
+      .outputMode("append").start()
+    input.addData((100L, Seq(1.0f, 0.0f)), (101L, Seq(9.0f, 0.0f)))
+    q.processAllAvailable()
+    input.addData((102L, Seq(5.0f, 0.0f))) // equidistant -> smaller cid
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("assign_out")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (100L, 1L, 1000000L), (101L, 2L, 1000000L), (102L, 1L, 25000000L)), s"got $out")
+  }
 }
