@@ -1886,11 +1886,45 @@ object Battery {
         CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ttr
       FROM ex GROUP BY source ORDER BY source"""))
 
+  /** Near-dup cluster-size histogram: the distribution you read to
+    * calibrate dedup aggressiveness (a fat tail of big clusters means
+    * boilerplate; all-pairs means the threshold is too loose). Same
+    * LSH→verify→connected-components front end as q64, then two tiny
+    * aggregates: per-component size, then clusters per size. */
+  val q79 = Q("q79_cluster_size_histogram",
+    (s, dir) => {
+      val verified = Dedup.verifiedNearDupPairs(
+          t(s, dir, "documents"), "doc_id", "text", Dedup.CharShingles(5), 8, 4)
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+      graft.operators.ConnectedComponents.components(verified)
+        .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+    Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
+      $hashSetCte,
+      ${lshCandSql(8, 4)},
+      ver AS (SELECT id_a, id_b FROM (
+          SELECT id_a, id_b, ${jaccardSql("sa.h", "sb.h")} AS j
+          FROM cand JOIN shh sa ON sa.doc_id = id_a JOIN shh sb ON sb.doc_id = id_b)
+        WHERE j >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION SELECT id_b, id_a FROM ver),
+      walk(src, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      comp AS (SELECT src AS doc_id, MIN(reach) AS component FROM walk GROUP BY src),
+      sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+      SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
+      GROUP BY cluster_size ORDER BY cluster_size"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }

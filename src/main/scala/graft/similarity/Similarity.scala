@@ -113,8 +113,10 @@ object Similarity {
         lit(0L), (acc, v) => acc + v)
       struct(d.as("dist2"), lit(cid).as("cid"))
     }
+    // least() requires two+ children — a 1-entry codebook is its own min
+    val best = if (candidates.size == 1) candidates.head else least(candidates: _*)
     withQ
-      .withColumn("__best", least(candidates: _*))
+      .withColumn("__best", best)
       .withColumn("cid", col("__best.cid"))
       .withColumn("dist2", col("__best.dist2"))
       .drop("__qv", "__best")

@@ -110,6 +110,11 @@ class SimilaritySpec extends SparkTestBase {
     val viaJoin = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2)
       .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
     assert(viaLiteral == viaJoin, s"literal=$viaLiteral join=$viaJoin")
+    // 1-entry codebook: least() needs two+ children, the single
+    // candidate must be used directly
+    val one = Similarity.assignToCentroids(df, "embedding", seeds.take(1))
+      .select("cid").distinct().as[Long].collect().toSeq
+    assert(one == Seq(1L))
   }
 
   test("centroidDeviations: exact integer dist2 = n^2 * squared distance, dev2 normalizes") {
