@@ -1521,22 +1521,22 @@ object Battery {
         COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
       FROM w GROUP BY 1 ORDER BY window_start"""))
 
-  /** Near-dup CLUSTERING: LSH + Jaccard ≥ 0.5 pairs → distributed
-    * connected components (min-label propagation + pointer jumping,
-    * graft.operators.ConnectedComponents) → (doc, component). The step
-    * that turns pairwise near-dups into "keep one doc per cluster".
-    * Oracle: recursive-CTE transitive closure. */
-  val q64 = Q("q64_neardup_clusters",
-    (s, dir) => {
-      val verified = Dedup.verifiedNearDupPairs(
-          t(s, dir, "documents"), "doc_id", "text", Dedup.CharShingles(5), 8, 4)
-        .filter(col("jaccard") >= 0.5)
-        .select("id_a", "id_b")
-      graft.operators.ConnectedComponents.components(verified)
-        .select(col("id").as("doc_id"), col("comp").as("component"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
+  /** Shared q64/q79 front end: LSH + Jaccard ≥ 0.5 pairs → distributed
+    * connected components → (id, comp). ONE definition of "cluster" —
+    * a threshold or banding change edits exactly here and both queries
+    * (and both oracles, via [[neardupCompCte]]) stay in lockstep. */
+  private def neardupComponents(s: SparkSession, dir: String): DataFrame = {
+    val verified = Dedup.verifiedNearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text", Dedup.CharShingles(5), 8, 4)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b")
+    graft.operators.ConnectedComponents.components(verified)
+  }
+
+  /** The oracle twin of [[neardupComponents]]: WITH-chain ending in a
+    * `comp(doc_id, component)` CTE (recursive transitive closure). */
+  private def neardupCompCte: String =
+    s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
       $hashSetCte,
       ${lshCandSql(8, 4)},
       ver AS (SELECT id_a, id_b FROM (
@@ -1548,9 +1548,20 @@ object Battery {
       walk(src, reach) AS (
         SELECT src, src FROM (SELECT DISTINCT src FROM edges)
         UNION
-        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
-      SELECT src AS doc_id, MIN(reach) AS component FROM walk
-      GROUP BY src ORDER BY doc_id"""))
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      comp AS (SELECT src AS doc_id, MIN(reach) AS component FROM walk GROUP BY src)"""
+
+  /** Near-dup CLUSTERING: LSH + Jaccard ≥ 0.5 pairs → distributed
+    * connected components (min-label propagation + pointer jumping,
+    * graft.operators.ConnectedComponents) → (doc, component). The step
+    * that turns pairwise near-dups into "keep one doc per cluster".
+    * Oracle: recursive-CTE transitive closure. */
+  val q64 = Q("q64_neardup_clusters",
+    (s, dir) => neardupComponents(s, dir)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id"),
+    Some(s"""$neardupCompCte
+      SELECT doc_id, component FROM comp ORDER BY doc_id"""))
 
   /** Benchmark DECONTAMINATION (training-data op): count distinct word
     * 5-grams each corpus doc shares with an "eval set" (here: doc_id %
@@ -1892,30 +1903,11 @@ object Battery {
     * LSH→verify→connected-components front end as q64, then two tiny
     * aggregates: per-component size, then clusters per size. */
   val q79 = Q("q79_cluster_size_histogram",
-    (s, dir) => {
-      val verified = Dedup.verifiedNearDupPairs(
-          t(s, dir, "documents"), "doc_id", "text", Dedup.CharShingles(5), 8, 4)
-        .filter(col("jaccard") >= 0.5)
-        .select("id_a", "id_b")
-      graft.operators.ConnectedComponents.components(verified)
-        .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-        .orderBy("cluster_size")
-    },
-    Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
-      $hashSetCte,
-      ${lshCandSql(8, 4)},
-      ver AS (SELECT id_a, id_b FROM (
-          SELECT id_a, id_b, ${jaccardSql("sa.h", "sb.h")} AS j
-          FROM cand JOIN shh sa ON sa.doc_id = id_a JOIN shh sb ON sb.doc_id = id_b)
-        WHERE j >= 0.5),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM ver
-                UNION SELECT id_b, id_a FROM ver),
-      walk(src, reach) AS (
-        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-        UNION
-        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
-      comp AS (SELECT src AS doc_id, MIN(reach) AS component FROM walk GROUP BY src),
+    (s, dir) => neardupComponents(s, dir)
+      .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size"),
+    Some(s"""$neardupCompCte,
       sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
       SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
       GROUP BY cluster_size ORDER BY cluster_size"""))

@@ -97,14 +97,25 @@ object Similarity {
     * Ties go to the smaller centroid id via the lexicographic
     * (dist2, cid) least().
     *
+    * Appends `cid` and `dist2` to the input's columns (enrichment —
+    * the streaming use keeps the document payload); the input must not
+    * already carry columns with those names (checked).
+    *
     * The quantized vector is materialized in its OWN projection before
     * the k zip_with lambdas: feeding one lambda-bearing array
     * expression into k outer higher-order functions is the documented
     * Spark 4.1.2 nested-lambda wrong-results hazard
-    * (Dedup.scala bandSigsUdf scaladoc). */
+    * (Dedup.scala bandSigsUdf scaladoc). That protection relies on the
+    * projection NOT collapsing, which Catalyst only guarantees while
+    * `__qv` is referenced more than once — so a 1-entry codebook goes
+    * through least(c, c) (same value, two references) instead of the
+    * bare candidate, which CollapseProject would re-inline into the
+    * hazard shape. */
   def assignToCentroids(
       df: DataFrame, vecCol: String, centroids: Seq[(Long, Array[Long])]): DataFrame = {
     require(centroids.nonEmpty, "assignToCentroids needs at least one centroid")
+    require(!df.columns.contains("cid") && !df.columns.contains("dist2"),
+      "assignToCentroids appends cid/dist2 — rename the existing columns first")
     val withQ = df.withColumn("__qv", quantize(col(vecCol)))
     val candidates = centroids.map { case (cid, cv) =>
       val cvLit = array(cv.map(lit).toIndexedSeq: _*)
@@ -113,13 +124,12 @@ object Similarity {
         lit(0L), (acc, v) => acc + v)
       struct(d.as("dist2"), lit(cid).as("cid"))
     }
-    // least() requires two+ children — a 1-entry codebook is its own min
-    val best = if (candidates.size == 1) candidates.head else least(candidates: _*)
-    withQ
-      .withColumn("__best", best)
-      .withColumn("cid", col("__best.cid"))
-      .withColumn("dist2", col("__best.dist2"))
-      .drop("__qv", "__best")
+    val best =
+      if (candidates.size == 1) least(candidates.head, candidates.head)
+      else least(candidates: _*)
+    withQ.withColumn("__best", best)
+      .select((df.columns.map(col) :+
+        col("__best.cid").as("cid") :+ col("__best.dist2").as("dist2")).toIndexedSeq: _*)
   }
 
   /** Per-vector squared deviation from its group centroid, built from

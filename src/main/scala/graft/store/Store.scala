@@ -101,28 +101,36 @@ object Store {
     * compaction is the standing maintenance job of any large parquet
     * store.
     *
-    * Target file count = catalog-stats bytes / targetBytes (falling
-    * back to row-count-based sizing only if stats are absent —
-    * `sizeInBytes` for file-backed tables is always available from the
-    * file index). A table CANNOT be overwritten from a plan that reads
-    * it, so the rewrite goes through a temp table + catalog swap:
-    * write `<table>__compact`, drop the original, rename. The window
-    * where the original name is absent is the same non-atomic window
-    * Spark's own non-transactional catalog has for overwrite-by-name;
-    * callers needing stronger guarantees layer a transactional table
-    * format on top. Partitioning/bucketing metadata is NOT carried
-    * over — compact the unpartitioned silver/report tables; for
-    * partitioned facts, rewrite via [[overwrite]] with `partitionBy`
+    * Target file count = catalog-stats bytes / targetBytes, clamped to
+    * [1, 2²⁰] — the clamp both caps pathological rewrites and absorbs
+    * the stats-missing sentinel (`defaultSizeInBytes` = Long.MaxValue
+    * for never-ANALYZEd non-file relations), which would otherwise
+    * wrap to repartition(0) under Int narrowing. A table CANNOT be
+    * overwritten from a plan that reads it, so the rewrite goes
+    * through a temp table + catalog swap: write `<table>__compact`,
+    * drop the original, rename. The window where the original name is
+    * absent is the same non-atomic window Spark's own
+    * non-transactional catalog has for overwrite-by-name; callers
+    * needing stronger guarantees layer a transactional table format on
+    * top. Partitioned/bucketed tables are REJECTED (the plain rewrite
+    * would silently strip pruning/co-location metadata) — recompact
+    * those via [[overwrite]] with `partitionBy` / [[overwriteBucketed]]
     * instead. */
   def compact(spark: SparkSession, table: String,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    require(meta.partitionColumnNames.isEmpty && meta.bucketSpec.isEmpty,
+      s"compact would strip partitioning/bucketing from $table — " +
+        "rewrite via overwrite(partitionBy)/overwriteBucketed instead")
     val df = spark.table(table)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = math.max(1L, ((bytes + targetBytes - 1) / targetBytes).toLong)
+    val nFiles = ((bytes + targetBytes - 1) / targetBytes)
+      .max(1).min(1L << 20).toInt
     val tmp = table + "__compact"
-    df.repartition(nFiles.toInt).write.mode(SaveMode.Overwrite)
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(tmp)
-    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
+    drop(spark, table)
     spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
   }
 

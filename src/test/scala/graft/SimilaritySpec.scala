@@ -110,11 +110,15 @@ class SimilaritySpec extends SparkTestBase {
     val viaJoin = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2)
       .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
     assert(viaLiteral == viaJoin, s"literal=$viaLiteral join=$viaJoin")
-    // 1-entry codebook: least() needs two+ children, the single
-    // candidate must be used directly
+    // 1-entry codebook: least() needs two+ children; dist2 asserted too,
+    // because with one centroid the cid alone is constant and would not
+    // catch a mis-bound lambda recomputing distances wrongly
     val one = Similarity.assignToCentroids(df, "embedding", seeds.take(1))
-      .select("cid").distinct().as[Long].collect().toSeq
-    assert(one == Seq(1L))
+      .select("vec_id", "cid", "dist2")
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(one == Seq(
+      (1L, 1L, 0L), (2L, 1L, 100000000L), (3L, 1L, 1000000L),
+      (4L, 1L, 36000000L), (5L, 1L, 25000000L)), s"got $one")
   }
 
   test("centroidDeviations: exact integer dist2 = n^2 * squared distance, dev2 normalizes") {

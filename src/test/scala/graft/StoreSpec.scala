@@ -109,6 +109,15 @@ class StoreSpec extends SparkTestBase {
     Store.drop(spark, "t_sprawl")
   }
 
+  test("compact rejects partitioned tables instead of silently stripping pruning") {
+    Store.ensureDatabase(spark, "graft_test")
+    val df = spark.range(100).selectExpr("id", "CAST(id % 3 AS STRING) AS part")
+    Store.overwrite(df, "t_parted", partitionBy = Seq("part"))
+    val e = intercept[IllegalArgumentException](Store.compact(spark, "t_parted"))
+    assert(e.getMessage.contains("partitioning"), e.getMessage)
+    Store.drop(spark, "t_parted")
+  }
+
   test("quoted backticks each part of a qualified identifier, doubling embedded backticks") {
     assert(Store.quoted("t") == "`t`")
     assert(Store.quoted("db.t") == "`db`.`t`")
