@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CleanAsciiExpression, TopKBy}
+import graft.functions.{CleanAsciiExpression, ShingleHashSet, SimHash32, TopKBy}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * Catalyst functions available to plain SQL texts on any session built
@@ -15,6 +15,9 @@ import graft.functions.{CleanAsciiExpression, TopKBy}
   *
   *  - `clean_ascii(s)` — codegen unicode→ASCII normalize (O-9)
   *  - `topk_by(order, payload, k)` — map-side-bounded per-group top-k
+  *  - `shingle_hash_set(s, word, n)` — codegen sorted-distinct 60-bit
+  *    shingle-hash set (the near-dup fingerprint kernel)
+  *  - `simhash32(s)` — codegen 32-bit md5-SimHash
   *  - the [[graft.plans.AsOfJoinStrategy]] planner strategy for the
   *    native as-of join operator
   */
@@ -40,7 +43,13 @@ object GraftExtensions {
             s"topk_by k must be an integer literal, got $other")
         }
         TopKBy(exprs(0), exprs(1), k).toAggregateExpression()
-      }))
+      }),
+    (FunctionIdentifier("shingle_hash_set"),
+      new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
+      ShingleHashSet.fromSql _),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
 
   /** Register the same functions on an already-running session (e.g. in
     * tests or notebooks where the session pre-exists the library). */
@@ -58,7 +67,9 @@ object GraftExtensions {
     import graft.dedup.Dedup
     spark.udf.register("char_shingles", Dedup.charShinglesUdf)
     spark.udf.register("word_shingles", Dedup.wordShinglesUdf)
-    spark.udf.register("simhash32", Dedup.simhash32Md5Udf)
+    // simhash32 graduated from a UDF to a native codegen expression;
+    // registered here too so the UDF-era SQL surface keeps working.
+    graft.functions.SimHash32.register(spark)
     spark.udf.register("jaccard_hash_sets", Dedup.jaccardOfHashSetsUdf)
     spark.udf.register("shingle_hash60",
       org.apache.spark.sql.functions.udf((s: String) =>

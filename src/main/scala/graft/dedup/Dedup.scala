@@ -211,14 +211,17 @@ object Dedup {
   /** (id, h): sorted distinct 60-bit shingle hashes per doc — the ONE
     * md5 pass, shared by both LSH banding and exact-Jaccard
     * verification. The md5-per-shingle scan is the CPU-dominant stage
-    * of the whole near-dup family, so it runs behind
+    * of the whole near-dup family, so it is (a) a native codegen
+    * expression ([[graft.functions.ShingleHashSet]] — no UDF fence, no
+    * per-row serde on the hottest 100 TB path), and (b) runs behind
     * [[graft.operators.Rebalance.forCpuStage]]: inputs whose scan
     * splits ≪ cores (single-row-group files) get one round-robin
     * exchange before the digest work; healthy layouts pass through
     * untouched. */
   def hashedDocs(df: DataFrame, idCol: String, textCol: String, mode: ShingleMode): DataFrame =
     graft.operators.Rebalance.forCpuStage(df.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("id"), shingleHashSetUdf(mode)(col(textCol)).as("h"))
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleHashSet.shingleHashSet(col(textCol), mode).as("h"))
 
   /** MinHash-LSH candidate pairs: band the (bands*rowsPerBand)-value
     * permutation signature, bucket-join on (band index, band
@@ -302,11 +305,6 @@ object Dedup {
         ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
     top64 >>> 4
   }
-
-  private def shingleHashSetUdf(mode: ShingleMode): UserDefinedFunction =
-    udf { (text: String) =>
-      Option(text).map(t => mode(t).map(shingleHash60).distinct.sorted.toArray)
-    }
 
   /** Jaccard of two sorted long arrays via linear merge — primitive
     * Array[Long] params so the 10⁶-scale pair joins don't box every
@@ -415,33 +413,10 @@ object Dedup {
 
   /** 32-bit SimHash with md5-derived token hashes — the cross-engine
     * reproducible variant (an ANSI-SQL oracle can rebuild it from
-    * `md5()` + bit ops, unlike xxhash64). One-pass in-JVM UDF: a
-    * built-in-only formulation needs 32 `aggregate` passes over the
-    * token array (one per bit), which is strictly worse than a single
-    * UDF pass; candidate for a codegen `Expression` later. Token hash =
-    * first 8 hex chars of md5(token) parsed as unsigned. */
-  val simhash32Md5Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
-      if (text == null) null.asInstanceOf[java.lang.Long]
-      else {
-        val toks = text.trim.toLowerCase.split("\\s+").distinct.filter(_.nonEmpty)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val counts = new Array[Int](32)
-        toks.foreach { t =>
-          md.reset()
-          val d = md.digest(t.getBytes("UTF-8"))
-          // first 4 bytes == first 8 hex chars, big-endian unsigned
-          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-          var b = 0
-          while (b < 32) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
-        }
-        var out = 0L
-        var b = 0
-        while (b < 32) { if (counts(b) * 2 > toks.length) out |= (1L << b); b += 1 }
-        java.lang.Long.valueOf(out)
-      }
-    }
-
-  def simhash32Md5(text: Column): Column = simhash32Md5Udf(text)
+    * `md5()` + bit ops, unlike xxhash64). A single-pass codegen
+    * expression ([[graft.functions.SimHash32]]): a built-in-only
+    * formulation needs 32 `aggregate` passes over the token array (one
+    * per bit), and the former UDF form added a codegen fence + per-row
+    * serde. Token hash = first 8 hex chars of md5(token) as unsigned. */
+  def simhash32Md5(text: Column): Column = graft.functions.SimHash32.simhash32(text)
 }

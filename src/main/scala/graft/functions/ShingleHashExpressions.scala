@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.dedup.Dedup
+
+/** Native Catalyst expressions for the near-dup family's CPU-dominant
+  * kernels — the round-6 verdict's top item. These replace the opaque
+  * Scala UDFs `shingleHashSetUdf` / `simhash32Md5Udf`: a UDF call is a
+  * whole-stage-codegen fence plus a per-row serde boundary, and the
+  * shingle-hash pass is the single hottest stage of the entire dedup
+  * family (q26/q27/q28/q64/q75/q79 + the q54 funnel) — exactly where a
+  * fence hurts most at 100 TB. As opaque expressions they ALSO keep the
+  * protection the UDFs existed for: their output array is a leaf value
+  * to any downstream higher-order function, so the documented Spark
+  * 4.1.2 nested-lambda mis-binding hazard (Dedup.scala bandSigsUdf
+  * scaladoc) can never see inside them.
+  *
+  * Semantics are bit-for-bit those of the UDFs they replace (the DuckDB
+  * oracles pin them): md5-based 60-bit shingle hashes
+  * ([[Dedup.shingleHash60]]), sorted-distinct sets, and the md5-derived
+  * 32-bit SimHash. Measured before→after (sf0.1, local[32], min-of-2
+  * in one JVM): q29 3.29→2.82s, q79 3.16→2.67s, q64 2.66→2.59s,
+  * q27 2.29→2.23s — the removed serde + fence is worth ~10-15% on the
+  * simhash/CC paths; the remaining per-row cost is the md5 digest
+  * itself (shared by any engine computing the same portable hash).
+  */
+case class ShingleHashSet(child: Expression, word: Boolean, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash_set requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashSet.evalUtf8(input.asInstanceOf[UTF8String], word, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashSet.evalUtf8($c, $word, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+object ShingleHashSet {
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Sort in place, then dedupe in place; the input array is consumed. */
+  private def distinctSorted(a: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(a)
+    var w = 0
+    var i = 0
+    while (i < a.length) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == a.length) a else java.util.Arrays.copyOf(a, w)
+  }
+
+  /** Static kernel shared by interpreted eval and generated code.
+    * Exactly [[Dedup.charShinglesScala]]/[[Dedup.wordShinglesScala]]
+    * followed by hash+distinct+sort, except the distinct runs on the
+    * 60-bit hashes directly (the UDF deduped strings AND then hashes;
+    * distinct-of-hashes is the same final set either way) — no
+    * intermediate distinct string set is materialized. */
+  def evalUtf8(s: UTF8String, word: Boolean, n: Int): ArrayData = {
+    val t = s.toString
+    val raw: Array[Long] =
+      if (word) {
+        val toks = ws.split(t.trim)
+        if (toks.length >= n) {
+          val m = toks.length - n + 1
+          val out = new Array[Long](m)
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i < m) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j))
+              j += 1
+            }
+            out(i) = Dedup.shingleHash60(sb.toString)
+            i += 1
+          }
+          out
+        } else Array(Dedup.shingleHash60(toks.mkString(" ")))
+      } else {
+        if (t.length >= n) {
+          val m = t.length - n + 1
+          val out = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            out(i) = Dedup.shingleHash60(t.substring(i, i + n))
+            i += 1
+          }
+          out
+        } else Array(Dedup.shingleHash60(t))
+      }
+    new GenericArrayData(distinctSorted(raw))
+  }
+
+  /** Column API — the [[Dedup.hashedDocs]] kernel. */
+  def shingleHashSet(text: Column, mode: Dedup.ShingleMode): Column = mode match {
+    case Dedup.CharShingles(n) =>
+      GraftSqlBridge.column(ShingleHashSet(GraftSqlBridge.expression(text), word = false, n))
+    case Dedup.WordShingles(n) =>
+      GraftSqlBridge.column(ShingleHashSet(GraftSqlBridge.expression(text), word = true, n))
+  }
+
+  /** SQL builder: `shingle_hash_set(text, word_boolean, n)`. */
+  def fromSql(exprs: Seq[Expression]): Expression = {
+    val word = exprs(1) match {
+      case Literal(b: Boolean, BooleanType) => b
+      case other => throw new IllegalArgumentException(
+        s"shingle_hash_set `word` must be a boolean literal, got $other")
+    }
+    val n = exprs(2) match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"shingle_hash_set `n` must be an integer literal, got $other")
+    }
+    ShingleHashSet(exprs.head, word, n)
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("shingle_hash_set"),
+      new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
+      fromSql _)
+}
+
+/** 32-bit md5-SimHash as a codegen expression — the cross-engine
+  * reproducible SimHash (token hash = first 8 hex chars of md5(token)
+  * as unsigned; bit b of the result set iff more than half the distinct
+  * non-empty lowercased tokens have bit b set). Bit-for-bit the
+  * semantics of the former `simhash32Md5Udf`, pinned by q29's DuckDB
+  * oracle. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash32 requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash32.evalUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash32.evalUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+object SimHash32 {
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val md5Tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static kernel shared by interpreted eval and generated code.
+    * Votes are summed over the DISTINCT non-empty tokens (a HashSet
+    * dedupe — addition is commutative, so set-iteration order is
+    * irrelevant), identical to the UDF's `.distinct.filter(_.nonEmpty)`. */
+  def evalUtf8(s: UTF8String): Long = {
+    val toks = ws.split(s.toString.trim.toLowerCase)
+    val seen = new java.util.HashSet[String]()
+    val md = md5Tl.get()
+    val counts = new Array[Int](32)
+    var total = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty && seen.add(t)) {
+        total += 1
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        // first 4 bytes == first 8 hex chars, big-endian unsigned
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var b = 0
+        while (b < 32) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) * 2 > total) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Column API — replaces `Dedup.simhash32Md5Udf`. */
+  def simhash32(text: Column): Column =
+    GraftSqlBridge.column(SimHash32(GraftSqlBridge.expression(text)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head))
+}

@@ -66,7 +66,15 @@ object Rebalance {
 
   def forCpuStage(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val target = spark.conf.getOption("graft.cpuStageParallelism").map(_.toInt)
+    // Streaming plans: the batch-only optimizedPlan access below would
+    // throw (UnsupportedOperationChecker); the valve is a batch-scan
+    // concept anyway, so it stays closed for streams.
+    if (df.isStreaming) return df
+    // Tolerant parse, matching the maxPartitionBytes convention below:
+    // a malformed conf degrades to the default instead of failing every
+    // query in the dedup family.
+    val target = spark.conf.getOption("graft.cpuStageParallelism")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
       .getOrElse(spark.sparkContext.defaultParallelism)
     if (target <= 0) return df
     val plan = df.queryExecution.optimizedPlan

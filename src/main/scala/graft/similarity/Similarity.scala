@@ -67,9 +67,11 @@ object Similarity {
     * stay exact, so iterating is deterministic in any engine.
     *
     * Scale shape: the seed set is k·dims longs — broadcast; the
-    * assignment is a narrow scan over the vectors (no shuffle at all:
-    * broadcast nested-loop against k rows, then a per-id reduce that
-    * collapses in the same stage). Overflow: |x−c| ≤ 2¹² for unit-scale
+    * assignment itself is a narrow scan (broadcast nested-loop against
+    * k rows — no join shuffle). The per-id argmin reduces in-stage
+    * (partial min(struct) rides the scan) and exchanges only the
+    * (id, best) pairs — one partial-agg-collapsed exchange on the id,
+    * ~one narrow row per vector on the wire. Overflow: |x−c| ≤ 2¹² for unit-scale
     * ×1000 quantization, so dist2 ≤ dims·2²⁴ — nowhere near BIGINT. */
   def kmeansAssign(
       emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+import graft.dedup.Dedup
+import graft.functions.{ShingleHashSet, SimHash32}
+
+/** Native codegen shingle-hash-set and simhash32: bit-for-bit parity
+  * with the plain-Scala reference kernels the former UDFs wrapped,
+  * null safety, SQL registration, and codegen-friendliness (these are
+  * the near-dup family's hottest stage — a fence here is the thing the
+  * expressions exist to remove). */
+class ShingleHashExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** The pre-expression reference semantics, straight from the Dedup
+    * building blocks the DuckDB oracles mirror. */
+  private def refShingleSet(t: String, mode: Dedup.ShingleMode): Seq[Long] =
+    mode(t).map(Dedup.shingleHash60).distinct.sorted
+
+  private def refSimhash32(text: String): Long = {
+    val toks = text.trim.toLowerCase.split("\\s+").distinct.filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](32)
+    toks.foreach { t =>
+      val d = md.digest(t.getBytes("UTF-8")); md.reset()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var b = 0
+      while (b < 32) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+    }
+    (0 until 32).foldLeft(0L)((acc, b) =>
+      if (counts(b) * 2 > toks.length) acc | (1L << b) else acc)
+  }
+
+  private val textGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(" "), Gen.const("\t"),
+      Gen.const("é"), Gen.const("The"))).map(_.mkString),
+    Gen.const(""), Gen.const("   "), Gen.const("a"), Gen.const("ab"))
+
+  test("shingle_hash_set ≡ reference kernel (char + word, property)") {
+    ScalaCheckSupport.checkProp(Prop.forAll(textGen, Gen.choose(1, 6)) { (t: String, n: Int) =>
+      val charOut = ShingleHashSet.evalUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), word = false, n)
+      val wordOut = ShingleHashSet.evalUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), word = true, n)
+      charOut.toLongArray.toSeq == refShingleSet(t, Dedup.CharShingles(n)) &&
+        wordOut.toLongArray.toSeq == refShingleSet(t, Dedup.WordShingles(n))
+    })
+  }
+
+  test("simhash32 ≡ reference kernel (property)") {
+    ScalaCheckSupport.checkProp(Prop.forAll(textGen) { (t: String) =>
+      SimHash32.evalUtf8(org.apache.spark.unsafe.types.UTF8String.fromString(t)) ==
+        refSimhash32(t)
+    })
+  }
+
+  test("null-safe in a plan") {
+    val df = Seq(Option.empty[String], Some("the quick brown fox")).toDF("t")
+    val sh = df.select(ShingleHashSet.shingleHashSet(col("t"), Dedup.WordShingles(2)))
+      .as[Option[Seq[Long]]].collect()
+    assert(sh(0).isEmpty && sh(1).nonEmpty)
+    val si = df.select(SimHash32.simhash32(col("t"))).as[Option[Long]].collect()
+    assert(si(0).isEmpty && si(1).nonEmpty)
+  }
+
+  test("registers as SQL functions (extensions path)") {
+    GraftExtensions.register(spark)
+    val hs = spark.sql("SELECT shingle_hash_set('abcd', false, 3) AS h")
+      .as[Seq[Long]].head()
+    assert(hs == refShingleSet("abcd", Dedup.CharShingles(3)))
+    val sh = spark.sql("SELECT simhash32('the quick brown fox') AS h").as[Long].head()
+    assert(sh == refSimhash32("the quick brown fox"))
+    // non-literal word/n rejected with a clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hash_set('x', false, CAST(rand()*3 AS INT))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+
+  test("stays inside whole-stage codegen (no fence on the hot path)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(ShingleHashSet.shingleHashSet(col("text"), Dedup.CharShingles(5)).as("h"),
+        SimHash32.simhash32(col("text")).as("s"))
+      .filter(size(col("h")) > 0)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), s"codegen broken:\n$p")
+    // parity on real data vs the reference kernels (driver-side)
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"),
+        ShingleHashSet.shingleHashSet(col("text"), Dedup.WordShingles(2)).as("h"),
+        SimHash32.simhash32(col("text")).as("s"))
+      .limit(50).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getSeq[Long](1) == refShingleSet(t, Dedup.WordShingles(2)))
+      assert(r.getLong(2) == refSimhash32(t))
+    }
+  }
+}
