@@ -18,13 +18,34 @@ object Bench {
     if (v < 0) "-1.0"
     else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Per-query times parsed from one bench-record file; empty when the
+    * file's recorded "sf" contradicts `expectedSf` (cross-scale
+    * comparisons would mis-trigger the outlier guard on every query).
+    * Tolerant: unreadable/truncated JSON degrades to empty. */
+  private def parseTimes(
+      f: java.io.File, expectedSf: Option[String]): Map[String, Double] = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val sfRe = """"sf"\s*:\s*"([^"]*)"""".r
+    val sfOk = (expectedSf, sfRe.findFirstMatchIn(txt)) match {
+      case (Some(want), Some(m)) => m.group(1) == want
+      case _ => true // either side unknown -> trust the file
+    }
+    if (!sfOk) Map.empty[String, Double]
+    else {
+      val re = """"(q\d+\w*)"\s*:\s*(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)""".r
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  } catch { case _: Throwable => Map.empty[String, Double] }
+
   /** Per-query times from the newest BENCH_r*.json in the working dir
     * (the repo root when the driver runs us), as the previous-round
     * reference for the outlier guard. "Newest" sorts the round number
     * NUMERICALLY (lexicographic would pin r99 above r100 forever).
-    * When `expectedSf` is given and the file records a different "sf",
-    * the prior is discarded — cross-scale comparisons would mis-trigger
-    * the guard on every query. Tolerant parse: missing dir, no files,
+    * The driver's tail capture can truncate the HEAD of a round
+    * record's stdout JSON (BENCH_r05 lost q01-q21, r06 lost q01-q13),
+    * so the untruncated [[LocalRecord]] the previous full run wrote is
+    * merged underneath: the round file wins overlaps, the local record
+    * fills the lost head. Tolerant parse: missing dir, no files,
     * truncated JSON all degrade to "no prior" (guard disabled).
     */
   private[graft] def priorRoundTimes(
@@ -33,20 +54,22 @@ object Bench {
     val benches = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(f => f.getName.replaceAll("\\D", "").toLong)
-    benches.lastOption.map { f =>
-      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val sfRe = """"sf"\s*:\s*"([^"]*)"""".r
-      val sfOk = (expectedSf, sfRe.findFirstMatchIn(txt)) match {
-        case (Some(want), Some(m)) => m.group(1) == want
-        case _ => true // either side unknown -> trust the file
-      }
-      if (!sfOk) Map.empty[String, Double]
-      else {
-        val re = """"(q\d+\w*)"\s*:\s*(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)""".r
-        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    }.getOrElse(Map.empty)
+    val fromRound = benches.lastOption
+      .map(parseTimes(_, expectedSf)).getOrElse(Map.empty[String, Double])
+    val fromLocal = parseTimes(new java.io.File(dir, LocalRecord), expectedSf)
+    fromLocal ++ fromRound
   } catch { case _: Throwable => Map.empty[String, Double] }
+
+  /** The untruncatable bench record: the driver captures only the TAIL
+    * of stdout, and the single summary JSON line is long enough that
+    * the head of the per-query map gets cut (BENCH_r05/r06 lost the
+    * first 13-21 queries — a record-keeping gap, not a measurement
+    * one). Every FULL battery run therefore also writes the identical
+    * JSON to this file in the working dir, where the judge and the
+    * next round's outlier guard read all 79 values. Partial runs
+    * (explicit query args) never write it — a 3-query dev loop must
+    * not shadow the full record. */
+  private[graft] val LocalRecord = "BENCH_LOCAL.json"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,7 +212,15 @@ object Bench {
         ",\"pipeline_sec\":-1.0"
       }
     } else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFailed$pipeline,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFailed$pipeline,"sf":"$sfDir"}"""
+    if (args.isEmpty) try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(LocalRecord),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $LocalRecord: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

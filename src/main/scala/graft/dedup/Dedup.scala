@@ -262,8 +262,12 @@ object Dedup {
     * cap are excluded from pair generation — their members are
     * near-certain exact-or-near duplicates that the cheaper exact
     * content-hash dedup ([[exactDedup]]) or a per-bucket sample should
-    * handle instead; a capped run should log the excluded buckets.
-    * Disabled by default so small-corpus results stay exhaustive. */
+    * handle instead. A capped run reports what it dropped BY DEFAULT:
+    * the bucket-count aggregate carries a
+    * [[graft.operators.CapReport]] observation (no extra job), and the
+    * session listener logs a warning whenever an executed query
+    * actually excluded buckets. Disabled by default so small-corpus
+    * results stay exhaustive. */
   def candidatePairsFromBanded(
       banded: DataFrame, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val base =
@@ -271,8 +275,10 @@ object Dedup {
       else {
         // one extra agg on the bucket key — same partitioning as the
         // self-join, so it rides the exchange that exists anyway
-        val ok = banded.groupBy("band", "bandsig")
+        val counts = banded.groupBy("band", "bandsig")
           .agg(count(lit(1)).as("__n"))
+        val ok = graft.operators.CapReport
+          .observeExclusions(counts, "lsh_buckets", col("__n"), maxBucketSize)
           .filter(col("__n") <= maxBucketSize)
           .select("band", "bandsig")
         banded.join(ok, Seq("band", "bandsig"))

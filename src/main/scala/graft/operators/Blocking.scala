@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * [[graft.dedup.Dedup.candidatePairsFromBanded]]'s `maxBucketSize`:
   * blocks above the cap are excluded from pair generation — their
   * members need a cheaper route (exact dedup, a finer blocking key, or
-  * per-block sampling) — and a capped run should log what it dropped
-  * via [[oversizedBlocks]]. Disabled by default so small-corpus
-  * results stay exhaustive.
+  * per-block sampling). A capped run reports what it dropped BY
+  * DEFAULT via a [[CapReport]] observation on the block-count
+  * aggregate (plus the session listener's warning log); use
+  * [[oversizedBlocks]] to enumerate the dropped blocks themselves.
+  * Disabled by default so small-corpus results stay exhaustive.
   *
   * The pair join is merge-hinted like the LSH self-join: both sides
   * are the same plan, so forcing sort-merge gives them identical
@@ -36,8 +38,10 @@ object Blocking {
       else {
         // one agg on the block key — same partitioning as the self-join
         // exchange that exists anyway
-        val ok = df.groupBy(blockCols.map(col): _*)
+        val counts = df.groupBy(blockCols.map(col): _*)
           .agg(count(lit(1)).as("__n"))
+        val ok = CapReport
+          .observeExclusions(counts, "match_blocks", col("__n"), maxBlockSize)
           .filter(col("__n") <= maxBlockSize)
           .select(blockCols.map(col): _*)
         df.join(ok, blockCols)

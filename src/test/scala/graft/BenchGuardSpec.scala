@@ -52,6 +52,21 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.priorRoundTimes(d2, expectedSf = Some("x")).nonEmpty)
   }
 
+  test("BENCH_LOCAL.json fills the truncated head; the round file wins overlaps") {
+    val d = tmpDirWith(
+      // round record lost its head to the tail capture — only q27 survives
+      "BENCH_r06.json" -> """_neardup":2.1,"q27_y":2.290},"failed":0}""",
+      // the untruncated local record from the same full run has everything
+      "BENCH_LOCAL.json" -> """{"queries":{"q01_x":0.5,"q27_y":9.9},"failed":0}""")
+    val got = Bench.priorRoundTimes(d)
+    assert(got.get("q01_x").contains(0.5), got)   // head restored from local
+    assert(got.get("q27_y").contains(2.29), got)  // round file wins overlap
+    // local record at the wrong sf is discarded like any other prior
+    val d2 = tmpDirWith(
+      "BENCH_LOCAL.json" -> """{"queries":{"q01_x":0.5},"sf":"/root/testdata/sf0.01"}""")
+    assert(Bench.priorRoundTimes(d2, expectedSf = Some("/root/testdata/sf0.1")).isEmpty)
+  }
+
   test("missing dir, empty dir, and junk files all degrade to no-prior") {
     assert(Bench.priorRoundTimes(new java.io.File("/nonexistent-xyz")).isEmpty)
     assert(Bench.priorRoundTimes(tmpDirWith()).isEmpty)
