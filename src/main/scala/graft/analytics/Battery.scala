@@ -1912,11 +1912,70 @@ object Battery {
       SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
       GROUP BY cluster_size ORDER BY cluster_size"""))
 
+  /** The 100 TB form of q75: winners elected on 8-byte xxhash64(span)
+    * keys instead of the span text (one text shuffle instead of two —
+    * see Curation.dedupSpans scaladoc). Previously spec-pinned only;
+    * this runs it against the SAME byte-for-byte text oracle as q75,
+    * hash-verifying that the hashed election reproduces the parity
+    * form's output exactly (modulo the documented 2⁻⁶⁴ collision
+    * class, which the fixed corpus does not exhibit). */
+  val q80 = Q("q80_span_dedup_hashed",
+    (s, dir) => graft.text.Curation.dedupSpans(
+        "doc_id", "text", chunkTokens = 25, hashedWinners = true)(
+        t(s, dir, "documents"))
+      .orderBy("doc_id"),
+    q75.oracle)
+
+  /** Full Lloyd k-means (Similarity.kmeans): 2 assignment rounds with
+    * an exact integer centroid update between them — the composition
+    * the q77 scaladoc promises. Centroids are carried UNDIVIDED as
+    * (Σ-vector, n); distance-to-mean compares the exact BIGINT
+    * numerator ‖n·x − S‖² over n² via one IEEE division, identical in
+    * both engines. Output: final cluster sizes + exact id range per
+    * cluster (membership-determined, no floats in the result). */
+  val q81 = Q("q81_kmeans_lloyd",
+    (s, dir) => Similarity.kmeans(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_assigned"),
+        min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+      .orderBy("cid"),
+    Some("""WITH base AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      FROM embeddings),
+      ex AS (SELECT vec_id, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS x
+             FROM base, range(1, 65) t(i)),
+      c0 AS (SELECT vec_id AS cid, qv FROM base ORDER BY vec_id LIMIT 8),
+      cx0 AS (SELECT cid, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS s,
+                CAST(1 AS BIGINT) AS n
+              FROM c0, range(1, 65) t(i)),
+      d1 AS (SELECT vec_id, cid,
+               CAST(SUM((n*x - s)*(n*x - s)) AS BIGINT) AS num, MAX(n) AS n
+             FROM ex JOIN cx0 USING (pos) GROUP BY vec_id, cid),
+      a1 AS (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(num AS DOUBLE)/CAST(n*n AS DOUBLE), cid) AS rn
+             FROM d1),
+      m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+      cx1 AS (SELECT cid, pos, CAST(SUM(x) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM ex JOIN m1 USING (vec_id) GROUP BY cid, pos),
+      d2 AS (SELECT vec_id, cid,
+               CAST(SUM((n*x - s)*(n*x - s)) AS BIGINT) AS num, MAX(n) AS n
+             FROM ex JOIN cx1 USING (pos) GROUP BY vec_id, cid),
+      a2 AS (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(num AS DOUBLE)/CAST(n*n AS DOUBLE), cid) AS rn
+             FROM d2)
+      SELECT cid, COUNT(*) AS n_assigned, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+      FROM a2 WHERE rn = 1 GROUP BY cid ORDER BY cid"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
+    q80, q81)
 }

@@ -88,6 +88,82 @@ object Similarity {
       .select(col(idCol), col("best.cid").as("cid"), col("best.dist2").as("dist2"))
   }
 
+  /** Full Lloyd's k-means over an embedding column — [[kmeansAssign]]
+    * (assignment) and [[listCentroidSums]]-style integer updates
+    * composed into an iterated loop, every step exact and
+    * engine-portable (no RNG, no float accumulation):
+    *
+    *  - seeds: the k smallest-id vectors, as (sum = qv, n = 1);
+    *  - assignment: centroids are carried UNDIVIDED as (Σ-vector, n),
+    *    and the distance to the mean is compared via the exact integer
+    *    numerator ‖n·x − S‖² (= n²·‖x − S/n‖²) over the count-squared —
+    *    ONE IEEE division of exact operands per (vector, centroid),
+    *    deterministic in any engine; ties go to the smaller cid;
+    *  - update: per-(cid, pos) integer sums/counts — exact and
+    *    order-independent, unlike a float mean;
+    *  - clusters that lose all members drop out (both engines derive
+    *    centroids from the same assignment, so they agree).
+    *
+    * Returns the final assignment (idCol, cid) after `iters` assignment
+    * rounds (iters = 1 ⇒ exactly [[kmeansAssign]]'s clustering, with
+    * n = 1 making the scaled comparison integer-exact).
+    *
+    * Scale shape per iteration: centroids are k·dims longs — broadcast;
+    * assignment is the same narrow broadcast nested-loop + argmin
+    * exchange as [[kmeansAssign]]; the update is one exchange on
+    * (cid, pos) with map-side partial sums, |k|·dims rows out. The
+    * quantized input is localCheckpointed once (lazy) so the k+1 passes
+    * read stored blocks instead of re-deriving the scan — same
+    * fault-tolerance caveat as Dedup.verifiedNearDupPairs's
+    * fingerprints. Overflow bound: |n·x − S| ≤ 2n·2¹² for unit-scale
+    * ×1000 quantization ⇒ numerator ≤ dims·n²·2²⁶ — safe in BIGINT to
+    * n ≈ 1.4·10⁵ vectors per cluster at 64 dims; beyond that the
+    * update-side sums still fit but the assignment numerator needs the
+    * DECIMAL escape (cf. [[centroidDeviations]] `decimalExact`). */
+  def kmeans(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one assignment round")
+    val base = emb.select(col(idCol), quantize(col(vecCol)).as("qv"))
+      .localCheckpoint(false)
+    var cent = base.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cid"), col("qv").as("s"), lit(1L).as("n"))
+    var assigned = assignToSummedCentroids(base, idCol, cent)
+    var i = 1
+    while (i < iters) {
+      cent = base.join(assigned, idCol)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+          s => s.getField("sv")).as("s"),
+          max(col("cnt")).as("n"))
+        // k·dims rows — checkpointing (lazy) keeps each round's plan
+        // shallow instead of nesting the whole history of iterations
+        .localCheckpoint(false)
+      assigned = assignToSummedCentroids(base, idCol, cent)
+      i += 1
+    }
+    assigned
+  }
+
+  /** One scaled-assignment round against (cid, s = Σ-vector, n = count)
+    * centroids: argmin over cid of ‖n·x − s‖²/n² (exact BIGINT
+    * numerator, one IEEE division), ties to the smaller cid. */
+  private def assignToSummedCentroids(
+      base: DataFrame, idCol: String, cent: DataFrame): DataFrame = {
+    val num = aggregate(
+      zip_with(col("qv"), col("s"), (x, sv) => (col("n") * x - sv) * (col("n") * x - sv)),
+      lit(0L), (acc, v) => acc + v)
+    base.crossJoin(broadcast(cent))
+      .select(col(idCol),
+        (num.cast("double") / (col("n") * col("n")).cast("double")).as("dev2"),
+        col("cid"))
+      .groupBy(idCol)
+      .agg(min(struct(col("dev2"), col("cid"))).as("best"))
+      .select(col(idCol), col("best.cid").as("cid"))
+  }
+
   /** Assignment against a LITERAL centroid set — the stateless twin of
     * [[kmeansAssign]] for when the centroids are already known (a
     * trained codebook, the output of a batch Lloyd run). Because the

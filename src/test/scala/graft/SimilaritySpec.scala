@@ -121,6 +121,72 @@ class SimilaritySpec extends SparkTestBase {
       (4L, 1L, 36000000L), (5L, 1L, 25000000L)), s"got $one")
   }
 
+  test("kmeans iters=1 clusters exactly like kmeansAssign") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(6.0f, 0.0f)), (5L, Seq(5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val viaLoop = Similarity.kmeans(df, "vec_id", "embedding", k = 2, iters = 1)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    val viaAssign = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2)
+      .select("vec_id", "cid").orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(viaLoop == viaAssign, s"loop=$viaLoop assign=$viaAssign")
+  }
+
+  test("kmeans: the integer centroid update visibly moves an assignment") {
+    // seeds (ids 1,2): s1=(0), s2=(10). Round 1: 4.9 and 5.1 split
+    // between them (4.9->s1, 5.1->s2 by distance). Updated centroids:
+    // c1 = mean(0, 1, 4.9) ~ 1.97, c2 = mean(10, 5.1) ~ 7.55.
+    // Round 2: 4.9 is now closer to c2 (|4.9-7.55| < |4.9-1.97|)...
+    // no: 2.65 vs 2.93 -> c2. The reassignment of 4.9 from cluster 1
+    // to cluster 2 is the Lloyd step a single assignment cannot produce.
+    val df = Seq(
+      (1L, Seq(0.0f)), (2L, Seq(10.0f)), (3L, Seq(1.0f)),
+      (4L, Seq(4.9f)), (5L, Seq(5.1f)))
+      .toDF("vec_id", "embedding")
+    val round1 = Similarity.kmeans(df, "vec_id", "embedding", k = 2, iters = 1)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(round1 == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 2L)), round1)
+    val round2 = Similarity.kmeans(df, "vec_id", "embedding", k = 2, iters = 2)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(round2 == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 2L)), round2)
+  }
+
+  test("property: kmeans matches a driver-side exact Lloyd model") {
+    val compGen = Gen.chooseNum(-200, 200).map(_ / 100.0f)
+    val vecGen = Gen.listOfN(3, compGen)
+    ScalaCheckSupport.checkProp(Prop.forAll(
+      Gen.listOfN(7, vecGen), Gen.choose(1, 3)) { (vecs, iters) =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+      val df = rows.toDF("vec_id", "embedding")
+      val k = 2
+      def q(v: List[Float]): Array[Long] = v.map(x => math.round(x * 1000.0)).toArray
+      val qRows = rows.map { case (id, v) => (id, q(v)) }
+      // model: centroids as (sum vector, n); compare num/n^2 as doubles
+      var cents: Seq[(Long, Array[Long], Long)] = qRows.sortBy(_._1).take(k)
+        .map { case (id, qv) => (id, qv.clone(), 1L) }
+      def assign(): Seq[(Long, Long)] = qRows.map { case (id, qv) =>
+        val best = cents.map { case (cid, s, n) =>
+          val num = qv.zip(s).map { case (x, sv) => val d = n * x - sv; d * d }.sum
+          (num.toDouble / (n * n).toDouble, cid)
+        }.min
+        (id, best._2)
+      }
+      var asg = assign()
+      for (_ <- 1 until iters) {
+        cents = asg.groupBy(_._2).toSeq.map { case (cid, members) =>
+          val qvs = members.map(m => qRows.find(_._1 == m._1).get._2)
+          val s = qvs.transpose.map(_.sum).toArray
+          (cid, s, qvs.size.toLong)
+        }.sortBy(_._1)
+        asg = assign()
+      }
+      val got = Similarity.kmeans(df, "vec_id", "embedding", k, iters)
+        .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+      got == asg.sortBy(_._1)
+    }, minSuccessful = 10)
+  }
+
   test("centroidDeviations: exact integer dist2 = n^2 * squared distance, dev2 normalizes") {
     // label 0: vecs (0,0) and (2,2) in 0.001 units -> centroid (1,1),
     // each vec at squared distance 2e6 in quantized units; n=2 ->
