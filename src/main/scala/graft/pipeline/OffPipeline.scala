@@ -117,4 +117,45 @@ object OffPipeline {
     (g + ("silver_products" -> s)).foreach { case (n, df) => df.createOrReplaceTempView(n) }
     g
   }
+
+  /** Join/filter key columns worth column-level statistics (NDVs,
+    * min/max) per gold table — what the CBO reads to size joins and
+    * estimate post-filter cardinalities. */
+  val goldAnalyzeColumns: Map[String, Seq[String]] = Map(
+    "dim_time" -> Seq("time_sk", "year", "week"),
+    "dim_brand" -> Seq("brand_sk", "brand_name"),
+    "dim_category" -> Seq("category_sk", "category_name"),
+    "dim_country" -> Seq("country_sk"),
+    "dim_product" -> Seq("product_sk", "code", "brand_sk", "primary_category_sk"),
+    "fact_nutrition_snapshot" -> Seq("product_sk", "time_sk", "nutriscore_grade"))
+
+  /** Full run persisted into the engine catalog with the cost-based
+    * optimizer wired end-to-end (SURVEY §4's "free-ish" row, made
+    * real): each gold table is stored via [[graft.store.Store]], then
+    * ANALYZEd (table + join-key column stats), and
+    * `spark.sql.cbo.enabled` / `cbo.joinReorder.enabled` are turned on
+    * for the session — so every subsequent query against the gold
+    * layer plans from true row counts and NDVs (join reordering,
+    * stats-informed broadcast decisions) instead of raw file-size
+    * guesses. The ANALYZE cost is one scan per table, amortized over
+    * every later plan; run this variant when the gold layer is built
+    * once and queried many times (the reference's own usage pattern —
+    * its MySQL optimizer got table stats the same way). */
+  def runStored(
+      spark: SparkSession, csvPath: String, database: String = "graft"): Map[String, DataFrame] = {
+    graft.store.Store.ensureDatabase(spark, database)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val bronze = Ingest.bronzeCsv(spark, csvPath)
+    val s = silver(bronze)
+    goldMaterialized(s, (name, df) => {
+      // db-qualified throughout: an unqualified name would resolve to a
+      // same-named TEMP VIEW if one exists (e.g. a prior run()'s views),
+      // and ANALYZE refuses temp views
+      val qualified = s"$database.$name"
+      graft.store.Store.overwrite(df, qualified)
+      graft.store.Store.analyze(spark, qualified, goldAnalyzeColumns.getOrElse(name, Nil))
+      graft.store.Store.table(spark, qualified)
+    })
+  }
 }

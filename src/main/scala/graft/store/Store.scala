@@ -1,6 +1,8 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Engine-managed table catalog (SURVEY §2.A O-2…O-5, §7.1 step 6).
   *
@@ -93,7 +95,7 @@ object Store {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).jdbc(url, table, properties)
 
-  /** Small-file compaction: rewrite a managed table into
+  /** Small-file compaction: rewrite a MANAGED table into
     * ~`targetBytes`-sized files. Streaming sinks and micro-batch
     * appends accumulate file sprawl (every [[append]] is new files),
     * and at 100 TB a table of 10⁶ tiny files spends more time in
@@ -105,33 +107,83 @@ object Store {
     * [1, 2²⁰] — the clamp both caps pathological rewrites and absorbs
     * the stats-missing sentinel (`defaultSizeInBytes` = Long.MaxValue
     * for never-ANALYZEd non-file relations), which would otherwise
-    * wrap to repartition(0) under Int narrowing. A table CANNOT be
-    * overwritten from a plan that reads it, so the rewrite goes
-    * through a temp table + catalog swap: write `<table>__compact`,
-    * drop the original, rename. The window where the original name is
-    * absent is the same non-atomic window Spark's own
-    * non-transactional catalog has for overwrite-by-name; callers
-    * needing stronger guarantees layer a transactional table format on
-    * top. Partitioned/bucketed tables are REJECTED (the plain rewrite
-    * would silently strip pruning/co-location metadata) — recompact
-    * those via [[overwrite]] with `partitionBy` / [[overwriteBucketed]]
-    * instead. */
+    * wrap to repartition(0) under Int narrowing.
+    *
+    * Guard rails:
+    *  - EXTERNAL tables are rejected: the temp-write/swap would quietly
+    *    turn them into managed tables at a NEW location — the original
+    *    external path would be orphaned and direct readers of it would
+    *    see frozen data forever.
+    *  - The temp table is written with the table's own provider (not
+    *    hard-coded parquet), so an ORC/JSON table never silently
+    *    changes format.
+    *  - Bucketed tables are rejected (a plain rewrite strips the
+    *    co-location metadata) — recompact via [[overwriteBucketed]].
+    *
+    * UNPARTITIONED tables: a table cannot be overwritten from a plan
+    * that reads it, so the rewrite goes through `<table>__compact` +
+    * a catalog swap. The swap is rename-first: the original is renamed
+    * to `<table>__precompact` (one metadata op), the compacted table
+    * takes the name (a second metadata op), only then is the backup
+    * dropped — the window where the name is absent spans two renames
+    * rather than a full drop+rename, and a crash mid-swap leaves a
+    * recoverable backup instead of nothing. Still not atomic — that is
+    * Spark's non-transactional catalog; layer a transactional format
+    * for stronger guarantees.
+    *
+    * PARTITIONED tables — the 100 TB fact-table case — are compacted
+    * IN PLACE, one partition at a time: each partition's rows are
+    * read (partition-pruned scan), repartitioned to its own pruned-
+    * stats file target, materialized off the table's lineage
+    * (localCheckpoint — Spark refuses to overwrite a table from a plan
+    * still reading it), and written back via dynamic partition
+    * overwrite. The table's identity, partition spec, pruning
+    * metadata, and every OTHER partition's files are untouched
+    * throughout — there is no window where the table name is absent,
+    * and peak extra storage is one partition, not one table. */
   def compact(spark: SparkSession, table: String,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table))
-    require(meta.partitionColumnNames.isEmpty && meta.bucketSpec.isEmpty,
-      s"compact would strip partitioning/bucketing from $table — " +
-        "rewrite via overwrite(partitionBy)/overwriteBucketed instead")
-    val df = spark.table(table)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = ((bytes + targetBytes - 1) / targetBytes)
-      .max(1).min(1L << 20).toInt
-    val tmp = table + "__compact"
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite)
-      .format("parquet").saveAsTable(tmp)
-    drop(spark, table)
-    spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    require(meta.tableType == CatalogTableType.MANAGED,
+      s"compact only rewrites MANAGED tables; $table is ${meta.tableType.name} — " +
+        "compacting it here would orphan the external location")
+    require(meta.bucketSpec.isEmpty,
+      s"compact would strip bucketing from $table — rewrite via overwriteBucketed instead")
+    val provider = meta.provider.getOrElse("parquet")
+
+    def fileTarget(df: DataFrame): Int = {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      ((bytes + targetBytes - 1) / targetBytes).max(1).min(1L << 20).toInt
+    }
+
+    if (meta.partitionColumnNames.isEmpty) {
+      val df = spark.table(table)
+      val tmp = table + "__compact"
+      val backup = table + "__precompact"
+      df.repartition(fileTarget(df)).write.mode(SaveMode.Overwrite)
+        .format(provider).saveAsTable(tmp)
+      drop(spark, backup) // clear any debris from a prior crashed swap
+      spark.sql(s"ALTER TABLE ${quoted(table)} RENAME TO ${quoted(backup)}")
+      spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
+      drop(spark, backup)
+    } else {
+      val parts = spark.sessionState.catalog.listPartitions(ident).map(_.spec)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try parts.foreach { partSpec =>
+        val pred = partSpec.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+        val slice = spark.table(table).filter(pred)
+        // eager materialization breaks the read-from-target lineage and
+        // bounds the in-flight data to ONE partition
+        val staged = slice.repartition(fileTarget(slice)).localCheckpoint()
+        staged.write.mode(SaveMode.Overwrite).insertInto(table)
+        staged.unpersist()
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
   }
 
   /** Persist a full gold layer; fact partitioned if requested. */

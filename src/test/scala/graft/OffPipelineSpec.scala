@@ -180,4 +180,44 @@ class OffPipelineSpec extends SparkTestBase {
     assert(m.sugarAnomalies == 0)
     assert(m.toJson.contains("\"rows_out\":3"))
   }
+
+  test("runStored persists + ANALYZEs gold and turns the CBO on (same rows as run)") {
+    val cboWas = spark.conf.getOption("spark.sql.cbo.enabled")
+    val jrWas = spark.conf.getOption("spark.sql.cbo.joinReorder.enabled")
+    // a crashed run leaves warehouse files without a catalog entry (the
+    // test catalog is in-memory, the warehouse on disk) — clear orphaned
+    // locations or CTAS refuses with LOCATION_ALREADY_EXISTS
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    OffPipeline.goldAnalyzeColumns.keys.foreach { t =>
+      graft.store.Store.drop(spark, s"graft_test.$t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/graft_test.db/$t")
+      if (loc.exists) rm(loc)
+    }
+    try {
+      val stored = OffPipeline.runStored(spark, tsvPath, database = "graft_test")
+      assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
+      // every gold table is a catalog table with optimizer-visible stats
+      // (db-qualified: run()'s same-named temp views must not shadow)
+      stored.keys.foreach { name =>
+        val stats = graft.store.Store.table(spark, s"graft_test.$name")
+          .queryExecution.optimizedPlan.stats
+        assert(stats.rowCount.nonEmpty, s"$name has no ANALYZE row count")
+      }
+      // and the stored layer agrees with the in-plan layer
+      assert(stored("fact_nutrition_snapshot").count() == gold("fact_nutrition_snapshot").count())
+      assert(stored("dim_product").select("code").collect().map(_.getString(0)).sorted.toSeq ==
+        gold("dim_product").select("code").collect().map(_.getString(0)).sorted.toSeq)
+      stored.keys.foreach(n => graft.store.Store.drop(spark, s"graft_test.$n"))
+    } finally {
+      Seq("spark.sql.cbo.enabled" -> cboWas, "spark.sql.cbo.joinReorder.enabled" -> jrWas)
+        .foreach {
+          case (c, Some(v)) => spark.conf.set(c, v)
+          case (c, None) => spark.conf.unset(c)
+        }
+    }
+  }
 }

@@ -132,4 +132,49 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"), s"seed set not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"vectors shuffled against the k seeds:\n$p")
   }
+
+  test("CBO end-to-end: ANALYZE column stats flip a filtered-dim join to broadcast") {
+    import graft.store.Store
+    Store.ensureDatabase(spark, "graft_test")
+    // dim: ~20k rows with an incompressible pad, so its FILE size sits
+    // well above the broadcast threshold below; grp has 50 distinct
+    // values, so the post-filter estimate with NDV stats is tiny
+    Store.overwrite(spark.range(20000).selectExpr(
+      "id AS k", "CAST(id % 50 AS INT) AS grp",
+      "md5(CAST(id AS STRING)) AS pad"), "cbo_dim")
+    Store.overwrite(spark.range(100000).selectExpr(
+      "CAST(id % 20000 AS BIGINT) AS k", "id AS v"), "cbo_fact")
+    def staticJoinPlan: String = {
+      val j = Store.table(spark, "cbo_fact")
+        .join(Store.table(spark, "cbo_dim").filter(col("grp") === 7), "k")
+      // sparkPlan = the STATIC (pre-AQE) plan — this is where the CBO's
+      // compile-time decision lives; AQE would later fix it from runtime
+      // sizes, at the cost of a pointless shuffle of the fact side first
+      j.queryExecution.sparkPlan.toString
+    }
+    val confs = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = confs.map(c => c -> spark.conf.getOption(c))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (128 * 1024).toString)
+      // without stats-informed estimation: the filtered dim is costed at
+      // ~file size (size-only estimation passes Filter through) -> SMJ
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      assert(staticJoinPlan.contains("SortMergeJoin"),
+        s"setup broken — dim should exceed the threshold without stats:\n$staticJoinPlan")
+      // with CBO + ANALYZE stats: 20000/ndv(grp)=400 estimated rows
+      // post-filter -> under the threshold -> static broadcast
+      Store.analyze(spark, "cbo_dim", Seq("k", "grp"))
+      Store.analyze(spark, "cbo_fact", Seq("k"))
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val p = staticJoinPlan
+      assert(p.contains("BroadcastHashJoin"),
+        s"CBO stats did not inform the broadcast decision:\n$p")
+    } finally {
+      saved.foreach {
+        case (c, Some(v)) => spark.conf.set(c, v)
+        case (c, None) => spark.conf.unset(c)
+      }
+      Store.drop(spark, "cbo_dim"); Store.drop(spark, "cbo_fact")
+    }
+  }
 }

@@ -109,13 +109,63 @@ class StoreSpec extends SparkTestBase {
     Store.drop(spark, "t_sprawl")
   }
 
-  test("compact rejects partitioned tables instead of silently stripping pruning") {
+  test("compact on a partitioned table compacts per partition, pruning metadata intact") {
     Store.ensureDatabase(spark, "graft_test")
-    val df = spark.range(100).selectExpr("id", "CAST(id % 3 AS STRING) AS part")
-    Store.overwrite(df, "t_parted", partitionBy = Seq("part"))
-    val e = intercept[IllegalArgumentException](Store.compact(spark, "t_parted"))
-    assert(e.getMessage.contains("partitioning"), e.getMessage)
+    val df = spark.range(300).selectExpr("id", "CAST(id % 3 AS STRING) AS part")
+    // sprawl each partition: 10 writers x 3 partitions
+    df.repartition(10).write.mode("overwrite").format("parquet")
+      .partitionBy("part").saveAsTable("t_parted")
+    val before = spark.table("t_parted").inputFiles.length
+    assert(before >= 15, s"setup should sprawl, got $before files")
+    val want = spark.table("t_parted").orderBy("id").collect().toSeq
+    Store.compact(spark, "t_parted")
+    // one file per partition (tiny partitions), same rows
+    val after = spark.table("t_parted").inputFiles.length
+    assert(after <= 3, s"still sprawled: $after files")
+    assert(spark.table("t_parted").orderBy("id").collect().toSeq == want)
+    // the partition spec and pruning survived: catalog still lists the
+    // partitions, and a filtered scan carries partition filters
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("t_parted"))
+    assert(meta.partitionColumnNames == Seq("part"), meta.partitionColumnNames)
+    val pruned = spark.table("t_parted").filter(col("part") === "2")
+    assert(pruned.count() == 100)
+    assert(pruned.inputFiles.length == 1, "partition pruning should read one file")
+    // overwrite-mode conf was restored
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .exists(_.equalsIgnoreCase("dynamic")) ||
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").isEmpty)
     Store.drop(spark, "t_parted")
+  }
+
+  test("compact rejects external and bucketed tables with a clear error") {
+    Store.ensureDatabase(spark, "graft_test")
+    // external: the swap would orphan the original location
+    val extDir = java.nio.file.Files.createTempDirectory("graft-ext").toString
+    spark.range(10).selectExpr("id").write.mode("overwrite").parquet(extDir)
+    spark.sql(s"CREATE TABLE t_external USING parquet LOCATION '$extDir'")
+    val e1 = intercept[IllegalArgumentException](Store.compact(spark, "t_external"))
+    assert(e1.getMessage.contains("MANAGED"), e1.getMessage)
+    Store.drop(spark, "t_external")
+    // bucketed: the rewrite would strip co-location metadata
+    Store.overwriteBucketed(
+      spark.range(10).selectExpr("id AS k"), "t_bucketed", Seq("k"), 2)
+    val e2 = intercept[IllegalArgumentException](Store.compact(spark, "t_bucketed"))
+    assert(e2.getMessage.contains("bucketing"), e2.getMessage)
+    Store.drop(spark, "t_bucketed")
+  }
+
+  test("compact preserves a non-parquet provider") {
+    Store.ensureDatabase(spark, "graft_test")
+    spark.range(50).selectExpr("id").repartition(8)
+      .write.mode("overwrite").format("orc").saveAsTable("t_orc")
+    Store.compact(spark, "t_orc")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("t_orc"))
+    assert(meta.provider.contains("orc"), meta.provider)
+    assert(spark.table("t_orc").count() == 50)
+    assert(spark.table("t_orc").inputFiles.forall(_.endsWith(".orc")))
+    Store.drop(spark, "t_orc")
   }
 
   test("quoted backticks each part of a qualified identifier, doubling embedded backticks") {
