@@ -1970,6 +1970,72 @@ object Battery {
       SELECT cid, COUNT(*) AS n_assigned, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
       FROM a2 WHERE rn = 1 GROUP BY cid ORDER BY cid"""))
 
+  /** TF-IDF relevance scoring (Relevance.tfIdf): per-(doc, term) raw
+    * tf, corpus df, and the ln-free rational score tf·(N+1)/(df+1) —
+    * one IEEE division of exact BIGINTs (libm ln is not bit-portable
+    * across engines; ln is monotone, so ranking is unchanged). Top 20
+    * by score with total-order tiebreaks. */
+  val q82 = Q("q82_tfidf",
+    (s, dir) => graft.text.Relevance.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("score").desc, col("term"), col("doc_id"))
+      .limit(20),
+    Some("""WITH ex AS (SELECT doc_id,
+        unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex WHERE term <> ''
+             GROUP BY doc_id, term),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS nd FROM documents)
+      SELECT doc_id, term, tf, df,
+        CAST(tf * (nd + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (term), n
+      ORDER BY score DESC, term, doc_id LIMIT 20"""))
+
+  /** Bloom-prefiltered decontamination
+    * (Curation.contaminationCountsBloom): the eval gram set folded
+    * into ONE BloomFilter blob, the corpus-gram stream prefiltered by
+    * a narrow might_contain predicate, exact sort-merge verification
+    * after — the shape for an eval set too big to broadcast exactly.
+    * Same oracle as q65: the bloom pass must change NOTHING. */
+  val q83 = Q("q83_bloom_decontamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Curation.contaminationCountsBloom(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+    q65.oracle)
+
+  /** Per-source quality deciles (NTILE) — curriculum/difficulty
+    * binning: rank each source's docs by mean token length (an exact-
+    * operand IEEE ratio) and cut into 10 equal-depth buckets. The
+    * window order carries a doc_id tiebreak so the cut is a total
+    * order — NTILE on ties is otherwise engine-arbitrary. */
+  val q84 = Q("q84_quality_deciles",
+    (s, dir) => {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val nTok = size(toks).cast(LongType)
+      val nonSpace = length(regexp_replace(col("text"), "\\s", "")).cast(LongType)
+      val meanTokLen = nonSpace.cast("double") / nTok.cast("double")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("mean_token_len"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), nTok.as("n_tokens"),
+          meanTokLen.as("mean_token_len"))
+        .withColumn("decile", ntile(10).over(w).cast(LongType))
+        .orderBy("doc_id")
+    },
+    Some("""WITH q AS (SELECT doc_id, source,
+        CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+          / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS mean_token_len
+      FROM documents)
+      SELECT doc_id, source, n_tokens, mean_token_len,
+        CAST(ntile(10) OVER (PARTITION BY source
+          ORDER BY mean_token_len, doc_id) AS BIGINT) AS decile
+      FROM q ORDER BY doc_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -1977,5 +2043,5 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81)
+    q80, q81, q82, q83, q84)
 }

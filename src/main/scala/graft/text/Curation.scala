@@ -176,6 +176,42 @@ object Curation {
       .groupBy(idCol).agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** [[contaminationCounts]] with a BLOOM-FILTER prefilter — the form
+    * for when the eval/benchmark side is too big to broadcast exactly.
+    * The eval gram hashes are folded into one Spark `BloomFilter` blob
+    * (a few MB even for 10⁸ grams at 3% fpp — vs 8 bytes PER GRAM for
+    * the exact broadcast), the corpus-gram stream is prefiltered by
+    * `might_contain` as a NARROW codegen'd scan predicate, and only
+    * the surviving ~fpp fraction reaches the exact verification join —
+    * here a sort-merge join, the strategy a non-broadcastable eval set
+    * forces at 100 TB. Results are EXACTLY [[contaminationCounts]]'s:
+    * bloom false positives are struck by the exact join; false
+    * negatives don't exist. Cost: one extra action to build the blob
+    * (the same two-pass shape as Spark's own runtime filters).
+    *
+    * `expectedGrams` sizes the filter — overestimating wastes blob
+    * bytes, underestimating inflates fpp (never correctness). */
+  def contaminationCountsBloom(
+      corpus: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, expectedGrams: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val evalGrams = Dedup.hashedDocs(evalSet, idCol, textCol, Dedup.WordShingles(n))
+      .select(explode(col("h")).as("g")).distinct()
+    val bloomCol = GraftSqlBridge.column(
+      new BloomFilterAggregate(GraftSqlBridge.expression(col("g")), expectedGrams)
+        .toAggregateExpression())
+    val blob = evalGrams.agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
+    val corpusGrams = Dedup.hashedDocs(corpus, idCol, textCol, Dedup.WordShingles(n))
+      .select(col("id").as(idCol), explode(col("h")).as("g"))
+    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
+      GraftSqlBridge.expression(lit(blob)), GraftSqlBridge.expression(col("g"))))
+    corpusGrams.filter(mightContain)
+      .join(evalGrams.hint("merge"), Seq("g"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Drop corpus docs sharing more than `maxShared` word n-grams with
     * the eval set (left-anti against [[contaminationCounts]]). */
   def decontaminate(
