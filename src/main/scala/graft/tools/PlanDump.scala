@@ -43,7 +43,15 @@ object PlanDump {
     "q75_span_dedup" ->
       "Substring-dedup remove phase: token array materialized ONCE before the chunk lambda (no per-chunk re-split); winner election is a single window shuffle on the span; reassembly aggregates on the doc id.",
     "q77_kmeans_assign" ->
-      "k-means assignment: the k seed vectors broadcast to a nested-loop join — no join shuffle on the 100 TB vector side; the per-id argmin reduces in-stage via partial min(struct) and exchanges only the (id, best) pairs.")
+      "k-means assignment: the k seed vectors broadcast to a nested-loop join — no join shuffle on the 100 TB vector side; the per-id argmin reduces in-stage via partial min(struct) and exchanges only the (id, best) pairs.",
+    "q80_span_dedup_hashed" ->
+      "Substring dedup, hashed-winner form: winners elected on 8-byte xxhash64 keys (one exchange of hashes, not span text); winner positions join back on the doc id, so the span text crosses the wire ONCE — vs twice in q75's window form.",
+    "q81_kmeans_lloyd" ->
+      "Full Lloyd loop: per iteration one broadcast nested-loop assignment (no vector shuffle) + one (cid,pos) exchange with map-side partial sums for the exact integer centroid update; centroids localCheckpointed so plans stay shallow across iterations.",
+    "q83_bloom_decontamination" ->
+      "Bloom-prefiltered decontamination: might_contain runs as a narrow codegen'd scan predicate (one KB-scale blob, no broadcast join), so only the ~fpp survivor fraction reaches the exact sort-merge verification join — the shape for a non-broadcastable eval set.",
+    "q84_quality_deciles" ->
+      "NTILE curriculum binning: one window exchange on source with a total-order (score, doc_id) sort — ties never make the cut engine-arbitrary.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
