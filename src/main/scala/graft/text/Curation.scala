@@ -197,8 +197,12 @@ object Curation {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // localCheckpoint: the eval grams feed TWO consumers — the blob
+    // action below and the verification join — and would otherwise run
+    // the eval-side shingle-hash scan twice
     val evalGrams = Dedup.hashedDocs(evalSet, idCol, textCol, Dedup.WordShingles(n))
       .select(explode(col("h")).as("g")).distinct()
+      .localCheckpoint(false)
     val bloomCol = GraftSqlBridge.column(
       new BloomFilterAggregate(GraftSqlBridge.expression(col("g")), expectedGrams)
         .toAggregateExpression())
