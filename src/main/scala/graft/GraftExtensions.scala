@@ -67,10 +67,11 @@ object GraftExtensions {
     import graft.dedup.Dedup
     spark.udf.register("char_shingles", Dedup.charShinglesUdf)
     spark.udf.register("word_shingles", Dedup.wordShinglesUdf)
-    // simhash32 graduated from a UDF to a native codegen expression;
-    // registered here too so the UDF-era SQL surface keeps working.
+    // simhash32 and jaccard_hash_sets graduated from UDFs to native
+    // codegen expressions; registered here too so the UDF-era SQL
+    // surface keeps working.
     graft.functions.SimHash32.register(spark)
-    spark.udf.register("jaccard_hash_sets", Dedup.jaccardOfHashSetsUdf)
+    graft.functions.JaccardHashSets.register(spark)
     spark.udf.register("shingle_hash60",
       org.apache.spark.sql.functions.udf((s: String) =>
         Option(s).map(Dedup.shingleHash60)))

@@ -176,7 +176,7 @@ object Dedup {
     *
     * NOTE: this is the LEGACY md5-string signature (k digests per
     * shingle), kept for [[withMinhashSignature]] and its regression
-    * spec; the production LSH path is [[bandSigsFromHashesUdf]] below
+    * spec; the production LSH path is [[graft.functions.MinhashBandSigs]]
     * (one md5 per shingle + k linear permutations). */
   private def bandSigsUdf(mode: ShingleMode, bands: Int, rowsPerBand: Int): UserDefinedFunction =
     udf { (text: String) =>
@@ -197,16 +197,8 @@ object Dedup {
       (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"minhash_$i"))): _*)
   }
 
-  /** Per-band signature strings ("m_i|m_j|...") from a 60-bit
-    * shingle-hash set, via the permutation family. */
-  private def bandSigsFromHashesUdf(bands: Int, rowsPerBand: Int): UserDefinedFunction =
-    udf { (h: Array[Long]) =>
-      Option(h).map { hs =>
-        val mins = minhashPermScala(hs, bands * rowsPerBand)
-        (0 until bands).map(b =>
-          (0 until rowsPerBand).map(r => mins(b * rowsPerBand + r)).mkString("|"))
-      }
-    }
+  // Per-band signature strings now come from the codegen expression
+  // graft.functions.MinhashBandSigs (one eval per doc, no UDF fence).
 
   /** (id, h): sorted distinct 60-bit shingle hashes per doc — the ONE
     * md5 pass, shared by both LSH banding and exact-Jaccard
@@ -246,7 +238,8 @@ object Dedup {
   /** (id, band, bandsig) — one row per doc per band. */
   def bandedSigs(hashed: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     hashed.select(col("id"),
-      posexplode(bandSigsFromHashesUdf(bands, rowsPerBand)(col("h"))).as(Seq("band", "bandsig")))
+      posexplode(graft.functions.MinhashBandSigs.bandSigs(col("h"), bands, rowsPerBand))
+        .as(Seq("band", "bandsig")))
 
   /** Distinct (id_a < id_b) pairs sharing any (band, bandsig) bucket.
     * Merge-hinted: a broadcast self-join would compute the banding UDF
@@ -312,24 +305,11 @@ object Dedup {
     top64 >>> 4
   }
 
-  /** Jaccard of two sorted long arrays via linear merge — primitive
-    * Array[Long] params so the 10⁶-scale pair joins don't box every
-    * element. Public for SQL registration (`jaccard_hash_sets`). */
-  val jaccardOfHashSetsUdf: UserDefinedFunction =
-    udf { (sa: Array[Long], sb: Array[Long]) =>
-      if (sa == null || sb == null) null.asInstanceOf[java.lang.Double]
-      else {
-        var i = 0; var j = 0; var inter = 0
-        while (i < sa.length && j < sb.length) {
-          val c = java.lang.Long.compare(sa(i), sb(j))
-          if (c == 0) { inter += 1; i += 1; j += 1 }
-          else if (c < 0) i += 1
-          else j += 1
-        }
-        val union = sa.length + sb.length - inter
-        java.lang.Double.valueOf(inter.toDouble / union.toDouble)
-      }
-    }
+  /** Jaccard of two sorted long arrays — the codegen linear-merge
+    * expression [[graft.functions.JaccardHashSets]] (reads unsafe array
+    * data in place; no per-pair boxing on the 10⁶-scale pair joins). */
+  def jaccardOfHashSets(a: Column, b: Column): Column =
+    graft.functions.JaccardHashSets.jaccard(a, b)
 
   /** Exact Jaccard for a pair DataFrame (id_a, id_b) over an
     * already-hashed docs table (id, h) — see [[hashedDocs]].
@@ -342,7 +322,7 @@ object Dedup {
       .join(hashed.select(col("id").as("id_a"), col("h").as("sh_a")).hint("merge"), "id_a")
       .join(hashed.select(col("id").as("id_b"), col("h").as("sh_b")).hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccardOfHashSetsUdf(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardOfHashSets(col("sh_a"), col("sh_b")).as("jaccard"))
 
   /** Exact Jaccard over (hashed) shingle sets for a pair DataFrame with
     * columns (id_a, id_b) — the verification stage after LSH candidates.

@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.dedup.Dedup
@@ -166,6 +166,127 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
+}
+
+/** Exact Jaccard of two SORTED distinct long arrays by linear merge —
+  * the verification kernel that runs once per LSH candidate pair (the
+  * join output is the biggest row stream of the near-dup family at
+  * 100 TB). Replaces `jaccardOfHashSetsUdf`: as a codegen expression it
+  * reads the unsafe array data in place — no per-pair boxing of every
+  * element into Array[Long] for a Scala closure, no codegen fence. */
+case class JaccardHashSets(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_hash_sets requires two ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_hash_sets"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    JaccardHashSets.evalArrays(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.JaccardHashSets.evalArrays($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardHashSets =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardHashSets {
+
+  /** Static kernel shared by interpreted eval and generated code.
+    * Inputs must be sorted distinct (as [[ShingleHashSet]] emits). */
+  def evalArrays(sa: ArrayData, sb: ArrayData): Double = {
+    val na = sa.numElements(); val nb = sb.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val a = sa.getLong(i); val b = sb.getLong(j)
+      if (a == b) { inter += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  def jaccard(a: Column, b: Column): Column =
+    GraftSqlBridge.column(JaccardHashSets(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("jaccard_hash_sets"),
+      new ExpressionInfo(classOf[JaccardHashSets].getName, "jaccard_hash_sets"),
+      (exprs: Seq[Expression]) => JaccardHashSets(exprs(0), exprs(1)))
+}
+
+/** Per-band signature strings from a 60-bit shingle-hash set via the
+  * permutation-minhash family ([[Dedup.minhashPermScala]]: ONE md5 per
+  * shingle upstream + k linear maps here) — the banding kernel of the
+  * LSH path, one eval per document. Replaces `bandSigsFromHashesUdf`
+  * with the same fence-free rationale as the rest of this file; the
+  * opaque output also keeps the Spark 4.1.2 nested-lambda hazard
+  * structurally impossible. */
+case class MinhashBandSigs(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_sigs requires ARRAY<BIGINT> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_band_sigs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashBandSigs.evalArray(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinhashBandSigs.evalArray($c, $bands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandSigs =
+    copy(child = newChild)
+}
+
+object MinhashBandSigs {
+
+  /** Static kernel: k = bands·rowsPerBand permutation minhashes, then
+    * one "m_i|m_j|..." string per band — identical to the UDF it
+    * replaces (and to the SQL the oracles inline via
+    * [[Dedup.permConsts]]). */
+  def evalArray(h: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val n = h.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = h.getLong(i); i += 1 }
+    val mins = Dedup.minhashPermScala(hs, bands * rowsPerBand)
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append('|')
+        sb.append(mins(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def bandSigs(h: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftSqlBridge.column(MinhashBandSigs(GraftSqlBridge.expression(h), bands, rowsPerBand))
 }
 
 object SimHash32 {

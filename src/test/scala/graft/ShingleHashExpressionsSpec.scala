@@ -81,6 +81,34 @@ class ShingleHashExpressionsSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("jaccard_hash_sets ≡ linear-merge reference (property, sorted distinct inputs)") {
+    val setGen = Gen.listOf(Gen.chooseNum(0L, 40L)).map(_.distinct.sorted)
+    ScalaCheckSupport.checkProp(Prop.forAll(setGen, setGen) { (a, b) =>
+      if (a.isEmpty && b.isEmpty) true // 0/0 — NaN on both sides, vacuous
+      else {
+        val inter = a.toSet.intersect(b.toSet).size
+        val expected = inter.toDouble / (a.size + b.size - inter).toDouble
+        val got = graft.functions.JaccardHashSets.evalArrays(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray))
+        got == expected
+      }
+    })
+  }
+
+  test("minhash_band_sigs ≡ permutation-minhash reference (property)") {
+    val hGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, Long.MaxValue >>> 4))
+    ScalaCheckSupport.checkProp(Prop.forAll(hGen, Gen.choose(1, 6), Gen.choose(1, 4)) {
+      (hs, bands, rpb) =>
+        val mins = Dedup.minhashPermScala(hs, bands * rpb)
+        val expected = (0 until bands).map(b =>
+          (0 until rpb).map(r => mins(b * rpb + r)).mkString("|"))
+        val got = graft.functions.MinhashBandSigs.evalArray(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray), bands, rpb)
+        (0 until bands).forall(i => got.getUTF8String(i).toString == expected(i))
+    })
+  }
+
   test("stays inside whole-stage codegen (no fence on the hot path)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(ShingleHashSet.shingleHashSet(col("text"), Dedup.CharShingles(5)).as("h"),
