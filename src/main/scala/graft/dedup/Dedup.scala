@@ -72,19 +72,23 @@ object Dedup {
     udf((t: String, n: Int) => Option(t).map(wordShinglesScala(_, n)))
 
   /** Character n-gram shingle set of `text` (a set: distinct, order
-    * irrelevant). Implemented as an in-JVM UDF rather than
+    * irrelevant). An opaque in-JVM kernel rather than
     * `transform(sequence(...), i -> substr ...)`: on Spark 4.1.2,
     * feeding a lambda-bearing array expression into further outer
     * higher-order functions (as MinHash does, k times) NONDETERMINISTICALLY
     * mis-resolves the nested lambda variables and silently returns
-    * wrong shingles — caught only by the DuckDB oracle. The UDF output
-    * is an opaque array, so downstream lambdas never nest. Semantics
-    * are mirrored by the range+substr SQL in the oracles. */
-  def shingles(text: Column, n: Int): Column = charShinglesUdf(text, lit(n))
+    * wrong shingles — caught only by the DuckDB oracle. The opaque
+    * output means downstream lambdas never nest; as a codegen
+    * expression ([[graft.functions.ShingleArray]]) it also stays
+    * inside whole-stage codegen. Semantics are mirrored by the
+    * range+substr SQL in the oracles. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShingleArray.shingles(text, word = false, n)
 
   /** Word n-gram shingles over whitespace-tokenized text (same
-    * UDF-not-nested-lambda rationale as [[shingles]]). */
-  def wordShingles(text: Column, n: Int): Column = wordShinglesUdf(text, lit(n))
+    * opaque-kernel rationale as [[shingles]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.ShingleArray.shingles(text, word = true, n)
 
   /** Shingling mode for the MinHash/Jaccard family. */
   sealed trait ShingleMode extends Serializable { def apply(text: String): Seq[String] }

@@ -168,6 +168,51 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The STRING shingle set (distinct, first-appearance order) as a
+  * codegen expression — the kernel behind `Dedup.shingles` /
+  * `Dedup.wordShingles`, which the repetition-stats (q67) and
+  * repeated-n-gram (q70) scans evaluate once per document over the
+  * whole corpus. Same fence-free rationale as the rest of this file;
+  * semantics are exactly [[Dedup.charShinglesScala]] /
+  * [[Dedup.wordShinglesScala]] (the SQL-facing `char_shingles` /
+  * `word_shingles` UDFs stay registered for dynamic-`n` SQL use). */
+case class ShingleArray(child: Expression, word: Boolean, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_array requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleArray.evalUtf8(input.asInstanceOf[UTF8String], word, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleArray.evalUtf8($c, $word, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleArray =
+    copy(child = newChild)
+}
+
+object ShingleArray {
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def evalUtf8(s: UTF8String, word: Boolean, n: Int): ArrayData = {
+    val sh = if (word) Dedup.wordShinglesScala(s.toString, n)
+             else Dedup.charShinglesScala(s.toString, n)
+    val out = new Array[Any](sh.length)
+    var i = 0
+    sh.foreach { x => out(i) = UTF8String.fromString(x); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def shingles(text: Column, word: Boolean, n: Int): Column =
+    GraftSqlBridge.column(ShingleArray(GraftSqlBridge.expression(text), word, n))
+}
+
 /** Exact Jaccard of two SORTED distinct long arrays by linear merge —
   * the verification kernel that runs once per LSH candidate pair (the
   * join output is the biggest row stream of the near-dup family at
