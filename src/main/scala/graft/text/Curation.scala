@@ -194,27 +194,58 @@ object Curation {
   def contaminationCountsBloom(
       corpus: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
       n: Int = 5, expectedGrams: Long = 4000000L): DataFrame = {
-    import org.apache.spark.sql.GraftSqlBridge
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     // localCheckpoint: the eval grams feed TWO consumers — the blob
     // action below and the verification join — and would otherwise run
     // the eval-side shingle-hash scan twice
     val evalGrams = Dedup.hashedDocs(evalSet, idCol, textCol, Dedup.WordShingles(n))
       .select(explode(col("h")).as("g")).distinct()
       .localCheckpoint(false)
-    val bloomCol = GraftSqlBridge.column(
-      new BloomFilterAggregate(GraftSqlBridge.expression(col("g")), expectedGrams)
-        .toAggregateExpression())
-    val blob = evalGrams.agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
+    val blob = bloomOfLongs(evalGrams, "g", expectedGrams)
     val corpusGrams = Dedup.hashedDocs(corpus, idCol, textCol, Dedup.WordShingles(n))
       .select(col("id").as(idCol), explode(col("h")).as("g"))
-    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
-      GraftSqlBridge.expression(lit(blob)), GraftSqlBridge.expression(col("g"))))
-    corpusGrams.filter(mightContain)
+    corpusGrams.filter(bloomMightContain(blob, col("g")))
       .join(evalGrams.hint("merge"), Seq("g"))
       .groupBy(idCol).agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Fold a BIGINT column into one Spark `BloomFilter` blob (driver-side
+    * bytes — broadcast-weight, a few MB even for 10⁸ items at ~3% fpp). */
+  def bloomOfLongs(df: DataFrame, colName: String, expectedItems: Long): Array[Byte] = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomCol = GraftSqlBridge.column(
+      new BloomFilterAggregate(GraftSqlBridge.expression(col(colName)), expectedItems)
+        .toAggregateExpression())
+    df.agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain(blob, value)` as a Column (value must be BIGINT). */
+  def bloomMightContain(blob: Array[Byte], value: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    GraftSqlBridge.column(BloomFilterMightContain(
+      GraftSqlBridge.expression(lit(blob)), GraftSqlBridge.expression(value)))
+  }
+
+  /** STATELESS contamination screen for ONLINE ingest: TRUE iff any
+    * word n-gram of `textCol` hits the eval-set bloom blob. Fully
+    * narrow (the codegen shingle-hash set + one `exists` over it), so
+    * it is legal as-is inside a Structured Streaming micro-batch —
+    * batch and stream verdicts are identical by construction, the
+    * online twin of [[contaminationCountsBloom]] the way
+    * `assignToCentroids` is the online twin of `kmeansAssign`.
+    *
+    * Caveat (documented, not silent): a bloom false positive flags a
+    * CLEAN doc with probability ~fpp — acceptable for an ingest screen
+    * that over-drops ~3% of nothing-in-common docs at worst; the
+    * verdict is a strict SUPERSET of the exact > 0-shared-grams set,
+    * never a subset (no false negatives — contaminated docs are always
+    * flagged). Route flagged docs to the exact verifier
+    * ([[contaminationCounts]]) when over-dropping matters. */
+  def bloomContaminated(textCol: Column, blob: Array[Byte], n: Int = 5): Column =
+    exists(
+      graft.functions.ShingleHashSet.shingleHashSet(textCol, Dedup.WordShingles(n)),
+      g => bloomMightContain(blob, g))
 
   /** Drop corpus docs sharing more than `maxShared` word n-grams with
     * the eval set (left-anti against [[contaminationCounts]]). */

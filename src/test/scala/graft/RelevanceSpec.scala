@@ -49,6 +49,40 @@ class RelevanceSpec extends SparkTestBase {
     }, minSuccessful = 10)
   }
 
+  test("bloomContaminated: superset of the exact verdict; identical in batch and streaming") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = (1L to 30L).map(i =>
+      (i, if (i % 5 == 0) "shared eval phrase apple banana cherry date fig"
+          else s"unique text $i body ${i * 7} tail ${i * 13} pad ${i * 17}"))
+    val corpusRows = docs.filter(_._1 % 3 != 0)
+    val evalRows = docs.filter(_._1 % 3 == 0)
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val evalSet = evalRows.toDF("doc_id", "text")
+    val evalGrams = graft.text.Curation.contaminationCounts(corpus, evalSet, "doc_id", "text", n = 3)
+    val exactContaminated = evalGrams.filter(col("n_shared_grams") > 0)
+      .select("doc_id").as[Long].collect().toSet
+    val blob = Curation.bloomOfLongs(
+      graft.dedup.Dedup.hashedDocs(evalSet, "doc_id", "text", graft.dedup.Dedup.WordShingles(3))
+        .select(explode(col("h")).as("g")).distinct(),
+      "g", expectedItems = 10000L)
+    // batch verdict
+    val batchFlagged = corpus
+      .filter(Curation.bloomContaminated(col("text"), blob, n = 3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactContaminated.subsetOf(batchFlagged),
+      s"false negatives: ${exactContaminated -- batchFlagged}")
+    // streaming verdict over the same rows — must be identical
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .filter(Curation.bloomContaminated(col("text"), blob, n = 3))
+      .writeStream.format("memory").queryName("bloom_screen").outputMode("append").start()
+    stream.addData(corpusRows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamFlagged = spark.table("bloom_screen").select("doc_id").as[Long].collect().toSet
+    assert(streamFlagged == batchFlagged, s"stream=$streamFlagged batch=$batchFlagged")
+  }
+
   test("the bloom prefilter is a narrow scan predicate, verification is a sort-merge join") {
     val docs = (1L to 40L).map(i => (i, s"tok$i tok${i + 1} tok${i + 2} shared words here"))
       .toDF("doc_id", "text")
