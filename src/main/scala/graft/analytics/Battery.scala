@@ -2040,6 +2040,79 @@ object Battery {
           ORDER BY mean_token_len, doc_id) AS BIGINT) AS decile
       FROM q ORDER BY doc_id"""))
 
+  /** REAL WAV decode verified cross-engine: each doc synthesizes a
+    * deterministic PCM16 waveform, Spark encodes it into genuine RIFF
+    * bytes and DECODES THEM BACK (Codec.decodeWavPcm16 — chunk walking,
+    * LE samples) before computing exact integer window energies; the
+    * oracle recomputes the energies arithmetically from the synthesis
+    * formula, never touching bytes. Any header/endianness/chunk bug
+    * hash-mismatches. 400 samples @ 8 kHz, 160-sample windows, 80 hop
+    * ⇒ 4 windows/doc; |s| ≤ 1001 ⇒ energy ≤ 1.6·10⁸ — exact BIGINT. */
+  val q85 = Q("q85_wav_window_energy",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val samples = Array.tabulate(400)(i =>
+            (((id * 31 + i * 17) % 2003) - 1001).toShort)
+          val (sr, decoded) =
+            graft.multimodal.Codec.decodeWavPcm16(
+              graft.multimodal.Codec.encodeWavPcm16(samples, 8000))
+          require(sr == 8000 && decoded.length == 400, "WAV round-trip lost data")
+          val win = 160; val hop = 80
+          (0 to decoded.length - win by hop).zipWithIndex.map { case (start, wi) =>
+            var e = 0L; var k = 0
+            while (k < win) { val v = decoded(start + k).toLong; e += v * v; k += 1 }
+            (id, wi.toLong, e)
+          }
+        }
+        .toDF("media_id", "window_idx", "energy")
+        .orderBy("media_id", "window_idx")
+    },
+    Some("""WITH s AS (SELECT doc_id AS media_id, CAST(wi AS BIGINT) AS window_idx,
+        ((doc_id*31 + (wi*80 + k)*17) % 2003) - 1001 AS v
+      FROM documents, range(0, 4) t(wi), range(0, 160) u(k))
+      SELECT media_id, window_idx, CAST(SUM(v*v) AS BIGINT) AS energy
+      FROM s GROUP BY media_id, window_idx ORDER BY media_id, window_idx"""))
+
+  /** REAL BMP decode verified cross-engine, same scheme as q85: a
+    * deterministic 15×10 grayscale image is encoded into genuine
+    * 24 bpp BMP bytes (BGR, 4-byte row padding — width 15 forces a
+    * 3-byte pad — bottom-up rows) and decoded back before 5×5 block
+    * pixel sums; the oracle recomputes the sums from the pixel
+    * formula. Padding/row-order/channel-order bugs hash-mismatch. */
+  val q86 = Q("q86_bmp_block_sums",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val gray = Array.tabulate(10, 15)((r, c) =>
+            ((id * 7 + r * 13 + c * 29) % 256).toInt)
+          val g = graft.multimodal.Codec.decodeBmp24(
+            graft.multimodal.Codec.encodeBmp24(gray))
+          for (br <- 0 until 2; bc <- 0 until 3) yield {
+            var sum = 0L
+            var r = br * 5
+            while (r < br * 5 + 5) {
+              var c = bc * 5
+              while (c < bc * 5 + 5) { sum += g(r)(c); c += 1 }
+              r += 1
+            }
+            (id, br.toLong, bc.toLong, sum)
+          }
+        }
+        .toDF("media_id", "block_r", "block_c", "pixel_sum")
+        .orderBy("media_id", "block_r", "block_c")
+    },
+    Some("""WITH p AS (SELECT doc_id AS media_id,
+        CAST(br AS BIGINT) AS block_r, CAST(bc AS BIGINT) AS block_c,
+        (doc_id*7 + (br*5 + r)*13 + (bc*5 + c)*29) % 256 AS v
+      FROM documents, range(0, 2) t(br), range(0, 3) u(bc),
+           range(0, 5) rr(r), range(0, 5) cc(c))
+      SELECT media_id, block_r, block_c, CAST(SUM(v) AS BIGINT) AS pixel_sum
+      FROM p GROUP BY media_id, block_r, block_c
+      ORDER BY media_id, block_r, block_c"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2047,5 +2120,5 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84)
+    q80, q81, q82, q83, q84, q85, q86)
 }

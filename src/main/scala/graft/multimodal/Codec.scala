@@ -1,0 +1,174 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL media codecs for the container formats that need no external
+  * codec library — pure byte-format parsing in the JVM:
+  *
+  *  - **WAV** (RIFF, PCM 16-bit little-endian, mono): canonical 44-byte
+  *    header writer + a spec-correct chunk-walking reader (skips
+  *    unknown chunks, honors the fmt block, even-byte chunk padding).
+  *  - **BMP** (BITMAPINFOHEADER, 24 bpp, uncompressed): writer and
+  *    reader with the format's actual quirks — BGR byte order, rows
+  *    padded to 4-byte boundaries, bottom-up row order for positive
+  *    heights (and top-down for negative, which the reader honors).
+  *
+  * This closes the "decode is a stub" gap for codec-free formats: the
+  * [[Multimodal.DecodeStub]] fake remains only where a COMPRESSED
+  * format (JPEG/H.264/FLAC) would require native codec bindings this
+  * environment does not ship. Battery q85/q86 verify these kernels
+  * cross-engine: Spark round-trips real bytes (encode → decode →
+  * feature), while the DuckDB oracle recomputes the same features
+  * arithmetically from the synthesis formula — any header, padding,
+  * endianness, or row-order bug hash-mismatches.
+  */
+object Codec {
+
+  // ------------------------------------------------------------------ //
+  // WAV — RIFF / PCM16 mono                                            //
+  // ------------------------------------------------------------------ //
+
+  /** Canonical 44-byte-header WAV: RIFF("WAVE") + fmt(16, PCM, mono,
+    * 16-bit) + data. */
+  def encodeWavPcm16(samples: Array[Short], sampleRateHz: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRateHz)
+    bb.putInt(sampleRateHz * 2) // byte rate
+    bb.putShort(2)              // block align
+    bb.putShort(16)             // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Chunk-walking reader. Returns (sampleRateHz, samples). Rejects
+    * non-PCM / non-mono / non-16-bit content loudly — silently
+    * misreading media is the failure mode this whole module exists to
+    * avoid. Tolerates extra chunks (LIST, fact, ...) in any order
+    * before/after `data`, and the RIFF even-byte chunk padding rule. */
+  def decodeWavPcm16(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12, "truncated WAV: no RIFF header")
+    val riff = new Array[Byte](4); bb.get(riff)
+    require(new String(riff, "US-ASCII") == "RIFF", "not a RIFF file")
+    bb.getInt // declared riff size (ignored; real files lie)
+    val wave = new Array[Byte](4); bb.get(wave)
+    require(new String(wave, "US-ASCII") == "WAVE", "RIFF but not WAVE")
+
+    var sampleRate = -1
+    var data: Array[Short] = null
+    while (bb.remaining() >= 8 && (sampleRate < 0 || data == null)) {
+      val id = new Array[Byte](4); bb.get(id)
+      val size = bb.getInt
+      require(size >= 0 && size <= bb.remaining(),
+        s"corrupt chunk '${new String(id, "US-ASCII")}': size $size exceeds payload")
+      new String(id, "US-ASCII") match {
+        case "fmt " =>
+          val fmtStart = bb.position()
+          val audioFormat = bb.getShort
+          val channels = bb.getShort
+          sampleRate = bb.getInt
+          bb.getInt   // byte rate
+          bb.getShort // block align
+          val bits = bb.getShort
+          require(audioFormat == 1, s"not PCM (format $audioFormat)")
+          require(channels == 1, s"not mono ($channels channels)")
+          require(bits == 16, s"not 16-bit ($bits)")
+          bb.position(fmtStart + size + (size & 1)) // skip fmt extension + pad
+        case "data" =>
+          val n = size / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort; i += 1 }
+          data = out
+          bb.position(bb.position() + (size & 1)) // even-byte pad
+        case _ =>
+          bb.position(bb.position() + size + (size & 1)) // skip unknown chunk
+      }
+    }
+    require(sampleRate > 0, "no fmt chunk")
+    require(data != null, "no data chunk")
+    (sampleRate, data)
+  }
+
+  // ------------------------------------------------------------------ //
+  // BMP — BITMAPINFOHEADER, 24 bpp, uncompressed                       //
+  // ------------------------------------------------------------------ //
+
+  /** Grayscale grid (row-major, values 0-255) → 24 bpp BMP with
+    * r = g = b, positive height (bottom-up rows), 4-byte row padding. */
+  def encodeBmp24(gray: Array[Array[Int]]): Array[Byte] = {
+    val h = gray.length
+    val w = gray(0).length
+    val rowBytes = (w * 3 + 3) & ~3
+    val imageSize = rowBytes * h
+    val bb = ByteBuffer.allocate(54 + imageSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + imageSize).putInt(0).putInt(54) // file size, reserved, pixel offset
+    bb.putInt(40).putInt(w).putInt(h)              // info header, width, height (bottom-up)
+    bb.putShort(1).putShort(24)                    // planes, bpp
+    bb.putInt(0).putInt(imageSize)                 // BI_RGB, image size
+    bb.putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+    var r = h - 1 // bottom-up
+    while (r >= 0) {
+      var c = 0
+      while (c < w) {
+        val v = (gray(r)(c) & 0xff).toByte
+        bb.put(v).put(v).put(v) // B G R
+        c += 1
+      }
+      var pad = w * 3
+      while ((pad & 3) != 0) { bb.put(0.toByte); pad += 1 }
+      r -= 1
+    }
+    bb.array()
+  }
+
+  /** 24 bpp uncompressed BMP → grayscale grid ((r+g+b)/3, exact for the
+    * equal-channel images [[encodeBmp24]] writes). Honors the pixel
+    * data offset field, per-row padding, and BOTH row orders (positive
+    * height = bottom-up, negative = top-down). */
+  def decodeBmp24(bytes: Array[Byte]): Array[Array[Int]] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54, "truncated BMP")
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, "not a BMP")
+    bb.getInt; bb.getInt
+    val pixelOffset = bb.getInt
+    val headerSize = bb.getInt
+    require(headerSize >= 40, s"unsupported BMP header size $headerSize")
+    val w = bb.getInt
+    val rawH = bb.getInt
+    val topDown = rawH < 0
+    val h = math.abs(rawH)
+    bb.getShort // planes
+    val bpp = bb.getShort
+    require(bpp == 24, s"not 24 bpp ($bpp)")
+    val compression = bb.getInt
+    require(compression == 0, s"compressed BMP (method $compression) needs a codec")
+    val rowBytes = (w * 3 + 3) & ~3
+    require(pixelOffset + rowBytes.toLong * h <= bytes.length, "truncated pixel data")
+    val out = Array.ofDim[Int](h, w)
+    var row = 0
+    while (row < h) {
+      val destR = if (topDown) row else h - 1 - row
+      var pos = pixelOffset + row * rowBytes
+      var c = 0
+      while (c < w) {
+        val b = bytes(pos) & 0xff
+        val g = bytes(pos + 1) & 0xff
+        val r = bytes(pos + 2) & 0xff
+        out(destR)(c) = (r + g + b) / 3
+        pos += 3
+        c += 1
+      }
+      row += 1
+    }
+    out
+  }
+}

@@ -8,9 +8,13 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads with typed metadata, processed by
   * per-partition batch operators.
   *
-  * The actual media codecs are NOT in this environment, so the decode
-  * kernel is a clearly-marked DETERMINISTIC FAKE ([[DecodeStub]]) — but
-  * every Spark-side piece is real and tested: the schema contract, the
+  * Decode is REAL for the codec-free container formats — [[Codec]]
+  * parses genuine PCM WAV and 24 bpp BMP bytes (battery q85/q86
+  * hash-verify the decoded features cross-engine). Only COMPRESSED
+  * formats (JPEG/H.264/FLAC), which require native codec libraries
+  * this environment does not ship, go through the clearly-marked
+  * DETERMINISTIC FAKE ([[DecodeStub]]) — and every Spark-side piece
+  * around it is real and tested: the schema contract, the
   * mapPartitions batch shape (decoder state amortized per partition,
   * exactly how a JNI/FFmpeg handle would be reused), partitioning, and
   * the downstream feature pipeline (embeddings feed

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Codec
+
+/** The real (codec-free) media decoders: golden-byte fixtures pin the
+  * exact on-disk format (a round trip alone would hide symmetric
+  * encode/decode bugs like double-flipped endianness), properties pin
+  * the round trip, and malformed inputs fail loudly. */
+class CodecSpec extends AnyFunSuite {
+
+  // ------------------------------- WAV ------------------------------- //
+
+  test("WAV golden bytes: hand-assembled RIFF decodes to the exact samples") {
+    // 2 samples @ 8000 Hz: 0x0102 = 258, 0xFFFE = -2 (LE on the wire)
+    val golden = Array[Int](
+      'R', 'I', 'F', 'F', 40, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, // PCM
+      1, 0, // mono
+      0x40, 0x1F, 0, 0, // 8000
+      0x80, 0x3E, 0, 0, // byte rate 16000
+      2, 0, 16, 0, // block align, bits
+      'd', 'a', 't', 'a', 4, 0, 0, 0,
+      0x02, 0x01, // 258 LE
+      0xFE, 0xFF  // -2 LE
+    ).map(_.toByte)
+    val (sr, samples) = Codec.decodeWavPcm16(golden)
+    assert(sr == 8000)
+    assert(samples.toSeq == Seq(258.toShort, (-2).toShort))
+    // and our encoder produces exactly these bytes
+    assert(Codec.encodeWavPcm16(Array(258.toShort, (-2).toShort), 8000).toSeq == golden.toSeq)
+  }
+
+  test("WAV reader walks unknown chunks (LIST before data) and honors odd-size padding") {
+    val base = Codec.encodeWavPcm16(Array[Short](7, -7), 8000)
+    // splice an odd-sized junk chunk between fmt and data: id + size=3 + 3 bytes + 1 pad
+    val junk = Array[Int]('L', 'I', 'S', 'T', 3, 0, 0, 0, 9, 9, 9, 0).map(_.toByte)
+    val spliced = base.take(36) ++ junk ++ base.drop(36)
+    val (sr, samples) = Codec.decodeWavPcm16(spliced)
+    assert(sr == 8000 && samples.toSeq == Seq(7.toShort, (-7).toShort))
+  }
+
+  test("WAV round trip is identity (property)") {
+    val sGen = Gen.listOf(Gen.chooseNum(Short.MinValue, Short.MaxValue))
+    ScalaCheckSupport.checkProp(Prop.forAll(sGen, Gen.oneOf(8000, 16000, 44100)) {
+      (xs, sr) =>
+        val arr = xs.map(_.toShort).toArray
+        val (gotSr, got) = Codec.decodeWavPcm16(Codec.encodeWavPcm16(arr, sr))
+        gotSr == sr && got.toSeq == arr.toSeq
+    })
+  }
+
+  test("WAV rejects junk, stereo, and truncation loudly") {
+    intercept[IllegalArgumentException](Codec.decodeWavPcm16("not a wav".getBytes))
+    val stereo = Codec.encodeWavPcm16(Array[Short](1, 2), 8000)
+    stereo(22) = 2 // channels = 2
+    intercept[IllegalArgumentException](Codec.decodeWavPcm16(stereo))
+    val truncated = Codec.encodeWavPcm16(Array[Short](1, 2, 3), 8000).dropRight(3)
+    intercept[IllegalArgumentException](Codec.decodeWavPcm16(truncated))
+  }
+
+  // ------------------------------- BMP ------------------------------- //
+
+  test("BMP golden bytes: 2x2 image with known padding decodes exactly") {
+    // width 2 -> row = 6 bytes + 2 pad; bottom-up: file rows are (1,0)
+    val img = Array(Array(10, 20), Array(30, 40))
+    val bytes = Codec.encodeBmp24(img)
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    assert(bytes.length == 54 + 2 * 8)
+    // bottom row first: 30,30,30, 40,40,40, pad,pad
+    assert(bytes.slice(54, 62).toSeq ==
+      Seq[Byte](30, 30, 30, 40, 40, 40, 0, 0))
+    assert(bytes.slice(62, 70).toSeq ==
+      Seq[Byte](10, 10, 10, 20, 20, 20, 0, 0))
+    assert(Codec.decodeBmp24(bytes).map(_.toSeq).toSeq == img.map(_.toSeq).toSeq)
+  }
+
+  test("BMP top-down (negative height) decodes with rows unflipped") {
+    val img = Array(Array(1, 2, 3), Array(4, 5, 6))
+    val bytes = Codec.encodeBmp24(img)
+    // flip to top-down: height := -2, and swap the stored row order
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2)
+    val rowBytes = (3 * 3 + 3) & ~3 // 12
+    val r0 = bytes.slice(54, 54 + rowBytes).clone
+    val r1 = bytes.slice(54 + rowBytes, 54 + 2 * rowBytes).clone
+    System.arraycopy(r1, 0, bytes, 54, rowBytes)
+    System.arraycopy(r0, 0, bytes, 54 + rowBytes, rowBytes)
+    assert(Codec.decodeBmp24(bytes).map(_.toSeq).toSeq == img.map(_.toSeq).toSeq)
+  }
+
+  test("BMP round trip is identity for any dimensions incl. pad-forcing widths (property)") {
+    val dimGen = for {
+      h <- Gen.choose(1, 9); w <- Gen.choose(1, 9)
+      px <- Gen.listOfN(h * w, Gen.choose(0, 255))
+    } yield (h, w, px)
+    ScalaCheckSupport.checkProp(Prop.forAll(dimGen) { case (h, w, px) =>
+      val img = Array.tabulate(h, w)((r, c) => px(r * w + c))
+      Codec.decodeBmp24(Codec.encodeBmp24(img)).map(_.toSeq).toSeq == img.map(_.toSeq).toSeq
+    })
+  }
+
+  test("BMP rejects non-BMP, unsupported bpp, and compressed content loudly") {
+    intercept[IllegalArgumentException](Codec.decodeBmp24(new Array[Byte](54)))
+    val ok = Codec.encodeBmp24(Array(Array(1)))
+    val bb = java.nio.ByteBuffer.wrap(ok).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(28, 8) // bpp = 8
+    intercept[IllegalArgumentException](Codec.decodeBmp24(ok))
+  }
+}
