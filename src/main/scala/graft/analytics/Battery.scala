@@ -1537,9 +1537,10 @@ object Battery {
     graft.operators.ConnectedComponents.components(verified)
   }
 
-  /** The oracle twin of [[neardupComponents]]: WITH-chain ending in a
-    * `comp(doc_id, component)` CTE (recursive transitive closure). */
-  private def neardupCompCte: String =
+  /** WITH-chain deriving the symmetrized near-dup `edges(src, dst)` CTE
+    * — the shared oracle front end of q64/q79 (components) and q87
+    * (centrality). */
+  private def neardupEdgesCte: String =
     s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
       $hashSetCte,
       ${lshCandSql(8, 4)},
@@ -1548,7 +1549,12 @@ object Battery {
           FROM cand JOIN shh sa ON sa.doc_id = id_a JOIN shh sb ON sb.doc_id = id_b)
         WHERE j >= 0.5),
       edges AS (SELECT id_a AS src, id_b AS dst FROM ver
-                UNION SELECT id_b, id_a FROM ver),
+                UNION SELECT id_b, id_a FROM ver)"""
+
+  /** The oracle twin of [[neardupComponents]]: WITH-chain ending in a
+    * `comp(doc_id, component)` CTE (recursive transitive closure). */
+  private def neardupCompCte: String =
+    s"""$neardupEdgesCte,
       walk(src, reach) AS (
         SELECT src, src FROM (SELECT DISTINCT src FROM edges)
         UNION
@@ -2113,6 +2119,43 @@ object Battery {
       FROM p GROUP BY media_id, block_r, block_c
       ORDER BY media_id, block_r, block_c"""))
 
+  /** Integer-exact PageRank over the near-dup similarity graph
+    * (Centrality.integerPageRank, 3 iterations): centrality-based
+    * canonical-representative selection — the highest-ranked doc in a
+    * duplicate cluster is the one its near-duplicates "agree with"
+    * most. Same verified-pair front end as q64/q79; every step is
+    * floor-division integer arithmetic, so the DuckDB oracle unrolls
+    * the identical iterations with `//`. Top 20 by (pr, doc_id). */
+  val q87 = Q("q87_neardup_pagerank",
+    (s, dir) => {
+      val ver = Dedup.verifiedNearDupPairs(
+          t(s, dir, "documents"), "doc_id", "text", Dedup.CharShingles(5), 8, 4)
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+      val edges = ver.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(ver.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.Centrality.integerPageRank(edges, iters = 3)
+        .select(col("v").as("doc_id"), col("pr"))
+        .orderBy(col("pr").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some {
+      def step(prev: String, out: String): String =
+        s"""c$out AS (SELECT e.dst AS v, CAST(SUM(r.pr // d.d) AS BIGINT) AS s
+              FROM edges e JOIN r$prev r ON r.v = e.src
+              JOIN deg d ON d.src = e.src GROUP BY e.dst),
+           r$out AS (SELECT n.v, CAST(150000 + (COALESCE(c.s, 0) * 85) // 100 AS BIGINT) AS pr
+              FROM nodes n LEFT JOIN c$out c ON c.v = n.v)"""
+      s"""$neardupEdgesCte,
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS v FROM edges),
+        r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        ${step("0", "1")},
+        ${step("1", "2")},
+        ${step("2", "3")}
+        SELECT v AS doc_id, pr FROM r3 ORDER BY pr DESC, doc_id LIMIT 20"""
+    })
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2120,5 +2163,5 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86)
+    q80, q81, q82, q83, q84, q85, q86, q87)
 }
