@@ -41,7 +41,11 @@ object Centrality {
   def integerPageRank(
       edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1, "integerPageRank needs at least one iteration")
-    val e = edges.select(col("src"), col("dst"))
+    // materialize the edge list ONCE (lazy): it feeds deg, nodes, and
+    // every iteration's contribution join — without this, an expensive
+    // upstream derivation (q87's LSH+Jaccard front end) re-executes
+    // iters+2 times (measured 8.6s -> ~3s at sf0.1)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val nodes = e.select(col("src").as("v")).distinct().localCheckpoint(false)
     val base = lit(scale * 15 / 100)
