@@ -2156,6 +2156,37 @@ object Battery {
         SELECT v AS doc_id, pr FROM r3 ORDER BY pr DESC, doc_id LIMIT 20"""
     })
 
+  /** Heavy hitters via the two-pass Misra-Gries pattern
+    * (functions.HeavyHitters): ONE bounded-summary pass (capacity 199
+    * counters per partial aggregate — guaranteed superset of every
+    * token with frequency > N/200) + an exact recount pruned to the
+    * candidates, instead of a full-vocabulary groupBy shuffle. Final
+    * filter freq·100 > N is exact, so the plain GROUP BY/HAVING oracle
+    * doubles as proof that the sketch never dropped a heavy hitter. */
+  val q88 = Q("q88_heavy_hitters",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val cands = toks
+        .agg(graft.functions.HeavyHitters.candidates(col("tok"), 199).as("cands"))
+        .select(explode(col("cands")).as("tok"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cands), Seq("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(total))
+        .filter(col("freq") * 100 > col("n_total"))
+        .select(col("tok"), col("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+    },
+    Some("""WITH ex AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      tk AS (SELECT tok FROM ex WHERE tok <> ''),
+      n AS (SELECT COUNT(*) AS n_total FROM tk),
+      c AS (SELECT tok, COUNT(*) AS freq FROM tk GROUP BY tok)
+      SELECT tok, freq FROM c, n WHERE freq * 100 > n_total
+      ORDER BY freq DESC, tok"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2163,5 +2194,5 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

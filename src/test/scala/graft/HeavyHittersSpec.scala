@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+import graft.functions.HeavyHitters
+
+/** Misra-Gries heavy-hitter candidates: the coverage guarantee (every
+  * item above N/(capacity+1) survives any partitioning/merge tree) and
+  * the decrement path. */
+class HeavyHittersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("guarantee: items above N/(capacity+1) always surface (property, multi-partition)") {
+    // skewed streams: a few hot tokens + noise
+    val streamGen = for {
+      hotCopies <- Gen.choose(30, 60)
+      noise <- Gen.listOfN(80, Gen.oneOf((1 to 40).map(i => s"t$i")))
+    } yield List.fill(hotCopies)("hot") ++ List.fill(hotCopies / 2)("warm") ++ noise
+    ScalaCheckSupport.checkProp(Prop.forAll(streamGen, Gen.choose(3, 12), Gen.choose(1, 7)) {
+      (items, capacity, parts) =>
+        val df = items.toDF("tok").repartition(parts) // arbitrary merge tree
+        val cands = df.agg(HeavyHitters.candidates(col("tok"), capacity))
+          .as[Seq[String]].head().toSet
+        val n = items.size
+        val mustHave = items.groupBy(identity).collect {
+          case (t, xs) if xs.size.toLong * (capacity + 1) > n => t
+        }.toSet
+        mustHave.subsetOf(cands) && cands.size <= capacity
+    }, minSuccessful = 15)
+  }
+
+  test("decrement path: a capacity-1 summary still surfaces the strict majority item") {
+    // 'a' is a strict majority (5 of 9) -> MG with one counter must keep it
+    val df = Seq("a", "b", "a", "c", "a", "d", "a", "e", "a").toDF("tok").coalesce(1)
+    val cands = df.agg(HeavyHitters.candidates(col("tok"), 1)).as[Seq[String]].head()
+    assert(cands == Seq("a"), cands)
+  }
+
+  test("nulls are ignored; fewer distinct items than capacity are all kept exactly") {
+    val df = Seq(Some("x"), None, Some("y"), Some("x"), None).toDF("tok")
+    val cands = df.agg(HeavyHitters.candidates(col("tok"), 10)).as[Seq[String]].head()
+    assert(cands == Seq("x", "y"), cands) // sorted, null-free
+  }
+}
