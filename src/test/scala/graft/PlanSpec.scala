@@ -133,6 +133,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"vectors shuffled against the k seeds:\n$p")
   }
 
+  test("q88 heavy hitters: bounded-summary aggregate is partial (per-mapper), recount joins broadcast") {
+    val df = Battery.q88.run(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the Misra-Gries aggregate must run as partial ObjectHashAggregate
+    // (a bounded summary per mapper) before the single final merge
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, s"no partial sketch agg:\n$p")
+    // candidates + total are broadcast to the recount — the token stream
+    // shuffles only for the candidate-pruned exact count
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"candidates not broadcast:\n$p")
+  }
+
+  test("q82 tf-idf: tf and df aggregates are partial; no side assumed broadcastable") {
+    val df = Battery.q82.run(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"missing partial aggs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$p")
+  }
+
   test("CBO end-to-end: ANALYZE column stats flip a filtered-dim join to broadcast") {
     import graft.store.Store
     Store.ensureDatabase(spark, "graft_test")
