@@ -219,11 +219,16 @@ object Curation {
     df.agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
   }
 
-  /** `might_contain(blob, value)` as a Column (value must be BIGINT). */
+  /** `might_contain(blob, value)` as a Column (value must be BIGINT).
+    * A null blob — what [[bloomOfLongs]] yields for an EMPTY input —
+    * means "contains nothing": the predicate is FALSE, not an analysis
+    * error (might_contain over a raw null literal would fail type
+    * checking). */
   def bloomMightContain(blob: Array[Byte], value: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    GraftSqlBridge.column(BloomFilterMightContain(
+    if (blob == null) lit(false)
+    else GraftSqlBridge.column(BloomFilterMightContain(
       GraftSqlBridge.expression(lit(blob)), GraftSqlBridge.expression(value)))
   }
 

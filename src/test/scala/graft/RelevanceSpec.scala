@@ -83,6 +83,17 @@ class RelevanceSpec extends SparkTestBase {
     assert(streamFlagged == batchFlagged, s"stream=$streamFlagged batch=$batchFlagged")
   }
 
+  test("empty eval set: null blob means contains-nothing, not an analysis error") {
+    val corpus = Seq((1L, "some text here words")).toDF("doc_id", "text")
+    val emptyEval = corpus.filter(col("doc_id") < 0)
+    val counts = Curation.contaminationCountsBloom(corpus, emptyEval, "doc_id", "text", n = 2)
+    assert(counts.count() == 0)
+    val blob = Curation.bloomOfLongs(
+      emptyEval.select(col("doc_id").as("g")), "g", expectedItems = 10L)
+    assert(blob == null)
+    assert(corpus.filter(Curation.bloomContaminated(col("text"), blob, n = 2)).count() == 0)
+  }
+
   test("the bloom prefilter is a narrow scan predicate, verification is a sort-merge join") {
     val docs = (1L to 40L).map(i => (i, s"tok$i tok${i + 1} tok${i + 2} shared words here"))
       .toDF("doc_id", "text")
