@@ -2187,6 +2187,48 @@ object Battery {
       SELECT tok, freq FROM c, n WHERE freq * 100 > n_total
       ORDER BY freq DESC, tok"""))
 
+  /** Vocabulary coverage curve — the tokenizer-sizing report: rank
+    * tokens by frequency (ties by token — total order, NTILE-style
+    * determinism), emit each rank's cumulative share of all token
+    * occurrences. Read to choose a vocab size ("top 10k tokens cover
+    * 97% of the corpus"). Shuffle shape: one vocab aggregate, then a
+    * single-partition window over |vocab| rows — the one deliberate
+    * single-partition sort in the battery, legitimate because the
+    * VOCAB (not the corpus) is the input and top-30 is the output;
+    * a 10⁹-token vocab run would cap ranks first (the limit pushes
+    * into TakeOrdered below). */
+  val q89 = Q("q89_vocab_coverage",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val w = Window.orderBy(col("freq").desc, col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vocab
+        .withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+        .withColumn("cum_freq", sum(col("freq")).over(w))
+        .crossJoin(broadcast(total))
+        .filter(col("rank") <= 30)
+        .select(col("rank").cast(LongType).as("rank"), col("tok"), col("freq"),
+          (col("cum_freq").cast("double") / col("n_total").cast("double")).as("cum_share"))
+        .orderBy("rank")
+    },
+    Some("""WITH ex AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      tk AS (SELECT tok FROM ex WHERE tok <> ''),
+      n AS (SELECT COUNT(*) AS n_total FROM tk),
+      v AS (SELECT tok, COUNT(*) AS freq FROM tk GROUP BY tok),
+      r AS (SELECT tok, freq,
+          row_number() OVER (ORDER BY freq DESC, tok) AS rank,
+          SUM(freq) OVER (ORDER BY freq DESC, tok
+            ROWS UNBOUNDED PRECEDING) AS cum_freq
+        FROM v)
+      SELECT CAST(rank AS BIGINT) AS rank, tok, freq,
+        CAST(cum_freq AS DOUBLE) / CAST(n_total AS DOUBLE) AS cum_share
+      FROM r, n WHERE rank <= 30 ORDER BY rank"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2194,5 +2236,5 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }
