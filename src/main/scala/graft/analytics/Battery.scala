@@ -556,7 +556,7 @@ object Battery {
     * Dedup.minhashCandidatePairs over the hash-set CTE `shh(doc_id, h)`
     * — permutation minhash (a_i·(x mod P)+b_i) mod P with the exact
     * constants from Dedup.permConsts interpolated as literals. */
-  private def lshCandSql(bands: Int, rpb: Int): String = {
+  private def sigBandedSql(bands: Int, rpb: Int): String = {
     val k = bands * rpb
     val cs = Dedup.permConsts(k)
     val p = Dedup.MinhashP
@@ -568,11 +568,14 @@ object Battery {
       s"SELECT doc_id, $b AS band, $sig AS bandsig FROM sig"
     }.mkString(" UNION ALL ")
     s"""sig AS (SELECT doc_id, $mins FROM shh),
-       banded AS ($bandRows),
+       banded AS ($bandRows)"""
+  }
+
+  private def lshCandSql(bands: Int, rpb: Int): String =
+    s"""${sigBandedSql(bands, rpb)},
        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM banded a JOIN banded b
                 ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id)"""
-  }
 
   /** CTE turning shingle-string lists `sh(doc_id, s)` into 60-bit md5
     * hash sets (mirrors Dedup.shingleHash60). */
@@ -2229,6 +2232,41 @@ object Battery {
         CAST(cum_freq AS DOUBLE) / CAST(n_total AS DOUBLE) AS cum_share
       FROM r, n WHERE rank <= 30 ORDER BY rank"""))
 
+  /** Incremental near-dup screen — the standing ingest job: docs
+    * arriving in a NEW batch (doc_id ≡ 0 mod 4 here) verified against
+    * the EXISTING corpus's stored LSH signature index + fingerprints,
+    * without re-shingling the corpus. The bucket probe is a plain
+    * equi-join on (band, bandsig) — batch-side broadcastable when the
+    * daily batch ≪ corpus — and verification touches only corpus
+    * fingerprints that matched a bucket. The oracle replays the split
+    * as a filter on the bipartite banded join. */
+  val q90 = Q("q90_incremental_neardup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      // stands in for the stored index: in production these two are
+      // Store tables written when each prior batch was admitted
+      val corpusHashed = Dedup.hashedDocs(corpus, "doc_id", "text", Dedup.CharShingles(5))
+        .localCheckpoint(false)
+      val corpusBanded = Dedup.bandedSigs(corpusHashed, 8, 4)
+      Dedup.incrementalNearDupPairs(batch, "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+          corpusBanded, corpusHashed)
+        .filter(col("jaccard") >= 0.25)
+        .orderBy("batch_id", "corpus_id")
+    },
+    Some(s"""WITH sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
+      $hashSetCte,
+      ${sigBandedSql(8, 4)},
+      cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+               FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bandsig = b.bandsig
+               AND a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0)
+      SELECT batch_id, corpus_id, jaccard FROM (
+        SELECT batch_id, corpus_id, ${jaccardSql("sa.h", "sb.h")} AS jaccard
+        FROM cand JOIN shh sa ON sa.doc_id = batch_id JOIN shh sb ON sb.doc_id = corpus_id)
+      WHERE jaccard >= 0.25 ORDER BY batch_id, corpus_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2236,5 +2274,5 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }

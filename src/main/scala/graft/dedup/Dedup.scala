@@ -288,6 +288,74 @@ object Dedup {
       .distinct()
   }
 
+  /** Bipartite LSH candidates: a NEW batch's banded signatures joined
+    * against a STORED corpus signature index — the incremental form of
+    * [[candidatePairsFromBanded]], and the shape of the standing
+    * ingest job at 100 TB: the corpus is NEVER re-shingled. Its
+    * (id, band, bandsig) index is written once (`bands` rows × ~20
+    * bytes per doc — ~0.1% of the text it summarizes) and only the
+    * new batch, typically ≪ the corpus, pays the md5 shingle scan.
+    * The join is a plain equi-join on the bucket key; when the daily
+    * batch is small, AQE broadcasts its banded side and the corpus
+    * index is probed with no corpus-side shuffle at all.
+    *
+    * Ids must be disjoint across the two inputs (they identify
+    * different tables), so no `id_a < id_b` ordering is applied.
+    * `maxBucketSize` caps CORPUS bucket size exactly as in
+    * [[candidatePairsFromBanded]] — one mass-boilerplate bucket of 10⁶
+    * corpus docs would otherwise multiply every matching batch doc by
+    * 10⁶ — and a capped run reports its exclusions by default via
+    * [[graft.operators.CapReport]]. */
+  def incrementalCandidatePairs(
+      batchBanded: DataFrame, corpusBanded: DataFrame,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val corpus =
+      if (maxBucketSize == Int.MaxValue) corpusBanded
+      else {
+        val counts = corpusBanded.groupBy("band", "bandsig")
+          .agg(count(lit(1)).as("__n"))
+        val ok = graft.operators.CapReport
+          .observeExclusions(counts, "lsh_corpus_buckets", col("__n"), maxBucketSize)
+          .filter(col("__n") <= maxBucketSize)
+          .select("band", "bandsig")
+        corpusBanded.join(ok, Seq("band", "bandsig"))
+      }
+    batchBanded.as("a")
+      .join(corpus.as("b"),
+        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
+      .distinct()
+  }
+
+  /** Incremental near-dup screen: which docs in a NEW batch near-
+    * duplicate something already in the corpus, given the corpus's
+    * stored signature index (`corpusBanded`, see [[bandedSigs]]) and
+    * stored fingerprints (`corpusHashed`, see [[hashedDocs]]) — in
+    * production both read back from [[graft.store.Store]] tables, not
+    * recomputed. The batch pays ONE shingle-hash pass, shared between
+    * banding and verification via localCheckpoint exactly as in
+    * [[verifiedNearDupPairs]] (same fault-tolerance caveat; same
+    * `persistFingerprints = false` escape); the corpus pays only the
+    * bucket probe and the fingerprint lookup of its candidate ids.
+    * Returns (batch_id, corpus_id, jaccard); screen the batch by
+    * anti-joining its ids against rows ≥ the duplicate threshold. */
+  def incrementalNearDupPairs(
+      batch: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
+      bands: Int, rowsPerBand: Int,
+      corpusBanded: DataFrame, corpusHashed: DataFrame,
+      persistFingerprints: Boolean = true,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val base = hashedDocs(batch, idCol, textCol, mode)
+    val batchHashed = if (persistFingerprints) base.localCheckpoint(false) else base
+    val pairs = incrementalCandidatePairs(
+      bandedSigs(batchHashed, bands, rowsPerBand), corpusBanded, maxBucketSize)
+    pairs
+      .join(batchHashed.select(col("id").as("batch_id"), col("h").as("__ha")), "batch_id")
+      .join(corpusHashed.select(col("id").as("corpus_id"), col("h").as("__hb")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        jaccardOfHashSets(col("__ha"), col("__hb")).as("jaccard"))
+  }
+
   /** MinHash-LSH candidate pairs over char n-gram shingles. */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,

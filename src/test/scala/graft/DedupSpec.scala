@@ -75,6 +75,42 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incrementalNearDupPairs: batch screened against a STORED corpus index") {
+    import graft.store.Store
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about databases and distributed query engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "novel content that matches nothing in the existing corpus at all here"))
+      .toDF("doc_id", "text")
+    // write the corpus index once, read it back — the production shape:
+    // the incremental screen must work from the persisted tables alone
+    Store.overwrite(Dedup.hashedDocs(corpus, "doc_id", "text", Dedup.CharShingles(5)),
+      "t_corpus_hashed")
+    Store.overwrite(Dedup.bandedSigs(spark.table("t_corpus_hashed"), 8, 4),
+      "t_corpus_banded")
+    try {
+      val out = Dedup.incrementalNearDupPairs(
+          batch, "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+          spark.table("t_corpus_banded"), spark.table("t_corpus_hashed"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(out.contains((10L, 1L, 1.0))) // exact dup of corpus doc 1
+      assert(!out.exists(_._1 == 11L))     // novel doc matches nothing
+      // corpus-side bucket cap: cap 0 excludes every bucket → no pairs
+      val capped = Dedup.incrementalNearDupPairs(
+          batch, "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+          spark.table("t_corpus_banded"), spark.table("t_corpus_hashed"),
+          maxBucketSize = 0)
+        .collect()
+      assert(capped.isEmpty)
+    } finally {
+      Store.drop(spark, "t_corpus_hashed")
+      Store.drop(spark, "t_corpus_banded")
+    }
+  }
+
   test("jaccardOnPairs: identical → 1.0, disjoint → 0.0, known overlap exact") {
     val docs = Seq((1L, "abcde"), (2L, "abcde"), (3L, "vwxyz"), (4L, "abcdf"))
       .toDF("doc_id", "text")
