@@ -51,7 +51,9 @@ object PlanDump {
     "q83_bloom_decontamination" ->
       "Bloom-prefiltered decontamination: might_contain runs as a narrow codegen'd scan predicate (one KB-scale blob, no broadcast join), so only the ~fpp survivor fraction reaches the exact sort-merge verification join — the shape for a non-broadcastable eval set.",
     "q84_quality_deciles" ->
-      "NTILE curriculum binning: one window exchange on source with a total-order (score, doc_id) sort — ties never make the cut engine-arbitrary.")
+      "NTILE curriculum binning: one window exchange on source with a total-order (score, doc_id) sort — ties never make the cut engine-arbitrary.",
+    "q90_incremental_neardup" ->
+      "Incremental near-dup screen: the new batch bands and probes the STORED corpus index via a plain (band, bandsig) equi-join — the corpus is never re-shingled, and when the daily batch ≪ corpus, AQE broadcasts the batch side so the index is probed without a corpus-side shuffle; verification joins fingerprints only for candidate ids.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
