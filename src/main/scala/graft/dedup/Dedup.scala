@@ -362,6 +362,71 @@ object Dedup {
       shingleN: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
     minhashCandidatePairs(df, idCol, textCol, CharShingles(shingleN), bands, rowsPerBand)
 
+  /** Bootstrap the persistent corpus dedup index: one shingle-hash pass
+    * over the founding corpus, fingerprints to `hashedTable` (id, h)
+    * and banded signatures to `bandedTable` (id, band, bandsig), both
+    * as [[graft.store.Store]] managed tables. Written hashed-first for
+    * the same reason [[admitBatch]] appends hashed-first. */
+  def writeCorpusIndex(
+      docs: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
+      bands: Int, rowsPerBand: Int,
+      hashedTable: String, bandedTable: String): Unit = {
+    val hashed = hashedDocs(docs, idCol, textCol, mode).localCheckpoint(false)
+    graft.store.Store.overwrite(hashed, hashedTable)
+    graft.store.Store.overwrite(bandedSigs(hashed, bands, rowsPerBand), bandedTable)
+  }
+
+  /** The standing ingest transaction: screen a new batch against the
+    * stored corpus index ([[incrementalNearDupPairs]]), ADMIT the docs
+    * that near-duplicate nothing (< `minJaccard` against every
+    * candidate), and append ONLY the admitted docs' fingerprints and
+    * banded signatures to the index tables — so tomorrow's batch is
+    * screened against today's admissions without any recompute.
+    * Returns the admitted batch rows (original columns).
+    *
+    * Contracts and caveats, in scale order:
+    *  - Batch ids must be disjoint from corpus ids (they are the
+    *    index's primary key).
+    *  - Intra-batch near-dups are NOT screened here — both get
+    *    admitted. Pre-dedup the batch ([[exactDedup]] +
+    *    [[verifiedNearDupPairs]]) when that matters; at daily-ingest
+    *    scale the batch-local pass is cheap relative to the probe.
+    *  - The two appends are not one transaction (Spark's catalog is
+    *    non-transactional, same caveat as [[graft.store.Store.compact]]).
+    *    Hashed is appended FIRST deliberately: a crash between the
+    *    appends leaves fingerprints without banded rows, which is
+    *    harmless (docs absent from the banded index are never probed,
+    *    and re-running the batch re-screens it). The reverse order
+    *    could leave banded rows whose fingerprint lookup inner-join
+    *    silently drops candidates — a silent recall hole.
+    *  - The batch pays ONE shingle-hash pass (localCheckpoint shared
+    *    by screen + admission append), matching
+    *    [[verifiedNearDupPairs]]'s fault-tolerance tradeoff. */
+  def admitBatch(
+      batch: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
+      bands: Int, rowsPerBand: Int,
+      hashedTable: String, bandedTable: String,
+      minJaccard: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val spark = batch.sparkSession
+    val batchHashed = hashedDocs(batch, idCol, textCol, mode).localCheckpoint(false)
+    val pairs = incrementalCandidatePairs(
+      bandedSigs(batchHashed, bands, rowsPerBand),
+      spark.table(bandedTable), maxBucketSize)
+    val dupIds = pairs
+      .join(batchHashed.select(col("id").as("batch_id"), col("h").as("__ha")), "batch_id")
+      .join(spark.table(hashedTable).select(col("id").as("corpus_id"), col("h").as("__hb")),
+        "corpus_id")
+      .filter(jaccardOfHashSets(col("__ha"), col("__hb")) >= minJaccard)
+      .select(col("batch_id").as("id")).distinct()
+    val admittedHashed = batchHashed.join(dupIds, Seq("id"), "left_anti")
+      .localCheckpoint(false) // appended twice below; also decouples the
+                              // writes from the screen's lineage
+    graft.store.Store.append(admittedHashed, hashedTable)
+    graft.store.Store.append(bandedSigs(admittedHashed, bands, rowsPerBand), bandedTable)
+    batch.join(admittedHashed.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** 60-bit shingle hash: the first 15 hex chars of md5(shingle) as a
     * BIGINT — i.e. the top 60 bits of the digest. Engine-portable
     * (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`), and since BOTH

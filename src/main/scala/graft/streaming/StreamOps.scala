@@ -56,6 +56,41 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming face of the incremental near-dup screen
+    * ([[graft.dedup.Dedup.incrementalNearDupPairs]]): docs arriving on
+    * a stream are shingle-hashed, banded, and probed against the
+    * STATIC stored corpus index — two stream-static equi-joins plus a
+    * narrow jaccard filter, fully STATELESS (no watermark, no state
+    * store; batch and stream give identical per-pair verdicts). Emits
+    * (batch_id, corpus_id, jaccard) for matches ≥ `minJaccard`.
+    *
+    * Statelessness costs one declared duplicate-shape: a pair matching
+    * in m bands is emitted m times (the batch form's `distinct()` is a
+    * stateful aggregation a stream cannot afford). Duplicates carry
+    * identical values — dedupe per micro-batch in `foreachBatch`, or
+    * feed the verdicts to a sink where the (batch_id, corpus_id) key
+    * is idempotent. The corpus side stays a plain DataFrame read of
+    * the index tables, refreshed per micro-batch by the source. */
+  def nearDupScreen(
+      docs: DataFrame, idCol: String, textCol: String,
+      mode: graft.dedup.Dedup.ShingleMode, bands: Int, rowsPerBand: Int,
+      corpusBanded: DataFrame, corpusHashed: DataFrame,
+      minJaccard: Double): DataFrame = {
+    import graft.dedup.Dedup
+    val banded = Dedup.hashedDocs(docs, idCol, textCol, mode)
+      .select(col("id"), col("h"),
+        posexplode(graft.functions.MinhashBandSigs.bandSigs(col("h"), bands, rowsPerBand))
+          .as(Seq("band", "bandsig")))
+    banded.as("a")
+      .join(corpusBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig"))
+      .select(col("a.id").as("batch_id"), col("a.h").as("__ha"), col("b.id").as("corpus_id"))
+      .join(corpusHashed.select(col("id").as("corpus_id"), col("h").as("__hb")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        Dedup.jaccardOfHashSets(col("__ha"), col("__hb")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Stream-stream inner join with an event-time interval condition:
     * each left row matches right rows with the same key whose time lies
     * in [leftTime − lookback, leftTime]. Both watermarks plus the

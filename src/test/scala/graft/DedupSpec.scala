@@ -111,6 +111,37 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("admitBatch: novel docs admitted and indexed; dups of prior admissions screened") {
+    import graft.store.Store
+    val founding = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val novelA = "distributed query engines partition work across executors for scale"
+    val novelB = "sequence packing fills token budget bins with greedy running totals"
+    Dedup.writeCorpusIndex(Seq((1L, founding)).toDF("doc_id", "text"),
+      "doc_id", "text", Dedup.CharShingles(5), 8, 4, "t_ix_hashed", "t_ix_banded")
+    try {
+      // batch 1: a dup of the founding doc + one novel doc
+      val a1 = Dedup.admitBatch(
+        Seq((10L, founding), (11L, novelA)).toDF("doc_id", "text"),
+        "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+        "t_ix_hashed", "t_ix_banded", minJaccard = 0.9)
+      assert(a1.select("doc_id").as[Long].collect().toSet == Set(11L))
+      // batch 2: a dup of batch 1's ADMISSION must now be screened too
+      val a2 = Dedup.admitBatch(
+        Seq((20L, novelA), (21L, novelB)).toDF("doc_id", "text"),
+        "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+        "t_ix_hashed", "t_ix_banded", minJaccard = 0.9)
+      assert(a2.select("doc_id").as[Long].collect().toSet == Set(21L))
+      // the index holds exactly the founding doc + the two admissions
+      assert(spark.table("t_ix_hashed").select("id").as[Long].collect().toSet
+        == Set(1L, 11L, 21L))
+      assert(spark.table("t_ix_banded").select("id").distinct().as[Long].collect().toSet
+        == Set(1L, 11L, 21L))
+    } finally {
+      Store.drop(spark, "t_ix_hashed")
+      Store.drop(spark, "t_ix_banded")
+    }
+  }
+
   test("jaccardOnPairs: identical → 1.0, disjoint → 0.0, known overlap exact") {
     val docs = Seq((1L, "abcde"), (2L, "abcde"), (3L, "vwxyz"), (4L, "abcdf"))
       .toDF("doc_id", "text")

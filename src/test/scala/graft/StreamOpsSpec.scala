@@ -31,6 +31,41 @@ class StreamOpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("nearDupScreen: stateless stream probe of the static corpus index ≡ batch verdicts") {
+    import graft.dedup.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about databases and distributed query engines"))
+      .toDF("doc_id", "text")
+    val corpusHashed = Dedup.hashedDocs(corpus, "doc_id", "text", Dedup.CharShingles(5))
+      .localCheckpoint(false)
+    val corpusBanded = Dedup.bandedSigs(corpusHashed, 8, 4)
+    val batchRows = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "novel content that matches nothing in the existing corpus at all here"))
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamOps.nearDupScreen(stream, "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+        corpusBanded, corpusHashed, minJaccard = 0.9)
+      .writeStream.format("memory").queryName("screen_out")
+      .outputMode("append").start()
+    input.addData(batchRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    // duplicates (one per matching band) carry identical values — set-compare
+    val streamed = spark.table("screen_out")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Dedup.incrementalNearDupPairs(
+        batchRows.toDF("doc_id", "text"), "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+        corpusBanded, corpusHashed)
+      .filter(col("jaccard") >= 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((10L, 1L, 1.0)))
+  }
+
   test("windowedTypeCounts aggregates into tumbling windows incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
