@@ -10,6 +10,7 @@ import graft.clean.TextClean
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators.AsOfJoin
+import graft.quality.QualitySuite
 import graft.similarity.Similarity
 import graft.star.Sk
 
@@ -2267,6 +2268,29 @@ object Battery {
         FROM cand JOIN shh sa ON sa.doc_id = batch_id JOIN shh sb ON sb.doc_id = corpus_id)
       WHERE jaccard >= 0.25 ORDER BY batch_id, corpus_id"""))
 
+  /** Single-pass column profile (QualitySuite.columnProfile) — the
+    * profiling report a curation run starts from: nulls, distinct
+    * count, min/max per column, ONE scan via Expand-planned
+    * multi-countDistinct. Doubles are deliberately absent from the
+    * profiled set: min/max travel as strings and double→string
+    * rendering is the one cast the two engines don't share bit-for-bit
+    * guarantees on. */
+  val q91 = Q("q91_column_profile",
+    (s, dir) => QualitySuite.columnProfile(
+        t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
+      .orderBy("col_name"),
+    Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+            CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+            COUNT(DISTINCT $c) AS n_distinct,
+            CAST(MIN($c) AS VARCHAR) AS min_value,
+            CAST(MAX($c) AS VARCHAR) AS max_value FROM orders"""
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2274,5 +2298,5 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }

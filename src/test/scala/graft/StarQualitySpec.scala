@@ -94,6 +94,25 @@ class StarQualitySpec extends SparkTestBase {
     assert(res.head.violations == 1)
   }
 
+  test("columnProfile: one-pass nulls/distinct/min-max; approx path sane; empty table") {
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None), (None, Some("a")), (Some(3L), Some("a")))
+      .toDF("k", "s")
+    val prof = QualitySuite.columnProfile(df, Seq("k", "s"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[String], Option[String])].collect()
+    assert(prof(0) == (("k", 4L, 1L, 2L, Some("1"), Some("3"))))
+    assert(prof(1) == (("s", 4L, 1L, 2L, Some("a"), Some("b"))))
+    // approx path: tiny cardinalities are exact under HLL too
+    val approx = QualitySuite.columnProfile(df, Seq("k"), exact = false)
+      .select("n_distinct").as[Long].collect()
+    assert(approx.head == 2L)
+    // empty input: zero counts, NULL min/max — no NPE, no NULL counts
+    val empty = QualitySuite.columnProfile(df.filter(lit(false)), Seq("k"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])].collect()
+    assert(empty.head == (("k", 0L, 0L, 0L, None, None)))
+  }
+
   test("fullSuite passes over a built star schema") {
     val brand = Star.dimBrand(miniSilver)
     val category = Star.dimCategory(miniSilver)
