@@ -154,6 +154,40 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$p")
   }
 
+  // AdaptiveSparkPlan.toString prints final AND initial plans — counting
+  // operator occurrences over the whole string double-counts, so these
+  // shape checks cut at the initial-plan marker first
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val p = plan(df)
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
+  }
+
+  test("q90 incremental screen: bucket probe is an equi-join; ONE banding per side") {
+    val df = Battery.q90.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"index probe degenerated to cross product:\n$p")
+    // each side bands once: batch-side banding (1) + corpus index build (1);
+    // a third Generate would mean the screen re-banded something
+    assert("minhash_band_sigs".r.findAllIn(p).size <= 2,
+      s"banding computed more than once per side:\n$p")
+  }
+
+  test("q91 column profile: ONE scan (Expand fan-out), partial aggregation") {
+    val df = Battery.q91.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    // the one-pass claim: a single parquet scan feeds the Expand-planned
+    // multi-countDistinct — per-column scans would show here as N scans
+    assert("FileScan parquet".r.findAllIn(p).size == 1, s"profile scans more than once:\n$p")
+    assert(p.contains("Expand"), s"multi-countDistinct did not plan via Expand:\n$p")
+    // min/max over strings plan as SortAggregate here; the partial_ markers
+    // are what prove map-side combine regardless of aggregate flavor
+    assert(p.contains("partial_count"), s"no partial agg:\n$p")
+  }
+
   test("CBO end-to-end: ANALYZE column stats flip a filtered-dim join to broadcast") {
     import graft.store.Store
     Store.ensureDatabase(spark, "graft_test")
