@@ -53,7 +53,9 @@ object PlanDump {
     "q84_quality_deciles" ->
       "NTILE curriculum binning: one window exchange on source with a total-order (score, doc_id) sort — ties never make the cut engine-arbitrary.",
     "q90_incremental_neardup" ->
-      "Incremental near-dup screen: the new batch bands and probes the STORED corpus index via a plain (band, bandsig) equi-join — the corpus is never re-shingled, and when the daily batch ≪ corpus, AQE broadcasts the batch side so the index is probed without a corpus-side shuffle; verification joins fingerprints only for candidate ids.")
+      "Incremental near-dup screen: the new batch bands and probes the STORED corpus index via a plain (band, bandsig) equi-join — the corpus is never re-shingled, and when the daily batch ≪ corpus, AQE broadcasts the batch side so the index is probed without a corpus-side shuffle; verification joins fingerprints only for candidate ids.",
+    "q91_column_profile" ->
+      "Single-pass column profile: ONE FileScan feeds the Expand-planned multi-countDistinct (each row fans out once per distinct-agg, partials combine map-side; the dedup exchange carries ~sum of per-column NDVs, not rows) — vs one scan per column for the naive per-column profile.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
