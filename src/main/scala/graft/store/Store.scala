@@ -186,6 +186,45 @@ object Store {
     }
   }
 
+  /** Per-partition file inventory — the report that tells you WHEN to
+    * run [[compact]]: one row per partition (one total row for an
+    * unpartitioned table) with file count, bytes, and a
+    * `needs_compaction` flag set when the partition holds more files
+    * than its bytes justify at `targetBytes` (the small-files signal:
+    * appends accumulate files, and a 10⁶-tiny-file table spends more
+    * time in footer reads and task scheduling than in data).
+    *
+    * This is driver-side METADATA work — one filesystem listing per
+    * partition, the same cost class as the catalog's own partition
+    * listing — not a Spark job over the data; the returned DataFrame
+    * is |partitions| rows. Hidden files (`_SUCCESS`, `.crc`) are
+    * excluded. */
+  def fileReport(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val locs: Seq[(String, java.net.URI)] =
+      if (meta.partitionColumnNames.isEmpty) Seq(("", meta.location))
+      else spark.sessionState.catalog.listPartitions(ident).map { p =>
+        (p.spec.map { case (k, v) => s"$k=$v" }.mkString("/"), p.location)
+      }
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val rows = locs.map { case (name, loc) =>
+      val path = new Path(loc)
+      val fs = path.getFileSystem(hadoopConf)
+      val files = fs.listStatus(path).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val bytes = files.map(_.getLen).sum
+      val target = ((bytes + targetBytes - 1) / targetBytes).max(1L)
+      (name, files.length.toLong, bytes, files.length > target)
+    }
+    spark.createDataFrame(rows)
+      .toDF("partition", "n_files", "bytes", "needs_compaction")
+  }
+
   /** Persist a full gold layer; fact partitioned if requested. */
   def persistGold(
       gold: Map[String, DataFrame],

@@ -138,6 +138,36 @@ class StoreSpec extends SparkTestBase {
     Store.drop(spark, "t_parted")
   }
 
+  test("fileReport flags sprawled partitions; compact clears the flag") {
+    Store.ensureDatabase(spark, "graft_test")
+    val df = spark.range(300).selectExpr("id", "CAST(id % 3 AS STRING) AS part")
+    df.repartition(10).write.mode("overwrite").format("parquet")
+      .partitionBy("part").saveAsTable("t_report")
+    try {
+      // tiny files against a 1-byte target are NOT flagged (target count
+      // >= file count); against the default 128MB target they are
+      val relaxed = Store.fileReport(spark, "t_report", targetBytes = 1L)
+      assert(relaxed.count() == 3)
+      assert(relaxed.filter(col("needs_compaction")).count() == 0, "bytes justify the files")
+      val before = Store.fileReport(spark, "t_report")
+        .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(before.map(_._1).toSeq == Seq("part=0", "part=1", "part=2"))
+      assert(before.forall(r => r._2 >= 5 && r._4), s"expected sprawl flagged: ${before.toSeq}")
+      assert(before.forall(_._3 > 0))
+      Store.compact(spark, "t_report")
+      val after = Store.fileReport(spark, "t_report")
+        .as[(String, Long, Long, Boolean)].collect()
+      assert(after.forall(r => r._2 == 1 && !r._4), s"compact should clear: ${after.toSeq}")
+      // unpartitioned: one total row, partition name empty
+      spark.range(10).write.mode("overwrite").format("parquet").saveAsTable("t_report_flat")
+      val flat = Store.fileReport(spark, "t_report_flat").collect()
+      assert(flat.length == 1 && flat(0).getString(0) == "")
+    } finally {
+      Store.drop(spark, "t_report")
+      Store.drop(spark, "t_report_flat")
+    }
+  }
+
   test("compact rejects external and bucketed tables with a clear error") {
     Store.ensureDatabase(spark, "graft_test")
     // external: the swap would orphan the original location
