@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   /** Millisecond precision is plenty for seconds-scale timings and keeps
     * the single stdout JSON line ~40% shorter (full double toString emits
-    * 15+ digits/query x 91 queries — long lines are what the driver's
+    * 15+ digits/query x 92 queries — long lines are what the driver's
     * tail capture truncated in BENCH_r05). Locale.ROOT: the default
     * locale's decimal COMMA (de_DE etc.) would make the JSON line the
     * driver parses invalid.
@@ -66,7 +66,7 @@ object Bench {
     * first 13-21 queries — a record-keeping gap, not a measurement
     * one). Every FULL battery run therefore also writes the identical
     * JSON to this file in the working dir, where the judge and the
-    * next round's outlier guard read all 91 values. Partial runs
+    * next round's outlier guard read all 92 values. Partial runs
     * (explicit query args) never write it — a 3-query dev loop must
     * not shadow the full record. */
   private[graft] val LocalRecord = "BENCH_LOCAL.json"
@@ -92,7 +92,7 @@ object Bench {
     // per-query min. CacheReset before each run keeps materializing
     // operators (near-dup fingerprint localCheckpoint reuse) honest —
     // a timed run must not read a previous run's stored blocks — and
-    // bounds storage growth across the 91-query battery.
+    // bounds storage growth across the 92-query battery.
     def once(fn: (SparkSession, String) => DataFrame): Double = {
       CacheReset(spark)
       val t0 = System.nanoTime()

@@ -2291,6 +2291,31 @@ object Battery {
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** Leakage-safe train/val/test assignment: the whole near-dup
+    * cluster (same verified-pair + CC front end as q64/q79/q87) lands
+    * in ONE split, decided by md5(cluster key) mod 100 — a doc can
+    * never train while its near-duplicate evaluates. Singletons key on
+    * their own id. Oracle: the q64 recursive-CTE components + the same
+    * md5 bucket arithmetic. */
+  val q92 = Q("q92_leakage_safe_splits",
+    (s, dir) => graft.text.Curation.leakageSafeSplits(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", neardupComponents(s, dir),
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select("doc_id", "source", "component", "split")
+      .orderBy("doc_id"),
+    Some(s"""$neardupCompCte,
+      asg AS (SELECT d.doc_id, d.source,
+          COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      SELECT doc_id, source, component,
+        CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+               THEN 'train'
+             WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM asg ORDER BY doc_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2298,5 +2323,5 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
 }

@@ -153,6 +153,45 @@ object Curation {
     df.filter(bucket < threshold)
   }
 
+  /** Leakage-safe train/val/test assignment: every near-dup CLUSTER
+    * lands wholly in ONE split, so a document can never sit in train
+    * while its near-duplicate sits in eval — the standard defense
+    * against evaluation leakage through near-dups (splitting docs
+    * independently leaks whenever a cluster straddles the boundary).
+    *
+    * `components` is (id, comp) from
+    * [[graft.operators.ConnectedComponents]] over verified near-dup
+    * pairs; docs absent from it are singletons (their own id is the
+    * cluster key). The split is decided by md5(cluster key) mod 100
+    * against the cumulative `splits` percentages — deterministic
+    * across engines, retries, and partitionings, like [[hashSample]].
+    *
+    * Scale shape: one left join of docs against the component table —
+    * which holds only docs that HAVE a near-dup (usually ≪ corpus), so
+    * AQE broadcasts it and the corpus side never shuffles; everything
+    * after is a narrow hash + CASE. Split sizes are approximate (hash
+    * buckets of clusters, weighted by cluster size), which is inherent:
+    * exact-size splits cannot be cluster-cohesive. */
+  def leakageSafeSplits(
+      docs: DataFrame, idCol: String, components: DataFrame,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,
+      s"split percentages must be positive and sum to 100: $splits")
+    val comp = components.select(col("id").as(idCol), col("comp").as("__comp"))
+    val withComp = docs.join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("__comp"), col(idCol)))
+      .drop("__comp")
+    val bucket =
+      expr("CAST(conv(substring(md5(CAST(component AS STRING)), 1, 15), 16, 10) AS BIGINT)") % 100
+    val uppers = splits.map(_._2).scanLeft(0)(_ + _).tail // cumulative upper bounds
+    val chain = splits.zip(uppers).init.foldLeft(Option.empty[Column]) {
+      case (None, ((name, _), up))    => Some(when(bucket < up, name))
+      case (Some(c), ((name, _), up)) => Some(c.when(bucket < up, name))
+    }
+    val splitCol = chain.map(_.otherwise(splits.last._1)).getOrElse(lit(splits.last._1))
+    withComp.withColumn("split", splitCol)
+  }
+
   /** Per-corpus-doc count of distinct word n-grams shared with an
     * eval/benchmark set — the discovery half of benchmark
     * DECONTAMINATION (a training corpus must not contain eval data;

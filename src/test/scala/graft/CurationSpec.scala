@@ -269,6 +269,32 @@ class CurationSpec extends SparkTestBase {
     assert(!p.contains("hashpartitioning(chunk"), s"hashed path shuffles span text:\n$p")
   }
 
+  test("leakageSafeSplits: clusters stay whole; singletons keyed on own id; deterministic") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // {1,2,3} one cluster (comp=1), {5,6} another (comp=5); 4 is a singleton
+    val components = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)).toDF("id", "comp")
+    val out = Curation.leakageSafeSplits(docs, "doc_id", components,
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val byDoc = out.map(r => r._1 -> r).toMap
+    // cluster cohesion: every member shares the cluster's split
+    assert(Set(1L, 2L, 3L).map(byDoc(_)._3).size == 1)
+    assert(Set(5L, 6L).map(byDoc(_)._3).size == 1)
+    assert(byDoc(4L)._2 == 4L) // singleton keys on its own id
+    assert(out.forall(r => Set("train", "val", "test")(r._3)))
+    // deterministic: a second run assigns identically
+    val again = Curation.leakageSafeSplits(docs, "doc_id", components,
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+    // malformed percentages rejected
+    intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplits(docs, "doc_id", components, Seq(("train", 50), ("val", 10)))
+    }
+  }
+
   test("stratifiedSample keeps exactly n per stratum, deterministically") {
     val df = spark.range(200)
       .selectExpr("id AS doc_id", "CAST(id % 4 AS STRING) AS lang")
