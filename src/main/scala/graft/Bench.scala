@@ -57,7 +57,17 @@ object Bench {
     val fromRound = benches.lastOption
       .map(parseTimes(_, expectedSf)).getOrElse(Map.empty[String, Double])
     val fromLocal = parseTimes(new java.io.File(dir, LocalRecord), expectedSf)
-    fromLocal ++ fromRound
+    // Freshness: the round file is the driver's (possibly head-truncated)
+    // capture of the SAME stdout line the local record holds, so when the
+    // two are from the same run every overlapping per-query value is
+    // IDENTICAL. A stale local record from an older run disagrees on the
+    // overlap (ms-precision timings never repeat) — backfilling it would
+    // inject outdated priors for exactly the queries the round file lost.
+    val sameRun = fromRound.isEmpty || {
+      val common = fromLocal.keySet & fromRound.keySet
+      common.nonEmpty && common.forall(k => fromLocal(k) == fromRound(k))
+    }
+    (if (sameRun) fromLocal else Map.empty[String, Double]) ++ fromRound
   } catch { case _: Throwable => Map.empty[String, Double] }
 
   /** The untruncatable bench record: the driver captures only the TAIL

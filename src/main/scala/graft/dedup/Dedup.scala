@@ -151,19 +151,31 @@ object Dedup {
     * ~k× fewer digests than [[minhashSigScala]], which is the
     * difference between a CPU-bound and an I/O-bound scan at 100 TB. */
   def minhashPermScala(h: Iterable[Long], k: Int): Array[Long] = {
-    val cs = permConsts(k)
+    val (as, bs) = permArrays(k)
     val mins = Array.fill(k)(Long.MaxValue)
     h.foreach { hv =>
       val x = hv % MinhashP
       var j = 0
       while (j < k) {
-        val v = (cs(j)._1 * x + cs(j)._2) % MinhashP
+        val v = (as(j) * x + bs(j)) % MinhashP
         if (v < mins(j)) mins(j) = v
         j += 1
       }
     }
     mins
   }
+
+  // (a,b) constants as flat primitive arrays, cached per k: this runs
+  // once per ROW on the LSH banding path (MinhashBandSigs), where
+  // rebuilding + boxing the permConsts IndexedSeq per row was pure
+  // overhead on the hottest 100 TB scan
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def permArrays(k: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(k, (kk: Int) => {
+      val cs = permConsts(kk)
+      (cs.map(_._1).toArray, cs.map(_._2).toArray)
+    })
 
   /** Signature + banding computed in ONE in-JVM UDF returning the
     * band-signature strings ("m_i|m_j|...", one per band).

@@ -2,8 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
@@ -33,12 +32,11 @@ import graft.dedup.Dedup
   * itself (shared by any engine computing the same portable hash).
   */
 case class ShingleHashSet(child: Expression, word: Boolean, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"shingle_hash_set requires STRING input, got ${child.dataType.catalogString}")
+  // ImplicitCastInputTypes: SQL callers keep the coercion the former UDF
+  // gave them (any atomic input implicitly casts to STRING)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hash_set"
 
@@ -149,12 +147,10 @@ object ShingleHashSet {
   * non-empty lowercased tokens have bit b set). Bit-for-bit the
   * semantics of the former `simhash32Md5Udf`, pinned by q29's DuckDB
   * oracle. */
-case class SimHash32(child: Expression) extends UnaryExpression {
+case class SimHash32(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"simhash32 requires STRING input, got ${child.dataType.catalogString}")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
 
@@ -177,12 +173,9 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   * [[Dedup.wordShinglesScala]] (the SQL-facing `char_shingles` /
   * `word_shingles` UDFs stay registered for dynamic-`n` SQL use). */
 case class ShingleArray(child: Expression, word: Boolean, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"shingle_array requires STRING input, got ${child.dataType.catalogString}")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_array"
 
@@ -219,17 +212,13 @@ object ShingleArray {
   * 100 TB). Replaces `jaccardOfHashSetsUdf`: as a codegen expression it
   * reads the unsafe array data in place — no per-pair boxing of every
   * element into Array[Long] for a Scala closure, no codegen fence. */
-case class JaccardHashSets(left: Expression, right: Expression) extends BinaryExpression {
+case class JaccardHashSets(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  private def okType(dt: DataType): Boolean = dt match {
-    case ArrayType(LongType, _) => true
-    case _ => false
-  }
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"jaccard_hash_sets requires two ARRAY<BIGINT> inputs, got " +
-        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  // ARRAY<INT> (etc.) inputs implicitly cast element-wise to
+  // ARRAY<BIGINT>, as the former UDF's ScalaReflection coercion did
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_hash_sets"
 
@@ -280,13 +269,9 @@ object JaccardHashSets {
   * opaque output also keeps the Spark 4.1.2 nested-lambda hazard
   * structurally impossible. */
 case class MinhashBandSigs(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_band_sigs requires ARRAY<BIGINT> input, got ${other.catalogString}")
-  }
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_band_sigs"
 

@@ -38,7 +38,7 @@ object CapReport {
   def observeExclusions(df: DataFrame, what: String, nCol: Column, cap: Int): DataFrame = {
     ensureListener(df.sparkSession)
     df.observe(s"$MetricPrefix$what#${counter.incrementAndGet()}",
-      sum(when(nCol > cap, lit(1L)).otherwise(lit(0L))).as("excluded_groups"),
+      coalesce(sum(when(nCol > cap, lit(1L)).otherwise(lit(0L))), lit(0L)).as("excluded_groups"),
       coalesce(sum(when(nCol > cap, nCol).otherwise(lit(0L))), lit(0L)).as("excluded_rows"),
       coalesce(max(nCol), lit(0L)).as("max_group"),
       lit(cap.toLong).as("cap"))

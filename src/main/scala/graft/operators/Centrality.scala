@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Graph centrality over engine-derived graphs (e.g. the near-dup
   * similarity graph): INTEGER-EXACT PageRank. The training-data use is
@@ -31,13 +32,20 @@ object Centrality {
     * r₀(v) = scale; rᵢ₊₁(v) = (scale·15) DIV 100 +
     * (Σ_{u→v} rᵢ(u) DIV deg(u)) · 85 DIV 100.
     *
-    * Scale shape per iteration: contributions ride one shuffle of the
-    * edge list keyed by dst (map-side partial sums), ranks join back to
-    * nodes; rank state is localCheckpointed (lazy) so the plan stays
-    * one-iteration deep instead of nesting the whole history — the same
-    * fixpoint discipline as [[ConnectedComponents]]. Overflow: per-node
-    * in-sums are bounded by |nodes|·scale — 10⁹ nodes at the default
-    * scale stay under 2⁶³ by six orders of magnitude. */
+    * Scale shape per iteration: the edge+degree list is persisted
+    * HASH-DISTRIBUTED (and sorted) on `src` ONCE before the loop, so
+    * the contribution join reuses that partitioning every iteration and
+    * only the rank side — |nodes| rows, not |edges| — is exchanged; a
+    * naive `edges ⋈ rank` would re-shuffle the edge list iters× (at a
+    * 100 TB-derived edge list, iters× avoidable wire volume).
+    * Contributions then ride one shuffle keyed by dst (map-side partial
+    * sums) and ranks join back to the node list, itself persisted
+    * hash-distributed on `v` so that join moves only the sums. Rank
+    * state is localCheckpointed (lazy) so the plan stays one-iteration
+    * deep instead of nesting the whole history — the same fixpoint
+    * discipline as [[ConnectedComponents]]. Overflow: per-node in-sums
+    * are bounded by |nodes|·scale — 10⁹ nodes at the default scale stay
+    * under 2⁶³ by six orders of magnitude. */
   def integerPageRank(
       edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1, "integerPageRank needs at least one iteration")
@@ -46,21 +54,46 @@ object Centrality {
     // upstream derivation (q87's LSH+Jaccard front end) re-executes
     // iters+2 times (measured 8.6s -> ~3s at sf0.1)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    val nodes = e.select(col("src").as("v")).distinct().localCheckpoint(false)
+    val (eDeg, nodes) = loopInputs(e)
     val base = lit(scale * 15 / 100)
     var rank = nodes.select(col("v"), lit(scale).as("pr"))
     var i = 0
     while (i < iters) {
-      val contrib = e.join(rank, e("src") === rank("v")).join(deg, "src")
-        .select(col("dst").as("v"), expr("pr DIV __deg").as("c"))
-      val sums = contrib.groupBy("v").agg(sum(col("c")).as("s"))
-      rank = nodes.join(sums, Seq("v"), "left")
-        .select(col("v"),
-          (base + expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) DIV 100")).as("pr"))
-        .localCheckpoint(false)
+      rank = iterate(eDeg, nodes, rank, base).localCheckpoint(false)
       i += 1
     }
     rank
+  }
+
+  /** The loop-invariant inputs, persisted (NOT checkpointed:
+    * localCheckpoint erases partitioning) pre-distributed on their join
+    * keys — the cached scans report HashPartitioning, so
+    * EnsureRequirements drops the exchange on these sides in every
+    * iteration. Exposed for PlanSpec's exchange-count pin. */
+  private[graft] def loopInputs(e: DataFrame): (DataFrame, DataFrame) = {
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val eDeg = e.join(deg, "src").repartition(col("src"))
+      .sortWithinPartitions("src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("v")).distinct()
+      .repartition(col("v")).persist(StorageLevel.MEMORY_AND_DISK)
+    (eDeg, nodes)
+  }
+
+  /** One rank update, pre-checkpoint — exposed (not private) only so
+    * PlanSpec can pin the loop body's exchange count: the
+    * localCheckpoint barrier hides each iteration's plan from the final
+    * query's explain. Exchanges per iteration: ONE for the rank side of
+    * the contribution join (eDeg's cached HashPartitioning(src) is
+    * reused) + ONE for the dst-keyed contribution aggregate (whose
+    * output partitioning the nodes join then reuses). */
+  private[graft] def iterate(
+      eDeg: DataFrame, nodes: DataFrame, rank: DataFrame,
+      base: org.apache.spark.sql.Column): DataFrame = {
+    val contrib = eDeg.join(rank, eDeg("src") === rank("v"))
+      .select(col("dst").as("v"), expr("pr DIV __deg").as("c"))
+    val sums = contrib.groupBy("v").agg(sum(col("c")).as("s"))
+    nodes.join(sums, Seq("v"), "left")
+      .select(col("v"),
+        (base + expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) DIV 100")).as("pr"))
   }
 }

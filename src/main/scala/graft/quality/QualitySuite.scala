@@ -47,27 +47,46 @@ object QualitySuite {
     }
   }
 
+  /** Auto-mode thresholds for [[columnProfile]]: above either, the
+    * profile switches from exact `countDistinct` to HLL. The Expand
+    * plan behind multi-column exact distinct REPLICATES every scan row
+    * once per distinct aggregate — a 17-column exact profile pushes
+    * ~17× the scan's row count through the map stage before the
+    * shuffle, which is the difference between "one pass" and "17
+    * passes' worth of rows" at 100 TB. */
+  val AutoExactMaxCols: Int = 12
+  val AutoExactMaxBytes: Long = 8L * 1024 * 1024 * 1024
+
   /** Single-pass column profile — the data-profiling report every
     * curation run starts from: per column, null count, distinct count,
     * and min/max (as strings, so one long-form schema covers every
     * column type). ONE aggregate over ONE scan: Spark plans the
-    * multi-column `countDistinct` set via Expand (each input row fans
-    * out once per distinct-agg in the map stage, partials combine
-    * map-side), which beats one-scan-per-column by |cols|× on a 100 TB
-    * table. `exact = false` swaps `countDistinct` for HLL
+    * multi-column `countDistinct` set via Expand — BUT Expand fans
+    * every input row out once per distinct-agg in the map stage
+    * (|cols|× the scan's rows in flight before partials combine), so
+    * exact-mode cost grows with the column count, not just the data.
+    * `exact = Some(false)` swaps `countDistinct` for HLL
     * `approx_count_distinct` — the scale form when ±2% on
     * distinct-count is acceptable: no Expand, one ~1.5 KB sketch per
-    * column crosses the wire. Exact is the default because the
-    * cross-engine oracle needs determinism, and profile targets are
-    * usually dimension-sized samples anyway. */
-  def columnProfile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    * column crosses the wire. The default `None` AUTO-selects: exact
+    * for profiles up to [[AutoExactMaxCols]] columns over inputs the
+    * optimizer sizes under [[AutoExactMaxBytes]] (the
+    * dimension-sample case, where the cross-engine oracle needs
+    * determinism), HLL beyond either threshold (the wide-profile /
+    * 100 TB case). Pass `Some(true)` to force the Expand form
+    * regardless. */
+  def columnProfile(
+      df: DataFrame, cols: Seq[String], exact: Option[Boolean] = None): DataFrame = {
     require(cols.nonEmpty && cols.forall(df.columns.contains),
       s"columns must exist: ${cols.filterNot(df.columns.contains).mkString(",")}")
+    val useExact = exact.getOrElse(
+      cols.length <= AutoExactMaxCols &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(AutoExactMaxBytes))
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         // coalesce: SUM over an empty table is NULL (cf. bounds above)
         coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$c"),
-        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+        (if (useExact) countDistinct(col(c)) else approx_count_distinct(col(c)))
           .as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))

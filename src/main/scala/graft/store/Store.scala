@@ -171,8 +171,18 @@ object Store {
       val parts = spark.sessionState.catalog.listPartitions(ident).map(_.spec)
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val schema = spark.table(table).schema
       try parts.foreach { partSpec =>
-        val pred = partSpec.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+        // catalog specs are strings: cast the literal to the partition
+        // column's catalog type (string→type coercion on the COLUMN side
+        // would defeat partition pruning), and match the Hive null
+        // sentinel via isNull — a `col === lit(sentinel)` predicate never
+        // matches the null partition, which would silently skip it
+        val pred = partSpec.map { case (c, v) =>
+          if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+            col(c).isNull
+          else col(c) === lit(v).cast(schema(c).dataType)
+        }.reduce(_ && _)
         val slice = spark.table(table).filter(pred)
         // eager materialization breaks the read-from-target lineage and
         // bounds the in-flight data to ONE partition

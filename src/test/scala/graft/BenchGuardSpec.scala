@@ -52,19 +52,39 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.priorRoundTimes(d2, expectedSf = Some("x")).nonEmpty)
   }
 
-  test("BENCH_LOCAL.json fills the truncated head; the round file wins overlaps") {
+  test("BENCH_LOCAL.json fills the truncated head when it is the same run's record") {
     val d = tmpDirWith(
       // round record lost its head to the tail capture — only q27 survives
       "BENCH_r06.json" -> """_neardup":2.1,"q27_y":2.290},"failed":0}""",
-      // the untruncated local record from the same full run has everything
-      "BENCH_LOCAL.json" -> """{"queries":{"q01_x":0.5,"q27_y":9.9},"failed":0}""")
+      // the untruncated local record of the SAME run: overlap identical
+      "BENCH_LOCAL.json" -> """{"queries":{"q01_x":0.5,"q27_y":2.290},"failed":0}""")
     val got = Bench.priorRoundTimes(d)
     assert(got.get("q01_x").contains(0.5), got)   // head restored from local
-    assert(got.get("q27_y").contains(2.29), got)  // round file wins overlap
+    assert(got.get("q27_y").contains(2.29), got)
     // local record at the wrong sf is discarded like any other prior
     val d2 = tmpDirWith(
       "BENCH_LOCAL.json" -> """{"queries":{"q01_x":0.5},"sf":"/root/testdata/sf0.01"}""")
     assert(Bench.priorRoundTimes(d2, expectedSf = Some("/root/testdata/sf0.1")).isEmpty)
+  }
+
+  test("a STALE local record (overlap disagrees with the round file) is not backfilled") {
+    // ms-precision timings never repeat across runs, so a disagreeing
+    // overlap means the local record is from an OLDER run — backfilling
+    // it would inject outdated priors for the queries the round file lost
+    val d = tmpDirWith(
+      "BENCH_r06.json" -> """_neardup":2.1,"q27_y":2.290},"failed":0}""",
+      "BENCH_LOCAL.json" -> """{"queries":{"q01_x":0.5,"q27_y":9.9},"failed":0}""")
+    val got = Bench.priorRoundTimes(d)
+    assert(got.get("q01_x").isEmpty, got)         // stale head NOT restored
+    assert(got.get("q27_y").contains(2.29), got)  // round file still trusted
+    // no round file at all -> the local record stands alone
+    val d2 = tmpDirWith("BENCH_LOCAL.json" -> """{"queries":{"q01_x":0.5}}""")
+    assert(Bench.priorRoundTimes(d2).get("q01_x").contains(0.5))
+    // disjoint query sets (nothing to corroborate) -> treated as stale
+    val d3 = tmpDirWith(
+      "BENCH_r06.json" -> """{"queries":{"q27_y":2.290}}""",
+      "BENCH_LOCAL.json" -> """{"queries":{"q01_x":0.5}}""")
+    assert(Bench.priorRoundTimes(d3) == Map("q27_y" -> 2.29))
   }
 
   test("missing dir, empty dir, and junk files all degrade to no-prior") {

@@ -104,13 +104,28 @@ class StarQualitySpec extends SparkTestBase {
     assert(prof(0) == (("k", 4L, 1L, 2L, Some("1"), Some("3"))))
     assert(prof(1) == (("s", 4L, 1L, 2L, Some("a"), Some("b"))))
     // approx path: tiny cardinalities are exact under HLL too
-    val approx = QualitySuite.columnProfile(df, Seq("k"), exact = false)
+    val approx = QualitySuite.columnProfile(df, Seq("k"), exact = Some(false))
       .select("n_distinct").as[Long].collect()
     assert(approx.head == 2L)
     // empty input: zero counts, NULL min/max — no NPE, no NULL counts
     val empty = QualitySuite.columnProfile(df.filter(lit(false)), Seq("k"))
       .as[(String, Long, Long, Long, Option[String], Option[String])].collect()
     assert(empty.head == (("k", 0L, 0L, 0L, None, None)))
+  }
+
+  test("columnProfile auto mode: exact for narrow profiles, HLL above the column threshold") {
+    def usesHll(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("approx_count_distinct")
+    val wideCols = (1 to (QualitySuite.AutoExactMaxCols + 1)).map(i => s"c$i")
+    val wide = spark.range(10).select(wideCols.map(c => col("id").as(c)): _*)
+    // auto: 13 distinct-aggs would push 13x the scan's rows through
+    // Expand — the profile must flip to the sketch form on its own
+    assert(usesHll(QualitySuite.columnProfile(wide, wideCols)))
+    // auto: a narrow dimension-sized profile stays exact (q91's form)
+    assert(!usesHll(QualitySuite.columnProfile(wide, wideCols.take(5))))
+    // caller override beats the threshold in both directions
+    assert(!usesHll(QualitySuite.columnProfile(wide, wideCols, exact = Some(true))))
+    assert(usesHll(QualitySuite.columnProfile(wide, wideCols.take(2), exact = Some(false))))
   }
 
   test("fullSuite passes over a built star schema") {
