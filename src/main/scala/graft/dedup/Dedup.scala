@@ -419,7 +419,8 @@ object Dedup {
       bands: Int, rowsPerBand: Int,
       hashedTable: String, bandedTable: String,
       minJaccard: Double,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue,
+      compactMinFiles: Int = 64): DataFrame = {
     val spark = batch.sparkSession
     val batchHashed = hashedDocs(batch, idCol, textCol, mode).localCheckpoint(false)
     val pairs = incrementalCandidatePairs(
@@ -436,8 +437,33 @@ object Dedup {
                               // writes from the screen's lineage
     graft.store.Store.append(admittedHashed, hashedTable)
     graft.store.Store.append(bandedSigs(admittedHashed, bands, rowsPerBand), bandedTable)
+    maintainCorpusIndex(spark, hashedTable, bandedTable, minFiles = compactMinFiles)
     batch.join(admittedHashed.select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
+
+  /** The maintenance half of the admission loop: every [[admitBatch]]
+    * appends NEW FILES to both index tables, which after N daily
+    * batches is precisely the small-files sprawl
+    * [[graft.store.Store.fileReport]] was built to detect — a
+    * 10⁶-tiny-file index spends the probe's time in parquet footers
+    * and task scheduling, not data. Runs the (driver-side, metadata-
+    * only) report on each index table and compacts any whose file
+    * count exceeds both its byte-justified target AND `minFiles` —
+    * the extra floor keeps the loop from rewriting a young index on
+    * every admission just because two batches made two files.
+    * Screen verdicts are unaffected: compaction rewrites the same
+    * rows into fewer files. Called by [[admitBatch]] after its
+    * appends; callable standalone for out-of-band maintenance. */
+  def maintainCorpusIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      hashedTable: String, bandedTable: String,
+      targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 64): Unit =
+    Seq(hashedTable, bandedTable).foreach { t =>
+      val sprawled = graft.store.Store.fileReport(spark, t, targetBytes)
+        .filter(col("needs_compaction") && col("n_files") > minFiles)
+        .limit(1).count() > 0
+      if (sprawled) graft.store.Store.compact(spark, t, targetBytes)
+    }
 
   /** 60-bit shingle hash: the first 15 hex chars of md5(shingle) as a
     * BIGINT — i.e. the top 60 bits of the digest. Engine-portable

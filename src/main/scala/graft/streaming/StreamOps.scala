@@ -91,6 +91,50 @@ object StreamOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Streaming screen-AND-admit: the full corpus-index ingest loop as
+    * one standing stream — each micro-batch is screened against the
+    * stored index ([[graft.dedup.Dedup.admitBatch]]), its novel docs
+    * are appended to the index, and the admitted rows land in a
+    * per-batch-partitioned parquet sink ([[upsertBatch]]). The stream
+    * therefore GROWS the corpus it screens against: a doc in batch N
+    * that near-duplicates an admission from batch N−1 is flagged.
+    *
+    * Restart safety, layer by layer (foreachBatch may REPLAY a batch
+    * after a crash, with the same batchId):
+    *  - The admitted-rows sink overwrites only its own batch_id
+    *    partition (dynamic overwrite) — replays rewrite, never
+    *    duplicate. An EMPTY replay result touches no partition, so the
+    *    original batch's admitted rows survive.
+    *  - The index appends are NOT transactional, but they self-heal:
+    *    a replayed doc whose fingerprints already reached the index
+    *    near-duplicates ITSELF at jaccard 1.0 ≥ `minJaccard`, so the
+    *    replay screens it out and appends nothing — admission is
+    *    idempotent through the screen itself, no ledger table needed.
+    *    (Requires `minJaccard` ≤ 1.0, i.e. always.)
+    *  - A crash between the two index appends leaves hashed rows
+    *    without banded rows — invisible to the probe, so the replay
+    *    re-admits the doc; the duplicate fingerprint row is harmless
+    *    (admitBatch's verdicts key on distinct ids).
+    * Index file sprawl from per-batch appends is handled in-loop by
+    * [[graft.dedup.Dedup.maintainCorpusIndex]] via `compactMinFiles`. */
+  def screenAndAdmit(
+      docs: DataFrame, idCol: String, textCol: String,
+      mode: graft.dedup.Dedup.ShingleMode, bands: Int, rowsPerBand: Int,
+      hashedTable: String, bandedTable: String, minJaccard: Double,
+      admittedPath: String, checkpoint: String,
+      compactMinFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val admitted = graft.dedup.Dedup.admitBatch(
+          b.toDF(), idCol, textCol, mode, bands, rowsPerBand,
+          hashedTable, bandedTable, minJaccard,
+          compactMinFiles = compactMinFiles)
+        upsertBatch(admitted, id, admittedPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Stream-stream inner join with an event-time interval condition:
     * each left row matches right rows with the same key whose time lies
     * in [leftTime − lookback, leftTime]. Both watermarks plus the

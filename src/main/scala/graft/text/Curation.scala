@@ -192,6 +192,117 @@ object Curation {
     withComp.withColumn("split", splitCol)
   }
 
+  /** [[leakageSafeSplits]] with EXACT split sizes (±0 docs, unless a
+    * single cluster is bigger than its split's whole quota). The hash
+    * form is cluster-cohesive but only approximately sized — hash
+    * buckets of clusters land a few percent off target, which matters
+    * when eval sets are contractually sized. This variant keeps full
+    * cluster cohesion and hits the largest-remainder integer targets
+    * exactly:
+    *
+    *  1. Multi-doc clusters (one summary row per cluster — ≪ corpus;
+    *     `maxClusters` valves the driver step) are assigned GREEDILY,
+    *     largest first, each to the currently most underfilled split —
+    *     deterministic (size desc, component, split order ties).
+    *  2. Singletons — the bulk of the corpus — fill each split's exact
+    *     remaining quota by deterministic md5 rank: ranks are assigned
+    *     with the distributed two-phase SK (no single-partition
+    *     window), and contiguous rank ranges map to splits.
+    *
+    * Cost over the hash form: two extra actions (total count + cluster
+    * summary collect) and the singleton rank sort — the price of exact
+    * sizing. Assignment depends only on (ids, component structure,
+    * split spec), so it is reproducible across runs, partitionings, and
+    * engines; it is NOT stable under corpus growth (adding docs can
+    * move earlier ones between splits) — use the hash form when
+    * incremental stability matters more than exact ratios. */
+  def leakageSafeSplitsExact(
+      docs: DataFrame, idCol: String, components: DataFrame,
+      splits: Seq[(String, Int)], maxClusters: Int = 5000000): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,
+      s"split percentages must be positive and sum to 100: $splits")
+    val spark = docs.sparkSession
+    val comp = components.select(col("id").as(idCol), col("comp").as("__comp"))
+    // materialized once (lazy): feeds the total count, the cluster
+    // summary, AND both output branches
+    val withComp = docs.join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("__comp"), col(idCol)))
+      .withColumn("__clustered", col("__comp").isNotNull)
+      .drop("__comp")
+      .localCheckpoint(false)
+    val n = withComp.count()
+
+    // integer targets per split: largest-remainder so they sum to n
+    val targets: Array[Long] = {
+      val floors = splits.map { case (_, p) => n * p / 100 }.toArray
+      val rem = (n - floors.sum).toInt
+      splits.zipWithIndex.map { case ((_, p), i) => (n * p % 100, i) }
+        .sortBy { case (f, i) => (-f, i) }
+        .take(rem).foreach { case (_, i) => floors(i) += 1 }
+      floors
+    }
+
+    // greedy over the cluster SUMMARY (|multi-doc clusters| rows, not
+    // docs): biggest cluster to the most underfilled split
+    val clusterRows = withComp.filter(col("__clustered"))
+      .groupBy("component").agg(count(lit(1)).as("__sz"))
+      .orderBy(col("__sz").desc, col("component"))
+      .limit(maxClusters + 1).collect()
+    require(clusterRows.length <= maxClusters,
+      s"leakageSafeSplitsExact: more than $maxClusters multi-doc clusters — " +
+        "raise maxClusters or use the hash-bucket leakageSafeSplits form")
+    val assigned = new Array[Long](splits.length)
+    val clusterAsg: Seq[(Any, String)] = clusterRows.toSeq.map { r =>
+      val sz = r.getAs[Long]("__sz")
+      val i = assigned.indices.maxBy(i => targets(i) - assigned(i)) // ties -> first split
+      assigned(i) += sz
+      (r.get(0), splits(i)._1)
+    }
+
+    // singleton quotas = exact remainders (clamped when a giant cluster
+    // overshot its split; the deficit is taken from the fullest quota
+    // so quotas still sum to the singleton count)
+    val quotas = assigned.indices.map(i => math.max(0L, targets(i) - assigned(i))).toArray
+    var excess = quotas.sum - (n - assigned.sum)
+    while (excess > 0) {
+      val i = quotas.indices.maxBy(i => (quotas(i), -i))
+      val cut = math.min(excess, quotas(i))
+      quotas(i) -= cut; excess -= cut
+    }
+
+    val docCols = docs.columns.map(col)
+    val outCols = docCols :+ col("component") :+ col("split")
+    val asgSchema = org.apache.spark.sql.types.StructType(Seq(
+      withComp.schema("component"),
+      org.apache.spark.sql.types.StructField("split",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val asgDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        clusterAsg.map { case (c, s) => org.apache.spark.sql.Row(c, s) }, 1),
+      asgSchema)
+    val clustered = withComp.filter(col("__clustered"))
+      .join(broadcast(asgDf.withColumnRenamed("component", idCol)
+        .withColumnRenamed("split", "__split")
+        .withColumnRenamed(idCol, "component")), Seq("component"))
+      .withColumn("split", col("__split"))
+      .select(outCols: _*)
+
+    val bounds = quotas.scanLeft(0L)(_ + _).tail
+    val singleChain = splits.map(_._1).zip(bounds).init
+      .foldLeft(Option.empty[Column]) {
+        case (None, (name, hi))    => Some(when(col("__rank") <= hi, name))
+        case (Some(c), (name, hi)) => Some(c.when(col("__rank") <= hi, name))
+      }
+      .map(_.otherwise(splits.last._1)).getOrElse(lit(splits.last._1))
+    val singles = graft.star.Sk.withDistributedSk(
+        withComp.filter(!col("__clustered")), "__rank",
+        Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc))
+      .withColumn("split", singleChain)
+      .select(outCols: _*)
+
+    clustered.unionByName(singles)
+  }
+
   /** Per-corpus-doc count of distinct word n-grams shared with an
     * eval/benchmark set — the discovery half of benchmark
     * DECONTAMINATION (a training corpus must not contain eval data;

@@ -55,7 +55,33 @@ object PlanDump {
     "q90_incremental_neardup" ->
       "Incremental near-dup screen: the new batch bands and probes the STORED corpus index via a plain (band, bandsig) equi-join — the corpus is never re-shingled, and when the daily batch ≪ corpus, AQE broadcasts the batch side so the index is probed without a corpus-side shuffle; verification joins fingerprints only for candidate ids.",
     "q91_column_profile" ->
-      "Single-pass column profile: ONE FileScan feeds the Expand-planned multi-countDistinct (each row fans out once per distinct-agg, partials combine map-side; the dedup exchange carries ~sum of per-column NDVs, not rows) — vs one scan per column for the naive per-column profile.")
+      "Single-pass column profile: ONE FileScan feeds the Expand-planned multi-countDistinct (each row fans out once per distinct-agg, partials combine map-side; the dedup exchange carries ~sum of per-column NDVs, not rows) — vs one scan per column for the naive per-column profile.",
+    "q92_leakage_safe_splits" ->
+      "Leakage-safe splits: the (id, component) map — only docs WITH a near-dup, ≪ corpus — broadcasts to a BroadcastHashJoin, so the corpus side takes the cluster key and the md5 CASE as a narrow projection with ZERO shuffles (PlanSpec pins the exchange count at 0). At this sf the CC front end resolves on the driver union-find path, so the shown probe side is the tiny labels relation.")
+
+  /** The q87 PageRank ITERATION body, shown separately: the real loop
+    * localCheckpoints rank state each pass, so the battery query's
+    * final explain shows only a checkpoint scan — the per-iteration
+    * join structure (where the scale risk lives) would be invisible.
+    * Built on a synthetic edge list; the shape is data-independent. */
+  private def pagerankLoopSection(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(2000).selectExpr("id % 97 AS src", "(id * 31 + 1) % 97 AS dst")
+    val e = base.union(base.selectExpr("dst AS src", "src AS dst")).localCheckpoint(false)
+    val (eDeg, nodes) = graft.operators.Centrality.loopInputs(e)
+    val rank0 = nodes.select(col("v"), lit(1000000L).as("pr")).localCheckpoint(false)
+    val it = graft.operators.Centrality.iterate(eDeg, nodes, rank0, lit(150000L))
+    it.collect()
+    val plan = it.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val note =
+      "One PageRank iteration (q87's loop body; the battery query's own plan is a " +
+        "checkpoint scan + TakeOrdered). The edge+degree list and the node list are " +
+        "cached HASH-DISTRIBUTED on their join keys (InMemoryTableScan reports " +
+        "HashPartitioning), so EnsureRequirements exchanges ONLY the rank side of the " +
+        "contribution join and the dst-keyed contribution aggregate — the edge list " +
+        "never re-crosses the wire, at any iteration count."
+    s"## q87_pagerank_loop_body\n\n$note\n\n```\n${plan.trim}\n```\n"
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -75,7 +101,7 @@ object PlanDump {
       df.collect() // finalize the adaptive plan
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       s"## $name\n\n$note\n\n```\n${plan.trim}\n```\n"
-    }
+    } :+ pagerankLoopSection(spark)
     val header =
       s"""# PLANS — formatted physical plans of the headline queries
          |

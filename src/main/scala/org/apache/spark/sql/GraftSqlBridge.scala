@@ -23,6 +23,22 @@ object GraftSqlBridge {
     * an observation-carrying query returns zero rows. This walks into
     * the swallowed logical plan's `LogicalQueryStage.physicalPlan`
     * stages and merges whatever executed there. */
+  /** Count shuffle exchanges in the FINAL adaptive plan, walking into
+    * query stages but NOT into cached (InMemoryTableScan) subtrees or
+    * reused exchanges — a cached relation's build-time exchange is paid
+    * once at cache fill, not per query, and a reused exchange moves no
+    * new data. For PlanSpec shape pins, where toString counting would
+    * double-count AQE's printed initial plan and cache internals. */
+  def countShuffleExchanges(plan: execution.SparkPlan): Int = plan match {
+    case a: execution.adaptive.AdaptiveSparkPlanExec => countShuffleExchanges(a.executedPlan)
+    case q: execution.adaptive.QueryStageExec => countShuffleExchanges(q.plan)
+    case _: execution.columnar.InMemoryTableScanExec => 0
+    case _: execution.exchange.ReusedExchangeExec => 0
+    case s: execution.exchange.ShuffleExchangeLike =>
+      1 + s.children.map(countShuffleExchanges).sum
+    case other => other.children.map(countShuffleExchanges).sum
+  }
+
   def observedMetricsDeep(plan: execution.SparkPlan): Map[String, Row] = {
     val direct = execution.CollectMetricsExec.collect(plan)
     // the explicit trait upcast disambiguates from the 1-arg

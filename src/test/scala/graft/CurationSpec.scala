@@ -295,6 +295,46 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("leakageSafeSplitsExact: cohesive AND exact-sized; tighter than the hash form") {
+    // 100 docs; clusters {0..4} (comp 0) and {10,11,12} (comp 10); rest singletons
+    val docs = spark.range(100).toDF("doc_id")
+    val components = (Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)) ++
+      Seq((10L, 10L), (11L, 10L), (12L, 10L))).toDF("id", "comp")
+    val splits = Seq(("train", 80), ("val", 10), ("test", 10))
+    val out = Curation.leakageSafeSplitsExact(docs, "doc_id", components, splits)
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.length == 100)
+    assert(out.map(_._1).toSeq == (0L until 100L))           // every doc exactly once
+    val byDoc = out.map(r => r._1 -> r).toMap
+    // cohesion: whole cluster in one split
+    assert((0L to 4L).map(byDoc(_)._3).toSet.size == 1)
+    assert((10L to 12L).map(byDoc(_)._3).toSet.size == 1)
+    // EXACT sizes — the property the hash form cannot give
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes == Map("train" -> 80, "val" -> 10, "test" -> 10), sizes)
+    // deterministic across runs
+    val again = Curation.leakageSafeSplitsExact(docs, "doc_id", components, splits)
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+    // the hash form on the same input misses at least one exact target
+    // (documents why this variant exists; 100 md5 buckets of ~95 keys
+    // landing exactly 80/10/10 would be a miracle)
+    val hashSizes = Curation.leakageSafeSplits(docs, "doc_id", components, splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(hashSizes.values.sum == 100L)
+    assert(hashSizes != sizes.map { case (k, v) => k -> v.toLong }, hashSizes)
+    // giant-cluster overshoot: a 60-doc cluster exceeds val+test targets
+    // combined — it lands whole, and the remaining quotas still sum right
+    val bigComp = (0L until 60L).map(i => (i, 0L)).toDF("id", "comp")
+    val out2 = Curation.leakageSafeSplitsExact(docs, "doc_id", bigComp, splits)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(out2.length == 100)
+    val s2 = out2.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(s2("train") == 80 && s2("val") + s2("test") == 20, s2)
+  }
+
   test("stratifiedSample keeps exactly n per stratum, deterministically") {
     val df = spark.range(200)
       .selectExpr("id AS doc_id", "CAST(id % 4 AS STRING) AS lang")

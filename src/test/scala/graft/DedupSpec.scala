@@ -142,6 +142,49 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("admitBatch maintenance: small-batch sprawl triggers compaction; verdicts unchanged") {
+    import graft.store.Store
+    val founding = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val novel = "sequence packing fills token budget bins with greedy running totals"
+    def files(t: String): Long =
+      Store.fileReport(spark, t).agg(sum("n_files")).as[Long].head()
+    Dedup.writeCorpusIndex(Seq((1L, founding)).toDF("doc_id", "text"),
+      "doc_id", "text", Dedup.CharShingles(5), 8, 4, "t_mx_hashed", "t_mx_banded")
+    try {
+      // five single-doc admissions with the compaction floor disabled:
+      // every append adds files — the sprawl fileReport exists to flag
+      (2 to 6).foreach { i =>
+        Dedup.admitBatch(
+          Seq((i * 10L, s"unique document number $i about topic ${i * 7} entirely unlike others"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+          "t_mx_hashed", "t_mx_banded", minJaccard = 0.9,
+          compactMinFiles = Int.MaxValue)
+      }
+      val before = files("t_mx_hashed")
+      assert(before >= 5, s"expected append sprawl, got $before files")
+      // one more admission with a low floor: the loop compacts in-path
+      val a = Dedup.admitBatch(Seq((100L, founding)).toDF("doc_id", "text"),
+        "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+        "t_mx_hashed", "t_mx_banded", minJaccard = 0.9, compactMinFiles = 3)
+      assert(a.isEmpty) // the dup is still screened on the sprawled index
+      assert(files("t_mx_hashed") < before)
+      assert(files("t_mx_banded") <= 3)
+      // post-compact verdicts unchanged: dup screened, novel admitted
+      val a2 = Dedup.admitBatch(
+        Seq((101L, founding), (102L, novel)).toDF("doc_id", "text"),
+        "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+        "t_mx_hashed", "t_mx_banded", minJaccard = 0.9,
+        compactMinFiles = Int.MaxValue)
+      assert(a2.select("doc_id").as[Long].collect().toSet == Set(102L))
+      assert(spark.table("t_mx_hashed").select("id").as[Long].collect().toSet
+        == Set(1L, 20L, 30L, 40L, 50L, 60L, 102L))
+    } finally {
+      Store.drop(spark, "t_mx_hashed")
+      Store.drop(spark, "t_mx_banded")
+    }
+  }
+
   test("jaccardOnPairs: identical → 1.0, disjoint → 0.0, known overlap exact") {
     val docs = Seq((1L, "abcde"), (2L, "abcde"), (3L, "vwxyz"), (4L, "abcdf"))
       .toDF("doc_id", "text")

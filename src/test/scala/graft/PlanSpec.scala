@@ -188,6 +188,43 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), s"no partial agg:\n$p")
   }
 
+  test("q87 PageRank loop body: cached edge partitioning reused — only rank rows shuffle") {
+    import graft.operators.Centrality
+    // shape-representative synthetic graph (the battery's LSH front end
+    // is pinned elsewhere; here the LOOP body is what must not regress)
+    val base = spark.range(2000).selectExpr("id % 97 AS src", "(id * 31 + 1) % 97 AS dst")
+    val e = base.union(base.selectExpr("dst AS src", "src AS dst")).localCheckpoint(false)
+    val (eDeg, nodes) = Centrality.loopInputs(e)
+    // rank state is a checkpoint barrier in the real loop — partitioning
+    // unknown, exactly the shape each iteration after the first sees
+    val rank0 = nodes.select(col("v"), lit(1000000L).as("pr")).localCheckpoint(false)
+    val it = Centrality.iterate(eDeg, nodes, rank0, lit(150000L))
+    it.collect()
+    val exec = it.queryExecution.executedPlan
+    val p = finalPlan(it)
+    assert(p.contains("InMemoryTableScan"), s"loop inputs not read from cache:\n$p")
+    // ≤2 shuffles per iteration: the rank side of the contribution join
+    // (if AQE doesn't broadcast it) + the dst-keyed contribution
+    // aggregate. The edge list itself must NOT re-shuffle — before the
+    // cached pre-distribution, this plan carried 4+ exchanges
+    val shuffles = org.apache.spark.sql.GraftSqlBridge.countShuffleExchanges(exec)
+    assert(shuffles <= 2, s"loop body re-shuffles loop-invariant inputs ($shuffles):\n$p")
+  }
+
+  test("q92 leakage split: component map broadcasts — the corpus side never shuffles") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "source")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "comp")
+    val df = graft.text.Curation.leakageSafeSplits(docs, "doc_id", comp,
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), s"component map not broadcast:\n$p")
+    val shuffles = org.apache.spark.sql.GraftSqlBridge
+      .countShuffleExchanges(df.queryExecution.executedPlan)
+    assert(shuffles == 0, s"corpus side shuffled for the split ($shuffles):\n$p")
+  }
+
   test("CBO end-to-end: ANALYZE column stats flip a filtered-dim join to broadcast") {
     import graft.store.Store
     Store.ensureDatabase(spark, "graft_test")

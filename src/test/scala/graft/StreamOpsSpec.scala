@@ -31,6 +31,54 @@ class StreamOpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("screenAndAdmit: the stream grows the index it screens; replay admits nothing twice") {
+    import graft.dedup.Dedup
+    import graft.store.Store
+    implicit val sqlCtx = spark.sqlContext
+    val founding = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val novelA = "distributed query engines partition work across executors for scale"
+    val novelB = "sequence packing fills token budget bins with greedy running totals"
+    Dedup.writeCorpusIndex(Seq((1L, founding)).toDF("doc_id", "text"),
+      "doc_id", "text", Dedup.CharShingles(5), 8, 4, "t_sa_hashed", "t_sa_banded")
+    val admittedPath = java.nio.file.Files.createTempDirectory("sa_admitted").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sa_ckpt").toString
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamOps.screenAndAdmit(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        Dedup.CharShingles(5), 8, 4, "t_sa_hashed", "t_sa_banded",
+        minJaccard = 0.9, admittedPath, ckpt)
+      // batch 0: one novel doc — admitted and indexed
+      input.addData((10L, novelA))
+      q.processAllAvailable()
+      // batch 1: a near-dup OF BATCH 0'S ADMISSION (flagged against the
+      // grown index) + a novel doc
+      input.addData((20L, novelA), (21L, novelB))
+      q.processAllAvailable()
+      q.stop()
+      val admitted = spark.read.parquet(admittedPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == Set(10L, 21L), s"admitted=$admitted") // 20 screened out
+      assert(spark.table("t_sa_hashed").select("id").as[Long].collect().toSet
+        == Set(1L, 10L, 21L))
+      // REPLAY of batch 0 (crash-after-append scenario): the doc's own
+      // index entry screens it at jaccard 1.0 — nothing admitted twice
+      val replay = Dedup.admitBatch(Seq((10L, novelA)).toDF("doc_id", "text"),
+        "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+        "t_sa_hashed", "t_sa_banded", minJaccard = 0.9)
+      assert(replay.isEmpty)
+      assert(spark.table("t_sa_hashed").count() == 3L)
+      // and the empty replay's sink write touches no partition — the
+      // original batch's admitted rows survive
+      StreamOps.upsertBatch(replay.select("doc_id", "text"), 0L, admittedPath)
+      assert(spark.read.parquet(admittedPath)
+        .select("doc_id").as[Long].collect().toSet == Set(10L, 21L))
+    } finally {
+      Store.drop(spark, "t_sa_hashed")
+      Store.drop(spark, "t_sa_banded")
+    }
+  }
+
   test("nearDupScreen: stateless stream probe of the static corpus index ≡ batch verdicts") {
     import graft.dedup.Dedup
     implicit val sqlCtx = spark.sqlContext
