@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CleanAsciiExpression, ShingleHashSet, SimHash32, TopKBy}
+import graft.functions.{CleanAsciiExpression, ShingleHashSet, SimHash32, SimHash64, TopKBy}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * Catalyst functions available to plain SQL texts on any session built
@@ -17,7 +17,8 @@ import graft.functions.{CleanAsciiExpression, ShingleHashSet, SimHash32, TopKBy}
   *  - `topk_by(order, payload, k)` — map-side-bounded per-group top-k
   *  - `shingle_hash_set(s, word, n)` — codegen sorted-distinct 60-bit
   *    shingle-hash set (the near-dup fingerprint kernel)
-  *  - `simhash32(s)` — codegen 32-bit md5-SimHash
+  *  - `simhash32(s)` / `simhash64_md5(s)` — codegen md5-SimHash (the
+  *    64-bit form is the 16-bit-band corpus-scale variant, q93)
   *  - the [[graft.plans.AsOfJoinStrategy]] planner strategy for the
   *    native as-of join operator
   */
@@ -49,7 +50,10 @@ object GraftExtensions {
       ShingleHashSet.fromSql _),
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)),
+    (FunctionIdentifier("simhash64_md5"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64_md5"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
 
   /** Register the same functions on an already-running session (e.g. in
     * tests or notebooks where the session pre-exists the library). */

@@ -2316,6 +2316,41 @@ object Battery {
              ELSE 'test' END AS split
       FROM asg ORDER BY doc_id"""))
 
+  /** 64-bit simhash near-dup — the corpus-scale form of q29
+    * ([[Dedup.simhashNearDupPairs64]]): 4 bands × 16 bits instead of
+    * 4 × 8, same pigeonhole-exact recall at hamming ≤ 3, but 65,536
+    * bucket values per band instead of 256 — the band-occupancy fix for
+    * the super-linear simhash outlier BENCH_SCALE.md measured at 10×.
+    * Oracle rebuilds the 64-bit hash from two md5 halves (DuckDB BIGINT
+    * is signed: bit 63 re-attaches as -2⁶³; band extraction is
+    * shift+mask, identical bits under signed or unsigned shift). */
+  val q93 = Q("q93_simhash64_neardup",
+    (s, dir) => Dedup.simhashNearDupPairs64(
+        t(s, dir, "documents"), "doc_id", "text", radius = 3)
+      .orderBy("id_a", "id_b"),
+    Some {
+      val bitSum = (0 until 64).map { b =>
+        val half = if (b >= 32) "p[1]" else "p[2]"
+        val weight = if (b == 63) "-9223372036854775808" else (1L << b).toString
+        s"CASE WHEN 2*list_sum(list_transform(hl, p -> (${half} >> ${b % 32}) & 1)) > n THEN $weight ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id,
+          list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS toks
+          FROM documents),
+        hs AS (SELECT doc_id,
+          list_transform(toks, t -> [('0x' || substr(md5(t), 1, 8))::BIGINT,
+                                     ('0x' || substr(md5(t), 9, 8))::BIGINT]) AS hl,
+          len(toks) AS n FROM tk),
+        sh64 AS (SELECT doc_id, $bitSum AS h FROM hs),
+        banded AS (SELECT doc_id, h, band, (h >> (16*band)) & 65535 AS bv
+                   FROM sh64, (SELECT unnest([0,1,2,3]) AS band)),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+                  FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"""
+    })
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2323,5 +2358,5 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
 }

@@ -580,4 +580,54 @@ object Dedup {
     * per bit), and the former UDF form added a codegen fence + per-row
     * serde. Token hash = first 8 hex chars of md5(token) as unsigned. */
   def simhash32Md5(text: Column): Column = graft.functions.SimHash32.simhash32(text)
+
+  /** 64-bit md5-SimHash (single-pass codegen expression, same
+    * tokenization/vote as [[simhash32Md5]]; token hash = first 16 md5
+    * hex chars). The corpus-scale simhash: see [[simhashNearDupPairs64]]. */
+  def simhash64Md5(text: Column): Column = graft.functions.SimHash64.simhash64(text)
+
+  /** SimHash near-dup pairs at `hamming ≤ radius`, 64-bit form — the
+    * 100 TB replacement for the 32-bit byte-band join (q29).
+    *
+    * Banding: `radius + 1` equal bit-slices of the 64-bit simhash. Any
+    * pair within the radius shares ≥ 1 unchanged band (pigeonhole), so
+    * recall is EXACT — same argument as the 32-bit form, but each band
+    * is 64/(radius+1) bits wide instead of 8. That width is what
+    * scales: candidate volume per band is Σ_buckets C(occupancy, 2),
+    * and with 256 bucket values (8-bit bands) occupancy grows with n/256
+    * — the measured super-linear outlier of BENCH_SCALE.md. At 16-bit
+    * bands (radius 3) the same corpus spreads over 65,536 values per
+    * band, deferring that saturation by 256× for identical recall.
+    * Requires `64 % (radius+1) == 0` so the bands partition the hash
+    * (radius ∈ {0, 1, 3, 7, 15, 31}).
+    *
+    * Returns (id_a, id_b, hamming), id_a < id_b, distinct. */
+  def simhashNearDupPairs64(
+      df: DataFrame, idCol: String, textCol: String, radius: Int = 3): DataFrame = {
+    val bands = radius + 1
+    require(64 % bands == 0, s"radius+1 must divide 64, got $bands")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    // one simhash pass, materialized so the self-join reads stored
+    // blocks instead of recomputing the md5 scan per side
+    val withH = df.select(col(idCol).as("id"), simhash64Md5(col(textCol)).as("h"))
+      .localCheckpoint(false)
+    val banded = withH.select(col("id"), col("h"),
+      explode(array((0 until bands).map { i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("h"), bits * i).bitwiseAND(lit(mask)).as("bv"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.band"), col("bk.bv"))
+    // merge-hinted self-join: both sides are the same exchange, computed
+    // once (ReuseExchange) — see candidatePairsFromBanded
+    val a = banded.as("a").hint("merge"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
+      // hamming is functional on the pair: filter before distinct, so the
+      // dedup shuffle carries only within-radius survivors
+      .filter(col("hamming") <= radius)
+      .distinct()
+  }
 }

@@ -368,3 +368,83 @@ object SimHash32 {
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (exprs: Seq[Expression]) => SimHash32(exprs.head))
 }
+
+/** 64-bit md5-SimHash — the corpus-scale variant of [[SimHash32]].
+  *
+  * Why it exists: byte-banding a 32-bit simhash (q29) has only
+  * 4 bands × 256 bucket values, so bucket OCCUPANCY — and with it the
+  * candidate-pair count — grows with corpus size and the self-join
+  * goes quadratic once n ≫ 256·4 (measured in BENCH_SCALE.md: the one
+  * super-linear query of the family). With 64 bits the same pigeonhole
+  * argument (any pair at hamming ≤ 3 shares one of 4 unchanged bands)
+  * runs on 16-bit bands = 65,536 bucket values per band, deferring
+  * saturation by 256× for the identical recall guarantee — this is the
+  * 100 TB form of simhash near-dup.
+  *
+  * Same tokenization and vote as [[SimHash32]]; token hash = first
+  * 16 md5 hex chars as an unsigned 64-bit value (cross-engine: DuckDB
+  * rebuilds it via ('0x' || substr(md5(t),1,16))::UBIGINT, with the
+  * sign bit reattached as -2⁶³ — pinned by q93's oracle). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.evalUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.evalUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val md5Tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def evalUtf8(s: UTF8String): Long = {
+    val toks = ws.split(s.toString.trim.toLowerCase)
+    val seen = new java.util.HashSet[String]()
+    val md = md5Tl.get()
+    val counts = new Array[Int](64)
+    var total = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty && seen.add(t)) {
+        total += 1
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        // first 8 bytes == first 16 hex chars, big-endian unsigned
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        var b = 0
+        while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > total) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhash64(text: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash64_md5"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64_md5"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head))
+}

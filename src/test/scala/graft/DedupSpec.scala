@@ -233,6 +233,29 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq(3L, 64L, 1L))
   }
 
+  test("simhashNearDupPairs64 ≡ brute-force hamming pairs on a real table (pigeonhole recall)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val got = Dedup.simhashNearDupPairs64(docs, "doc_id", "text", radius = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: all pairs, driver-side (sf0.001 is small enough)
+    val hs = docs.select(col("doc_id"),
+        Dedup.simhash64Md5(col("text")).as("h"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (ia, ha) <- hs.iterator
+      (ib, hb) <- hs.iterator
+      if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb).toLong
+      if d <= 3
+    } yield (ia, ib, d)).toSet
+    // == not ⊆: banding must lose nothing (pigeonhole: 4 bands × 16
+    // bits, any pair at distance ≤ 3 shares an unchanged band) and the
+    // bucket join must invent nothing (hamming re-verified exactly)
+    assert(got == want, s"banded=${got.size} brute=${want.size}")
+    assert(want.nonEmpty, "corpus has no simhash near-dups — test is vacuous")
+  }
+
   test("maxBucketSize excludes hot LSH buckets from pair generation") {
     // bucket A: 40 members (a degenerate boilerplate bucket -> 780
     // pairs); bucket B: 2 members (a genuine near-dup candidate)

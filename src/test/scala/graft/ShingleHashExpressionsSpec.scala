@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop}
 
 import graft.dedup.Dedup
-import graft.functions.{ShingleHashSet, SimHash32}
+import graft.functions.{ShingleHashSet, SimHash32, SimHash64}
 
 /** Native codegen shingle-hash-set and simhash32: bit-for-bit parity
   * with the plain-Scala reference kernels the former UDFs wrapped,
@@ -58,6 +58,34 @@ class ShingleHashExpressionsSpec extends SparkTestBase {
     })
   }
 
+  /** 64-bit reference: same vote, token hash = first 8 md5 bytes
+    * big-endian (== first 16 hex chars as unsigned — what q93's DuckDB
+    * oracle reassembles from two signed 32-bit halves). */
+  private def refSimhash64(text: String): Long = {
+    val toks = text.trim.toLowerCase.split("\\s+").distinct.filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    toks.foreach { t =>
+      val d = md.digest(t.getBytes("UTF-8")); md.reset()
+      val h = (0 until 8).foldLeft(0L)((acc, k) => (acc << 8) | (d(k) & 0xffL))
+      var b = 0
+      while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+    }
+    (0 until 64).foldLeft(0L)((acc, b) =>
+      if (counts(b) * 2 > toks.length) acc | (1L << b) else acc)
+  }
+
+  test("simhash64 ≡ reference kernel (property), low half ≡ simhash32") {
+    ScalaCheckSupport.checkProp(Prop.forAll(textGen) { (t: String) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val h64 = SimHash64.evalUtf8(u)
+      // bits 32..63 of the 64-bit hash vote on md5 bytes 0-3 = exactly
+      // the 32 bits simhash32 votes on (shifted) — a structural
+      // cross-check between the two kernels, not just the reference
+      h64 == refSimhash64(t) && (h64 >>> 32) == SimHash32.evalUtf8(u)
+    })
+  }
+
   test("null-safe in a plan") {
     val df = Seq(Option.empty[String], Some("the quick brown fox")).toDF("t")
     val sh = df.select(ShingleHashSet.shingleHashSet(col("t"), Dedup.WordShingles(2)))
@@ -74,6 +102,8 @@ class ShingleHashExpressionsSpec extends SparkTestBase {
     assert(hs == refShingleSet("abcd", Dedup.CharShingles(3)))
     val sh = spark.sql("SELECT simhash32('the quick brown fox') AS h").as[Long].head()
     assert(sh == refSimhash32("the quick brown fox"))
+    val sh64 = spark.sql("SELECT simhash64_md5('the quick brown fox') AS h").as[Long].head()
+    assert(sh64 == refSimhash64("the quick brown fox"))
     // non-literal word/n rejected with a clear error
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hash_set('x', false, CAST(rand()*3 AS INT))").collect()
