@@ -1,0 +1,120 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{CacheReset, SparkEntry}
+
+/** Scaling measurement (VERDICT r7 #1): run the expensive query family
+  * on the [[ScaleGen]] 1×/10× twin datasets and record per-query time
+  * ratios, replacing extrapolated 100 TB claims with measured factors.
+  *
+  * Method mirrors [[graft.Bench]]: every query is forced through the
+  * noop sink, storage is reset between runs, and each (query, scale)
+  * gets a warm pass plus two timed passes with the min kept — the 10×
+  * run is timed with the same JVM/JIT state as the 1× run, so the
+  * ratio isolates data-volume cost. Emits one JSON line (raw seconds)
+  * to `BENCH_SCALE.json` and a markdown table to stdout; the committed
+  * `BENCH_SCALE.md` carries the table plus the per-outlier analysis.
+  *
+  * Interpreting ratios on local[32]: the corpus grows 10×, so perfect
+  * linear cost is ratio ≈ 10, and fixed per-query overhead (job
+  * scheduling, 32-task floor, plan compile) pulls small queries below
+  * it. The gate from the verdict: nothing materially worse than ~1.3×
+  * linear (ratio ≳ 13) without a named cause and a scale path.
+  */
+object ScaleBench {
+
+  /** The expensive family named in VERDICT r7 #1: the near-dup/CC/
+    * PageRank chain, curation funnel, bloom decontamination, the
+    * incremental index probe, the column profiler, leakage splits. */
+  val Family: Seq[String] = Seq(
+    "q26_minhash_lsh_pairs", "q27_lsh_jaccard_neardup",
+    "q28_word_jaccard_neardup", "q29_simhash_neardup",
+    "q54_corpus_curation", "q64_neardup_clusters",
+    "q79_cluster_size_histogram", "q83_bloom_decontamination",
+    "q87_neardup_pagerank", "q90_incremental_neardup",
+    "q91_column_profile", "q92_leakage_safe_splits",
+    "q93_simhash64_neardup")
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/tmp/graft_scale")
+    val names = if (args.length > 1) args.drop(1).toSeq else Family
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Generate the scale points if absent (deterministic, so a re-run
+    // measures the identical corpus). Three decades: 1×→10× is mostly
+    // fixed-overhead amortization on local[32]; 10×→100× is the
+    // informative interval where per-row cost dominates.
+    val scales = Seq(("g1x", 5000, 150000L), ("g10x", 50000, 1500000L),
+      ("g100x", 500000, 15000000L))
+    scales.foreach { case (g, nDocs, nOrders) =>
+      if (!new java.io.File(s"$base/$g/documents.parquet").exists()) {
+        System.err.println(s"[scalebench] generating $base/$g")
+        ScaleGen.docs(spark, nDocs, seed = 42)
+          .write.mode("overwrite").parquet(s"$base/$g/documents.parquet")
+        ScaleGen.orders(spark, nOrders)
+          .write.mode("overwrite").parquet(s"$base/$g/orders.parquet")
+      }
+    }
+
+    def once(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      CacheReset(spark)
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => names.contains(n) }
+    val times = selected.map { case (name, fn) =>
+      val byScale = scales.map(_._1).map { g =>
+        val dir = s"$base/$g"
+        val t = try {
+          once(fn, dir) // warm
+          math.min(once(fn, dir), once(fn, dir))
+        } catch { case e: Throwable =>
+          System.err.println(s"[scalebench] $name@$g: ${e.getMessage}")
+          -1.0
+        }
+        System.err.println(f"[scalebench] $name@$g: $t%.3fs")
+        g -> t
+      }.toMap
+      name -> byScale
+    }
+
+    // merge under any existing record so a partial (named-query) re-run
+    // refreshes only its own rows — same convention as Bench's dev mode
+    val jsonFile = java.nio.file.Paths.get("BENCH_SCALE.json")
+    val existing: Map[String, String] = if (java.nio.file.Files.exists(jsonFile)) {
+      val txt = new String(java.nio.file.Files.readAllBytes(jsonFile), "UTF-8")
+      """"(q\d+\w*)"\s*:\s*(\{[^}]*\})""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    } else Map.empty
+    val merged = existing ++ times.map { case (n, m) =>
+      n -> s"""{"t1x":${fmt(m("g1x"))},"t10x":${fmt(m("g10x"))},"t100x":${fmt(m("g100x"))}}"""
+    }
+    val json = merged.toSeq.sortBy(_._1)
+      .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(jsonFile, (json + "\n").getBytes("UTF-8"))
+
+    println("| query | t_1x (s) | t_10x (s) | t_100x (s) | 10x/1x | 100x/10x | x linear (100x/10x) |")
+    println("|---|---|---|---|---|---|---|")
+    times.foreach { case (n, m) =>
+      val (a, b, c) = (m("g1x"), m("g10x"), m("g100x"))
+      val r1 = if (a > 0 && b > 0) b / a else -1.0
+      val r2 = if (b > 0 && c > 0) c / b else -1.0
+      println(f"| $n | ${fmt(a)} | ${fmt(b)} | ${fmt(c)} | ${fmt(r1)} | ${fmt(r2)} | ${fmt(r2 / 10.0)} |")
+    }
+    spark.stop()
+  }
+}

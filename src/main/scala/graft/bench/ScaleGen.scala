@@ -18,20 +18,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * accidental whole-vocabulary collisions. A fixed per-doc dup rate is
   * how a real corpus scales (clusters grow linearly with n); a 40-word
   * vocab at 10× the docs would instead densify quadratically and
-  * measure the corpus, not the engine. */
+  * measure the corpus, not the engine.
+  *
+  * The same requirement holds one level down, at CHARACTER granularity
+  * — learned the hard way. The first vocabulary was 2,048 products of
+  * 16 syllables ("sparker", "sparking", "sparkerix"…): distinct as
+  * WORDS, but sharing most of their char 5-grams, which put the
+  * char-shingle Jaccard of two UNRELATED docs around the 0.25 dedup
+  * threshold. Measured on that corpus, ~1% of ALL doc pairs were true
+  * near-dups (1×: 119,970 verified pairs over 5,000 docs; 10×:
+  * 11.65M over 50,000 — 97×, pure n²), so every char-shingle query's
+  * OUTPUT was quadratic while the word-shingle twin stayed linear
+  * (510 → 5,692 candidates, 11.2×). No engine outruns its own output
+  * size; the corpus, not the plan, was super-linear. Words are now
+  * independent random letter strings, so distinct words share almost
+  * no 5-grams and char-level near-dup structure, like word-level, comes
+  * only from the injected mutations. */
 object ScaleGen {
 
   private val Priorities =
     Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 
-  /** Word list: deterministic two-syllable tokens, zipf-ish sampled. */
+  /** Word list: 2,048 distinct random-letter words (5–9 chars), zipf-ish
+    * sampled. Letter-level independence between words is load-bearing:
+    * see the char-granularity note in the object scaladoc. */
   private val Vocab: Array[String] = {
-    val a = Array("spark", "query", "scan", "data", "hash", "sort", "join",
-      "batch", "line", "col", "row", "key", "val", "map", "part", "agg")
-    val b = Array("er", "ing", "set", "let", "ion", "ium", "ate", "or",
-      "ix", "on", "al", "um", "id", "ex", "ar", "en")
-    for (x <- a; y <- b; z <- a.take(8)) yield s"$x$y$z"
-  }.take(2048)
+    val rnd = new java.util.Random(7)
+    val seen = new java.util.LinkedHashSet[String]()
+    while (seen.size < 2048) {
+      val len = 5 + rnd.nextInt(5)
+      val sb = new StringBuilder(len)
+      var i = 0
+      while (i < len) { sb.append(('a' + rnd.nextInt(26)).toChar); i += 1 }
+      seen.add(sb.toString)
+    }
+    seen.toArray(new Array[String](0))
+  }
 
   private def pickWord(rnd: java.util.Random): String = {
     // quadratic skew: low ranks dominate, tail still exercised
