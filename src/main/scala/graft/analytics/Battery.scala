@@ -2351,6 +2351,112 @@ object Battery {
         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"""
     })
 
+  /** SemDeDup — semantic dedup over embeddings (training-data op,
+    * Similarity.semDedup): k-means bounds the pairwise-cosine search to
+    * within-cluster pairs, ≥ θ pairs connect into duplicate groups, one
+    * representative per group survives (farthest from centroid — the
+    * paper's retention policy — on the EXACT integer distance
+    * numerator). θ = 0.35 fits the synthetic embeddings' similarity
+    * range (max pairwise cosine ≈ 0.51; a production 0.99 would be
+    * vacuously all-kept here). Oracle: q81's integer-exact Lloyd CTE
+    * carrying the distance numerator, within-cluster cosine pairs,
+    * recursive-CTE components, window-ranked representatives. */
+  val q94 = Q("q94_semdedup",
+    (s, dir) => graft.similarity.Similarity.semDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, theta = 0.35)
+      .orderBy("vec_id"),
+    Some("""WITH RECURSIVE base AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      FROM embeddings),
+      ex AS (SELECT vec_id, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS x
+             FROM base, range(1, 65) t(i)),
+      c0 AS (SELECT vec_id AS cid, qv FROM base ORDER BY vec_id LIMIT 8),
+      cx0 AS (SELECT cid, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS s,
+                CAST(1 AS BIGINT) AS n
+              FROM c0, range(1, 65) t(i)),
+      d1 AS (SELECT vec_id, cid,
+               CAST(SUM((n*x - s)*(n*x - s)) AS BIGINT) AS num, MAX(n) AS n
+             FROM ex JOIN cx0 USING (pos) GROUP BY vec_id, cid),
+      a1 AS (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(num AS DOUBLE)/CAST(n*n AS DOUBLE), cid) AS rn
+             FROM d1),
+      m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+      cx1 AS (SELECT cid, pos, CAST(SUM(x) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM ex JOIN m1 USING (vec_id) GROUP BY cid, pos),
+      d2 AS (SELECT vec_id, cid,
+               CAST(SUM((n*x - s)*(n*x - s)) AS BIGINT) AS num, MAX(n) AS n
+             FROM ex JOIN cx1 USING (pos) GROUP BY vec_id, cid),
+      a2 AS (SELECT vec_id, cid, num,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(num AS DOUBLE)/CAST(n*n AS DOUBLE), cid) AS rn
+             FROM d2),
+      mem AS (SELECT vec_id, cid, num FROM a2 WHERE rn = 1),
+      pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv), p -> p[1]*p[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(qa.qv, x -> x*x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(qb.qv, x -> x*x)) AS DOUBLE))) AS cosine
+             FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+             JOIN base qa ON qa.vec_id = a.vec_id
+             JOIN base qb ON qb.vec_id = b.vec_id),
+      ed AS (SELECT ia, ib FROM pr WHERE cosine >= 0.35),
+      edges AS (SELECT ia AS src, ib AS dst FROM ed UNION SELECT ib, ia FROM ed),
+      walk(src, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      comp AS (SELECT src AS vec_id, MIN(reach) AS component FROM walk GROUP BY src),
+      rep AS (SELECT component, vec_id,
+                row_number() OVER (PARTITION BY component
+                  ORDER BY num DESC, vec_id) AS rn2
+              FROM comp JOIN mem USING (vec_id))
+      SELECT m.vec_id, m.cid, COALESCE(c.component, m.vec_id) AS component,
+        (c.component IS NULL OR r.vec_id IS NOT NULL) AS kept
+      FROM mem m LEFT JOIN comp c USING (vec_id)
+      LEFT JOIN (SELECT vec_id FROM rep WHERE rn2 = 1) r ON r.vec_id = m.vec_id
+      ORDER BY m.vec_id"""))
+
+  /** Overlapping token-window chunking (RAG/embedding prep,
+    * Curation.chunkWithStride): 40-token windows advancing by 30 (10
+    * tokens of overlap), tail kept. Fully narrow — generate + project,
+    * no shuffle; chunk count from non-negative integer arithmetic only
+    * (engine-exact, see the operator scaladoc). */
+  val q95 = Q("q95_chunk_stride",
+    (s, dir) => graft.text.Curation.chunkWithStride("text", window = 40, stride = 30)(
+        t(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH tk AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+      FROM documents),
+      nc AS (SELECT doc_id, toks,
+               1 + (greatest(len(toks) - 40, 0) + 29) // 30 AS nch FROM tk),
+      ch AS (SELECT doc_id, unnest(list_transform(range(0, nch), i ->
+               {'idx': i, 'c': list_slice(toks, CAST(i*30+1 AS INT), CAST(i*30+40 AS INT))})) AS u
+             FROM nc)
+      SELECT doc_id, CAST(u.idx AS BIGINT) AS chunk_idx,
+        array_to_string(u.c, ' ') AS chunk_text,
+        CAST(len(u.c) AS BIGINT) AS n_tokens
+      FROM ch ORDER BY doc_id, chunk_idx"""))
+
+  /** Per-source cap (domain balancing, Curation.capPerGroup): at most 5
+    * docs per source by 52-bit md5(id) order — the k-bounded TopKBy
+    * aggregate form whose exchange carries ≤ k ids per group per map
+    * partition, vs q68's rank-every-row window form. Oracle: the window
+    * form — proving the two shapes select the identical set. */
+  val q96 = Q("q96_source_cap",
+    (s, dir) => graft.text.Curation.capPerGroup("source", "doc_id", k = 5)(
+        t(s, dir, "documents").select("doc_id", "source"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT,
+                     doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 5 ORDER BY doc_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2358,5 +2464,5 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
 }

@@ -121,16 +121,29 @@ object Similarity {
     * update-side sums still fit but the assignment numerator needs the
     * DECIMAL escape (cf. [[centroidDeviations]] `decimalExact`). */
   def kmeans(
-      emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+      emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame =
+    kmeansDetailed(
+      emb.select(col(idCol), quantize(col(vecCol)).as("qv")).localCheckpoint(false),
+      idCol, k, iters)
+      .select(col(idCol), col("cid"))
+
+  /** The Lloyd loop over a pre-quantized `(idCol, qv)` frame, returning
+    * the final assignment WITH its exact integer distance numerator:
+    * (idCol, cid, dist_num) where dist_num = ‖n·x − S‖² against the
+    * centroid the last round assigned to. Within one cluster all
+    * members share n, so dist_num orders members by true centroid
+    * distance EXACTLY (no float) — what [[semDedup]]'s representative
+    * selection consumes. `base` should already be checkpointed (the
+    * loop reads it k+1 times). */
+  private[graft] def kmeansDetailed(
+      base: DataFrame, idCol: String, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, "kmeans needs at least one assignment round")
-    val base = emb.select(col(idCol), quantize(col(vecCol)).as("qv"))
-      .localCheckpoint(false)
     var cent = base.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cid"), col("qv").as("s"), lit(1L).as("n"))
     var assigned = assignToSummedCentroids(base, idCol, cent)
     var i = 1
     while (i < iters) {
-      cent = base.join(assigned, idCol)
+      cent = base.join(assigned.select(col(idCol), col("cid")), idCol)
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg(sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
@@ -149,7 +162,9 @@ object Similarity {
 
   /** One scaled-assignment round against (cid, s = Σ-vector, n = count)
     * centroids: argmin over cid of ‖n·x − s‖²/n² (exact BIGINT
-    * numerator, one IEEE division), ties to the smaller cid. */
+    * numerator, one IEEE division), ties to the smaller cid. The
+    * winning numerator rides along as `dist_num` (it never affects the
+    * argmin — (dev2, cid) is already a total order per row). */
   private def assignToSummedCentroids(
       base: DataFrame, idCol: String, cent: DataFrame): DataFrame = {
     val num = aggregate(
@@ -158,10 +173,92 @@ object Similarity {
     base.crossJoin(broadcast(cent))
       .select(col(idCol),
         (num.cast("double") / (col("n") * col("n")).cast("double")).as("dev2"),
-        col("cid"))
+        col("cid"), num.as("num"))
       .groupBy(idCol)
-      .agg(min(struct(col("dev2"), col("cid"))).as("best"))
-      .select(col(idCol), col("best.cid").as("cid"))
+      .agg(min(struct(col("dev2"), col("cid"), col("num"))).as("best"))
+      .select(col(idCol), col("best.cid").as("cid"), col("best.num").as("dist_num"))
+  }
+
+  /** SemDeDup — semantic (embedding-space) deduplication: k-means the
+    * corpus, compare pairwise cosine ONLY within each cluster, connect
+    * pairs at `cosine ≥ theta` into duplicate groups, and keep one
+    * representative per group — the member FARTHEST from its cluster
+    * centroid (most atypical; ties to the smaller id), the retention
+    * policy of the SemDeDup paper (Abbas et al., 2023, arXiv:2303.09540).
+    *
+    * Returns one row per input vector: (idCol, cid, component, kept) —
+    * component = min id of the duplicate group (its own id when the
+    * vector duplicates nothing), kept = false only for non-
+    * representative members of a duplicate group.
+    *
+    * Scale shape: clustering bounds the quadratic. All-pairs cosine is
+    * O(n²); within-cluster pairs are Σ_c s_c² — with k grown ∝ n
+    * (the paper's regime) expected cluster size is constant and the
+    * pair count linear. The cluster equi-join is the same
+    * ReuseExchange'd merge self-join as the LSH bucket join
+    * (Dedup.candidatePairsFromBanded), `maxClusterSize` is the same
+    * default-off quadratic valve with a [[graft.operators.CapReport]]
+    * drop report, and cosine compares quantized integers (one IEEE
+    * division — [[cosineQ]]), so verdicts are engine-exact. The
+    * duplicate-group graph enters [[graft.operators.ConnectedComponents]]
+    * AFTER the ≥ theta filter — at dedup thresholds that graph is tiny
+    * relative to the corpus. Representative selection compares
+    * dist_num = n²·‖x − centroid‖² (exact BIGINT; n is shared within a
+    * cluster, and components never span clusters) — no float ordering
+    * anywhere. */
+  /** [[semDedup]]'s pairwise stage, split out so its plan shape is
+    * directly pinnable (the CC fixpoint consumes it behind checkpoint
+    * barriers, so it is invisible in the end-to-end plan): duplicate
+    * candidate pairs at `cosine ≥ theta` over a `(id, cid, qv)` member
+    * frame — a cid equi-join (merge-hinted; both sides one reused
+    * exchange), never a cross product. */
+  private[graft] def withinClusterPairs(members: DataFrame, theta: Double): DataFrame = {
+    val a = members.as("a").hint("merge")
+    val b = members.as("b")
+    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineQ(col("a.qv"), col("b.qv")).as("cosine"))
+      .filter(col("cosine") >= theta)
+      .select("id_a", "id_b")
+  }
+
+  def semDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, theta: Double,
+      maxClusterSize: Int = Int.MaxValue): DataFrame = {
+    val base = emb.select(col(idCol), quantize(col(vecCol)).as("qv"))
+      .localCheckpoint(false)
+    // (id, cid, dist_num) + the qv needed for pairwise cosine; one
+    // checkpoint so the self-join and the three output joins all read
+    // the same stored assignment
+    val members = kmeansDetailed(base, idCol, k, iters)
+      .join(base, idCol)
+      .select(col(idCol).as("id"), col("cid"), col("dist_num"), col("qv"))
+      .localCheckpoint(false)
+    val capped =
+      if (maxClusterSize == Int.MaxValue) members
+      else {
+        val counts = members.groupBy("cid").agg(count(lit(1)).as("__n"))
+        val ok = graft.operators.CapReport
+          .observeExclusions(counts, "semdedup_clusters", col("__n"), maxClusterSize)
+          .filter(col("__n") <= maxClusterSize)
+          .select("cid")
+        members.join(ok, Seq("cid"))
+      }
+    val comps = graft.operators.ConnectedComponents
+      .components(withinClusterPairs(capped, theta))
+    // representative per duplicate group: max dist_num, ties to min id
+    // (min over (−dist_num, id) — exact integer ordering)
+    val reps = comps.join(members.select(col("id"), col("dist_num")), "id")
+      .groupBy("comp")
+      .agg(min(struct((-col("dist_num")).as("nd"), col("id").as("rid"))).as("best"))
+      .select(col("best.rid").as("id"), lit(true).as("__rep"))
+    members
+      .join(comps, Seq("id"), "left")
+      .join(reps, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"),
+        coalesce(col("comp"), col("id")).as("component"),
+        (col("comp").isNull || col("__rep").isNotNull).as("kept"))
   }
 
   /** Assignment against a LITERAL centroid set — the stateless twin of

@@ -114,6 +114,31 @@ object Curation {
       expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
         % outOf < keep)
 
+  /** Per-group cap — domain/source balancing: keep at most `k` rows per
+    * group, chosen deterministically by md5(id) order (a fixed "random"
+    * sample that is stable across engines, retries, and partitionings).
+    * The pretraining use: cap boilerplate-heavy domains so no source
+    * dominates the mixture.
+    *
+    * This is the SCALE form of [[stratifiedSample]]: the window form
+    * shuffles and sorts EVERY row of every group to rank them; this one
+    * aggregates with the k-bounded [[graft.functions.TopKBy]] summary,
+    * so the exchange carries at most k ids per group per map partition
+    * (map-side combine), then one semi-join recovers the rows. Same
+    * kept set, verdicts engine-exact: the order key is the first
+    * 52 bits of md5(id) — 13 hex chars, chosen to survive TopKBy's
+    * double-typed order slot losslessly (2⁵² < 2⁵³), ties to the
+    * smaller id. */
+  def capPerGroup(groupCol: String, idCol: String, k: Int)(df: DataFrame): DataFrame = {
+    // negated: topk_by keeps the k LARGEST orders; we want smallest-hash
+    val order = -expr(
+      s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 13), 16, 10) AS BIGINT)")
+    val kept = df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKBy.topkBy(order, col(idCol), k).as("__ids"))
+      .select(explode(col("__ids")).as(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** Deterministic stratified sample: the first `nPerStratum` rows of
     * each stratum in md5(id) order — a fixed-size-per-group sample
     * that is reproducible across engines, retries, and partitionings
@@ -427,6 +452,44 @@ object Curation {
       .withColumn("n_distinct_ngrams", distinctN)
       .withColumn("rep_ratio",
         lit(1.0) - col("n_distinct_ngrams").cast("double") / col("n_ngrams").cast("double"))
+  }
+
+  /** Overlapping token-window CHUNKING — the RAG/embedding preparation
+    * op: split each document into windows of `window` tokens advancing
+    * by `stride` (< window ⇒ overlap of window − stride tokens, the
+    * boundary-context hedge), tail included even when short. Emits
+    * (all input columns minus textCol) + (chunk_idx, chunk_text,
+    * n_tokens).
+    *
+    * Chunk count is 1 + ⌈max(tokens − window, 0) / stride⌉, computed
+    * with non-negative integer arithmetic only (`DIV`) — float ceil and
+    * negative integer division both round differently across engines.
+    * Fully NARROW: tokenization, the per-doc index sequence, and the
+    * slices are one generate + project over the scan — no shuffle, no
+    * state, legal in a streaming micro-batch as-is. At 100 TB this is
+    * the shape you want: chunking is embarrassingly parallel, and the
+    * ~window/stride× output inflation flows straight to the sink
+    * without ever crossing the wire. */
+  def chunkWithStride(
+      textCol: String, window: Int, stride: Int)(
+      df: DataFrame): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    // stride ≤ window ⇒ every token is covered and the last start lands
+    // strictly inside the doc (no empty overshoot chunk); stride >
+    // window would be gap-sampling, a different operator
+    require(stride <= window, s"stride $stride must be <= window $window")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    val nChunks = lit(1L) +
+      expr(s"(greatest(size(__toks) - $window, 0) + ${stride - 1}) DIV $stride")
+    val keep = df.columns.filter(_ != textCol).map(col).toIndexedSeq
+    df.withColumn("__toks", toks)
+      .select(keep :+ col("__toks") :+
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => slice(col("__toks"), (i * stride + 1).cast("int"), lit(window))))
+          .as(Seq("chunk_idx", "__chunk")): _*)
+      .select(keep :+ col("chunk_idx").cast(LongType).as("chunk_idx") :+
+        array_join(col("__chunk"), " ").as("chunk_text") :+
+        size(col("__chunk")).cast(LongType).as("n_tokens"): _*)
   }
 
   /** Keep docs whose repeated word-n-gram fraction is ≤ maxRepRatio. */

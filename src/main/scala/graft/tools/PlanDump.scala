@@ -57,7 +57,13 @@ object PlanDump {
     "q91_column_profile" ->
       "Single-pass column profile: ONE FileScan feeds the Expand-planned multi-countDistinct (each row fans out once per distinct-agg, partials combine map-side; the dedup exchange carries ~sum of per-column NDVs, not rows) — vs one scan per column for the naive per-column profile.",
     "q92_leakage_safe_splits" ->
-      "Leakage-safe splits: the (id, component) map — only docs WITH a near-dup, ≪ corpus — broadcasts to a BroadcastHashJoin, so the corpus side takes the cluster key and the md5 CASE as a narrow projection with ZERO shuffles (PlanSpec pins the exchange count at 0). At this sf the CC front end resolves on the driver union-find path, so the shown probe side is the tiny labels relation.")
+      "Leakage-safe splits: the (id, component) map — only docs WITH a near-dup, ≪ corpus — broadcasts to a BroadcastHashJoin, so the corpus side takes the cluster key and the md5 CASE as a narrow projection with ZERO shuffles (PlanSpec pins the exchange count at 0). At this sf the CC front end resolves on the driver union-find path, so the shown probe side is the tiny labels relation.",
+    "q94_semdedup" ->
+      "SemDeDup: k-means bounds the pairwise-cosine search to a cid EQUI-join (merge-hinted self-join over ONE reused exchange — never a cross product); per Lloyd iteration the centroids broadcast and only (cid,pos) partial sums shuffle; the ≥θ edge graph entering connected components is ≪ corpus. PlanSpec pins the sort-merge + ReusedExchange shape.",
+    "q95_chunk_stride" ->
+      "Overlapping chunking: one Generate + Project over the scan — ZERO data shuffles (the only exchange is this presentation ORDER BY); the window/stride output inflation flows straight to the sink without crossing the wire. PlanSpec pins the exchange count at 0 for the bare operator.",
+    "q96_source_cap" ->
+      "Per-source cap: partial ObjectHashAggregate keeps ≤k ids per group per mapper, so the exchange carries k·|groups| ids — not every row, unlike q68's window form; kept ids broadcast back to a LeftSemi join, so the corpus rows never shuffle. PlanSpec pins the aggregate pair + single exchange.")
 
   /** The q87 PageRank ITERATION body, shown separately: the real loop
     * localCheckpoints rank state each pass, so the battery query's

@@ -346,4 +346,63 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(ids1 == ids2)
   }
+
+  test("chunkWithStride: coverage, overlap, tail, and count formula") {
+    // 10 tokens, window 4, stride 3 -> chunks start at 0,3,6,9:
+    // count = 1 + ceil((10-4)/3) = 3 ... (6+2) DIV 3 = 2 -> 3 chunks?
+    // starts 0,3,6 cover tokens 1..10 (chunk at 6 = t7..t10) -> 3 chunks
+    val toks = (1 to 10).map(i => s"t$i")
+    val df = Seq((1L, toks.mkString(" ")), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = Curation.chunkWithStride("text", window = 4, stride = 3)(df)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),    // one token of overlap (stride 3 < window 4)
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (2L, 0L, "a b", 2L),            // short doc: one whole-doc chunk
+      (3L, 0L, "", 0L)),              // empty doc: one empty chunk, not zero rows
+      s"got $out")
+  }
+
+  test("property: chunkWithStride chunks reconstruct the token stream exactly") {
+    val wordGen = Gen.chooseNum(1, 999).map(n => s"w$n")
+    ScalaCheckSupport.checkProp(Prop.forAll(
+      Gen.listOf(wordGen), Gen.choose(1, 6), Gen.choose(1, 6)) { (words, window, s0) =>
+      val stride = math.min(s0, window) // operator contract: stride <= window
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = Curation.chunkWithStride("text", window, stride)(df)
+        .orderBy("chunk_idx")
+        .select("chunk_text").as[String].collect().toSeq
+      val expectedN =
+        1 + (math.max(words.length - window, 0) + stride - 1) / stride
+      val rebuilt = chunks.zipWithIndex.flatMap { case (c, i) =>
+        val ts = c.split(" ").filter(_.nonEmpty)
+        // strip the overlap with the previous chunk: all but the first
+        // chunk contribute only their last `stride` positions... unless
+        // truncated; reconstruct by absolute position instead
+        ts.zipWithIndex.map { case (t, j) => (i * stride + j, t) }
+      }.toMap
+      chunks.size == expectedN &&
+        rebuilt.size == words.length &&
+        words.zipWithIndex.forall { case (w, i) => rebuilt.get(i).contains(w) }
+    }, minSuccessful = 30)
+  }
+
+  test("capPerGroup selects the same set as the window-form stratifiedSample") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source")
+    val viaAgg = Curation.capPerGroup("source", "doc_id", 5)(docs)
+      .select("doc_id").as[Long].collect().toSet
+    // the window form orders by the full md5 string; the TopKBy form by
+    // its first 52 bits — identical selections when no 13-hex-char
+    // prefix collides (doc_ids are distinct, collisions ~2^-26 here)
+    val viaWindow = Curation.stratifiedSample("source", "doc_id", 5)(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+    // cap above the group size keeps everything
+    val all = Curation.capPerGroup("source", "doc_id", 100000)(docs).count()
+    assert(all == docs.count())
+  }
 }

@@ -225,6 +225,52 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 0, s"corpus side shuffled for the split ($shuffles):\n$p")
   }
 
+  test("q94 semDedup pairwise stage: cid equi-join over ONE reused exchange, no cross product") {
+    // the stage is pinned directly — the CC fixpoint consumes it behind
+    // checkpoint barriers, so the end-to-end q94 plan cannot show it
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val members = emb.select(col("vec_id").as("id"),
+      (col("vec_id") % 4).as("cid"), lit(0L).as("dist_num"),
+      graft.similarity.Similarity.quantize(col("embedding")).as("qv"))
+    val df = graft.similarity.Similarity.withinClusterPairs(members, 0.35)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("SortMergeJoin"), s"cluster self-join not sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semDedup pairwise stage degenerated to a cross product:\n$p")
+    assert(p.contains("ReusedExchange"), s"self-join sides computed twice:\n$p")
+  }
+
+  test("q95 chunking is fully narrow: generate + project, zero exchanges") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val df = graft.text.Curation.chunkWithStride("text", 40, 30)(docs)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("Generate"), s"chunk explode missing:\n$p")
+    val shuffles = org.apache.spark.sql.GraftSqlBridge
+      .countShuffleExchanges(df.queryExecution.executedPlan)
+    assert(shuffles == 0, s"chunking should never shuffle ($shuffles):\n$p")
+  }
+
+  test("q96 per-source cap: k-bounded partial aggregate, corpus side joins without shuffling") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "source")
+    val df = graft.text.Curation.capPerGroup("source", "doc_id", 5)(docs)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    val p = finalPlan(df)
+    // two ObjectHashAggregates = partial (map-side, ≤k ids per group
+    // per mapper) + final — the TopKBy summary, not a rank-all window
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2,
+      s"TopKBy partial/final aggregate pair missing:\n$p")
+    assert(!p.contains("Window"), s"cap fell back to the window form:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"kept-id semi-join not broadcast:\n$p")
+    // exactly ONE exchange: the k-bounded aggregate's — the corpus rows
+    // themselves never cross the wire
+    val shuffles = org.apache.spark.sql.GraftSqlBridge.countShuffleExchanges(exec)
+    assert(shuffles == 1, s"expected only the bounded-aggregate exchange ($shuffles):\n$p")
+  }
+
   test("CBO end-to-end: ANALYZE column stats flip a filtered-dim join to broadcast") {
     import graft.store.Store
     Store.ensureDatabase(spark, "graft_test")

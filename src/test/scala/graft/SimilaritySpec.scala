@@ -207,4 +207,102 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().toSeq
     assert(dec == Seq((1L, 8000000L, 2000000.0), (2L, 8000000L, 2000000.0), (3L, 0L, 0.0)))
   }
+
+  test("semDedup keeps the member FARTHEST from the centroid, drops the rest of its group") {
+    // one cluster (k=1), centroid after the update = mean of all three
+    // quantized vecs = (800, 200). cos(v1,v2) = 0.9939 >= 0.99 -> one
+    // duplicate group {1, 2}; v3 is similar to neither (cos ~0.71/0.78).
+    // dist_num (n=3): v1 -> (3000-2400)^2 + (0-600)^2 = 720000,
+    // v2 -> 180000 -> v1 is farther -> v1 kept, v2 dropped.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding", k = 1, iters = 2, theta = 0.99)
+      .orderBy("vec_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1L, true), (2L, 1L, 1L, false), (3L, 1L, 3L, true)),
+      s"got $out")
+  }
+
+  test("semDedup maxClusterSize valve: capped clusters generate no pairs, everything kept") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding", k = 1, iters = 1,
+        theta = 0.5, maxClusterSize = 2)
+      .orderBy("vec_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.forall(_._4), s"capped cluster must not be pair-compared, got $out")
+    // and without the cap the identical trio collapses to one survivor
+    val uncapped = Similarity.semDedup(df, "vec_id", "embedding", k = 1, iters = 1,
+        theta = 0.5)
+      .orderBy("vec_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(uncapped.count(_._4) == 1, s"got $uncapped")
+  }
+
+  test("property: semDedup matches a driver-side exact model") {
+    val compGen = Gen.chooseNum(-200, 200).map(_ / 100.0f)
+    val vecGen = Gen.listOfN(3, compGen).suchThat(_.exists(x => math.abs(x) > 0.01))
+    ScalaCheckSupport.checkProp(Prop.forAll(
+      Gen.listOfN(8, vecGen), Gen.choose(1, 3), Gen.chooseNum(0.3, 0.9)) {
+      (vecs, iters, theta) =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+      val df = rows.toDF("vec_id", "embedding")
+      val k = 2
+      def q(v: List[Float]): Array[Long] = v.map(x => math.round(x * 1000.0)).toArray
+      val qRows = rows.map { case (id, v) => (id, q(v)) }
+      // kmeans model identical to the Lloyd property above, but the
+      // final round also records the winner's exact integer numerator
+      var cents: Seq[(Long, Array[Long], Long)] = qRows.sortBy(_._1).take(k)
+        .map { case (id, qv) => (id, qv.clone(), 1L) }
+      def assign(): Seq[(Long, Long, Long)] = qRows.map { case (id, qv) =>
+        val best = cents.map { case (cid, s, n) =>
+          val num = qv.zip(s).map { case (x, sv) => val d = n * x - sv; d * d }.sum
+          ((num.toDouble / (n * n).toDouble, cid), num)
+        }.minBy(_._1)
+        (id, best._1._2, best._2)
+      }
+      var asg = assign()
+      for (_ <- 1 until iters) {
+        cents = asg.groupBy(_._2).toSeq.map { case (cid, members) =>
+          val qvs = members.map(m => qRows.find(_._1 == m._1).get._2)
+          val s = qvs.transpose.map(_.sum).toArray
+          (cid, s, qvs.size.toLong)
+        }.sortBy(_._1)
+        asg = assign()
+      }
+      // within-cluster pairs at cosine >= theta -> union-find -> reps
+      def cos(a: Array[Long], b: Array[Long]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot.toDouble /
+          (math.sqrt(a.map(x => x * x).sum.toDouble) *
+            math.sqrt(b.map(x => x * x).sum.toDouble))
+      }
+      val byId = qRows.toMap
+      val cidOf = asg.map(m => m._1 -> m._2).toMap
+      val edges = for {
+        (ia, ca, _) <- asg; (ib, cb, _) <- asg
+        if ia < ib && ca == cb && cos(byId(ia), byId(ib)) >= theta
+      } yield (ia, ib)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long =
+        if (parent.getOrElse(x, x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val inGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val compOf = inGraph.map(id => id -> find(id)).toMap
+      val numOf = asg.map(m => m._1 -> m._3).toMap
+      val reps = compOf.groupBy(_._2).map { case (c, members) =>
+        c -> members.keys.toSeq.sortBy(id => (-numOf(id), id)).head
+      }
+      val want = asg.sortBy(_._1).map { case (id, cid, _) =>
+        val comp = compOf.getOrElse(id, id)
+        (id, cid, comp, !inGraph.contains(id) || reps(comp) == id)
+      }
+      val got = Similarity.semDedup(df, "vec_id", "embedding", k, iters, theta)
+        .orderBy("vec_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+      got == want
+    }, minSuccessful = 10)
+  }
 }
