@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CleanAsciiExpression, ShingleHashSet, SimHash32, SimHash64, TopKBy}
+import graft.functions.{CleanAsciiExpression, DotLongArrays, ShingleHashSet, SimHash32, SimHash64, TopKBy}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * Catalyst functions available to plain SQL texts on any session built
@@ -53,7 +53,10 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => SimHash32(exprs.head)),
     (FunctionIdentifier("simhash64_md5"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64_md5"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    (FunctionIdentifier("dot_longs"),
+      new ExpressionInfo(classOf[DotLongArrays].getName, "dot_longs"),
+      (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1))))
 
   /** Register the same functions on an already-running session (e.g. in
     * tests or notebooks where the session pre-exists the library). */

@@ -2457,6 +2457,53 @@ object Battery {
         FROM documents)
       WHERE rn <= 5 ORDER BY doc_id"""))
 
+  /** ANN recall evaluation (Similarity.recallAtK): IVF@nprobe=2 top-10
+    * vs brute-force ground truth for a probe set of query vectors —
+    * the measured-recall loop that tunes an ANN index. Both sides
+    * k-bound per query via TopKBy (≤ k·|queries| ids cross any
+    * shuffle); identical tie rule (cosine desc, id asc) so the
+    * comparison is like-for-like. */
+  val q97 = Q("q97_ann_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.select(col("vec_id").as("id"), col("label"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qqv"))
+      val exact = Similarity.bruteTopKNeighbors(base.select("id", "qv"), queries, 10)
+      val approx = Similarity.ivfTopKNeighbors(base, "label", queries, 10, nprobe = 2)
+      Similarity.recallAtK(exact, approx, "qid", "id", 10).orderBy("qid")
+    },
+    Some(s"""WITH base AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+      qs AS (SELECT vec_id AS qid, qv AS qqv FROM base WHERE vec_id % 100 = 0),
+      ex0 AS (SELECT q.qid, b.vec_id AS id, ${cosSql("b.qv", "q.qqv")} AS cosine
+              FROM base b, qs q WHERE b.vec_id <> q.qid),
+      exk AS (SELECT qid, id FROM (
+                SELECT qid, id, row_number() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, id) AS rn FROM ex0) WHERE rn <= 10),
+      expl AS (SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM base),
+      cent AS (SELECT label, list(sv ORDER BY pos) AS cvec FROM
+                 (SELECT label, pos, SUM(v) AS sv FROM expl GROUP BY label, pos)
+               GROUP BY label),
+      pr0 AS (SELECT q.qid, c.label, ${cosSql("c.cvec", "q.qqv")} AS cscore
+              FROM cent c, qs q),
+      prb AS (SELECT qid, label FROM (
+                SELECT qid, label, row_number() OVER (PARTITION BY qid
+                  ORDER BY cscore DESC, label) AS rn FROM pr0) WHERE rn <= 2),
+      ap0 AS (SELECT q.qid, b.vec_id AS id, ${cosSql("b.qv", "q.qqv")} AS cosine
+              FROM base b JOIN prb p ON b.label = p.label
+              JOIN qs q ON q.qid = p.qid
+              WHERE b.vec_id <> q.qid),
+      apk AS (SELECT qid, id FROM (
+                SELECT qid, id, row_number() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, id) AS rn FROM ap0) WHERE rn <= 10),
+      hit AS (SELECT e.qid, COUNT(*) AS n_hit FROM exk e
+              JOIN apk a ON a.qid = e.qid AND a.id = e.id GROUP BY e.qid)
+      SELECT q.qid, COALESCE(h.n_hit, 0) AS n_hit,
+        CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+      FROM (SELECT DISTINCT qid FROM exk) q
+      LEFT JOIN hit h USING (qid) ORDER BY qid"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2464,5 +2511,5 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
 }

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native integer dot product over quantized embedding vectors — the
+  * arithmetic kernel of the whole similarity family (cosine top-k,
+  * sign-LSH and IVF verification, SemDeDup's within-cluster pairwise,
+  * k-means seeding distances).
+  *
+  * Why native: the composed form `aggregate(zip_with(a, b, _*_), 0L,
+  * _+_)` is a higher-order-function tree, which Spark evaluates
+  * INTERPRETED — per-element closure dispatch and Long boxing, ~30 µs
+  * per 64-dim cosine. On a pairwise stage that is the entire cost:
+  * SemDeDup's within-cluster join spent 7.4 s of its 10.5 s total in
+  * exactly this expression (sf0.1, 250k pairs). As a codegen
+  * expression the loop reads both unsafe arrays in place — the same
+  * fence-free rationale as [[JaccardHashSets]], measured 10.5 → ~4 s
+  * end-to-end on q94.
+  *
+  * Semantics are IDENTICAL to the composed form on the vectors this
+  * library produces (equal-length quantized arrays, no null elements):
+  * a left-fold of exact integer multiply-adds in element order.
+  * Norm-squared is `dot(v, v)`; cosine divides by the product of the
+  * IEEE sqrts of the exact operands, as everywhere else.
+  * Length-mismatched inputs (impossible via [[graft.similarity
+  * .Similarity.quantize]]) fold over the common prefix, where zip_with
+  * would null-pad — do not feed those. */
+case class DotLongArrays(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // ARRAY<INT> (etc.) inputs implicitly cast element-wise to ARRAY<BIGINT>
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_longs"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    DotLongArrays.evalArrays(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.DotLongArrays.evalArrays($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLongArrays =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotLongArrays {
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def evalArrays(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  def dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotLongArrays(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_longs"),
+      new ExpressionInfo(classOf[DotLongArrays].getName, "dot_longs"),
+      (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1)))
+}

@@ -20,13 +20,16 @@ object Similarity {
   def quantize(c: Column, scale: Int = 1000): Column =
     transform(c, x => round(x.cast("double") * scale, 0).cast(LongType))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen kernel ([[graft.functions.DotLongArrays]]; the composed
+    * aggregate∘zip_with form evaluates interpreted, ~30 µs per 64-dim
+    * pair, and this expression is the entire cost of any pairwise
+    * similarity stage). Same left-fold of exact multiply-adds. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.DotLongArrays.dot(a, b)
 
-  /** Exact integer squared norm. */
-  def normSqQ(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+  /** Exact integer squared norm (= [[dotQ]] of the vector with itself). */
+  def normSqQ(a: Column): Column = dotQ(a, a)
 
   /** Cosine similarity of quantized vectors — deterministic double. */
   def cosineQ(a: Column, b: Column): Column =
@@ -305,6 +308,79 @@ object Similarity {
     withQ.withColumn("__best", best)
       .select((df.columns.map(col) :+
         col("__best.cid").as("cid") :+ col("__best.dist2").as("dist2")).toIndexedSeq: _*)
+  }
+
+  /** Exact cosine top-k neighbor ids for a SET of query vectors —
+    * the ground-truth half of ANN evaluation ([[recallAtK]]), and the
+    * multi-query generalization of the q25 single-query scan. `base`
+    * must carry (id, qv), `queries` (qid, qqv) — both quantized
+    * ([[quantize]]). Self-matches (id = qid) are excluded.
+    *
+    * Scale shape: the query set broadcasts (evaluation uses tens to
+    * thousands of probes — the corpus side is the big one), cosines are
+    * a narrow projection over the corpus scan, and the per-query top-k
+    * reduces through the k-bounded [[graft.functions.TopKBy]] aggregate
+    * — ≤ k·|queries| ids cross the shuffle, the n·|queries| scored
+    * rows never do. Ties at the k boundary go to the smaller id in
+    * both this and [[ivfTopKNeighbors]] (TopKBy payload-asc), so
+    * recall compares like against like. */
+  def bruteTopKNeighbors(base: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    base.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosineQ(col("qv"), col("qqv")).as("cosine"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("cosine"), col("id"), k).as("__ids"))
+      .select(col("qid"), explode(col("__ids")).as("id"))
+
+  /** IVF top-k neighbor ids for a SET of query vectors: probe the
+    * `nprobe` nearest inverted lists (by centroid cosine over the
+    * [[listCentroidSums]] sum-vectors — scale-invariant, so sums work
+    * as centroids), score only their members, k-bound per query. Same
+    * (id, qv) / (qid, qqv) contract and tie rule as
+    * [[bruteTopKNeighbors]]; `base` additionally needs the list key in
+    * `labelCol`. The centroid table (|lists| rows) and the probe
+    * assignment (nprobe·|queries| rows) both broadcast — the corpus
+    * side is touched once, filtered to probed lists by a broadcast
+    * join before any scoring. */
+  def ivfTopKNeighbors(
+      base: DataFrame, labelCol: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = listCentroidSums(base, labelCol, "qv")
+    val probed = cents.crossJoin(broadcast(queries))
+      .select(col("qid"), col(labelCol),
+        cosineQ(col("cvec"), col("qqv")).as("cscore"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("cscore"), col(labelCol), nprobe).as("__ls"))
+      .select(col("qid"), explode(col("__ls")).as(labelCol))
+    base.join(broadcast(probed), Seq(labelCol))
+      .filter(col("id") =!= col("qid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("id"), cosineQ(col("qv"), col("qqv")).as("cosine"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("cosine"), col("id"), k).as("__ids"))
+      .select(col("qid"), explode(col("__ids")).as("id"))
+  }
+
+  /** Recall@k of an approximate neighbor result against the exact one:
+    * per query, |approx ∩ exact| / k. The evaluation loop that tunes
+    * an ANN index (nprobe, LSH bits, band widths) runs THIS — measured
+    * recall against a brute-force sample, not hope. Both inputs are
+    * (queryCol, idCol) pairs (e.g. [[bruteTopKNeighbors]] /
+    * [[ivfTopKNeighbors]] output); queries with zero overlap are
+    * reported at 0.0, not dropped. One equi-join + one count — at
+    * evaluation sizes (≤ k·|queries| rows per side) this is
+    * broadcast-weight. */
+  def recallAtK(
+      exact: DataFrame, approx: DataFrame,
+      queryCol: String, idCol: String, k: Int): DataFrame = {
+    val hits = exact.join(approx, Seq(queryCol, idCol))
+      .groupBy(queryCol).agg(count(lit(1)).as("n_hit"))
+    exact.select(queryCol).distinct()
+      .join(hits, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          lit(k).cast("double")).as("recall"))
   }
 
   /** Per-vector squared deviation from its group centroid, built from

@@ -104,6 +104,9 @@ class ShingleHashExpressionsSpec extends SparkTestBase {
     assert(sh == refSimhash32("the quick brown fox"))
     val sh64 = spark.sql("SELECT simhash64_md5('the quick brown fox') AS h").as[Long].head()
     assert(sh64 == refSimhash64("the quick brown fox"))
+    val dot = spark.sql("SELECT dot_longs(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .as[Long].head()
+    assert(dot == 4L + 10L + 18L)
     // non-literal word/n rejected with a clear error
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hash_set('x', false, CAST(rand()*3 AS INT))").collect()

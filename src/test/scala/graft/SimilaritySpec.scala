@@ -22,6 +22,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(row.getLong(2) == 100L * 100 + 250L * 250 + 2000L * 2000)
   }
 
+  test("property: native dotQ ≡ the composed aggregate∘zip_with form") {
+    val vGen = Gen.listOfN(8, Gen.chooseNum(-2.0, 2.0))
+    ScalaCheckSupport.checkProp(Prop.forAll(vGen, vGen) { (a, b) =>
+      val df = Seq((a.map(_.toFloat), b.map(_.toFloat))).toDF("a", "b")
+      val (qa, qb) = (Similarity.quantize(col("a")), Similarity.quantize(col("b")))
+      val composed = aggregate(zip_with(qa, qb, (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+      val r = df.select(Similarity.dotQ(qa, qb).as("native"), composed.as("hof"))
+        .collect()(0)
+      r.getLong(0) == r.getLong(1)
+    }, minSuccessful = 20)
+  }
+
   test("cosine identities: cos(v,v)=1, cos(v,-v)=-1, bounded (property)") {
     val vGen = Gen.listOfN(8, Gen.chooseNum(-2.0, 2.0))
       .suchThat(_.exists(x => math.abs(x) > 0.01))
@@ -206,6 +219,66 @@ class SimilaritySpec extends SparkTestBase {
       .select(col("vec_id"), col("dist2").cast("long"), col("dev2"))
       .as[(Long, Long, Double)].collect().toSeq
     assert(dec == Seq((1L, 8000000L, 2000000.0), (2L, 8000000L, 2000000.0), (3L, 0L, 0.0)))
+  }
+
+  test("recallAtK: per-query overlap fraction, zero-overlap queries reported not dropped") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("qid", "id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L), (2L, 97L), (2L, 98L), (2L, 99L))
+      .toDF("qid", "id")
+    val out = Similarity.recallAtK(exact, approx, "qid", "id", 3)
+      .orderBy("qid").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2.0 / 3.0), (2L, 0L, 0.0)), s"got $out")
+  }
+
+  test("bruteTopKNeighbors matches a driver-side exact model on a real table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("qv"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qqv"))
+    val got = Similarity.bruteTopKNeighbors(base, queries, 10)
+      .as[(Long, Long)].collect().toSet
+
+    val vecs = base.as[(Long, Array[Long])].collect()
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val want = (for {
+      (qid, qqv) <- vecs.filter(_._1 % 100 == 0)
+      (id, _) <- vecs.filter(v => v._1 != qid)
+        .map { case (id, qv) => (id, cos(qv, qqv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10)
+    } yield (qid, id)).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("ivfTopKNeighbors: probed-list subset of brute force; recall in [0,1]") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select(col("vec_id").as("id"), col("label"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qqv"))
+    val nLabels = emb.select("label").distinct().count().toInt
+    val approx = Similarity.ivfTopKNeighbors(base, "label", queries, 10, nprobe = 2)
+      .as[(Long, Long)].collect().toSet
+    // probing ALL lists must equal brute force (IVF with full probe is exact)
+    val full = Similarity.ivfTopKNeighbors(base, "label", queries, 10, nprobe = nLabels)
+      .as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteTopKNeighbors(base.select("id", "qv"), queries, 10)
+      .as[(Long, Long)].collect().toSet
+    assert(full == brute, "full-probe IVF must equal brute force")
+    // partial probe: a valid per-query result set of at most k
+    val perQ = approx.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQ.values.forall(_ <= 10))
+    val rec = Similarity.recallAtK(
+        Similarity.bruteTopKNeighbors(base.select("id", "qv"), queries, 10)
+          .toDF("qid", "id"),
+        approx.toSeq.toDF("qid", "id"), "qid", "id", 10)
+      .select("recall").as[Double].collect()
+    assert(rec.forall(r => r >= 0.0 && r <= 1.0))
   }
 
   test("semDedup keeps the member FARTHEST from the centroid, drops the rest of its group") {
