@@ -34,7 +34,44 @@ object ScaleBench {
     "q79_cluster_size_histogram", "q83_bloom_decontamination",
     "q87_neardup_pagerank", "q90_incremental_neardup",
     "q91_column_profile", "q92_leakage_safe_splits",
-    "q93_simhash64_neardup")
+    "q93_simhash64_neardup",
+    // embedding family (reads the generated embeddings table). Sign-LSH
+    // (q30) is deliberately ABSENT: on clustered embeddings — this
+    // generator's shape, and any real embedding corpus — cluster
+    // members share their leading sign bits at ANY bit width, so the
+    // bucket join degenerates to a few mega-buckets (measured: one
+    // straggler task grinding ~2·10⁹ pairs at g100x). That is an
+    // operator-selection finding, not a config knob: for clustered
+    // vectors the scale paths are IVF list probing (q31) and k-means-
+    // bounded pairwise (x94 below), both measured here. BENCH_SCALE.md
+    // records the finding.
+    "q25_cosine_topk", "q31_ivf_topk",
+    "q69_centroid_outliers", "q77_kmeans_assign", "q81_kmeans_lloyd",
+    "q95_chunk_stride", "q96_source_cap")
+
+  /** Scale-knob-correct variant of SemDeDup: the battery q94 pins
+    * k = 8 for oracle stability, but k is the caller's SCALE KNOB (the
+    * operator scaladoc states the rule — grow k ∝ n so expected
+    * cluster size, and with it the within-cluster quadratic, stays
+    * constant). This entry applies the rule (k = n/250), so the
+    * measurement exercises the operator in its documented operating
+    * mode; the fixed-k battery form is omitted at scale for the same
+    * reason fixed 8-bit simhash banding was replaced by q93. */
+  val ScaledVariants: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      "x94_semdedup_scaledk" -> ((s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val k = math.max(8, (emb.count() / 250).toInt)
+        // theta = 0.99, the production SemDeDup regime, NOT the battery's
+        // 0.35 (tuned to the driver's spread-out vectors, where max
+        // pairwise cosine is ~0.51). On clustered embeddings 0.35 is
+        // below the INTRA-CLUSTER cosine (~0.7-0.9), which turns the
+        // "duplicate graph" into the whole cluster graph — measured as
+        // a CC blow-up then executor OOM at g100x. The injected
+        // near-dup copies sit at ~0.999; 0.99 selects exactly them.
+        graft.similarity.Similarity.semDedup(
+          emb, "vec_id", "embedding", k, iters = 2, theta = 0.99)
+      }))
 
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -65,6 +102,12 @@ object ScaleBench {
         ScaleGen.orders(spark, nOrders)
           .write.mode("overwrite").parquet(s"$base/$g/orders.parquet")
       }
+      // embeddings landed later: generate independently if absent
+      if (!new java.io.File(s"$base/$g/embeddings.parquet").exists()) {
+        System.err.println(s"[scalebench] generating $base/$g embeddings")
+        ScaleGen.embeddings(spark, nDocs * 2 / 5, seed = 43)
+          .write.mode("overwrite").parquet(s"$base/$g/embeddings.parquet")
+      }
     }
 
     def once(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
@@ -74,8 +117,8 @@ object ScaleBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => names.contains(n) }
+    val selected = (SparkEntry.queries.toSeq ++ ScaledVariants).sortBy(_._1)
+      .filter { case (n, _) => names.contains(n) || (args.length <= 1 && n.startsWith("x")) }
     val times = selected.map { case (name, fn) =>
       val byScale = scales.map(_._1).map { g =>
         val dir = s"$base/$g"
@@ -97,7 +140,7 @@ object ScaleBench {
     val jsonFile = java.nio.file.Paths.get("BENCH_SCALE.json")
     val existing: Map[String, String] = if (java.nio.file.Files.exists(jsonFile)) {
       val txt = new String(java.nio.file.Files.readAllBytes(jsonFile), "UTF-8")
-      """"(q\d+\w*)"\s*:\s*(\{[^}]*\})""".r.findAllMatchIn(txt)
+      """"([qx]\d+\w*)"\s*:\s*(\{[^}]*\})""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2)).toMap
     } else Map.empty
     val merged = existing ++ times.map { case (n, m) =>

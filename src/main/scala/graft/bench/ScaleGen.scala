@@ -94,6 +94,46 @@ object ScaleGen {
       .repartition(32)
   }
 
+  /** n embedding vectors (64 dims, same schema as the driver table:
+    * vec_id, embedding FLOAT[], label INT): 10 deterministic cluster
+    * centers with per-vector noise, and — mirroring [[docs]] — ~10% of
+    * vectors are small perturbations of an earlier vector, so
+    * embedding-space near-dup structure grows linearly with n (fixed
+    * per-vector dup rate, not density). */
+  def embeddings(spark: SparkSession, n: Int, seed: Long): DataFrame = {
+    val rnd = new java.util.Random(seed)
+    val dims = 64
+    val centers = Array.fill(10, dims)((rnd.nextDouble() * 1.6 - 0.8).toFloat)
+    val vecs = new ArrayBuffer[Array[Float]](n)
+    val rows = new ArrayBuffer[(Long, Seq[Float], Int)](n)
+    var i = 0
+    while (i < n) {
+      val (v, label) =
+        if (i > 20 && rnd.nextDouble() < 0.10) {
+          val base = vecs(rnd.nextInt(i))
+          val out = base.clone()
+          var m = 1 + rnd.nextInt(4)
+          while (m > 0) {
+            val d = rnd.nextInt(dims)
+            out(d) = (out(d) + (rnd.nextDouble() * 0.04 - 0.02)).toFloat
+            m -= 1
+          }
+          (out, rows(rnd.nextInt(i))._3)
+        } else {
+          val label = rnd.nextInt(10)
+          (Array.tabulate(dims)(d =>
+            (centers(label)(d) + (rnd.nextDouble() * 0.6 - 0.3)).toFloat), label)
+        }
+      vecs += v
+      rows += ((i.toLong, v.toSeq, label))
+      i += 1
+    }
+    import spark.implicits._
+    spark.createDataset(rows.toSeq)
+      .toDF("vec_id", "embedding", "label")
+      .repartition(32)
+  }
+
   /** n orders, all-expression generation (no driver loop at 1.5M rows);
     * same schema/types as the driver table, ~n/10 customers, ~6.5 years
     * of dates. */

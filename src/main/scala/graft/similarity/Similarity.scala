@@ -39,7 +39,17 @@ object Similarity {
     * component i+1 > 0. Random-hyperplane LSH with axis-aligned planes —
     * crude but deterministic and engine-portable; at scale the bucket
     * join replaces the O(n²) all-pairs cross product with a shuffle on
-    * the bucket key. */
+    * the bucket key.
+    *
+    * CLUSTERED-DATA CAVEAT (measured, BENCH_SCALE.md): members of a
+    * tight cluster share their leading sign bits at ANY bit width, so
+    * on clustered embeddings — which real corpora are — the buckets
+    * degenerate to one mega-bucket per cluster and the self-join goes
+    * quadratic per cluster with total skew (one straggler task per
+    * mega-bucket). More bits do NOT help; the remedy is a different
+    * bucketing: IVF list probing ([[ivfTopKNeighbors]]) or k-means-
+    * bounded pairwise ([[semDedup]]). Appropriate only when vectors
+    * are spread (near-random sign structure). */
   def signBucket(qv: Column, bits: Int = 8): Column =
     (0 until bits).map { i =>
       when(element_at(qv, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
@@ -81,9 +91,11 @@ object Similarity {
     val base = emb.select(col(idCol), quantize(col(vecCol)).as("qv"))
     val seeds = base.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cid"), col("qv").as("cqv"))
-    val dist2 = aggregate(
-      zip_with(col("qv"), col("cqv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    // ‖x − c‖² = x·x − 2(x·c) + c·c through the native dot kernel —
+    // exact-integer-identical to the elementwise zip_with form, which
+    // Spark would evaluate interpreted (see dotQ)
+    val dist2 = dotQ(col("qv"), col("qv")) - lit(2L) * dotQ(col("qv"), col("cqv")) +
+      dotQ(col("cqv"), col("cqv"))
     base.crossJoin(broadcast(seeds))
       .select(col(idCol), col("cid"), dist2.as("dist2"))
       .groupBy(idCol)
@@ -170,9 +182,12 @@ object Similarity {
     * argmin — (dev2, cid) is already a total order per row). */
   private def assignToSummedCentroids(
       base: DataFrame, idCol: String, cent: DataFrame): DataFrame = {
-    val num = aggregate(
-      zip_with(col("qv"), col("s"), (x, sv) => (col("n") * x - sv) * (col("n") * x - sv)),
-      lit(0L), (acc, v) => acc + v)
+    // ‖n·x − s‖² = n²(x·x) − 2n(x·s) + s·s — native dot kernel, exact-
+    // integer-identical to the zip_with form (same BIGINT bound: the
+    // n² (x·x) term is the scaladoc's dims·n²·2²⁶ envelope)
+    val num = col("n") * col("n") * dotQ(col("qv"), col("qv")) -
+      lit(2L) * col("n") * dotQ(col("qv"), col("s")) +
+      dotQ(col("s"), col("s"))
     base.crossJoin(broadcast(cent))
       .select(col(idCol),
         (num.cast("double") / (col("n") * col("n")).cast("double")).as("dev2"),
@@ -297,9 +312,13 @@ object Similarity {
     val withQ = df.withColumn("__qv", quantize(col(vecCol)))
     val candidates = centroids.map { case (cid, cv) =>
       val cvLit = array(cv.map(lit).toIndexedSeq: _*)
-      val d = aggregate(
-        zip_with(col("__qv"), cvLit, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
+      // ‖x − c‖² via the native dot kernel (c·c folds to a constant);
+      // exact-integer-identical to the zip_with form — and with no
+      // lambda anywhere, the nested-lambda hazard the scaladoc's
+      // projection guard defends against has no surface here at all
+      val d = dotQ(col("__qv"), col("__qv")) -
+        lit(2L) * dotQ(col("__qv"), cvLit) +
+        lit(cv.map(x => x * x).sum)
       struct(d.as("dist2"), lit(cid).as("cid"))
     }
     val best =
