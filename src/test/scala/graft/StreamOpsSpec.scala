@@ -269,4 +269,26 @@ class StreamOpsSpec extends SparkTestBase {
     assert(out == Seq(
       (100L, 1L, 1000000L), (101L, 2L, 1000000L), (102L, 1L, 25000000L)), s"got $out")
   }
+
+  test("chunkWithStride runs stateless on a stream — batch ≡ stream chunks") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.text.Curation.chunkWithStride("text", window = 4, stride = 3)(docs)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"))
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("chunk_out")
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val batch = graft.text.Curation.chunkWithStride("text", 4, 3)(
+        rows.toDF("doc_id", "text"))
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.size == 4) // 3 chunks for doc 1, 1 for doc 2
+  }
 }
