@@ -2504,6 +2504,77 @@ object Battery {
       FROM (SELECT DISTINCT qid FROM exk) q
       LEFT JOIN hit h USING (qid) ORDER BY qid"""))
 
+  /** Incremental semantic screen (Similarity.semanticScreen) — the
+    * embedding twin of q90: which batch vectors (vec_id % 3 == 0)
+    * duplicate a stored-corpus vector at cosine ≥ 0.35, probing ONLY
+    * the batch vector's assigned k-means cluster. The in-query
+    * corpus/batch split stands in for the Store tables exactly as in
+    * q90; the codebook is re-derived from the index (per-(cid,pos)
+    * integer sums), so the oracle rebuilds the identical state. */
+  val q98 = Q("q98_semantic_screen",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+      val batch = emb.filter(col("vec_id") % 3 === 0)
+      // stands in for the stored index (writeSemanticIndex output)
+      val corpusAssigned = Similarity.kmeans(corpus, "vec_id", "embedding", k = 8, iters = 2)
+        .join(corpus.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv")),
+          "vec_id")
+        .select(col("vec_id").as("id"), col("cid"), col("qv"))
+        .localCheckpoint(false)
+      Similarity.semanticScreen(batch, "vec_id", "embedding", corpusAssigned, theta = 0.35)
+        .orderBy("batch_id", "corpus_id")
+    },
+    Some(s"""WITH RECURSIVE base AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      FROM embeddings),
+      corp AS (SELECT * FROM base WHERE vec_id % 3 <> 0),
+      ex AS (SELECT vec_id, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS x
+             FROM corp, range(1, 65) t(i)),
+      c0 AS (SELECT vec_id AS cid, qv FROM corp ORDER BY vec_id LIMIT 8),
+      cx0 AS (SELECT cid, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS s,
+                CAST(1 AS BIGINT) AS n
+              FROM c0, range(1, 65) t(i)),
+      d1 AS (SELECT vec_id, cid,
+               CAST(SUM((n*x - s)*(n*x - s)) AS BIGINT) AS num, MAX(n) AS n
+             FROM ex JOIN cx0 USING (pos) GROUP BY vec_id, cid),
+      a1 AS (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(num AS DOUBLE)/CAST(n*n AS DOUBLE), cid) AS rn
+             FROM d1),
+      m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+      cx1 AS (SELECT cid, pos, CAST(SUM(x) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM ex JOIN m1 USING (vec_id) GROUP BY cid, pos),
+      d2 AS (SELECT vec_id, cid,
+               CAST(SUM((n*x - s)*(n*x - s)) AS BIGINT) AS num, MAX(n) AS n
+             FROM ex JOIN cx1 USING (pos) GROUP BY vec_id, cid),
+      a2 AS (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(num AS DOUBLE)/CAST(n*n AS DOUBLE), cid) AS rn
+             FROM d2),
+      mem AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
+      cx2 AS (SELECT cid, pos, CAST(SUM(x) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM ex JOIN mem USING (vec_id) GROUP BY cid, pos),
+      bt AS (SELECT vec_id, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS x
+             FROM base, range(1, 65) t(i) WHERE vec_id % 3 = 0),
+      d3 AS (SELECT vec_id, cid,
+               CAST(SUM((n*x - s)*(n*x - s)) AS BIGINT) AS num, MAX(n) AS n
+             FROM bt JOIN cx2 USING (pos) GROUP BY vec_id, cid),
+      a3 AS (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(num AS DOUBLE)/CAST(n*n AS DOUBLE), cid) AS rn
+             FROM d3),
+      basg AS (SELECT vec_id, cid FROM a3 WHERE rn = 1)
+      SELECT b.vec_id AS batch_id, m.vec_id AS corpus_id,
+        ${cosSql("qb.qv", "qc.qv")} AS cosine
+      FROM basg b JOIN mem m ON m.cid = b.cid
+      JOIN base qb ON qb.vec_id = b.vec_id
+      JOIN base qc ON qc.vec_id = m.vec_id
+      WHERE ${cosSql("qb.qv", "qc.qv")} >= 0.35
+      ORDER BY batch_id, corpus_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2511,5 +2582,5 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
 }

@@ -402,6 +402,111 @@ object Similarity {
           lit(k).cast("double")).as("recall"))
   }
 
+  /** Incremental SEMANTIC screen — the embedding-space twin of the
+    * text side's `Dedup.incrementalNearDupPairs`: which vectors of a
+    * NEW batch duplicate (cosine ≥ theta) something already in a
+    * STORED corpus index, where the index is ONE table of
+    * (id, cid, qv) — each corpus vector with its k-means cluster and
+    * quantized embedding ([[writeSemanticIndex]] bootstraps it).
+    *
+    * The screen derives the cluster codebook FROM the index (per-(cid,
+    * pos) integer sums — exact, so any engine recomputing it agrees),
+    * assigns each batch vector to its nearest cluster by the same
+    * scaled-integer rule as the Lloyd loop, and compares it against
+    * ONLY that cluster's members — SemDeDup's probe discipline applied
+    * incrementally. Returns (batch_id, corpus_id, cosine) at ≥ theta;
+    * screen the batch by anti-joining batch ids.
+    *
+    * Scale shape: the codebook is k·dims longs (broadcast both at its
+    * derivation's final regroup and at assignment); the probe is a cid
+    * equi-join — with the index table BUCKETED on cid (as
+    * [[writeSemanticIndex]] writes it) the corpus side joins from its
+    * buckets without a shuffle, and a small daily batch broadcasts.
+    * The corpus is never re-embedded, re-quantized, or re-clustered. */
+  def semanticScreen(
+      batch: DataFrame, idCol: String, vecCol: String,
+      corpusAssigned: DataFrame, theta: Double): DataFrame = {
+    val cent = corpusAssigned
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+        s => s.getField("sv")).as("s"),
+        max(col("cnt")).as("n"))
+    val base = batch.select(col(idCol), quantize(col(vecCol)).as("qv"))
+      .localCheckpoint(false)
+    val assigned = assignToSummedCentroids(base, idCol, cent)
+    base.join(assigned.select(col(idCol), col("cid")), idCol)
+      .select(col(idCol).as("batch_id"), col("cid"), col("qv").as("__bqv"))
+      .join(corpusAssigned.select(col("id").as("corpus_id"), col("cid"),
+        col("qv").as("__cqv")), Seq("cid"))
+      .select(col("batch_id"), col("corpus_id"),
+        cosineQ(col("__bqv"), col("__cqv")).as("cosine"))
+      .filter(col("cosine") >= theta)
+  }
+
+  /** Bootstrap the persistent semantic-dedup index: Lloyd k-means over
+    * the founding corpus, stored as ONE table (id, cid, qv) BUCKETED
+    * on cid so every future [[semanticScreen]] probe joins the corpus
+    * side from its buckets with no shuffle. The codebook is not stored
+    * — screens re-derive it exactly from the index (k·dims-row
+    * aggregate, negligible next to the probe). */
+  def writeSemanticIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, table: String, numBuckets: Int = 32): Unit = {
+    val base = corpus.select(col(idCol), quantize(col(vecCol)).as("qv"))
+      .localCheckpoint(false)
+    val assigned = kmeansDetailed(base, idCol, k, iters)
+    graft.store.Store.overwriteBucketed(
+      base.join(assigned.select(col(idCol), col("cid")), idCol)
+        .select(col(idCol).as("id"), col("cid"), col("qv")),
+      table, Seq("cid"), numBuckets)
+  }
+
+  /** The standing semantic-ingest transaction, mirroring the text
+    * side's `Dedup.admitBatch`: screen a batch against the stored
+    * index ([[semanticScreen]]), ADMIT the vectors that duplicate
+    * nothing (< theta against every probed corpus vector), append ONLY
+    * the admitted (id, cid, qv) rows — each under the cluster the
+    * screen assigned it to — and return the admitted batch rows.
+    * Same contracts: batch ids disjoint from corpus ids, intra-batch
+    * dups both admitted (pre-dedup with [[semDedup]] when that
+    * matters), the append is non-transactional (re-running the batch
+    * re-screens it; already-admitted ids would then be flagged as
+    * duplicates of themselves — the idempotent outcome).
+    *
+    * Note the admitted rows keep the CURRENT codebook's assignment;
+    * clusters therefore drift from their true Lloyd optimum as the
+    * index grows. That is the standard IVF operating mode (assignments
+    * are an index structure, not a model) — re-run
+    * [[writeSemanticIndex]] out-of-band when drift warrants. */
+  def admitSemanticBatch(
+      batch: DataFrame, idCol: String, vecCol: String,
+      table: String, theta: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val corpus = graft.store.Store.table(spark, table)
+    val dupIds = semanticScreen(batch, idCol, vecCol, corpus, theta)
+      .select(col("batch_id").as(idCol)).distinct()
+    val admitted = batch.join(dupIds, Seq(idCol), "left_anti")
+      .localCheckpoint(false)
+    val cent = corpus
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+        s => s.getField("sv")).as("s"),
+        max(col("cnt")).as("n"))
+    val base = admitted.select(col(idCol), quantize(col(vecCol)).as("qv"))
+    val assigned = assignToSummedCentroids(base, idCol, cent)
+    graft.store.Store.appendBucketed(
+      base.join(assigned.select(col(idCol), col("cid")), idCol)
+        .select(col(idCol).as("id"), col("cid"), col("qv")),
+      table)
+    admitted
+  }
+
   /** Per-vector squared deviation from its group centroid, built from
     * EXACT integer arithmetic: dist2 = Σ_pos (n·x_pos − S_pos)² (all
     * BIGINT — no float centroid), where S/n are the per-(group, pos)

@@ -46,6 +46,24 @@ object Store {
   def append(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
 
+  /** Append to a BUCKETED table, mirroring its catalog bucket spec —
+    * a plain [[append]] would fail analysis (bucketing mismatch), and
+    * silently dropping the spec would break the no-shuffle join
+    * guarantee the table exists for. */
+  def appendBucketed(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bucket spec — use append"))
+    val w = df.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+      w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    else w).saveAsTable(table)
+  }
+
   /** Bucketed overwrite: co-locates future joins/aggregations on the
     * bucket key — two tables bucketed the same way join with NO
     * exchange on either side, the decisive shuffle-elimination move for

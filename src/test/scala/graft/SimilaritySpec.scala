@@ -281,6 +281,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(rec.forall(r => r >= 0.0 && r <= 1.0))
   }
 
+  test("semantic index loop: novel vectors admitted; dups of prior admissions screened; bucketed probe") {
+    import graft.store.Store
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    // founding corpus: two well-separated clusters
+    val corpus = Seq((1L, v(1, 0)), (2L, v(0.95, 0.05)), (3L, v(0, 1)), (4L, v(0.05, 0.95)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeSemanticIndex(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, table = "t_sem_ix", numBuckets = 4)
+    try {
+      // batch 1: a near-copy of corpus v1 (screened) + a novel direction
+      val a1 = Similarity.admitSemanticBatch(
+        Seq((10L, v(0.99, 0.01)), (11L, v(0.7, -0.7))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "t_sem_ix", theta = 0.99)
+      assert(a1.select("vec_id").as[Long].collect().toSet == Set(11L), "batch 1")
+      // batch 2: a near-copy of batch 1's ADMISSION must now be screened
+      val a2 = Similarity.admitSemanticBatch(
+        Seq((20L, v(0.71, -0.69)), (21L, v(-1, 0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "t_sem_ix", theta = 0.99)
+      assert(a2.select("vec_id").as[Long].collect().toSet == Set(21L), "batch 2")
+      // index holds the founders + both admissions, each with a cluster
+      assert(spark.table("t_sem_ix").select("id").as[Long].collect().toSet
+        == Set(1L, 2L, 3L, 4L, 11L, 21L))
+      // replaying batch 1 admits nothing (its admission now dups itself)
+      val a1b = Similarity.admitSemanticBatch(
+        Seq((11L, v(0.7, -0.7))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "t_sem_ix", theta = 0.99)
+      assert(a1b.count() == 0, "replay must admit nothing")
+      // and the bucketed index still appends under the SAME spec
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("t_sem_ix"))
+        .bucketSpec
+      assert(spec.exists(s => s.numBuckets == 4 && s.bucketColumnNames == Seq("cid")))
+    } finally Store.drop(spark, "t_sem_ix")
+  }
+
   test("semDedup keeps the member FARTHEST from the centroid, drops the rest of its group") {
     // one cluster (k=1), centroid after the update = mean of all three
     // quantized vecs = (800, 200). cos(v1,v2) = 0.9939 >= 0.99 -> one
