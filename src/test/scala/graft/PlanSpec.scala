@@ -271,6 +271,39 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"expected only the bounded-aggregate exchange ($shuffles):\n$p")
   }
 
+  test("q98 semantic screen: the bucketed index joins the probe without a corpus-side shuffle") {
+    import graft.store.Store
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    graft.similarity.Similarity.writeSemanticIndex(
+      corpus, "vec_id", "embedding", k = 4, iters = 1, table = "t_plan_sem_ix")
+    try {
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        org.apache.spark.sql.GraftSqlBridge
+          .countShuffleExchanges(df.queryExecution.executedPlan)
+      }
+      val viaBucketed = shuffles(graft.similarity.Similarity.semanticScreen(
+        batch, "vec_id", "embedding", Store.table(spark, "t_plan_sem_ix"), 0.35))
+      // identical rows, same plan shape, but NO bucket metadata: the
+      // probe join must add exactly one exchange — the corpus side's
+      Store.overwrite(Store.table(spark, "t_plan_sem_ix"), "t_plan_sem_flat")
+      val viaFlat = shuffles(graft.similarity.Similarity.semanticScreen(
+        batch, "vec_id", "embedding", Store.table(spark, "t_plan_sem_flat"), 0.35))
+      // bucketing saves TWO exchanges, not one: both the codebook
+      // re-derivation's cid regroup and the probe join ride the
+      // table's hash distribution. The whole screen moves only the
+      // (small) batch side — ONE exchange total.
+      assert(viaBucketed == 1 && viaFlat == 3,
+        s"bucketed index must leave only the batch-side exchange " +
+          s"(bucketed=$viaBucketed flat=$viaFlat)")
+    } finally {
+      Store.drop(spark, "t_plan_sem_ix")
+      Store.drop(spark, "t_plan_sem_flat")
+    }
+  }
+
   test("CBO end-to-end: ANALYZE column stats flip a filtered-dim join to broadcast") {
     import graft.store.Store
     Store.ensureDatabase(spark, "graft_test")
