@@ -402,6 +402,73 @@ object Similarity {
           lit(k).cast("double")).as("recall"))
   }
 
+  /** Per-(cid, pos) integer component sums + member counts of a
+    * semantic index frame carrying (cid, qv) — the codebook in its
+    * MAINTAINABLE form. Because the entries are exact integer sums,
+    * the maintained codebook (bootstrap sums + each admitted batch's
+    * deltas added on admission) is BIT-IDENTICAL to re-deriving from
+    * the full index — integer addition is associative — which is what
+    * lets [[admitSemanticBatch]] keep a persistent k·dims-row sums
+    * table instead of re-aggregating the whole corpus every batch. */
+  private[graft] def codebookSums(indexRows: DataFrame): DataFrame =
+    indexRows
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
+
+  /** Assemble the broadcastable (cid, s = Σ-vector, n = count)
+    * centroid frame [[assignToSummedCentroids]] consumes from a
+    * (cid, pos, sv, cnt) sums frame — a k·dims-row regroup, the same
+    * final reshape the Lloyd loop's update step performs. */
+  private[graft] def codebookCentroids(sums: DataFrame): DataFrame =
+    sums.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+        s => s.getField("sv")).as("s"),
+        max(col("cnt")).as("n"))
+
+  /** The codebook-sums companion table of a semantic index table. */
+  def codebookTable(table: String): String = table + "__codebook"
+
+  /** The probe half of the semantic screen, over an ALREADY-assigned
+    * batch frame (batch_id, cid, qv) — which the caller must have
+    * materialized (localCheckpoint) so the cluster-set collect below
+    * reads stored blocks instead of recomputing the assignment.
+    *
+    * The corpus side is PRUNED to the batch's assigned clusters before
+    * the join: the cid set is collected (≤ min(|batch|, k) values) and
+    * pushed into the corpus scan as an `isin` filter — on the bucketed,
+    * cid-sorted index table that lands in `PushedFilters` as
+    * `In(cid, ...)`, so a batch touching B of k clusters reads ~B/k of
+    * the index's row groups instead of every bucket. Semantics are
+    * unchanged (the cid equi-join already discards non-matching
+    * clusters); only the I/O shrinks. */
+  private[graft] def probeAssigned(
+      assignedBatch: DataFrame, corpusAssigned: DataFrame, theta: Double): DataFrame = {
+    val cids = assignedBatch.select("cid").distinct().collect().map(_.get(0))
+    val pruned =
+      if (cids.isEmpty) corpusAssigned.filter(lit(false))
+      else corpusAssigned.filter(col("cid").isin(cids.toIndexedSeq: _*))
+    assignedBatch.select(col("batch_id"), col("cid"), col("qv").as("__bqv"))
+      .join(pruned.select(col("id").as("corpus_id"), col("cid"),
+        col("qv").as("__cqv")), Seq("cid"))
+      .select(col("batch_id"), col("corpus_id"),
+        cosineQ(col("__bqv"), col("__cqv")).as("cosine"))
+      .filter(col("cosine") >= theta)
+  }
+
+  /** Quantize + assign a batch against a centroid frame, returning the
+    * materialized (batch_id, cid, qv) frame the screen's probe and the
+    * admission's index append BOTH consume — derived once. */
+  private def assignBatch(
+      batch: DataFrame, idCol: String, vecCol: String, cent: DataFrame): DataFrame = {
+    val base = batch.select(col(idCol), quantize(col(vecCol)).as("qv"))
+      .localCheckpoint(false)
+    base.join(assignToSummedCentroids(base, idCol, cent)
+        .select(col(idCol), col("cid")), idCol)
+      .select(col(idCol).as("batch_id"), col("cid"), col("qv"))
+      .localCheckpoint(false)
+  }
+
   /** Incremental SEMANTIC screen — the embedding-space twin of the
     * text side's `Dedup.incrementalNearDupPairs`: which vectors of a
     * NEW batch duplicate (cosine ≥ theta) something already in a
@@ -409,59 +476,62 @@ object Similarity {
     * (id, cid, qv) — each corpus vector with its k-means cluster and
     * quantized embedding ([[writeSemanticIndex]] bootstraps it).
     *
-    * The screen derives the cluster codebook FROM the index (per-(cid,
-    * pos) integer sums — exact, so any engine recomputing it agrees),
-    * assigns each batch vector to its nearest cluster by the same
-    * scaled-integer rule as the Lloyd loop, and compares it against
-    * ONLY that cluster's members — SemDeDup's probe discipline applied
+    * The screen takes the cluster codebook from `codebook` — the
+    * maintained (cid, pos, sv, cnt) sums table [[writeSemanticIndex]]
+    * persists and [[admitSemanticBatch]] updates with exact integer
+    * deltas — or, when none is supplied (an ad-hoc index frame with no
+    * companion table), re-derives the identical sums from the index
+    * (exact, so any engine recomputing them agrees). It assigns each
+    * batch vector to its nearest cluster by the same scaled-integer
+    * rule as the Lloyd loop, and compares it against ONLY that
+    * cluster's members — SemDeDup's probe discipline applied
     * incrementally. Returns (batch_id, corpus_id, cosine) at ≥ theta;
     * screen the batch by anti-joining batch ids.
     *
-    * Scale shape: the codebook is k·dims longs (broadcast both at its
-    * derivation's final regroup and at assignment); the probe is a cid
-    * equi-join — with the index table BUCKETED on cid (as
-    * [[writeSemanticIndex]] writes it) the corpus side joins from its
-    * buckets without a shuffle, and a small daily batch broadcasts.
-    * The corpus is never re-embedded, re-quantized, or re-clustered. */
+    * Scale shape: with the maintained codebook the per-batch cost is
+    * O(batch + probed clusters) — k·dims sums rows in, a broadcast
+    * assignment, and a probe pruned to the batch's assigned cid set
+    * ([[probeAssigned]]); the full corpus index is NOT re-aggregated.
+    * With the index table BUCKETED on cid (as [[writeSemanticIndex]]
+    * writes it) the probe joins the corpus side from its buckets
+    * without a shuffle, and a small daily batch broadcasts. The corpus
+    * is never re-embedded, re-quantized, or re-clustered. */
   def semanticScreen(
       batch: DataFrame, idCol: String, vecCol: String,
-      corpusAssigned: DataFrame, theta: Double): DataFrame = {
-    val cent = corpusAssigned
-      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos")
-      .agg(sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
-      .groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
-        s => s.getField("sv")).as("s"),
-        max(col("cnt")).as("n"))
-    val base = batch.select(col(idCol), quantize(col(vecCol)).as("qv"))
-      .localCheckpoint(false)
-    val assigned = assignToSummedCentroids(base, idCol, cent)
-    base.join(assigned.select(col(idCol), col("cid")), idCol)
-      .select(col(idCol).as("batch_id"), col("cid"), col("qv").as("__bqv"))
-      .join(corpusAssigned.select(col("id").as("corpus_id"), col("cid"),
-        col("qv").as("__cqv")), Seq("cid"))
-      .select(col("batch_id"), col("corpus_id"),
-        cosineQ(col("__bqv"), col("__cqv")).as("cosine"))
-      .filter(col("cosine") >= theta)
+      corpusAssigned: DataFrame, theta: Double,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cent = codebookCentroids(codebook.getOrElse(codebookSums(corpusAssigned)))
+    probeAssigned(assignBatch(batch, idCol, vecCol, cent), corpusAssigned, theta)
   }
 
   /** Bootstrap the persistent semantic-dedup index: Lloyd k-means over
-    * the founding corpus, stored as ONE table (id, cid, qv) BUCKETED
-    * on cid so every future [[semanticScreen]] probe joins the corpus
-    * side from its buckets with no shuffle. The codebook is not stored
-    * — screens re-derive it exactly from the index (k·dims-row
-    * aggregate, negligible next to the probe). */
+    * the founding corpus, stored as TWO tables —
+    *
+    *  - `table` (id, cid, qv), BUCKETED on cid so every future
+    *    [[semanticScreen]] probe joins the corpus side from its
+    *    buckets with no shuffle;
+    *  - `table`__codebook (cid, pos, sv, cnt) — the cluster codebook
+    *    as exact integer sums ([[codebookSums]]), the k·dims-row state
+    *    that makes every future screen O(batch), not O(corpus):
+    *    admissions add their deltas instead of re-aggregating the
+    *    index ([[admitSemanticBatch]]). */
   def writeSemanticIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, table: String, numBuckets: Int = 32): Unit = {
     val base = corpus.select(col(idCol), quantize(col(vecCol)).as("qv"))
       .localCheckpoint(false)
     val assigned = kmeansDetailed(base, idCol, k, iters)
-    graft.store.Store.overwriteBucketed(
-      base.join(assigned.select(col(idCol), col("cid")), idCol)
-        .select(col(idCol).as("id"), col("cid"), col("qv")),
-      table, Seq("cid"), numBuckets)
+    val ix = base.join(assigned.select(col(idCol), col("cid")), idCol)
+      .select(col(idCol).as("id"), col("cid"), col("qv"))
+      .localCheckpoint(false) // read twice: the bucketed write + the sums
+    graft.store.Store.overwriteBucketed(ix, table, Seq("cid"), numBuckets)
+    graft.store.Store.overwrite(codebookSums(ix), codebookTable(table))
+  }
+
+  /** Drop a semantic index and its codebook companion table. */
+  def dropSemanticIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    graft.store.Store.drop(spark, table)
+    graft.store.Store.drop(spark, codebookTable(table))
   }
 
   /** The standing semantic-ingest transaction, mirroring the text
@@ -469,12 +539,25 @@ object Similarity {
     * index ([[semanticScreen]]), ADMIT the vectors that duplicate
     * nothing (< theta against every probed corpus vector), append ONLY
     * the admitted (id, cid, qv) rows — each under the cluster the
-    * screen assigned it to — and return the admitted batch rows.
+    * screen assigned it to — fold the admitted rows' integer deltas
+    * into the persisted codebook, and return the admitted batch rows.
     * Same contracts: batch ids disjoint from corpus ids, intra-batch
     * dups both admitted (pre-dedup with [[semDedup]] when that
     * matters), the append is non-transactional (re-running the batch
     * re-screens it; already-admitted ids would then be flagged as
-    * duplicates of themselves — the idempotent outcome).
+    * duplicates of themselves — the idempotent outcome; a crash
+    * between the append and the codebook fold leaves the codebook one
+    * batch stale, which the next successful admission CANNOT repair —
+    * re-derive via [[codebookSums]] + overwrite if that window is hit).
+    *
+    * Steady-state cost is O(batch), not O(corpus): the batch is
+    * quantized and assigned ONCE (screen and append share the frame),
+    * the codebook comes from the k·dims-row sums table instead of a
+    * full-index aggregate, the probe reads only the batch's assigned
+    * clusters ([[probeAssigned]]), and the codebook fold touches
+    * k·dims + batch rows. After the append, [[maintainSemanticIndex]]
+    * compacts the bucketed index when N small admissions have sprawled
+    * it into small files (same policy as `Dedup.maintainCorpusIndex`).
     *
     * Note the admitted rows keep the CURRENT codebook's assignment;
     * clusters therefore drift from their true Lloyd optimum as the
@@ -483,28 +566,58 @@ object Similarity {
     * [[writeSemanticIndex]] out-of-band when drift warrants. */
   def admitSemanticBatch(
       batch: DataFrame, idCol: String, vecCol: String,
-      table: String, theta: Double): DataFrame = {
+      table: String, theta: Double,
+      compactTargetBytes: Long = 128L * 1024 * 1024,
+      compactMinFiles: Int = 64): DataFrame = {
     val spark = batch.sparkSession
     val corpus = graft.store.Store.table(spark, table)
-    val dupIds = semanticScreen(batch, idCol, vecCol, corpus, theta)
-      .select(col("batch_id").as(idCol)).distinct()
-    val admitted = batch.join(dupIds, Seq(idCol), "left_anti")
-      .localCheckpoint(false)
-    val cent = corpus
-      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+    val cbTable = codebookTable(table)
+    // Migration valve: an index bootstrapped before codebook
+    // persistence has no sums table — derive once from the index and
+    // persist, making every SUBSEQUENT admission incremental.
+    if (!spark.catalog.tableExists(cbTable))
+      graft.store.Store.overwrite(codebookSums(corpus), cbTable)
+    val sums = graft.store.Store.table(spark, cbTable)
+    // ONE quantization + assignment, shared by screen and append
+    val assignedBatch = assignBatch(batch, idCol, vecCol, codebookCentroids(sums))
+    val dupIds = probeAssigned(assignedBatch, corpus, theta)
+      .select(col("batch_id")).distinct()
+    val admitRows = assignedBatch.join(dupIds, Seq("batch_id"), "left_anti")
+      .select(col("batch_id").as("id"), col("cid"), col("qv"))
+      .localCheckpoint(false) // read thrice: append, codebook delta, return semi-join
+    graft.store.Store.appendBucketed(admitRows, table)
+    // Exact integer fold: maintained sums ≡ re-deriving from the whole
+    // index (addition is associative) — proven by SimilaritySpec. The
+    // eager checkpoint breaks lineage before overwriting the table the
+    // plan reads (Spark refuses a read-from-target overwrite).
+    val merged = sums.unionByName(codebookSums(admitRows))
       .groupBy("cid", "pos")
-      .agg(sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
-      .groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
-        s => s.getField("sv")).as("s"),
-        max(col("cnt")).as("n"))
-    val base = admitted.select(col(idCol), quantize(col(vecCol)).as("qv"))
-    val assigned = assignToSummedCentroids(base, idCol, cent)
-    graft.store.Store.appendBucketed(
-      base.join(assigned.select(col(idCol), col("cid")), idCol)
-        .select(col(idCol).as("id"), col("cid"), col("qv")),
-      table)
-    admitted
+      .agg(sum(col("sv")).as("sv"), sum(col("cnt")).as("cnt"))
+      .localCheckpoint()
+    graft.store.Store.overwrite(merged, cbTable)
+    merged.unpersist()
+    maintainSemanticIndex(spark, table, compactTargetBytes, compactMinFiles)
+    batch.join(admitRows.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+  }
+
+  /** The maintenance half of the semantic admission loop — the
+    * embedding twin of `Dedup.maintainCorpusIndex`: every
+    * [[admitSemanticBatch]] appends NEW FILES to the bucketed index,
+    * which after N daily batches is the small-files sprawl
+    * [[graft.store.Store.fileReport]] detects. Compacts the index
+    * (bucket-spec-preserving — [[graft.store.Store.compactBucketed]],
+    * so the no-shuffle probe guarantee survives the rewrite) when its
+    * file count exceeds both its byte-justified target AND `minFiles`.
+    * The codebook table needs no maintenance: each admission rewrites
+    * it whole (k·dims rows). Screen verdicts are unaffected —
+    * compaction rewrites the same rows into fewer files. */
+  def maintainSemanticIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 64): Unit = {
+    val sprawled = graft.store.Store.fileReport(spark, table, targetBytes)
+      .filter(col("needs_compaction") && col("n_files") > minFiles)
+      .limit(1).count() > 0
+    if (sprawled) graft.store.Store.compactBucketed(spark, table, targetBytes)
   }
 
   /** Per-vector squared deviation from its group centroid, built from

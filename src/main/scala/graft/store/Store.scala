@@ -136,7 +136,7 @@ object Store {
     *    hard-coded parquet), so an ORC/JSON table never silently
     *    changes format.
     *  - Bucketed tables are rejected (a plain rewrite strips the
-    *    co-location metadata) — recompact via [[overwriteBucketed]].
+    *    co-location metadata) — recompact via [[compactBucketed]].
     *
     * UNPARTITIONED tables: a table cannot be overwritten from a plan
     * that reads it, so the rewrite goes through `<table>__compact` +
@@ -212,6 +212,53 @@ object Store {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+  }
+
+  /** Bucket-spec-PRESERVING small-file compaction — the [[compact]]
+    * variant for bucketed tables, whose plain rewrite would strip the
+    * co-location metadata and silently re-introduce the join shuffle
+    * the bucketing exists to prevent (the semantic index's no-shuffle
+    * probe rides on it).
+    *
+    * The rewrite repartitions INTO the table's own bucket layout:
+    * `repartition(n, bucketCols)` and `bucketBy(n, bucketCols)` share
+    * the same hash (Murmur3 pmod n), so each write task holds exactly
+    * one bucket and emits exactly one file — the compacted table is
+    * `numBuckets` files, the floor bucket granularity allows. (A
+    * bucket larger than `targetBytes` stays one file; numBuckets caps
+    * how coarse compaction can get, by design — file count tracks the
+    * bucket spec, not a byte target.) Sort columns are re-applied, so
+    * the per-file cid ordering — and with it the min/max row-group
+    * pruning the screen's `isin` pushdown relies on — survives.
+    *
+    * Same guard rails and rename-first swap as [[compact]]'s
+    * unpartitioned path; partitioned+bucketed tables are out of scope
+    * (none exist in this engine — the index tables are unpartitioned). */
+  def compactBucketed(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    require(meta.tableType == CatalogTableType.MANAGED,
+      s"compactBucketed only rewrites MANAGED tables; $table is ${meta.tableType.name}")
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — use compact"))
+    require(meta.partitionColumnNames.isEmpty,
+      s"$table is partitioned+bucketed — out of scope for compactBucketed")
+    val provider = meta.provider.getOrElse("parquet")
+    val tmp = table + "__compact"
+    val backup = table + "__precompact"
+    val w = spark.table(table)
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+      .write.mode(SaveMode.Overwrite).format(provider)
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+      w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    else w).saveAsTable(tmp)
+    drop(spark, backup) // clear any debris from a prior crashed swap
+    spark.sql(s"ALTER TABLE ${quoted(table)} RENAME TO ${quoted(backup)}")
+    spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
+    drop(spark, backup)
   }
 
   /** Per-partition file inventory — the report that tells you WHEN to
