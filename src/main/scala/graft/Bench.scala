@@ -231,6 +231,23 @@ object Bench {
       System.err.println(s"[bench] could not write $LocalRecord: ${e.getMessage}")
     }
     println(line)
+    // Tail-survivable summary: the full per-query line above has
+    // outgrown the driver's tail capture three rounds running (its
+    // `parsed` field has been null since r07 — the capture kept only
+    // the line's tail, which no longer parses). Emit a SECOND, short
+    // JSON line after it: total/failed/pipeline/worst-5 in <200 chars,
+    // short enough for any tail window to hold whole. The full record
+    // still lands in BENCH_LOCAL.json (written above) for per-query
+    // regression diffs.
+    val worst5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "{\"q\":\"" + k + "\",\"sec\":" + fmt(v) + "}" }
+      .mkString("[", ",", "]")
+    val pipelineSec = {
+      val re = """"pipeline_sec":(-?\d+(?:\.\d+)?)""".r
+      re.findFirstMatchIn(pipeline).map(_.group(1)).getOrElse("-1.0")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,""" +
+      s""""pipeline_sec":$pipelineSec,"worst5":$worst5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

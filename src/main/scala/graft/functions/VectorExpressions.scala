@@ -27,9 +27,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * a left-fold of exact integer multiply-adds in element order.
   * Norm-squared is `dot(v, v)`; cosine divides by the product of the
   * IEEE sqrts of the exact operands, as everywhere else.
-  * Length-mismatched inputs (impossible via [[graft.similarity
-  * .Similarity.quantize]]) fold over the common prefix, where zip_with
-  * would null-pad — do not feed those. */
+  *
+  * Edge contract (this expression is SQL-registered, so arbitrary user
+  * arrays reach it, not just [[graft.similarity.Similarity.quantize]]
+  * output): length-mismatched inputs and NULL array ELEMENTS throw —
+  * silently folding the common prefix, or unboxing a null element to
+  * 0 as the raw ArrayData accessor would, turns a malformed vector
+  * into a wrong-but-plausible score. A NULL on either SIDE still
+  * yields NULL (BinaryExpression's null-safe contract, matching the
+  * composed form). The guards are two predictable branches per
+  * element — noise next to the multiply-add on the hot path. */
 case class DotLongArrays(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
@@ -55,10 +62,19 @@ object DotLongArrays {
 
   /** Static kernel shared by interpreted eval and generated code. */
   def evalArrays(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"dot_longs: array length mismatch ($n vs ${b.numElements()})")
     var acc = 0L
     var i = 0
-    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"dot_longs: NULL array element at position $i")
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -69,6 +85,9 @@ object DotLongArrays {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_longs"),
-      new ExpressionInfo(classOf[DotLongArrays].getName, "dot_longs"),
+      new ExpressionInfo(classOf[DotLongArrays].getName, null, "dot_longs",
+        "dot_longs(a, b) - Exact integer dot product of two equal-length " +
+          "ARRAY<BIGINT> vectors. Throws on length mismatch or NULL array " +
+          "elements; returns NULL when either argument is NULL.", ""),
       (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1)))
 }

@@ -62,7 +62,16 @@ object Centrality {
       rank = iterate(eDeg, nodes, rank, base).localCheckpoint(false)
       i += 1
     }
-    rank
+    // Materialize the final rank EAGERLY so the loop-invariant caches
+    // can be released here instead of leaking for the session lifetime
+    // (two MEMORY_AND_DISK relations per call accumulated across
+    // bench/test invocations). The eager checkpoint runs the loop
+    // while eDeg/nodes are still cached; the returned frame reads
+    // stored blocks only.
+    val out = rank.localCheckpoint()
+    eDeg.unpersist(false)
+    nodes.unpersist(false)
+    out
   }
 
   /** The loop-invariant inputs, persisted (NOT checkpointed:

@@ -73,15 +73,22 @@ object QualitySuite {
     * optimizer sizes under [[AutoExactMaxBytes]] (the
     * dimension-sample case, where the cross-engine oracle needs
     * determinism), HLL beyond either threshold (the wide-profile /
-    * 100 TB case). Pass `Some(true)` to force the Expand form
-    * regardless. */
+    * 100 TB case). A source the optimizer CANNOT size (stats absent —
+    * `sizeInBytes` is the defaultSizeInBytes sentinel, e.g. some
+    * RDD-backed or custom relations) passes the byte gate rather than
+    * silently failing it: determinism is the documented default and
+    * the column gate still bounds the Expand fan-out; file-backed
+    * sources — the 100 TB case — always carry a real size. Pass
+    * `Some(true)` to force the Expand form regardless. */
   def columnProfile(
       df: DataFrame, cols: Seq[String], exact: Option[Boolean] = None): DataFrame = {
     require(cols.nonEmpty && cols.forall(df.columns.contains),
       s"columns must exist: ${cols.filterNot(df.columns.contains).mkString(",")}")
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sizeKnown = size < BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
     val useExact = exact.getOrElse(
       cols.length <= AutoExactMaxCols &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(AutoExactMaxBytes))
+        (!sizeKnown || size <= BigInt(AutoExactMaxBytes)))
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         // coalesce: SUM over an empty table is NULL (cf. bounds above)

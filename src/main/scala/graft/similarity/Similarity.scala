@@ -197,6 +197,101 @@ object Similarity {
       .select(col(idCol), col("best.cid").as("cid"), col("best.num").as("dist_num"))
   }
 
+  /** IVF-SEEDED Lloyd — the large-k form of [[kmeansDetailed]].
+    * BENCH_SCALE.md's x94 finding: flat Lloyd's assignment is O(n·k)
+    * multiply-adds, and at the SemDeDup operating regime (k ∝ n so
+    * expected cluster size stays constant) that turns quadratic —
+    * k = 800 over 200k vectors × 64 dims ≈ 10¹⁰ multiply-adds per
+    * round. Two levels instead:
+    *
+    *  1. COARSE: the flat Lloyd loop builds kc = ⌈√k⌉ lists —
+    *     O(n·√k) per round;
+    *  2. FINE: each list's ⌈k/kc⌉ smallest-id members seed its own
+    *     fine clusters, and fine assignment joins members to ONLY
+    *     their list's seeds (equi-join on the list id in place of the
+    *     flat form's broadcast nested-loop over all k) — O(n·k/kc) =
+    *     O(n·√k) per round.
+    *
+    * Total O(n·√k): ~14× fewer multiply-adds at k = 800, growing with
+    * √k. Same exact-integer arithmetic, determinism (no RNG), and
+    * (idCol, cid, dist_num) output contract as [[kmeansDetailed]] —
+    * fine cids are seed ids, globally unique across lists. The IVF
+    * approximation: fine clusters never cross coarse lists, so a
+    * vector whose globally-nearest fine centroid sits in a
+    * neighboring list keeps its own list's best instead. That is the
+    * standard coarse-quantizer trade (assignments are an index
+    * structure, not a model — the [[admitSemanticBatch]] drift note's
+    * rationale); for [[semDedup]] the verdicts it feeds are
+    * θ-threshold cosine checks on near-identical vectors, which share
+    * a list under any sane coarse quantizer. Cluster count is at most
+    * kc·⌈k/kc⌉ (< k + kc), not exactly k.
+    *
+    * Scale shape per fine round: the seed/centroid frame is ≤ ~k·dims
+    * longs — broadcast; the member side is a narrow scan + the same
+    * argmin partial-agg exchange as the flat form. The coarse
+    * assignment is checkpointed once and reused by every fine round. */
+  private[graft] def kmeansIvfSeededDetailed(
+      base: DataFrame, idCol: String, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one assignment round")
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val kf = math.max(1, (k + kc - 1) / kc)
+    val lists = kmeansDetailed(base, idCol, kc, iters)
+      .select(col(idCol), col("cid").as("lcid"))
+    val withList = base.join(lists, idCol)
+      .select(col(idCol), col("qv"), col("lcid"))
+      .localCheckpoint(false) // read by the seed scan + every fine round
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lcid").orderBy(col(idCol))
+    var cent = withList
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= kf)
+      .select(col("lcid"), col(idCol).as("cid"), col("qv").as("s"), lit(1L).as("n"))
+      .localCheckpoint(false)
+    var assigned = assignWithinLists(withList, idCol, cent)
+    var i = 1
+    while (i < iters) {
+      cent = withList.join(assigned.select(col(idCol), col("cid")), idCol)
+        .select(col("lcid"), col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        // every member of a fine cluster shares its list: max(lcid) is
+        // the constant, carried through the regroup
+        .agg(max(col("lcid")).as("lcid"), sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
+        .groupBy("cid")
+        .agg(max(col("lcid")).as("lcid"),
+          transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+            s => s.getField("sv")).as("s"),
+          max(col("cnt")).as("n"))
+        .localCheckpoint(false)
+      assigned = assignWithinLists(withList, idCol, cent)
+      i += 1
+    }
+    assigned
+  }
+
+  /** [[assignToSummedCentroids]] restricted to each vector's coarse
+    * list: the (lcid-keyed) equi-join replaces the broadcast
+    * nested-loop, so each member scores only its own list's centroids.
+    * Same exact scaled-integer argmin and (dev2, cid) tie rule. */
+  private def assignWithinLists(
+      baseL: DataFrame, idCol: String, cent: DataFrame): DataFrame = {
+    val num = col("n") * col("n") * dotQ(col("qv"), col("qv")) -
+      lit(2L) * col("n") * dotQ(col("qv"), col("s")) +
+      dotQ(col("s"), col("s"))
+    baseL.join(broadcast(cent), Seq("lcid"))
+      .select(col(idCol),
+        (num.cast("double") / (col("n") * col("n")).cast("double")).as("dev2"),
+        col("cid"), num.as("num"))
+      .groupBy(idCol)
+      .agg(min(struct(col("dev2"), col("cid"), col("num"))).as("best"))
+      .select(col(idCol), col("best.cid").as("cid"), col("best.num").as("dist_num"))
+  }
+
+  /** Above this k, [[semDedup]] routes clustering through
+    * [[kmeansIvfSeededDetailed]] — below it the flat loop is both
+    * cheaper (no coarse pass) and the battery-pinned oracle form
+    * (q94's k = 8 stays byte-identical). */
+  val SemDedupSeededKThreshold: Int = 64
+
   /** SemDeDup — semantic (embedding-space) deduplication: k-means the
     * corpus, compare pairwise cosine ONLY within each cluster, connect
     * pairs at `cosine ≥ theta` into duplicate groups, and keep one
@@ -212,7 +307,12 @@ object Similarity {
     * Scale shape: clustering bounds the quadratic. All-pairs cosine is
     * O(n²); within-cluster pairs are Σ_c s_c² — with k grown ∝ n
     * (the paper's regime) expected cluster size is constant and the
-    * pair count linear. The cluster equi-join is the same
+    * pair count linear. In that regime the CLUSTERING itself becomes
+    * the bottleneck (flat Lloyd assignment is O(n·k) = O(n²/c)), so
+    * k > [[SemDedupSeededKThreshold]] routes through the IVF-seeded
+    * two-level loop ([[kmeansIvfSeededDetailed]], O(n·√k)); small k
+    * stays on the flat loop, keeping q94's oracle-pinned output
+    * byte-identical. The cluster equi-join is the same
     * ReuseExchange'd merge self-join as the LSH bucket join
     * (Dedup.candidatePairsFromBanded), `maxClusterSize` is the same
     * default-off quadratic valve with a [[graft.operators.CapReport]]
@@ -248,8 +348,14 @@ object Similarity {
       .localCheckpoint(false)
     // (id, cid, dist_num) + the qv needed for pairwise cosine; one
     // checkpoint so the self-join and the three output joins all read
-    // the same stored assignment
-    val members = kmeansDetailed(base, idCol, k, iters)
+    // the same stored assignment. Large k (the k ∝ n operating regime)
+    // routes through the IVF-seeded two-level loop — O(n·√k)
+    // assignment instead of flat O(n·k); small k stays on the flat
+    // loop (battery q94's oracle-pinned form).
+    val clustering =
+      if (k > SemDedupSeededKThreshold) kmeansIvfSeededDetailed(base, idCol, k, iters)
+      else kmeansDetailed(base, idCol, k, iters)
+    val members = clustering
       .join(base, idCol)
       .select(col(idCol).as("id"), col("cid"), col("dist_num"), col("qv"))
       .localCheckpoint(false)
@@ -343,13 +449,26 @@ object Similarity {
     * rows never do. Ties at the k boundary go to the smaller id in
     * both this and [[ivfTopKNeighbors]] (TopKBy payload-asc), so
     * recall compares like against like. */
-  def bruteTopKNeighbors(base: DataFrame, queries: DataFrame, k: Int): DataFrame =
+  /** TopKBy carries ids as LongType: a non-integral id would cast to
+    * null, be skipped by the aggregate, and silently shrink result
+    * sets — fail loud at the operator boundary instead. */
+  private def requireIntegralId(df: DataFrame, c: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val t = df.schema(c).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$op needs an integral $c (TopKBy carries ids as LongType); got $t — " +
+        "map string ids to a surrogate (e.g. xxhash64) first")
+  }
+
+  def bruteTopKNeighbors(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    requireIntegralId(base, "id", "bruteTopKNeighbors")
     base.crossJoin(broadcast(queries))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosineQ(col("qv"), col("qqv")).as("cosine"))
       .groupBy("qid")
       .agg(graft.functions.TopKBy.topkBy(col("cosine"), col("id"), k).as("__ids"))
       .select(col("qid"), explode(col("__ids")).as("id"))
+  }
 
   /** IVF top-k neighbor ids for a SET of query vectors: probe the
     * `nprobe` nearest inverted lists (by centroid cosine over the
@@ -364,6 +483,7 @@ object Similarity {
   def ivfTopKNeighbors(
       base: DataFrame, labelCol: String, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
+    requireIntegralId(base, "id", "ivfTopKNeighbors")
     val cents = listCentroidSums(base, labelCol, "qv")
     val probed = cents.crossJoin(broadcast(queries))
       .select(col("qid"), col(labelCol),

@@ -35,16 +35,37 @@ object Store {
     spark.catalog.setCurrentDatabase(name)
   }
 
+  /** Delete the on-disk default location of a MANAGED table that is
+    * absent from the catalog. An in-memory catalog forgets its tables
+    * when the JVM exits, but the warehouse directory persists — so
+    * debris from a previous run (or a crashed write) makes the next
+    * `saveAsTable` fail with LOCATION_ALREADY_EXISTS even though the
+    * catalog has no such table. The debris is unreachable as a table
+    * either way; clear it so creation paths are idempotent. */
+  private def clearStaleLocation(spark: SparkSession, table: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    if (!cat.tableExists(ident)) {
+      val loc = new org.apache.hadoop.fs.Path(cat.defaultTablePath(
+        ident.copy(database = ident.database.orElse(Some(cat.getCurrentDatabase)))))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
+  }
+
   /** Idempotent full reload — the TRUNCATE+INSERT contract as one
     * atomic overwrite. Optional partition columns for big tables. */
   def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    clearStaleLocation(df.sparkSession, table)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
   }
 
   /** Append (the reference's dims/fact append writes, O-3). */
-  def append(df: DataFrame, table: String): Unit =
+  def append(df: DataFrame, table: String): Unit = {
+    clearStaleLocation(df.sparkSession, table)
     df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+  }
 
   /** Append to a BUCKETED table, mirroring its catalog bucket spec —
     * a plain [[append]] would fail analysis (bucketing mismatch), and
@@ -70,6 +91,7 @@ object Store {
     * repeated large-fact⋈large-fact joins at 100 TB. */
   def overwriteBucketed(
       df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit = {
+    clearStaleLocation(df.sparkSession, table)
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
@@ -179,9 +201,12 @@ object Store {
       val df = spark.table(table)
       val tmp = table + "__compact"
       val backup = table + "__precompact"
+      // clear debris from a prior crashed swap (in-catalog AND
+      // on-disk-only — see compactBucketed) before staging
+      drop(spark, tmp); clearStaleLocation(spark, tmp)
+      drop(spark, backup); clearStaleLocation(spark, backup)
       df.repartition(fileTarget(df)).write.mode(SaveMode.Overwrite)
         .format(provider).saveAsTable(tmp)
-      drop(spark, backup) // clear any debris from a prior crashed swap
       spark.sql(s"ALTER TABLE ${quoted(table)} RENAME TO ${quoted(backup)}")
       spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
       drop(spark, backup)
@@ -220,11 +245,16 @@ object Store {
     * the bucketing exists to prevent (the semantic index's no-shuffle
     * probe rides on it).
     *
-    * The rewrite repartitions INTO the table's own bucket layout:
-    * `repartition(n, bucketCols)` and `bucketBy(n, bucketCols)` share
-    * the same hash (Murmur3 pmod n), so each write task holds exactly
-    * one bucket and emits exactly one file — the compacted table is
-    * `numBuckets` files, the floor bucket granularity allows. (A
+    * The rewrite repartitions ON THE BUCKET-ID EXPRESSION
+    * (`pmod(hash(bucketCols), numBuckets)` — `hash` is the same
+    * Murmur3 the bucket spec uses), so every bucket's rows land whole
+    * in one write task and the bucketed writer emits one file per
+    * bucket present — the compacted table is ≤ `numBuckets` files (=
+    * the non-empty buckets). Repartitioning on the RAW bucket columns
+    * would be wrong in a subtle way: its HashPartitioning matches the
+    * bucketed scan's claimed partitioning, so Catalyst ELIDES the
+    * shuffle and the write inherits the sprawled file-split tasks —
+    * one file per (task, bucket), no compaction at all (observed). (A
     * bucket larger than `targetBytes` stays one file; numBuckets caps
     * how coarse compaction can get, by design — file count tracks the
     * bucket spec, not a byte target.) Sort columns are re-applied, so
@@ -247,15 +277,23 @@ object Store {
     val provider = meta.provider.getOrElse("parquet")
     val tmp = table + "__compact"
     val backup = table + "__precompact"
+    // clear debris from a prior crashed swap BEFORE staging: an
+    // in-catalog leftover is dropped, an on-disk-only leftover (the
+    // previous JVM crashed between swap steps; in-memory catalogs
+    // forget it) would wedge the RENAME below at the filesystem level
+    drop(spark, tmp); clearStaleLocation(spark, tmp)
+    drop(spark, backup); clearStaleLocation(spark, backup)
+    val bucketId = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(spec.bucketColumnNames.map(col): _*),
+      org.apache.spark.sql.functions.lit(spec.numBuckets))
     val w = spark.table(table)
-      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+      .repartition(spec.numBuckets, bucketId)
       .write.mode(SaveMode.Overwrite).format(provider)
       .bucketBy(spec.numBuckets,
         spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
     (if (spec.sortColumnNames.nonEmpty)
       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
     else w).saveAsTable(tmp)
-    drop(spark, backup) // clear any debris from a prior crashed swap
     spark.sql(s"ALTER TABLE ${quoted(table)} RENAME TO ${quoted(backup)}")
     spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
     drop(spark, backup)
@@ -285,6 +323,11 @@ object Store {
         (p.spec.map { case (k, v) => s"$k=$v" }.mkString("/"), p.location)
       }
     val hadoopConf = spark.sessionState.newHadoopConf()
+    // a bucketed table's file floor is its bucket count, not the byte
+    // target: a fully-compacted numBuckets-file index must NOT keep
+    // reporting needs_compaction (compactBucketed cannot go below one
+    // file per non-empty bucket)
+    val floor = meta.bucketSpec.map(_.numBuckets.toLong).getOrElse(1L)
     val rows = locs.map { case (name, loc) =>
       val path = new Path(loc)
       val fs = path.getFileSystem(hadoopConf)
@@ -293,7 +336,7 @@ object Store {
         f.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
       val bytes = files.map(_.getLen).sum
-      val target = ((bytes + targetBytes - 1) / targetBytes).max(1L)
+      val target = ((bytes + targetBytes - 1) / targetBytes).max(floor)
       (name, files.length.toLong, bytes, files.length > target)
     }
     spark.createDataFrame(rows)

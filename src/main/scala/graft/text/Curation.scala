@@ -130,6 +130,15 @@ object Curation {
     * double-typed order slot losslessly (2⁵² < 2⁵³), ties to the
     * smaller id. */
   def capPerGroup(groupCol: String, idCol: String, k: Int)(df: DataFrame): DataFrame = {
+    // TopKBy's payload slot is LongType: a non-integral id (string UUID)
+    // would cast to null, be skipped by the aggregate, and silently
+    // shrink the kept set — fail loud instead
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idType),
+      s"capPerGroup needs an integral $idCol (TopKBy carries ids as LongType); got $idType — " +
+        "map string ids to a surrogate (e.g. xxhash64) first")
     // negated: topk_by keeps the k LARGEST orders; we want smallest-hash
     val order = -expr(
       s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 13), 16, 10) AS BIGINT)")
@@ -478,7 +487,11 @@ object Curation {
     // strictly inside the doc (no empty overshoot chunk); stride >
     // window would be gap-sampling, a different operator
     require(stride <= window, s"stride $stride must be <= window $window")
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    // null text reads as empty: a null-text doc yields ONE empty chunk,
+    // exactly like an empty-string doc (without the coalesce, the null
+    // array made nChunks null and posexplode silently DROPPED the row —
+    // inconsistent with the empty-string path)
+    val toks = filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"), t => t =!= "")
     val nChunks = lit(1L) +
       expr(s"(greatest(size(__toks) - $window, 0) + ${stride - 1}) DIV $stride")
     val keep = df.columns.filter(_ != textCol).map(col).toIndexedSeq

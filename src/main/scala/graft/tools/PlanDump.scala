@@ -58,6 +58,10 @@ object PlanDump {
       "Single-pass column profile: ONE FileScan feeds the Expand-planned multi-countDistinct (each row fans out once per distinct-agg, partials combine map-side; the dedup exchange carries ~sum of per-column NDVs, not rows) — vs one scan per column for the naive per-column profile.",
     "q92_leakage_safe_splits" ->
       "Leakage-safe splits: the (id, component) map — only docs WITH a near-dup, ≪ corpus — broadcasts to a BroadcastHashJoin, so the corpus side takes the cluster key and the md5 CASE as a narrow projection with ZERO shuffles (PlanSpec pins the exchange count at 0). At this sf the CC front end resolves on the driver union-find path, so the shown probe side is the tiny labels relation.",
+    "q93_simhash64_neardup" ->
+      "64-bit simhash near-dup at 16-bit bands: ONE codegen simhash pass (localCheckpointed) feeds a merge-hinted banded self-join — an equi-join on (band, bv) over ONE reused exchange, never a cross product; 65,536 bucket values per band defer the occupancy saturation that bent the 8-bit q29 form (BENCH_SCALE: 0.22x linear, flat). PlanSpec pins the sort-merge + ReusedExchange shape.",
+    "q97_ann_recall" ->
+      "ANN recall evaluation: the query set broadcasts to both the brute-force and IVF scoring joins (the corpus side never shuffles for scoring); per-query top-k reduces through k-bounded TopKBy partial/final ObjectHashAggregate pairs, so <= k*|queries| ids cross each exchange — the n*|queries| scored rows never do. PlanSpec pins the broadcast + bounded-aggregate shape.",
     "q94_semdedup" ->
       "SemDeDup: k-means bounds the pairwise-cosine search to a cid EQUI-join (merge-hinted self-join over ONE reused exchange — never a cross product); per Lloyd iteration the centroids broadcast and only (cid,pos) partial sums shuffle; the ≥θ edge graph entering connected components is ≪ corpus. PlanSpec pins the sort-merge + ReusedExchange shape.",
     "q95_chunk_stride" ->

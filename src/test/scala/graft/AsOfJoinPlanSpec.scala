@@ -38,7 +38,7 @@ class AsOfJoinPlanSpec extends SparkTestBase {
     val ded = graft.dedup.Dedup.latestPerKey(
       orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
       Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey").desc))
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("user_id"),
         expr("CAST(timestamp_seconds(ts DIV 1000000000) AS DATE)").as("event_date"))
     def run(f: => org.apache.spark.sql.DataFrame) =

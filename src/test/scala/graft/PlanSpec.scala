@@ -133,6 +133,35 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"vectors shuffled against the k seeds:\n$p")
   }
 
+  test("q93 simhash64 banding: band equi-join over ONE reused exchange, no cross product") {
+    val df = Battery.q93.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    // the 16-bit-band self-join must stay an equi-join on (band, bv)
+    // over ONE shared exchange (both sides are the same banded frame)
+    assert(p.contains("SortMergeJoin"), s"band self-join not sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"simhash banding degenerated to a cross product:\n$p")
+    assert(p.contains("ReusedExchange"), s"banded self-join sides computed twice:\n$p")
+  }
+
+  test("q97 ANN recall: query set broadcasts (corpus never shuffles for scoring), top-k is a bounded partial aggregate") {
+    val df = Battery.q97.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    // brute/IVF scoring joins the (tiny) query set against the corpus
+    // scan via broadcast — the corpus rows themselves never shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scoring fell to a cross product:\n$p")
+    // per-query top-k reduces through TopKBy partial/final pairs (exact
+    // + probe + approx stages) — ≤ k·|queries| ids per exchange, the
+    // n·|queries| scored rows never cross the wire
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4,
+      s"k-bounded TopKBy partial/final pairs missing:\n$p")
+    assert(!p.contains("Window"), s"top-k fell back to the rank-all window form:\n$p")
+  }
+
   test("q88 heavy hitters: bounded-summary aggregate is partial (per-mapper), recount joins broadcast") {
     val df = Battery.q88.run(spark, dir)
     df.collect()
@@ -278,6 +307,15 @@ class PlanSpec extends SparkTestBase {
     val batch = emb.filter(col("vec_id") % 3 === 0)
     graft.similarity.Similarity.writeSemanticIndex(
       corpus, "vec_id", "embedding", k = 4, iters = 1, table = "t_plan_sem_ix")
+    // Broadcast OFF for this pin: at sf0.001 the cid-pruned corpus scan
+    // is estimated under the broadcast threshold, so the planner
+    // (correctly) broadcasts it and the screen plans with ZERO
+    // exchanges — which would let a bucketing regression hide behind
+    // small-test-data luck. The 100 TB shape is the one to pin: a
+    // corpus side too big to broadcast must ride its buckets while
+    // only the batch side exchanges.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
         df.collect()
@@ -287,21 +325,43 @@ class PlanSpec extends SparkTestBase {
       val viaBucketed = shuffles(graft.similarity.Similarity.semanticScreen(
         batch, "vec_id", "embedding", Store.table(spark, "t_plan_sem_ix"), 0.35))
       // identical rows, same plan shape, but NO bucket metadata: the
-      // probe join must add exactly one exchange — the corpus side's
+      // probe join must add a corpus-side exchange on top
       Store.overwrite(Store.table(spark, "t_plan_sem_ix"), "t_plan_sem_flat")
       val viaFlat = shuffles(graft.similarity.Similarity.semanticScreen(
         batch, "vec_id", "embedding", Store.table(spark, "t_plan_sem_flat"), 0.35))
-      // bucketing saves TWO exchanges, not one: both the codebook
-      // re-derivation's cid regroup and the probe join ride the
-      // table's hash distribution. The whole screen moves only the
-      // (small) batch side — ONE exchange total.
-      assert(viaBucketed == 1 && viaFlat == 3,
+      // the whole screen moves only the (small) batch side — ONE
+      // exchange total; the flat twin shuffles the corpus side too.
+      // (The r8-era flat=3 included the codebook re-derivation's cid
+      // regroup; since the maintained-codebook rework the screen's
+      // returned plan holds only the probe join.)
+      assert(viaBucketed == 1 && viaFlat == 2,
         s"bucketed index must leave only the batch-side exchange " +
           s"(bucketed=$viaBucketed flat=$viaFlat)")
     } finally {
-      Store.drop(spark, "t_plan_sem_ix")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      graft.similarity.Similarity.dropSemanticIndex(spark, "t_plan_sem_ix")
       Store.drop(spark, "t_plan_sem_flat")
     }
+  }
+
+  test("q98 semantic screen: cid pruning reaches the index scan as an In(cid, …) pushed filter") {
+    import graft.store.Store
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // corpus spans many clusters; the probe batch is a handful of rows,
+    // so its assigned-cid set is a strict subset — the screen must read
+    // only those clusters' row groups, not the whole index
+    graft.similarity.Similarity.writeSemanticIndex(
+      emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+      k = 8, iters = 1, table = "t_plan_prune_ix")
+    try {
+      val screen = graft.similarity.Similarity.semanticScreen(
+        emb.filter(col("vec_id") % 100 === 0).limit(3), "vec_id", "embedding",
+        Store.table(spark, "t_plan_prune_ix"), 0.35)
+      screen.collect()
+      val p = screen.queryExecution.executedPlan.toString
+      assert(p.contains("In(cid"),
+        s"probe's cid pruning must land in the index scan's PushedFilters:\n$p")
+    } finally graft.similarity.Similarity.dropSemanticIndex(spark, "t_plan_prune_ix")
   }
 
   test("CBO end-to-end: ANALYZE column stats flip a filtered-dim join to broadcast") {

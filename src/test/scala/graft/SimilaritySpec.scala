@@ -313,7 +313,138 @@ class SimilaritySpec extends SparkTestBase {
         .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("t_sem_ix"))
         .bucketSpec
       assert(spec.exists(s => s.numBuckets == 4 && s.bucketColumnNames == Seq("cid")))
-    } finally Store.drop(spark, "t_sem_ix")
+    } finally Similarity.dropSemanticIndex(spark, "t_sem_ix")
+  }
+
+  test("maintained codebook ≡ re-derived sums after admissions, including an empty admit") {
+    import graft.store.Store
+    Store.ensureDatabase(spark, "graft_test")
+    def v(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = Seq((1L, v(0)), (2L, v(3)), (3L, v(90)), (4L, v(87)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeSemanticIndex(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, table = "t_cb_ix", numBuckets = 4)
+    try {
+      def check(label: String): Unit = {
+        // EXACT equality — the maintained (bootstrap + per-admission
+        // integer deltas) codebook must be bit-identical to
+        // re-aggregating the full index (integer addition is associative)
+        val maintained = Store.table(spark, Similarity.codebookTable("t_cb_ix"))
+          .as[(Long, Int, Long, Long)].collect().toSet
+        val derived = Similarity.codebookSums(spark.table("t_cb_ix"))
+          .as[(Long, Int, Long, Long)].collect().toSet
+        assert(maintained == derived, s"$label: maintained=$maintained derived=$derived")
+      }
+      check("bootstrap")
+      // admission 1: two novel directions (≥15° from everything stored)
+      Similarity.admitSemanticBatch(Seq((11L, v(30)), (12L, v(60))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "t_cb_ix", theta = 0.99)
+      check("admit 1")
+      // admission 2: one dup of admission 1, one novel — partial admit
+      Similarity.admitSemanticBatch(Seq((21L, v(31)), (22L, v(135))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "t_cb_ix", theta = 0.99)
+      check("admit 2 (partial)")
+      // admission 3: all dups — the EMPTY admit must leave the codebook
+      // exactly as it was (zero-delta fold)
+      val a3 = Similarity.admitSemanticBatch(
+        Seq((31L, v(1)), (32L, v(89))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "t_cb_ix", theta = 0.99)
+      assert(a3.count() == 0, "admission 3 should admit nothing")
+      check("admit 3 (empty)")
+    } finally Similarity.dropSemanticIndex(spark, "t_cb_ix")
+  }
+
+  test("maintainSemanticIndex compacts a sprawled index; screen verdicts and 1-exchange probe unchanged") {
+    import graft.store.Store
+    Store.ensureDatabase(spark, "graft_test")
+    def v(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = Seq((1L, v(0)), (2L, v(90))).toDF("vec_id", "embedding")
+    Similarity.writeSemanticIndex(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, table = "t_m_ix", numBuckets = 2)
+    try {
+      // six 1-vector admissions, each a new direction: default
+      // compactMinFiles=64 keeps auto-compaction OFF, so the bucketed
+      // appends sprawl the index file count past numBuckets
+      Seq(15.0, 30, 45, 60, 75, 105).zipWithIndex.foreach { case (deg, i) =>
+        Similarity.admitSemanticBatch(Seq((10L + i, v(deg))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", "t_m_ix", theta = 0.99)
+      }
+      val before = spark.table("t_m_ix").inputFiles.length
+      assert(before > 2, s"admissions should sprawl files, got $before")
+      def screen() = {
+        val probe = Seq((100L, v(16)), (101L, v(170))).toDF("vec_id", "embedding")
+        val df = Similarity.semanticScreen(probe, "vec_id", "embedding",
+          Store.table(spark, "t_m_ix"), 0.99,
+          codebook = Some(Store.table(spark, Similarity.codebookTable("t_m_ix"))))
+        val rows = df.as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+        val shuffles = org.apache.spark.sql.GraftSqlBridge
+          .countShuffleExchanges(df.queryExecution.executedPlan)
+        (rows, shuffles)
+      }
+      val (verdictsBefore, shufflesBefore) = screen()
+      assert(verdictsBefore.nonEmpty, "probe near an admitted vector should hit")
+      // the threshold crossed: maintenance compacts, preserving the spec
+      Similarity.maintainSemanticIndex(spark, "t_m_ix", minFiles = 2)
+      val after = spark.table("t_m_ix").inputFiles.length
+      assert(after <= 2 && after < before, s"compaction should collapse to ≤ numBuckets files, got $after")
+      val (verdictsAfter, shufflesAfter) = screen()
+      assert(verdictsAfter == verdictsBefore, "compaction must not change screen verdicts")
+      // ≤ 1: the batch-side exchange, or 0 when the pruned corpus scan
+      // broadcasts at this scale — either way compaction must not ADD
+      // exchanges (the bucket spec survived; PlanSpec pins the
+      // broadcast-disabled 100 TB shape)
+      assert(shufflesAfter == shufflesBefore && shufflesBefore <= 1,
+        s"compaction must not change the probe's exchanges (before=$shufflesBefore after=$shufflesAfter)")
+      // below-threshold file count: maintenance is a no-op
+      Similarity.maintainSemanticIndex(spark, "t_m_ix", minFiles = 64)
+      assert(spark.table("t_m_ix").inputFiles.length == after)
+    } finally Similarity.dropSemanticIndex(spark, "t_m_ix")
+  }
+
+  // deterministic 8-D lattice vectors: pairwise cosine ≤ 0.9983 across
+  // the first 80 (verified), so exact copies (cosine 1.0) are the ONLY
+  // pairs above a 0.999 threshold
+  private def latticeVec(i: Int): Seq[Float] =
+    (0 until 8).map(d => ((((i * i * 7 + i * 31 + d * (17 + i)) % 97) - 48) / 48.0f))
+
+  test("kmeansIvfSeededDetailed: total assignment, ≤ kc·⌈k/kc⌉ clusters, dups co-clustered, deterministic") {
+    val ids = (0L until 80L) ++ Seq(1005L, 1023L, 1041L) // exact copies of 5/23/41
+    val df = ids.map(i => (i, latticeVec((i % 1000L).toInt))).toDF("vec_id", "embedding")
+    val base = df.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv")).localCheckpoint(false)
+    def run() = Similarity.kmeansIvfSeededDetailed(base, "vec_id", k = 25, iters = 2)
+      .select("vec_id", "cid").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val out = run()
+    // every vector assigned exactly once
+    assert(out.map(_._1) == ids.sorted, "assignment must cover every id exactly once")
+    // cluster count bounded by kc·⌈k/kc⌉ (kc = 5, kf = 5 for k = 25)
+    val nClusters = out.map(_._2).distinct.size
+    assert(nClusters <= 25 && nClusters > 1, s"got $nClusters clusters")
+    // an exact copy must land in its original's cluster (same distances,
+    // same deterministic tie-break at both levels)
+    val cidOf = out.toMap
+    Seq((5L, 1005L), (23L, 1023L), (41L, 1041L)).foreach { case (a, b) =>
+      assert(cidOf(a) == cidOf(b), s"copy $b must co-cluster with $a")
+    }
+    assert(run() == out, "seeded clustering must be deterministic")
+  }
+
+  test("semDedup large-k (IVF-seeded path) verdicts: exact copies dropped, spread vectors kept") {
+    val ids = (0L until 80L) ++ Seq(1005L, 1023L, 1041L)
+    val df = ids.map(i => (i, latticeVec((i % 1000L).toInt))).toDF("vec_id", "embedding")
+    // k = 75 > SemDedupSeededKThreshold routes through the seeded loop
+    assert(75 > Similarity.SemDedupSeededKThreshold)
+    val out = Similarity.semDedup(df, "vec_id", "embedding", k = 75, iters = 2, theta = 0.999)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out.size == ids.size)
+    // the three exact copies are the only duplicates above θ = 0.999;
+    // representative tie (identical dist_num) keeps the smaller id
+    val dropped = out.filter(!_._2).keySet
+    assert(dropped == Set(1005L, 1023L, 1041L), s"dropped=$dropped")
   }
 
   test("semDedup keeps the member FARTHEST from the centroid, drops the rest of its group") {

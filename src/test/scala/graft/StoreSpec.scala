@@ -219,6 +219,51 @@ class StoreSpec extends SparkTestBase {
     }
   }
 
+  test("compactBucketed collapses sprawl to ≤ numBuckets files; bucket spec, sort cols and data survive") {
+    Store.ensureDatabase(spark, "graft_test")
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).selectExpr("id", "id % 5 AS cid")
+    Store.overwriteBucketed(batch(0, 200), "t_bsprawl", Seq("cid"), 4)
+    // sprawl: small bucketed appends accumulate files per admission
+    (1 to 5).foreach(i => Store.appendBucketed(batch(200L + i * 10, 210L + i * 10), "t_bsprawl"))
+    val before = spark.table("t_bsprawl").inputFiles.length
+    assert(before > 4, s"setup should sprawl past numBuckets, got $before files")
+    val rep = Store.fileReport(spark, "t_bsprawl").collect()(0)
+    assert(rep.getAs[Boolean]("needs_compaction") && rep.getAs[Long]("n_files") == before)
+    val want = spark.table("t_bsprawl").orderBy("id").collect().toSeq
+
+    Store.compactBucketed(spark, "t_bsprawl")
+    assert(spark.table("t_bsprawl").inputFiles.length <= 4,
+      s"still sprawled: ${spark.table("t_bsprawl").inputFiles.length} files")
+    assert(!Store.fileReport(spark, "t_bsprawl").collect()(0).getAs[Boolean]("needs_compaction"))
+    assert(spark.table("t_bsprawl").orderBy("id").collect().toSeq == want)
+    // the catalog spec the no-shuffle probe guarantee rides on survives the swap
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("t_bsprawl"))
+      .bucketSpec
+    assert(spec.exists(s => s.numBuckets == 4 && s.bucketColumnNames == Seq("cid")
+      && s.sortColumnNames == Seq("cid")), s"bucket spec lost: $spec")
+
+    // crash-debris paths must not wedge the next swap:
+    // (a) an in-catalog __precompact leftover
+    Store.overwrite(Seq((1L, 1L)).toDF("id", "cid"), "t_bsprawl__precompact")
+    Store.compactBucketed(spark, "t_bsprawl")
+    assert(spark.table("t_bsprawl").orderBy("id").collect().toSeq == want)
+    assert(!spark.catalog.tableExists("t_bsprawl__precompact"))
+    // (b) an on-disk-only leftover (previous JVM crashed mid-swap; the
+    // in-memory catalog forgot the table but the directory persists)
+    val cat = spark.sessionState.catalog
+    val debris = new org.apache.hadoop.fs.Path(cat.defaultTablePath(
+      spark.sessionState.sqlParser.parseTableIdentifier("t_bsprawl__precompact")
+        .copy(database = Some(cat.getCurrentDatabase))))
+    val fs = debris.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(debris)
+    Store.compactBucketed(spark, "t_bsprawl")
+    assert(spark.table("t_bsprawl").orderBy("id").collect().toSeq == want)
+    assert(!fs.exists(debris), "on-disk debris should be cleared by the swap")
+    Store.drop(spark, "t_bsprawl")
+  }
+
   test("analyze records row-count + column stats the optimizer can read") {
     Store.ensureDatabase(spark, "graft_test")
     Store.overwrite(spark.range(500).selectExpr("id AS k", "id % 7 AS grp"), "stats_t")

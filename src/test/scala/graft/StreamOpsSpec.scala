@@ -137,7 +137,7 @@ class StreamOpsSpec extends SparkTestBase {
     // stream the driver events.parquet through windowedTypeCounts and
     // cross-check against the equivalent batch groupBy — incremental
     // execution must not change the result
-    val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batchDf = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .withColumn("ts", timestamp_seconds(expr("ts DIV 1000000000"))) // nanos → timestamp
     // readStream needs a directory of homogeneous files — restage the
     // converted events into a temp dir and stream from there
