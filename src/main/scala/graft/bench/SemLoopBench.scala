@@ -53,8 +53,13 @@ object SemLoopBench {
     val scales = Seq(("g1x", 5000), ("g10x", 50000), ("g100x", 500000))
     val results = scales.map { case (g, nDocs) =>
       val dir = s"$base/$g"
-      require(new java.io.File(s"$dir/embeddings.parquet").exists(),
-        s"run ScaleBench first to generate $dir")
+      // same deterministic generator + seed as ScaleBench, so either
+      // campaign can (re)create the shared scale points
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        System.err.println(s"[semloop] generating $dir embeddings")
+        ScaleGen.embeddings(spark, nDocs * 2 / 5, seed = 43)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = emb.count()
       val k = math.max(8, (n / 250).toInt)
@@ -65,17 +70,22 @@ object SemLoopBench {
       Similarity.writeSemanticIndex(emb, "vec_id", "embedding", k, iters = 2, table)
       val bootstrapSec = (System.nanoTime() - t0) / 1e9
 
-      // disjoint fresh vectors for admission: different seed, ids +10⁹
+      // disjoint fresh vectors for admission: different seed, ids +10⁹;
+      // staged to parquet so each timed admission READS its batch like
+      // a real ingest (and so CacheReset between admissions cannot
+      // invalidate a held checkpoint — generation cost stays untimed)
       val fixedB = 200
       val propB = math.max(fixedB, (n / 100).toInt)
-      val fresh = ScaleGen.embeddings(spark, 3 * fixedB + 2 * propB, seed = 99)
+      val stage = s"$dir/__admit_batches.parquet"
+      ScaleGen.embeddings(spark, 3 * fixedB + 2 * propB, seed = 99)
         .withColumn("vec_id", col("vec_id") + lit(1000000000L))
-        .localCheckpoint() // materialize: generation cost must not be timed
+        .write.mode("overwrite").parquet(stage)
 
       def admit(lo: Long, hi: Long): Double = {
-        val batch = fresh.filter(col("vec_id") >= lit(1000000000L + lo)
-          && col("vec_id") < lit(1000000000L + hi))
         graft.CacheReset(spark)
+        val batch = spark.read.parquet(stage)
+          .filter(col("vec_id") >= lit(1000000000L + lo)
+            && col("vec_id") < lit(1000000000L + hi))
         val t = System.nanoTime()
         Similarity.admitSemanticBatch(
           batch.select("vec_id", "embedding"), "vec_id", "embedding", table, theta = 0.99)

@@ -286,11 +286,18 @@ object Similarity {
       .select(col(idCol), col("best.cid").as("cid"), col("best.num").as("dist_num"))
   }
 
-  /** Above this k, [[semDedup]] routes clustering through
-    * [[kmeansIvfSeededDetailed]] — below it the flat loop is both
-    * cheaper (no coarse pass) and the battery-pinned oracle form
-    * (q94's k = 8 stays byte-identical). */
-  val SemDedupSeededKThreshold: Int = 64
+  /** Above this k, [[semDedup]] and [[writeSemanticIndex]] route
+    * clustering through [[kmeansIvfSeededDetailed]] — below it the
+    * flat loop is cheaper AND the battery-pinned oracle form (q94's
+    * k = 8 stays byte-identical). The crossover is measured, not
+    * guessed: the seeded path adds ~4 s of fixed stage overhead
+    * (coarse pass + per-list seeding window), while the flat
+    * assignment costs ~90 ns per 64-dim candidate dot — x94 at the
+    * 20k/k=80 decade was 2× SLOWER seeded (8.1 vs 4.0 s, overhead
+    * dominated) and at the 200k/k=800 decade 1.9× FASTER (15.5 vs
+    * 29.4 s, O(n·k) dominated). Under the k = n/250 indexing rule the
+    * curves cross near k ≈ 400. */
+  val SemDedupSeededKThreshold: Int = 400
 
   /** SemDeDup — semantic (embedding-space) deduplication: k-means the
     * corpus, compare pairwise cosine ONLY within each cluster, connect
@@ -640,7 +647,13 @@ object Similarity {
       k: Int, iters: Int, table: String, numBuckets: Int = 32): Unit = {
     val base = corpus.select(col(idCol), quantize(col(vecCol)).as("qv"))
       .localCheckpoint(false)
-    val assigned = kmeansDetailed(base, idCol, k, iters)
+    // same large-k routing as semDedup: the bootstrap's flat Lloyd is
+    // O(n·k), which at the k ∝ n indexing regime dominates index
+    // construction (measured: 35 s of the g100x bootstrap) — the
+    // seeded loop cuts it to O(n·√k); battery-scale k stays flat
+    val assigned =
+      if (k > SemDedupSeededKThreshold) kmeansIvfSeededDetailed(base, idCol, k, iters)
+      else kmeansDetailed(base, idCol, k, iters)
     val ix = base.join(assigned.select(col(idCol), col("cid")), idCol)
       .select(col(idCol).as("id"), col("cid"), col("qv"))
       .localCheckpoint(false) // read twice: the bucketed write + the sums

@@ -436,9 +436,12 @@ class SimilaritySpec extends SparkTestBase {
   test("semDedup large-k (IVF-seeded path) verdicts: exact copies dropped, spread vectors kept") {
     val ids = (0L until 80L) ++ Seq(1005L, 1023L, 1041L)
     val df = ids.map(i => (i, latticeVec((i % 1000L).toInt))).toDF("vec_id", "embedding")
-    // k = 75 > SemDedupSeededKThreshold routes through the seeded loop
-    assert(75 > Similarity.SemDedupSeededKThreshold)
-    val out = Similarity.semDedup(df, "vec_id", "embedding", k = 75, iters = 2, theta = 0.999)
+    // k above the threshold routes through the seeded loop (k ≫ n is
+    // legal: per-list seeds are capped by list membership, so every
+    // original seeds its own fine cluster and each exact copy assigns
+    // to its original's — the verdict-relevant invariant)
+    val k = Similarity.SemDedupSeededKThreshold + 1
+    val out = Similarity.semDedup(df, "vec_id", "embedding", k, iters = 2, theta = 0.999)
       .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
     assert(out.size == ids.size)
     // the three exact copies are the only duplicates above θ = 0.999;
