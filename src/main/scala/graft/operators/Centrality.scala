@@ -59,19 +59,18 @@ object Centrality {
     var rank = nodes.select(col("v"), lit(scale).as("pr"))
     var i = 0
     while (i < iters) {
-      rank = iterate(eDeg, nodes, rank, base).localCheckpoint(false)
+      // the LAST iteration checkpoints EAGERLY: materializing the loop
+      // here (while eDeg/nodes are still cached) lets the
+      // loop-invariant caches be released below instead of leaking two
+      // MEMORY_AND_DISK relations per call for the session lifetime;
+      // earlier iterations stay lazy as before (one materialization
+      // each, at the point the next round reads them)
+      rank = iterate(eDeg, nodes, rank, base).localCheckpoint(i == iters - 1)
       i += 1
     }
-    // Materialize the final rank EAGERLY so the loop-invariant caches
-    // can be released here instead of leaking for the session lifetime
-    // (two MEMORY_AND_DISK relations per call accumulated across
-    // bench/test invocations). The eager checkpoint runs the loop
-    // while eDeg/nodes are still cached; the returned frame reads
-    // stored blocks only.
-    val out = rank.localCheckpoint()
     eDeg.unpersist(false)
     nodes.unpersist(false)
-    out
+    rank
   }
 
   /** The loop-invariant inputs, persisted (NOT checkpointed:

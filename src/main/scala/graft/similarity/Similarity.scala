@@ -442,6 +442,56 @@ object Similarity {
         col("__best.cid").as("cid") :+ col("__best.dist2").as("dist2")).toIndexedSeq: _*)
   }
 
+  /** [[assignToCentroids]] for SUMMED (Σ-vector, count) centroids —
+    * the literal twin of the Lloyd loop's `assignToSummedCentroids`:
+    * the same exact scaled-integer rule (argmin over cid of
+    * ‖n·x − s‖²/n², exact BIGINT numerator, one IEEE division, ties to
+    * the smaller cid), but with the k centroids inlined as literals so
+    * the expression is fully NARROW — no join, no aggregation, no
+    * state — and therefore legal in a Structured Streaming micro-batch
+    * as-is. This is what lets a STREAM assign against the maintained
+    * codebook ([[literalCodebookSums]]) with cluster choices
+    * BIT-IDENTICAL to the batch screen's assignment — the foundation
+    * of [[graft.streaming.StreamOps]]' semantic screen parity.
+    * Appends (cid, dist_num) to the input's columns. */
+  def assignToCentroidSums(
+      df: DataFrame, vecCol: String,
+      centroids: Seq[(Long, Array[Long], Long)]): DataFrame = {
+    require(centroids.nonEmpty, "assignToCentroidSums needs at least one centroid")
+    require(!df.columns.contains("cid") && !df.columns.contains("dist_num"),
+      "assignToCentroidSums appends cid/dist_num — rename the existing columns first")
+    val withQ = df.withColumn("__qv", quantize(col(vecCol)))
+    val candidates = centroids.map { case (cid, s, n) =>
+      val sLit = array(s.map(lit).toIndexedSeq: _*)
+      // ‖n·x − s‖² = n²(x·x) − 2n(x·s) + s·s (s·s folds to a constant)
+      val num = lit(n) * lit(n) * dotQ(col("__qv"), col("__qv")) -
+        lit(2L) * lit(n) * dotQ(col("__qv"), sLit) +
+        lit(s.map(x => x * x).sum)
+      struct((num.cast("double") / lit((n * n).toDouble)).as("dev2"),
+        lit(cid).as("cid"), num.as("dist_num"))
+    }
+    // same single-candidate projection guard rationale as
+    // assignToCentroids — and with no lambda anywhere, no hazard surface
+    val best =
+      if (candidates.size == 1) least(candidates.head, candidates.head)
+      else least(candidates: _*)
+    withQ.withColumn("__best", best)
+      .select((df.columns.map(col) :+
+        col("__best.cid").as("cid") :+ col("__best.dist_num").as("dist_num")).toIndexedSeq: _*)
+  }
+
+  /** Collect a stored index's maintained codebook into the literal
+    * (cid, Σ-vector, n) form [[assignToCentroidSums]] inlines — k·dims
+    * longs, the driver-side handoff that turns the codebook table into
+    * a narrow streaming expression. Re-collect after admissions to
+    * pick up folded deltas. */
+  def literalCodebookSums(
+      spark: org.apache.spark.sql.SparkSession, table: String): Seq[(Long, Array[Long], Long)] =
+    codebookCentroids(graft.store.Store.table(spark, codebookTable(table)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .toIndexedSeq
+
   /** Exact cosine top-k neighbor ids for a SET of query vectors —
     * the ground-truth half of ANN evaluation ([[recallAtK]]), and the
     * multi-query generalization of the q25 single-query scan. `base`
@@ -667,6 +717,21 @@ object Similarity {
     graft.store.Store.drop(spark, codebookTable(table))
   }
 
+  /** Rebuild the maintained codebook from the index — the repair for
+    * [[admitSemanticBatch]]'s documented crash window (a failure
+    * between the index append and the codebook fold leaves the sums
+    * one batch stale, and later successful admissions CANNOT catch the
+    * sums up — their deltas assume the stored base). Because the sums
+    * are exact integers, re-derivation is bit-identical to what an
+    * uninterrupted fold history would have produced, so one repair
+    * heals any number of missed folds. O(index) — run it on crash
+    * recovery, not per batch (the maintained sums exist precisely to
+    * avoid this aggregate in the steady state). */
+  def repairSemanticCodebook(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    graft.store.Store.overwrite(
+      codebookSums(graft.store.Store.table(spark, table)), codebookTable(table))
+
   /** The standing semantic-ingest transaction, mirroring the text
     * side's `Dedup.admitBatch`: screen a batch against the stored
     * index ([[semanticScreen]]), ADMIT the vectors that duplicate
@@ -681,7 +746,7 @@ object Similarity {
     * duplicates of themselves — the idempotent outcome; a crash
     * between the append and the codebook fold leaves the codebook one
     * batch stale, which the next successful admission CANNOT repair —
-    * re-derive via [[codebookSums]] + overwrite if that window is hit).
+    * run [[repairSemanticCodebook]] on recovery if that window is hit).
     *
     * Steady-state cost is O(batch), not O(corpus): the batch is
     * quantized and assigned ONCE (screen and append share the frame),

@@ -91,6 +91,42 @@ object StreamOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Streaming face of the SEMANTIC screen
+    * ([[graft.similarity.Similarity.semanticScreen]]): vectors arriving
+    * on a stream are assigned to their nearest codebook cluster by the
+    * EXACT batch rule ([[graft.similarity.Similarity.assignToCentroidSums]]
+    * — the codebook inlined as literals, fully narrow), then probed
+    * against the STATIC stored index via one stream-static equi-join
+    * on the cluster id plus a narrow cosine filter — STATELESS, like
+    * [[nearDupScreen]] (no watermark, no state store; batch and stream
+    * give identical per-pair verdicts, and the cluster assignment is
+    * bit-identical, not approximately so). Emits
+    * (batch_id, corpus_id, cosine) at ≥ theta.
+    *
+    * The codebook is collected ONCE at query construction
+    * ([[graft.similarity.Similarity.literalCodebookSums]]) — a
+    * standing stream screens against the codebook as of its start;
+    * restart the query (or run the admission loop in `foreachBatch`
+    * with a fresh collect) to pick up folded deltas. The corpus side
+    * reads the bucketed index table per micro-batch, so appended
+    * admissions ARE visible to the probe join without restart. */
+  def semanticScreen(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[(Long, Array[Long], Long)],
+      corpusAssigned: DataFrame, theta: Double): DataFrame = {
+    import graft.similarity.Similarity
+    val assigned = Similarity.assignToCentroidSums(
+      vecs.select(col(idCol), col(vecCol)), vecCol, codebook)
+    assigned
+      .select(col(idCol).as("batch_id"), col("cid"),
+        Similarity.quantize(col(vecCol)).as("__bqv"))
+      .join(corpusAssigned.select(col("id").as("corpus_id"), col("cid"),
+        col("qv").as("__cqv")), Seq("cid"))
+      .select(col("batch_id"), col("corpus_id"),
+        Similarity.cosineQ(col("__bqv"), col("__cqv")).as("cosine"))
+      .filter(col("cosine") >= theta)
+  }
+
   /** Streaming screen-AND-admit: the full corpus-index ingest loop as
     * one standing stream — each micro-batch is screened against the
     * stored index ([[graft.dedup.Dedup.admitBatch]]), its novel docs

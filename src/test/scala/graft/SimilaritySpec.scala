@@ -405,6 +405,43 @@ class SimilaritySpec extends SparkTestBase {
     } finally Similarity.dropSemanticIndex(spark, "t_m_ix")
   }
 
+  test("repairSemanticCodebook heals the append-without-fold crash window") {
+    import graft.store.Store
+    Store.ensureDatabase(spark, "graft_test")
+    def v(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = Seq((1L, v(0)), (2L, v(90))).toDF("vec_id", "embedding")
+    Similarity.writeSemanticIndex(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, table = "t_repair_ix", numBuckets = 2)
+    try {
+      val cb = Similarity.codebookTable("t_repair_ix")
+      // snapshot the pre-admission codebook (eager checkpoint: holds
+      // the rows independently of the table), then admit normally
+      val stale = Store.table(spark, cb).localCheckpoint()
+      Similarity.admitSemanticBatch(Seq((11L, v(45))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "t_repair_ix", theta = 0.99)
+      // simulate the crash window: the index has the admission but the
+      // codebook reverts to the pre-fold state (append landed, fold lost)
+      Store.overwrite(stale, cb)
+      val derived = Similarity.codebookSums(spark.table("t_repair_ix"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      val corrupted = Store.table(spark, cb)
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(corrupted != derived, "setup: the codebook must actually be stale")
+      Similarity.repairSemanticCodebook(spark, "t_repair_ix")
+      val repaired = Store.table(spark, cb)
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(repaired == derived, "repair must restore the exact re-derived sums")
+      // the loop keeps working post-repair: a dup of the orphaned
+      // admission is screened, a novel vector admitted
+      val a = Similarity.admitSemanticBatch(
+        Seq((21L, v(44)), (22L, v(135))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "t_repair_ix", theta = 0.99)
+      assert(a.select("vec_id").as[Long].collect().toSet == Set(22L))
+    } finally Similarity.dropSemanticIndex(spark, "t_repair_ix")
+  }
+
   // deterministic 8-D lattice vectors: pairwise cosine ≤ 0.9983 across
   // the first 80 (verified), so exact copies (cosine 1.0) are the ONLY
   // pairs above a 0.999 threshold

@@ -114,6 +114,51 @@ class StreamOpsSpec extends SparkTestBase {
     assert(streamed == Set((10L, 1L, 1.0)))
   }
 
+  test("semanticScreen: stateless stream probe of the static semantic index ≡ batch verdicts") {
+    import graft.similarity.Similarity
+    import graft.store.Store
+    implicit val sqlCtx = spark.sqlContext
+    Store.ensureDatabase(spark, "graft_test")
+    def v(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = Seq((1L, v(0)), (2L, v(3)), (3L, v(90)), (4L, v(87)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeSemanticIndex(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, table = "t_stream_sem_ix", numBuckets = 2)
+    try {
+      val ix = Store.table(spark, "t_stream_sem_ix")
+      val codebook = Similarity.literalCodebookSums(spark, "t_stream_sem_ix")
+      // 100: dup of corpus v1; 101: novel direction; 102: dup of v3
+      val batchRows = Seq((100L, v(1)), (101L, v(45)), (102L, v(89)))
+
+      val input = MemoryStream[(Long, Seq[Float])]
+      val stream = input.toDF().toDF("vec_id", "embedding")
+      val q = StreamOps.semanticScreen(stream, "vec_id", "embedding",
+          codebook, ix, theta = 0.99)
+        .writeStream.format("memory").queryName("sem_screen_out")
+        .outputMode("append").start()
+      input.addData(batchRows: _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("sem_screen_out")
+        .as[(Long, Long, Double)].collect().toSet
+      // the batch screen with the SAME maintained codebook — verdicts
+      // must agree pair-for-pair, cosine-for-cosine
+      val batch = Similarity.semanticScreen(
+          batchRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          ix, theta = 0.99,
+          codebook = Some(Store.table(spark,
+            Similarity.codebookTable("t_stream_sem_ix"))))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      // 100 (1°) dups both 0° and 3° members; 102 (89°) both 90° and
+      // 87°; the novel 101 (45°) hits nothing
+      assert(streamed.map(p => (p._1, p._2))
+        == Set((100L, 1L), (100L, 2L), (102L, 3L), (102L, 4L)), s"got $streamed")
+    } finally Similarity.dropSemanticIndex(spark, "t_stream_sem_ix")
+  }
+
   test("windowedTypeCounts aggregates into tumbling windows incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
