@@ -2575,6 +2575,56 @@ object Battery {
       WHERE ${cosSql("qb.qv", "qc.qv")} >= 0.35
       ORDER BY batch_id, corpus_id"""))
 
+  /** The IVF-SEEDED two-level Lloyd
+    * ([[Similarity.kmeansIvfSeededDetailed]]) oracle-checked at its
+    * structural core (iters = 1, k = 25 → kc = 5 coarse lists, kf = 5
+    * fine seeds per list): coarse smallest-id-seeded assignment,
+    * per-list smallest-id fine seeding, fine assignment restricted to
+    * the member's OWN list. Row-level (vec_id, cid, dist_num) pin —
+    * the same exact integer distance arithmetic as q77/q81, so DuckDB
+    * rebuilds the whole two-level argmin as a CTE chain. This is the
+    * large-k clustering path semDedup/writeSemanticIndex route through
+    * above the measured k = 400 crossover (BENCH_SCALE.md). */
+  val q99 = Q("q99_kmeans_ivf_seeded",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+        .localCheckpoint(false)
+      Similarity.kmeansIvfSeededDetailed(base, "vec_id", k = 25, iters = 1)
+        .orderBy("vec_id")
+    },
+    Some("""WITH base AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      FROM embeddings),
+      ex AS (SELECT vec_id, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS x
+             FROM base, range(1, 65) t(i)),
+      cs AS (SELECT vec_id AS lcid, qv AS cqv FROM base ORDER BY vec_id LIMIT 5),
+      csx AS (SELECT lcid, CAST(i AS INT) AS pos, cqv[CAST(i AS INT)] AS s
+              FROM cs, range(1, 65) t(i)),
+      cd AS (SELECT e.vec_id, c.lcid, CAST(SUM((x - s)*(x - s)) AS BIGINT) AS num
+             FROM ex e JOIN csx c USING (pos) GROUP BY e.vec_id, c.lcid),
+      ca AS (SELECT vec_id, lcid FROM (
+               SELECT vec_id, lcid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY CAST(num AS DOUBLE), lcid) AS rn
+               FROM cd) WHERE rn = 1),
+      fs AS (SELECT lcid, vec_id AS cid FROM (
+               SELECT ca.lcid, b.vec_id,
+                 row_number() OVER (PARTITION BY ca.lcid ORDER BY b.vec_id) AS rn
+               FROM base b JOIN ca USING (vec_id)) WHERE rn <= 5),
+      fsx AS (SELECT f.lcid, f.cid, CAST(i AS INT) AS pos,
+                b.qv[CAST(i AS INT)] AS s
+              FROM fs f JOIN base b ON b.vec_id = f.cid, range(1, 65) t(i)),
+      fd AS (SELECT e.vec_id, f.cid, CAST(SUM((x - s)*(x - s)) AS BIGINT) AS num
+             FROM ex e JOIN ca ON ca.vec_id = e.vec_id
+             JOIN fsx f ON f.lcid = ca.lcid AND f.pos = e.pos
+             GROUP BY e.vec_id, f.cid),
+      fa AS (SELECT vec_id, cid, num,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(num AS DOUBLE), cid) AS rn
+             FROM fd)
+      SELECT vec_id, cid, num AS dist_num FROM fa WHERE rn = 1 ORDER BY vec_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2582,5 +2632,6 @@ object Battery {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
+    q99)
 }

@@ -717,6 +717,38 @@ object Similarity {
     graft.store.Store.drop(spark, codebookTable(table))
   }
 
+  /** Per-cluster health report of a stored semantic index — the
+    * REBUILD signal for [[admitSemanticBatch]]'s documented drift
+    * mode: admissions keep the current assignment (an index structure,
+    * not a model), so clusters spread as the corpus grows and the
+    * screen's probe reads progressively worse-shaped lists. Reports,
+    * per cid: member count, mean and max squared deviation from the
+    * MAINTAINED centroid (dev2 = ‖n·x − s‖²/n² — the Lloyd loop's
+    * exact integer numerator over one IEEE division). Read it
+    * periodically next to [[graft.store.Store.fileReport]]; when mean
+    * dev2 climbs well past its bootstrap value or member counts skew
+    * badly, re-run [[writeSemanticIndex]] out-of-band. Cost: one index
+    * scan + a k·dims broadcast — O(index), cheap next to the rebuild
+    * it gates. (mean_dev2 is a float mean of exact per-row values —
+    * an operational signal, not an oracle-stable quantity.) */
+  def semanticIndexStats(
+      spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val ix = graft.store.Store.table(spark, table)
+    val cent = codebookCentroids(
+      graft.store.Store.table(spark, codebookTable(table)))
+    val num = col("n") * col("n") * dotQ(col("qv"), col("qv")) -
+      lit(2L) * col("n") * dotQ(col("qv"), col("s")) +
+      dotQ(col("s"), col("s"))
+    ix.join(broadcast(cent), Seq("cid"))
+      .select(col("cid"),
+        (num.cast("double") / (col("n") * col("n")).cast("double")).as("dev2"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        avg(col("dev2")).as("mean_dev2"),
+        max(col("dev2")).as("max_dev2"))
+      .orderBy("cid")
+  }
+
   /** Rebuild the maintained codebook from the index — the repair for
     * [[admitSemanticBatch]]'s documented crash window (a failure
     * between the index append and the codebook fold leaves the sums

@@ -405,6 +405,37 @@ class SimilaritySpec extends SparkTestBase {
     } finally Similarity.dropSemanticIndex(spark, "t_m_ix")
   }
 
+  test("semanticIndexStats reports per-cluster drift — admissions widen their cluster's deviations") {
+    import graft.store.Store
+    Store.ensureDatabase(spark, "graft_test")
+    def v(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // two tight founding clusters around 0° and 90°
+    val corpus = Seq((1L, v(0)), (2L, v(2)), (3L, v(90)), (4L, v(88)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeSemanticIndex(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, table = "t_stats_ix", numBuckets = 2)
+    try {
+      def stats() = Similarity.semanticIndexStats(spark, "t_stats_ix")
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val before = stats()
+      assert(before.size == 2 && before.values.forall(_._1 == 2L))
+      assert(before.values.forall(s => s._2 >= 0.0 && s._3 >= s._2),
+        s"mean/max dev2 must be non-negative and ordered: $before")
+      // admit a drifting member (30° — novel at θ=0.99, joins the 0° list)
+      Similarity.admitSemanticBatch(Seq((11L, v(30))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "t_stats_ix", theta = 0.99)
+      val after = stats()
+      val drifted = after.filter(_._2._1 == 3L)
+      assert(drifted.size == 1, s"the admission should land in one cluster: $after")
+      val (cid, (_, meanAfter, maxAfter)) = drifted.head
+      assert(meanAfter > before(cid)._2 && maxAfter > before(cid)._3,
+        s"drifting admission must widen its cluster's deviations: $before -> $after")
+    } finally Similarity.dropSemanticIndex(spark, "t_stats_ix")
+  }
+
   test("repairSemanticCodebook heals the append-without-fold crash window") {
     import graft.store.Store
     Store.ensureDatabase(spark, "graft_test")
