@@ -2625,6 +2625,48 @@ object Battery {
              FROM fd)
       SELECT vec_id, cid, num AS dist_num FROM fa WHERE rn = 1 ORDER BY vec_id"""))
 
+  /** REAL compressed-format (PNG/DEFLATE) image decode verified
+    * cross-engine, closing the last DecodeStub gap for still images:
+    * a deterministic 12×17 grayscale image is encoded into genuine
+    * PNG bytes through the JDK's pure-Java ImageIO codec (zlib
+    * DEFLATE, PNG row filters) and decoded back before 4×4-block
+    * pixel sums (ceil-partial edge blocks — width 17 forces one).
+    * PNG is lossless, so the oracle recomputes the sums straight from
+    * the pixel formula — any filter, zlib, channel or row-order bug
+    * hash-mismatches. JPEG (lossy by design) is spec-checked with an
+    * error bound instead (CodecSpec). */
+  val q100 = Q("q100_png_block_sums",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val gray = Array.tabulate(12, 17)((r, c) =>
+            ((id * 11 + r * 19 + c * 23) % 256).toInt)
+          val g = graft.multimodal.Codec.decodePng(
+            graft.multimodal.Codec.encodePng(gray))
+          for (br <- 0 until 3; bc <- 0 until 5) yield {
+            var sum = 0L
+            var r = br * 4
+            while (r < math.min(br * 4 + 4, 12)) {
+              var c = bc * 4
+              while (c < math.min(bc * 4 + 4, 17)) { sum += g(r)(c); c += 1 }
+              r += 1
+            }
+            (id, br.toLong, bc.toLong, sum)
+          }
+        }
+        .toDF("media_id", "block_row", "block_col", "pixel_sum")
+        .orderBy("media_id", "block_row", "block_col")
+    },
+    Some("""WITH px AS (SELECT doc_id AS media_id,
+        CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+        (doc_id*11 + r*19 + c*23) % 256 AS v
+      FROM documents, range(0, 12) t(r), range(0, 17) u(c))
+      SELECT media_id, r // 4 AS block_row, c // 4 AS block_col,
+        CAST(SUM(v) AS BIGINT) AS pixel_sum
+      FROM px GROUP BY media_id, r // 4, c // 4
+      ORDER BY media_id, block_row, block_col"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2633,5 +2675,5 @@ object Battery {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-    q99)
+    q99, q100)
 }

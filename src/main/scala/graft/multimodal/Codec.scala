@@ -13,10 +13,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    padded to 4-byte boundaries, bottom-up row order for positive
   *    heights (and top-down for negative, which the reader honors).
   *
-  * This closes the "decode is a stub" gap for codec-free formats: the
-  * [[Multimodal.DecodeStub]] fake remains only where a COMPRESSED
-  * format (JPEG/H.264/FLAC) would require native codec bindings this
-  * environment does not ship. Battery q85/q86 verify these kernels
+  * Compressed STILL images decode for real too — PNG/JPEG/GIF/TIFF
+  * through the JDK's pure-Java ImageIO plugins (see the PNG/JPEG
+  * section below) — so the [[Multimodal.DecodeStub]] fake remains
+  * only for video/compressed-audio (H.264/FLAC-class) codecs the JDK
+  * does not carry. Battery q85/q86/q100 verify these kernels
   * cross-engine: Spark round-trips real bytes (encode → decode →
   * feature), while the DuckDB oracle recomputes the same features
   * arithmetically from the synthesis formula — any header, padding,
@@ -171,4 +172,101 @@ object Codec {
     }
     out
   }
+
+  // ------------------------------------------------------------------ //
+  // PNG / JPEG — COMPRESSED formats via the JDK's own pure-Java        //
+  // ImageIO plugins (no native codec binding: the javax.imageio        //
+  // readers/writers for PNG, JPEG, BMP, GIF and TIFF ship inside       //
+  // every Java SE runtime and run headless). This retires the          //
+  // "compressed formats need native codecs" DecodeStub claim for       //
+  // still images; the stub now covers only video/audio codecs          //
+  // (H.264/FLAC-class) the JDK genuinely does not carry.               //
+  //                                                                    //
+  // PNG is DEFLATE-compressed and LOSSLESS: decode(encode(g)) == g     //
+  // byte-for-byte, so PNG decode is oracle-checkable the same way as   //
+  // the BMP/WAV kernels (battery q100 — the DuckDB oracle recomputes   //
+  // features from the pixel formula; any filter/zlib/row bug           //
+  // hash-mismatches). JPEG is lossy: decode is REAL but approximate    //
+  // by design, so it is spec-checked with an error bound instead of    //
+  // an exact cross-engine oracle.                                      //
+  // ------------------------------------------------------------------ //
+
+  locally { System.setProperty("java.awt.headless", "true") }
+
+  private def toImage(gray: Array[Array[Int]]): java.awt.image.BufferedImage = {
+    val h = gray.length
+    val w = gray(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val v = gray(r)(c) & 0xff
+        img.setRGB(c, r, (v << 16) | (v << 8) | v)
+        c += 1
+      }
+      r += 1
+    }
+    img
+  }
+
+  private def toGray(img: java.awt.image.BufferedImage): Array[Array[Int]] = {
+    val out = Array.ofDim[Int](img.getHeight, img.getWidth)
+    var r = 0
+    while (r < img.getHeight) {
+      var c = 0
+      while (c < img.getWidth) {
+        val px = img.getRGB(c, r)
+        out(r)(c) = (((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)) / 3
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  private def write(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  /** Grayscale grid → PNG bytes (RGB with r = g = b; lossless). */
+  def encodePng(gray: Array[Array[Int]]): Array[Byte] =
+    write(toImage(gray), "png")
+
+  /** ImageIO dispatches on magic bytes, not a format name — one reader
+    * entry point serves every still-image format the JDK carries. */
+  private def readAny(bytes: Array[Byte]): Array[Array[Int]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image")
+    toGray(img)
+  }
+
+  /** PNG bytes → grayscale grid. Exact inverse of [[encodePng]]
+    * (PNG is lossless), and a REAL DEFLATE/zlib decode path. */
+  def decodePng(bytes: Array[Byte]): Array[Array[Int]] = readAny(bytes)
+
+  /** Grayscale grid → baseline JPEG bytes at the given quality. */
+  def encodeJpeg(gray: Array[Array[Int]], quality: Float = 0.9f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(toImage(gray), null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** JPEG bytes → grayscale grid — a REAL Huffman+DCT decode through
+    * the JDK codec. Lossy by design: values approximate the encoder's
+    * input (close on smooth content, ringing at hard edges); exact
+    * dimensions, deterministic within a JVM. */
+  def decodeJpeg(bytes: Array[Byte]): Array[Array[Int]] = readAny(bytes)
 }

@@ -8,17 +8,19 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads with typed metadata, processed by
   * per-partition batch operators.
   *
-  * Decode is REAL for the codec-free container formats — [[Codec]]
-  * parses genuine PCM WAV and 24 bpp BMP bytes (battery q85/q86
-  * hash-verify the decoded features cross-engine). Only COMPRESSED
-  * formats (JPEG/H.264/FLAC), which require native codec libraries
-  * this environment does not ship, go through the clearly-marked
-  * DETERMINISTIC FAKE ([[DecodeStub]]) — and every Spark-side piece
-  * around it is real and tested: the schema contract, the
-  * mapPartitions batch shape (decoder state amortized per partition,
-  * exactly how a JNI/FFmpeg handle would be reused), partitioning, and
-  * the downstream feature pipeline (embeddings feed
-  * [[graft.similarity.Similarity]] as-is).
+  * Decode is REAL for every STILL-IMAGE and PCM-audio format —
+  * [[Codec]] parses genuine PCM WAV and 24 bpp BMP bytes itself
+  * (battery q85/q86 hash-verify the decoded features cross-engine)
+  * and routes PNG/JPEG/GIF/TIFF through the JDK's own pure-Java
+  * ImageIO codecs (battery q100 hash-verifies the lossless PNG path;
+  * CodecSpec bounds the lossy JPEG path). Only VIDEO and compressed
+  * AUDIO (H.264/FLAC-class), whose codecs the JDK genuinely does not
+  * carry, go through the clearly-marked DETERMINISTIC FAKE
+  * ([[DecodeStub]]) — and every Spark-side piece around it is real
+  * and tested: the schema contract, the mapPartitions batch shape
+  * (decoder state amortized per partition, exactly how a JNI/FFmpeg
+  * handle would be reused), partitioning, and the downstream feature
+  * pipeline (embeddings feed [[graft.similarity.Similarity]] as-is).
   */
 object Multimodal {
 

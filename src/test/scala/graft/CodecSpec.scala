@@ -110,4 +110,48 @@ class CodecSpec extends AnyFunSuite {
     bb.putShort(28, 8) // bpp = 8
     intercept[IllegalArgumentException](Codec.decodeBmp24(ok))
   }
+
+  // --------------------------- PNG / JPEG ---------------------------- //
+
+  test("PNG round trip is lossless for any grid incl. 1-pixel and wide shapes (property)") {
+    val dims = for { h <- Gen.chooseNum(1, 12); w <- Gen.chooseNum(1, 20) } yield (h, w)
+    ScalaCheckSupport.checkProp(Prop.forAll(dims, Gen.chooseNum(0L, Long.MaxValue)) {
+      case ((h, w), seed) =>
+        val gray = Array.tabulate(h, w)((r, c) =>
+          (((seed % 1000) * 7 + r * 13 + c * 29) % 256).toInt)
+        val back = Codec.decodePng(Codec.encodePng(gray))
+        back.length == h && back(0).length == w &&
+          back.zip(gray).forall { case (a, b) => a.sameElements(b) }
+    }, minSuccessful = 20)
+  }
+
+  test("PNG bytes are genuinely PNG (magic + DEFLATE-compressed IDAT), not a rename") {
+    val gray = Array.tabulate(16, 16)((r, c) => (r * 16 + c) % 256)
+    val png = Codec.encodePng(gray)
+    val magic = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    assert(png.take(8).map(_ & 0xff).sameElements(magic), "missing PNG signature")
+    // a readable chunk layout: IHDR first, IDAT present
+    assert(new String(png.slice(12, 16), "US-ASCII") == "IHDR")
+    assert(new String(png, "ISO-8859-1").contains("IDAT"))
+  }
+
+  test("JPEG decode is a real lossy DCT codec: exact dimensions, bounded error on smooth content") {
+    // smooth gradient — baseline JPEG at q=0.9 reconstructs this closely;
+    // a stub (hash-derived pixels) would be off by ~85 on average
+    val gray = Array.tabulate(24, 32)((r, c) => math.min(255, 4 * r + 3 * c))
+    val jpg = Codec.encodeJpeg(gray, quality = 0.9f)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "missing JPEG SOI marker")
+    val back = Codec.decodeJpeg(jpg)
+    assert(back.length == 24 && back(0).length == 32)
+    val errs = for (r <- 0 until 24; c <- 0 until 32)
+      yield math.abs(back(r)(c) - gray(r)(c))
+    val mean = errs.sum.toDouble / errs.size
+    assert(mean < 6.0, s"mean abs error $mean too high for q=0.9 smooth content")
+    assert(errs.max <= 40, s"max abs error ${errs.max} — not a plausible DCT reconstruction")
+  }
+
+  test("image decoders reject undecodable bytes loudly") {
+    intercept[IllegalArgumentException](Codec.decodePng("not an image".getBytes))
+    intercept[IllegalArgumentException](Codec.decodeJpeg(new Array[Byte](16)))
+  }
 }
