@@ -109,7 +109,15 @@ object StreamOps {
     * restart the query (or run the admission loop in `foreachBatch`
     * with a fresh collect) to pick up folded deltas. The corpus side
     * reads the bucketed index table per micro-batch, so appended
-    * admissions ARE visible to the probe join without restart. */
+    * admissions ARE visible to the probe join without restart.
+    *
+    * Scale bound: the codebook inlines as k·dims LITERALS in the
+    * assignment expression — fine through the hundreds-of-clusters
+    * regime, but at indexing-scale k (thousands+) the expression tree
+    * itself becomes the cost; there, run the batch
+    * [[graft.similarity.Similarity.admitSemanticBatch]] loop inside
+    * `foreachBatch` (the [[screenAndAdmit]] pattern) instead — its
+    * assignment broadcasts the codebook as DATA, not syntax. */
   def semanticScreen(
       vecs: DataFrame, idCol: String, vecCol: String,
       codebook: Seq[(Long, Array[Long], Long)],
