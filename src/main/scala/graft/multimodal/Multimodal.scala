@@ -172,6 +172,35 @@ object Multimodal {
     }
   }
 
+  /** REAL still-image decode → resize → embed, one mapPartitions
+    * pass — the ImageIO-backed twin of [[decodeAndEmbed]] for binary
+    * columns holding genuine PNG/JPEG/GIF/TIFF/BMP bytes (decode
+    * dispatches on magic bytes, so mixed-format corpora just work).
+    * Each image yields ONE [[FrameFeature]] (frame_idx 0): decode
+    * ([[Codec.decodePng]]'s reader) → nearest-neighbor resize to 8×8
+    * ([[resizeFrame]]) → 16-dim pooled embedding ([[embedFrame]]),
+    * ready for [[graft.similarity.Similarity]] as-is — the full
+    * image-dedup path (decode → embed → SemDeDup/screen) with no fake
+    * anywhere. Unlike the stub twin, ImageIO decode is REAL CPU work:
+    * wrap split-starved inputs in
+    * [[graft.operators.Rebalance.forCpuStage]] so the decode spreads
+    * across cores (the scaladoc trade-off on [[decodeAndEmbed]] flips
+    * here). Undecodable payloads fail loudly — silently skipping
+    * corrupt media is how a corpus quietly loses coverage; pre-filter
+    * with a try in a `flatMap` variant if best-effort is wanted. */
+  def decodeImageAndEmbed(media: Dataset[MediaRow]): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition: ImageIO reader instances are cached JVM-wide;
+      // nothing to amortize beyond classloading
+      rows.map { m =>
+        val grid = Codec.decodePng(m.payload) // magic-byte dispatch: any JDK format
+        FrameFeature(m.media_id, 0, grid(0).length, grid.length,
+          embedFrame(resizeFrame(grid, 8, 8)))
+      }
+    }
+  }
+
   /** Payload-level metadata extraction — pure Spark built-ins (no UDF):
     * byte length, content hash, kind split. Works on any binary column
     * at any scale; filters/projection push into the scan. */

@@ -70,4 +70,32 @@ class MultimodalSpec2 extends SparkTestBase {
     assert(e1 >= 0.0 && e1 < 1.0)
     assert(Multimodal.windowEnergyStub(p, 4) != e1)
   }
+
+  test("decodeImageAndEmbed: real PNG/JPEG payloads through decode → resize → embed") {
+    import graft.multimodal.{Codec, Multimodal}
+    import Multimodal.{MediaMeta, MediaRow}
+    import spark.implicits._
+    val g1 = Array.tabulate(16, 16)((r, c) => (r * 13 + c * 7) % 256)
+    val g2 = Array.tabulate(9, 30)((r, c) => math.min(255, 4 * r + 3 * c)) // smooth: JPEG-friendly
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("image", 16, 16, 0, 0L), Codec.encodePng(g1)),
+      MediaRow(2L, MediaMeta("image", 30, 9, 0, 0L), Codec.encodeJpeg(g2, 0.95f)))
+    val out = Multimodal.decodeImageAndEmbed(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width == 16 && out(1L).height == 16)
+    assert(out(2L).width == 30 && out(2L).height == 9)
+    // PNG is lossless — the distributed pipeline must EXACTLY equal the
+    // local decode → resize → embed composition
+    val want1 = Multimodal.embedFrame(Multimodal.resizeFrame(g1, 8, 8))
+    assert(out(1L).embedding.sameElements(want1))
+    // JPEG is lossy — close on smooth content, never exact-by-accident
+    val want2 = Multimodal.embedFrame(Multimodal.resizeFrame(g2, 8, 8))
+    val maxErr = out(2L).embedding.zip(want2).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 0.05, s"jpeg-path embedding drifted too far: $maxErr")
+    // undecodable payloads fail loudly (silently skipped media = lost coverage)
+    intercept[Exception] {
+      Multimodal.decodeImageAndEmbed(spark.createDataset(Seq(
+        MediaRow(3L, MediaMeta("image", 0, 0, 0, 0L), Array[Byte](1, 2, 3))))).collect()
+    }
+  }
 }
