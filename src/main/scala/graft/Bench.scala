@@ -242,12 +242,16 @@ object Bench {
     val worst5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "{\"q\":\"" + k + "\",\"sec\":" + fmt(v) + "}" }
       .mkString("[", ",", "]")
+    // pipeline_sec is OMITTED when the pipeline section was not run
+    // (partial dev invocations) — -1.0 stays exclusively the failure
+    // sentinel the catch branch writes, never "didn't run"
     val pipelineSec = {
       val re = """"pipeline_sec":(-?\d+(?:\.\d+)?)""".r
-      re.findFirstMatchIn(pipeline).map(_.group(1)).getOrElse("-1.0")
+      re.findFirstMatchIn(pipeline)
+        .map(m => s""""pipeline_sec":${m.group(1)},""").getOrElse("")
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,""" +
-      s""""pipeline_sec":$pipelineSec,"worst5":$worst5,"sf":"$sfDir"}""")
+      s"""$pipelineSec"worst5":$worst5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

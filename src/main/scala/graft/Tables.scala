@@ -35,7 +35,13 @@ object Tables {
       case Some(TimestampType) =>
         df.withColumn("ts", (unix_micros(col("ts")) * 1000L).cast(LongType))
       case Some(other) =>
-        df.withColumn("ts", col("ts").cast(LongType))
+        // fail loud: a blind cast would turn a double-seconds or string
+        // ts into wrong-unit "nanos" feeding integer arithmetic — a new
+        // driver encoding must surface at LOAD, not as wrong results
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported type $other — expected LongType " +
+            "(nanos), TimestampType, or TimestampNTZType; extend " +
+            "Tables.normalizeTs for the new driver encoding")
     }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

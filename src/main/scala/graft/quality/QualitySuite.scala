@@ -79,16 +79,30 @@ object QualitySuite {
     * silently failing it: determinism is the documented default and
     * the column gate still bounds the Expand fan-out; file-backed
     * sources — the 100 TB case — always carry a real size. Pass
-    * `Some(true)` to force the Expand form regardless. */
+    * `Some(true)` to force the Expand form regardless. (Absence is
+    * judged at the plan's LEAVES — a joined plan whose multiplied
+    * size estimate exceeds the sentinel is enormous, not unsized.) */
   def columnProfile(
       df: DataFrame, cols: Seq[String], exact: Option[Boolean] = None): DataFrame = {
     require(cols.nonEmpty && cols.forall(df.columns.contains),
       s"columns must exist: ${cols.filterNot(df.columns.contains).mkString(",")}")
-    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val sizeKnown = size < BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val plan = df.queryExecution.optimizedPlan
+    val size = plan.stats.sizeInBytes
+    // Stats-absence is detected at the LEAVES, not the plan root: the
+    // size-only stats visitor MULTIPLIES child sizes through joins, so a
+    // join of two large fully-sized file tables can carry a plan-level
+    // estimate past the defaultSizeInBytes sentinel — a genuine "this is
+    // enormous" signal that must fall to HLL, not be misread as "stats
+    // absent" and routed to the exact Expand path (the OOM case the HLL
+    // fallback exists for). Only a leaf actually reporting the sentinel
+    // (RDD-backed/custom relations) means the size is unknowable; there
+    // determinism stays the documented default and the column gate still
+    // bounds the Expand fan-out.
+    val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val anyLeafUnsized = plan.collectLeaves().exists(_.stats.sizeInBytes >= sentinel)
     val useExact = exact.getOrElse(
       cols.length <= AutoExactMaxCols &&
-        (!sizeKnown || size <= BigInt(AutoExactMaxBytes)))
+        (anyLeafUnsized || size <= BigInt(AutoExactMaxBytes)))
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         // coalesce: SUM over an empty table is NULL (cf. bounds above)

@@ -41,15 +41,32 @@ object Store {
     * debris from a previous run (or a crashed write) makes the next
     * `saveAsTable` fail with LOCATION_ALREADY_EXISTS even though the
     * catalog has no such table. The debris is unreachable as a table
-    * either way; clear it so creation paths are idempotent. */
+    * either way; clear it so creation paths are idempotent.
+    *
+    * SCOPED to sessions on the in-memory catalog — the only scenario
+    * where "absent from the catalog" proves the path is debris. Under a
+    * persistent (Hive) metastore, catalog-absence can be a case-mapping
+    * mismatch or data staged at the default path by an external
+    * process; deleting there would silently destroy live data, so the
+    * cleanup is skipped (a genuinely stale location then surfaces as
+    * LOCATION_ALREADY_EXISTS for the operator to resolve). Deletions
+    * are logged with the path so destruction is observable. */
   private def clearStaleLocation(spark: SparkSession, table: String): Unit = {
+    val inMemoryCatalog = spark.sparkContext.getConf
+      .get("spark.sql.catalogImplementation", "in-memory") == "in-memory"
+    if (!inMemoryCatalog) return
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     if (!cat.tableExists(ident)) {
       val loc = new org.apache.hadoop.fs.Path(cat.defaultTablePath(
         ident.copy(database = ident.database.orElse(Some(cat.getCurrentDatabase)))))
       val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      if (fs.exists(loc)) {
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"clearStaleLocation: deleting catalog-orphaned path $loc for table $table")
+        fs.delete(loc, true)
+        ()
+      }
     }
   }
 
