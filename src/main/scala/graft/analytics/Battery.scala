@@ -2667,6 +2667,194 @@ object Battery {
       FROM px GROUP BY media_id, r // 4, c // 4
       ORDER BY media_id, block_row, block_col"""))
 
+  /** The FULL image-dedup pipeline as ONE oracle-checked query —
+    * decode → embed → SemDeDup, no fake anywhere: each selected doc
+    * renders a deterministic 16×16 grayscale image into genuine PNG
+    * bytes, [[Multimodal.decodeImageAndEmbed]] decodes them back
+    * (real DEFLATE/zlib through the JDK codec) behind
+    * [[graft.operators.Rebalance.forCpuStage]] (ImageIO decode is real
+    * CPU work — the valve spreads a split-starved scan across cores;
+    * PlanSpec pins the exchange), resizes 16×16 → 8×8 and pools to the
+    * 16-dim embedding, and [[Similarity.semDedup]] dedups the result
+    * (k = 8, iters = 2, θ = 0.99). Images repeat with period 256 in
+    * doc_id (11 is invertible mod 256), so identical-image classes
+    * exist at every SF and θ = 0.99 selects exactly them. PNG is
+    * lossless and the pooled quantization is boundary-safe (pooled
+    * sums s ∈ [0, 1020] give embedding grid points s·50/51 — never
+    * within 1/102 of a rounding boundary, vs ≤ 6·10⁻⁵ float error),
+    * so the oracle recomputes the embeddings arithmetically from the
+    * pixel formula and replays q94's integer-exact Lloyd + cosine +
+    * recursive-CC + representative chain. doc_id % 8 bounds the
+    * pairwise stage, not the decode-path coverage. */
+  /** q101's decode input, split out (like [[Similarity.withinClusterPairs]])
+    * so PlanSpec can pin the CPU-stage rebalance exchange — semDedup's
+    * checkpoint barrier hides the decode fragment from the end-to-end
+    * explain. */
+  private[graft] def q101MediaRebalanced(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 8 === 0).as[Long]
+      .map { id =>
+        val gray = Array.tabulate(16, 16)((r, c) =>
+          ((id * 11 + r * 19 + c * 23) % 256).toInt)
+        Multimodal.MediaRow(id, Multimodal.MediaMeta("image", 16, 16, 0, 0L),
+          graft.multimodal.Codec.encodePng(gray))
+      }
+    graft.operators.Rebalance.forCpuStage(media.toDF())
+  }
+
+  val q101 = Q("q101_image_semdedup",
+    (s, dir) => {
+      import s.implicits._
+      val feats = Multimodal.decodeImageAndEmbed(
+        q101MediaRebalanced(s, dir).as[Multimodal.MediaRow])
+      Similarity.semDedup(
+          feats.select(col("media_id").as("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 8, iters = 2, theta = 0.99)
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE px AS (SELECT doc_id, pr, pc,
+        SUM((doc_id*11 + (4*pr + 2*dr)*19 + (4*pc + 2*dc)*23) % 256) AS s
+      FROM documents, range(0, 4) t(pr), range(0, 4) u(pc),
+           range(0, 2) v(dr), range(0, 2) w(dc)
+      WHERE doc_id % 8 = 0
+      GROUP BY doc_id, pr, pc),
+      base AS (SELECT doc_id AS vec_id,
+        list(CAST(round(CAST(s*50 AS DOUBLE)/51) AS BIGINT) ORDER BY pr, pc) AS qv
+      FROM px GROUP BY doc_id),
+      ex AS (SELECT vec_id, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS x
+             FROM base, range(1, 17) t(i)),
+      c0 AS (SELECT vec_id AS cid, qv FROM base ORDER BY vec_id LIMIT 8),
+      cx0 AS (SELECT cid, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS s,
+                CAST(1 AS BIGINT) AS n
+              FROM c0, range(1, 17) t(i)),
+      d1 AS (SELECT vec_id, cid,
+               CAST(SUM((n*x - s)*(n*x - s)) AS BIGINT) AS num, MAX(n) AS n
+             FROM ex JOIN cx0 USING (pos) GROUP BY vec_id, cid),
+      a1 AS (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(num AS DOUBLE)/CAST(n*n AS DOUBLE), cid) AS rn
+             FROM d1),
+      m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+      cx1 AS (SELECT cid, pos, CAST(SUM(x) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM ex JOIN m1 USING (vec_id) GROUP BY cid, pos),
+      d2 AS (SELECT vec_id, cid,
+               CAST(SUM((n*x - s)*(n*x - s)) AS BIGINT) AS num, MAX(n) AS n
+             FROM ex JOIN cx1 USING (pos) GROUP BY vec_id, cid),
+      a2 AS (SELECT vec_id, cid, num,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(num AS DOUBLE)/CAST(n*n AS DOUBLE), cid) AS rn
+             FROM d2),
+      mem AS (SELECT vec_id, cid, num FROM a2 WHERE rn = 1),
+      pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv), p -> p[1]*p[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(qa.qv, x -> x*x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(qb.qv, x -> x*x)) AS DOUBLE))) AS cosine
+             FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+             JOIN base qa ON qa.vec_id = a.vec_id
+             JOIN base qb ON qb.vec_id = b.vec_id),
+      ed AS (SELECT ia, ib FROM pr WHERE cosine >= 0.99),
+      edges AS (SELECT ia AS src, ib AS dst FROM ed UNION SELECT ib, ia FROM ed),
+      walk(src, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      comp AS (SELECT src AS vec_id, MIN(reach) AS component FROM walk GROUP BY src),
+      rep AS (SELECT component, vec_id,
+                row_number() OVER (PARTITION BY component
+                  ORDER BY num DESC, vec_id) AS rn2
+              FROM comp JOIN mem USING (vec_id))
+      SELECT m.vec_id, m.cid, COALESCE(c.component, m.vec_id) AS component,
+        (c.component IS NULL OR r.vec_id IS NOT NULL) AS kept
+      FROM mem m LEFT JOIN comp c USING (vec_id)
+      LEFT JOIN (SELECT vec_id FROM rep WHERE rn2 = 1) r ON r.vec_id = m.vec_id
+      ORDER BY m.vec_id"""))
+
+  /** REAL compressed-AUDIO decode verified cross-engine — IMA-ADPCM
+    * WAV (format tag 0x11), the codec that closes the DecodeStub's
+    * audio half: each doc synthesizes deterministic PCM16 samples,
+    * Spark encodes them into a genuine one-block IMA WAV (state
+    * header, low-nibble-first packing, fact chunk) and DECODES IT BACK
+    * (Codec.decodeWavImaAdpcm) before exact integer window energies
+    * over the RECONSTRUCTION. ADPCM is lossy, so the oracle cannot use
+    * the synthesis formula directly — instead it replays the
+    * ENCODER+DECODER integer recurrence itself (successive-
+    * approximation quantizer, step/index tables, int16 clamps) as a
+    * recursive CTE over the inlined step table. Any container,
+    * nibble-order, table, or clamp bug hash-mismatches. 65 samples =
+    * exactly one blockAlign-36 block; |s| ≤ 32768 ⇒ window energy
+    * ≤ 1.7·10¹⁰ — exact BIGINT. */
+  val q102 = Q("q102_adpcm_window_energy",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val samples = Array.tabulate(65)(i =>
+            (((id * 31 + i * 17) % 2003) - 1001).toShort)
+          val wav = graft.multimodal.Codec.encodeWavImaAdpcm(samples, 8000, blockAlign = 36)
+          val (sr, rec) = graft.multimodal.Codec.decodeWavImaAdpcm(wav)
+          require(sr == 8000 && rec.length == 65, "ADPCM round-trip lost data")
+          (0 until 4).map { w =>
+            var e = 0L
+            var k = 0
+            while (k < 16) { val v = rec(w * 16 + k).toLong; e += v * v; k += 1 }
+            (id, w.toLong, e)
+          }
+        }
+        .toDF("media_id", "window_idx", "energy")
+        .orderBy("media_id", "window_idx")
+    },
+    Some {
+      val stepsVals = graft.multimodal.Codec.ImaStepTable.zipWithIndex
+        .map { case (st, i) => s"($i,$st)" }.mkString(",")
+      s"""WITH RECURSIVE steps(six, st) AS (SELECT * FROM (VALUES $stepsVals) v(six, st)),
+        rec AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS i,
+                 CAST((doc_id*31) % 2003 - 1001 AS BIGINT) AS pred,
+                 CAST(0 AS BIGINT) AS ix
+          FROM documents
+          UNION ALL
+          SELECT doc_id, i + 1,
+            greatest(-32768, least(32767,
+              pred + CASE WHEN sgn = 8 THEN -diff ELSE diff END)),
+            greatest(0, least(88,
+              ix + CASE nib3 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                             WHEN 7 THEN 8 ELSE -1 END))
+          FROM (
+            SELECT l3.*,
+              (st // 8) + f4*st + f2*(st // 2) + f1*(st // 4) AS diff,
+              4*f4 + 2*f2 + f1 AS nib3
+            FROM (
+              SELECT l2.*, CASE WHEN ad3 >= st // 4 THEN 1 ELSE 0 END AS f1
+              FROM (
+                SELECT l1.*,
+                  CASE WHEN ad2 >= st // 2 THEN 1 ELSE 0 END AS f2,
+                  ad2 - (CASE WHEN ad2 >= st // 2 THEN 1 ELSE 0 END)*(st // 2) AS ad3
+                FROM (
+                  SELECT l0.*,
+                    CASE WHEN ad >= st THEN 1 ELSE 0 END AS f4,
+                    ad - (CASE WHEN ad >= st THEN 1 ELSE 0 END)*st AS ad2
+                  FROM (
+                    SELECT r.doc_id, r.i, r.pred, r.ix, s.st,
+                      CASE WHEN r.smp < r.pred THEN 8 ELSE 0 END AS sgn,
+                      abs(r.smp - r.pred) AS ad
+                    FROM (SELECT *, (doc_id*31 + (i+1)*17) % 2003 - 1001 AS smp
+                          FROM rec WHERE i < 64) r
+                    JOIN steps s ON s.six = r.ix
+                  ) l0
+                ) l1
+              ) l2
+            ) l3
+          )
+        )
+        SELECT doc_id AS media_id, CAST(i // 16 AS BIGINT) AS window_idx,
+          CAST(SUM(pred*pred) AS BIGINT) AS energy
+        FROM rec WHERE i < 64
+        GROUP BY doc_id, i // 16
+        ORDER BY media_id, window_idx"""
+    })
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2675,5 +2863,5 @@ object Battery {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q100)
+    q99, q100, q101, q102)
 }

@@ -15,13 +15,16 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Compressed STILL images decode for real too — PNG/JPEG/GIF/TIFF
   * through the JDK's pure-Java ImageIO plugins (see the PNG/JPEG
-  * section below) — so the [[Multimodal.DecodeStub]] fake remains
-  * only for video/compressed-audio (H.264/FLAC-class) codecs the JDK
-  * does not carry. Battery q85/q86/q100 verify these kernels
+  * section below) — and compressed AUDIO decodes for real via the
+  * IMA-ADPCM kernel below (pure-integer predictor/step-table
+  * recurrence, WAV format tag 0x11), so the [[Multimodal.DecodeStub]]
+  * fake remains only for VIDEO (H.264-class) codecs the JDK does not
+  * carry. Battery q85/q86/q100/q102 verify these kernels
   * cross-engine: Spark round-trips real bytes (encode → decode →
   * feature), while the DuckDB oracle recomputes the same features
-  * arithmetically from the synthesis formula — any header, padding,
-  * endianness, or row-order bug hash-mismatches.
+  * arithmetically from the synthesis formula (replaying the ADPCM
+  * integer recurrence for q102) — any header, padding, endianness,
+  * or row-order bug hash-mismatches.
   */
 object Codec {
 
@@ -96,6 +99,222 @@ object Codec {
     require(sampleRate > 0, "no fmt chunk")
     require(data != null, "no data chunk")
     (sampleRate, data)
+  }
+
+  // ------------------------------------------------------------------ //
+  // IMA ADPCM — compressed audio (WAV format tag 0x11), pure-integer   //
+  // predictor + step-table arithmetic from the public IMA spec (IMA    //
+  // Digital Audio Focus/Technical Working Groups, 1992). 4 bits per    //
+  // sample, 4:1 compression vs PCM16 — and, unlike DCT audio codecs,   //
+  // the whole decode is an integer recurrence (predictor ± a step-     //
+  // table fraction, both clamped), so it is ORACLE-CHECKABLE: a SQL    //
+  // engine can replay the identical recurrence and hash-compare        //
+  // decoded samples (battery q102). This closes the compressed-AUDIO   //
+  // half of the DecodeStub's former scope; the stub now covers video   //
+  // only.                                                              //
+  // ------------------------------------------------------------------ //
+
+  /** The 89-entry quantizer step-size table of the IMA ADPCM spec
+    * (graft-visible so the battery oracle can inline it as VALUES). */
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499,
+    2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+    9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+
+  /** Step-index adjustment per nibble magnitude (low 3 bits). */
+  private[multimodal] val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA decode step: (predictor, stepIndex, nibble) → updated
+    * (predictor, stepIndex). The reconstruction diff is
+    * step/8 + bit2·step + bit1·step/2 + bit0·step/4 (integer shifts),
+    * subtracted when the sign bit (8) is set; predictor clamps to
+    * int16, index to [0, 88]. Pure integer — deterministic in any
+    * engine, which is what makes the battery oracle possible. */
+  @inline private def imaStep(pred: Int, index: Int, nibble: Int): (Int, Int) = {
+    val step = ImaStepTable(index)
+    var diff = step >> 3
+    if ((nibble & 4) != 0) diff += step
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 1) != 0) diff += step >> 2
+    val p = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val pc = math.max(-32768, math.min(32767, p))
+    val ic = math.max(0, math.min(88, index + ImaIndexTable(nibble & 7)))
+    (pc, ic)
+  }
+
+  /** One IMA encode step: quantize (sample − predictor) to a nibble
+    * with the spec's successive-approximation rule (sign bit, then
+    * step, step/2, step/4 thresholds), then run [[imaStep]] so the
+    * encoder tracks the DECODER's reconstruction (standard predictive-
+    * coding discipline — predicting from the reconstruction, not the
+    * raw signal, stops error accumulating). */
+  @inline private def imaEncodeStep(sample: Int, pred: Int, index: Int): (Int, Int, Int) = {
+    val step = ImaStepTable(index)
+    val delta = sample - pred
+    val sign = if (delta < 0) 8 else 0
+    var ad = math.abs(delta)
+    var nib = sign
+    if (ad >= step) { nib |= 4; ad -= step }
+    if (ad >= (step >> 1)) { nib |= 2; ad -= step >> 1 }
+    if (ad >= (step >> 2)) nib |= 1
+    val (p, i) = imaStep(pred, index, nib)
+    (nib, p, i)
+  }
+
+  /** Mono IMA-ADPCM WAV (format tag 0x11): fixed-size blocks of
+    * `blockAlign` bytes, each opening with a 4-byte state header
+    * (int16 predictor = the block's first sample, uint8 step index,
+    * reserved 0) followed by (blockAlign − 4)·2 nibble-coded samples —
+    * LOW nibble first — so a block carries (blockAlign − 4)·2 + 1
+    * samples. The fmt chunk is the 20-byte extended form (cbSize = 2,
+    * samplesPerBlock), and a `fact` chunk records the true sample
+    * count so a trailing partial block decodes to exactly the input
+    * length (its unused nibbles are zero-padding). Encoder state:
+    * the predictor RESETS to the raw first sample of each block (the
+    * header stores it exactly); the step index runs on across blocks. */
+  def encodeWavImaAdpcm(
+      samples: Array[Short], sampleRateHz: Int, blockAlign: Int = 256): Array[Byte] = {
+    require(samples.nonEmpty, "empty sample stream")
+    require(blockAlign >= 8, s"blockAlign $blockAlign too small for header + data")
+    val samplesPerBlock = (blockAlign - 4) * 2 + 1
+    val nBlocks = (samples.length + samplesPerBlock - 1) / samplesPerBlock
+    val dataLen = nBlocks * blockAlign
+    val byteRate = sampleRateHz * blockAlign / samplesPerBlock // spec: avg bytes/sec
+    val bb = ByteBuffer.allocate(12 + 28 + 12 + 8 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 28 + 12 + 8 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+    bb.putShort(0x11) // WAVE_FORMAT_IMA_ADPCM
+    bb.putShort(1)    // mono
+    bb.putInt(sampleRateHz)
+    bb.putInt(byteRate)
+    bb.putShort(blockAlign.toShort)
+    bb.putShort(4)    // bits per (coded) sample
+    bb.putShort(2)    // cbSize
+    bb.putShort(samplesPerBlock.toShort)
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var index = 0
+    var s = 0
+    while (s < samples.length) {
+      val first = samples(s).toInt
+      bb.putShort(first.toShort)
+      bb.put(index.toByte).put(0.toByte)
+      var pred = first
+      var k = 1
+      var bi = 0
+      while (bi < blockAlign - 4) {
+        var byteVal = 0
+        var half = 0
+        while (half < 2) {
+          val nib = if (s + k < samples.length && k < samplesPerBlock) {
+            val (n, p, i) = imaEncodeStep(samples(s + k).toInt, pred, index)
+            pred = p; index = i; k += 1
+            n
+          } else 0 // zero-pad a trailing partial block (fact bounds decode)
+          byteVal |= nib << (4 * half) // LOW nibble first
+          half += 1
+        }
+        bb.put(byteVal.toByte)
+        bi += 1
+      }
+      s += samplesPerBlock
+    }
+    bb.array()
+  }
+
+  /** Chunk-walking IMA-ADPCM WAV reader — the compressed twin of
+    * [[decodeWavPcm16]]: honors the fmt extension's samplesPerBlock,
+    * the `fact` chunk's true sample count (else full blocks), per-block
+    * state headers, and low-nibble-first packing. Returns
+    * (sampleRateHz, decoded PCM16 samples). Rejects non-IMA / non-mono
+    * content loudly, like every decoder in this module. */
+  def decodeWavImaAdpcm(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12, "truncated WAV: no RIFF header")
+    val riff = new Array[Byte](4); bb.get(riff)
+    require(new String(riff, "US-ASCII") == "RIFF", "not a RIFF file")
+    bb.getInt
+    val wave = new Array[Byte](4); bb.get(wave)
+    require(new String(wave, "US-ASCII") == "WAVE", "RIFF but not WAVE")
+    var sampleRate = -1
+    var blockAlign = -1
+    var samplesPerBlock = -1
+    var factSamples = -1
+    var data: Array[Byte] = null
+    while (bb.remaining() >= 8) {
+      val id = new Array[Byte](4); bb.get(id)
+      val size = bb.getInt
+      require(size >= 0 && size <= bb.remaining(),
+        s"corrupt chunk '${new String(id, "US-ASCII")}': size $size exceeds payload")
+      new String(id, "US-ASCII") match {
+        case "fmt " =>
+          val fmtStart = bb.position()
+          val audioFormat = bb.getShort
+          val channels = bb.getShort
+          sampleRate = bb.getInt
+          bb.getInt   // byte rate
+          blockAlign = bb.getShort & 0xffff
+          val bits = bb.getShort
+          require(audioFormat == 0x11, s"not IMA ADPCM (format $audioFormat)")
+          require(channels == 1, s"not mono ($channels channels)")
+          require(bits == 4, s"not 4-bit ADPCM ($bits)")
+          samplesPerBlock =
+            if (size >= 20) { bb.getShort; bb.getShort & 0xffff } // cbSize, samplesPerBlock
+            else (blockAlign - 4) * 2 + 1
+          bb.position(fmtStart + size + (size & 1))
+        case "fact" =>
+          factSamples = bb.getInt
+          bb.position(bb.position() + (size - 4) + (size & 1))
+        case "data" =>
+          data = new Array[Byte](size)
+          bb.get(data)
+          bb.position(bb.position() + (size & 1))
+        case _ =>
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(sampleRate > 0, "no fmt chunk")
+    require(data != null, "no data chunk")
+    require(blockAlign >= 8 && data.length % blockAlign == 0,
+      s"data length ${data.length} not a multiple of blockAlign $blockAlign")
+    val nBlocks = data.length / blockAlign
+    val total = if (factSamples >= 0) factSamples else nBlocks * samplesPerBlock
+    require(total <= nBlocks * samplesPerBlock,
+      s"fact count $total exceeds block capacity ${nBlocks * samplesPerBlock}")
+    val out = new Array[Short](total)
+    var s = 0
+    var b = 0
+    while (b < nBlocks && s < total) {
+      val base = b * blockAlign
+      var pred = ((data(base) & 0xff) | (data(base + 1) << 8)).toShort.toInt
+      var index = data(base + 2) & 0xff
+      require(index <= 88, s"corrupt block header: step index $index > 88")
+      out(s) = pred.toShort
+      s += 1
+      var k = 1
+      var bi = 4
+      while (bi < blockAlign && s < total && k < samplesPerBlock) {
+        val byteVal = data(base + bi) & 0xff
+        var half = 0
+        while (half < 2 && s < total && k < samplesPerBlock) {
+          val nib = (byteVal >> (4 * half)) & 0xf // LOW nibble first
+          val (p, i) = imaStep(pred, index, nib)
+          pred = p; index = i
+          out(s) = pred.toShort
+          s += 1; k += 1
+          half += 1
+        }
+        bi += 1
+      }
+      b += 1
+    }
+    require(s == total, s"decoded $s of $total samples — truncated data region")
+    (sampleRate, out)
   }
 
   // ------------------------------------------------------------------ //

@@ -8,14 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads with typed metadata, processed by
   * per-partition batch operators.
   *
-  * Decode is REAL for every STILL-IMAGE and PCM-audio format —
-  * [[Codec]] parses genuine PCM WAV and 24 bpp BMP bytes itself
-  * (battery q85/q86 hash-verify the decoded features cross-engine)
-  * and routes PNG/JPEG/GIF/TIFF through the JDK's own pure-Java
-  * ImageIO codecs (battery q100 hash-verifies the lossless PNG path;
-  * CodecSpec bounds the lossy JPEG path). Only VIDEO and compressed
-  * AUDIO (H.264/FLAC-class), whose codecs the JDK genuinely does not
-  * carry, go through the clearly-marked DETERMINISTIC FAKE
+  * Decode is REAL for every STILL-IMAGE and AUDIO format this engine
+  * claims — [[Codec]] parses genuine PCM WAV, IMA-ADPCM WAV (format
+  * 0x11 — real compressed audio, battery q102), and 24 bpp BMP bytes
+  * itself (battery q85/q86 hash-verify the decoded features
+  * cross-engine) and routes PNG/JPEG/GIF/TIFF through the JDK's own
+  * pure-Java ImageIO codecs (battery q100 hash-verifies the lossless
+  * PNG path; CodecSpec bounds the lossy JPEG path). Only VIDEO
+  * (H.264-class), whose codecs the JDK genuinely does not
+  * carry, goes through the clearly-marked DETERMINISTIC FAKE
   * ([[DecodeStub]]) — and every Spark-side piece around it is real
   * and tested: the schema contract, the mapPartitions batch shape
   * (decoder state amortized per partition, exactly how a JNI/FFmpeg

@@ -694,9 +694,21 @@ object Similarity {
     *    index ([[admitSemanticBatch]]). */
   def writeSemanticIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, table: String, numBuckets: Int = 32): Unit = {
-    val base = corpus.select(col(idCol), quantize(col(vecCol)).as("qv"))
-      .localCheckpoint(false)
+      k: Int, iters: Int, table: String, numBuckets: Int = 32): Unit =
+    writeSemanticIndexQ(
+      corpus.select(col(idCol), quantize(col(vecCol)).as("qv")).localCheckpoint(false),
+      idCol, k, iters, table, numBuckets)
+
+  /** [[writeSemanticIndex]] over an ALREADY-quantized, materialized
+    * `(idCol, qv)` frame — the shared bootstrap/rebuild core
+    * ([[rebuildSemanticIndexIfDrifted]] feeds it the stored index's own
+    * qv rows, which must not be re-quantized). `base` must be
+    * checkpointed off any lineage that reads `table` (the rebuild path
+    * overwrites the table it was derived from). */
+  private[graft] def writeSemanticIndexQ(
+      base: DataFrame, idCol: String,
+      k: Int, iters: Int, table: String, numBuckets: Int): Unit = {
+    val spark = base.sparkSession
     // same large-k routing as semDedup: the bootstrap's flat Lloyd is
     // O(n·k), which at the k ∝ n indexing regime dominates index
     // construction (measured: 35 s of the g100x bootstrap) — the
@@ -706,15 +718,17 @@ object Similarity {
       else kmeansDetailed(base, idCol, k, iters)
     val ix = base.join(assigned.select(col(idCol), col("cid")), idCol)
       .select(col(idCol).as("id"), col("cid"), col("qv"))
-      .localCheckpoint(false) // read twice: the bucketed write + the sums
+      .localCheckpoint(false) // read thrice: bucketed write + sums + drift baseline
     graft.store.Store.overwriteBucketed(ix, table, Seq("cid"), numBuckets)
     graft.store.Store.overwrite(codebookSums(ix), codebookTable(table))
+    recordSemanticDriftBaseline(spark, table, k, iters, numBuckets)
   }
 
-  /** Drop a semantic index and its codebook companion table. */
+  /** Drop a semantic index and its companion tables. */
   def dropSemanticIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     graft.store.Store.drop(spark, table)
     graft.store.Store.drop(spark, codebookTable(table))
+    graft.store.Store.drop(spark, driftTable(table))
   }
 
   /** Per-cluster health report of a stored semantic index — the
@@ -725,9 +739,10 @@ object Similarity {
     * per cid: member count, mean and max squared deviation from the
     * MAINTAINED centroid (dev2 = ‖n·x − s‖²/n² — the Lloyd loop's
     * exact integer numerator over one IEEE division). Read it
-    * periodically next to [[graft.store.Store.fileReport]]; when mean
-    * dev2 climbs well past its bootstrap value or member counts skew
-    * badly, re-run [[writeSemanticIndex]] out-of-band. Cost: one index
+    * periodically next to [[graft.store.Store.fileReport]]; the
+    * corpus-wide mean of the same quantity drives the AUTOMATED gate —
+    * [[rebuildSemanticIndexIfDrifted]] rebuilds when it climbs past
+    * α× the recorded bootstrap value. Cost: one index
     * scan + a k·dims broadcast — O(index), cheap next to the rebuild
     * it gates. (mean_dev2 is a float mean of exact per-row values —
     * an operational signal, not an oracle-stable quantity.) */
@@ -747,6 +762,89 @@ object Similarity {
         avg(col("dev2")).as("mean_dev2"),
         max(col("dev2")).as("max_dev2"))
       .orderBy("cid")
+  }
+
+  /** The drift-baseline companion table of a semantic index: one row —
+    * (bootstrap_mean_dev2, k, iters, num_buckets) — recorded when the
+    * index is (re)built, so [[rebuildSemanticIndexIfDrifted]] has both
+    * the reference value the drift gate compares against and the build
+    * parameters the rebuild re-runs with. */
+  def driftTable(table: String): String = table + "__drift"
+
+  /** Corpus-wide mean squared deviation from the MAINTAINED centroids —
+    * the scalar the drift gate thresholds ([[semanticIndexStats]] is
+    * its per-cluster decomposition). One index scan + a k·dims
+    * broadcast; empty index reports 0.0. */
+  private def globalMeanDev2(ix: DataFrame, cent: DataFrame): Double = {
+    val num = col("n") * col("n") * dotQ(col("qv"), col("qv")) -
+      lit(2L) * col("n") * dotQ(col("qv"), col("s")) +
+      dotQ(col("s"), col("s"))
+    val r = ix.join(broadcast(cent), Seq("cid"))
+      .agg(avg(num.cast("double") / (col("n") * col("n")).cast("double")))
+      .head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Record the CURRENT mean dev2 of a stored index as its drift
+    * baseline, with the build parameters a rebuild re-runs with.
+    * Called by every (re)build; also the migration valve for indices
+    * bootstrapped before drift persistence. */
+  def recordSemanticDriftBaseline(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      k: Int, iters: Int, numBuckets: Int): Unit = {
+    val ix = graft.store.Store.table(spark, table)
+    val cent = codebookCentroids(graft.store.Store.table(spark, codebookTable(table)))
+    val boot = globalMeanDev2(ix, cent)
+    import spark.implicits._
+    graft.store.Store.overwrite(
+      Seq((boot, k, iters, numBuckets))
+        .toDF("bootstrap_mean_dev2", "k", "iters", "num_buckets"),
+      driftTable(table))
+  }
+
+  /** The REBUILD half of the drift mode every admission scaladoc
+    * documents: admissions keep the current assignment (an index
+    * structure, not a model), so clusters spread as the corpus grows —
+    * this closes the operating loop (admit → compact → drift-check →
+    * rebuild). Compares the index's current corpus-wide mean dev2
+    * against `alpha ×` the baseline recorded at the last (re)build;
+    * past the threshold, re-runs the full Lloyd bootstrap over the
+    * stored (id, qv) rows with the RECORDED build parameters —
+    * bit-exact quantization is preserved (the stored qv is the input;
+    * nothing is re-quantized) — and re-records the baseline, so the
+    * gate re-arms against the fresh fit. Returns whether it rebuilt.
+    *
+    * Cost: the check is one index scan + a k·dims broadcast (cheap
+    * next to the rebuild it gates — run it after admissions, e.g.
+    * every N batches); the rebuild is a full [[writeSemanticIndex]].
+    * The recorded k is reused as-is — when the corpus has grown enough
+    * that the k ∝ n rule wants a bigger k, re-run
+    * [[writeSemanticIndex]] out-of-band with the new k instead.
+    * Indices bootstrapped before drift persistence must
+    * [[recordSemanticDriftBaseline]] once (fails loud otherwise). */
+  def rebuildSemanticIndexIfDrifted(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      alpha: Double = 2.0): Boolean = {
+    require(alpha >= 1.0, s"alpha $alpha < 1 would rebuild on any admission")
+    val dt = driftTable(table)
+    require(spark.catalog.tableExists(dt),
+      s"$table has no drift baseline ($dt missing) — the index predates drift " +
+        "persistence; run recordSemanticDriftBaseline(spark, table, k, iters, numBuckets) once")
+    val row = graft.store.Store.table(spark, dt).head()
+    val boot = row.getAs[Double]("bootstrap_mean_dev2")
+    val (k, iters, nb) =
+      (row.getAs[Int]("k"), row.getAs[Int]("iters"), row.getAs[Int]("num_buckets"))
+    val ix = graft.store.Store.table(spark, table)
+    val cent = codebookCentroids(graft.store.Store.table(spark, codebookTable(table)))
+    val cur = globalMeanDev2(ix, cent)
+    if (cur > alpha * boot) {
+      // EAGER checkpoint: the rebuild overwrites the table this frame
+      // reads (Spark refuses a read-from-target overwrite otherwise)
+      val base = ix.select(col("id"), col("qv")).localCheckpoint()
+      writeSemanticIndexQ(base, "id", k, iters, table, nb)
+      base.unpersist()
+      true
+    } else false
   }
 
   /** Rebuild the maintained codebook from the index — the repair for

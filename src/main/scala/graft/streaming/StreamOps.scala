@@ -114,10 +114,12 @@ object StreamOps {
     * Scale bound: the codebook inlines as k·dims LITERALS in the
     * assignment expression — fine through the hundreds-of-clusters
     * regime, but at indexing-scale k (thousands+) the expression tree
-    * itself becomes the cost; there, run the batch
-    * [[graft.similarity.Similarity.admitSemanticBatch]] loop inside
-    * `foreachBatch` (the [[screenAndAdmit]] pattern) instead — its
-    * assignment broadcasts the codebook as DATA, not syntax. */
+    * itself becomes the cost; there, run
+    * [[screenAndAdmitSemantic]] instead — its per-batch
+    * [[graft.similarity.Similarity.admitSemanticBatch]] assignment
+    * broadcasts the codebook as DATA, not syntax, and re-reads the
+    * maintained sums table every micro-batch (folded deltas are
+    * picked up without a query restart). */
   def semanticScreen(
       vecs: DataFrame, idCol: String, vecCol: String,
       codebook: Seq[(Long, Array[Long], Long)],
@@ -173,6 +175,76 @@ object StreamOps {
           b.toDF(), idCol, textCol, mode, bands, rowsPerBand,
           hashedTable, bandedTable, minJaccard,
           compactMinFiles = compactMinFiles)
+        upsertBatch(admitted, id, admittedPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Streaming screen-AND-admit for the SEMANTIC index — the embedding
+    * twin of [[screenAndAdmit]], and the shipped form of the
+    * indexing-scale-k remedy the [[semanticScreen]] scaladoc names:
+    * each micro-batch runs one [[graft.similarity.Similarity.admitSemanticBatch]]
+    * transaction — screened against the STORED (id, cid, qv) index,
+    * novel vectors appended under their assigned cluster, their exact
+    * integer deltas folded into the persisted codebook sums, the index
+    * compacted when sprawled — and the admitted rows land in the same
+    * per-batch-partitioned parquet sink ([[upsertBatch]]). The
+    * codebook is re-read from the sums table EVERY batch (k·dims rows
+    * — broadcast as data, never inlined as literals), so cluster count
+    * scales to indexing-regime k and each batch screens against every
+    * prior batch's folded admissions. The stream GROWS the index it
+    * screens against, exactly like the text twin.
+    *
+    * Restart safety under foreachBatch replay (same batchId re-runs
+    * the whole transaction), layer by layer:
+    *  - The admitted-rows sink overwrites only its own batch_id
+    *    partition — replays rewrite, never duplicate; an empty replay
+    *    touches no partition, so the original admissions survive.
+    *  - Crash BEFORE the codebook fold: the replay reads the same
+    *    pre-fold sums the original run did, assigns each replayed
+    *    vector to the same cluster, and the probe finds the vector's
+    *    own appended row at cosine ≈ 1.0 ≥ theta — screened out,
+    *    nothing re-appended; admission is idempotent through the
+    *    screen itself (any theta ≤ 1 − 1e-12: the self-cosine is one
+    *    IEEE division of identical operands, exact to ≤ 2 ulp).
+    *    The skipped fold is NOT retried by later batches — run
+    *    [[graft.similarity.Similarity.repairSemanticCodebook]] on
+    *    crash recovery, as the batch API documents.
+    *  - Crash AFTER the fold (before the sink write commits the batch):
+    *    the replay assigns against the folded sums. Folding a batch
+    *    only moves each touched centroid TOWARD its own admitted
+    *    vectors, so a replayed vector's own cluster can only get
+    *    closer — but another cluster fattened by the same batch can in
+    *    principle edge past it. In that rare case the vector re-admits
+    *    under the new cluster: the index holds its row twice (two
+    *    cids), the codebook counts it twice — CONSISTENTLY (codebook ≡
+    *    index sums still holds, both count the row twice), future
+    *    screens still flag its duplicates, and the sink partition
+    *    overwrite keeps the admitted output exactly-once. A duplicate
+    *    index row is storage debris, not a correctness hole; the next
+    *    out-of-band [[graft.similarity.Similarity.writeSemanticIndex]]
+    *    rebuild clears it.
+    * Index file sprawl from per-batch appends is handled in-loop by
+    * `maintainSemanticIndex` via `compactMinFiles`, as in the batch
+    * API.
+    *
+    * Session note: the loop runs in the stream's micro-batch session
+    * clone, which always sees its own writes — but a DIFFERENT session
+    * that read the index before the stream started holds a stale
+    * relation cache (standard Spark semantics for externally-written
+    * tables): `REFRESH TABLE` there before reading admissions. */
+  def screenAndAdmitSemantic(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      table: String, theta: Double,
+      admittedPath: String, checkpoint: String,
+      compactTargetBytes: Long = 128L * 1024 * 1024,
+      compactMinFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val admitted = graft.similarity.Similarity.admitSemanticBatch(
+          b.toDF(), idCol, vecCol, table, theta,
+          compactTargetBytes, compactMinFiles)
         upsertBatch(admitted, id, admittedPath)
       }
       .option("checkpointLocation", checkpoint)

@@ -62,6 +62,73 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codec.decodeWavPcm16(truncated))
   }
 
+  // ---------------------------- IMA ADPCM ---------------------------- //
+
+  test("IMA-ADPCM golden quantizer: [0, 100] encodes to nibble 7, reconstructs to 11") {
+    // hand-derived from the spec tables: pred=0, index=0 (step 7);
+    // delta=100 ⇒ sign=0, ≥7 (bit4), ≥3 (bit2), ≥1 (bit1) ⇒ nibble 7;
+    // reconstruction diff = 7>>3 + 7 + 3 + 1 = 11 ⇒ decoded [0, 11]
+    val wav = Codec.encodeWavImaAdpcm(Array[Short](0, 100), 8000, blockAlign = 8)
+    val (sr, got) = Codec.decodeWavImaAdpcm(wav)
+    assert(sr == 8000)
+    assert(got.toSeq == Seq(0.toShort, 11.toShort))
+    // the data region: header (pred 0, idx 0, reserved) then the packed
+    // nibble byte with 7 in the LOW nibble — pin the wire format
+    val dataOff = wav.length - 4 // blockAlign 8 = 4 header + 4 data bytes
+    assert(wav(dataOff - 4) == 0 && wav(dataOff - 3) == 0, "header predictor not 0")
+    assert(wav(dataOff - 2) == 0, "header step index not 0")
+    assert((wav(dataOff) & 0xff) == 0x07, "first nibble not low-packed 7")
+  }
+
+  test("IMA-ADPCM tracks a slow ramp closely (real predictive codec, not noise)") {
+    val samples = Array.tabulate(200)(i => (i * 3 - 300).toShort)
+    val (_, got) = Codec.decodeWavImaAdpcm(
+      Codec.encodeWavImaAdpcm(samples, 8000, blockAlign = 36))
+    assert(got.length == samples.length)
+    val errs = got.zip(samples).map { case (a, b) => math.abs(a - b) }
+    // slope 3/sample is inside the base step's coding range; after the
+    // few-sample attack the tracker stays within a couple of LSBs
+    assert(errs.max <= 16, s"max abs error ${errs.max} — not tracking")
+    // a broken quantizer or table would diverge by hundreds here
+    assert(errs.sum.toDouble / errs.length < 6.0, "mean error too high")
+  }
+
+  test("IMA-ADPCM multi-block: partial tail block, exact length, block-boundary reset") {
+    // blockAlign 36 ⇒ 65 samples/block; 150 samples ⇒ 2 full-size blocks
+    // + fact-bounded tail. Jumpy content so reconstruction error is real.
+    val samples = Array.tabulate(150)(i => (((i * 911) % 2003) - 1001).toShort)
+    val wav = Codec.encodeWavImaAdpcm(samples, 16000, blockAlign = 36)
+    val (sr, got) = Codec.decodeWavImaAdpcm(wav)
+    assert(sr == 16000)
+    assert(got.length == 150, s"fact chunk not honored: ${got.length}")
+    // block-start samples are stored EXACTLY in the block headers
+    assert(got(0) == samples(0))
+    assert(got(65) == samples(65), "second block header should reset predictor to the raw sample")
+    assert(got(130) == samples(130), "third block header should reset predictor to the raw sample")
+  }
+
+  test("IMA-ADPCM round-trip is deterministic and bounded (property)") {
+    val sGen = Gen.chooseNum(1, 300)
+    ScalaCheckSupport.checkProp(Prop.forAll(sGen, Gen.chooseNum(0L, Long.MaxValue)) {
+      (n, seed) =>
+        val samples = Array.tabulate(n)(i =>
+          ((((seed % 1000) * 31 + i * 17) % 2003) - 1001).toShort)
+        val wav = Codec.encodeWavImaAdpcm(samples, 8000, blockAlign = 36)
+        val (_, a) = Codec.decodeWavImaAdpcm(wav)
+        val (_, b) = Codec.decodeWavImaAdpcm(wav)
+        a.length == n && a.toSeq == b.toSeq &&
+          a(0) == samples(0) && // header carries the first sample exactly
+          a.zip(samples).forall { case (x, y) => math.abs(x - y) <= 32767 }
+    }, minSuccessful = 20)
+  }
+
+  test("IMA-ADPCM rejects PCM content and truncation loudly") {
+    val pcm = Codec.encodeWavPcm16(Array[Short](1, 2), 8000)
+    intercept[IllegalArgumentException](Codec.decodeWavImaAdpcm(pcm))
+    val adpcm = Codec.encodeWavImaAdpcm(Array[Short](1, 2, 3), 8000, blockAlign = 8)
+    intercept[IllegalArgumentException](Codec.decodeWavImaAdpcm(adpcm.dropRight(3)))
+  }
+
   // ------------------------------- BMP ------------------------------- //
 
   test("BMP golden bytes: 2x2 image with known padding decodes exactly") {
@@ -146,8 +213,13 @@ class CodecSpec extends AnyFunSuite {
     val errs = for (r <- 0 until 24; c <- 0 until 32)
       yield math.abs(back(r)(c) - gray(r)(c))
     val mean = errs.sum.toDouble / errs.size
-    assert(mean < 6.0, s"mean abs error $mean too high for q=0.9 smooth content")
-    assert(errs.max <= 40, s"max abs error ${errs.max} — not a plausible DCT reconstruction")
+    // Bounds pin "a real lossy DCT", not ONE JDK's encoder: a stub
+    // (hash pixels) errs ~85 mean / ~255 max on this gradient, while
+    // any baseline-JPEG implementation at q=0.9 stays far below these
+    // generous bounds — a different JDK vendor's quantization/chroma
+    // choices must not flake the suite (ADVICE r10).
+    assert(mean < 20.0, s"mean abs error $mean too high for q=0.9 smooth content")
+    assert(errs.max <= 100, s"max abs error ${errs.max} — not a plausible DCT reconstruction")
   }
 
   test("image decoders reject undecodable bytes loudly") {

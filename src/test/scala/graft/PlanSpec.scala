@@ -408,4 +408,16 @@ class PlanSpec extends SparkTestBase {
       Store.drop(spark, "cbo_dim"); Store.drop(spark, "cbo_fact")
     }
   }
+
+  test("q101 image decode runs behind the CPU-stage rebalance valve") {
+    // the documents scan at sf0.001 is one small file (one split), so
+    // the valve must OPEN: ImageIO decode is real CPU work and a
+    // split-starved scan would serialize it onto one core. semDedup's
+    // checkpoint barrier hides the fragment end-to-end, so the pin
+    // reads the split-out decode input directly (q101 consumes it).
+    val p = Battery.q101MediaRebalanced(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("RoundRobinPartitioning"),
+      s"decode input not rebalanced — ImageIO would run split-starved:\n$p")
+  }
 }

@@ -473,6 +473,54 @@ class SimilaritySpec extends SparkTestBase {
     } finally Similarity.dropSemanticIndex(spark, "t_repair_ix")
   }
 
+  test("drift gate: heavy drifted admissions trip the rebuild; a fresh index doesn't") {
+    import graft.store.Store
+    Store.ensureDatabase(spark, "graft_test")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (4L, Array(0.01f, 0.99f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeSemanticIndex(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, table = "t_drift_ix", numBuckets = 2)
+    try {
+      // fresh index: current mean dev2 ≡ the recorded bootstrap — no rebuild
+      assert(!Similarity.rebuildSemanticIndexIfDrifted(spark, "t_drift_ix", alpha = 1.5),
+        "a fresh index must not trip the drift gate")
+      // admissions far from both centroids (cosine 0 to all of the
+      // corpus → admitted at θ=0.95) blow the mean dev2 past 1.5×
+      val far = Seq(
+        (10L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+        (11L, Array(0.0f, 0.0f, 0.0f, 1.0f)),
+        (12L, Array(0.0f, 0.0f, 0.7f, 0.7f)))
+        .toDF("vec_id", "embedding")
+      assert(Similarity.admitSemanticBatch(far, "vec_id", "embedding",
+        "t_drift_ix", theta = 0.95).count() == 3)
+      assert(Similarity.rebuildSemanticIndexIfDrifted(spark, "t_drift_ix", alpha = 1.5),
+        "drifted admissions must trip the rebuild")
+      // the rebuild preserved the corpus and re-armed the gate against
+      // the fresh fit (baseline re-recorded at rebuild time)
+      assert(Store.table(spark, "t_drift_ix").count() == 7L)
+      assert(!Similarity.rebuildSemanticIndexIfDrifted(spark, "t_drift_ix", alpha = 1.5),
+        "a just-rebuilt index must not trip the gate again")
+      // post-rebuild invariants: maintained codebook ≡ re-derived sums,
+      // and the admission loop keeps working against the new fit
+      val cb = Similarity.codebookTable("t_drift_ix")
+      val maintained = Store.table(spark, cb)
+        .as[(Long, Int, Long, Long)].collect().toSet
+      val derived = Similarity.codebookSums(Store.table(spark, "t_drift_ix"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(maintained == derived, "rebuild must leave codebook ≡ index sums")
+      val a = Similarity.admitSemanticBatch(
+        Seq((20L, Array(0.0f, 0.0f, 0.99f, 0.0f)), // dup of 10's direction
+          (21L, Array(0.5f, 0.5f, 0.5f, 0.5f)))    // novel (max cosine ≈ 0.71, vs 12)
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "t_drift_ix", theta = 0.95)
+      assert(a.select("vec_id").as[Long].collect().toSet == Set(21L))
+    } finally Similarity.dropSemanticIndex(spark, "t_drift_ix")
+  }
+
   // deterministic 8-D lattice vectors: pairwise cosine ≤ 0.9983 across
   // the first 80 (verified), so exact copies (cosine 1.0) are the ONLY
   // pairs above a 0.999 threshold

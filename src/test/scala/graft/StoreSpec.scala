@@ -219,6 +219,32 @@ class StoreSpec extends SparkTestBase {
     }
   }
 
+  test("writeJdbc round-trips through embedded Derby (gated; VERDICT r10 'what's missing' #3)") {
+    // Derby ships beside Spark (the metastore's embedded engine) — a
+    // REAL JDBC target with zero egress, so the MySQL-compat shim gets
+    // one proven write+read round trip. Gated: a trimmed classpath
+    // cancels rather than fails.
+    assume(scala.util.Try(
+      Class.forName("org.apache.derby.jdbc.EmbeddedDriver")).isSuccess,
+      "Derby not on the classpath")
+    val url = "jdbc:derby:memory:graft_jdbc_rt;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val props = new java.util.Properties()
+    props.setProperty("driver", driver)
+    val rows = Seq((1L, "a", 1.5), (2L, "b", -2.25))
+    val df = rows.toDF("k", "name", "v")
+    Store.writeJdbc(df, url, "t_jdbc_rt", props)
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "t_jdbc_rt").option("driver", driver)
+      .load().orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(readBack() == rows)
+    // overwrite is idempotent — the reference's TRUNCATE+reload contract
+    // (pipeline_etl.ipynb:469-474) holds through the shim too
+    Store.writeJdbc(df, url, "t_jdbc_rt", props)
+    assert(readBack() == rows)
+  }
+
   test("compactBucketed collapses sprawl to ≤ numBuckets files; bucket spec, sort cols and data survive") {
     Store.ensureDatabase(spark, "graft_test")
     def batch(lo: Long, hi: Long) =

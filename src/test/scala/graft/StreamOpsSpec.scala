@@ -79,6 +79,69 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("screenAndAdmitSemantic: the stream grows the semantic index it screens; replay admits nothing twice") {
+    import graft.similarity.Similarity
+    import graft.store.Store
+    implicit val sqlCtx = spark.sqlContext
+    // founding corpus: two well-separated directions (k = 2 clusters)
+    val founding = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeSemanticIndex(founding, "vec_id", "embedding",
+      k = 2, iters = 2, table = "t_sas_ix", numBuckets = 2)
+    val admittedPath = java.nio.file.Files.createTempDirectory("sas_admitted").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sas_ckpt").toString
+    try {
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = StreamOps.screenAndAdmitSemantic(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "t_sas_ix", theta = 0.95, admittedPath, ckpt)
+      // batch 0: a novel direction — admitted, indexed, codebook folded
+      val novelA = Array(0.0f, 0.0f, 1.0f, 0.0f)
+      input.addData((10L, novelA))
+      q.processAllAvailable()
+      // batch 1: a near-dup OF BATCH 0'S ADMISSION (cosine 1.0 — scale-
+      // invariant) + a novel direction; flagged against the GROWN index
+      input.addData((20L, Array(0.0f, 0.0f, 0.9f, 0.0f)),
+        (21L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+      q.processAllAvailable()
+      q.stop()
+      // the appends/folds ran in the stream's micro-batch session CLONE;
+      // this session's relation cache predates them (primed by the
+      // bootstrap's baseline read) — refresh, as any cross-session
+      // reader of an externally-written table must (standard Spark
+      // semantics; the admitting loop itself always sees its own writes)
+      spark.catalog.refreshTable("t_sas_ix")
+      spark.catalog.refreshTable(Similarity.codebookTable("t_sas_ix"))
+      val admitted = spark.read.parquet(admittedPath)
+        .select("vec_id").as[Long].collect().toSet
+      assert(admitted == Set(10L, 21L), s"admitted=$admitted") // 20 screened out
+      assert(Store.table(spark, "t_sas_ix").select("id").as[Long].collect().toSet
+        == Set(1L, 2L, 3L, 10L, 21L))
+      // the folds kept the maintained codebook ≡ re-derived index sums
+      val maintained = Store.table(spark, Similarity.codebookTable("t_sas_ix"))
+        .orderBy("cid", "pos").collect().toSeq
+      Similarity.repairSemanticCodebook(spark, "t_sas_ix")
+      val rederived = Store.table(spark, Similarity.codebookTable("t_sas_ix"))
+        .orderBy("cid", "pos").collect().toSeq
+      assert(maintained == rederived, "stream folds diverged from index sums")
+      // REPLAY of batch 0 (crash-before-fold scenario): the vector's own
+      // index row screens it at cosine ≈ 1.0 — nothing admitted twice
+      val replay = Similarity.admitSemanticBatch(
+        Seq((10L, novelA)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "t_sas_ix", theta = 0.95)
+      assert(replay.isEmpty)
+      assert(Store.table(spark, "t_sas_ix").count() == 5L)
+      // and the empty replay's sink write touches no partition — the
+      // original batch's admitted rows survive
+      StreamOps.upsertBatch(replay, 0L, admittedPath)
+      assert(spark.read.parquet(admittedPath)
+        .select("vec_id").as[Long].collect().toSet == Set(10L, 21L))
+    } finally Similarity.dropSemanticIndex(spark, "t_sas_ix")
+  }
+
   test("nearDupScreen: stateless stream probe of the static corpus index ≡ batch verdicts") {
     import graft.dedup.Dedup
     implicit val sqlCtx = spark.sqlContext
