@@ -2686,6 +2686,81 @@ object Battery {
     * pixel formula and replays q94's integer-exact Lloyd + cosine +
     * recursive-CC + representative chain. doc_id % 8 bounds the
     * pairwise stage, not the decode-path coverage. */
+  /** GIF decode verified cross-engine — same scheme as q100 for the
+    * THIRD compressed still format: a deterministic 9×13 grayscale
+    * image goes through the indexed-gray GIF encoder (real LZW, and
+    * lossless ONLY because the palette is explicit — Codec scaladoc)
+    * and the magic-dispatch decoder before 3×3-block sums (width 13
+    * forces a partial edge block). The oracle recomputes from the
+    * pixel formula; any palette, LZW, or dispatch bug hash-mismatches. */
+  val q103 = Q("q103_gif_block_sums",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val gray = Array.tabulate(9, 13)((r, c) =>
+            ((id * 13 + r * 29 + c * 7) % 256).toInt)
+          val g = graft.multimodal.Codec.decodePng(
+            graft.multimodal.Codec.encodeGif(gray))
+          for (br <- 0 until 3; bc <- 0 until 5) yield {
+            var sum = 0L
+            var r = br * 3
+            while (r < math.min(br * 3 + 3, 9)) {
+              var c = bc * 3
+              while (c < math.min(bc * 3 + 3, 13)) { sum += g(r)(c); c += 1 }
+              r += 1
+            }
+            (id, br.toLong, bc.toLong, sum)
+          }
+        }
+        .toDF("media_id", "block_row", "block_col", "pixel_sum")
+        .orderBy("media_id", "block_row", "block_col")
+    },
+    Some("""WITH px AS (SELECT doc_id AS media_id,
+        CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+        (doc_id*13 + r*29 + c*7) % 256 AS v
+      FROM documents, range(0, 9) t(r), range(0, 13) u(c))
+      SELECT media_id, r // 3 AS block_row, c // 3 AS block_col,
+        CAST(SUM(v) AS BIGINT) AS pixel_sum
+      FROM px GROUP BY media_id, r // 3, c // 3
+      ORDER BY media_id, block_row, block_col"""))
+
+  /** TIFF decode verified cross-engine — the FOURTH still format, same
+    * scheme: 8×11 indexed-gray TIFF (the JDK's TIFF plugin) → decode →
+    * 4×4-block sums (width 11 forces a partial edge block); oracle
+    * from the pixel formula. */
+  val q104 = Q("q104_tiff_block_sums",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val gray = Array.tabulate(8, 11)((r, c) =>
+            ((id * 17 + r * 5 + c * 19) % 256).toInt)
+          val g = graft.multimodal.Codec.decodePng(
+            graft.multimodal.Codec.encodeTiff(gray))
+          for (br <- 0 until 2; bc <- 0 until 3) yield {
+            var sum = 0L
+            var r = br * 4
+            while (r < math.min(br * 4 + 4, 8)) {
+              var c = bc * 4
+              while (c < math.min(bc * 4 + 4, 11)) { sum += g(r)(c); c += 1 }
+              r += 1
+            }
+            (id, br.toLong, bc.toLong, sum)
+          }
+        }
+        .toDF("media_id", "block_row", "block_col", "pixel_sum")
+        .orderBy("media_id", "block_row", "block_col")
+    },
+    Some("""WITH px AS (SELECT doc_id AS media_id,
+        CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+        (doc_id*17 + r*5 + c*19) % 256 AS v
+      FROM documents, range(0, 8) t(r), range(0, 11) u(c))
+      SELECT media_id, r // 4 AS block_row, c // 4 AS block_col,
+        CAST(SUM(v) AS BIGINT) AS pixel_sum
+      FROM px GROUP BY media_id, r // 4, c // 4
+      ORDER BY media_id, block_row, block_col"""))
+
   /** q101's decode input, split out (like [[Similarity.withinClusterPairs]])
     * so PlanSpec can pin the CPU-stage rebalance exchange — semDedup's
     * checkpoint barrier hides the decode fragment from the end-to-end
@@ -2863,5 +2938,5 @@ object Battery {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q100, q101, q102)
+    q99, q100, q101, q102, q103, q104)
 }

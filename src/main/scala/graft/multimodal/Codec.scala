@@ -456,6 +456,44 @@ object Codec {
   def encodePng(gray: Array[Array[Int]]): Array[Byte] =
     write(toImage(gray), "png")
 
+  /** Grayscale grid → 8-bit INDEXED image over an explicit 256-entry
+    * gray palette. Two traps this representation dodges, both verified
+    * by CodecSpec round trips:
+    *  - TYPE_BYTE_GRAY routes getRGB through a CS_GRAY→sRGB color-space
+    *    transform (NOT identity — values shift);
+    *  - feeding TYPE_INT_RGB to the GIF writer makes it quantize
+    *    through its own palette (lossy for arbitrary grays).
+    * An IndexColorModel whose entry v is exactly (v, v, v) survives
+    * both the GIF and TIFF writers bit-for-bit, and getRGB on the
+    * decoded palette image returns the entries verbatim. */
+  private def toIndexedGrayImage(gray: Array[Array[Int]]): java.awt.image.BufferedImage = {
+    val h = gray.length
+    val w = gray(0).length
+    val palette = Array.tabulate(256)(v => (0xff << 24) | (v << 16) | (v << 8) | v)
+    val icm = new java.awt.image.IndexColorModel(
+      8, 256, palette, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = img.getRaster
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) { raster.setSample(c, r, 0, gray(r)(c) & 0xff); c += 1 }
+      r += 1
+    }
+    img
+  }
+
+  /** Grayscale grid → GIF bytes (LZW-compressed, indexed — LOSSLESS
+    * over the explicit gray palette, so oracle-checkable like PNG). */
+  def encodeGif(gray: Array[Array[Int]]): Array[Byte] =
+    write(toIndexedGrayImage(gray), "gif")
+
+  /** Grayscale grid → TIFF bytes through the JDK's TIFF plugin
+    * (indexed, lossless — oracle-checkable like PNG). */
+  def encodeTiff(gray: Array[Array[Int]]): Array[Byte] =
+    write(toIndexedGrayImage(gray), "tif")
+
   /** ImageIO dispatches on magic bytes, not a format name — one reader
     * entry point serves every still-image format the JDK carries. */
   private def readAny(bytes: Array[Byte]): Array[Array[Int]] = {

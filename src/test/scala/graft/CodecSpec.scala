@@ -222,6 +222,40 @@ class CodecSpec extends AnyFunSuite {
     assert(errs.max <= 100, s"max abs error ${errs.max} — not a plausible DCT reconstruction")
   }
 
+  test("GIF round trip is lossless over the indexed gray palette (property)") {
+    // the lossless claim is NOT free: a TYPE_INT_RGB input would make
+    // the GIF writer re-quantize through its own palette — the indexed
+    // encoder exists precisely so this property holds
+    val dims = for { h <- Gen.chooseNum(1, 12); w <- Gen.chooseNum(1, 20) } yield (h, w)
+    ScalaCheckSupport.checkProp(Prop.forAll(dims, Gen.chooseNum(0L, Long.MaxValue)) {
+      case ((h, w), seed) =>
+        val gray = Array.tabulate(h, w)((r, c) =>
+          (((seed % 1000) * 7 + r * 13 + c * 29) % 256).toInt)
+        val bytes = Codec.encodeGif(gray)
+        // genuine GIF: magic header precedes the LZW-coded stream
+        val magicOk = new String(bytes.take(6), "US-ASCII").startsWith("GIF8")
+        val back = Codec.decodePng(bytes) // magic-byte dispatch reader
+        magicOk && back.length == h && back(0).length == w &&
+          back.zip(gray).forall { case (a, b) => a.sameElements(b) }
+    }, minSuccessful = 20)
+  }
+
+  test("TIFF round trip is lossless over the indexed gray palette (property)") {
+    val dims = for { h <- Gen.chooseNum(1, 12); w <- Gen.chooseNum(1, 20) } yield (h, w)
+    ScalaCheckSupport.checkProp(Prop.forAll(dims, Gen.chooseNum(0L, Long.MaxValue)) {
+      case ((h, w), seed) =>
+        val gray = Array.tabulate(h, w)((r, c) =>
+          (((seed % 1000) * 3 + r * 17 + c * 31) % 256).toInt)
+        val bytes = Codec.encodeTiff(gray)
+        // genuine TIFF: II*\0 (little-endian) or MM\0* (big-endian) header
+        val magicOk = (bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
+          (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42)
+        val back = Codec.decodePng(bytes) // magic-byte dispatch reader
+        magicOk && back.length == h && back(0).length == w &&
+          back.zip(gray).forall { case (a, b) => a.sameElements(b) }
+    }, minSuccessful = 20)
+  }
+
   test("image decoders reject undecodable bytes loudly") {
     intercept[IllegalArgumentException](Codec.decodePng("not an image".getBytes))
     intercept[IllegalArgumentException](Codec.decodeJpeg(new Array[Byte](16)))
