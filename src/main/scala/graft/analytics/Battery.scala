@@ -2930,6 +2930,57 @@ object Battery {
         ORDER BY media_id, window_idx"""
     })
 
+  /** VIDEO decode verified cross-engine — the AVI RIFF container with
+    * uncompressed-DIB frames (Codec.decodeAvi), same scheme as
+    * q100/q103/q104 but through a real CONTAINER walk: per document a
+    * deterministic 3-frame 10×7 video is muxed (odd width 7 forces the
+    * DIB 4-byte row pad; positive height forces bottom-up rows),
+    * demuxed, frame-sampled with the real scheduler
+    * (sampleFrameIndices stride 2 → frames 0 and 2 — the sampled
+    * frame INDEX is part of the verified contract), and 4×4-block
+    * summed (partial edge blocks both axes). The oracle replays the
+    * pixel formula; any avih/strh/strf offset, chunk-padding,
+    * row-order, or frame-ordering bug hash-mismatches. fps and frame
+    * count round-trip is asserted in-flight. */
+  val q105 = Q("q105_avi_frame_block_sums",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val frames = Seq.tabulate(3) { f =>
+            Array.tabulate(10, 7)((r, c) =>
+              ((id * 7 + f * 31 + r * 11 + c * 3) % 256).toInt)
+          }
+          val avi = graft.multimodal.Codec.encodeAvi(frames, fps = 4)
+          val (fps, dec) = graft.multimodal.Codec.decodeAvi(avi)
+          require(fps == 4 && dec.length == 3, "AVI round-trip lost stream metadata")
+          for {
+            fi <- Multimodal.sampleFrameIndices(dec.length, stride = 2, maxFrames = 8)
+            br <- 0 until 3; bc <- 0 until 2
+          } yield {
+            val g = dec(fi)
+            var sum = 0L
+            var r = br * 4
+            while (r < math.min(br * 4 + 4, 10)) {
+              var c = bc * 4
+              while (c < math.min(bc * 4 + 4, 7)) { sum += g(r)(c); c += 1 }
+              r += 1
+            }
+            (id, fi.toLong, br.toLong, bc.toLong, sum)
+          }
+        }
+        .toDF("media_id", "frame_idx", "block_row", "block_col", "pixel_sum")
+        .orderBy("media_id", "frame_idx", "block_row", "block_col")
+    },
+    Some("""WITH px AS (SELECT doc_id AS media_id, CAST(f AS BIGINT) AS f,
+        CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+        (doc_id*7 + f*31 + r*11 + c*3) % 256 AS v
+      FROM documents, (VALUES (0),(2)) t(f), range(0, 10) u(r), range(0, 7) w(c))
+      SELECT media_id, f AS frame_idx, r // 4 AS block_row, c // 4 AS block_col,
+        CAST(SUM(v) AS BIGINT) AS pixel_sum
+      FROM px GROUP BY media_id, f, r // 4, c // 4
+      ORDER BY media_id, frame_idx, block_row, block_col"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2938,5 +2989,5 @@ object Battery {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q100, q101, q102, q103, q104)
+    q99, q100, q101, q102, q103, q104, q105)
 }

@@ -15,16 +15,20 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Compressed STILL images decode for real too — PNG/JPEG/GIF/TIFF
   * through the JDK's pure-Java ImageIO plugins (see the PNG/JPEG
-  * section below) — and compressed AUDIO decodes for real via the
+  * section below) — compressed AUDIO decodes for real via the
   * IMA-ADPCM kernel below (pure-integer predictor/step-table
-  * recurrence, WAV format tag 0x11), so the [[Multimodal.DecodeStub]]
-  * fake remains only for VIDEO (H.264-class) codecs the JDK does not
-  * carry. Battery q85/q86/q100/q102 verify these kernels
-  * cross-engine: Spark round-trips real bytes (encode → decode →
-  * feature), while the DuckDB oracle recomputes the same features
-  * arithmetically from the synthesis formula (replaying the ADPCM
-  * integer recurrence for q102) — any header, padding, endianness,
-  * or row-order bug hash-mismatches.
+  * recurrence, WAV format tag 0x11), and VIDEO decodes for real via
+  * the AVI RIFF container reader at the bottom (uncompressed-DIB and
+  * MJPEG streams — every intra-frame codec a JVM can honestly carry),
+  * so the [[Multimodal.DecodeStub]] fake remains only for INTER-frame
+  * (H.264-class) codecs, which need a native library. Battery
+  * q85/q86/q100/q102/q105 verify these kernels cross-engine: Spark
+  * round-trips real bytes (encode → decode → feature), while the
+  * DuckDB oracle recomputes the same features arithmetically from the
+  * synthesis formula (replaying the ADPCM integer recurrence for
+  * q102; the per-frame pixel formula through the AVI container for
+  * q105) — any header, padding, endianness, or row-order bug
+  * hash-mismatches.
   */
 object Codec {
 
@@ -485,9 +489,26 @@ object Codec {
   }
 
   /** Grayscale grid → GIF bytes (LZW-compressed, indexed — LOSSLESS
-    * over the explicit gray palette, so oracle-checkable like PNG). */
-  def encodeGif(gray: Array[Array[Int]]): Array[Byte] =
-    write(toIndexedGrayImage(gray), "gif")
+    * over the explicit gray palette, so oracle-checkable like PNG).
+    * Interlace is explicitly DISABLED: the JDK's GIF writer interlaces
+    * by default (progressive MODE_DEFAULT) and scrambles row order for
+    * images of height 2–4 — the four-pass interlace schedule degenerates
+    * there and writer and reader disagree. Non-interlaced output is
+    * deterministic, still genuine LZW, and round-trips at every
+    * geometry (CodecSpec property, h down to 1). */
+  def encodeGif(gray: Array[Array[Int]]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null,
+        new javax.imageio.IIOImage(toIndexedGrayImage(gray), null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
 
   /** Grayscale grid → TIFF bytes through the JDK's TIFF plugin
     * (indexed, lossless — oracle-checkable like PNG). */
@@ -526,4 +547,317 @@ object Codec {
     * input (close on smooth content, ringing at hard edges); exact
     * dimensions, deterministic within a JVM. */
   def decodeJpeg(bytes: Array[Byte]): Array[Array[Int]] = readAny(bytes)
+
+  // ------------------------------------------------------------------ //
+  // AVI — RIFF video container ('vids' stream), two REAL intra-frame  //
+  // codecs:                                                            //
+  //  - uncompressed bottom-up 24 bpp DIB frames ('00db' chunks,        //
+  //    biCompression 0): LOSSLESS, so decode is oracle-checkable the   //
+  //    same way as BMP/PNG (battery q105 — the DuckDB oracle replays   //
+  //    the per-frame pixel formula; any header-offset, chunk-padding,  //
+  //    row-order or index bug hash-mismatches);                        //
+  //  - MJPEG ('00dc' chunks, biCompression 'MJPG'): every frame a      //
+  //    complete baseline JPEG through the JDK codec — real lossy       //
+  //    video, spec-bounded like still JPEG.                            //
+  // This closes the VIDEO half of [[Multimodal.DecodeStub]] for        //
+  // intra-frame codecs; the stub's honest remit shrinks to             //
+  // INTER-frame codecs (H.264-class motion compensation), which        //
+  // genuinely need a native library. Container layout follows the      //
+  // public AVI RIFF spec: LIST(hdrl){avih, LIST(strl){strh,strf}},     //
+  // LIST(movi){frame chunks}, idx1 — including the RIFF even-byte      //
+  // chunk padding rule (odd-sized MJPEG frames exercise it).           //
+  // ------------------------------------------------------------------ //
+
+  private def fourcc(s: String): Int =
+    (s.charAt(0) & 0xff) | ((s.charAt(1) & 0xff) << 8) |
+      ((s.charAt(2) & 0xff) << 16) | ((s.charAt(3) & 0xff) << 24)
+
+  /** One DIB frame payload: the BMP pixel array ONLY (no file header) —
+    * bottom-up BGR rows padded to 4 bytes, exactly what an AVI '00db'
+    * chunk carries for biCompression 0. */
+  private def dibFramePayload(gray: Array[Array[Int]]): Array[Byte] = {
+    val h = gray.length
+    val w = gray(0).length
+    val rowBytes = (w * 3 + 3) & ~3
+    val out = new Array[Byte](rowBytes * h)
+    var r = h - 1
+    var pos = 0
+    while (r >= 0) {
+      var c = 0
+      while (c < w) {
+        val v = (gray(r)(c) & 0xff).toByte
+        out(pos) = v; out(pos + 1) = v; out(pos + 2) = v
+        pos += 3; c += 1
+      }
+      pos += rowBytes - w * 3 // row pad
+      r -= 1
+    }
+    out
+  }
+
+  /** Inverse of [[dibFramePayload]] given the strf dimensions. */
+  private def dibFrameDecode(data: Array[Byte], w: Int, h: Int): Array[Array[Int]] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    require(data.length >= rowBytes * h, "truncated DIB frame")
+    val out = Array.ofDim[Int](h, w)
+    var row = 0
+    while (row < h) {
+      var pos = row * rowBytes
+      var c = 0
+      while (c < w) {
+        val b = data(pos) & 0xff
+        val g = data(pos + 1) & 0xff
+        val r = data(pos + 2) & 0xff
+        out(h - 1 - row)(c) = (r + g + b) / 3 // bottom-up
+        pos += 3; c += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** Grayscale frames → a complete, spec-valid AVI file. All frames
+    * must share one geometry (the container has a single strf). With
+    * `mjpeg = false` frames are stored as uncompressed DIB ('00db',
+    * lossless); with `mjpeg = true` each frame is a standalone
+    * baseline JPEG ('00dc', fccHandler/biCompression 'MJPG'). Writes
+    * avih/strh/strf headers, the movi list, and a full idx1 keyframe
+    * index (AVIF_HASINDEX set) with offsets relative to the movi
+    * list's type field, per the spec's common reading. */
+  def encodeAvi(
+      frames: Seq[Array[Array[Int]]], fps: Int,
+      mjpeg: Boolean = false, quality: Float = 0.9f): Array[Byte] = {
+    require(frames.nonEmpty, "AVI needs at least one frame")
+    require(fps > 0, s"fps must be positive ($fps)")
+    val h = frames.head.length
+    val w = frames.head(0).length
+    require(frames.forall(f => f.length == h && f(0).length == w),
+      "all AVI frames must share one geometry")
+    val payloads = frames.map { f =>
+      if (mjpeg) encodeJpeg(f, quality) else dibFramePayload(f)
+    }
+    val chunkId = if (mjpeg) "00dc" else "00db"
+    val maxChunk = payloads.map(_.length).max
+    val moviContent = payloads.map(p => 8 + p.length + (p.length & 1)).sum
+    val idxBytes = 16 * payloads.length
+    // hdrl: avih(8+56) + LIST strl(12 + strh(8+56) + strf(8+40)) = 64+124
+    val hdrlContent = 64 + 124
+    val riffContent = 4 + (12 + hdrlContent) + (12 + moviContent) + (8 + idxBytes)
+    val bb = ByteBuffer.allocate(8 + riffContent).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(fourcc("RIFF")).putInt(riffContent).putInt(fourcc("AVI "))
+    // ---- LIST hdrl ----
+    bb.putInt(fourcc("LIST")).putInt(4 + hdrlContent).putInt(fourcc("hdrl"))
+    bb.putInt(fourcc("avih")).putInt(56)
+    bb.putInt(1000000 / fps) // dwMicroSecPerFrame
+    bb.putInt(0)             // dwMaxBytesPerSec
+    bb.putInt(0)             // dwPaddingGranularity
+    bb.putInt(0x10)          // dwFlags = AVIF_HASINDEX
+    bb.putInt(payloads.length) // dwTotalFrames
+    bb.putInt(0)             // dwInitialFrames
+    bb.putInt(1)             // dwStreams
+    bb.putInt(maxChunk)      // dwSuggestedBufferSize
+    bb.putInt(w).putInt(h)
+    bb.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    //   ---- LIST strl ----
+    bb.putInt(fourcc("LIST")).putInt(4 + 112).putInt(fourcc("strl"))
+    bb.putInt(fourcc("strh")).putInt(56)
+    bb.putInt(fourcc("vids"))
+    bb.putInt(if (mjpeg) fourcc("MJPG") else 0) // fccHandler
+    bb.putInt(0)             // dwFlags
+    bb.putShort(0).putShort(0) // wPriority, wLanguage
+    bb.putInt(0)             // dwInitialFrames
+    bb.putInt(1)             // dwScale
+    bb.putInt(fps)           // dwRate (fps = rate/scale)
+    bb.putInt(0)             // dwStart
+    bb.putInt(payloads.length) // dwLength (frames)
+    bb.putInt(maxChunk)      // dwSuggestedBufferSize
+    bb.putInt(-1)            // dwQuality (default)
+    bb.putInt(0)             // dwSampleSize (0 = one sample per chunk)
+    bb.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    bb.putInt(fourcc("strf")).putInt(40) // BITMAPINFOHEADER
+    bb.putInt(40).putInt(w).putInt(h)
+    bb.putShort(1).putShort(24) // planes, bpp
+    bb.putInt(if (mjpeg) fourcc("MJPG") else 0) // biCompression
+    bb.putInt(((w * 3 + 3) & ~3) * h)           // biSizeImage
+    bb.putInt(0).putInt(0).putInt(0).putInt(0)  // dpi, palette
+    // ---- LIST movi ----
+    bb.putInt(fourcc("LIST")).putInt(4 + moviContent).putInt(fourcc("movi"))
+    val moviTypePos = bb.position() - 4 // offset base: the 'movi' fourcc
+    val offsets = new Array[Int](payloads.length)
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      offsets(i) = bb.position() - moviTypePos
+      bb.putInt(fourcc(chunkId)).putInt(p.length).put(p)
+      if ((p.length & 1) == 1) bb.put(0.toByte) // RIFF even-byte pad
+    }
+    // ---- idx1 ----
+    bb.putInt(fourcc("idx1")).putInt(idxBytes)
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      bb.putInt(fourcc(chunkId))
+      bb.putInt(0x10) // AVIIF_KEYFRAME (every frame is intra-coded)
+      bb.putInt(offsets(i))
+      bb.putInt(p.length)
+    }
+    require(bb.remaining() == 0, s"AVI size accounting bug: ${bb.remaining()} bytes left")
+    bb.array()
+  }
+
+  /** Parsed container metadata plus the frame-chunk table: (bodyOffset,
+    * size) per video frame, in stream order — located but NOT decoded,
+    * so callers can seek-decode a sample of frames without paying for
+    * the rest (the access pattern a 100 TB video corpus needs). */
+  private case class AviStream(
+      fps: Int, w: Int, h: Int, compression: Int,
+      chunks: IndexedSeq[(Int, Int)])
+
+  /** Chunk-walking parser of the real container: strh (rate/scale →
+    * fps) and strf (geometry + biCompression) from the hdrl list, then
+    * the frame-chunk table. When the file carries an idx1 index
+    * (AVIF_HASINDEX) the table comes from the INDEX — one bounded read
+    * per frame, no movi walk — honoring both offset conventions in the
+    * wild (relative to the movi list's type field, per spec; absolute
+    * file offsets, per a common old muxer bug: disambiguated by
+    * checking which interpretation lands on a frame chunk header).
+    * Without an index it walks the movi list — including 'LIST rec '
+    * interleave sublists some muxers emit. Unknown chunks (JUNK, …)
+    * are skipped with the even-byte padding rule. Rejects non-'vids'
+    * streams and any biCompression other than 0/'MJPG' loudly —
+    * silently misreading media is the failure mode this module exists
+    * to avoid. */
+  private def parseAvi(bytes: Array[Byte]): AviStream = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12, "truncated AVI")
+    require(bb.getInt(0) == fourcc("RIFF"), "not a RIFF file")
+    val riffSize = bb.getInt(4)
+    require(8 + riffSize <= bytes.length, "truncated RIFF payload")
+    require(bb.getInt(8) == fourcc("AVI "), "RIFF is not an AVI")
+    val end = 8 + riffSize
+    var fps = 0
+    var w = 0
+    var h = 0
+    var compression = 0
+    var haveStrh = false
+    var haveStrf = false
+    var moviType = -1 // file offset of the movi list's 'movi' fourcc
+    var idx1Body = -1
+    var idx1Size = 0
+    val walked = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+
+    def isFrameId(id: Int): Boolean = id == fourcc("00db") || id == fourcc("00dc")
+
+    // Walk chunks in [from, until); recurse into LIST hdrl/strl/movi/rec.
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val id = bb.getInt(pos)
+        val size = bb.getInt(pos + 4)
+        val body = pos + 8
+        require(body + size <= until, s"chunk overruns its parent at $pos")
+        if (id == fourcc("LIST")) {
+          val listType = bb.getInt(body)
+          if (listType == fourcc("movi")) {
+            moviType = body
+            walk(body + 4, body + size, inMovi = true)
+          } else if (listType == fourcc("hdrl") || listType == fourcc("strl") ||
+              listType == fourcc("rec "))
+            walk(body + 4, body + size, inMovi)
+        } else if (id == fourcc("strh")) {
+          if (!haveStrh) { // first stream only; this decoder is single-stream
+            require(bb.getInt(body) == fourcc("vids"),
+              "first AVI stream is not video")
+            val scale = bb.getInt(body + 20)
+            val rate = bb.getInt(body + 24)
+            require(scale > 0 && rate > 0, "bad strh rate/scale")
+            fps = rate / scale
+            haveStrh = true
+          }
+        } else if (id == fourcc("strf")) {
+          if (!haveStrf && haveStrh) {
+            w = bb.getInt(body + 4)
+            h = bb.getInt(body + 8)
+            val bpp = bb.getShort(body + 14)
+            compression = bb.getInt(body + 16)
+            require(compression == fourcc("MJPG") || (compression == 0 && bpp == 24),
+              s"unsupported AVI codec (biCompression $compression, $bpp bpp) " +
+                "— this decoder carries DIB24 and MJPG")
+            require(w > 0 && h > 0, s"bad strf geometry ${w}x$h")
+            haveStrf = true
+          }
+        } else if (id == fourcc("idx1")) {
+          idx1Body = body
+          idx1Size = size
+        } else if (inMovi && isFrameId(id)) {
+          walked += ((body, size))
+        } // else: JUNK / unknown — skip
+        pos = body + size + (size & 1) // RIFF even-byte padding
+      }
+    }
+    walk(12, end, inMovi = false)
+    require(haveStrh && haveStrf, "AVI missing strh/strf headers")
+
+    // Prefer the idx1 table: chunk locations in O(frames) bounded reads.
+    val chunks: IndexedSeq[(Int, Int)] =
+      if (idx1Body >= 0 && moviType >= 0 && idx1Size >= 16) {
+        val entries = (0 until idx1Size / 16).flatMap { i =>
+          val e = idx1Body + 16 * i
+          val eid = bb.getInt(e)
+          if (!isFrameId(eid)) None // non-video entries (audio, palette)
+          else {
+            val off = bb.getInt(e + 8)
+            val sz = bb.getInt(e + 12)
+            // spec offset: relative to the 'movi' fourcc; old-muxer
+            // quirk: absolute file offset. Accept whichever lands on a
+            // matching chunk header.
+            val rel = moviType + off
+            val base =
+              if (rel + 8 <= end && bb.getInt(rel) == eid) rel
+              else if (off + 8 <= end && bb.getInt(off) == eid) off
+              else -1
+            require(base >= 0, s"idx1 entry $i points at no frame chunk")
+            require(base + 8 + sz <= end, s"idx1 entry $i overruns the file")
+            Some((base + 8, sz))
+          }
+        }
+        if (entries.nonEmpty) entries else walked.toIndexedSeq
+      } else walked.toIndexedSeq
+    AviStream(fps, w, h, compression, chunks)
+  }
+
+  private def decodeAviChunk(
+      bytes: Array[Byte], st: AviStream, chunk: (Int, Int)): Array[Array[Int]] = {
+    val (off, size) = chunk
+    val data = new Array[Byte](size)
+    System.arraycopy(bytes, off, data, 0, size)
+    if (st.compression == fourcc("MJPG")) decodeJpeg(data)
+    else dibFrameDecode(data, st.w, st.h)
+  }
+
+  /** AVI bytes → (fps, ALL decoded grayscale frames, in stream order).
+    * See [[parseAvi]] for the container rules this reader honors. */
+  def decodeAvi(bytes: Array[Byte]): (Int, Seq[Array[Array[Int]]]) = {
+    val st = parseAvi(bytes)
+    (st.fps, st.chunks.map(decodeAviChunk(bytes, st, _)))
+  }
+
+  /** Total video frames in the container, WITHOUT decoding any — the
+    * idx1-or-walk chunk table length. */
+  def aviFrameCount(bytes: Array[Byte]): Int = parseAvi(bytes).chunks.length
+
+  /** Seek-decode: (fps, (frameIdx, frame) for exactly the requested
+    * stream indices, in the given order). Frames outside the sample
+    * are LOCATED (via idx1 when present) but never decoded — at a
+    * frames-per-payload ≫ sample size ratio this is the difference
+    * between O(sampled) and O(stream) decode cost per row, which is
+    * the whole economics of frame-sampled video featurization
+    * ([[Multimodal.decodeVideoAndEmbed]] rides this). Out-of-range
+    * indices fail loudly. */
+  def decodeAviFrames(
+      bytes: Array[Byte], indices: Seq[Int]): (Int, Seq[(Int, Array[Array[Int]])]) = {
+    val st = parseAvi(bytes)
+    val picked = indices.map { i =>
+      require(i >= 0 && i < st.chunks.length,
+        s"frame index $i outside stream of ${st.chunks.length}")
+      (i, decodeAviChunk(bytes, st, st.chunks(i)))
+    }
+    (st.fps, picked)
+  }
 }

@@ -14,9 +14,13 @@ import org.apache.spark.sql.types._
   * itself (battery q85/q86 hash-verify the decoded features
   * cross-engine) and routes PNG/JPEG/GIF/TIFF through the JDK's own
   * pure-Java ImageIO codecs (battery q100 hash-verifies the lossless
-  * PNG path; CodecSpec bounds the lossy JPEG path). Only VIDEO
-  * (H.264-class), whose codecs the JDK genuinely does not
-  * carry, goes through the clearly-marked DETERMINISTIC FAKE
+  * PNG path; CodecSpec bounds the lossy JPEG path). VIDEO decodes for
+  * real too, through the AVI RIFF container reader
+  * ([[Codec.decodeAvi]]: uncompressed-DIB and MJPEG streams — battery
+  * q105 hash-verifies the DIB path frame-by-frame, [[decodeVideoAndEmbed]]
+  * is the pipeline twin). Only INTER-frame video codecs (H.264-class
+  * motion compensation), which the JDK genuinely does not
+  * carry, go through the clearly-marked DETERMINISTIC FAKE
   * ([[DecodeStub]]) — and every Spark-side piece around it is real
   * and tested: the schema contract, the mapPartitions batch shape
   * (decoder state amortized per partition, exactly how a JNI/FFmpeg
@@ -198,6 +202,40 @@ object Multimodal {
         val grid = Codec.decodePng(m.payload) // magic-byte dispatch: any JDK format
         FrameFeature(m.media_id, 0, grid(0).length, grid.length,
           embedFrame(resizeFrame(grid, 8, 8)))
+      }
+    }
+  }
+
+  /** REAL video decode → frame-sample → embed, one mapPartitions
+    * pass — the AVI-backed twin of [[decodeAndEmbed]] for binary
+    * columns holding genuine AVI bytes (uncompressed-DIB or MJPEG
+    * streams, [[Codec.decodeAvi]]). The container is parsed ONCE per
+    * row and the sampled frames ([[sampleFrameIndices]] over the real
+    * stream length) go through resize → [[embedFrame]], yielding one
+    * [[FrameFeature]] per sampled frame with its true frame index —
+    * ready for [[graft.similarity.Similarity]] as-is. Like
+    * [[decodeImageAndEmbed]] this is real CPU work: wrap split-starved
+    * inputs in [[graft.operators.Rebalance.forCpuStage]] so decode
+    * spreads across cores. Undecodable payloads fail loudly.
+    *
+    * Decode cost is O(SAMPLED frames), not O(stream): DIB/MJPEG frames
+    * are intra-coded, so [[Codec.decodeAviFrames]] seeks straight to
+    * the sampled chunks (via the idx1 index when the muxer wrote one)
+    * and never decodes the rest — at production stride/duration ratios
+    * (sample 8 frames of a 30 fps hour = 10⁵ frames) that asymmetry,
+    * not the embed, is the economics of video featurization. */
+  def decodeVideoAndEmbed(
+      media: Dataset[MediaRow], stride: Int = 2, maxFrames: Int = 8): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val total = Codec.aviFrameCount(m.payload)
+        val (_, picked) = Codec.decodeAviFrames(
+          m.payload, sampleFrameIndices(total, stride, maxFrames))
+        picked.map { case (fi, grid) =>
+          FrameFeature(m.media_id, fi, grid(0).length, grid.length,
+            embedFrame(resizeFrame(grid, 8, 8)))
+        }
       }
     }
   }

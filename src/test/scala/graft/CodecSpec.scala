@@ -260,4 +260,160 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codec.decodePng("not an image".getBytes))
     intercept[IllegalArgumentException](Codec.decodeJpeg(new Array[Byte](16)))
   }
+
+  // ------------------------------- AVI ------------------------------- //
+
+  test("AVI/DIB round trip is lossless, frame-ordered, fps-exact (property)") {
+    val dims = for {
+      h <- Gen.chooseNum(1, 10); w <- Gen.chooseNum(1, 13) // odd widths force row pad
+      n <- Gen.chooseNum(1, 4); fps <- Gen.chooseNum(1, 30)
+    } yield (h, w, n, fps)
+    ScalaCheckSupport.checkProp(Prop.forAll(dims, Gen.chooseNum(0L, Long.MaxValue)) {
+      case ((h, w, n, fps), seed) =>
+        val frames = Seq.tabulate(n)(f => Array.tabulate(h, w)((r, c) =>
+          (((seed % 1000) * 5 + f * 97 + r * 13 + c * 29) % 256).toInt))
+        val (gotFps, back) = Codec.decodeAvi(Codec.encodeAvi(frames, fps))
+        gotFps == fps && back.length == n &&
+          back.zip(frames).forall { case (a, b) =>
+            a.length == h && a(0).length == w &&
+              a.zip(b).forall { case (x, y) => x.sameElements(y) }
+          }
+    }, minSuccessful = 20)
+  }
+
+  test("AVI bytes are a genuine RIFF container: AVI magic, hdrl/movi lists, idx1 index") {
+    val frames = Seq.tabulate(3)(f => Array.tabulate(6, 7)((r, c) => (f * 40 + r * 7 + c) % 256))
+    val avi = Codec.encodeAvi(frames, fps = 10)
+    val ascii = new String(avi, "ISO-8859-1")
+    assert(ascii.startsWith("RIFF"), "missing RIFF magic")
+    assert(ascii.substring(8, 12) == "AVI ", "missing AVI form type")
+    assert(ascii.contains("hdrl") && ascii.contains("strh") && ascii.contains("strf"))
+    assert(ascii.contains("movi") && ascii.contains("idx1"))
+    // the declared RIFF size covers the file exactly (even-pad accounting)
+    val riffSize = (avi(4) & 0xff) | ((avi(5) & 0xff) << 8) |
+      ((avi(6) & 0xff) << 16) | ((avi(7) & 0xff) << 24)
+    assert(8 + riffSize == avi.length, s"RIFF size $riffSize vs file ${avi.length}")
+    // one idx1 entry per frame, keyframe-flagged
+    val idxPos = ascii.indexOf("idx1")
+    val idxSize = (avi(idxPos + 4) & 0xff) | ((avi(idxPos + 5) & 0xff) << 8) |
+      ((avi(idxPos + 6) & 0xff) << 16) | ((avi(idxPos + 7) & 0xff) << 24)
+    assert(idxSize == 16 * frames.length)
+  }
+
+  test("AVI/MJPEG frames are real standalone JPEGs; decode is bounded-error real DCT") {
+    // smooth gradient per frame — same bound rationale as the still-JPEG test
+    val frames = Seq.tabulate(2)(f => Array.tabulate(24, 32)((r, c) =>
+      math.min(255, 4 * r + 3 * c + f * 8)))
+    val avi = Codec.encodeAvi(frames, fps = 5, mjpeg = true)
+    // every 00dc chunk body starts with the JPEG SOI marker (scan stops
+    // at idx1, whose entries repeat the fourcc without a chunk header)
+    val ascii = new String(avi, "ISO-8859-1")
+    val idxStart = ascii.indexOf("idx1")
+    var pos = ascii.indexOf("00dc")
+    var found = 0
+    while (pos >= 0 && pos < idxStart) {
+      assert((avi(pos + 8) & 0xff) == 0xff && (avi(pos + 9) & 0xff) == 0xd8,
+        s"00dc chunk at $pos does not hold a JPEG (no SOI)")
+      found += 1
+      pos = ascii.indexOf("00dc", pos + 4)
+    }
+    assert(found >= 2, "expected per-frame 00dc chunks")
+    val (fps, back) = Codec.decodeAvi(avi)
+    assert(fps == 5 && back.length == 2)
+    val errs = for (f <- 0 until 2; r <- 0 until 24; c <- 0 until 32)
+      yield math.abs(back(f)(r)(c) - frames(f)(r)(c))
+    assert(errs.sum.toDouble / errs.size < 20.0, "MJPEG mean error too high")
+    assert(errs.max <= 100, "MJPEG max error implausible for a real DCT")
+  }
+
+  test("AVI decoder skips unknown chunks (JUNK) per the RIFF walk rules") {
+    val frames = Seq(Array.tabulate(4, 4)((r, c) => r * 4 + c))
+    val avi = Codec.encodeAvi(frames, fps = 2)
+    // splice a JUNK chunk right after the 'AVI ' form type and patch the
+    // RIFF size — a spec-conforming reader must step over it
+    val junk = Array[Byte]('J', 'U', 'N', 'K', 4, 0, 0, 0, 1, 2, 3, 4)
+    val spliced = avi.take(12) ++ junk ++ avi.drop(12)
+    val newSize = (avi.length - 8) + junk.length
+    spliced(4) = (newSize & 0xff).toByte
+    spliced(5) = ((newSize >> 8) & 0xff).toByte
+    spliced(6) = ((newSize >> 16) & 0xff).toByte
+    spliced(7) = ((newSize >> 24) & 0xff).toByte
+    val (fps, back) = Codec.decodeAvi(spliced)
+    assert(fps == 2 && back.length == 1 && back(0).zip(frames(0)).forall {
+      case (a, b) => a.sameElements(b)
+    })
+  }
+
+  test("decodeAviFrames seek path equals full decode on the sampled indices") {
+    val frames = Seq.tabulate(6)(f => Array.tabulate(5, 9)((r, c) => (f * 50 + r * 9 + c) % 256))
+    val avi = Codec.encodeAvi(frames, fps = 12)
+    assert(Codec.aviFrameCount(avi) == 6)
+    val (fpsA, full) = Codec.decodeAvi(avi)
+    val (fpsB, picked) = Codec.decodeAviFrames(avi, Seq(0, 3, 5))
+    assert(fpsA == 12 && fpsB == 12)
+    picked.foreach { case (i, g) =>
+      assert(g.zip(full(i)).forall { case (a, b) => a.sameElements(b) }, s"frame $i differs")
+    }
+    intercept[IllegalArgumentException](Codec.decodeAviFrames(avi, Seq(6)))
+    intercept[IllegalArgumentException](Codec.decodeAviFrames(avi, Seq(-1)))
+  }
+
+  test("seek path really skips: a corrupted UNSAMPLED MJPEG frame never hits the codec") {
+    val frames = Seq.tabulate(4)(f => Array.tabulate(16, 16)((r, c) =>
+      math.min(255, 8 * r + 4 * c + f)))
+    val avi = Codec.encodeAvi(frames, fps = 6, mjpeg = true)
+    // zero out the middle of frame 1's JPEG body (found via its SOI) so
+    // a full decode dies in the codec, then seek-decode frames 0 and 2
+    val ascii = new String(avi, "ISO-8859-1")
+    val chunk0 = ascii.indexOf("00dc")
+    val chunk1 = ascii.indexOf("00dc", chunk0 + 4)
+    val size1 = (avi(chunk1 + 4) & 0xff) | ((avi(chunk1 + 5) & 0xff) << 8) |
+      ((avi(chunk1 + 6) & 0xff) << 16) | ((avi(chunk1 + 7) & 0xff) << 24)
+    val corrupted = avi.clone()
+    java.util.Arrays.fill(corrupted, chunk1 + 10, chunk1 + 8 + size1, 0.toByte)
+    intercept[Exception](Codec.decodeAvi(corrupted)) // full decode hits the damage
+    val (_, picked) = Codec.decodeAviFrames(corrupted, Seq(0, 2))
+    assert(picked.map(_._1) == Seq(0, 2), "seek path decoded the wrong frames")
+    picked.foreach { case (i, g) =>
+      assert(g.length == 16 && g(0).length == 16, s"frame $i geometry lost")
+    }
+  }
+
+  test("idx1 with ABSOLUTE offsets (old-muxer quirk) still resolves frames") {
+    val frames = Seq.tabulate(3)(f => Array.tabulate(4, 6)((r, c) => (f * 80 + r * 6 + c) % 256))
+    val avi = Codec.encodeAvi(frames, fps = 3)
+    val ascii = new String(avi, "ISO-8859-1")
+    val moviType = ascii.indexOf("movi")
+    val idxPos = ascii.indexOf("idx1")
+    val rewritten = avi.clone()
+    for (i <- 0 until 3) {
+      val e = idxPos + 8 + 16 * i
+      val rel = (avi(e + 8) & 0xff) | ((avi(e + 9) & 0xff) << 8) |
+        ((avi(e + 10) & 0xff) << 16) | ((avi(e + 11) & 0xff) << 24)
+      val abs = moviType + rel // relative-to-movi → absolute file offset
+      rewritten(e + 8) = (abs & 0xff).toByte
+      rewritten(e + 9) = ((abs >> 8) & 0xff).toByte
+      rewritten(e + 10) = ((abs >> 16) & 0xff).toByte
+      rewritten(e + 11) = ((abs >> 24) & 0xff).toByte
+    }
+    val (fps, back) = Codec.decodeAvi(rewritten)
+    assert(fps == 3 && back.length == 3)
+    back.zip(frames).foreach { case (a, b) =>
+      assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    }
+  }
+
+  test("AVI decoder rejects malformed and unsupported content loudly") {
+    intercept[IllegalArgumentException](Codec.decodeAvi("RIFFxxxx".getBytes))
+    intercept[IllegalArgumentException](Codec.decodeAvi(new Array[Byte](4)))
+    // a WAV is RIFF but not an AVI
+    intercept[IllegalArgumentException](
+      Codec.decodeAvi(Codec.encodeWavPcm16(Array[Short](1, 2, 3), 8000)))
+    intercept[IllegalArgumentException](Codec.encodeAvi(Seq.empty, fps = 10))
+    intercept[IllegalArgumentException](
+      Codec.encodeAvi(Seq(Array(Array(1))), fps = 0))
+    // mismatched frame geometries must be rejected (single strf)
+    intercept[IllegalArgumentException](Codec.encodeAvi(
+      Seq(Array(Array(1, 2)), Array(Array(1))), fps = 1))
+  }
 }

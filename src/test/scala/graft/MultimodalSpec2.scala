@@ -98,4 +98,46 @@ class MultimodalSpec2 extends SparkTestBase {
         MediaRow(3L, MediaMeta("image", 0, 0, 0, 0L), Array[Byte](1, 2, 3))))).collect()
     }
   }
+
+  test("decodeVideoAndEmbed: real AVI payloads (DIB and MJPEG) through demux → sample → embed") {
+    import graft.multimodal.{Codec, Multimodal}
+    import Multimodal.{MediaMeta, MediaRow}
+    import spark.implicits._
+    // 5 frames, stride 2, maxFrames 2 → sampled indices 0 and 2 only
+    def frame(f: Int): Array[Array[Int]] =
+      Array.tabulate(12, 10)((r, c) => (f * 37 + r * 11 + c * 3) % 256)
+    def smooth(f: Int): Array[Array[Int]] =
+      Array.tabulate(24, 32)((r, c) => math.min(255, 4 * r + 3 * c + f * 4))
+    val dib = Codec.encodeAvi(Seq.tabulate(5)(frame), fps = 4)
+    val mjpg = Codec.encodeAvi(Seq.tabulate(3)(smooth), fps = 8, mjpeg = true)
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("video", 10, 12, 0, 1250L), dib),
+      MediaRow(2L, MediaMeta("video", 32, 24, 0, 375L), mjpg))
+    val out = Multimodal.decodeVideoAndEmbed(
+        spark.createDataset(rows), stride = 2, maxFrames = 2)
+      .collect().groupBy(_.media_id)
+    // sampled frame indices come from the REAL stream length, per payload
+    assert(out(1L).map(_.frame_idx).sorted.sameElements(Array(0, 2)))
+    assert(out(2L).map(_.frame_idx).sorted.sameElements(Array(0, 2)))
+    assert(out(1L).forall(f => f.width == 10 && f.height == 12))
+    // DIB is lossless — the distributed pipeline must EXACTLY equal the
+    // local decode → resize → embed composition, per sampled frame
+    out(1L).foreach { f =>
+      val want = Multimodal.embedFrame(
+        Multimodal.resizeFrame(frame(f.frame_idx), 8, 8))
+      assert(f.embedding.sameElements(want), s"frame ${f.frame_idx} drifted")
+    }
+    // MJPEG is lossy — close on smooth content
+    out(2L).foreach { f =>
+      val want = Multimodal.embedFrame(
+        Multimodal.resizeFrame(smooth(f.frame_idx), 8, 8))
+      val maxErr = f.embedding.zip(want).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr < 0.05, s"mjpeg frame ${f.frame_idx} drifted too far: $maxErr")
+    }
+    // non-AVI payloads fail loudly
+    intercept[Exception] {
+      Multimodal.decodeVideoAndEmbed(spark.createDataset(Seq(
+        MediaRow(3L, MediaMeta("video", 0, 0, 0, 0L), Array[Byte](9, 9, 9))))).collect()
+    }
+  }
 }
