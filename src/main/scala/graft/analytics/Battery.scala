@@ -2981,6 +2981,66 @@ object Battery {
       FROM px GROUP BY media_id, f, r // 4, c // 4
       ORDER BY media_id, frame_idx, block_row, block_col"""))
 
+  /** INTER-frame video decode verified cross-engine — BI_RLE8, the AVI
+    * delta codec (Codec.encodeAviRle8): per document a 4-frame 9×12
+    * video where frame 0 is a keyframe (base formula) and each delta
+    * frame f ∈ {1,2,3} rewrites ONLY row band {2f, 2f+1}; every other
+    * pixel is carried from the previous frame by the codec's skip
+    * escapes, never re-sent. Sampling frames 0 and 2 through the GOP
+    * seek path means frame 2's output contains band 1 — pixels written
+    * solely by frame 1's delta — so a decoder that restarts mid-GOP,
+    * drops a delta, or misapplies a skip offset hash-mismatches. The
+    * oracle computes each pixel's LAST writer arithmetically
+    * (band b visible at frame f iff 1 ≤ b ≤ f). fps and frame count
+    * round-trip asserted in-flight. */
+  val q106 = Q("q106_avi_rle8_delta_sums",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          def base(r: Int, c: Int) = ((id * 5 + r * 7 + c * 11) % 256).toInt
+          def d(f: Int, r: Int, c: Int) = ((id * 3 + f * 41 + r * 13 + c * 17) % 256).toInt
+          val frames = scala.collection.mutable.ArrayBuffer(
+            Array.tabulate(9, 12)(base))
+          (1 to 3).foreach { f =>
+            val next = frames.last.map(_.clone())
+            (2 * f to 2 * f + 1).foreach(r => (0 until 12).foreach(c => next(r)(c) = d(f, r, c)))
+            frames += next
+          }
+          val avi = graft.multimodal.Codec.encodeAviRle8(
+            frames.toSeq, fps = 6, keyframeInterval = 4)
+          require(graft.multimodal.Codec.aviFrameCount(avi) == 4, "RLE8 stream lost frames")
+          val (fps, picked) = graft.multimodal.Codec.decodeAviFrames(
+            avi, Multimodal.sampleFrameIndices(4, stride = 2, maxFrames = 8))
+          require(fps == 6, "RLE8 round-trip lost fps")
+          for {
+            (fi, g) <- picked
+            br <- 0 until 3; bc <- 0 until 4
+          } yield {
+            var sum = 0L
+            var r = br * 3
+            while (r < br * 3 + 3) {
+              var c = bc * 3
+              while (c < bc * 3 + 3) { sum += g(r)(c); c += 1 }
+              r += 1
+            }
+            (id, fi.toLong, br.toLong, bc.toLong, sum)
+          }
+        }
+        .toDF("media_id", "frame_idx", "block_row", "block_col", "pixel_sum")
+        .orderBy("media_id", "frame_idx", "block_row", "block_col")
+    },
+    Some("""WITH px AS (SELECT doc_id AS media_id, CAST(f AS BIGINT) AS f,
+        CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+        CASE WHEN r // 2 >= 1 AND r // 2 <= f
+             THEN (doc_id*3 + (r // 2)*41 + r*13 + c*17) % 256
+             ELSE (doc_id*5 + r*7 + c*11) % 256 END AS v
+      FROM documents, (VALUES (0),(2)) t(f), range(0, 9) u(r), range(0, 12) w(c))
+      SELECT media_id, f AS frame_idx, r // 3 AS block_row, c // 3 AS block_col,
+        CAST(SUM(v) AS BIGINT) AS pixel_sum
+      FROM px GROUP BY media_id, f, r // 3, c // 3
+      ORDER BY media_id, frame_idx, block_row, block_col"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -2989,5 +3049,5 @@ object Battery {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q100, q101, q102, q103, q104, q105)
+    q99, q100, q101, q102, q103, q104, q105, q106)
 }

@@ -403,6 +403,114 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------ RLE8 ------------------------------- //
+
+  test("AVI/RLE8 inter-frame round trip is lossless under random sparse mutations (property)") {
+    val cfg = for {
+      h <- Gen.chooseNum(1, 10); w <- Gen.chooseNum(1, 14)
+      n <- Gen.chooseNum(1, 6); kfi <- Gen.chooseNum(1, 4)
+    } yield (h, w, n, kfi)
+    ScalaCheckSupport.checkProp(Prop.forAll(cfg, Gen.chooseNum(0L, Long.MaxValue)) {
+      case ((h, w, n, kfi), seed) =>
+        // frame 0 from a formula; each later frame mutates a few pixels
+        var s = seed
+        def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+        val frames = scala.collection.mutable.ArrayBuffer(
+          Array.tabulate(h, w)((r, c) => (((seed % 997) + r * 31 + c * 17) % 256).toInt))
+        (1 until n).foreach { _ =>
+          val f = frames.last.map(_.clone())
+          val muts = (math.abs(next()) % (h.toLong * w + 1)).toInt
+          (0 until muts).foreach { _ =>
+            val r = (math.abs(next()) % h).toInt
+            val c = (math.abs(next()) % w).toInt
+            f(r)(c) = (math.abs(next()) % 256).toInt
+          }
+          frames += f
+        }
+        val avi = Codec.encodeAviRle8(frames.toSeq, fps = 10, keyframeInterval = kfi)
+        val (fps, back) = Codec.decodeAvi(avi)
+        fps == 10 && back.length == frames.length &&
+          back.zip(frames).forall { case (a, b) =>
+            a.length == h && a(0).length == w &&
+              a.zip(b).forall { case (x, y) => x.sameElements(y) }
+          }
+    }, minSuccessful = 20)
+  }
+
+  test("RLE8 delta frames are small for sparse change (the codec compresses for real)") {
+    // 40 frames 32x32; each frame changes ONE pixel. All-keyframe vs
+    // GOP-8 encodings of the same content: delta frames should make the
+    // stream several times smaller.
+    val frames = scala.collection.mutable.ArrayBuffer(
+      Array.tabulate(32, 32)((r, c) => (r * 8 + c) % 256))
+    (1 until 40).foreach { i =>
+      val f = frames.last.map(_.clone())
+      f(i % 32)((i * 7) % 32) = (i * 13) % 256
+      frames += f
+    }
+    val allKey = Codec.encodeAviRle8(frames.toSeq, fps = 10, keyframeInterval = 1)
+    val gop8 = Codec.encodeAviRle8(frames.toSeq, fps = 10, keyframeInterval = 8)
+    assert(gop8.length * 3 < allKey.length,
+      s"delta coding saved too little: ${gop8.length} vs ${allKey.length}")
+    // and both decode to the identical content
+    val a = Codec.decodeAvi(allKey)._2
+    val b = Codec.decodeAvi(gop8)._2
+    assert(a.zip(b).forall { case (x, y) =>
+      x.zip(y).forall { case (p, q) => p.sameElements(q) } })
+  }
+
+  test("RLE8 GOP seek: in-GOP predecessors are decoded, other GOPs are not") {
+    // 7 frames, keyframes at 0 and 3 and 6 (interval 3)
+    val frames = scala.collection.mutable.ArrayBuffer(
+      Array.tabulate(6, 8)((r, c) => (r * 8 + c) % 256))
+    (1 until 7).foreach { i =>
+      val f = frames.last.map(_.clone())
+      f(i % 6)(i % 8) = (i * 29) % 256
+      frames += f
+    }
+    val avi = Codec.encodeAviRle8(frames.toSeq, fps = 5, keyframeInterval = 3)
+    val full = Codec.decodeAvi(avi)._2
+    // seek equals full decode
+    val (_, picked) = Codec.decodeAviFrames(avi, Seq(5, 2))
+    picked.foreach { case (i, g) =>
+      assert(g.zip(full(i)).forall { case (x, y) => x.sameElements(y) }, s"frame $i differs")
+    }
+    // find the i-th video chunk and zero its body (00 00 pairs = EOLs,
+    // no EOB → rle8Apply fails loudly IF the chunk is ever decoded)
+    def corrupt(src: Array[Byte], frame: Int): Array[Byte] = {
+      val ascii = new String(src, "ISO-8859-1")
+      val idxStart = ascii.indexOf("idx1")
+      var pos = ascii.indexOf("00dc")
+      var k = 0
+      while (k < frame) { pos = ascii.indexOf("00dc", pos + 4); k += 1 }
+      require(pos >= 0 && pos < idxStart)
+      val size = (src(pos + 4) & 0xff) | ((src(pos + 5) & 0xff) << 8) |
+        ((src(pos + 6) & 0xff) << 16) | ((src(pos + 7) & 0xff) << 24)
+      val out = src.clone()
+      java.util.Arrays.fill(out, pos + 8, pos + 8 + size, 0.toByte)
+      out
+    }
+    // frame 5's GOP is {3,4,5}: corrupting frame 1 (earlier GOP) must not
+    // disturb it; corrupting frame 4 (in-GOP predecessor) must fail loudly
+    val (_, ok) = Codec.decodeAviFrames(corrupt(avi, 1), Seq(5))
+    assert(ok.head._2.zip(full(5)).forall { case (x, y) => x.sameElements(y) })
+    intercept[Exception](Codec.decodeAviFrames(corrupt(avi, 4), Seq(5)))
+    // and frame 2 (GOP {0,1,2}) DOES depend on frame 1
+    intercept[Exception](Codec.decodeAviFrames(corrupt(avi, 1), Seq(2)))
+  }
+
+  test("RLE8 idx1 flags mark exactly the keyframes") {
+    val frames = Seq.tabulate(5)(f => Array.tabulate(4, 4)((r, c) => (f + r * 4 + c) % 256))
+    val avi = Codec.encodeAviRle8(frames, fps = 4, keyframeInterval = 2)
+    val ascii = new String(avi, "ISO-8859-1")
+    val idxPos = ascii.indexOf("idx1")
+    val flags = (0 until 5).map { i =>
+      val e = idxPos + 8 + 16 * i
+      (avi(e + 4) & 0xff) | ((avi(e + 5) & 0xff) << 8)
+    }
+    assert(flags.map(f => (f & 0x10) != 0) == Seq(true, false, true, false, true))
+  }
+
   test("AVI decoder rejects malformed and unsupported content loudly") {
     intercept[IllegalArgumentException](Codec.decodeAvi("RIFFxxxx".getBytes))
     intercept[IllegalArgumentException](Codec.decodeAvi(new Array[Byte](4)))

@@ -110,9 +110,13 @@ class MultimodalSpec2 extends SparkTestBase {
       Array.tabulate(24, 32)((r, c) => math.min(255, 4 * r + 3 * c + f * 4))
     val dib = Codec.encodeAvi(Seq.tabulate(5)(frame), fps = 4)
     val mjpg = Codec.encodeAvi(Seq.tabulate(3)(smooth), fps = 8, mjpeg = true)
+    // inter-frame codec in the same corpus: GOP of 2 → sampled frame 2
+    // is a keyframe, but its GOP semantics still route through the seek path
+    val rle = Codec.encodeAviRle8(Seq.tabulate(4)(frame), fps = 2, keyframeInterval = 2)
     val rows = Seq(
       MediaRow(1L, MediaMeta("video", 10, 12, 0, 1250L), dib),
-      MediaRow(2L, MediaMeta("video", 32, 24, 0, 375L), mjpg))
+      MediaRow(2L, MediaMeta("video", 32, 24, 0, 375L), mjpg),
+      MediaRow(3L, MediaMeta("video", 10, 12, 0, 2000L), rle))
     val out = Multimodal.decodeVideoAndEmbed(
         spark.createDataset(rows), stride = 2, maxFrames = 2)
       .collect().groupBy(_.media_id)
@@ -133,6 +137,13 @@ class MultimodalSpec2 extends SparkTestBase {
         Multimodal.resizeFrame(smooth(f.frame_idx), 8, 8))
       val maxErr = f.embedding.zip(want).map { case (a, b) => math.abs(a - b) }.max
       assert(maxErr < 0.05, s"mjpeg frame ${f.frame_idx} drifted too far: $maxErr")
+    }
+    // RLE8 is lossless — exact through the GOP seek path
+    assert(out(3L).map(_.frame_idx).sorted.sameElements(Array(0, 2)))
+    out(3L).foreach { f =>
+      val want = Multimodal.embedFrame(
+        Multimodal.resizeFrame(frame(f.frame_idx), 8, 8))
+      assert(f.embedding.sameElements(want), s"rle8 frame ${f.frame_idx} drifted")
     }
     // non-AVI payloads fail loudly
     intercept[Exception] {

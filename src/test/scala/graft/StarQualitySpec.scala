@@ -1,6 +1,8 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.quality.QualitySuite
 import graft.star.{Sk, Star}
@@ -126,6 +128,34 @@ class StarQualitySpec extends SparkTestBase {
     // caller override beats the threshold in both directions
     assert(!usesHll(QualitySuite.columnProfile(wide, wideCols, exact = Some(true))))
     assert(usesHll(QualitySuite.columnProfile(wide, wideCols.take(2), exact = Some(false))))
+  }
+
+  test("columnProfile auto size gate: multiplied join estimates fall to HLL, unsized leaves stay exact") {
+    // The size-only stats visitor MULTIPLIES child sizes through joins,
+    // so a join of two large fully-sized inputs carries a plan-level
+    // estimate far past the stats-absent sentinel. That is a genuine
+    // "enormous" signal and must route to HLL — misreading it as
+    // "stats absent" (the pre-fix root-size check) would send the one
+    // input the HLL fallback exists for down the exact Expand path
+    // (ADVICE r10, medium). A child session pins the sentinel low so
+    // the misread would be observable.
+    def usesHll(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("approx_count_distinct")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.defaultSizeInBytes", (1L << 30).toString) // sentinel = 1 GiB
+    val a = s2.range(50L * 1000 * 1000).select(col("id").as("k"))      // ~400 MB sized leaf
+    val b = s2.range(50L * 1000 * 1000).select(col("id").as("k2"))
+    val joined = a.join(b, col("k") === col("k2")) // product estimate ≫ sentinel
+    val planSize = joined.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(planSize >= BigInt(1L << 30), s"test premise broken: plan size $planSize")
+    assert(usesHll(QualitySuite.columnProfile(joined, Seq("k"))),
+      "huge multiplied estimate must fall to the HLL profile")
+    // an RDD-backed leaf genuinely HAS no stats (reports the sentinel):
+    // determinism stays the documented default there
+    val rdd = s2.sparkContext.parallelize(Seq(Row(1L), Row(2L)))
+    val unsized = s2.createDataFrame(rdd, StructType(Seq(StructField("k", LongType))))
+    assert(!usesHll(QualitySuite.columnProfile(unsized, Seq("k"))),
+      "unsized-leaf input must keep the deterministic exact profile")
   }
 
   test("fullSuite passes over a built star schema") {
