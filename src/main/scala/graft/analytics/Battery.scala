@@ -3041,6 +3041,51 @@ object Battery {
       FROM px GROUP BY media_id, f, r // 3, c // 3
       ORDER BY media_id, frame_idx, block_row, block_col"""))
 
+  /** Z-order layout arithmetic verified cross-engine — the bucket-rank
+    * (codegen'd aggregate over literal boundaries) and Morton
+    * bit-interleave expressions behind `Layout.cluster` (SURVEY
+    * §2-ext data layout): two derived dimensions of the documents
+    * table are bucketed against FIXED quantile boundaries and
+    * interleaved at 4 bits; the oracle replays the same comparison
+    * sums and shift/mask arithmetic in SQL. The curve value must match
+    * bit-for-bit — file pruning decisions at 100 TB ride on it.
+    * (The CLUSTERING effect itself — per-file min-max tightness — is
+    * proven by LayoutSpec, which is a layout property, not a
+    * row-value oracle can check.) */
+  val q107 = Q("q107_zorder_values",
+    (s, dir) => {
+      import graft.store.Layout
+      val xb = Seq(100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0)
+      val yb = (1 to 15).map(_ * 62.0)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (col("doc_id") * 37 % 1000).as("y"))
+      d.select(
+          col("doc_id"),
+          Layout.bucketOf(col("n_chars"), xb).as("bkt_x"),
+          Layout.bucketOf(col("y"), yb).as("bkt_y"),
+          Layout.zValue(
+            Seq(Layout.bucketOf(col("n_chars"), xb),
+                Layout.bucketOf(col("y"), yb)), bits = 4).as("zval"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val xb = Seq(100, 200, 300, 400, 500, 600, 700, 800)
+      val yb = (1 to 15).map(_ * 62)
+      def bucketSql(v: String, bs: Seq[Int]): String =
+        bs.map(b => s"(CASE WHEN $v >= $b THEN 1 ELSE 0 END)").mkString(" + ")
+      val interleave = (0 until 4).flatMap { j =>
+        Seq(s"(((bkt_x >> $j) & 1) << ${2 * j})", s"(((bkt_y >> $j) & 1) << ${2 * j + 1})")
+      }.mkString(" | ")
+      s"""WITH dims AS (SELECT doc_id, n_chars, (doc_id * 37) % 1000 AS y FROM documents),
+        bk AS (SELECT doc_id,
+          CAST(${bucketSql("n_chars", xb)} AS BIGINT) AS bkt_x,
+          CAST(${bucketSql("y", yb)} AS BIGINT) AS bkt_y
+        FROM dims)
+        SELECT doc_id, bkt_x, bkt_y, CAST($interleave AS BIGINT) AS zval
+        FROM bk ORDER BY doc_id"""
+    })
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -3049,5 +3094,5 @@ object Battery {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q100, q101, q102, q103, q104, q105, q106)
+    q99, q100, q101, q102, q103, q104, q105, q106, q107)
 }

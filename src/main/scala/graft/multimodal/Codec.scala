@@ -414,7 +414,16 @@ object Codec {
   // an exact cross-engine oracle.                                      //
   // ------------------------------------------------------------------ //
 
-  locally { System.setProperty("java.awt.headless", "true") }
+  locally {
+    System.setProperty("java.awt.headless", "true")
+    // ImageIO's default stream cache is a TEMP FILE per encode/decode
+    // call (FileCacheImageInput/OutputStream) — for the small in-memory
+    // images this module round-trips, that is pure disk churn: at
+    // corpus scale (one decode per document, battery q100/q103/q104)
+    // it dominated the measured per-query time 3-8x and tied throughput
+    // to /tmp's state. Memory caching is strictly better here.
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   private def toImage(gray: Array[Array[Int]]): java.awt.image.BufferedImage = {
     val h = gray.length
@@ -1060,6 +1069,11 @@ object Codec {
     val st = parseAvi(bytes)
     if (!isInterFrame(st)) (st.fps, st.chunks.map(decodeAviChunk(bytes, st, _)))
     else {
+      // an inter-frame stream not opening on a keyframe has no defined
+      // frame-0 content — decoding it against a blank canvas would be
+      // silent garbage, the failure mode this module exists to avoid
+      require(st.chunks.isEmpty || st.chunks.head._3,
+        "RLE8 stream does not start with a keyframe")
       val canvas = Array.ofDim[Int](st.h, st.w)
       val out = st.chunks.indices.map { i =>
         rle8ApplyChunk(bytes, st, i, canvas)
@@ -1095,6 +1109,7 @@ object Codec {
       (st.fps, indices.map(i => (i, decodeAviChunk(bytes, st, st.chunks(i)))))
     } else {
       // one forward canvas walk over the union of the targets' GOPs
+      require(st.chunks.head._3, "RLE8 stream does not start with a keyframe")
       val targets = indices.distinct.sorted
       val decoded = scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
       var canvas: Array[Array[Int]] = null

@@ -1,0 +1,126 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data LAYOUT for scan pruning — Z-order (Morton
+  * curve) clustering, the public `OPTIMIZE ZORDER BY` idea: rewrite a
+  * table so rows close in a k-dimensional key space land in the same
+  * files, which makes parquet row-group/file min-max stats tight on
+  * EVERY clustered column at once. A table sorted on one column prunes
+  * scans filtered on that column only; a Z-ordered table prunes
+  * conjunctive and single-column range predicates on all k columns —
+  * at 100 TB, the difference between reading a shelf and reading the
+  * warehouse. (Reference scope ends at plain overwrite sinks —
+  * pipeline_etl.ipynb:469-474 writes unclustered; this is a
+  * north-star extension.)
+  *
+  * The mechanics are deliberately plain Spark, in the shape a 100 TB
+  * maintenance job needs:
+  *
+  *  1. per-column BUCKET ranks from explicit quantile boundaries
+  *     ([[bucketOf]] — a codegen'd `aggregate` over a literal array,
+  *     no UDF, no shuffle); [[boundariesFor]] derives the boundaries
+  *     with one bounded `approxQuantile` pass (driver holds ≤ 2^bits
+  *     doubles per column — the same sampling contract a
+  *     RangePartitioner uses);
+  *  2. bit-interleave the bucket ranks into one integer [[zValue]]
+  *     (pure shift/and/or expression tree, whole-stage codegen);
+  *  3. [[cluster]]: ONE range shuffle on the z-value
+  *     (`repartitionByRange`, sampled boundaries, so output files tile
+  *     the curve evenly even under skew) + an in-partition sort, then
+  *     the helper column is dropped — the written files carry only the
+  *     original schema, clustered.
+  *
+  * Cost model at scale: one quantile pass + one full shuffle + local
+  * sorts — identical to a plain global sort rewrite, but the result
+  * prunes on k dimensions instead of one. Re-cluster cadence is the
+  * same as [[Store.compact]]'s: periodic maintenance after appends.
+  * A Hilbert curve would give marginally tighter locality at the same
+  * cost; Z-order is chosen for the closed-form integer expression.
+  *
+  * Battery q107 hash-verifies the bucket+interleave arithmetic
+  * cross-engine against a DuckDB replay; LayoutSpec proves the pruning
+  * claim itself (per-partition min-max boxes of a Z-clustered layout
+  * bound BOTH dimensions; a linear layout leaves the unsorted
+  * dimension unbounded).
+  */
+object Layout {
+
+  /** Bucket rank of `c` given ascending quantile `boundaries`:
+    * #{b : c >= b}, an integer in [0, boundaries.length]. NULLs rank 0
+    * (they carry no range information; parquet null-counts prune them
+    * independently). Codegen'd higher-order `aggregate` over a literal
+    * array — O(|boundaries|) integer ops per row, no UDF. */
+  def bucketOf(c: Column, boundaries: Seq[Double]): Column = {
+    require(boundaries.nonEmpty, "bucketOf needs at least one boundary")
+    require(boundaries == boundaries.sorted, "boundaries must be ascending")
+    aggregate(
+      lit(boundaries.toArray),
+      lit(0L),
+      (acc, b) => acc + when(c.cast("double") >= b, 1L).otherwise(0L))
+  }
+
+  /** Interleave the low `bits` of k bucket columns into one Morton
+    * z-value: bit j of bucket i lands at position j*k + i. Bucket
+    * values must fit in `bits` (callers built from [[bucketOf]] with
+    * ≤ 2^bits − 1 boundaries always do). Pure shift/mask expression —
+    * k·bits terms, whole-stage codegen. k·bits ≤ 63 keeps the result
+    * in a signed long. */
+  def zValue(buckets: Seq[Column], bits: Int): Column = {
+    val k = buckets.length
+    require(k >= 1, "zValue needs at least one bucket column")
+    require(bits >= 1 && k * bits <= 63, s"k*bits must fit a long ($k x $bits)")
+    val terms = for {
+      j <- 0 until bits
+      (b, i) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(b.cast("long"), j).bitwiseAND(lit(1L)), j * k + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Quantile boundaries for each column: 2^bits − 1 split points from
+    * one `approxQuantile` pass (bounded sketch per partition, merged
+    * on the driver — ≤ 255 doubles/column at the default 8 bits, flat
+    * regardless of table size). Deduplicated, so heavily-skewed
+    * columns yield fewer, still-ascending boundaries. */
+  def boundariesFor(
+      df: DataFrame, cols: Seq[String], bits: Int = 8,
+      relativeError: Double = 0.001): Map[String, Seq[Double]] = {
+    require(bits >= 1 && bits <= 16, s"bits out of range ($bits)")
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    cols.map { c =>
+      val q = df.stat.approxQuantile(c, probs, relativeError)
+      c -> q.toSeq.distinct.sorted
+    }.toMap
+  }
+
+  /** Rewrite `df` into `partitions` Z-clustered ranges: bucket each
+    * layout column by its boundaries, interleave into a z-value, ONE
+    * range shuffle on it, sort within partitions, drop the helper.
+    * Each output partition (= output file on write) then covers a
+    * compact z-range, so its min-max box is tight on every layout
+    * column — the property parquet row-group pruning feeds on. Size
+    * `partitions` for ~1 GB files at the target table size, exactly
+    * like [[Store.compact]]. */
+  def cluster(
+      df: DataFrame, boundaries: Map[String, Seq[Double]],
+      partitions: Int, bits: Int = 8): DataFrame = {
+    require(boundaries.nonEmpty, "cluster needs at least one layout column")
+    require(partitions >= 1, s"partitions must be positive ($partitions)")
+    boundaries.foreach { case (c, b) =>
+      require(b.length < (1 << bits), s"column $c has too many boundaries for $bits bits")
+    }
+    val zCols = boundaries.toSeq.sortBy(_._1) // deterministic dimension order
+      .map { case (c, b) => bucketOf(col(c), b) }
+    val z = zValue(zCols, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** One-call convenience: derive boundaries, then [[cluster]]. */
+  def zOrder(
+      df: DataFrame, cols: Seq[String], partitions: Int, bits: Int = 8): DataFrame =
+    cluster(df, boundariesFor(df, cols, bits), partitions, bits)
+}

@@ -509,6 +509,12 @@ class CodecSpec extends AnyFunSuite {
       (avi(e + 4) & 0xff) | ((avi(e + 5) & 0xff) << 8)
     }
     assert(flags.map(f => (f & 0x10) != 0) == Seq(true, false, true, false, true))
+    // a stream whose idx1 says frame 0 is NOT a keyframe has no defined
+    // content — decoding against a blank canvas must fail loudly
+    val broken = avi.clone()
+    broken(idxPos + 8 + 4) = 0 // clear frame 0's AVIIF_KEYFRAME
+    intercept[IllegalArgumentException](Codec.decodeAvi(broken))
+    intercept[IllegalArgumentException](Codec.decodeAviFrames(broken, Seq(1)))
   }
 
   test("AVI decoder rejects malformed and unsupported content loudly") {

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.Layout
+
+/** Z-order layout: interleave arithmetic (golden), boundary handling,
+  * row preservation, and the actual PRUNING property — per-partition
+  * min-max boxes of a Z-clustered layout bound every layout column,
+  * where a linear sort leaves the other dimension unbounded. */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("zValue golden: known buckets interleave to the Morton value") {
+    // bx = 0b101 (5), by = 0b011 (3), 3 bits, dimension order (bx, by):
+    // bit j of dim i lands at j*2+i →
+    //   j0: bx→bit0=1, by→bit1=1; j1: bx→bit2=0, by→bit3=1; j2: bx→bit4=1, by→bit5=0
+    // z = 0b011011 = 27
+    val df = Seq((5L, 3L)).toDF("bx", "by")
+    val z = df.select(Layout.zValue(Seq(col("bx"), col("by")), bits = 3).as("z"))
+      .as[Long].head()
+    assert(z == 27L, s"expected 27, got $z")
+    // one dimension degenerates to the identity (shifted by nothing)
+    val one = Seq(6L).toDF("b")
+      .select(Layout.zValue(Seq(col("b")), bits = 3).as("z")).as[Long].head()
+    assert(one == 6L)
+  }
+
+  test("bucketOf: rank against ascending boundaries; NULLs rank 0; guards fire") {
+    val df = Seq(Some(5.0), Some(15.0), Some(25.0), None).toDF("v")
+    val got = df.select(Layout.bucketOf(col("v"), Seq(10.0, 20.0)).as("b"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 2L, 0L))
+    intercept[IllegalArgumentException](Layout.bucketOf(col("v"), Seq.empty))
+    intercept[IllegalArgumentException](Layout.bucketOf(col("v"), Seq(2.0, 1.0)))
+    intercept[IllegalArgumentException](Layout.zValue(Seq(col("v")), bits = 64))
+  }
+
+  test("boundariesFor: ≤ 2^bits − 1 ascending boundaries, deduped under skew") {
+    val df = (1 to 1000).map(i => i % 7).toDF("v") // heavy ties
+    val b = Layout.boundariesFor(df, Seq("v"), bits = 4)("v")
+    assert(b.length <= 15 && b == b.sorted && b.distinct == b)
+  }
+
+  test("cluster preserves the row multiset exactly and drops the helper column") {
+    val df = (1 to 500).map(i => (i % 37, (i * 17) % 101, s"r$i")).toDF("x", "y", "s")
+    val out = Layout.zOrder(df, Seq("x", "y"), partitions = 8, bits = 4)
+    assert(out.columns.toSeq == Seq("x", "y", "s"))
+    assert(out.count() == 500)
+    val a = df.orderBy("s").collect().map(_.toSeq)
+    val b = out.orderBy("s").collect().map(_.toSeq)
+    assert(a.sameElements(b), "clustering must not change row content")
+  }
+
+  test("the pruning property: Z-clustered partition boxes bound BOTH dimensions") {
+    // 64x64 uniform grid; 16 output partitions (= files on write).
+    // A scan filtered on ONE dimension prunes by per-file min-max:
+    // count the partitions whose [min,max] box intersects the slab.
+    val n = 64
+    val grid = (for { x <- 0 until n; y <- 0 until n } yield (x, y)).toDF("x", "y")
+    def boxesHit(df: org.apache.spark.sql.DataFrame, col0: String, lo: Int, hi: Int): Long = {
+      val boxes = df
+        .withColumn("__p", spark_partition_id())
+        .groupBy("__p")
+        .agg(min(col0).as("lo"), max(col0).as("hi"))
+      boxes.filter(col("hi") >= lo && col("lo") <= hi).count()
+    }
+    val parts = 16
+    val zFrozen = Layout.zOrder(grid, Seq("x", "y"), partitions = parts, bits = 6)
+    val linear = grid.repartitionByRange(parts, col("x")).sortWithinPartitions("x")
+    // y-slab query: a linear-on-x layout cannot prune it at all
+    val zHitY = boxesHit(zFrozen, "y", 0, 7)
+    val linHitY = boxesHit(linear, "y", 0, 7)
+    assert(linHitY == parts, s"premise: linear-x layout has unbounded y boxes ($linHitY)")
+    assert(zHitY * 2 <= parts,
+      s"z layout must prune a y-slab to a minority of files ($zHitY of $parts)")
+    // x-slab query: z still prunes (bounded, if looser than a pure x-sort)
+    val zHitX = boxesHit(zFrozen, "x", 0, 7)
+    assert(zHitX * 2 <= parts, s"z layout must also prune an x-slab ($zHitX of $parts)")
+  }
+}
