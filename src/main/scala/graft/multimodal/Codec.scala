@@ -946,21 +946,28 @@ object Codec {
     def isFrameId(id: Int): Boolean = id == fourcc("00db") || id == fourcc("00dc")
 
     // Walk chunks in [from, until); recurse into LIST hdrl/strl/movi/rec.
-    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+    // Defensive bounds for UNTRUSTED bytes: a negative declared size
+    // would walk the position backward (infinite loop), and unbounded
+    // LIST nesting would overflow the stack — both are exactly the
+    // kind of hostile input a corpus-scale media scan must survive by
+    // failing loudly, not hanging an executor.
+    def walk(from: Int, until: Int, inMovi: Boolean, depth: Int): Unit = {
+      require(depth <= 32, "pathological LIST nesting")
       var pos = from
       while (pos + 8 <= until) {
         val id = bb.getInt(pos)
         val size = bb.getInt(pos + 4)
         val body = pos + 8
+        require(size >= 0, s"negative chunk size at $pos")
         require(body + size <= until, s"chunk overruns its parent at $pos")
         if (id == fourcc("LIST")) {
           val listType = bb.getInt(body)
           if (listType == fourcc("movi")) {
             moviType = body
-            walk(body + 4, body + size, inMovi = true)
+            walk(body + 4, body + size, inMovi = true, depth + 1)
           } else if (listType == fourcc("hdrl") || listType == fourcc("strl") ||
               listType == fourcc("rec "))
-            walk(body + 4, body + size, inMovi)
+            walk(body + 4, body + size, inMovi, depth + 1)
         } else if (id == fourcc("strh")) {
           if (!haveStrh) { // first stream only; this decoder is single-stream
             require(bb.getInt(body) == fourcc("vids"),
@@ -1006,7 +1013,7 @@ object Codec {
         pos = body + size + (size & 1) // RIFF even-byte padding
       }
     }
-    walk(12, end, inMovi = false)
+    walk(12, end, inMovi = false, depth = 0)
     require(haveStrh && haveStrf, "AVI missing strh/strf headers")
 
     // Prefer the idx1 table: chunk locations + keyframe flags in
@@ -1021,6 +1028,7 @@ object Codec {
             val flags = bb.getInt(e + 4)
             val off = bb.getInt(e + 8)
             val sz = bb.getInt(e + 12)
+            require(sz >= 0, s"idx1 entry $i has a negative size")
             // spec offset: relative to the 'movi' fourcc; old-muxer
             // quirk: absolute file offset. Accept whichever lands on a
             // matching chunk header.

@@ -517,6 +517,47 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codec.decodeAviFrames(broken, Seq(1)))
   }
 
+  test("AVI parser survives hostile bytes: mutations terminate (throw or decode), never hang") {
+    // corpus-scale media scans see corrupt and adversarial payloads; the
+    // walker must be total — negative sizes must not walk backward and
+    // crafted LIST nesting must not blow the stack. Deterministic PRNG.
+    val seeds = Seq(
+      Codec.encodeAvi(Seq.tabulate(3)(f =>
+        Array.tabulate(6, 7)((r, c) => (f * 40 + r * 7 + c) % 256)), fps = 10),
+      Codec.encodeAvi(Seq.tabulate(2)(f =>
+        Array.tabulate(16, 16)((r, c) => math.min(255, 8 * r + 4 * c + f))),
+        fps = 5, mjpeg = true),
+      Codec.encodeAviRle8(Seq.tabulate(4)(f =>
+        Array.tabulate(5, 6)((r, c) => (f * 31 + r * 6 + c) % 256)), fps = 4, 2))
+    var s = 0x12345678L
+    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; math.abs(s) }
+    (0 until 300).foreach { i =>
+      val base = seeds((next() % seeds.length).toInt)
+      val buf = base.clone()
+      val nMut = 1 + (next() % 8).toInt
+      (0 until nMut).foreach { _ =>
+        buf((next() % buf.length).toInt) = (next() & 0xff).toByte
+      }
+      try { Codec.decodeAvi(buf); () }
+      catch { case _: Exception => () } // loud failure is fine; hanging is not
+    }
+    // pure garbage and a pathological nested-LIST bomb terminate too
+    val garbage = Array.tabulate(4096)(i => ((i * 31 + 7) & 0xff).toByte)
+    intercept[Exception](Codec.decodeAvi(garbage))
+    val bomb = {
+      val depth = 200
+      val bb = java.nio.ByteBuffer.allocate(12 + depth * 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(x: String) = x.getBytes("US-ASCII")
+      bb.put(fcc("RIFF")).putInt(4 + depth * 12).put(fcc("AVI "))
+      (0 until depth).foreach { d =>
+        bb.put(fcc("LIST")).putInt(4 + (depth - 1 - d) * 12).put(fcc("rec "))
+      }
+      bb.array()
+    }
+    intercept[IllegalArgumentException](Codec.decodeAvi(bomb))
+  }
+
   test("AVI decoder rejects malformed and unsupported content loudly") {
     intercept[IllegalArgumentException](Codec.decodeAvi("RIFFxxxx".getBytes))
     intercept[IllegalArgumentException](Codec.decodeAvi(new Array[Byte](4)))
