@@ -420,4 +420,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("RoundRobinPartitioning"),
       s"decode input not rebalanced — ImageIO would run split-starved:\n$p")
   }
+
+  test("Layout.cluster: ONE range exchange, sort survives the helper-column drop") {
+    // The Z-order rewrite must cost exactly a global-sort rewrite: one
+    // range shuffle on the curve value, an in-partition sort, and the
+    // projection that drops __z must sit ABOVE the sort (a projection
+    // below would re-plan the sort on nothing; an extra exchange above
+    // would destroy the clustering it just built).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars")
+    val df = graft.store.Layout.zOrder(
+      docs, Seq("n_chars", "doc_id"), partitions = 4, bits = 4)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    val p = finalPlan(df)
+    val shuffles = org.apache.spark.sql.GraftSqlBridge.countShuffleExchanges(exec)
+    assert(shuffles == 1, s"Z-order rewrite must shuffle exactly once ($shuffles):\n$p")
+    assert(p.contains("rangepartitioning(__z"),
+      s"the one exchange must be a RANGE partitioning on the curve value:\n$p")
+    assert(p.contains("Sort"), s"in-partition sort missing:\n$p")
+    assert(!df.columns.contains("__z"), "helper column must not reach the output schema")
+  }
 }
