@@ -78,4 +78,33 @@ class LayoutSpec extends SparkTestBase {
     val zHitX = boxesHit(zFrozen, "x", 0, 7)
     assert(zHitX * 2 <= parts, s"z layout must also prune an x-slab ($zHitX of $parts)")
   }
+
+  test("clustering survives the write: per-FILE min-max boxes stay tight on disk") {
+    // the pruning consumer is the parquet footer, so prove the property
+    // on actual written files, not just in-memory partitions
+    val n = 64
+    val parts = 16
+    val grid = (for { x <- 0 until n; y <- 0 until n } yield (x, y)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toFile
+    try {
+      Layout.zOrder(grid, Seq("x", "y"), partitions = parts, bits = 6)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == parts, s"expected $parts files, got ${files.length}")
+      // per-file boxes via reading each file alone (what a footer holds)
+      val hit = files.count { f =>
+        val box = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("y").as("lo"), max("y").as("hi")).head()
+        box.getInt(1) >= 0 && box.getInt(0) <= 7 // intersects y ∈ [0, 7]
+      }
+      assert(hit * 2 <= parts,
+        s"written files must prune a y-slab to a minority ($hit of $parts)")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
