@@ -39,6 +39,20 @@ object GraftSqlBridge {
     case other => other.children.map(countShuffleExchanges).sum
   }
 
+  /** Rows EMITTED by file scans in the final adaptive plan — i.e. rows
+    * surviving parquet row-group/page pruning from pushed filters,
+    * before any post-scan Filter. The direct evidence for layout-
+    * driven pruning (Layout.zOrder): a clustered table's scan emits a
+    * fraction of the table for a slab predicate, an unclustered one
+    * emits everything. Call AFTER an action so the metric is
+    * populated. */
+  def scanOutputRows(plan: execution.SparkPlan): Long = plan match {
+    case a: execution.adaptive.AdaptiveSparkPlanExec => scanOutputRows(a.executedPlan)
+    case q: execution.adaptive.QueryStageExec => scanOutputRows(q.plan)
+    case s: execution.FileSourceScanExec => s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+    case other => other.children.map(scanOutputRows).sum
+  }
+
   def observedMetricsDeep(plan: execution.SparkPlan): Map[String, Row] = {
     val direct = execution.CollectMetricsExec.collect(plan)
     // the explicit trait upcast disambiguates from the 1-arg
