@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CleanAsciiExpression, DotLongArrays, ShingleHashSet, SimHash32, SimHash64, TopKBy}
+import graft.functions.{CleanAsciiExpression, DotLongArrays, HilbertIndexExpression, ShingleHashSet, SimHash32, SimHash64, TopKBy}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * Catalyst functions available to plain SQL texts on any session built
@@ -35,6 +35,16 @@ object GraftExtensions {
     (FunctionIdentifier("clean_ascii"),
       new ExpressionInfo(classOf[CleanAsciiExpression].getName, "clean_ascii"),
       (exprs: Seq[Expression]) => CleanAsciiExpression(exprs.head)),
+    (FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndexExpression].getName, "hilbert_index"),
+      (exprs: Seq[Expression]) => {
+        val bits = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hilbert_index bits must be an INT literal, got $other")
+        }
+        HilbertIndexExpression(exprs(0), exprs(1), bits)
+      }),
     (FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
       (exprs: Seq[Expression]) => {

@@ -3086,6 +3086,59 @@ object Battery {
         FROM bk ORDER BY doc_id"""
     })
 
+  /** Hilbert curve index verified cross-engine — the codegen'd native
+    * expression behind `Layout.hilbertOrder`
+    * (graft.functions.HilbertIndexExpression): q107's bucket dims
+    * linearized on the order-4 Hilbert curve. The oracle replays the
+    * rotate-and-accumulate recurrence itself as a recursive CTE
+    * (4 bit-levels of state (x, y, s, d): quadrant contribution
+    * s²·(3rx XOR ry), masked reflect-and-swap rotation) — any
+    * rotation, reflection, or accumulation bug in the kernel OR its
+    * generated code hash-mismatches. */
+  val q108 = Q("q108_hilbert_values",
+    (s, dir) => {
+      import graft.store.Layout
+      val xb = Seq(100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0)
+      val yb = (1 to 15).map(_ * 62.0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (col("doc_id") * 37 % 1000).as("y"))
+        .select(
+          col("doc_id"),
+          graft.functions.HilbertIndexExpression.hilbertIndex(
+            Layout.bucketOf(col("n_chars"), xb),
+            Layout.bucketOf(col("y"), yb), bits = 4).as("hval"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val xb = Seq(100, 200, 300, 400, 500, 600, 700, 800)
+      val yb = (1 to 15).map(_ * 62)
+      def bucketSql(v: String, bs: Seq[Int]): String =
+        bs.map(b => s"(CASE WHEN $v >= $b THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH RECURSIVE dims AS (
+        SELECT doc_id, n_chars, (doc_id * 37) % 1000 AS y FROM documents),
+      bk AS (SELECT doc_id,
+        CAST(${bucketSql("n_chars", xb)} AS BIGINT) AS bkt_x,
+        CAST(${bucketSql("y", yb)} AS BIGINT) AS bkt_y
+      FROM dims),
+      h(doc_id, x, y, s, d) AS (
+        SELECT doc_id, bkt_x, bkt_y, CAST(8 AS BIGINT), CAST(0 AS BIGINT) FROM bk
+        UNION ALL
+        SELECT doc_id,
+          CASE WHEN ry = 1 THEN xm WHEN rx = 0 THEN ym ELSE s - 1 - ym END,
+          CASE WHEN ry = 1 THEN ym WHEN rx = 0 THEN xm ELSE s - 1 - xm END,
+          s // 2,
+          d + s * s * xor(3 * rx, ry)
+        FROM (SELECT doc_id, x, y, s, d,
+                CASE WHEN (x & s) != 0 THEN 1 ELSE 0 END AS rx,
+                CASE WHEN (y & s) != 0 THEN 1 ELSE 0 END AS ry,
+                x & (s - 1) AS xm, y & (s - 1) AS ym
+              FROM h WHERE s >= 1) t
+      )
+      SELECT doc_id, CAST(d AS BIGINT) AS hval FROM h WHERE s = 0
+      ORDER BY doc_id"""
+    })
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -3094,5 +3147,5 @@ object Battery {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q100, q101, q102, q103, q104, q105, q106, q107)
+    q99, q100, q101, q102, q103, q104, q105, q106, q107, q108)
 }

@@ -38,7 +38,8 @@ object LayoutBench {
     val files = 32
     val linDir = s"$base/linear_x"
     val zDir = s"$base/zorder_xy"
-    if (!new java.io.File(zDir).exists()) {
+    val hDir = s"$base/hilbert_xy"
+    if (!new java.io.File(hDir).exists()) {
       System.err.println(s"[layoutbench] writing $n x $n grid, $files files per layout")
       val grid = spark.range(n.toLong * n).select(
         (col("id") / n).cast("int").as("x"),
@@ -48,6 +49,8 @@ object LayoutBench {
         .write.mode("overwrite").parquet(linDir)
       Layout.zOrder(grid, Seq("x", "y"), partitions = files, bits = 8)
         .write.mode("overwrite").parquet(zDir)
+      Layout.hilbertOrder(grid, Seq("x", "y"), partitions = files, bits = 8)
+        .write.mode("overwrite").parquet(hDir)
     }
 
     // (min seconds, scan-emitted rows) — emitted rows are the rows
@@ -68,19 +71,21 @@ object LayoutBench {
       }
       (times.min, rows)
     }
-    // warm the JVM/codegen on both layouts before timing
-    probe(linDir, "y"); probe(zDir, "y")
+    // warm the JVM/codegen on all layouts before timing
+    probe(linDir, "y"); probe(zDir, "y"); probe(hDir, "y")
 
     val (linY, linYRows) = probe(linDir, "y")
     val (zY, zYRows) = probe(zDir, "y")
+    val (hY, hYRows) = probe(hDir, "y")
     val (linX, linXRows) = probe(linDir, "x")
     val (zX, zXRows) = probe(zDir, "x")
+    val (hX, hXRows) = probe(hDir, "x")
     System.err.println(
-      f"[layoutbench] y-slab: linear $linY%.3fs/$linYRows%d rows — z $zY%.3fs/$zYRows%d rows; " +
-        f"x-slab: linear $linX%.3fs/$linXRows%d rows — z $zX%.3fs/$zXRows%d rows")
+      f"[layoutbench] y-slab: linear $linY%.3fs/$linYRows%d — z $zY%.3fs/$zYRows%d — hilbert $hY%.3fs/$hYRows%d; " +
+        f"x-slab: linear $linX%.3fs/$linXRows%d — z $zX%.3fs/$zXRows%d — hilbert $hX%.3fs/$hXRows%d")
     println(s"""{"metric":"zorder_slab_probe","unit":"sec","rows":${n.toLong * n},"files":$files,""" +
-      s""""y_slab":{"linear_x":${fmt(linY)},"linear_x_scan_rows":$linYRows,"zorder":${fmt(zY)},"zorder_scan_rows":$zYRows},""" +
-      s""""x_slab":{"linear_x":${fmt(linX)},"linear_x_scan_rows":$linXRows,"zorder":${fmt(zX)},"zorder_scan_rows":$zXRows}}""")
+      s""""y_slab":{"linear_x":${fmt(linY)},"linear_x_scan_rows":$linYRows,"zorder":${fmt(zY)},"zorder_scan_rows":$zYRows,"hilbert":${fmt(hY)},"hilbert_scan_rows":$hYRows},""" +
+      s""""x_slab":{"linear_x":${fmt(linX)},"linear_x_scan_rows":$linXRows,"zorder":${fmt(zX)},"zorder_scan_rows":$zXRows,"hilbert":${fmt(hX)},"hilbert_scan_rows":$hXRows}}""")
     spark.stop()
   }
 }

@@ -94,26 +94,42 @@ object Layout {
     }.toMap
   }
 
-  /** Rewrite `df` into `partitions` Z-clustered ranges: bucket each
-    * layout column by its boundaries, interleave into a z-value, ONE
-    * range shuffle on it, sort within partitions, drop the helper.
-    * Each output partition (= output file on write) then covers a
-    * compact z-range, so its min-max box is tight on every layout
-    * column — the property parquet row-group pruning feeds on. Size
-    * `partitions` for ~1 GB files at the target table size, exactly
-    * like [[Store.compact]]. */
+  /** Rewrite `df` into `partitions` curve-clustered ranges: bucket
+    * each layout column by its boundaries, linearize the bucket tuple
+    * on a space-filling curve, ONE range shuffle on the curve value,
+    * sort within partitions, drop the helper. Each output partition
+    * (= output file on write) then covers a compact curve range, so
+    * its min-max box is tight on every layout column — the property
+    * parquet row-group pruning feeds on. Size `partitions` for ~1 GB
+    * files at the target table size, exactly like [[Store.compact]].
+    *
+    * `curve`: `"z"` (Morton, any k) or `"hilbert"` (2-D only —
+    * [[graft.functions.HilbertIndexExpression]], a codegen'd native
+    * expression). Hilbert's consecutive indices are always grid
+    * neighbors, so file boxes carry none of the power-of-two seam
+    * jumps Z-order pays; BENCH_SCALE's sixth campaign quantifies the
+    * difference. */
   def cluster(
       df: DataFrame, boundaries: Map[String, Seq[Double]],
-      partitions: Int, bits: Int = 8): DataFrame = {
+      partitions: Int, bits: Int = 8, curve: String = "z"): DataFrame = {
     require(boundaries.nonEmpty, "cluster needs at least one layout column")
     require(partitions >= 1, s"partitions must be positive ($partitions)")
     boundaries.foreach { case (c, b) =>
       require(b.length < (1 << bits), s"column $c has too many boundaries for $bits bits")
     }
-    val zCols = boundaries.toSeq.sortBy(_._1) // deterministic dimension order
+    val bucketCols = boundaries.toSeq.sortBy(_._1) // deterministic dimension order
       .map { case (c, b) => bucketOf(col(c), b) }
-    val z = zValue(zCols, bits)
-    df.withColumn("__z", z)
+    val curveVal = curve match {
+      case "z" => zValue(bucketCols, bits)
+      case "hilbert" =>
+        require(bucketCols.length == 2,
+          s"hilbert curve is 2-D; got ${bucketCols.length} layout columns (use curve=\"z\")")
+        graft.functions.HilbertIndexExpression.hilbertIndex(
+          bucketCols.head, bucketCols(1), bits)
+      case other => throw new IllegalArgumentException(
+        s"unknown curve '$other' (supported: z, hilbert)")
+    }
+    df.withColumn("__z", curveVal)
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -123,4 +139,11 @@ object Layout {
   def zOrder(
       df: DataFrame, cols: Seq[String], partitions: Int, bits: Int = 8): DataFrame =
     cluster(df, boundariesFor(df, cols, bits), partitions, bits)
+
+  /** [[zOrder]]'s 2-D Hilbert twin — tighter boxes, same cost. */
+  def hilbertOrder(
+      df: DataFrame, cols: Seq[String], partitions: Int, bits: Int = 8): DataFrame = {
+    require(cols.length == 2, s"hilbertOrder is 2-D; got ${cols.length} columns")
+    cluster(df, boundariesFor(df, cols, bits), partitions, bits, curve = "hilbert")
+  }
 }

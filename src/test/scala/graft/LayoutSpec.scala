@@ -77,6 +77,17 @@ class LayoutSpec extends SparkTestBase {
     // x-slab query: z still prunes (bounded, if looser than a pure x-sort)
     val zHitX = boxesHit(zFrozen, "x", 0, 7)
     assert(zHitX * 2 <= parts, s"z layout must also prune an x-slab ($zHitX of $parts)")
+    // Hilbert: adjacency (HilbertSpec) ⇒ no seam jumps ⇒ AGGREGATE box
+    // tightness at least matches Z (single slabs can tie either way —
+    // box counts depend on where the range partitioner cuts the curve)
+    val hFrozen = Layout.hilbertOrder(grid, Seq("x", "y"), partitions = parts, bits = 6)
+    def totalHits(df: org.apache.spark.sql.DataFrame, col0: String): Long =
+      (0 until n by 8).map(lo => boxesHit(df, col0, lo, lo + 7)).sum
+    val hTot = totalHits(hFrozen, "y") + totalHits(hFrozen, "x")
+    val zTot = totalHits(zFrozen, "y") + totalHits(zFrozen, "x")
+    assert(hTot <= zTot, s"hilbert aggregate boxes ($hTot) looser than z ($zTot)")
+    assert(hTot <= parts.toLong * 8, // both axes, 8 slabs each: average ≤ half the files
+      s"hilbert layout fails to prune in aggregate ($hTot)")
   }
 
   test("clustering survives the write: per-FILE min-max boxes stay tight on disk") {
