@@ -3139,6 +3139,88 @@ object Battery {
       ORDER BY doc_id"""
     })
 
+  /** q109/q110's FIXED PQ codebook: m = 4 subspaces of 16 dims, 8
+    * codes each, centroid components from a formula in quantized
+    * units — fixed so the DuckDB oracle can replay encode and ADC
+    * without re-running Lloyd (the TRAINING loop is already
+    * oracle-proven by the kmeans family q77/q81/q99; what q109/q110
+    * pin is the PQ-specific arithmetic: per-subspace integer argmin
+    * with tie-to-smaller-code, and the LUT-sum ADC scan). */
+  private def pqFixedCodebook(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for { sub <- 0 until 4; code <- 0 until 8 } yield {
+      (sub, code.toLong,
+        Seq.tabulate(16)(j => (((sub * 131 + code * 17 + j * 7) % 41) - 20) * 10L))
+    }).toDF("sub", "code", "cvec")
+  }
+
+  /** PQ encode verified cross-engine — `Similarity.pqEncode` against
+    * the fixed codebook, one row per (vector, subspace): the oracle
+    * recomputes every integer subspace distance and takes the same
+    * (dist, code) argmin. Any slicing, quantization, distance, or
+    * tie-break bug hash-mismatches. */
+  val q109 = Q("q109_pq_codes",
+    (s, dir) => {
+      Similarity.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding",
+          pqFixedCodebook(s))
+        .select(col("id").as("vec_id"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+        .orderBy("vec_id", "sub")
+    },
+    Some("""WITH qv AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+      FROM embeddings),
+      diffs AS (SELECT vec_id, s, c, j,
+          v[CAST(s*16 + j + 1 AS INT)] - (((s*131 + c*17 + j*7) % 41) - 20) * 10 AS df
+        FROM qv, range(0, 4) t(s), range(0, 8) u(c), range(0, 16) w(j)),
+      d AS (SELECT vec_id, s, c, CAST(SUM(df * df) AS BIGINT) AS dist
+        FROM diffs GROUP BY vec_id, s, c),
+      best AS (SELECT vec_id, s, c,
+          row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+        FROM d)
+      SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(c AS BIGINT) AS code
+      FROM best WHERE rn = 1 ORDER BY vec_id, sub"""))
+
+  /** PQ asymmetric-distance top-k verified cross-engine — the full
+    * compressed-index read path: encode (as q109), LUT the fixed
+    * query against every (sub, code) centroid, score every vector as
+    * the integer LUT sum, take the top 10 by (adc DESC, vec_id). The
+    * oracle replays codes, LUT, and sum — all BIGINT, so the ranking
+    * has no float ambiguity. */
+  val q110 = Q("q110_pq_adc_topk",
+    (s, dir) => {
+      import s.implicits._
+      val cb = pqFixedCodebook(s)
+      val codes = Similarity.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding", cb)
+      val query = Seq((-1L, Seq.tabulate(64)(j => ((j * 13) % 29 - 14) * 10L)))
+        .toDF("qid", "qqv")
+      Similarity.pqAdcScores(codes, cb, query)
+        .select(col("id").as("vec_id"), col("adc"))
+        .orderBy(desc("adc"), col("vec_id")).limit(10)
+    },
+    Some("""WITH qv AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+      FROM embeddings),
+      diffs AS (SELECT vec_id, s, c, j,
+          v[CAST(s*16 + j + 1 AS INT)] - (((s*131 + c*17 + j*7) % 41) - 20) * 10 AS df
+        FROM qv, range(0, 4) t(s), range(0, 8) u(c), range(0, 16) w(j)),
+      d AS (SELECT vec_id, s, c, CAST(SUM(df * df) AS BIGINT) AS dist
+        FROM diffs GROUP BY vec_id, s, c),
+      best AS (SELECT vec_id, s, c,
+          row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+        FROM d),
+      codes AS (SELECT vec_id, s, c FROM best WHERE rn = 1),
+      lut AS (SELECT s, c,
+          CAST(SUM((((j*13) % 29) - 14) * 10
+                   * (((s*131 + c*17 + ((j % 16))*7) % 41) - 20) * 10) AS BIGINT) AS l
+        FROM range(0, 4) t(s), range(0, 8) u(c), range(0, 64) w(j)
+        WHERE j // 16 = s
+        GROUP BY s, c),
+      adc AS (SELECT vec_id, CAST(SUM(l) AS BIGINT) AS adc
+        FROM codes JOIN lut USING (s, c) GROUP BY vec_id)
+      SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -3147,5 +3229,5 @@ object Battery {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q100, q101, q102, q103, q104, q105, q106, q107, q108)
+    q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
 }
