@@ -713,6 +713,46 @@ object Similarity {
       .agg(graft.functions.TopKBy.topkBy(col("adc").cast("double"), col("id"), k).as("__ids"))
       .select(col("qid"), explode(col("__ids")).as("id"))
 
+  /** IVFADC — the standard production vector-index read path: coarse
+    * IVF routing picks each query's `nprobe` nearest lists (full-
+    * precision integer centroid sums, as [[ivfTopKNeighbors]]), then
+    * the ADC scan scores ONLY the probed lists' members from their PQ
+    * CODES. Compression and pruning compose: the corpus-sized side of
+    * the join is the codes table (m small ints per vector) filtered
+    * to probed lists by a broadcast join before any scoring — at
+    * nprobe/|lists| = 1/16 and m = 8 over 64 dims, that is ~1/16 of
+    * the rows at ~1/64 of the bytes each versus a brute full-vector
+    * scan. `codes` must carry the list key in `labelCol`
+    * ([[pqEncode]] output joined back to the assignment, or encode
+    * the assigned frame directly); `base` supplies the full-precision
+    * (labelCol, qv) pairs the coarse centroids derive from. At
+    * nprobe = |lists| this is exactly [[pqTopKNeighbors]]
+    * (SimilaritySpec pins the equivalence). */
+  def ivfPqTopKNeighbors(
+      codes: DataFrame, labelCol: String, base: DataFrame,
+      codebook: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = listCentroidSums(base, labelCol, "qv")
+    val probed = cents.crossJoin(broadcast(queries))
+      .select(col("qid"), col(labelCol),
+        cosineQ(col("cvec"), col("qqv")).as("cscore"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("cscore"), col(labelCol), nprobe).as("__ls"))
+      .select(col("qid"), explode(col("__ls")).as(labelCol))
+    val subDim = codebook.select(min(size(col("cvec")))).head().getInt(0)
+    val lut = codebook.crossJoin(broadcast(queries))
+      .select(col("qid"), col("sub"), col("code"),
+        dotQ(slice(col("qqv"), col("sub") * subDim + 1, lit(subDim)), col("cvec")).as("lut"))
+    codes.join(broadcast(probed), Seq(labelCol))
+      .select(col("qid"), col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy("qid", "id")
+      .agg(sum(col("lut")).as("adc"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("adc").cast("double"), col("id"), k).as("__ids"))
+      .select(col("qid"), explode(col("__ids")).as("id"))
+  }
+
   private[graft] def codebookSums(indexRows: DataFrame): DataFrame =
     indexRows
       .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))

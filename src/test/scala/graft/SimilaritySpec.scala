@@ -718,4 +718,40 @@ class SimilaritySpec extends SparkTestBase {
       .agg(avg(col("recall"))).head().getDouble(0)
     assert(recall >= 0.45, s"PQ recall@10 below the simulated floor: $recall")
   }
+
+  test("IVFADC: probe-everything equals the full PQ scan; narrow probing still recalls") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codebook = Similarity.pqTrainCodebook(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    val base = emb.select(col("vec_id").as("id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    // coarse lists from the generator's own labels (a real IVF would
+    // Lloyd them; routing correctness is independent of list origin)
+    val withLists = base.join(
+      emb.select(col("vec_id").as("id"), col("label")), "id")
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebook)
+      .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+    val queries = base.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("qv").as("qqv"))
+    val nLists = withLists.select(countDistinct(col("label"))).head().getLong(0).toInt
+    // nprobe = |lists| ⇒ exactly the full PQ scan
+    val all = Similarity.ivfPqTopKNeighbors(
+      codes, "label", withLists, codebook, queries, k = 10, nprobe = nLists)
+    val full = Similarity.pqTopKNeighbors(
+      codes.select("id", "codes"), codebook, queries, k = 10)
+    assert(all.orderBy("qid", "id").collect().toSeq ==
+      full.orderBy("qid", "id").collect().toSeq,
+      "probe-everything IVFADC must equal the full PQ scan")
+    // narrow probing: recall against the probe-everything result stays
+    // real. The generator's near-random vectors are the WORST case for
+    // coarse routing too (list centroids barely separate), so the spec
+    // probes half the lists — the tuning loop (recallAtK vs nprobe) is
+    // exactly how a deployment picks this knob on its own data.
+    val narrow = Similarity.ivfPqTopKNeighbors(
+      codes, "label", withLists, codebook, queries, k = 10,
+      nprobe = math.max(1, nLists / 2))
+    val recall = Similarity.recallAtK(full, narrow, "qid", "id", 10)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(recall >= 0.4, s"half-probe IVFADC recall implausibly low: $recall")
+  }
 }
