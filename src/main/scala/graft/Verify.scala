@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional 3rd+ args: run only the named queries (local iteration;
+    // the driver always passes exactly two args → full battery)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +29,9 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(rmrf)
       f.delete(); ()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       val dest = new java.io.File(s"$outDir/$name")
       if (dest.exists()) rmrf(dest)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

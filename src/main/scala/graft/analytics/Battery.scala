@@ -3221,6 +3221,200 @@ object Battery {
         FROM codes JOIN lut USING (s, c) GROUP BY vec_id)
       SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""))
 
+  /** IVFADC verified cross-engine — `Similarity.ivfPqTopKNeighbors`,
+    * the composed production read path: coarse routing by integer
+    * centroid-sum cosine picks nprobe = 2 of the label lists (as q31),
+    * then the ADC scan (as q110) scores ONLY the probed lists'
+    * members from their PQ codes. The oracle replays routing, encode,
+    * LUT, and sum; ranking ties follow the engine's (adc DESC, id ASC)
+    * rule, so the id set is deterministic. Any bug in the
+    * routing/pruning composition — scoring an unprobed list, dropping
+    * a probed one, coarse/fine disagreement — changes the id set and
+    * hash-mismatches. */
+  val q111 = Q("q111_ivfpq_topk",
+    (s, dir) => {
+      import s.implicits._
+      val cb = pqFixedCodebook(s)
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Similarity.quantize(col("embedding")).as("qv"))
+      val codes = Similarity.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding", cb)
+        .join(base.select(col("vec_id").as("id"), col("label")), "id")
+      val query = Seq((-1L, Seq.tabulate(64)(j => ((j * 13) % 29 - 14) * 10L)))
+        .toDF("qid", "qqv")
+      Similarity.ivfPqTopKNeighbors(codes, "label", base, cb, query, k = 10, nprobe = 2)
+        .select(col("id").as("vec_id"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH qv AS (SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+      FROM embeddings),
+      q AS (SELECT list(CAST((((j*13) % 29) - 14) * 10 AS BIGINT) ORDER BY j) AS qqv
+            FROM range(0, 64) t(j)),
+      expl AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM qv),
+      cent AS (SELECT label, list(sv ORDER BY pos) AS cvec FROM
+                 (SELECT label, pos, SUM(x) AS sv FROM expl GROUP BY label, pos)
+               GROUP BY label),
+      top2 AS (SELECT label FROM cent, q
+               ORDER BY CAST(list_sum(list_transform(list_zip(cvec, qqv), p -> p[1]*p[2])) AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(cvec, x -> x*x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(qqv, x -> x*x)) AS DOUBLE))) DESC,
+                 label ASC LIMIT 2),
+      diffs AS (SELECT vec_id, s, c, j,
+          v[CAST(s*16 + j + 1 AS INT)] - (((s*131 + c*17 + j*7) % 41) - 20) * 10 AS df
+        FROM qv, range(0, 4) t(s), range(0, 8) u(c), range(0, 16) w(j)),
+      d AS (SELECT vec_id, s, c, CAST(SUM(df * df) AS BIGINT) AS dist
+        FROM diffs GROUP BY vec_id, s, c),
+      best AS (SELECT vec_id, s, c,
+          row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+        FROM d),
+      codes AS (SELECT vec_id, s, c FROM best WHERE rn = 1),
+      lut AS (SELECT s, c,
+          CAST(SUM((((j*13) % 29) - 14) * 10
+                   * (((s*131 + c*17 + ((j % 16))*7) % 41) - 20) * 10) AS BIGINT) AS l
+        FROM range(0, 4) t(s), range(0, 8) u(c), range(0, 64) w(j)
+        WHERE j // 16 = s
+        GROUP BY s, c),
+      adc AS (SELECT cd.vec_id, CAST(SUM(l.l) AS BIGINT) AS adc
+        FROM codes cd JOIN qv b USING (vec_id) JOIN lut l USING (s, c)
+        WHERE b.label IN (SELECT label FROM top2)
+        GROUP BY cd.vec_id)
+      SELECT vec_id FROM (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 10)
+      ORDER BY vec_id"""))
+
+  /** Residual IVFADC (IVFADC-R) verified cross-engine —
+    * `Similarity.ivfPqResidualTopKNeighbors` over
+    * [[Similarity.residualFrame]] codes: per-label FLOORED-MEAN coarse
+    * centroids, residual rv = qv − mvec, residual PQ encode against
+    * the fixed codebook, routing by mvec cosine (nprobe = 2), and the
+    * EXACT integer score decomposition ⟨q,mvec⟩ + Σ LUT[sub][code].
+    * The oracle replays every stage — floored means, residual argmin
+    * encode, coarse dot, LUT sum, (adc DESC, id ASC) ranking. Any bug
+    * in the mean flooring, residual subtraction, or coarse+fine score
+    * assembly changes the id set and hash-mismatches. */
+  val q112 = Q("q112_ivfpq_residual_topk",
+    (s, dir) => {
+      import s.implicits._
+      val cb = pqFixedCodebook(s)
+      val emb = t(s, dir, "embeddings")
+      val rf = Similarity.residualFrame(emb, "vec_id", "label", "embedding")
+      val codes = Similarity.pqEncodeQ(rf, "id", "rv", cb)
+        .join(rf.select(col("id"), col("label")), "id")
+      val means = Similarity.listCentroidMeans(
+        emb.select(col("label"), Similarity.quantize(col("embedding")).as("qv")),
+        "label", "qv")
+      val query = Seq((-1L, Seq.tabulate(64)(j => ((j * 13) % 29 - 14) * 10L)))
+        .toDF("qid", "qqv")
+      Similarity.ivfPqResidualTopKNeighbors(codes, "label", means, cb, query,
+          k = 10, nprobe = 2)
+        .select(col("id").as("vec_id"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH qv AS (SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+      FROM embeddings),
+      q AS (SELECT list(CAST((((j*13) % 29) - 14) * 10 AS BIGINT) ORDER BY j) AS qqv
+            FROM range(0, 64) t(j)),
+      expl AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM qv),
+      mexp AS (SELECT label, pos,
+          CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mv
+        FROM expl GROUP BY label, pos),
+      mcent AS (SELECT label, list(mv ORDER BY pos) AS mvec FROM mexp GROUP BY label),
+      top2 AS (SELECT label FROM mcent, q
+               ORDER BY CAST(list_sum(list_transform(list_zip(mvec, qqv), p -> p[1]*p[2])) AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(mvec, x -> x*x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(qqv, x -> x*x)) AS DOUBLE))) DESC,
+                 label ASC LIMIT 2),
+      coarse AS (SELECT label,
+          CAST(list_sum(list_transform(list_zip(mvec, qqv), p -> p[1]*p[2])) AS BIGINT) AS coarse
+        FROM mcent, q),
+      diffs AS (SELECT b.vec_id, t.s, u.c, w.j,
+          b.v[CAST(t.s*16 + w.j + 1 AS INT)] - m.mv
+            - (((t.s*131 + u.c*17 + w.j*7) % 41) - 20) * 10 AS df
+        FROM qv b
+        CROSS JOIN range(0, 4) t(s)
+        CROSS JOIN range(0, 8) u(c)
+        CROSS JOIN range(0, 16) w(j)
+        JOIN mexp m ON m.label = b.label AND m.pos = t.s*16 + w.j + 1),
+      d AS (SELECT vec_id, s, c, CAST(SUM(df * df) AS BIGINT) AS dist
+        FROM diffs GROUP BY vec_id, s, c),
+      best AS (SELECT vec_id, s, c,
+          row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+        FROM d),
+      codes AS (SELECT vec_id, s, c FROM best WHERE rn = 1),
+      lut AS (SELECT s, c,
+          CAST(SUM((((j*13) % 29) - 14) * 10
+                   * (((s*131 + c*17 + ((j % 16))*7) % 41) - 20) * 10) AS BIGINT) AS l
+        FROM range(0, 4) t(s), range(0, 8) u(c), range(0, 64) w(j)
+        WHERE j // 16 = s
+        GROUP BY s, c),
+      adc AS (SELECT cd.vec_id, CAST(SUM(l.l) AS BIGINT) + MIN(co.coarse) AS adc
+        FROM codes cd JOIN qv b USING (vec_id)
+        JOIN coarse co ON co.label = b.label
+        JOIN lut l USING (s, c)
+        WHERE b.label IN (SELECT label FROM top2)
+        GROUP BY cd.vec_id)
+      SELECT vec_id FROM (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 10)
+      ORDER BY vec_id"""))
+
+  /** G.711 μ-law + A-law decode verified cross-engine — the telephony
+    * companding codecs (WAV format tags 7/6, Codec.decodeWavG711),
+    * same scheme as the ADPCM q102: per document a deterministic
+    * 64-sample signal spanning ±30000 (all eight G.711 segments) is
+    * companded, expanded, and 16-sample-window energy-summed; the
+    * oracle replays BOTH closed-form integer expansions (μ-law
+    * complement-bias-shift, A-law even-bit-inversion segment fold) and
+    * the encoder's nearest-reconstruction argmin (ties to the smaller
+    * code) in SQL. Any mantissa, segment, bias, sign-convention, or
+    * fact-chunk bug hash-mismatches. */
+  val q113 = Q("q113_g711_window_energy",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val samples = Array.tabulate(64)(i =>
+            (((id * 257 + i * 997) % 60001) - 30000).toShort)
+          Seq(false, true).flatMap { aLaw =>
+            val wav = graft.multimodal.Codec.encodeWavG711(samples, 8000, aLaw)
+            val (sr, rec) = graft.multimodal.Codec.decodeWavG711(wav)
+            require(sr == 8000 && rec.length == 64, "G.711 round-trip lost data")
+            (0 until 4).map { w =>
+              var e = 0L
+              var k = 0
+              while (k < 16) { val v = rec(w * 16 + k).toLong; e += v * v; k += 1 }
+              (id, if (aLaw) "alaw" else "ulaw", w.toLong, e)
+            }
+          }
+        }
+        .toDF("media_id", "codec", "window_idx", "energy")
+        .orderBy("media_id", "codec", "window_idx")
+    },
+    Some("""WITH dec AS (
+        SELECT c, 'ulaw' AS codec,
+          CASE WHEN ((255 - c) & 128) != 0
+            THEN 132 - ((((255 - c) & 15) * 8 + 132) << (((255 - c) & 112) >> 4))
+            ELSE ((((255 - c) & 15) * 8 + 132) << (((255 - c) & 112) >> 4)) - 132 END AS v
+        FROM range(0, 256) t(c)
+        UNION ALL
+        SELECT c, 'alaw',
+          CASE WHEN (xor(c, 85) & 128) != 0 THEN seg_val ELSE -seg_val END
+        FROM (SELECT c,
+            CASE WHEN ((xor(c, 85) & 112) >> 4) = 0 THEN ((xor(c, 85) & 15) << 4) + 8
+                 WHEN ((xor(c, 85) & 112) >> 4) = 1 THEN ((xor(c, 85) & 15) << 4) + 264
+                 ELSE (((xor(c, 85) & 15) << 4) + 264) << (((xor(c, 85) & 112) >> 4) - 1)
+            END AS seg_val
+          FROM range(0, 256) t(c)) a),
+      smp AS (SELECT doc_id, i, (doc_id*257 + i*997) % 60001 - 30000 AS s
+        FROM documents, range(0, 64) t(i)),
+      enc AS (SELECT doc_id, i, codec, v,
+          row_number() OVER (PARTITION BY doc_id, i, codec
+                             ORDER BY abs(v - s), c) AS rn
+        FROM smp CROSS JOIN dec)
+      SELECT doc_id AS media_id, codec, CAST(i // 16 AS BIGINT) AS window_idx,
+        CAST(SUM(v*v) AS BIGINT) AS energy
+      FROM enc WHERE rn = 1
+      GROUP BY doc_id, codec, i // 16
+      ORDER BY media_id, codec, window_idx"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -3229,5 +3423,6 @@ object Battery {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
+    q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
+    q111, q112)
 }

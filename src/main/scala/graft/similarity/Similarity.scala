@@ -620,35 +620,10 @@ object Similarity {
     * sample clears the target. */
   def pqTrainCodebook(
       emb: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, iters: Int): DataFrame = {
-    require(m >= 1 && ksub >= 1, s"m and ksub must be positive ($m, $ksub)")
-    val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-      .localCheckpoint(false)
-    val dims = q.select(size(col("qv"))).head().getInt(0)
-    require(dims % m == 0, s"dims $dims not divisible by m = $m")
-    val subDim = dims / m
-    val frames = (0 until m).map { s =>
-      val sv = q.select(col("id"), pqSub(col("qv"), s, subDim).as("qv"))
-        .localCheckpoint(false)
-      val assigned = kmeansDetailed(sv, "id", ksub, iters).select(col("id"), col("cid"))
-      val cents = sv.join(assigned, "id")
-        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
-        .select(col("cid"), col("pos"),
-          floor(col("sv").cast("double") / col("cnt").cast("double"))
-            .cast(LongType).as("cv"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          t => t.getField("cv")).as("cvec"))
-      // dense codes: rank by cid — ksub rows, the single-partition
-      // window is metadata-weight
-      val w = org.apache.spark.sql.expressions.Window.orderBy("cid")
-      cents.select(lit(s).as("sub"),
-        (row_number().over(w) - 1).cast(LongType).as("code"), col("cvec"))
-    }
-    frames.reduce(_ unionByName _)
-  }
+      m: Int, ksub: Int, iters: Int): DataFrame =
+    pqTrainCodebookQ(
+      emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv")),
+      "id", "qv", m, ksub, iters)
 
   /** PQ-encode a vector frame against a codebook: per subspace, the
     * code of the nearest centroid by exact integer squared L2
@@ -658,25 +633,10 @@ object Similarity {
     * narrow pass with an m-way explode — no shuffle wider than the
     * final per-id regroup. */
   def pqEncode(
-      emb: DataFrame, idCol: String, vecCol: String, codebook: DataFrame): DataFrame = {
-    requireIntegralId(emb.select(col(idCol).as("id")), "id", "pqEncode")
-    val meta = codebook.agg(max(col("sub")).as("m1"), min(size(col("cvec"))).as("sd")).head()
-    val m = meta.getInt(0) + 1
-    val subDim = meta.getInt(1)
-    val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-    val bySub = q.select(col("id"),
-      posexplode(array((0 until m).map(s => pqSub(col("qv"), s, subDim)): _*))
-        .as(Seq("sub", "x")))
-    val dist = dotQ(col("x"), col("x")) - lit(2L) * dotQ(col("x"), col("cvec")) +
-      dotQ(col("cvec"), col("cvec"))
-    bySub.join(broadcast(codebook), "sub")
-      .select(col("id"), col("sub"), struct(dist.as("d"), col("code")).as("sc"))
-      .groupBy("id", "sub")
-      .agg(min(col("sc")).as("best"))
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("best.code").as("code")))),
-        t => t.getField("code")).as("codes"))
-  }
+      emb: DataFrame, idCol: String, vecCol: String, codebook: DataFrame): DataFrame =
+    pqEncodeQ(
+      emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv")),
+      "id", "qv", codebook)
 
   /** Asymmetric-distance (ADC) scores: approximate inner product of
     * each query against every ENCODED vector as Σ_sub LUT[sub][code],
@@ -748,6 +708,159 @@ object Similarity {
       .filter(col("id") =!= col("qid"))
       .groupBy("qid", "id")
       .agg(sum(col("lut")).as("adc"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("adc").cast("double"), col("id"), k).as("__ids"))
+      .select(col("qid"), explode(col("__ids")).as("id"))
+  }
+
+  // ------------------------------------------------------------------ //
+  // Residual quantization (IVFADC-R) — PQ over coarse-centroid         //
+  // residuals, the form production vector indexes actually ship: the   //
+  // coarse quantizer absorbs the corpus's cluster structure, so the PQ //
+  // codebook only has to cover the RESIDUAL cloud (tight, centered at  //
+  // zero) instead of the full embedding spread. Same code bytes per    //
+  // vector, strictly less quantization error whenever the corpus is    //
+  // clustered — which real embedding corpora are (SimilaritySpec       //
+  // measures the recall gap on a synthetic clustered frame: the raw-   //
+  // vector PQ collapses clusters the residual form keeps separate).    //
+  // Everything stays exact-integer: floored-mean coarse centroids are  //
+  // integers, so residuals (qv − mvec) are integers, and the ADC score //
+  // decomposes EXACTLY as ⟨q, mvec⟩ + Σ_sub LUT[sub][code] — integer   //
+  // adds; the only approximation anywhere is the encoding itself.      //
+  // ------------------------------------------------------------------ //
+
+  /** Per-list FLOORED-MEAN coarse centroids — (labelCol, mvec), mvec
+    * elementwise ⌊Σx/n⌋. Means, not sums, because residual arithmetic
+    * needs a subtractable vector in the same units as the data; the
+    * floor is one deterministic rounding at build time (the same
+    * discipline as [[pqTrainCodebook]]'s centroid components), after
+    * which every downstream step is exact integer. One shuffle on
+    * (label, pos), then a label-rows regroup — list-count weight. */
+  def listCentroidMeans(base: DataFrame, labelCol: String, qvCol: String): DataFrame =
+    base.select(col(labelCol), posexplode(col(qvCol)).as(Seq("pos", "v")))
+      .groupBy(labelCol, "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+      .select(col(labelCol), col("pos"),
+        floor(col("sv").cast("double") / col("cnt").cast("double"))
+          .cast(LongType).as("mv"))
+      .groupBy(labelCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        s => s.getField("mv")).as("mvec"))
+
+  /** Residual frame: each quantized vector minus its list's floored-
+    * mean coarse centroid, elementwise — (id, labelCol, rv). The means
+    * table is |lists| rows and broadcasts; the corpus side is one
+    * narrow pass (no shuffle — the zip_with runs in the scan stage).
+    * Feed `rv` to [[pqTrainCodebookQ]] / [[pqEncodeQ]] for the
+    * residual codebook and codes. */
+  def residualFrame(
+      base: DataFrame, idCol: String, labelCol: String, vecCol: String): DataFrame = {
+    requireIntegralId(base.select(col(idCol).as("id")), "id", "residualFrame")
+    val q = base.select(col(idCol).as("id"), col(labelCol), quantize(col(vecCol)).as("qv"))
+    val means = listCentroidMeans(q, labelCol, "qv")
+    q.join(broadcast(means), Seq(labelCol))
+      .select(col("id"), col(labelCol),
+        zip_with(col("qv"), col("mvec"), (x, m) => x - m).as("rv"))
+  }
+
+  /** [[pqTrainCodebook]] over an ALREADY-quantized integer vector
+    * column (e.g. [[residualFrame]]'s `rv`) — same contract, minus the
+    * ×1000 quantization step. */
+  def pqTrainCodebookQ(
+      qemb: DataFrame, idCol: String, qvCol: String,
+      m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(m >= 1 && ksub >= 1, s"m and ksub must be positive ($m, $ksub)")
+    val q = qemb.select(col(idCol).as("id"), col(qvCol).as("qv")).localCheckpoint(false)
+    val dims = q.select(size(col("qv"))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m = $m")
+    val subDim = dims / m
+    val frames = (0 until m).map { s =>
+      val sv = q.select(col("id"), pqSub(col("qv"), s, subDim).as("qv"))
+        .localCheckpoint(false)
+      val assigned = kmeansDetailed(sv, "id", ksub, iters).select(col("id"), col("cid"))
+      val cents = sv.join(assigned, "id")
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
+        .select(col("cid"), col("pos"),
+          floor(col("sv").cast("double") / col("cnt").cast("double"))
+            .cast(LongType).as("cv"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          t => t.getField("cv")).as("cvec"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("cid")
+      cents.select(lit(s).as("sub"),
+        (row_number().over(w) - 1).cast(LongType).as("code"), col("cvec"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** [[pqEncode]] over an ALREADY-quantized integer vector column —
+    * same per-subspace integer argmin, tie to the smaller code. */
+  def pqEncodeQ(
+      qemb: DataFrame, idCol: String, qvCol: String, codebook: DataFrame): DataFrame = {
+    requireIntegralId(qemb.select(col(idCol).as("id")), "id", "pqEncodeQ")
+    val meta = codebook.agg(max(col("sub")).as("m1"), min(size(col("cvec"))).as("sd")).head()
+    val m = meta.getInt(0) + 1
+    val subDim = meta.getInt(1)
+    val q = qemb.select(col(idCol).as("id"), col(qvCol).as("qv"))
+    val bySub = q.select(col("id"),
+      posexplode(array((0 until m).map(s => pqSub(col("qv"), s, subDim)): _*))
+        .as(Seq("sub", "x")))
+    val dist = dotQ(col("x"), col("x")) - lit(2L) * dotQ(col("x"), col("cvec")) +
+      dotQ(col("cvec"), col("cvec"))
+    bySub.join(broadcast(codebook), "sub")
+      .select(col("id"), col("sub"), struct(dist.as("d"), col("code")).as("sc"))
+      .groupBy("id", "sub")
+      .agg(min(col("sc")).as("best"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("best.code").as("code")))),
+        t => t.getField("code")).as("codes"))
+  }
+
+  /** IVFADC over RESIDUAL codes — the full production read path.
+    * Routing: each query probes its `nprobe` nearest lists by cosine
+    * against the floored-mean coarse centroids (`means`, broadcast).
+    * Scan: only the probed lists' members are scored, from their
+    * residual PQ codes, as the EXACT integer decomposition
+    * ⟨q, x̂⟩ = ⟨q, mvec_list⟩ + Σ_sub LUT[sub][code] — the coarse term
+    * joins per (qid, list) from the routing product (|queries|·nprobe
+    * rows, broadcast weight), the LUT from the residual codebook
+    * (|queries|·m·ksub rows, broadcast). The corpus-sized side is the
+    * codes table alone, filtered to probed lists BEFORE any scoring,
+    * exactly as [[ivfPqTopKNeighbors]] — compression × pruning — with
+    * the residual codebook's tighter cells buying recall at the same
+    * m (measured: SimilaritySpec's clustered-frame recall gap).
+    * `codes` = (labelCol, id, codes) from [[pqEncodeQ]] over
+    * [[residualFrame]]; `means` from [[listCentroidMeans]]. At
+    * nprobe = |lists| the routing prunes nothing and the result is the
+    * deterministic full-scan ranking (SimilaritySpec pins it against
+    * an independently-computed direct form). Output (qid, id). */
+  def ivfPqResidualTopKNeighbors(
+      codes: DataFrame, labelCol: String, means: DataFrame,
+      codebook: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val routed = means.crossJoin(broadcast(queries))
+      .select(col("qid"), col(labelCol),
+        cosineQ(col("mvec"), col("qqv")).as("cscore"),
+        dotQ(col("mvec"), col("qqv")).as("coarse"))
+      .localCheckpoint(false) // |lists|·|queries| rows — routing-table weight
+    val probed = routed
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("cscore"), col(labelCol), nprobe).as("__ls"))
+      .select(col("qid"), explode(col("__ls")).as("__l"))
+      .select(col("qid"), col("__l").cast(routed.schema(labelCol).dataType).as(labelCol))
+      .join(routed.select(col("qid"), col(labelCol), col("coarse")), Seq("qid", labelCol))
+    val subDim = codebook.select(min(size(col("cvec")))).head().getInt(0)
+    val lut = codebook.crossJoin(broadcast(queries))
+      .select(col("qid"), col("sub"), col("code"),
+        dotQ(slice(col("qqv"), col("sub") * subDim + 1, lit(subDim)), col("cvec")).as("lut"))
+    codes.join(broadcast(probed), Seq(labelCol))
+      .select(col("qid"), col("id"), col("coarse"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy("qid", "id")
+      .agg((sum(col("lut")) + first(col("coarse"))).as("adc"))
       .groupBy("qid")
       .agg(graft.functions.TopKBy.topkBy(col("adc").cast("double"), col("id"), k).as("__ids"))
       .select(col("qid"), explode(col("__ids")).as("id"))

@@ -754,4 +754,130 @@ class SimilaritySpec extends SparkTestBase {
       .agg(avg(col("recall"))).head().getDouble(0)
     assert(recall >= 0.4, s"half-probe IVFADC recall implausibly low: $recall")
   }
+
+  /** Deterministic clustered corpus in QUANTIZED units: `nClusters`
+    * centers spread over ±1000 with members offset ±20 — the regime
+    * residual quantization exists for (coarse absorbs the spread, PQ
+    * only covers the tight residual cloud). No RNG: every value is a
+    * formula of (id, dim). */
+  private def clusteredFrame(n: Int, nClusters: Int, dims: Int) = {
+    import spark.implicits._
+    (0L until n).map { id =>
+      val k = (id % nClusters).toInt
+      val qv = Seq.tabulate(dims) { j =>
+        ((k * 997L + j * 131L) % 2001L - 1000L) + ((id * 37L + j * 13L) % 41L - 20L)
+      }
+      (id, k.toLong, qv)
+    }.toDF("id", "label", "qv")
+  }
+
+  test("residualFrame: rv is exactly qv minus the list's floored-mean centroid") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, 0L, Seq(0.010f, 0.020f)), (2L, 0L, Seq(0.013f, 0.021f)),
+      (3L, 1L, Seq(-0.005f, 0.007f))).toDF("id", "label", "vec")
+    // list 0 quantized members: (10,20), (13,21) → sums (23,41), n=2 →
+    // floored means (11, 20); list 1: (-5, 7) → means (-5, 7)
+    val means = Similarity.listCentroidMeans(
+      base.select(col("label"), Similarity.quantize(col("vec")).as("qv")), "label", "qv")
+      .orderBy("label").as[(Long, Seq[Long])].collect()
+    assert(means(0) == ((0L, Seq(11L, 20L))))
+    assert(means(1) == ((1L, Seq(-5L, 7L))))
+    val rv = Similarity.residualFrame(base, "id", "label", "vec")
+      .orderBy("id").select("rv").as[Seq[Long]].collect()
+    assert(rv.toSeq == Seq(Seq(-1L, 0L), Seq(2L, 1L), Seq(0L, 0L)),
+      "residuals must be the exact integer difference qv − mvec")
+  }
+
+  test("residual IVFADC: probe-everything equals reconstruct-and-score exactly") {
+    import spark.implicits._
+    // ⟨q, mvec + decode(codes)⟩ must equal the engine's coarse + LUT-sum
+    // decomposition BIT-EXACTLY — both are integer sums of the same
+    // products, just associated differently.
+    val base = clusteredFrame(n = 60, nClusters = 4, dims = 8)
+    val means = Similarity.listCentroidMeans(base, "label", "qv")
+    val rf = Similarity.residualFrame(
+      base.select(col("id"), col("label"),
+        transform(col("qv"), x => x.cast("double") / 1000.0).as("vec")),
+      "id", "label", "vec")
+    val codebook = Similarity.pqTrainCodebookQ(rf, "id", "rv", m = 2, ksub = 4, iters = 2)
+    val codes = Similarity.pqEncodeQ(rf, "id", "rv", codebook)
+      .join(rf.select(col("id"), col("label")), "id")
+    val queries = base.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("qv").as("qqv"))
+    val got = Similarity.ivfPqResidualTopKNeighbors(
+      codes, "label", means, codebook, queries, k = 5, nprobe = 4)
+    // independent scoring: reconstruct x̂ = mvec + concat(cvec(codes)),
+    // brute-score ⟨q, x̂⟩, same (score DESC, id ASC) top-k
+    val cb = codebook.as[(Int, Long, Seq[Long])].collect()
+      .map { case (s, c, v) => (s, c) -> v }.toMap
+    val mv = means.as[(Long, Seq[Long])].collect().toMap
+    val recon = codes.select(col("id"), col("label"), col("codes"))
+      .as[(Long, Long, Seq[Long])].collect()
+      .map { case (id, label, cs) =>
+        val rhat = cs.zipWithIndex.flatMap { case (c, s) => cb((s, c)) }
+        (id, mv(label).zip(rhat).map { case (m, r) => m + r })
+      }.toSeq.toDF("id", "qv")
+    // ADC ranks by INNER PRODUCT (not cosine — reconstruction norms
+    // vary), same (score DESC, id ASC) tie rule via TopKBy
+    val want = recon.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        Similarity.dotQ(col("qv"), col("qqv")).cast("double").as("score"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("score"), col("id"), 5).as("__ids"))
+      .select(col("qid"), explode(col("__ids")).as("id"))
+    assert(got.orderBy("qid", "id").collect().toSeq ==
+      want.orderBy("qid", "id").collect().toSeq,
+      "probe-everything residual IVFADC must equal reconstruct-and-score")
+  }
+
+  test("residual PQ beats raw-vector PQ on clustered data (the regime it exists for)") {
+    import spark.implicits._
+    // 16 clusters but only ksub = 4 codes per subspace: the raw-vector
+    // codebook CANNOT cover 16 distinct subcenters with 4 cells, while
+    // the residual cloud (±20 around zero after the coarse subtract)
+    // fits them easily — same code bytes, structurally different error.
+    val base = clusteredFrame(n = 320, nClusters = 16, dims = 8)
+    val asFloat = base.select(col("id"), col("label"),
+      transform(col("qv"), x => x.cast("double") / 1000.0).as("vec"))
+    val queries = base.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("qv").as("qqv"))
+    // exact reference by INNER PRODUCT — the functional ADC
+    // approximates (cosine-exact would measure the dot-vs-cosine
+    // ranking gap, not the encoding error)
+    val exact = base.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        Similarity.dotQ(col("qv"), col("qqv")).cast("double").as("score"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("score"), col("id"), 10).as("__ids"))
+      .select(col("qid"), explode(col("__ids")).as("id"))
+    // raw-vector PQ at m = 2, ksub = 4
+    val rawCb = Similarity.pqTrainCodebookQ(base, "id", "qv", m = 2, ksub = 4, iters = 3)
+    val rawCodes = Similarity.pqEncodeQ(base, "id", "qv", rawCb)
+    val rawTop = Similarity.pqTopKNeighbors(rawCodes, rawCb, queries, k = 10)
+    val rawRecall = Similarity.recallAtK(exact, rawTop, "qid", "id", 10)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    // residual PQ at the SAME m, ksub — probe everything so the gap
+    // measured is the ENCODING's, not the routing's
+    val means = Similarity.listCentroidMeans(base, "label", "qv")
+    val rf = Similarity.residualFrame(asFloat, "id", "label", "vec")
+    val resCb = Similarity.pqTrainCodebookQ(rf, "id", "rv", m = 2, ksub = 4, iters = 3)
+    val resCodes = Similarity.pqEncodeQ(rf, "id", "rv", resCb)
+      .join(rf.select(col("id"), col("label")), "id")
+    val resTop = Similarity.ivfPqResidualTopKNeighbors(
+      resCodes, "label", means, resCb, queries, k = 10, nprobe = 16)
+    val resRecall = Similarity.recallAtK(exact, resTop, "qid", "id", 10)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(resRecall > rawRecall + 0.1,
+      s"residual PQ should clearly beat raw PQ on clustered data: " +
+        s"residual $resRecall vs raw $rawRecall")
+    // measured 0.725 at (m=2, ksub=4): the remaining misses are WITHIN-
+    // cluster ordering — score differences between same-cluster members
+    // are the same magnitude as the residual quantization error at 4
+    // cells per subspace. The floor pins "residual keeps clusters
+    // separate", not perfection at the coarsest code budget.
+    assert(resRecall >= 0.6, s"residual recall implausibly low: $resRecall")
+  }
 }
