@@ -3424,5 +3424,5 @@ object Battery {
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112)
+    q111, q112, q113)
 }

@@ -322,6 +322,152 @@ object Codec {
   }
 
   // ------------------------------------------------------------------ //
+  // G.711 μ-law / A-law — compressed audio (WAV format tags 7 / 6),    //
+  // the telephony companding codecs of ITU-T Recommendation G.711      //
+  // (1972; public). 8 bits per sample, 2:1 vs PCM16, logarithmic       //
+  // segments. Decode is a closed-form integer expression per code —    //
+  // ORACLE-CHECKABLE like the ADPCM kernel (battery q113 replays both  //
+  // expansions in SQL); encode here is nearest-reconstruction argmin   //
+  // over the 256 codes (ties to the smaller code) — deterministic,     //
+  // exactly replayable, and immune to the published reference          //
+  // encoders' 13/14-bit convention mismatches.                         //
+  // ------------------------------------------------------------------ //
+
+  /** μ-law expansion: 8-bit code → 16-bit linear sample. Closed form
+    * of the G.711 μ-law segment structure: complement, then
+    * mantissa·8 + bias shifted by the 3-bit segment, bias removed,
+    * sign applied. Range ±32124. */
+  private[graft] def muLawDecodeSample(code: Int): Int = {
+    val u = (~code) & 0xff
+    val t = (((u & 0xf) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A-law expansion: 8-bit code → 16-bit linear sample. Even-bit
+    * inversion (XOR 0x55), then the segment fold: segment 0 is linear
+    * (step 16, offset 8), segments ≥ 1 prepend the implicit leading
+    * one (offset 0x108) and shift. Sign bit SET means positive in
+    * A-law (the inverse of μ-law). Range ±32256. */
+  private[graft] def aLawDecodeSample(code: Int): Int = {
+    val a = code ^ 0x55
+    val t0 = (a & 0xf) << 4
+    val seg = (a & 0x70) >> 4
+    val t = seg match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case _ => (t0 + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  private def g711Table(aLaw: Boolean): Array[Int] =
+    Array.tabulate(256)(c => if (aLaw) aLawDecodeSample(c) else muLawDecodeSample(c))
+
+  /** Nearest-reconstruction G.711 encode: the code whose expansion is
+    * closest to the sample, ties to the SMALLER code. O(256) per
+    * sample — a bounded table scan, not a hot path (encode exists
+    * here to fabricate test media; decode is the pipeline side). */
+  private def g711Encode(samples: Array[Short], aLaw: Boolean): Array[Byte] = {
+    val table = g711Table(aLaw)
+    samples.map { s =>
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < 256) {
+        val d = math.abs(table(c).toLong - s)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best.toByte
+    }
+  }
+
+  /** Mono G.711 WAV (format tag 7 = μ-law, 6 = A-law): 18-byte fmt
+    * (cbSize = 0 — non-PCM formats carry the extension-size field),
+    * a `fact` chunk with the true sample count (required for
+    * compressed WAVE formats), 8 bits per coded sample, blockAlign 1. */
+  def encodeWavG711(samples: Array[Short], sampleRateHz: Int, aLaw: Boolean): Array[Byte] = {
+    require(samples.nonEmpty, "empty sample stream")
+    val coded = g711Encode(samples, aLaw)
+    val dataLen = coded.length
+    val bb = ByteBuffer.allocate(12 + 26 + 12 + 8 + dataLen + (dataLen & 1))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 26 + 12 + 8 + dataLen + (dataLen & 1))
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(18)
+    bb.putShort(if (aLaw) 6 else 7) // WAVE_FORMAT_ALAW / _MULAW
+    bb.putShort(1)                  // mono
+    bb.putInt(sampleRateHz)
+    bb.putInt(sampleRateHz)         // byte rate = 1 byte/sample
+    bb.putShort(1)                  // block align
+    bb.putShort(8)                  // bits per coded sample
+    bb.putShort(0)                  // cbSize
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.put(coded)
+    bb.array()
+  }
+
+  /** Chunk-walking G.711 WAV reader — accepts format tags 6 (A-law)
+    * and 7 (μ-law), mono, 8-bit; expands each code through the exact
+    * integer tables above. Returns (sampleRateHz, expanded PCM16).
+    * Rejects anything else loudly, like every decoder in this module. */
+  def decodeWavG711(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12, "truncated WAV: no RIFF header")
+    val riff = new Array[Byte](4); bb.get(riff)
+    require(new String(riff, "US-ASCII") == "RIFF", "not a RIFF file")
+    bb.getInt
+    val wave = new Array[Byte](4); bb.get(wave)
+    require(new String(wave, "US-ASCII") == "WAVE", "RIFF but not WAVE")
+    var sampleRate = -1
+    var aLaw = false
+    var haveFmt = false
+    var factSamples = -1
+    var data: Array[Byte] = null
+    while (bb.remaining() >= 8) {
+      val id = new Array[Byte](4); bb.get(id)
+      val size = bb.getInt
+      require(size >= 0 && size <= bb.remaining(),
+        s"corrupt chunk '${new String(id, "US-ASCII")}': size $size exceeds payload")
+      new String(id, "US-ASCII") match {
+        case "fmt " =>
+          val fmtStart = bb.position()
+          val audioFormat = bb.getShort
+          val channels = bb.getShort
+          sampleRate = bb.getInt
+          bb.getInt   // byte rate
+          bb.getShort // block align
+          val bits = bb.getShort
+          require(audioFormat == 6 || audioFormat == 7,
+            s"not G.711 (format $audioFormat)")
+          require(channels == 1, s"not mono ($channels channels)")
+          require(bits == 8, s"not 8-bit G.711 ($bits)")
+          aLaw = audioFormat == 6
+          haveFmt = true
+          bb.position(fmtStart + size + (size & 1))
+        case "fact" =>
+          factSamples = bb.getInt
+          bb.position(bb.position() + (size - 4) + (size & 1))
+        case "data" =>
+          data = new Array[Byte](size)
+          bb.get(data)
+          bb.position(bb.position() + (size & 1))
+        case _ =>
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(haveFmt, "no fmt chunk")
+    require(data != null, "no data chunk")
+    val n = if (factSamples >= 0) math.min(factSamples, data.length) else data.length
+    val table = g711Table(aLaw)
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = table(data(i) & 0xff).toShort; i += 1 }
+    (sampleRate, out)
+  }
+
+  // ------------------------------------------------------------------ //
   // BMP — BITMAPINFOHEADER, 24 bpp, uncompressed                       //
   // ------------------------------------------------------------------ //
 

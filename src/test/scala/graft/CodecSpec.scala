@@ -129,6 +129,63 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codec.decodeWavImaAdpcm(adpcm.dropRight(3)))
   }
 
+  // ------------------------------ G.711 ------------------------------ //
+
+  test("G.711 golden expansions: segment endpoints of both laws") {
+    // μ-law: code 0xFF is +0, 0x7F is −0, 0x80 is the positive rail
+    assert(Codec.muLawDecodeSample(0xFF) == 0)
+    assert(Codec.muLawDecodeSample(0x7F) == 0)
+    assert(Codec.muLawDecodeSample(0x80) == 32124)
+    assert(Codec.muLawDecodeSample(0x00) == -32124)
+    // A-law: sign bit SET is positive (inverse of μ-law); XOR 0x55
+    // even-bit inversion means code 0xD5 is +8 (the smallest positive)
+    assert(Codec.aLawDecodeSample(0xD5) == 8)
+    assert(Codec.aLawDecodeSample(0x55) == -8)
+    assert(Codec.aLawDecodeSample(0xAA) == 32256)
+    assert(Codec.aLawDecodeSample(0x2A) == -32256)
+  }
+
+  test("G.711 expansion is odd-symmetric and strictly monotone per law") {
+    // μ-law: flipping the sign bit of the COMPLEMENTED code negates
+    for (c <- 0 until 128) {
+      assert(Codec.muLawDecodeSample(c) == -Codec.muLawDecodeSample(c | 0x80))
+      assert(Codec.aLawDecodeSample(c) == -Codec.aLawDecodeSample(c | 0x80))
+    }
+    // positive μ-law codes 0x80..0xFF decode DECREASING (complement
+    // encoding); positive A-law magnitudes increase with a = c ^ 0x55
+    val mu = (0x80 to 0xFF).map(Codec.muLawDecodeSample)
+    assert(mu.zip(mu.tail).forall { case (a, b) => a > b })
+    val al = (0 until 128).map(a => Codec.aLawDecodeSample((a | 0x80) ^ 0x55))
+    assert(al.zip(al.tail).forall { case (a, b) => a < b })
+  }
+
+  test("G.711 WAV round-trip: bounded error, exact metadata, both laws (property)") {
+    val sGen = Gen.chooseNum(1, 300)
+    ScalaCheckSupport.checkProp(Prop.forAll(
+      sGen, Gen.chooseNum(0L, Long.MaxValue), Gen.oneOf(false, true)) {
+      (n, seed, aLaw) =>
+        val samples = Array.tabulate(n)(i =>
+          ((((seed % 9973) * 257 + i * 997) % 60001) - 30000).toShort)
+        val wav = Codec.encodeWavG711(samples, 16000, aLaw)
+        val (sr, rec) = Codec.decodeWavG711(wav)
+        // nearest-code quantization error is bounded by half the widest
+        // level gap: top-segment steps are 1024 in both laws (+ the μ-law
+        // rail clip at 32124 ⇒ 643 worst-case at full scale)
+        val bound = if (aLaw) 512 else 643
+        sr == 16000 && rec.length == n &&
+          rec.zip(samples).forall { case (x, y) => math.abs(x - y) <= bound }
+    }, minSuccessful = 20)
+  }
+
+  test("G.711 rejects PCM/ADPCM content and truncation loudly") {
+    val pcm = Codec.encodeWavPcm16(Array[Short](1, 2), 8000)
+    intercept[IllegalArgumentException](Codec.decodeWavG711(pcm))
+    val adpcm = Codec.encodeWavImaAdpcm(Array[Short](1, 2, 3), 8000, blockAlign = 8)
+    intercept[IllegalArgumentException](Codec.decodeWavG711(adpcm))
+    val g711 = Codec.encodeWavG711(Array[Short](100, -100, 5000), 8000, aLaw = false)
+    intercept[IllegalArgumentException](Codec.decodeWavG711(g711.take(10)))
+  }
+
   // ------------------------------- BMP ------------------------------- //
 
   test("BMP golden bytes: 2x2 image with known padding decodes exactly") {
