@@ -3415,6 +3415,71 @@ object Battery {
       GROUP BY doc_id, codec, i // 16
       ORDER BY media_id, codec, window_idx"""))
 
+  /** Exact substring dedup verified cross-engine — repeated 5-token
+    * spans (Dedup.repeatedSpans, the Lee et al. 2107.06499 operator at
+    * token-window granularity): every verbatim 5-gram occurring twice
+    * anywhere in the corpus flags its non-keeper occurrences; flagged
+    * windows merge into maximal spans. The oracle replays windowing
+    * (md5-keyed), the corpus-wide (id, pos) keeper rule, and the
+    * running-max span coalescing. Any off-by-one in window positions,
+    * keeper selection, or adjacent-span merging hash-mismatches. */
+  val q114 = Q("q114_repeated_spans",
+    (s, dir) => Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minOccurrences = 2)
+      .orderBy("doc_id", "span_start"),
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        FROM documents),
+      wins AS (SELECT doc_id, u.p AS pos,
+          md5(array_to_string(list_slice(tk, u.p + 1, u.p + 5), ' ')) AS h
+        FROM toks CROSS JOIN range(0, 2000) u(p) WHERE u.p <= len(tk) - 5),
+      occ AS (SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+          COUNT(*) OVER (PARTITION BY h) AS cnt
+        FROM wins),
+      flagged AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+      m AS (SELECT doc_id, pos,
+          CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ns
+        FROM flagged),
+      g AS (SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m)
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        CAST(MAX(pos) + 5 AS BIGINT) AS span_end
+      FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
+
+  /** The cut half of exact substring dedup verified cross-engine —
+    * Dedup.cutRepeatedSpans drops flagged tokens and rejoins survivors
+    * single-spaced (fully-cut docs survive EMPTY). The oracle rebuilds
+    * every cleaned text token-by-token and compares md5s — position
+    * bookkeeping, keeper survival, span-boundary, and reassembly-order
+    * bugs all hash-mismatch. */
+  val q115 = Q("q115_cut_repeated_spans",
+    (s, dir) => Dedup.cutRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minOccurrences = 2)
+      .select(col("doc_id"), md5(col("text")).as("clean_md5"))
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        FROM documents),
+      wins AS (SELECT doc_id, u.p AS pos,
+          md5(array_to_string(list_slice(tk, u.p + 1, u.p + 5), ' ')) AS h
+        FROM toks CROSS JOIN range(0, 2000) u(p) WHERE u.p <= len(tk) - 5),
+      occ AS (SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+          COUNT(*) OVER (PARTITION BY h) AS cnt
+        FROM wins),
+      flagged AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+      cov AS (SELECT DISTINCT doc_id, pos + v.d AS tpos
+        FROM flagged CROSS JOIN range(0, 5) v(d)),
+      tok2 AS (SELECT doc_id, u.p AS tpos, tk[CAST(u.p + 1 AS INT)] AS tok
+        FROM toks CROSS JOIN range(0, 2000) u(p) WHERE u.p < len(tk)),
+      kept AS (SELECT t.doc_id, t.tpos, t.tok
+        FROM tok2 t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+        WHERE c.doc_id IS NULL),
+      joined AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS txt
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, md5(COALESCE(j.txt, '')) AS clean_md5
+      FROM documents d LEFT JOIN joined j USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -3424,5 +3489,5 @@ object Battery {
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113)
+    q111, q112, q113, q114, q115)
 }

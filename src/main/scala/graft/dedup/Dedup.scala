@@ -51,6 +51,116 @@ object Dedup {
       Seq("__h"),
       Seq(col(idCol).asc)).drop("__h")
 
+  // ------------------------------------------------------------------ //
+  // Exact substring dedup — repeated n-token spans (Lee et al.,        //
+  // arXiv:2107.06499 "Deduplicating Training Data Makes Language       //
+  // Models Better", at token-window granularity). Unlike the MinHash   //
+  // family (whole-document near-dup), this finds VERBATIM passages     //
+  // repeated across the corpus — boilerplate, licenses, templated      //
+  // text — and cuts them while keeping one canonical occurrence.      //
+  // ------------------------------------------------------------------ //
+
+  /** Positional word n-gram windows: (idCol, pos, gram) with pos the
+    * 0-based start token index — the positional sibling of
+    * [[wordShingles]] (which is a SET and thus useless for span
+    * arithmetic). Docs shorter than n tokens yield no windows. The
+    * lambda body (slice + array_join) contains no nested higher-order
+    * function, so it stays clear of the Spark 4.1.2 nested-lambda
+    * hazard documented at [[shingles]]. */
+  def positionalWordNgrams(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"window width must be positive, got $n")
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol),
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => array_join(slice(toks, i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("__w"))
+      .select(col(idCol), posexplode(col("__w")).as(Seq("pos", "gram")))
+  }
+
+  /** Repeated n-token spans per document: every occurrence of a window
+    * whose gram occurs ≥ `minOccurrences` times corpus-wide is flagged
+    * EXCEPT the canonical keeper (the corpus-wide smallest (id, pos) —
+    * one verbatim copy always survives); flagged windows then merge
+    * into maximal per-doc spans. Returns (idCol, span_start, span_end)
+    * in token indices, end exclusive, overlapping/adjacent windows
+    * coalesced.
+    *
+    * Scale shape: windows shuffle ONCE on the 16-byte md5 gram key
+    * (never the n-token string) for the count+keeper aggregate, join
+    * back on the same key (plain shuffle join — the gram-stats side is
+    * corpus-sized, nothing broadcasts), and the span merge is one
+    * partitionBy(id) window over FLAGGED windows only — at a healthy
+    * dup rate that is a small fraction of the corpus. A
+    * billion-occurrence boilerplate gram is ONE stats row and joins
+    * without amplification (output ≤ input occurrences). Nothing here
+    * is quadratic and nothing collects. */
+  def repeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minOccurrences: Int = 2): DataFrame = {
+    require(minOccurrences >= 2, s"minOccurrences < 2 flags every window ($minOccurrences)")
+    val occ = positionalWordNgrams(df, idCol, textCol, n)
+      .select(col(idCol), col("pos"), md5(col("gram")).as("__h"))
+    val stats = occ.groupBy("__h")
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("pos"))).as("__keep"))
+      .filter(col("__cnt") >= minOccurrences)
+      .select(col("__h"), col("__keep"))
+    val flagged = occ.join(stats, "__h")
+      .filter(!(col(idCol) === col(s"__keep.$idCol") && col("pos") === col("__keep.pos")))
+      .select(col(idCol), col("pos"))
+    mergeWindows(flagged, idCol, n)
+  }
+
+  /** Coalesce flagged fixed-width windows [pos, pos+n) into maximal
+    * spans per id: a window starts a new span iff it begins past the
+    * running max end of its predecessors (adjacent windows merge —
+    * their token ranges are contiguous). */
+  private def mergeWindows(flagged: DataFrame, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevMaxEnd = max(col("pos") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__ns",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("__g", sum(col("__ns")).over(w))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n).cast("long").as("span_end"))
+      .drop("__g")
+  }
+
+  /** Cut the [[repeatedSpans]] out of each document: tokens covered by
+    * a flagged span are dropped, survivors rejoin single-spaced.
+    * Returns (idCol, textCol) — docs that lost nothing pass through
+    * with whitespace normalized (the tokenization round-trip), so
+    * downstream sees ONE canonical spacing either way.
+    *
+    * Plan shape: the span table explodes to covered token indices
+    * (span-width rows — dup volume only), anti-joins the token stream
+    * on (id, token index), and one partitionBy(id) regroup reassembles
+    * surviving tokens in order. */
+  def cutRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minOccurrences: Int = 2): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, n, minOccurrences)
+    val cut = spans.select(col(idCol),
+      explode(sequence(col("span_start"), col("span_end") - 1)).as("tpos"))
+    val toks = df.select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("tpos", "__tok")))
+    val kept = toks.join(cut, Seq(idCol, "tpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("tpos"), col("__tok")))),
+          t => t.getField("__tok")), " ").as(textCol))
+    // fully-cut docs fall out of the regroup — resurface them EMPTY
+    // (a dedup cut is not a row filter; composing with a min-length
+    // quality gate is the caller's decision)
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Char n-gram shingle set, in plain Scala (distinct, first-appearance
     * order; texts shorter than n yield the whole text). */
   def charShinglesScala(text: String, n: Int): Seq[String] =

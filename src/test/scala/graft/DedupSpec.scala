@@ -256,6 +256,54 @@ class DedupSpec extends SparkTestBase {
     assert(want.nonEmpty, "corpus has no simhash near-dups — test is vacuous")
   }
 
+  test("repeatedSpans: keeper survives, later occurrences flag, adjacent windows merge") {
+    // "x y z" repeats: doc 1 pos 0 is the corpus-wide keeper; doc 1
+    // pos 5 and doc 2 pos 2 flag. For bigrams, doc 0 holds the keepers
+    // of "p q" and "q r", so doc 3's OVERLAPPING occurrences (pos 0
+    // and 1) both flag and must merge into ONE span [0, 3).
+    val docs = Seq(
+      (0L, "p q k q r"),
+      (1L, "x y z a b x y z"),   // windows n=3: keeper at 0, dup at 5
+      (2L, "c d x y z"),          // dup at 2
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val tri = Dedup.repeatedSpans(docs, "doc_id", "text", n = 3, minOccurrences = 2)
+      .orderBy("doc_id", "span_start").as[(Long, Long, Long)].collect().toSeq
+    assert(tri == Seq((1L, 5L, 8L), (2L, 2L, 5L)),
+      s"keeper must be the smallest (id, pos); got $tri")
+    val bi = Dedup.repeatedSpans(docs, "doc_id", "text", n = 2, minOccurrences = 2)
+      .filter(col("doc_id") === 3L)
+      .orderBy("span_start").as[(Long, Long, Long)].collect().toSeq
+    assert(bi == Seq((3L, 0L, 3L)),
+      s"overlapping flagged windows must coalesce into one span; got $bi")
+  }
+
+  test("cutRepeatedSpans: survivors keep order, fully-cut docs survive empty") {
+    val docs = Seq(
+      (1L, "x y z a b x y z"),
+      (2L, "c d x y z"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    // n=3: keeper is doc 1 pos 0; doc 1 pos 5, doc 2 pos 2, doc 3 pos 0 flag
+    val out = Dedup.cutRepeatedSpans(docs, "doc_id", "text", n = 3, minOccurrences = 2)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "x y z a b"),
+      (2L, "c d"),
+      (3L, "")),
+      s"cut must drop exactly the flagged spans and keep doc rows; got $out")
+  }
+
+  test("repeatedSpans: no repeats → no spans; short docs yield no windows") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f"), (3L, "g h")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", n = 3).count() == 0)
+    // and the cut is then the whitespace-normalizing identity
+    val out = Dedup.cutRepeatedSpans(
+      docs.withColumn("text", concat(lit("  "), col("text"), lit(" "))),
+      "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h")))
+  }
+
   test("maxBucketSize excludes hot LSH buckets from pair generation") {
     // bucket A: 40 members (a degenerate boilerplate bucket -> 780
     // pairs); bucket B: 2 members (a genuine near-dup candidate)
