@@ -467,6 +467,46 @@ object Codec {
     (sampleRate, out)
   }
 
+  /** Peek a WAV's fmt-chunk audioFormat tag without decoding — the
+    * dispatch key of [[decodeWavAuto]]. */
+  def wavFormatTag(bytes: Array[Byte]): Int = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12, "truncated WAV: no RIFF header")
+    val riff = new Array[Byte](4); bb.get(riff)
+    require(new String(riff, "US-ASCII") == "RIFF", "not a RIFF file")
+    bb.getInt
+    val wave = new Array[Byte](4); bb.get(wave)
+    require(new String(wave, "US-ASCII") == "WAVE", "RIFF but not WAVE")
+    while (bb.remaining() >= 8) {
+      val id = new Array[Byte](4); bb.get(id)
+      val size = bb.getInt
+      require(size >= 0 && size <= bb.remaining(),
+        s"corrupt chunk '${new String(id, "US-ASCII")}': size $size exceeds payload")
+      if (new String(id, "US-ASCII") == "fmt ") {
+        require(size >= 2, "fmt chunk too small for a format tag")
+        return bb.getShort & 0xffff
+      }
+      bb.position(bb.position() + size + (size & 1))
+    }
+    throw new IllegalArgumentException("no fmt chunk")
+  }
+
+  /** WAV codec router: dispatch on the format tag to the matching REAL
+    * decoder — the entry point for pipeline audio decode where the
+    * container is known (RIFF/WAVE) but the codec inside is not.
+    * Mixed-codec corpora just work; an unknown tag fails loudly with
+    * the tag value (silently misreading media is this module's
+    * anti-goal). */
+  def decodeWavAuto(bytes: Array[Byte]): (Int, Array[Short]) =
+    wavFormatTag(bytes) match {
+      case 1    => decodeWavPcm16(bytes)
+      case 0x11 => decodeWavImaAdpcm(bytes)
+      case 6 | 7 => decodeWavG711(bytes)
+      case t => throw new IllegalArgumentException(
+        f"unsupported WAV format tag 0x$t%x — real decoders cover PCM16 (0x1), " +
+          "IMA-ADPCM (0x11), and G.711 A-law/mu-law (0x6/0x7)")
+    }
+
   // ------------------------------------------------------------------ //
   // BMP — BITMAPINFOHEADER, 24 bpp, uncompressed                       //
   // ------------------------------------------------------------------ //

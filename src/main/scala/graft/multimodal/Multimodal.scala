@@ -107,8 +107,15 @@ object Multimodal {
     * feature extractor, pure integer math. Windows that would run past
     * the end are dropped (no partial windows). */
   def audioWindowIndices(
-      durationMs: Long, sampleRateHz: Int, windowMs: Int, hopMs: Int): Seq[(Long, Long)] = {
-    val totalSamples = durationMs * sampleRateHz / 1000
+      durationMs: Long, sampleRateHz: Int, windowMs: Int, hopMs: Int): Seq[(Long, Long)] =
+    audioWindowIndicesSamples(
+      durationMs * sampleRateHz / 1000, sampleRateHz, windowMs, hopMs)
+
+  /** [[audioWindowIndices]] over an exact DECODED sample count — the
+    * form the real decode path uses (reconstructing a duration in ms
+    * would round partial-window samples away). */
+  def audioWindowIndicesSamples(
+      totalSamples: Long, sampleRateHz: Int, windowMs: Int, hopMs: Int): Seq[(Long, Long)] = {
     val win = windowMs.toLong * sampleRateHz / 1000
     val hop = hopMs.toLong * sampleRateHz / 1000
     if (totalSamples < win || win <= 0 || hop <= 0) Seq.empty
@@ -193,6 +200,42 @@ object Multimodal {
     * here). Undecodable payloads fail loudly — silently skipping
     * corrupt media is how a corpus quietly loses coverage; pre-filter
     * with a try in a `flatMap` variant if best-effort is wanted. */
+  /** Decoded-audio window features (one row per scheduled window).
+    * `energy` is the EXACT integer sum of squared samples — mean-square
+    * scaling is one division the caller applies; keeping the integer
+    * sum keeps the feature oracle-checkable. */
+  case class AudioWindowFeature(
+      media_id: Long, window_idx: Int, start_sample: Long, n_samples: Int,
+      energy: Long)
+
+  /** REAL audio decode → window → energy, one mapPartitions pass — the
+    * WAV-backed twin of [[decodeImageAndEmbed]] for binary columns
+    * holding genuine RIFF/WAVE bytes of ANY carried codec
+    * ([[Codec.decodeWavAuto]] routes on the format tag: PCM16,
+    * IMA-ADPCM, G.711 μ-law/A-law — mixed-codec corpora just work),
+    * retiring [[windowEnergyStub]] for every codec the JVM honestly
+    * decodes. Window scheduling runs on the exact decoded sample count
+    * ([[audioWindowIndicesSamples]]); undecodable payloads fail
+    * loudly, like the image twin. Wrap split-starved inputs in
+    * [[graft.operators.Rebalance.forCpuStage]] — ADPCM/G.711 expansion
+    * is real CPU work. */
+  def decodeAudioAndFeature(
+      media: Dataset[MediaRow], windowMs: Int, hopMs: Int): Dataset[AudioWindowFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val (sr, samples) = Codec.decodeWavAuto(m.payload)
+        audioWindowIndicesSamples(samples.length.toLong, sr, windowMs, hopMs)
+          .zipWithIndex.map { case ((s, e), wi) =>
+            var acc = 0L
+            var i = s.toInt
+            while (i < e) { val v = samples(i).toLong; acc += v * v; i += 1 }
+            AudioWindowFeature(m.media_id, wi, s, (e - s).toInt, acc)
+          }
+      }
+    }
+  }
+
   def decodeImageAndEmbed(media: Dataset[MediaRow]): Dataset[FrameFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

@@ -186,6 +186,31 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codec.decodeWavG711(g711.take(10)))
   }
 
+  test("decodeWavAuto routes on the format tag; unknown tags reject loudly") {
+    val s = Array.tabulate(50)(i => (i * 100 - 2500).toShort)
+    val pcm = Codec.encodeWavPcm16(s, 8000)
+    val adpcm = Codec.encodeWavImaAdpcm(s, 8000, blockAlign = 36)
+    val alaw = Codec.encodeWavG711(s, 8000, aLaw = true)
+    val ulaw = Codec.encodeWavG711(s, 8000, aLaw = false)
+    assert(Codec.wavFormatTag(pcm) == 1)
+    assert(Codec.wavFormatTag(adpcm) == 0x11)
+    assert(Codec.wavFormatTag(alaw) == 6)
+    assert(Codec.wavFormatTag(ulaw) == 7)
+    for (wav <- Seq(pcm, adpcm, alaw, ulaw)) {
+      val (sr, auto) = Codec.decodeWavAuto(wav)
+      assert(sr == 8000)
+      val want = Codec.wavFormatTag(wav) match {
+        case 1 => Codec.decodeWavPcm16(wav)._2
+        case 0x11 => Codec.decodeWavImaAdpcm(wav)._2
+        case _ => Codec.decodeWavG711(wav)._2
+      }
+      assert(auto.toSeq == want.toSeq)
+    }
+    // hand-patch the fmt tag (byte 20 of the canonical PCM header)
+    val bad = pcm.clone(); bad(20) = 0x55
+    intercept[IllegalArgumentException](Codec.decodeWavAuto(bad))
+  }
+
   // ------------------------------- BMP ------------------------------- //
 
   test("BMP golden bytes: 2x2 image with known padding decodes exactly") {

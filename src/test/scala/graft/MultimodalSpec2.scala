@@ -151,4 +151,45 @@ class MultimodalSpec2 extends SparkTestBase {
         MediaRow(3L, MediaMeta("video", 0, 0, 0, 0L), Array[Byte](9, 9, 9))))).collect()
     }
   }
+
+  test("decodeAudioAndFeature: mixed-codec WAV corpus through route → decode → window") {
+    import graft.multimodal.{Codec, Multimodal}
+    import Multimodal.{MediaMeta, MediaRow}
+    import spark.implicits._
+    // one signal, three carried codecs — the router must dispatch each
+    val samples = Array.tabulate(100)(i => (((i * 997) % 20001) - 10000).toShort)
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("audio", 0, 0, 8000, 0L),
+        Codec.encodeWavPcm16(samples, 8000)),
+      MediaRow(2L, MediaMeta("audio", 0, 0, 8000, 0L),
+        Codec.encodeWavImaAdpcm(samples, 8000, blockAlign = 36)),
+      MediaRow(3L, MediaMeta("audio", 0, 0, 8000, 0L),
+        Codec.encodeWavG711(samples, 8000, aLaw = false)))
+    // window 5 ms @ 8 kHz = 40 samples, hop 4 ms = 32 → starts 0, 32, 64(+40>100? 64+40=104 drop) → windows at 0 and 32
+    val out = Multimodal.decodeAudioAndFeature(
+        spark.createDataset(rows), windowMs = 5, hopMs = 4)
+      .collect().groupBy(_.media_id)
+    assert(out.keySet == Set(1L, 2L, 3L))
+    for ((id, feats) <- out) {
+      assert(feats.map(_.start_sample).sorted.sameElements(Array(0L, 32L)),
+        s"media $id window schedule wrong: ${feats.map(_.start_sample).toSeq}")
+      assert(feats.forall(_.n_samples == 40))
+      // energies must EXACTLY equal the local decode → sum-of-squares
+      val (_, dec) = Codec.decodeWavAuto(rows.find(_.media_id == id).get.payload)
+      feats.foreach { f =>
+        val want = (f.start_sample until f.start_sample + 40)
+          .map(i => dec(i.toInt).toLong).map(v => v * v).sum
+        assert(f.energy == want, s"media $id window ${f.window_idx} energy drifted")
+      }
+    }
+    // PCM16 is lossless: its energies are the raw signal's, exactly
+    val raw = (0 until 40).map(i => samples(i).toLong).map(v => v * v).sum
+    assert(out(1L).find(_.window_idx == 0).get.energy == raw)
+    // non-WAV payloads fail loudly
+    intercept[Exception] {
+      Multimodal.decodeAudioAndFeature(spark.createDataset(Seq(
+        MediaRow(4L, MediaMeta("audio", 0, 0, 0, 0L), Array[Byte](7, 7)))),
+        5, 4).collect()
+    }
+  }
 }

@@ -441,4 +441,39 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Sort"), s"in-partition sort missing:\n$p")
     assert(!df.columns.contains("__z"), "helper column must not reach the output schema")
   }
+
+  test("q114 repeated spans: gram stats join is an equi-join; no cross product anywhere") {
+    // The gram-occurrence stream joins its own count+keeper aggregate
+    // on the md5 key — corpus-sized both sides, so the shape that
+    // survives 100 TB is a plain shuffle equi-join (AQE may broadcast
+    // at toy SF; what must NEVER appear is a nested-loop/cartesian
+    // form, which would be all-pairs over the corpus).
+    val df = Battery.q114.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram join degenerated to cross product:\n$p")
+    // count+keeper aggregate is partial (map-side combine) before its
+    // one shuffle on the hash key
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q112 residual IVFADC: probed-list pruning reaches the codes side as a broadcast join") {
+    // The corpus-sized codes table must be FILTERED to probed lists by
+    // a broadcast equi-join BEFORE any per-subspace explode/scoring —
+    // a post-explode filter would scan m× the corpus, and a shuffle
+    // join on the routing product would move the corpus for a
+    // |queries|·nprobe-row table.
+    val df = Battery.q112.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"probed-list prune is not a broadcast equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian in the scoring path:\n$p")
+    // the ONLY nested-loop products are the two intended broadcast
+    // routing/LUT builders (|lists|- and m·ksub-row sides × queries)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3,
+      s"scoring path contains an unplanned nested-loop join:\n$p")
+  }
 }
