@@ -58,6 +58,15 @@ object Dedup {
   // family (whole-document near-dup), this finds VERBATIM passages     //
   // repeated across the corpus — boilerplate, licenses, templated      //
   // text — and cuts them while keeping one canonical occurrence.      //
+  //                                                                    //
+  // Relation to graft.text.Curation.dedupSpans (q75/q80): that is the  //
+  // CHUNK-ALIGNED approximation — non-overlapping fixed-width spans,   //
+  // so only duplicates landing on the same chunk grid dedupe, at       //
+  // ~1/chunkTokens of the window volume. These SLIDING windows catch   //
+  // a repeated passage at ANY alignment and coalesce it to its maximal //
+  // extent — n× the exploded rows for strictly finer recall. Pick by   //
+  // corpus: grid-aligned template content → the cheap chunk form;      //
+  // free-floating boilerplate → this one.                              //
   // ------------------------------------------------------------------ //
 
   /** Positional word n-gram windows: (idCol, pos, gram) with pos the
@@ -144,10 +153,23 @@ object Dedup {
   def cutRepeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, minOccurrences: Int = 2): DataFrame = {
+    // materialize the span table once: it feeds both the routing
+    // semi/anti joins and the token cut, and it is small (flagged
+    // spans only) where the frame it derives from is the corpus
     val spans = repeatedSpans(df, idCol, textCol, n, minOccurrences)
+      .localCheckpoint(false)
+    val spanDocs = spans.select(col(idCol)).distinct()
+    // UNTOUCHED docs — at a healthy dup rate the overwhelming
+    // majority — never explode and never shuffle: the tokenize→rejoin
+    // round-trip is exactly a whitespace normalize, done narrowly.
+    // Only docs that actually lose a span pay the token regroup.
+    val untouched = df.join(spanDocs, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        coalesce(regexp_replace(trim(col(textCol)), "\\s+", " "), lit("")).as(textCol))
+    val toCut = df.join(spanDocs, Seq(idCol), "left_semi")
     val cut = spans.select(col(idCol),
       explode(sequence(col("span_start"), col("span_end") - 1)).as("tpos"))
-    val toks = df.select(col(idCol),
+    val toks = toCut.select(col(idCol),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("tpos", "__tok")))
     val kept = toks.join(cut, Seq(idCol, "tpos"), "left_anti")
       .groupBy(col(idCol))
@@ -157,8 +179,9 @@ object Dedup {
     // fully-cut docs fall out of the regroup — resurface them EMPTY
     // (a dedup cut is not a row filter; composing with a min-length
     // quality gate is the caller's decision)
-    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+    val cutDone = toCut.select(col(idCol)).join(kept, Seq(idCol), "left")
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    untouched.unionByName(cutDone)
   }
 
   /** Char n-gram shingle set, in plain Scala (distinct, first-appearance

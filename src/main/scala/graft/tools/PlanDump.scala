@@ -67,7 +67,11 @@ object PlanDump {
     "q95_chunk_stride" ->
       "Overlapping chunking: one Generate + Project over the scan — ZERO data shuffles (the only exchange is this presentation ORDER BY); the window/stride output inflation flows straight to the sink without crossing the wire. PlanSpec pins the exchange count at 0 for the bare operator.",
     "q96_source_cap" ->
-      "Per-source cap: partial ObjectHashAggregate keeps ≤k ids per group per mapper, so the exchange carries k·|groups| ids — not every row, unlike q68's window form; kept ids broadcast back to a LeftSemi join, so the corpus rows never shuffle. PlanSpec pins the aggregate pair + single exchange.")
+      "Per-source cap: partial ObjectHashAggregate keeps ≤k ids per group per mapper, so the exchange carries k·|groups| ids — not every row, unlike q68's window form; kept ids broadcast back to a LeftSemi join, so the corpus rows never shuffle. PlanSpec pins the aggregate pair + single exchange.",
+    "q112_ivfpq_residual_topk" ->
+      "Residual IVFADC read path: routing and LUT products are broadcast builders over list-count/m·ksub-row sides; the corpus-sized CODES table is filtered to probed lists by a BroadcastHashJoin BEFORE any per-subspace explode or scoring (pruning × compression — nprobe/|lists| of the rows at m·8/dims·8 of the bytes); the coarse ⟨q,mvec⟩ term rides the same broadcast, and the final per-(qid,id) sum + k-bounded TopKBy keep every exchange ≤ k·|queries| rows. PlanSpec pins the broadcast prune.",
+    "q114_repeated_spans" ->
+      "Sliding-window substring dedup, discovery phase: positional n-grams shuffle ONCE on the 16-byte md5 gram key into a partial count+min(struct) aggregate; occurrences rejoin the ≥2-count stats on the same key as a plain equi-join (corpus-sized both sides — nothing broadcast, never a cross product; AQE may broadcast at toy SF); the span merge windows over FLAGGED rows only. PlanSpec pins the equi-join + partial-agg shape.")
 
   /** The q87 PageRank ITERATION body, shown separately: the real loop
     * localCheckpoints rank state each pass, so the battery query's
