@@ -152,12 +152,21 @@ object Dedup {
     * surviving tokens in order. */
   def cutRepeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, minOccurrences: Int = 2): DataFrame = {
+      n: Int, minOccurrences: Int = 2): DataFrame =
+    cutSpans(df, idCol, textCol,
+      repeatedSpans(df, idCol, textCol, n, minOccurrences))
+
+  /** Cut an EXPLICIT span table (idCol, span_start, span_end) out of
+    * the docs — the transform half of [[cutRepeatedSpans]], shared
+    * with the incremental loop ([[admitSpansBatch]]), where the spans
+    * come from a screen against a STORED index rather than a
+    * corpus-wide self-scan. */
+  def cutSpans(
+      df: DataFrame, idCol: String, textCol: String, spansIn: DataFrame): DataFrame = {
     // materialize the span table once: it feeds both the routing
     // semi/anti joins and the token cut, and it is small (flagged
     // spans only) where the frame it derives from is the corpus
-    val spans = repeatedSpans(df, idCol, textCol, n, minOccurrences)
-      .localCheckpoint(false)
+    val spans = spansIn.localCheckpoint(false)
     val spanDocs = spans.select(col(idCol)).distinct()
     // UNTOUCHED docs — at a healthy dup rate the overwhelming
     // majority — never explode and never shuffle: the tokenize→rejoin
@@ -182,6 +191,87 @@ object Dedup {
     val cutDone = toCut.select(col(idCol)).join(kept, Seq(idCol), "left")
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
     untouched.unionByName(cutDone)
+  }
+
+  /** Bootstrap the persistent substring-dedup index: the DISTINCT md5
+    * gram keys of the founding corpus's n-token windows, as a
+    * [[graft.store.Store]] managed table `(h)` — 16 bytes per distinct
+    * gram, the existence set [[admitSpansBatch]] probes. Bootstrap on
+    * an ALREADY-cut corpus ([[cutRepeatedSpans]] first) so the stored
+    * grams are the grams of the text the corpus actually retains. */
+  def writeSpanIndex(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      gramTable: String): Unit =
+    graft.store.Store.overwrite(
+      positionalWordNgrams(docs, idCol, textCol, n)
+        .select(md5(col("gram")).as("h")).distinct(),
+      gramTable)
+
+  /** The standing substring-dedup ingest transaction — the sliding-
+    * window sibling of [[admitBatch]]: screen a NEW batch's windows
+    * against the STORED gram set, cut every span the corpus has
+    * already retained PLUS the batch's own internal repeats, admit the
+    * cleaned docs, and append their (cleaned-text) grams so tomorrow's
+    * batch screens against today's admissions with zero recompute.
+    * Returns the admitted batch as (idCol, textCol-cleaned) — compose
+    * with a min-length quality gate downstream (fully-cut docs come
+    * back EMPTY, as in [[cutRepeatedSpans]]).
+    *
+    * Keeper semantics, incrementally: a stored gram's keeper is by
+    * definition already in the corpus, so EVERY matching batch window
+    * flags; among batch-only grams the offline rule applies unchanged
+    * (count ≥ minOccurrences, smallest (id, pos) survives). When
+    * corpus ids precede batch ids and the corpus was bootstrapped
+    * already-cut, this is EXACTLY offline [[cutRepeatedSpans]] over
+    * corpus ∪ batch restricted to the batch (DedupSpec pins the
+    * equivalence) — the incremental form never re-windows the corpus.
+    *
+    * Post-cut junction grams: cutting a span welds its flanks into new
+    * n-grams that never existed in the raw text. The index stores the
+    * grams of the ADMITTED (cleaned) text — what the corpus actually
+    * holds — so future screens are exact against retained content by
+    * construction.
+    *
+    * Crash window: the gram append is LAST. Crash before it → clean
+    * re-run. Re-run AFTER it → the batch's ADMITTED grams are now
+    * stored, so every window of previously-retained content flags and
+    * is cut again; what comes back is residual text whose every
+    * n-window is already stored (or too short to window), and the
+    * gram append is a no-op (it anti-joins the stored set) — the
+    * INDEX is exactly-once per gram by construction. Row-level
+    * idempotency of the admitted OUTPUT is the sink's concern (write
+    * keyed by id), same as [[admitBatch]]'s re-screen contract. */
+  def admitSpansBatch(
+      batch: DataFrame, idCol: String, textCol: String, n: Int,
+      gramTable: String, minOccurrences: Int = 2,
+      compactMinFiles: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    val stored = spark.table(gramTable)
+    val occ = positionalWordNgrams(batch, idCol, textCol, n)
+      .select(col(idCol), col("pos"), md5(col("gram")).as("__h"))
+      .localCheckpoint(false) // probed twice (stored + batch-internal)
+    // every window whose gram the corpus retains flags — its keeper is stored
+    val corpusFlagged = occ.join(stored.select(col("h").as("__h")), Seq("__h"), "left_semi")
+    // batch-internal repeats among grams the corpus does NOT hold:
+    // the offline count+keeper rule over the batch alone
+    val fresh = occ.join(stored.select(col("h").as("__h")), Seq("__h"), "left_anti")
+    val freshStats = fresh.groupBy("__h")
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("pos"))).as("__keep"))
+      .filter(col("__cnt") >= minOccurrences)
+      .select(col("__h"), col("__keep"))
+    val batchFlagged = fresh.join(freshStats, "__h")
+      .filter(!(col(idCol) === col(s"__keep.$idCol") && col("pos") === col("__keep.pos")))
+    val flagged = corpusFlagged.select(col(idCol), col("pos"))
+      .unionByName(batchFlagged.select(col(idCol), col("pos")))
+    val cleaned = cutSpans(batch, idCol, textCol, mergeWindows(flagged, idCol, n))
+      .localCheckpoint(false) // feeds both the return and the gram append
+    val newGrams = positionalWordNgrams(cleaned, idCol, textCol, n)
+      .select(md5(col("gram")).as("h")).distinct()
+      .join(stored, Seq("h"), "left_anti")
+    graft.store.Store.append(newGrams, gramTable)
+    maintainIndexTables(spark, Seq(gramTable), minFiles = compactMinFiles)
+    cleaned
   }
 
   /** Char n-gram shingle set, in plain Scala (distinct, first-appearance
@@ -591,7 +681,14 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       hashedTable: String, bandedTable: String,
       targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 64): Unit =
-    Seq(hashedTable, bandedTable).foreach { t =>
+    maintainIndexTables(spark, Seq(hashedTable, bandedTable), targetBytes, minFiles)
+
+  /** Table-list form of the maintenance pass, shared with the
+    * substring-dedup loop's single gram table. */
+  def maintainIndexTables(
+      spark: org.apache.spark.sql.SparkSession, tables: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 64): Unit =
+    tables.foreach { t =>
       val sprawled = graft.store.Store.fileReport(spark, t, targetBytes)
         .filter(col("needs_compaction") && col("n_files") > minFiles)
         .limit(1).count() > 0

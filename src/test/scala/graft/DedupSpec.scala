@@ -304,6 +304,57 @@ class DedupSpec extends SparkTestBase {
     assert(out == Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h")))
   }
 
+  test("admitSpansBatch ≡ offline cutRepeatedSpans on corpus ∪ batch; the loop grows; replay admits nothing twice") {
+    import graft.store.Store
+    // pre-cut corpus (no internal repeats at n=3), ids below batch ids —
+    // the preconditions under which incremental ≡ offline is exact
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    Dedup.writeSpanIndex(corpus, "doc_id", "text", n = 3, "t_span_grams")
+    try {
+      val batch = Seq(
+        (10L, "zeta alpha beta gamma delta eta"),   // repeats corpus span [1,5)
+        (11L, "p q r s p q r t"),                   // internal repeat "p q r": keeper at 0, cut at 4
+        (12L, "completely novel content here")).toDF("doc_id", "text")
+      val admitted = Dedup.admitSpansBatch(batch, "doc_id", "text", n = 3, "t_span_grams")
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      // offline equivalence: cut corpus ∪ batch, restrict to batch rows
+      val offline = Dedup.cutRepeatedSpans(
+          corpus.unionByName(batch), "doc_id", "text", n = 3)
+        .filter(col("doc_id") >= 10L)
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      assert(admitted == offline,
+        s"incremental admission must equal the offline cut:\n$admitted\nvs\n$offline")
+      assert(admitted.find(_._1 == 10L).get._2 == "zeta eta")
+      assert(admitted.find(_._1 == 11L).get._2 == "p q r s t")
+      assert(admitted.find(_._1 == 12L).get._2 == "completely novel content here")
+      // the loop GROWS: a later batch repeating an ADMITTED passage is cut
+      // against it with zero recompute of earlier batches
+      val b2 = Dedup.admitSpansBatch(
+        Seq((20L, "x completely novel content here y")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, "t_span_grams")
+        .as[(Long, String)].collect().toSeq
+      assert(b2 == Seq((20L, "x y")),
+        s"batch-2 doc must be cut against batch-1's admission: $b2")
+      // replay of batch 1 AFTER its grams landed: previously-retained
+      // content flags against its own stored grams and is cut again —
+      // what survives is residual text that is already indexed (or too
+      // short to window), and the gram set DOES NOT CHANGE (the index
+      // is exactly-once per gram; row idempotency is the sink's)
+      val before = spark.table("t_span_grams").count()
+      val replay = Dedup.admitSpansBatch(batch, "doc_id", "text", n = 3, "t_span_grams")
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      assert(replay == Seq(
+        (10L, "zeta eta"),  // its 2 tokens window nothing new
+        (11L, "t"),         // batch-1's retained "p q r s t" screens its own source
+        (12L, "")),         // fully covered by its own admission
+        s"replay must return only already-indexed residuals: $replay")
+      assert(spark.table("t_span_grams").count() == before,
+        "replay must not append grams")
+    } finally Store.drop(spark, "t_span_grams")
+  }
+
   test("maxBucketSize excludes hot LSH buckets from pair generation") {
     // bucket A: 40 members (a degenerate boilerplate bucket -> 780
     // pairs); bucket B: 2 members (a genuine near-dup candidate)
