@@ -251,6 +251,41 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming screen-AND-admit for SUBSTRING dedup — the sliding-
+    * window sibling of [[screenAndAdmit]]: each micro-batch runs one
+    * [[graft.dedup.Dedup.admitSpansBatch]] transaction — the batch's
+    * n-token windows probed against the STORED gram set, spans the
+    * corpus already retains (plus batch-internal repeats) cut, cleaned
+    * docs admitted to the per-batch-partitioned sink, and only the
+    * ADMITTED text's new grams appended — so the stream grows the gram
+    * index it screens against, and boilerplate arriving at ANY
+    * alignment is cut against every prior batch's retained text.
+    *
+    * Restart safety under foreachBatch replay: the sink overwrites
+    * only its own batch_id partition ([[upsertBatch]] — replays
+    * rewrite, never duplicate), and the gram append anti-joins the
+    * stored set, so the INDEX is exactly-once per gram through any
+    * replay; a post-append replay re-cuts previously-retained content
+    * to already-indexed residuals (the [[graft.dedup.Dedup.admitSpansBatch]]
+    * crash-window contract), which the rewrite-in-place sink then
+    * stores in place of the originals — compose a min-length gate
+    * downstream, as the batch form's scaladoc directs. */
+  def screenAndAdmitSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      gramTable: String, admittedPath: String, checkpoint: String,
+      minOccurrences: Int = 2,
+      compactMinFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val admitted = graft.dedup.Dedup.admitSpansBatch(
+          b.toDF(), idCol, textCol, n, gramTable, minOccurrences,
+          compactMinFiles = compactMinFiles)
+        upsertBatch(admitted, id, admittedPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Stream-stream inner join with an event-time interval condition:
     * each left row matches right rows with the same key whose time lies
     * in [leftTime − lookback, leftTime]. Both watermarks plus the

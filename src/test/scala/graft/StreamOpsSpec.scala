@@ -79,6 +79,46 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("screenAndAdmitSpans: the stream cuts against every prior batch's retained text") {
+    import graft.dedup.Dedup
+    import graft.store.Store
+    implicit val sqlCtx = spark.sqlContext
+    Dedup.writeSpanIndex(
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, "t_ss_grams")
+    val admittedPath = java.nio.file.Files.createTempDirectory("ss_admitted").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ss_ckpt").toString
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamOps.screenAndAdmitSpans(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", n = 3,
+        "t_ss_grams", admittedPath, ckpt)
+      // batch 0: a doc repeating a corpus span + a novel doc
+      input.addData(
+        (10L, "zeta alpha beta gamma delta eta"),
+        (11L, "completely novel content here"))
+      q.processAllAvailable()
+      // batch 1: a doc repeating BATCH 0's admitted passage — must be
+      // cut against the grown index, any alignment
+      input.addData((20L, "x completely novel content here y"))
+      q.processAllAvailable()
+      q.stop()
+      val admitted = spark.read.parquet(admittedPath)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(admitted(10L) == "zeta eta", s"corpus span not cut: ${admitted(10L)}")
+      assert(admitted(11L) == "completely novel content here")
+      assert(admitted(20L) == "x y", s"prior admission not screened: ${admitted(20L)}")
+      // batch-2 stream state: replaying batch 1 through the BATCH form
+      // appends zero grams (index exactly-once per gram)
+      val before = spark.table("t_ss_grams").count()
+      Dedup.admitSpansBatch(
+        Seq((20L, "x completely novel content here y")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, "t_ss_grams")
+        .collect()
+      assert(spark.table("t_ss_grams").count() == before)
+    } finally Store.drop(spark, "t_ss_grams")
+  }
+
   test("screenAndAdmitSemantic: the stream grows the semantic index it screens; replay admits nothing twice") {
     import graft.similarity.Similarity
     import graft.store.Store
