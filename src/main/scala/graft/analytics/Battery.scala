@@ -3480,6 +3480,103 @@ object Battery {
       FROM documents d LEFT JOIN joined j USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** The WAV-auto PIPELINE verified cross-engine — the capstone of the
+    * audio stack: a MIXED-codec corpus (doc_id%3 routes PCM16 /
+    * IMA-ADPCM / μ-law G.711, one signal formula) through
+    * `Multimodal.decodeAudioAndFeature` — format-tag routing
+    * (Codec.decodeWavAuto), three REAL decoders, exact-sample window
+    * scheduling, integer window energies — while the oracle replays
+    * ALL THREE decode paths in SQL (identity; the q102 ADPCM
+    * encode+decode recursion; the q113 argmin+expansion) and unions
+    * them. A routing bug, any single decoder bug, or a window-
+    * scheduling off-by-one hash-mismatches. */
+  val q116 = Q("q116_wav_auto_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val samples = Array.tabulate(64)(i =>
+            (((id * 31 + i * 17) % 2003) - 1001).toShort)
+          val payload = (id % 3) match {
+            case 0 => graft.multimodal.Codec.encodeWavPcm16(samples, 8000)
+            case 1 => graft.multimodal.Codec.encodeWavImaAdpcm(samples, 8000, blockAlign = 36)
+            case _ => graft.multimodal.Codec.encodeWavG711(samples, 8000, aLaw = false)
+          }
+          Multimodal.MediaRow(id, Multimodal.MediaMeta("audio", 0, 0, 8000, 8L), payload)
+        }
+      Multimodal.decodeAudioAndFeature(media, windowMs = 2, hopMs = 2)
+        .toDF()
+        .select(col("media_id"), col("window_idx").cast("long").as("window_idx"),
+          col("energy"))
+        .orderBy("media_id", "window_idx")
+    },
+    Some {
+      val stepsVals = graft.multimodal.Codec.ImaStepTable.zipWithIndex
+        .map { case (st, i) => s"($i,$st)" }.mkString(",")
+      s"""WITH RECURSIVE steps(six, st) AS (SELECT * FROM (VALUES $stepsVals) v(six, st)),
+        pcm AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+            CAST((doc_id*31 + i*17) % 2003 - 1001 AS BIGINT) AS v
+          FROM documents, range(0, 64) t(i) WHERE doc_id % 3 = 0),
+        rec AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS i,
+                 CAST((doc_id*31) % 2003 - 1001 AS BIGINT) AS pred,
+                 CAST(0 AS BIGINT) AS ix
+          FROM documents WHERE doc_id % 3 = 1
+          UNION ALL
+          SELECT doc_id, i + 1,
+            greatest(-32768, least(32767,
+              pred + CASE WHEN sgn = 8 THEN -diff ELSE diff END)),
+            greatest(0, least(88,
+              ix + CASE nib3 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                             WHEN 7 THEN 8 ELSE -1 END))
+          FROM (
+            SELECT l3.*,
+              (st // 8) + f4*st + f2*(st // 2) + f1*(st // 4) AS diff,
+              4*f4 + 2*f2 + f1 AS nib3
+            FROM (
+              SELECT l2.*, CASE WHEN ad3 >= st // 4 THEN 1 ELSE 0 END AS f1
+              FROM (
+                SELECT l1.*,
+                  CASE WHEN ad2 >= st // 2 THEN 1 ELSE 0 END AS f2,
+                  ad2 - (CASE WHEN ad2 >= st // 2 THEN 1 ELSE 0 END)*(st // 2) AS ad3
+                FROM (
+                  SELECT l0.*,
+                    CASE WHEN ad >= st THEN 1 ELSE 0 END AS f4,
+                    ad - (CASE WHEN ad >= st THEN 1 ELSE 0 END)*st AS ad2
+                  FROM (
+                    SELECT r.doc_id, r.i, r.pred, r.ix, s.st,
+                      CASE WHEN r.smp < r.pred THEN 8 ELSE 0 END AS sgn,
+                      abs(r.smp - r.pred) AS ad
+                    FROM (SELECT *, (doc_id*31 + (i+1)*17) % 2003 - 1001 AS smp
+                          FROM rec WHERE i < 63) r
+                    JOIN steps s ON s.six = r.ix
+                  ) l0
+                ) l1
+              ) l2
+            ) l3
+          )
+        ),
+        adp AS (SELECT doc_id, i, pred AS v FROM rec),
+        dec AS (SELECT c,
+            CASE WHEN ((255 - c) & 128) != 0
+              THEN 132 - ((((255 - c) & 15) * 8 + 132) << (((255 - c) & 112) >> 4))
+              ELSE ((((255 - c) & 15) * 8 + 132) << (((255 - c) & 112) >> 4)) - 132
+            END AS dv
+          FROM range(0, 256) t(c)),
+        usmp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+            (doc_id*31 + i*17) % 2003 - 1001 AS s
+          FROM documents, range(0, 64) t(i) WHERE doc_id % 3 = 2),
+        uenc AS (SELECT doc_id, i, dv,
+            row_number() OVER (PARTITION BY doc_id, i ORDER BY abs(dv - s), c) AS rn
+          FROM usmp CROSS JOIN dec),
+        ul AS (SELECT doc_id, i, CAST(dv AS BIGINT) AS v FROM uenc WHERE rn = 1),
+        allv AS (SELECT * FROM pcm UNION ALL SELECT * FROM adp UNION ALL SELECT * FROM ul)
+        SELECT doc_id AS media_id, CAST(i // 16 AS BIGINT) AS window_idx,
+          CAST(SUM(v*v) AS BIGINT) AS energy
+        FROM allv GROUP BY doc_id, i // 16
+        ORDER BY media_id, window_idx"""
+    })
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -3489,5 +3586,5 @@ object Battery {
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115)
+    q111, q112, q113, q114, q115, q116)
 }
