@@ -19,6 +19,8 @@ import graft.functions.{CleanAsciiExpression, DotLongArrays, HilbertIndexExpress
   *    shingle-hash set (the near-dup fingerprint kernel)
   *  - `simhash32(s)` / `simhash64_md5(s)` — codegen md5-SimHash (the
   *    64-bit form is the 16-bit-band corpus-scale variant, q93)
+  *  - `bpe_merge_step(syms, l, r)` — one greedy BPE merge pass (the
+  *    tokenizer-training inner kernel, q117)
   *  - the [[graft.plans.AsOfJoinStrategy]] planner strategy for the
   *    native as-of join operator
   */
@@ -66,7 +68,18 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => SimHash64(exprs.head)),
     (FunctionIdentifier("dot_longs"),
       new ExpressionInfo(classOf[DotLongArrays].getName, "dot_longs"),
-      (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1))),
+    (FunctionIdentifier("bpe_merge_step"),
+      new ExpressionInfo(classOf[graft.functions.BpeMergeStep].getName, "bpe_merge_step"),
+      (exprs: Seq[Expression]) => {
+        def str(e: Expression, what: String): String = e match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"bpe_merge_step $what must be a STRING literal, got $other")
+        }
+        graft.functions.BpeMergeStep(
+          exprs(0), str(exprs(1), "left"), str(exprs(2), "right"))
+      }))
 
   /** Register the same functions on an already-running session (e.g. in
     * tests or notebooks where the session pre-exists the library). */

@@ -3577,6 +3577,128 @@ object Battery {
         ORDER BY media_id, window_idx"""
     })
 
+  // ---------------------------------------------------------------- //
+  // BPE tokenizer training / encoding (Curation.trainBpe/bpeEncode)  //
+  // ---------------------------------------------------------------- //
+
+  /** Shared DuckDB replay of the BPE vocabulary init: corpus →
+    * word-frequency table → code-point symbol lists (the exact mirror
+    * of [[graft.text.Curation.bpeWordTable]]). */
+  private def bpeInitSql: String =
+    """w0 AS (
+      SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents) u
+      WHERE len(word) > 0 GROUP BY word),
+    s0 AS (SELECT word, n,
+      list_transform(range(1, len(word)+1),
+        i -> substring(word, CAST(i AS INT), 1)) AS syms
+      FROM w0)"""
+
+  /** One unrolled BPE round in SQL: winner CTE (supplied — either a
+    * pair-count argmax for training or a literal for encoding) plus
+    * the greedy left-to-right non-overlapping apply. The apply mirrors
+    * [[graft.functions.BpeExpressions.mergeStep]] exactly: for
+    * `left ≠ right` adjacent matches never overlap, so every match
+    * merges; for `left = right` a maximal run of length L merges at
+    * even offsets only (floor(L/2) pairs) — expressed as
+    * gaps-and-islands run detection + in-run parity, no sequential
+    * scan needed. */
+  private def bpeStageSql(k: Int, winCte: String): String = {
+    val p = k - 1
+    s"""$winCte,
+    ex$k AS (SELECT word, n, CAST(i AS INT) AS i, syms[CAST(i AS INT)] AS sym
+      FROM (SELECT word, n, syms, unnest(range(1, len(syms)+1)) AS i FROM s$p) x),
+    mk$k AS (SELECT e.word, e.n, e.i, e.sym, w.l AS wl, w.r AS wr,
+        COALESCE(e.sym = w.l AND
+          lead(e.sym) OVER (PARTITION BY e.word ORDER BY e.i) = w.r, FALSE) AS rawm
+      FROM ex$k e CROSS JOIN win$k w),
+    isl$k AS (SELECT *, CASE WHEN sym = wl
+        THEN i - ROW_NUMBER() OVER (PARTITION BY word, sym = wl ORDER BY i) END AS island
+      FROM mk$k),
+    par$k AS (SELECT *, CASE WHEN island IS NOT NULL
+        THEN (ROW_NUMBER() OVER (PARTITION BY word, island ORDER BY i) - 1) % 2 = 0
+        END AS evenoff
+      FROM isl$k),
+    fin$k AS (SELECT word, n, i,
+        CASE WHEN m THEN wl || wr ELSE sym END AS sym,
+        COALESCE(lag(m) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed
+      FROM (SELECT *, rawm AND (wl <> wr OR COALESCE(evenoff, FALSE)) AS m
+            FROM par$k) y),
+    s$k AS (SELECT word, n, list(sym ORDER BY i) AS syms
+      FROM fin$k WHERE NOT consumed GROUP BY word, n)"""
+  }
+
+  /** Training-round winner: adjacent-pair counts weighted by word
+    * frequency (overlaps counted — the classic Sennrich formulation),
+    * argmax with ties to the binary-smallest (left, right). */
+  private def bpeTrainWinSql(k: Int): String = {
+    val p = k - 1
+    s"""pc$k AS (
+      SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT)+1] AS r, SUM(n) AS cnt
+      FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
+            FROM s$p WHERE len(syms) >= 2) x
+      GROUP BY 1, 2),
+    win$k AS (SELECT l, r, cnt FROM pc$k ORDER BY cnt DESC, l, r LIMIT 1)"""
+  }
+
+  /** Full distributed BPE tokenizer training (arXiv:1508.07909):
+    * 6 rounds of pair-count argmax → greedy merge apply over the
+    * word-frequency table. The corpus is read ONCE (tokenize →
+    * groupBy word); each round then costs one pair-count exchange
+    * over |vocab| rows plus a narrow codegen'd merge map — the shape
+    * that trains a tokenizer on a 100 TB corpus without ever
+    * re-reading it. The oracle replays all 6 rounds unrolled,
+    * including the greedy-apply parity rule on identical-symbol runs,
+    * so a drift between the counted pairs and the actually-produced
+    * vocabulary (the classic BPE implementation bug) hash-mismatches. */
+  val q117 = Q("q117_bpe_train",
+    (s, dir) => graft.text.Curation.trainBpe("text", nMerges = 6)(
+        t(s, dir, "documents"))
+      .orderBy("merge_rank"),
+    Some {
+      val stages = (1 to 6).map(k => bpeStageSql(k, bpeTrainWinSql(k))).mkString(",\n")
+      val unions = (1 to 6).map(k =>
+        s"SELECT CAST($k AS INT) AS merge_rank, l, r, cnt FROM win$k")
+        .mkString("\n      UNION ALL ")
+      s"""WITH $bpeInitSql,
+      $stages,
+      merges AS (
+      $unions)
+      SELECT merge_rank, l AS left_sym, r AS right_sym, CAST(cnt AS BIGINT) AS n_pair
+      FROM merges ORDER BY merge_rank"""
+    })
+
+  /** The q118 fixed merge list: rank-ordered, with a cascading third
+    * merge (`th` is only producible by rank 2) and a self-pair would-
+    * overlap case exercised wherever the corpus has letter runs. */
+  private val bpeFixedMerges: Seq[(String, String)] =
+    Seq(("e", "r"), ("t", "h"), ("th", "e"), ("a", "n"))
+
+  /** BPE ENCODE with an already-learned (here: literal) merge table —
+    * the inference-side twin of q117. Narrow until the final count:
+    * the whole encoder is one codegen kernel call per word inside a
+    * higher-order transform (zero exchanges before the token
+    * aggregate). The oracle replays the same 4 merges through the
+    * unrolled apply template with literal winners. */
+  val q118 = Q("q118_bpe_encode",
+    (s, dir) => graft.text.Curation.bpeEncode("text", bpeFixedMerges)(
+        t(s, dir, "documents"))
+      .select(explode(col("bpe_tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(30),
+    Some {
+      val stages = bpeFixedMerges.zipWithIndex.map { case ((l, r), i) =>
+        bpeStageSql(i + 1, s"win${i + 1} AS (SELECT '$l' AS l, '$r' AS r)")
+      }.mkString(",\n")
+      s"""WITH $bpeInitSql,
+      $stages
+      SELECT sym AS token, CAST(SUM(n) AS BIGINT) AS n_occurrences
+      FROM (SELECT n, unnest(syms) AS sym FROM s${bpeFixedMerges.size}) x
+      GROUP BY sym ORDER BY n_occurrences DESC, token LIMIT 30"""
+    })
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -3586,5 +3708,5 @@ object Battery {
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116)
+    q111, q112, q113, q114, q115, q116, q117, q118)
 }

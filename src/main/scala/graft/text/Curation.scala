@@ -761,4 +761,85 @@ object Curation {
     Seq("s0_all" -> docs, "s1_quality" -> s1, "s2_lang" -> s2,
       "s3_exact_dedup" -> s3, "s4_near_dedup" -> s4, "s5_sample" -> s5)
   }
+
+  // ---------------------------------------------------------------- //
+  // BPE tokenizer training (Sennrich et al., arXiv:1508.07909)       //
+  // ---------------------------------------------------------------- //
+
+  /** Word-frequency table with code-point symbol sequences — the
+    * compact representation BPE training iterates on. ONE corpus-scale
+    * pass (tokenize → groupBy word); everything after runs over
+    * |vocab| rows, which is why tokenizer training is feasible at
+    * 100 TB: the corpus is touched once, the loop never re-reads it. */
+  private[text] def bpeWordTable(textCol: String)(df: DataFrame): DataFrame =
+    df.select(explode(toks(textCol)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("word"), col("n"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+
+  /** Full BPE tokenizer training: `nMerges` rounds of (pair-count
+    * argmax → greedy merge apply), returning the learned merge table
+    * `(rank, left_sym, right_sym, n_pair)` in apply order.
+    *
+    * Determinism contract (cross-engine replayable, battery q117):
+    * pair counts are adjacent-position counts weighted by word
+    * frequency (overlaps counted, the classic formulation); the winner
+    * is `max count, then (left, right)` in binary string order; the
+    * apply step is greedy left-to-right non-overlapping
+    * ([[graft.functions.BpeExpressions.mergeStep]] — in a run `aaa`
+    * with merge `(a,a)` only positions 0-1 merge), so counts on the
+    * next round reflect the vocabulary actually produced.
+    *
+    * Shuffle shape per round: one exchange for the pair-count
+    * aggregate over the vocab table plus a driver-side single-row
+    * argmax collect (bounded: one row per round). The apply is a
+    * narrow codegen map; `localCheckpoint` after each round keeps the
+    * plan shallow instead of nesting the merge history (same loop
+    * hygiene as [[graft.similarity.Similarity.kmeans]]). Stops early
+    * if the corpus runs out of adjacent pairs. */
+  def trainBpe(textCol: String, nMerges: Int)(df: DataFrame): DataFrame = {
+    require(nMerges >= 1, "trainBpe needs at least one merge round")
+    val spark = df.sparkSession
+    var words = bpeWordTable(textCol)(df).localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val sy = col("syms")
+      val win = words.filter(size(sy) >= 2)
+        .select(col("n"), explode(transform(sequence(lit(0), size(sy) - 2),
+          i => struct(element_at(sy, i + 1).as("l"), element_at(sy, i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (win.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+        merges += ((merges.size + 1, l, r, c))
+        // lazy checkpoint per round: the next round's pair count
+        // materializes it; ContextCleaner reclaims the chain when the
+        // training loop's references drop (same hygiene as kmeans)
+        words = words.withColumn("syms",
+            graft.functions.BpeExpressions.bpeMergeStep(sy, l, r))
+          .localCheckpoint(false)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "n_pair")
+  }
+
+  /** Encode with an already-learned merge list: adds `tokensCol` =
+    * per-word code-point symbols with every merge applied in rank
+    * order, concatenated across the document's words. Narrow (zero
+    * exchanges): one codegen'd kernel call per word inside a
+    * higher-order transform, then a flatten. */
+  def bpeEncode(
+      textCol: String, merges: Seq[(String, String)], tokensCol: String = "bpe_tokens")(
+      df: DataFrame): DataFrame =
+    df.withColumn(tokensCol,
+      flatten(transform(
+        filter(toks(textCol), w => length(w) > 0),
+        w => graft.functions.BpeExpressions.bpeEncodeWord(w, merges))))
 }

@@ -45,6 +45,16 @@ object QueryDump {
       }
       graft.CacheReset(spark)
     }
+    // the selected queries' oracle slice, same shape as Verify's full
+    // dump, so tools/xcheck.py works on partial dumps too
+    val oracles = graft.SparkEntry.oracleSql.view.filterKeys(names.contains).toMap
+    val json = oracles.toSeq.sortBy(_._1).map { case (n, sql) =>
+      val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t")
+      s""""$n": "$esc""""
+    }.mkString("{", ",\n", "}")
+    val w = new java.io.PrintWriter(s"$outDir/oracle_sql.json")
+    try w.write(json) finally w.close()
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

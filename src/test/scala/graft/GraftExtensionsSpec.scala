@@ -47,4 +47,16 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(spark.sql("SELECT char_shingles('abcd', 3)").as[Seq[String]].head() ==
       Seq("abc", "bcd"))
   }
+
+  test("bpe_merge_step works from plain SQL; rejects non-literal symbols") {
+    GraftExtensions.register(spark)
+    val merged = spark.sql(
+      "SELECT bpe_merge_step(array('a', 'a', 'a'), 'a', 'a') AS m")
+      .as[Seq[String]].head()
+    assert(merged == Seq("aa", "a"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_merge_step(array('a'), substr(rand(), 1, 1), 'b')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
 }
