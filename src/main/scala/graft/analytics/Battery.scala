@@ -3699,6 +3699,53 @@ object Battery {
       GROUP BY sym ORDER BY n_occurrences DESC, token LIMIT 30"""
     })
 
+  /** DuckDB mirror of [[graft.functions.OphBandSigs]]: one permutation
+    * over the 60-bit hash set, k equal value-range bins keeping their
+    * min, empty bins densified from the nearest occupied bin rightward
+    * (circular, offset t shifts by t·P), then the same "m|m|..." band
+    * strings as the k-permutation family. The fill step expresses the
+    * rotation as a (grid × occupied-slots) rank on circular distance —
+    * offset 0 IS the occupied case, so one rule covers both. */
+  private def ophBandedSql(bands: Int, rpb: Int): String = {
+    val k = bands * rpb
+    val (a, b) = Dedup.permConsts(1).head
+    val p = Dedup.MinhashP
+    s"""vals AS (SELECT doc_id, ($a * (x % $p) + $b) % $p AS v
+         FROM (SELECT doc_id, unnest(h) AS x FROM shh) u),
+       slots AS (SELECT doc_id, CAST((v * $k) // $p AS INT) AS j, MIN(v) AS mv
+         FROM vals GROUP BY 1, 2),
+       grid AS (SELECT doc_id, CAST(gj AS INT) AS j
+         FROM (SELECT DISTINCT doc_id FROM shh) d, range(0, $k) t(gj)),
+       fill AS (SELECT g.doc_id, g.j,
+           s.mv + $p * CAST((s.j - g.j + $k) % $k AS BIGINT) AS cand,
+           row_number() OVER (PARTITION BY g.doc_id, g.j
+             ORDER BY (s.j - g.j + $k) % $k) AS rn
+         FROM grid g JOIN slots s ON s.doc_id = g.doc_id),
+       osig AS (SELECT doc_id, j, cand AS m FROM fill WHERE rn = 1),
+       banded AS (SELECT doc_id, CAST(j // $rpb AS INT) AS band,
+           string_agg(CAST(m AS VARCHAR), '|' ORDER BY j) AS bandsig
+         FROM osig GROUP BY doc_id, j // $rpb)"""
+  }
+
+  /** Near-dup candidates via densified one-permutation hashing
+    * (Shrivastava & Li ICML 2014) — the O(|shingles|) signature scan,
+    * vs q26's O(k·|shingles|) k-permutation family, with the identical
+    * (8,4) banding and bucket join downstream. The oracle replays the
+    * whole construction including the rotation densification, so a
+    * bin-split or borrow-direction bug hash-mismatches. */
+  val q119 = Q("q119_oph_neardup",
+    (s, dir) => Dedup.ophCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text", Dedup.CharShingles(5),
+        bands = 8, rowsPerBand = 4)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM documents),
+      $hashSetCte,
+      ${ophBandedSql(8, 4)},
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -3708,5 +3755,5 @@ object Battery {
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119)
 }

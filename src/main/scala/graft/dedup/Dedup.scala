@@ -485,6 +485,25 @@ object Dedup {
       posexplode(graft.functions.MinhashBandSigs.bandSigs(col("h"), bands, rowsPerBand))
         .as(Seq("band", "bandsig")))
 
+  /** [[minhashCandidatePairs]] with the signature pass swapped for
+    * densified one-permutation hashing ([[graft.functions.OphBandSigs]],
+    * Shrivastava & Li ICML 2014): O(|shingles|) per doc instead of
+    * O(k·|shingles|), same banding threshold calculus and the same
+    * bucket join downstream. The candidate SET differs from the
+    * k-permutation family's (different hash family, same expected
+    * recall at a given (bands, rowsPerBand)) — both feed the same
+    * exact-Jaccard verification, which is what decides. */
+  def ophCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    candidatePairsFromBanded(ophBandedSigs(hashedDocs(df, idCol, textCol, mode), bands, rowsPerBand))
+
+  /** (id, band, bandsig) via densified OPH — drop-in for [[bandedSigs]]. */
+  def ophBandedSigs(hashed: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    hashed.select(col("id"),
+      posexplode(graft.functions.OphBandSigs.bandSigs(col("h"), bands, rowsPerBand))
+        .as(Seq("band", "bandsig")))
+
   /** Distinct (id_a < id_b) pairs sharing any (band, bandsig) bucket.
     * Merge-hinted: a broadcast self-join would compute the banding UDF
     * on BOTH sides (stream + build); forcing sort-merge gives the two

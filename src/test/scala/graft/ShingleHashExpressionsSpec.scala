@@ -142,6 +142,60 @@ class ShingleHashExpressionsSpec extends SparkTestBase {
     })
   }
 
+  test("oph densification: slot values, rotation borrow, sentinel cases") {
+    import graft.functions.OphBandSigs
+    val p = Dedup.MinhashP
+    val (a, b) = Dedup.permConsts(1).head
+    // reference: independent per-element computation + brute densify
+    def ref(hs: Seq[Long], k: Int): Seq[Long] = {
+      val binned = hs.map { x =>
+        val v = (a * (x % p) + b) % p
+        (((v * k) / p).toInt, v)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      if (binned.isEmpty) Seq.fill(k)(Long.MaxValue)
+      else (0 until k).map { j =>
+        val t = (0 until k).find(t => binned.contains((j + t) % k)).get
+        binned((j + t) % k) + t.toLong * p
+      }
+    }
+    ScalaCheckSupport.checkProp(Prop.forAll(
+      Gen.listOf(Gen.chooseNum(0L, Long.MaxValue >>> 4)), Gen.choose(2, 5), Gen.choose(1, 4)) {
+      (hs, bands, rpb) =>
+        val k = bands * rpb
+        val mins = ref(hs, k)
+        val expected = (0 until bands).map(bb =>
+          (0 until rpb).map(r => mins(bb * rpb + r)).mkString("|"))
+        val got = OphBandSigs.evalArray(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray), bands, rpb)
+        (0 until bands).forall(i => got.getUTF8String(i).toString == expected(i))
+    })
+    // identical sets -> identical signatures (the LSH premise)
+    val s1 = OphBandSigs.ophMins(Array(7L, 99L, 123456789L), 8)
+    val s2 = OphBandSigs.ophMins(Array(7L, 99L, 123456789L), 8)
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("oph candidates reach full recall at the banding's design threshold") {
+    // corpus-style fixture: 3 exact-ish template families (high-J
+    // pairs well above the (8,4) threshold ~0.59) + unrelated docs.
+    // OPH must bucket every within-family pair, and no candidate pair
+    // may cross families after exact-Jaccard verification.
+    val mk = (seed: Int, tail: String) =>
+      s"template family $seed repeated body of text shared across near duplicates $seed $tail"
+    val docs = (0 until 3).flatMap(f => (0 until 4).map(i =>
+      (f * 10L + i, mk(f, if (i == 0) "" else s"variant $i")))) ++
+      Seq((100L, "completely unrelated content about something else entirely"))
+    val df = docs.toDF("doc_id", "text")
+    val cand = Dedup.ophCandidatePairs(df, "doc_id", "text",
+      Dedup.CharShingles(5), bands = 8, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (f <- 0 until 3; i <- 0 until 4; j <- i + 1 until 4)
+      assert(cand.contains((f * 10L + i, f * 10L + j)),
+        s"missing within-family pair ($f: $i,$j)")
+    assert(!cand.exists { case (x, y) => x == 100L || y == 100L },
+      "unrelated doc bucketed")
+  }
+
   test("stays inside whole-stage codegen (no fence on the hot path)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(ShingleHashSet.shingleHashSet(col("text"), Dedup.CharShingles(5)).as("h"),
