@@ -71,7 +71,64 @@ object ScaleBench {
         // near-dup copies sit at ~0.999; 0.99 selects exactly them.
         graft.similarity.Similarity.semDedup(
           emb, "vec_id", "embedding", k, iters = 2, theta = 0.99)
+      }),
+      // IVFADC-R at PRODUCTION sizing — the battery q112 pins 10
+      // generator labels and a literal codebook for oracle stability;
+      // here the index is sized by the operator's documented rules:
+      // lists ∝ √n (per-list size also ∝ √n, so the probed fraction
+      // nprobe/lists SHRINKS as the corpus grows), residual PQ
+      // codebook trained on a FIXED-size deterministic sample (the
+      // training cost must not grow with the corpus). Build and read
+      // paths are measured separately because they scale differently:
+      // the build (coarse Lloyd + residuals + encode) is the
+      // ~linear-in-n write path; the query against the STORED index
+      // (first pass materializes it to parquet under the scale dir,
+      // timed passes only read) should scale as the probed-member
+      // count, O(n/√n · nprobe) = O(√n) — the whole point of IVF.
+      "x112_ivfpq_build" -> ((s: SparkSession, dir: String) =>
+        buildIvfPqFrames(s, dir)._1),
+      "x113_ivfpq_query_stored" -> ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ix = s"$dir/ivfpq_index"
+        if (!new java.io.File(s"$ix/codes.parquet").exists()) {
+          val (codes, means, cb) = buildIvfPqFrames(s, dir)
+          codes.write.mode("overwrite").parquet(s"$ix/codes.parquet")
+          means.write.mode("overwrite").parquet(s"$ix/means.parquet")
+          cb.write.mode("overwrite").parquet(s"$ix/codebook.parquet")
+        }
+        val query = Seq((-1L, Seq.tabulate(64)(j => ((j * 13) % 29 - 14) * 10L)))
+          .toDF("qid", "qqv")
+        graft.similarity.Similarity.ivfPqResidualTopKNeighbors(
+          s.read.parquet(s"$ix/codes.parquet"), "cid",
+          s.read.parquet(s"$ix/means.parquet"),
+          s.read.parquet(s"$ix/codebook.parquet"),
+          query, k = 10, nprobe = 2)
       }))
+
+  /** The IVFADC-R write path at production sizing (see the variant
+    * comment above): returns (codes, means, codebook) lazily — the
+    * caller times or stores them. */
+  private def buildIvfPqFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val S = graft.similarity.Similarity
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val lists = math.max(8, (math.sqrt(n.toDouble) / 4).toInt)
+    val labels = S.kmeans(emb, "vec_id", "embedding", lists, iters = 2)
+    val withLabel = emb.join(labels, "vec_id")
+    val res = S.residualFrame(withLabel, "vec_id", "cid", "embedding")
+      .localCheckpoint(false)
+    val step = math.max(1L, n / 20000L)
+    val cb = S.pqTrainCodebookQ(
+      res.filter(pmod(col("id"), lit(step)) === 0), "id", "rv",
+      m = 4, ksub = 8, iters = 2).localCheckpoint(false)
+    val codes = S.pqEncodeQ(res, "id", "rv", cb)
+      .join(res.select(col("id"), col("cid")), "id")
+    val q = withLabel.select(col("vec_id").as("id"), col("cid"),
+      S.quantize(col("embedding")).as("qv"))
+    (codes, S.listCentroidMeans(q, "cid", "qv"), cb)
+  }
 
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
