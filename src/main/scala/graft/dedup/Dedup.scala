@@ -479,6 +479,30 @@ object Dedup {
       bands: Int, rowsPerBand: Int): DataFrame =
     candidatePairsFromBanded(bandedSigs(hashedDocs(df, idCol, textCol, mode), bands, rowsPerBand))
 
+  /** Signature FAMILY for LSH banding — the choice of how a 60-bit
+    * shingle-hash set becomes per-band signature strings. Both
+    * families emit the identical (band, bandsig) format, so every
+    * bucket join downstream is family-agnostic; what is NOT
+    * family-agnostic is consistency: an index written with one family
+    * probed with the other matches nothing — a SILENT recall hole.
+    * [[writeCorpusIndex]] therefore records the family as a table
+    * property and [[admitBatch]] fails loudly on a mismatch. */
+  sealed abstract class SigFamily(val name: String) {
+    private[graft] def sigCol(h: Column, bands: Int, rowsPerBand: Int): Column
+  }
+  /** k-permutation minhash ([[graft.functions.MinhashBandSigs]]):
+    * k multiply-adds per shingle. The default and the q26 family. */
+  case object PermMinhash extends SigFamily("perm") {
+    private[graft] def sigCol(h: Column, bands: Int, rowsPerBand: Int): Column =
+      graft.functions.MinhashBandSigs.bandSigs(h, bands, rowsPerBand)
+  }
+  /** Densified one-permutation hashing ([[graft.functions.OphBandSigs]]):
+    * ONE hash per shingle. The cheap-signature family (q119). */
+  case object OphMinhash extends SigFamily("oph") {
+    private[graft] def sigCol(h: Column, bands: Int, rowsPerBand: Int): Column =
+      graft.functions.OphBandSigs.bandSigs(h, bands, rowsPerBand)
+  }
+
   /** (id, band, bandsig) — one row per doc per band. */
   def bandedSigs(hashed: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     hashed.select(col("id"),
@@ -603,11 +627,17 @@ object Dedup {
       bands: Int, rowsPerBand: Int,
       corpusBanded: DataFrame, corpusHashed: DataFrame,
       persistFingerprints: Boolean = true,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue,
+      family: SigFamily = PermMinhash): DataFrame = {
+    // frame-based form: no table to carry the family marker, so the
+    // consistency contract is the CALLER's — `family` must be the one
+    // that wrote `corpusBanded` (admitBatch enforces it for tables)
     val base = hashedDocs(batch, idCol, textCol, mode)
     val batchHashed = if (persistFingerprints) base.localCheckpoint(false) else base
     val pairs = incrementalCandidatePairs(
-      bandedSigs(batchHashed, bands, rowsPerBand), corpusBanded, maxBucketSize)
+      batchHashed.select(col("id"),
+        posexplode(family.sigCol(col("h"), bands, rowsPerBand)).as(Seq("band", "bandsig"))),
+      corpusBanded, maxBucketSize)
     pairs
       .join(batchHashed.select(col("id").as("batch_id"), col("h").as("__ha")), "batch_id")
       .join(corpusHashed.select(col("id").as("corpus_id"), col("h").as("__hb")), "corpus_id")
@@ -629,11 +659,29 @@ object Dedup {
   def writeCorpusIndex(
       docs: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
       bands: Int, rowsPerBand: Int,
-      hashedTable: String, bandedTable: String): Unit = {
+      hashedTable: String, bandedTable: String,
+      family: SigFamily = PermMinhash): Unit = {
     val hashed = hashedDocs(docs, idCol, textCol, mode).localCheckpoint(false)
     graft.store.Store.overwrite(hashed, hashedTable)
-    graft.store.Store.overwrite(bandedSigs(hashed, bands, rowsPerBand), bandedTable)
+    graft.store.Store.overwrite(
+      hashed.select(col("id"),
+        posexplode(family.sigCol(col("h"), bands, rowsPerBand)).as(Seq("band", "bandsig"))),
+      bandedTable)
+    // record the family ON the index: a future probe with the other
+    // family would bucket-match nothing (silent recall hole), so the
+    // mismatch must be detectable at probe time, not by audit
+    docs.sparkSession.sql(
+      s"ALTER TABLE $bandedTable SET TBLPROPERTIES ('graft.sig.family' = '${family.name}')")
+    ()
   }
+
+  /** The signature family recorded on a stored banded-signature table,
+    * if any (pre-family indexes carry no marker and are treated as
+    * [[PermMinhash]], which is what wrote them). */
+  private[graft] def storedFamily(
+      spark: org.apache.spark.sql.SparkSession, bandedTable: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES $bandedTable").collect()
+      .collectFirst { case r if r.getString(0) == "graft.sig.family" => r.getString(1) }
 
   /** The standing ingest transaction: screen a new batch against the
     * stored corpus index ([[incrementalNearDupPairs]]), ADMIT the docs
@@ -667,11 +715,23 @@ object Dedup {
       hashedTable: String, bandedTable: String,
       minJaccard: Double,
       maxBucketSize: Int = Int.MaxValue,
-      compactMinFiles: Int = 64): DataFrame = {
+      compactMinFiles: Int = 64,
+      family: SigFamily = PermMinhash): DataFrame = {
     val spark = batch.sparkSession
+    storedFamily(spark, bandedTable) match {
+      case Some(f) => require(f == family.name,
+        s"corpus index $bandedTable was written with signature family '$f' but this " +
+          s"probe uses '${family.name}' — a mismatched family buckets nothing and is " +
+          "a silent recall hole")
+      case None => require(family == PermMinhash,
+        s"corpus index $bandedTable carries no family marker (pre-family index = perm) " +
+          s"but this probe uses '${family.name}'")
+    }
     val batchHashed = hashedDocs(batch, idCol, textCol, mode).localCheckpoint(false)
+    def banded(h: DataFrame): DataFrame = h.select(col("id"),
+      posexplode(family.sigCol(col("h"), bands, rowsPerBand)).as(Seq("band", "bandsig")))
     val pairs = incrementalCandidatePairs(
-      bandedSigs(batchHashed, bands, rowsPerBand),
+      banded(batchHashed),
       spark.table(bandedTable), maxBucketSize)
     val dupIds = pairs
       .join(batchHashed.select(col("id").as("batch_id"), col("h").as("__ha")), "batch_id")
@@ -683,8 +743,12 @@ object Dedup {
       .localCheckpoint(false) // appended twice below; also decouples the
                               // writes from the screen's lineage
     graft.store.Store.append(admittedHashed, hashedTable)
-    graft.store.Store.append(bandedSigs(admittedHashed, bands, rowsPerBand), bandedTable)
+    graft.store.Store.append(banded(admittedHashed), bandedTable)
     maintainCorpusIndex(spark, hashedTable, bandedTable, minFiles = compactMinFiles)
+    // compaction swaps through a fresh table, which drops TBLPROPERTIES —
+    // re-assert the family marker so the NEXT probe's check still works
+    spark.sql(
+      s"ALTER TABLE $bandedTable SET TBLPROPERTIES ('graft.sig.family' = '${family.name}')")
     batch.join(admittedHashed.select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
 

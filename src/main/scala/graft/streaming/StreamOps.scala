@@ -75,11 +75,13 @@ object StreamOps {
       docs: DataFrame, idCol: String, textCol: String,
       mode: graft.dedup.Dedup.ShingleMode, bands: Int, rowsPerBand: Int,
       corpusBanded: DataFrame, corpusHashed: DataFrame,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double,
+      family: graft.dedup.Dedup.SigFamily = graft.dedup.Dedup.PermMinhash): DataFrame = {
     import graft.dedup.Dedup
+    // family must match what wrote corpusBanded — see Dedup.SigFamily
     val banded = Dedup.hashedDocs(docs, idCol, textCol, mode)
       .select(col("id"), col("h"),
-        posexplode(graft.functions.MinhashBandSigs.bandSigs(col("h"), bands, rowsPerBand))
+        posexplode(family.sigCol(col("h"), bands, rowsPerBand))
           .as(Seq("band", "bandsig")))
     banded.as("a")
       .join(corpusBanded.as("b"),

@@ -142,6 +142,44 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("admitBatch with the OPH family: loop works end-to-end; family mismatch fails loud") {
+    import graft.store.Store
+    val founding = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val novelA = "distributed query engines partition work across executors for scale"
+    Dedup.writeCorpusIndex(Seq((1L, founding)).toDF("doc_id", "text"),
+      "doc_id", "text", Dedup.CharShingles(5), 8, 4, "t_oix_hashed", "t_oix_banded",
+      family = Dedup.OphMinhash)
+    try {
+      // the marker is recorded on the table
+      assert(Dedup.storedFamily(spark, "t_oix_banded").contains("oph"))
+      // a probe with the WRONG family would bucket nothing — it must
+      // throw, not silently admit duplicates
+      val e = intercept[IllegalArgumentException] {
+        Dedup.admitBatch(Seq((10L, founding)).toDF("doc_id", "text"),
+          "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+          "t_oix_hashed", "t_oix_banded", minJaccard = 0.9) // default = perm
+      }
+      assert(e.getMessage.contains("recall hole"))
+      // the matching family screens the dup and admits the novel doc
+      val a1 = Dedup.admitBatch(
+        Seq((10L, founding), (11L, novelA)).toDF("doc_id", "text"),
+        "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+        "t_oix_hashed", "t_oix_banded", minJaccard = 0.9, family = Dedup.OphMinhash)
+      assert(a1.select("doc_id").as[Long].collect().toSet == Set(11L))
+      // a dup of the ADMISSION is screened on the next batch, and the
+      // family marker survives the admission (incl. any compaction)
+      val a2 = Dedup.admitBatch(
+        Seq((20L, novelA)).toDF("doc_id", "text"),
+        "doc_id", "text", Dedup.CharShingles(5), 8, 4,
+        "t_oix_hashed", "t_oix_banded", minJaccard = 0.9, family = Dedup.OphMinhash)
+      assert(a2.isEmpty)
+      assert(Dedup.storedFamily(spark, "t_oix_banded").contains("oph"))
+    } finally {
+      Store.drop(spark, "t_oix_hashed")
+      Store.drop(spark, "t_oix_banded")
+    }
+  }
+
   test("admitBatch maintenance: small-batch sprawl triggers compaction; verdicts unchanged") {
     import graft.store.Store
     val founding = "the quick brown fox jumps over the lazy dog near the river bank today"
