@@ -3746,6 +3746,59 @@ object Battery {
                ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id)
       SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"""))
 
+  /** JL sign-projection prefilter + exact re-rank
+    * ([[Similarity.jlPrefilterTopK]]): the corpus is scored in a
+    * deterministic ±1-projected 16-dim space (4× fewer multiply-adds
+    * than the 64-dim brute scan), a generous top-50 candidate set
+    * survives, and the exact full-dimension cosine re-ranks it to the
+    * final top-10. The oracle replays the ENTIRE construction — LCG
+    * sign stream, projected sums, projected cosine, candidate cut,
+    * exact re-rank — so a sign-stream index bug or a prefilter/re-rank
+    * tie-rule drift hash-mismatches. */
+  val q120 = Q("q120_jl_prefilter_topk",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("qv"))
+      val query = Seq((-1L, Seq.tabulate(64)(j => ((j * 13) % 29 - 14) * 10L)))
+        .toDF("qid", "qqv")
+      Similarity.jlPrefilterTopK(base, query, k = 10, outDims = 16, candidateFactor = 5)
+        .select(col("id").as("vec_id"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val (a, b, p) = (graft.functions.SignProjectLongs.A,
+        graft.functions.SignProjectLongs.B, graft.functions.SignProjectLongs.P)
+      val signCase = s"CASE WHEN ($a*((pos-1)*16 + j) + $b) % $p < ${p / 2} " +
+        "THEN x ELSE -x END"
+      s"""WITH qv AS (SELECT vec_id AS id,
+          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        FROM embeddings),
+        q AS (SELECT list(CAST((((j*13) % 29) - 14) * 10 AS BIGINT) ORDER BY j) AS qqv
+              FROM range(0, 64) t(j)),
+        px AS (SELECT id, j, CAST(SUM($signCase) AS BIGINT) AS pj
+          FROM (SELECT id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM qv) e,
+               range(0, 16) t(j)
+          GROUP BY id, j),
+        qx AS (SELECT j, CAST(SUM($signCase) AS BIGINT) AS qj
+          FROM (SELECT unnest(qqv) AS x, generate_subscripts(qqv, 1) AS pos FROM q) e,
+               range(0, 16) t(j)
+          GROUP BY j),
+        pc AS (SELECT p2.id,
+            CAST(SUM(p2.pj * q2.qj) AS DOUBLE) /
+              (sqrt(CAST(SUM(p2.pj * p2.pj) AS DOUBLE)) *
+               sqrt(CAST((SELECT SUM(qj*qj) FROM qx) AS DOUBLE))) AS pcos
+          FROM px p2 JOIN qx q2 USING (j) GROUP BY p2.id),
+        cand AS (SELECT id FROM pc ORDER BY pcos DESC, id LIMIT 50),
+        fin AS (SELECT bq.id,
+            CAST(list_sum(list_transform(list_zip(bq.v, q.qqv), pr -> pr[1]*pr[2])) AS DOUBLE) /
+              (sqrt(CAST(list_sum(list_transform(bq.v, x -> x*x)) AS DOUBLE)) *
+               sqrt(CAST(list_sum(list_transform(q.qqv, x -> x*x)) AS DOUBLE))) AS cosine
+          FROM qv bq JOIN cand USING (id), q)
+        SELECT id AS vec_id FROM (SELECT id FROM fin ORDER BY cosine DESC, id LIMIT 10)
+        ORDER BY vec_id"""
+    })
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -3755,5 +3808,5 @@ object Battery {
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
 }

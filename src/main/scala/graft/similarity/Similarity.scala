@@ -527,6 +527,62 @@ object Similarity {
       .select(col("qid"), explode(col("__ids")).as("id"))
   }
 
+  /** (id, pv): the corpus under a deterministic ±1 Johnson-
+    * Lindenstrauss sign projection to `outDims`
+    * ([[graft.functions.SignProjectLongs]] — exact integer, SQL-
+    * replayable, training-free). Narrow: one codegen kernel call per
+    * vector, zero exchanges. */
+  def signProject(emb: DataFrame, idCol: String, vecCol: String, outDims: Int): DataFrame =
+    emb.select(col(idCol).as("id"),
+      graft.functions.SignProjectLongs.signProject(
+        quantize(col(vecCol)), outDims).as("pv"))
+
+  /** JL-prefiltered exact top-k: score the corpus in the PROJECTED
+    * space (d→outDims fewer multiply-adds per pair and proportionally
+    * smaller k-bounded shuffles), keep a generous top-(k·factor)
+    * candidate set per query, then re-rank ONLY those candidates with
+    * the exact full-dimension cosine — the final ordering is exact for
+    * everything the prefilter retained, and recall is a measurable
+    * knob ([[recallAtK]] against [[bruteTopKNeighbors]]) paid for with
+    * `candidateFactor`. The cheap, stateless first rung of the ANN
+    * ladder: no training, no stored index, nothing to drift — reach
+    * for IVF/IVFADC-R when a persistent index pays for itself. Same
+    * (id, qv)/(qid, qqv) quantized contract and (score desc, id asc)
+    * tie rule as the brute scan.
+    *
+    * Recall is MARGIN-dependent — the JL distortion at 64→16 is far
+    * too coarse to micro-rank dense near-ties, so on a clustered
+    * corpus whose top-k differ from the next 200 candidates in the
+    * third cosine decimal the factor must approach
+    * cluster-size/k (measured on the driver embeddings, m=16:
+    * 0.14 @ f=5 → 0.60 @ f=20 → 0.88 @ f=40; m=32 @ f=40: 0.98).
+    * Neighbors separated by real margin recall at small factors.
+    * Tune with [[recallAtK]] — the same measured loop as IVF. */
+  def jlPrefilterTopK(
+      base: DataFrame, queries: DataFrame, k: Int,
+      outDims: Int, candidateFactor: Int = 5): DataFrame = {
+    requireIntegralId(base, "id", "jlPrefilterTopK")
+    require(candidateFactor >= 1, "candidateFactor must be positive")
+    val held = base.localCheckpoint(false) // scanned for projection + re-rank
+    val proj = held.select(col("id"),
+      graft.functions.SignProjectLongs.signProject(col("qv"), outDims).as("pv"))
+    val qproj = queries.select(col("qid"), col("qqv"),
+      graft.functions.SignProjectLongs.signProject(col("qqv"), outDims).as("qpv"))
+    val cand = proj.crossJoin(broadcast(qproj.select(col("qid"), col("qpv"))))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosineQ(col("pv"), col("qpv")).as("pcos"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(
+        col("pcos"), col("id"), k * candidateFactor).as("__ids"))
+      .select(col("qid"), explode(col("__ids")).as("id"))
+    cand.join(held, "id")
+      .join(broadcast(queries.select(col("qid"), col("qqv"))), "qid")
+      .select(col("qid"), col("id"), cosineQ(col("qv"), col("qqv")).as("cosine"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("cosine"), col("id"), k).as("__ids"))
+      .select(col("qid"), explode(col("__ids")).as("id"))
+  }
+
   /** IVF top-k neighbor ids for a SET of query vectors: probe the
     * `nprobe` nearest inverted lists (by centroid cosine over the
     * [[listCentroidSums]] sum-vectors — scale-invariant, so sums work
