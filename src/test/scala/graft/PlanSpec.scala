@@ -476,4 +476,36 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3,
       s"scoring path contains an unplanned nested-loop join:\n$p")
   }
+
+  test("q119 OPH candidate join is an equi-join, not a cross product") {
+    val p = plan(Battery.q119.run(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"OPH LSH degenerated to cross product:\n$p")
+  }
+
+  test("q118 bpe encode is fully narrow before the token aggregate") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val df = graft.text.Curation.bpeEncode("text",
+      Seq(("e", "r"), ("t", "h"), ("th", "e"), ("a", "n")))(docs)
+    df.collect()
+    val shuffles = org.apache.spark.sql.GraftSqlBridge
+      .countShuffleExchanges(df.queryExecution.executedPlan)
+    assert(shuffles == 0,
+      s"encode should be one narrow kernel pass ($shuffles):\n${finalPlan(df)}")
+  }
+
+  test("q120 JL prefilter: queries broadcast, both top-k stages are bounded partial aggregates") {
+    val df = Battery.q120.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // the only nested-loop products are the two intended |queries|-row
+    // broadcast fanouts (projected scoring + exact re-rank)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"scoring path contains an unplanned nested-loop join:\n$p")
+    // two TopKBy stages, each planned as partial+final ObjectHashAggregate
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 4,
+      s"k-bounded partial/final pairs missing:\n$p")
+    assert(!p.contains("Window"), s"top-k fell back to a window rank:\n$p")
+  }
 }
