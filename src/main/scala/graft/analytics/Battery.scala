@@ -3799,6 +3799,99 @@ object Battery {
         ORDER BY vec_id"""
     })
 
+  /** Shared DuckDB replay of [[Multimodal.blockhashGrid]] over pixel
+    * rows `px(media_id, r, c, v)` on a 32×32 grid: 2×2 block sums,
+    * lower-median threshold (rank 128 of 256 — the value at a rank is
+    * tie-stable), strict-above bits, row-major packing into 4 signed
+    * BIGINTs via HUGEINT (bit 63 would overflow checked BIGINT
+    * arithmetic). */
+  private val blockhashSql =
+    """bs AS (SELECT media_id, CAST((r//2)*16 + (c//2) AS BIGINT) AS b,
+        CAST(SUM(v) AS BIGINT) AS s
+      FROM px GROUP BY media_id, (r//2)*16 + (c//2)),
+    med AS (SELECT media_id, s AS m FROM
+      (SELECT media_id, s, row_number() OVER (PARTITION BY media_id ORDER BY s) AS rn
+       FROM bs) x WHERE rn = 128),
+    bits AS (SELECT bs.media_id, bs.b,
+        CASE WHEN bs.s > med.m THEN 1 ELSE 0 END AS bit
+      FROM bs JOIN med USING (media_id)),
+    packed AS (SELECT media_id, CAST(b // 64 AS INT) AS band,
+        SUM(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << CAST(b % 64 AS INT))) AS h
+      FROM bits GROUP BY media_id, b // 64),
+    bh AS (SELECT media_id, band,
+        CAST(CASE WHEN h >= (CAST(1 AS HUGEINT) << 63)
+             THEN h - (CAST(1 AS HUGEINT) << 64) ELSE h END AS BIGINT) AS bh_value
+      FROM packed)"""
+
+  /** Block-mean perceptual image hash ([[Multimodal.blockhashGrid]] —
+    * the public blockhash construction): real BMP decode → 2×2 block
+    * sums → lower-median threshold → 256 bits packed into 4 longs.
+    * All integer and rank-deterministic, so the oracle replays the
+    * hash BIT-FOR-BIT — the DCT-based pHash alternative can't cross
+    * engines exactly, which is why this is the engine's image hash. */
+  val q121 = Q("q121_image_blockhash",
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val gray = Array.tabulate(32, 32)((r, c) =>
+            ((id * 11 + (id % 7 + 1) * r * c + r * 17 + c * 23) % 256).toInt)
+          Multimodal.MediaRow(id, Multimodal.MediaMeta("image", 32, 32, 0, 0L),
+            graft.multimodal.Codec.encodeBmp24(gray))
+        }
+      Multimodal.imageBlockhash(media)
+        .select(col("media_id"), posexplode(col("bh")).as(Seq("band", "bh_value")))
+        .orderBy("media_id", "band")
+    },
+    Some(s"""WITH px AS (SELECT doc_id AS media_id, r, c,
+        (doc_id*11 + (doc_id%7+1)*r*c + r*17 + c*23) % 256 AS v
+      FROM documents, range(0, 32) rr(r), range(0, 32) cc(c)),
+      $blockhashSql
+      SELECT media_id, band, bh_value FROM bh ORDER BY media_id, band"""))
+
+  /** Blockhash near-dup pairs: every 5th doc's image is a copy of its
+    * predecessor's with ONE pixel shifted by +128 — a real small edit,
+    * so the pair's hashes differ in a few bits. The banded hamming
+    * join ([[Multimodal.blockhashNearDupPairs]], 4 bands of 64 bits —
+    * exact recall ≤ distance 3 by pigeonhole, the q93 calculus) finds
+    * exactly the copy pairs; the oracle replays hash, banding, bucket
+    * join, and bit_count verification. */
+  val q122 = Q("q122_blockhash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val src = if (id % 5 == 0 && id >= 5) id - 1 else id
+          val gray = Array.tabulate(32, 32) { (r, c) =>
+            val base = ((src * 11 + (src % 7 + 1) * r * c + r * 17 + c * 23) % 256).toInt
+            if (id != src && r == 0 && c == 0) (base + 128) % 256 else base
+          }
+          Multimodal.MediaRow(id, Multimodal.MediaMeta("image", 32, 32, 0, 0L),
+            graft.multimodal.Codec.encodeBmp24(gray))
+        }
+      Multimodal.blockhashNearDupPairs(
+          Multimodal.imageBlockhash(media), maxHamming = 16)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH imgs AS (SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 5 = 0 AND doc_id >= 5 THEN doc_id - 1 ELSE doc_id END AS src
+      FROM documents),
+      px AS (SELECT media_id, r, c,
+        CASE WHEN media_id <> src AND r = 0 AND c = 0
+          THEN ((src*11 + (src%7+1)*r*c + r*17 + c*23) % 256 + 128) % 256
+          ELSE (src*11 + (src%7+1)*r*c + r*17 + c*23) % 256 END AS v
+      FROM imgs, range(0, 32) rr(r), range(0, 32) cc(c)),
+      $blockhashSql,
+      hams AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+          CAST(SUM(bit_count(CAST(xor(a.bh_value, b.bh_value) AS BIGINT))) AS BIGINT) AS hamming
+        FROM bh a JOIN bh b ON a.band = b.band AND a.media_id < b.media_id
+        GROUP BY a.media_id, b.media_id),
+      cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM bh a JOIN bh b
+        ON a.band = b.band AND a.bh_value = b.bh_value AND a.media_id < b.media_id)
+      SELECT id_a, id_b, hamming FROM cand JOIN hams USING (id_a, id_b)
+      WHERE hamming <= 16 ORDER BY id_a, id_b"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -3808,5 +3901,5 @@ object Battery {
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
 }

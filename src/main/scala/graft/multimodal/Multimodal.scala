@@ -156,6 +156,90 @@ object Multimodal {
     out
   }
 
+  /** Block-mean perceptual hash (the public "blockhash" / block-mean-
+    * value construction, Yang et al. 2006): the grid is resized to
+    * `blocks·cell` pixels, each of the blocks² cells sums its grays
+    * (exact integer), the LOWER MEDIAN of the cell sums is the
+    * threshold (sorted rank blocks²/2, 0-based — deterministic under
+    * ties), and bit b = 1 iff cell b's sum is STRICTLY above it. Bits
+    * pack row-major into blocks²/64 longs, bit index b at position
+    * b mod 64 of long b/64. Everything is integer and
+    * rank-deterministic, so any BIGINT engine replays the hash
+    * bit-for-bit (battery q121) — unlike DCT-based pHash, whose float
+    * cosines do not cross engines exactly.
+    *
+    * Why it earns a place next to the embedding route (q101): the
+    * hash is 32 bytes per image with a HAMMING near-dup metric, so
+    * image dedup runs on the simhash-style banded bucket join — no
+    * training, no vector index — and survives the transforms
+    * block means survive (re-encode, resize, small pixel edits). */
+  def blockhashGrid(grid: Array[Array[Int]], blocks: Int = 16, cell: Int = 2): Array[Long] = {
+    require(blocks >= 2 && blocks % 8 == 0, s"blocks must be a positive multiple of 8 ($blocks)")
+    val g = if (grid.length == blocks * cell && grid(0).length == blocks * cell) grid
+            else resizeFrame(grid, blocks * cell, blocks * cell)
+    val n = blocks * blocks
+    val sums = new Array[Long](n)
+    var b = 0
+    while (b < n) {
+      val r0 = (b / blocks) * cell
+      val c0 = (b % blocks) * cell
+      var s = 0L
+      var r = r0
+      while (r < r0 + cell) {
+        var c = c0
+        while (c < c0 + cell) { s += g(r)(c); c += 1 }
+        r += 1
+      }
+      sums(b) = s
+      b += 1
+    }
+    val sorted = sums.clone()
+    java.util.Arrays.sort(sorted)
+    val median = sorted(n / 2 - 1) // lower median (n is even: blocks² )
+    val out = new Array[Long]((n + 63) / 64)
+    b = 0
+    while (b < n) {
+      if (sums(b) > median) out(b / 64) |= (1L << (b % 64))
+      b += 1
+    }
+    out
+  }
+
+  /** Decode → resize → [[blockhashGrid]] as one mapPartitions pass:
+    * (media_id, bh) with the hash as blocks²/64 longs. Real CPU work —
+    * wrap split-starved inputs in
+    * [[graft.operators.Rebalance.forCpuStage]] like the embed path. */
+  def imageBlockhash(
+      media: Dataset[MediaRow], blocks: Int = 16, cell: Int = 2): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(m => (m.media_id, blockhashGrid(Codec.decodePng(m.payload), blocks, cell)))
+    }.toDF("media_id", "bh")
+  }
+
+  /** Hamming near-dup pairs over blockhash values: each of the hash's
+    * longs is a band; pairs sharing ANY identical band bucket-join
+    * (equi-join on (band, value) — never all-pairs) and verify the
+    * full exact hamming distance ≤ `maxHamming`. With nBands = 256/64
+    * = 4 bands, recall is EXACT up to distance 3 by pigeonhole — same
+    * calculus as the 64-bit simhash family (q93). Emits
+    * (id_a < id_b, hamming). */
+  def blockhashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val banded = hashes.select(col("media_id"), col("bh"),
+      posexplode(col("bh")).as(Seq("band", "bv")))
+    val a = banded.as("a").hint("merge")
+    val b = banded.as("b")
+    val ham = zip_with(col("a.bh"), col("b.bh"),
+      (x, y) => bit_count(x.bitwiseXOR(y)).cast(org.apache.spark.sql.types.LongType))
+    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+        && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        aggregate(ham, lit(0L), (acc, v) => acc + v).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Decode → frame-sample → embed, as ONE mapPartitions pass: the
     * decoder handle ("stub state") is created once per partition and
     * reused across rows — the batch shape a native codec needs. Output

@@ -192,4 +192,55 @@ class MultimodalSpec2 extends SparkTestBase {
         5, 4).collect()
     }
   }
+
+  test("blockhashGrid: hand-computed bits, tie determinism, brightness invariance") {
+    // 16x16 blocks of 2x2 over a 32x32 grid where the top half is
+    // brighter: block sums are 4*200 above vs 4*10 below; lower median
+    // (rank 128 of 256) is the bottom value -> exactly the top 128
+    // bits set (longs 0 and 1 all-ones, 2 and 3 zero)
+    val split = Array.tabulate(32, 32)((r, _) => if (r < 16) 200 else 10)
+    assert(Multimodal.blockhashGrid(split).toSeq == Seq(-1L, -1L, 0L, 0L))
+    // uniform image: all sums equal, strict-above median -> all zero
+    val flat = Array.tabulate(32, 32)((_, _) => 42)
+    assert(Multimodal.blockhashGrid(flat).toSeq == Seq(0L, 0L, 0L, 0L))
+    // global brightness shift (no wrap) leaves the hash unchanged —
+    // the invariance block-mean hashing is built for
+    val base = Array.tabulate(32, 32)((r, c) => (r * 5 + c * 3) % 200)
+    val brighter = base.map(_.map(_ + 50))
+    assert(Multimodal.blockhashGrid(base).toSeq ==
+      Multimodal.blockhashGrid(brighter).toSeq)
+  }
+
+  test("blockhashGrid: non-native sizes go through the nearest-neighbor resize") {
+    val base = Array.tabulate(32, 32)((r, c) => (r * 7 + c * 13) % 256)
+    // exact 2x nearest-neighbor upscale resizes back to the identical
+    // 32x32 grid, so the hash must be bit-identical
+    val up = Array.tabulate(64, 64)((r, c) => base(r / 2)(c / 2))
+    assert(Multimodal.blockhashGrid(up).toSeq == Multimodal.blockhashGrid(base).toSeq)
+  }
+
+  test("blockhashNearDupPairs: a one-pixel edit is found; pigeonhole holds at distance <= 3") {
+    import spark.implicits._
+    import graft.multimodal.Codec
+    import Multimodal.{MediaMeta, MediaRow}
+    def img(seed: Long, edit: Boolean) = Array.tabulate(32, 32) { (r, c) =>
+      val v = ((seed * 11 + (seed % 7 + 1) * r * c + r * 17 + c * 23) % 256).toInt
+      if (edit && r == 0 && c == 0) (v + 128) % 256 else v
+    }
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, MediaMeta("image", 32, 32, 0, 0L), Codec.encodeBmp24(img(1, edit = false))),
+      MediaRow(2L, MediaMeta("image", 32, 32, 0, 0L), Codec.encodeBmp24(img(1, edit = true))),
+      MediaRow(3L, MediaMeta("image", 32, 32, 0, 0L), Codec.encodeBmp24(img(900, edit = false)))))
+    val hashes = Multimodal.imageBlockhash(media)
+    val pairs = Multimodal.blockhashNearDupPairs(hashes, maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"one-pixel edit not recalled: $pairs")
+    // the edited pair's distance is small; verify the pigeonhole
+    // premise directly on the hashes (<= 3 differing bits -> at least
+    // one of the 4 bands identical)
+    val h = hashes.as[(Long, Seq[Long])].collect().toMap
+    val d = h(1L).zip(h(2L)).map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    if (d <= 3)
+      assert(h(1L).zip(h(2L)).exists { case (a, b) => a == b })
+  }
 }
