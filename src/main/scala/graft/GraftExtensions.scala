@@ -102,6 +102,7 @@ object GraftExtensions {
     // surface keeps working.
     graft.functions.SimHash32.register(spark)
     graft.functions.JaccardHashSets.register(spark)
+    graft.functions.OverlapHashSets.register(spark)
     spark.udf.register("shingle_hash60",
       org.apache.spark.sql.functions.udf((s: String) =>
         Option(s).map(Dedup.shingleHash60)))

@@ -3892,6 +3892,35 @@ object Battery {
       SELECT id_a, id_b, hamming FROM cand JOIN hams USING (id_a, id_b)
       WHERE hamming <= 16 ORDER BY id_a, id_b"""))
 
+  /** Containment near-dup ([[Dedup.overlapPairs]]): rare-shingle
+    * prefix filtering generates the candidates (per-hash fan-out
+    * bounded by maxDf² — the quadratic valve, frequent shingles
+    * excluded and cap-reported), exact overlap coefficient
+    * |A∩B|/min(|A|,|B|) verifies. The subsumption class the
+    * Jaccard-tuned LSH (q26) deliberately does not target. The oracle
+    * replays df computation, the rare cut, the candidate join, and
+    * both verification metrics. */
+  val q123 = Q("q123_containment_pairs",
+    (s, dir) => Dedup.overlapPairs(
+        t(s, dir, "documents"), "doc_id", "text", Dedup.WordShingles(2),
+        minOverlap = 0.8, maxDf = 10)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+      sh AS (SELECT doc_id, ${wordShingleSql(2, "toks")} AS s FROM tk),
+      $hashSetCte,
+      ex AS (SELECT doc_id, unnest(h) AS hv FROM shh),
+      dfc AS (SELECT hv, COUNT(*) AS dfn FROM ex GROUP BY hv),
+      rd AS (SELECT doc_id, hv FROM ex JOIN (SELECT hv FROM dfc WHERE dfn <= 10) r USING (hv)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM rd a JOIN rd b ON a.hv = b.hv AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, overlap, jaccard FROM (
+        SELECT id_a, id_b,
+          CAST(len(list_intersect(sa.h, sb.h)) AS DOUBLE)
+            / CAST(least(len(sa.h), len(sb.h)) AS DOUBLE) AS overlap,
+          ${jaccardSql("sa.h", "sb.h")} AS jaccard
+        FROM cand JOIN shh sa ON sa.doc_id = id_a JOIN shh sb ON sb.doc_id = id_b) x
+      WHERE overlap >= 0.8 ORDER BY id_a, id_b"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -3901,5 +3930,5 @@ object Battery {
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }

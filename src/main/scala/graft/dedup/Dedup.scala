@@ -871,6 +871,56 @@ object Dedup {
       shingleN: Int): DataFrame =
     jaccardOnPairs(pairs, docs, idCol, textCol, CharShingles(shingleN))
 
+  /** CONTAINMENT near-dup: pairs whose overlap coefficient
+    * |A∩B| / min(|A|,|B|) ≥ `minOverlap` — the subsumption class
+    * (short document quoted wholesale inside a long one) that the
+    * Jaccard-tuned LSH banding deliberately does not target: such a
+    * pair's symmetric Jaccard is ~|A|/|B|, arbitrarily small, so its
+    * minhash signatures agree on ~no bands and it never buckets.
+    *
+    * Candidate generation is RARE-SHINGLE prefix filtering instead:
+    * explode the fingerprint sets, compute each shingle hash's
+    * document frequency, keep only hashes with df ≤ `maxDf`, and
+    * equi-join docs sharing a rare hash. Scale shape: per-hash pair
+    * fan-out is ≤ df² ≤ maxDf², so one corpus-wide boilerplate
+    * shingle contributes NOTHING (df > maxDf ⇒ excluded) instead of
+    * n² pairs — the frequent-hash exclusion is the quadratic valve,
+    * and like every valve here it reports what it drops
+    * ([[graft.operators.CapReport]]). Recall: a contained doc is
+    * found iff at least one of ITS shingles is corpus-rare — misses
+    * only all-boilerplate docs, which exact/near dedup already owns.
+    * Verification is the exact [[graft.functions.OverlapHashSets]]
+    * linear merge on the full fingerprint sets (one localCheckpoint'd
+    * md5 pass feeds df, candidates, and verification). Emits
+    * (id_a < id_b, overlap, jaccard) — jaccard rides along so callers
+    * can split "same doc" (both high) from "subsumption" (overlap
+    * high, jaccard low). */
+  def overlapPairs(
+      df: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
+      minOverlap: Double, maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be at least 2 ($maxDf)")
+    val hashed = hashedDocs(df, idCol, textCol, mode).localCheckpoint(false)
+    val exploded = hashed.select(col("id"), explode(col("h")).as("hv"))
+    val dfCounts = exploded.groupBy("hv").agg(count(lit(1)).as("__df"))
+    val rare = graft.operators.CapReport
+      .observeExclusions(dfCounts, "overlap_rare_shingles", col("__df"), maxDf)
+      .filter(col("__df") <= maxDf)
+      .select("hv")
+    val rareDocHash = exploded.join(rare, "hv")
+    val cand = rareDocHash.as("a").hint("merge")
+      .join(rareDocHash.as("b"),
+        col("a.hv") === col("b.hv") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(hashed.select(col("id").as("id_a"), col("h").as("__ha")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("h").as("__hb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.OverlapHashSets.overlap(col("__ha"), col("__hb")).as("overlap"),
+        jaccardOfHashSets(col("__ha"), col("__hb")).as("jaccard"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** 64-bit SimHash over word tokens, via xxhash64 token hashes: sum the
     * per-bit contributions (+1/-1) and keep the sign bit-vector. Pure
     * built-ins: per-bit popcount-style aggregation using

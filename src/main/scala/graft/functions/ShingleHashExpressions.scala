@@ -625,3 +625,60 @@ object OphBandSigs {
   def bandSigs(h: Column, bands: Int, rowsPerBand: Int): Column =
     GraftSqlBridge.column(OphBandSigs(GraftSqlBridge.expression(h), bands, rowsPerBand))
 }
+
+/** Overlap coefficient (Szymkiewicz–Simpson) of two SORTED distinct
+  * long arrays: |A∩B| / min(|A|, |B|) — the CONTAINMENT metric. A
+  * short document quoted wholesale inside a long one scores ~1.0 here
+  * while its symmetric Jaccard is only |A|/|B| (arbitrarily small), so
+  * this is the verification kernel for subsumption dedup
+  * ([[graft.dedup.Dedup.overlapPairs]]) — the pair class the
+  * Jaccard-tuned LSH banding deliberately does not target. Same
+  * linear-merge, fence-free construction as [[JaccardHashSets]].
+  * Empty-side pairs score 0.0 (nothing to contain). */
+case class OverlapHashSets(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "overlap_hash_sets"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    OverlapHashSets.evalArrays(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.OverlapHashSets.evalArrays($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): OverlapHashSets =
+    copy(left = newLeft, right = newRight)
+}
+
+object OverlapHashSets {
+
+  /** Static kernel shared by interpreted eval and generated code.
+    * Inputs must be sorted distinct (as [[ShingleHashSet]] emits). */
+  def evalArrays(sa: ArrayData, sb: ArrayData): Double = {
+    val na = sa.numElements(); val nb = sb.numElements()
+    if (na == 0 || nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val a = sa.getLong(i); val b = sb.getLong(j)
+      if (a == b) { inter += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    inter.toDouble / math.min(na, nb).toDouble
+  }
+
+  def overlap(a: Column, b: Column): Column =
+    GraftSqlBridge.column(OverlapHashSets(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("overlap_hash_sets"),
+      new ExpressionInfo(classOf[OverlapHashSets].getName, "overlap_hash_sets"),
+      (exprs: Seq[Expression]) => OverlapHashSets(exprs(0), exprs(1)))
+}

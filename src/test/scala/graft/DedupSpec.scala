@@ -180,6 +180,36 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("overlapPairs finds subsumption the Jaccard LSH misses; frequent shingles are valved") {
+    val contained = "solar panels convert sunlight into electricity through photovoltaic cells efficiently"
+    val container = contained + " " +
+      (1 to 12).map(i => s"unrelated filler sentence number$i about topic$i entirely").mkString(" ")
+    val other = "maritime navigation charts depict coastal depths and hazards for vessels"
+    val docs = Seq((1L, contained), (2L, container), (3L, other)).toDF("doc_id", "text")
+    val mode = Dedup.WordShingles(2)
+    // the motivating gap: symmetric-Jaccard banding does NOT bucket the
+    // (contained, container) pair — their jaccard is ~|A|/|B|
+    val lsh = Dedup.minhashCandidatePairs(docs, "doc_id", "text", mode, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lsh.contains((1L, 2L)), s"fixture not a gap case: $lsh")
+    val got = Dedup.overlapPairs(docs, "doc_id", "text", mode,
+        minOverlap = 0.9, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 1 && got(0)._1 == 1L && got(0)._2 == 2L, s"got ${got.toSeq}")
+    assert(got(0)._3 == 1.0, s"full containment must score overlap 1.0: ${got(0)}")
+    assert(got(0)._4 < 0.5, s"fixture jaccard should be low: ${got(0)}")
+    // the valve: when EVERY shared shingle is frequent (df > maxDf),
+    // no candidates form — the quadratic path is closed, not slow
+    val boiler = (1L to 12L).map(i => (100L + i, "shared boilerplate header text " + i))
+      .toDF("doc_id", "text")
+    // every SHARED shingle has df=12 > maxDf (excluded); the rare
+    // tail grams ("text <i>") are unique per doc, so no pair shares a
+    // rare hash: zero candidates — the quadratic path is closed
+    val valved = Dedup.overlapPairs(boiler, "doc_id", "text", mode,
+      minOverlap = 0.1, maxDf = 5).collect()
+    assert(valved.isEmpty, s"valve leaked: ${valved.toSeq}")
+  }
+
   test("admitBatch maintenance: small-batch sprawl triggers compaction; verdicts unchanged") {
     import graft.store.Store
     val founding = "the quick brown fox jumps over the lazy dog near the river bank today"
