@@ -21,6 +21,8 @@ import graft.functions.{CleanAsciiExpression, DotLongArrays, HilbertIndexExpress
   *    64-bit form is the 16-bit-band corpus-scale variant, q93)
   *  - `bpe_merge_step(syms, l, r)` — one greedy BPE merge pass (the
   *    tokenizer-training inner kernel, q117)
+  *  - `floor_log2_ratio(a, b)` — exact integer `⌊log2(a/b)⌋` (the
+  *    LM-surprisal / Naive-Bayes / DSIR bit-count kernel, q124+)
   *  - the [[graft.plans.AsOfJoinStrategy]] planner strategy for the
   *    native as-of join operator
   */
@@ -69,6 +71,9 @@ object GraftExtensions {
     (FunctionIdentifier("dot_longs"),
       new ExpressionInfo(classOf[DotLongArrays].getName, "dot_longs"),
       (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1))),
+    (FunctionIdentifier("floor_log2_ratio"),
+      new ExpressionInfo(classOf[graft.functions.FloorLog2Ratio].getName, "floor_log2_ratio"),
+      (exprs: Seq[Expression]) => graft.functions.FloorLog2Ratio(exprs(0), exprs(1))),
     (FunctionIdentifier("bpe_merge_step"),
       new ExpressionInfo(classOf[graft.functions.BpeMergeStep].getName, "bpe_merge_step"),
       (exprs: Seq[Expression]) => {

@@ -3921,6 +3921,196 @@ object Battery {
         FROM cand JOIN shh sa ON sa.doc_id = id_a JOIN shh sb ON sb.doc_id = id_b) x
       WHERE overlap >= 0.8 ORDER BY id_a, id_b"""))
 
+  // ---------------------------------------------------------------- //
+  // Model-based quality filtering (LmQuality: CCNet / NB / DSIR)     //
+  // ---------------------------------------------------------------- //
+
+  /** DuckDB replay of [[graft.functions.FloorLog2Ratio]]: exact
+    * `⌊log2(num/den)⌋` from binary-string lengths — `num`/`den` must
+    * be simple BIGINT column refs (each is referenced three times). */
+  private def fl2rSql(num: String, den: String): String =
+    s"""((length(bin($num)) - length(bin($den))) -
+        CASE WHEN ($num >> (length(bin($num)) - length(bin($den)))) < $den
+        THEN 1 ELSE 0 END)"""
+
+  /** Whitespace tokens + adjacent-transition CTEs shared by the
+    * LmQuality oracles (mirrors [[graft.text.LmQuality.toks]] /
+    * `transitions`: trim, split, ''-token filter, 1-based zip). */
+  private val lmToksCte =
+    """lmtk AS (SELECT doc_id, lang, source,
+       list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+       FROM documents)"""
+  private def lmTransSql(from: String, as_ : String): String =
+    s"""$as_ AS (SELECT doc_id, tk[i] AS prev, tk[i+1] AS w
+       FROM $from CROSS JOIN range(1, 2000) r(i) WHERE i <= len(tk) - 1)"""
+
+  /** Bigram-LM TRAINING ([[graft.text.LmQuality.trainBigramLm]],
+    * CCNet arXiv:1911.00359): one corpus pass → vocab-sized
+    * (prev, w, n_pair) counts with the history roll-up n_hist = Σ n_pair
+    * derived from the bigram table (not a second pass). The oracle
+    * recomputes both counts from raw transitions, so a tokenizer or
+    * roll-up drift hash-mismatches. */
+  val q124 = Q("q124_lm_train",
+    (s, dir) => {
+      val lm = graft.text.LmQuality.trainBigramLm("doc_id", "text")(
+        t(s, dir, "documents"))
+      lm.bigrams.join(lm.histories, Seq("prev"))
+        .select(col("prev"), col("w"),
+          col("c2").as("n_pair"), col("c1").as("n_hist"))
+        .orderBy("prev", "w")
+    },
+    Some(s"""WITH $lmToksCte,
+      ${lmTransSql("lmtk", "tr")},
+      big AS (SELECT prev, w, COUNT(*) AS n_pair FROM tr GROUP BY 1, 2),
+      hist AS (SELECT prev, SUM(n_pair) AS n_hist FROM big GROUP BY 1)
+      SELECT prev, w, CAST(n_pair AS BIGINT) AS n_pair,
+        CAST(n_hist AS BIGINT) AS n_hist
+      FROM big JOIN hist USING (prev) ORDER BY prev, w"""))
+
+  /** LM surprisal scoring + the CCNet perplexity cut
+    * ([[graft.text.LmQuality.surprisalBits]]/`perplexityFilter`):
+    * train on the EN slice, score every document as exact integer
+    * bits `Σ ⌊log2((c_hist+V)/(c_bigram+1))⌋`, keep docs at ≤ 4.4
+    * bits/transition (4400 milli-bits — near the corpus median, so
+    * the cut genuinely splits) via the integer cross-multiplication
+    * (no float division anywhere). The oracle replays tokenize →
+    * train → V → smoothed lookup → floor-log2 → threshold. */
+  val q125 = Q("q125_lm_surprisal",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.text.LmQuality.trainBigramLm("doc_id", "text")(
+        docs.filter(col("lang") === "en"))
+      val kept = graft.text.LmQuality.perplexityFilter(
+          "doc_id", "text", lm, maxMilliBitsPerTransition = 4400L)(docs)
+        .select(col("doc_id"), lit(true).as("kept"))
+      graft.text.LmQuality.surprisalBits("doc_id", "text", lm)(docs)
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_trans"), col("total_bits"),
+          coalesce(col("kept"), lit(false)).as("kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $lmToksCte,
+      entk AS (SELECT * FROM lmtk WHERE lang = 'en'),
+      ${lmTransSql("entk", "trtr")},
+      big AS (SELECT prev, w, COUNT(*) AS n_pair FROM trtr GROUP BY 1, 2),
+      hist AS (SELECT prev, SUM(n_pair) AS n_hist FROM big GROUP BY 1),
+      vq AS (SELECT COUNT(DISTINCT tok) + 1 AS v
+             FROM (SELECT unnest(tk) AS tok FROM entk)),
+      ${lmTransSql("lmtk", "sctr")},
+      terms AS (SELECT s.doc_id,
+          CAST(COALESCE(h.n_hist, 0) + v AS BIGINT) AS nm,
+          CAST(COALESCE(b.n_pair, 0) + 1 AS BIGINT) AS dn
+        FROM sctr s
+        LEFT JOIN big b ON b.prev = s.prev AND b.w = s.w
+        LEFT JOIN hist h ON h.prev = s.prev
+        CROSS JOIN vq),
+      bits AS (SELECT doc_id, ${fl2rSql("nm", "dn")} AS b FROM terms),
+      agg AS (SELECT doc_id, COUNT(*) AS n_trans, SUM(b) AS total_bits
+        FROM bits GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(n_trans, 0) AS BIGINT) AS n_trans,
+        CAST(COALESCE(total_bits, 0) AS BIGINT) AS total_bits,
+        COALESCE(total_bits, 0) * 1000 <= 4400 * COALESCE(n_trans, 0) AS kept
+      FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
+
+  /** Naive-Bayes quality classifier
+    * ([[graft.text.LmQuality.trainNbQuality]]/`nbScoreBits`, the
+    * exact-counting stand-in for GPT-3's logistic seed classifier):
+    * label = the EN slice, one counting pass trains per-class unigram
+    * tables, scores are integer log-likelihood-ratio bits including
+    * the class-prior term, decision = `score_bits > 0`. Self-scored
+    * over the corpus; the oracle replays counts, totals, smoothing,
+    * priors, and the tie rule. */
+  val q126 = Q("q126_nb_quality",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("is_en", col("lang") === "en")
+      val m = graft.text.LmQuality.trainNbQuality("text", "is_en")(docs)
+      graft.text.LmQuality.nbScoreBits("doc_id", "text", m)(docs)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $lmToksCte,
+      tok AS (SELECT doc_id, lang = 'en' AS y, unnest(tk) AS w FROM lmtk),
+      wc AS (SELECT w,
+          SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+          SUM(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+        FROM tok GROUP BY 1),
+      tots AS (SELECT SUM(c_pos) AS tp, SUM(c_neg) AS tn,
+          COUNT(*) + 1 AS v FROM wc),
+      dcts AS (SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS dp,
+          SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS dn
+        FROM documents),
+      terms AS (SELECT doc_id,
+          CAST(tn + v AS BIGINT) AS nm_n,
+          CAST(COALESCE(c_neg, 0) + 1 AS BIGINT) AS dn_n,
+          CAST(tp + v AS BIGINT) AS nm_p,
+          CAST(COALESCE(c_pos, 0) + 1 AS BIGINT) AS dn_p
+        FROM tok LEFT JOIN wc USING (w) CROSS JOIN tots),
+      bits AS (SELECT doc_id,
+          ${fl2rSql("nm_n", "dn_n")} - ${fl2rSql("nm_p", "dn_p")} AS b
+        FROM terms),
+      agg AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(b) AS word_bits
+        FROM bits GROUP BY 1),
+      pr AS (SELECT CAST(dp + dn + 2 AS BIGINT) AS nm,
+          CAST(dn + 1 AS BIGINT) AS dnn, CAST(dp + 1 AS BIGINT) AS dnp
+        FROM dcts),
+      pbits AS (SELECT ${fl2rSql("nm", "dnn")} - ${fl2rSql("nm", "dnp")} AS pb
+        FROM pr)
+      SELECT d.doc_id,
+        CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(word_bits, 0) + pb AS BIGINT) AS score_bits,
+        (COALESCE(word_bits, 0) + pb) > 0 AS predicted
+      FROM documents d LEFT JOIN agg USING (doc_id) CROSS JOIN pbits
+      ORDER BY doc_id"""))
+
+  /** DSIR importance resampling ([[graft.text.LmQuality.dsirResample]],
+    * arXiv:2302.03169): hashed-bigram bucket histograms of the EN
+    * target slice vs the whole raw corpus (B = 512 buckets, the md5
+    * feature hash the dedup family uses), per-doc importance weight
+    * in exact integer bits, deterministic top-100 resample. The
+    * oracle replays the feature hash, both histograms, the smoothed
+    * bit terms, and the (weight desc, id) cut. */
+  val q127 = Q("q127_dsir_resample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.LmQuality.dsirResample("doc_id", "text",
+          target = docs.filter(col("lang") === "en"),
+          k = 100, buckets = 512)(docs)
+        .select(col("doc_id"), col("n_feats"), col("weight_bits"))
+        .orderBy(col("weight_bits").desc, col("doc_id"))
+    },
+    Some(s"""WITH $lmToksCte,
+      ${lmTransSql("lmtk", "rawtr")},
+      feats AS (SELECT doc_id,
+          ('0x' || substr(md5(prev || ' ' || w), 1, 15))::BIGINT % 512 AS f
+        FROM rawtr),
+      entk AS (SELECT * FROM lmtk WHERE lang = 'en'),
+      ${lmTransSql("entk", "tgttr")},
+      tfeats AS (SELECT doc_id,
+          ('0x' || substr(md5(prev || ' ' || w), 1, 15))::BIGINT % 512 AS f
+        FROM tgttr),
+      rc AS (SELECT f, COUNT(*) AS c_raw FROM feats GROUP BY 1),
+      tc AS (SELECT f, COUNT(*) AS c_tgt FROM tfeats GROUP BY 1),
+      tots AS (SELECT (SELECT COUNT(*) FROM feats) AS tot_r,
+          (SELECT COUNT(*) FROM tfeats) AS tot_t),
+      terms AS (SELECT doc_id,
+          CAST(tot_r + 512 AS BIGINT) AS nm_r,
+          CAST(COALESCE(c_raw, 0) + 1 AS BIGINT) AS dn_r,
+          CAST(tot_t + 512 AS BIGINT) AS nm_t,
+          CAST(COALESCE(c_tgt, 0) + 1 AS BIGINT) AS dn_t
+        FROM feats LEFT JOIN rc USING (f) LEFT JOIN tc USING (f)
+        CROSS JOIN tots),
+      bits AS (SELECT doc_id,
+          ${fl2rSql("nm_r", "dn_r")} - ${fl2rSql("nm_t", "dn_t")} AS b
+        FROM terms),
+      agg AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(b) AS weight_bits
+        FROM bits GROUP BY 1),
+      full_ AS (SELECT d.doc_id,
+          CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+          CAST(COALESCE(weight_bits, 0) AS BIGINT) AS weight_bits
+        FROM documents d LEFT JOIN agg USING (doc_id))
+      SELECT doc_id, n_feats, weight_bits FROM full_
+      ORDER BY weight_bits DESC, doc_id LIMIT 100"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -3930,5 +4120,6 @@ object Battery {
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
+    q124, q125, q126, q127)
 }
