@@ -508,4 +508,37 @@ class PlanSpec extends SparkTestBase {
       s"k-bounded partial/final pairs missing:\n$p")
     assert(!p.contains("Window"), s"top-k fell back to a window rank:\n$p")
   }
+
+  test("q124 LM training aggregates partially (map-side combine on the bigram key)") {
+    val df = Battery.q124.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"training path contains a product join:\n$p")
+  }
+
+  test("q125 LM scoring: vocab-sized model tables broadcast; corpus never shuffles for the lookup") {
+    val df = Battery.q125.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    // bigram + history lookups (×2: surprisal and the filter's
+    // recomputation) must all be broadcast-hash, never sort-merge:
+    // a sort-merge lookup would shuffle the 100 TB corpus against a
+    // vocab-sized model table. (The doc_id recombination joins MAY
+    // sort-merge — those are corpus ⋈ corpus and shuffle correctly.)
+    assert(p.contains("BroadcastHashJoin"), s"model lookup not broadcast:\n$p")
+    assert(!"SortMergeJoin \\[(prev|w)#".r.findFirstIn(p).isDefined,
+      s"corpus shuffled for a model lookup:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q127 DSIR: B-row histograms broadcast, resample cut is a bounded TakeOrdered") {
+    val df = Battery.q127.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), s"histogram join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
 }
