@@ -288,6 +288,56 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming face of the model-based quality filters
+    * ([[graft.text.LmQuality]]): each micro-batch is scored and cut by
+    * the batch operator itself — the per-document decision is a pure
+    * function of (document, model), with no cross-document state, so
+    * batch and stream verdicts are identical BY CONSTRUCTION (the
+    * spec pins it anyway). Kept docs land in the per-batch-partitioned
+    * idempotent sink ([[upsertBatch]] — replays rewrite, never
+    * duplicate).
+    *
+    * Model freshness: the [[graft.text.LmQuality.BigramLm]] frames are
+    * whatever the caller built — over stored tables they re-read per
+    * micro-batch, over in-memory frames they are frozen at query
+    * construction. Retraining cadence is the caller's offline loop
+    * (retrain → restart the query), the CCNet operating mode; the
+    * scalar `vocabSize` is always frozen at construction. */
+  def screenByPerplexity(
+      docs: DataFrame, idCol: String, textCol: String,
+      lm: graft.text.LmQuality.BigramLm, maxMilliBitsPerTransition: Long,
+      keptPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatch(graft.text.LmQuality.perplexityFilter(
+          idCol, textCol, lm, maxMilliBitsPerTransition)(b.toDF()), id, keptPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** [[screenByPerplexity]]'s classifier sibling: keeps the docs the
+    * Naive-Bayes model predicts quality ([[graft.text.LmQuality.nbScoreBits]]
+    * `score_bits > 0`; ties fall to DROP — the conservative side).
+    * Same statelessness, idempotent-sink, and model-freshness
+    * contracts. */
+  def screenByNbQuality(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: graft.text.LmQuality.NbModel,
+      keptPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batch = b.toDF()
+        val kept = batch.join(
+          graft.text.LmQuality.nbScoreBits(idCol, textCol, model)(batch)
+            .filter(col("predicted")).select(col(idCol)),
+          Seq(idCol), "left_semi")
+        upsertBatch(kept, id, keptPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Stream-stream inner join with an event-time interval condition:
     * each left row matches right rows with the same key whose time lies
     * in [leftTime − lookback, leftTime]. Both watermarks plus the

@@ -348,6 +348,52 @@ class StreamOpsSpec extends SparkTestBase {
     assert(out == Set((1L, "click", 50.0)))
   }
 
+  test("screenByPerplexity / screenByNbQuality: stream verdicts ≡ batch, replay-safe sink") {
+    import graft.text.LmQuality
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (1L, "a b a b a b c a b"), (2L, "a b c a b"), (3L, "a b a b")
+    ).toDF("doc_id", "text")
+    val lm = LmQuality.trainBigramLm("doc_id", "text")(train)
+    val nb = LmQuality.trainNbQuality("text", "y")(
+      train.withColumn("y", col("doc_id") <= 2L))
+    // the scoring corpus: one model-like doc, one off-model doc,
+    // split across two micro-batches
+    val docs = Seq((10L, "a b a b"), (11L, "z z z z"), (12L, "a b c"), (13L, "q r s"))
+    val batchKept = LmQuality.perplexityFilter("doc_id", "text", lm, 1500L)(
+      docs.toDF("doc_id", "text")).select("doc_id").as[Long].collect().toSet
+    val batchNb = LmQuality.nbScoreBits("doc_id", "text", nb)(
+        docs.toDF("doc_id", "text"))
+      .filter(col("predicted")).select("doc_id").as[Long].collect().toSet
+    assert(batchKept.nonEmpty && batchKept != docs.map(_._1).toSet,
+      s"fixture must split: $batchKept") // the stream test must discriminate
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppl").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.screenByPerplexity(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", lm, 1500L,
+      s"$dir/kept", s"$dir/ckpt")
+    input.addData(docs.take(2): _*); q.processAllAvailable()
+    input.addData(docs.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val streamKept = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamKept == batchKept, s"stream=$streamKept batch=$batchKept")
+    // replay of batch 0 rewrites its partition, never duplicates
+    StreamOps.upsertBatch(LmQuality.perplexityFilter("doc_id", "text", lm, 1500L)(
+      docs.take(2).toDF("doc_id", "text")), 0L, s"$dir/kept")
+    assert(spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet == batchKept)
+    // NB sibling: same harness, classifier verdicts
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.screenByNbQuality(
+      input2.toDF().toDF("doc_id", "text"), "doc_id", "text", nb,
+      s"$dir/nbkept", s"$dir/nbckpt")
+    input2.addData(docs: _*); q2.processAllAvailable(); q2.stop()
+    val streamNb = spark.read.parquet(s"$dir/nbkept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamNb == batchNb, s"stream=$streamNb batch=$batchNb")
+  }
+
   test("idempotentParquetSink: a replayed batch does not duplicate rows") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
