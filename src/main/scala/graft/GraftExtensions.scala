@@ -71,6 +71,17 @@ object GraftExtensions {
     (FunctionIdentifier("dot_longs"),
       new ExpressionInfo(classOf[DotLongArrays].getName, "dot_longs"),
       (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1))),
+    (FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[graft.functions.CountMinSketch].getName, "cms_sketch"),
+      (exprs: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"cms_sketch $what must be an INT literal, got $other")
+        }
+        graft.functions.CountMinSketch(exprs(0),
+          intLit(exprs(1), "depth"), intLit(exprs(2), "width")).toAggregateExpression()
+      }),
     (FunctionIdentifier("floor_log2_ratio"),
       new ExpressionInfo(classOf[graft.functions.FloorLog2Ratio].getName, "floor_log2_ratio"),
       (exprs: Seq[Expression]) => graft.functions.FloorLog2Ratio(exprs(0), exprs(1))),

@@ -4111,6 +4111,74 @@ object Battery {
       SELECT doc_id, n_feats, weight_bits FROM full_
       ORDER BY weight_bits DESC, doc_id LIMIT 100"""))
 
+  /** Count-Min sketch cells ([[graft.functions.CountMinSketch]]):
+    * the full 4×64 counter matrix over the corpus's tokens. CMS
+    * merge is elementwise add — commutative/associative — so unlike
+    * Misra-Gries (q88) the final matrix is bit-identical under any
+    * partitioning, and the oracle recomputes every cell as a plain
+    * GROUP BY over the same md5 32-bit slices. */
+  val q128 = Q("q128_cms_cells",
+    (s, dir) => t(s, dir, "documents")
+      .select(explode(filter(split(trim(col("text")), "\\s+"),
+        x => x =!= lit(""))).as("w"))
+      .agg(graft.functions.CountMinSketch.sketch(col("w"), 4, 64).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("pos", "cell")))
+      .orderBy("pos"),
+    Some(s"""WITH $lmToksCte,
+      tok AS (SELECT unnest(tk) AS w FROM lmtk),
+      cells AS (SELECT i, ('0x' || substr(md5(w), 1 + 8*i, 8))::BIGINT % 64 AS b,
+          COUNT(*) AS c
+        FROM tok CROSS JOIN range(0, 4) r(i) GROUP BY 1, 2),
+      grid AS (SELECT i, b FROM range(0, 4) r(i) CROSS JOIN range(0, 64) g(b))
+      SELECT CAST(i*64 + b AS INT) AS pos, CAST(COALESCE(c, 0) AS BIGINT) AS cell
+      FROM grid LEFT JOIN cells USING (i, b) ORDER BY pos"""))
+
+  /** The CMS point-estimate rule next to ground truth: for a fixed
+    * probe set (present + absent tokens), `est = min_i cell[i][h_i]`
+    * vs the exact count — est ≥ exact ALWAYS (overcount, never
+    * undercount), and the oracle replays buckets, min, and truth, so
+    * a slice-indexing or row-offset bug hash-mismatches. The probe
+    * lookup is engine-side md5 arithmetic (same slices the kernel
+    * reads), cross-joined against the ONE-row sketch. */
+  val q129 = Q("q129_cms_estimates",
+    (s, dir) => {
+      val probes = Seq("key", "agg", "row", "scan", "table", "value",
+        "hash", "spark", "the", "nosuchword")
+      val toks = t(s, dir, "documents")
+        .select(explode(filter(split(trim(col("text")), "\\s+"),
+          x => x =!= lit(""))).as("w"))
+      val sk = toks.agg(graft.functions.CountMinSketch.sketch(col("w"), 4, 64).as("sk"))
+      val exact = toks.groupBy("w").agg(count(lit(1)).as("exact_count"))
+      def bucket(i: Int): Column =
+        (conv(substring(md5(col("w")), 1 + 8 * i, 8), 16, 10)
+          .cast(LongType) % 64).cast("int")
+      val est = least((0 until 4).map(i =>
+        element_at(col("sk"), lit(i * 64 + 1) + bucket(i))): _*)
+      import s.implicits._
+      probes.toDF("w")
+        .crossJoin(broadcast(sk))
+        .join(exact, Seq("w"), "left")
+        .select(col("w").as("probe"), est.as("est"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+        .orderBy("probe")
+    },
+    Some(s"""WITH $lmToksCte,
+      tok AS (SELECT unnest(tk) AS w FROM lmtk),
+      cells AS (SELECT i, ('0x' || substr(md5(w), 1 + 8*i, 8))::BIGINT % 64 AS b,
+          COUNT(*) AS c
+        FROM tok CROSS JOIN range(0, 4) r(i) GROUP BY 1, 2),
+      probes(w) AS (VALUES ('key'), ('agg'), ('row'), ('scan'), ('table'),
+        ('value'), ('hash'), ('spark'), ('the'), ('nosuchword')),
+      est AS (SELECT p.w, MIN(COALESCE(c.c, 0)) AS est
+        FROM probes p CROSS JOIN range(0, 4) r(i)
+        LEFT JOIN cells c ON c.i = r.i
+          AND c.b = ('0x' || substr(md5(p.w), 1 + 8*r.i, 8))::BIGINT % 64
+        GROUP BY p.w),
+      exact AS (SELECT w, COUNT(*) AS exact_count FROM tok GROUP BY 1)
+      SELECT w AS probe, CAST(est AS BIGINT) AS est,
+        CAST(COALESCE(exact_count, 0) AS BIGINT) AS exact_count
+      FROM est LEFT JOIN exact USING (w) ORDER BY probe"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4121,5 +4189,5 @@ object Battery {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127)
+    q124, q125, q126, q127, q128, q129)
 }

@@ -34,4 +34,65 @@ class SketchSpec extends SparkTestBase {
       .agg(hll_sketch_estimate(hll_sketch_agg(col("v")))).as[Long].collect()(0)
     assert(est(2) == est(13))
   }
+
+  // ------------------------------------------------- Count-Min sketch
+
+  import graft.functions.CountMinSketch
+
+  test("cms: the sketch matrix is bit-identical under any partitioning") {
+    val df = spark.range(5000).select(concat(lit("w"), col("id") % 97).as("w"))
+    def sk(parts: Int): Seq[Long] = df.repartition(parts)
+      .agg(CountMinSketch.sketch(col("w"), 4, 32)).as[Seq[Long]].collect()(0)
+    assert(sk(1) == sk(17), "merge order changed the matrix")
+  }
+
+  test("cms: row sums each equal N; estimate >= exact count, exact when uncollided") {
+    val words = Seq.fill(40)("alpha") ++ Seq.fill(7)("beta") ++
+      (1 to 30).map(i => s"noise$i")
+    val df = words.toDF("w")
+    val sk = df.agg(CountMinSketch.sketch(col("w"), 4, 64)).as[Seq[Long]].collect()(0)
+    // every occurrence lands once per row: each of the 4 rows sums to N
+    (0 until 4).foreach { i =>
+      assert(sk.slice(i * 64, (i + 1) * 64).sum == words.size.toLong,
+        s"row $i mass != N")
+    }
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    (exact.keys ++ Seq("absent")).foreach { w =>
+      val est = (0 until 4).map(i =>
+        sk(i * 64 + CountMinSketch.bucketOf(w, i, 64))).min
+      assert(est >= exact.getOrElse(w, 0L), s"$w undercounted: $est")
+    }
+    // at 77 distinct items in 4x64 cells, the heavy item is almost
+    // surely uncollided in SOME row -> estimate is exact
+    val estAlpha = (0 until 4).map(i =>
+      sk(i * 64 + CountMinSketch.bucketOf("alpha", i, 64))).min
+    assert(estAlpha == 40L, s"alpha est $estAlpha")
+  }
+
+  test("cms: kernel buckets == engine md5-slice arithmetic (the oracle's view)") {
+    val keys = Seq("key", "agg", "spark", "nosuchword", "émoji-ü")
+    val cols = col("w") +: (0 until 4).map(i =>
+      (conv(substring(md5(col("w")), 1 + 8 * i, 8), 16, 10)
+        .cast("long") % 64).cast("int").as(s"b$i"))
+    val got = keys.toDF("w").select(cols: _*).collect()
+    got.foreach { r =>
+      val w = r.getString(0)
+      (0 until 4).foreach { i =>
+        assert(r.getInt(i + 1) == CountMinSketch.bucketOf(w, i, 64),
+          s"bucket mismatch for $w row $i")
+      }
+    }
+  }
+
+  test("cms: SQL surface and loud rejects") {
+    GraftExtensions.register(spark)
+    val n = spark.sql(
+      "SELECT size(cms_sketch(CAST(id AS STRING), 3, 16)) FROM range(10)")
+      .as[Int].collect()(0)
+    assert(n == 48)
+    intercept[IllegalArgumentException](
+      graft.functions.CountMinSketch(null, 5, 16))
+    intercept[IllegalArgumentException](
+      graft.functions.CountMinSketch(null, 2, 0))
+  }
 }
