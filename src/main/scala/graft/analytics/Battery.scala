@@ -4179,6 +4179,82 @@ object Battery {
         CAST(COALESCE(exact_count, 0) AS BIGINT) AS exact_count
       FROM est LEFT JOIN exact USING (w) ORDER BY probe"""))
 
+  /** DuckDB positional-postings CTE (mirrors
+    * [[graft.text.Search.buildPostings]]: 0-based token offsets). */
+  private val postingsCte =
+    """post AS (SELECT doc_id AS id, u.p AS pos, tk[u.p + 1] AS term
+       FROM lmtk CROSS JOIN range(0, 2000) u(p) WHERE u.p < len(tk))"""
+
+  /** Inverted-index term statistics ([[graft.text.Search.termStats]]):
+    * df + cf per term from the positional postings — the IDF side of
+    * ranking. The oracle recomputes both from raw token offsets. */
+  val q130 = Q("q130_term_stats",
+    (s, dir) => graft.text.Search.termStats(
+        graft.text.Search.buildPostings("doc_id", "text")(t(s, dir, "documents")))
+      .orderBy("term"),
+    Some(s"""WITH $lmToksCte,
+      $postingsCte
+      SELECT term, CAST(COUNT(DISTINCT id) AS BIGINT) AS df,
+        CAST(COUNT(*) AS BIGINT) AS cf
+      FROM post GROUP BY 1 ORDER BY term"""))
+
+  /** Exact phrase search ([[graft.text.Search.phraseSearch]]) seeded
+    * by the corpus's own most-frequent trigram
+    * ([[graft.text.Search.topNgram]] — deterministic tie-to-smallest),
+    * so the phrase has matches at every scale and nothing is
+    * hand-pinned to one dataset. The oracle replays gram selection,
+    * postings, and the positional join chain; an off-by-one in any
+    * position offset hash-mismatches. */
+  val q131 = Q("q131_phrase_search",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val phrase = graft.text.Search.topNgram("doc_id", "text", 3)(docs)
+      graft.text.Search.phraseSearch(
+          graft.text.Search.buildPostings("doc_id", "text")(docs), phrase)
+        .orderBy("id", "pos")
+    },
+    Some(s"""WITH $lmToksCte,
+      grams AS (SELECT array_to_string(list_slice(tk, i + 1, i + 3), ' ') AS g
+        FROM lmtk CROSS JOIN range(0, 2000) r(i) WHERE i <= len(tk) - 3),
+      top AS (SELECT string_split(g, ' ') AS ph FROM (
+        SELECT g, COUNT(*) AS c FROM grams GROUP BY 1
+        ORDER BY c DESC, g LIMIT 1)),
+      $postingsCte
+      SELECT p0.id, CAST(p0.pos AS INT) AS pos
+      FROM post p0
+      JOIN post p1 ON p1.id = p0.id AND p1.pos = p0.pos + 1
+      JOIN post p2 ON p2.id = p0.id AND p2.pos = p0.pos + 2
+      CROSS JOIN top
+      WHERE p0.term = ph[1] AND p1.term = ph[2] AND p2.term = ph[3]
+      ORDER BY p0.id, p0.pos"""))
+
+  /** Deterministic tf·idf ranking ([[graft.text.Search.rankByTfIdfBits]]):
+    * top-20 documents for a 3-term query with idf quantized to exact
+    * integer bits (⌊log2(N/df)⌋) — the provenance-grade twin of the
+    * float tf-idf (q89). The oracle replays df, the bit quantization,
+    * the tf·bits sum, and the (score desc, id) cut. */
+  val q132 = Q("q132_tfidf_bits_rank",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Search.rankByTfIdfBits(
+          graft.text.Search.buildPostings("doc_id", "text")(docs),
+          query = Seq("table", "hash", "scan"), nDocs = docs.count(), k = 20)
+        .orderBy(col("score_bits").desc, col("id"))
+    },
+    Some(s"""WITH $lmToksCte,
+      $postingsCte,
+      qt AS (SELECT * FROM post WHERE term IN ('table', 'hash', 'scan')),
+      nd AS (SELECT COUNT(*) AS n FROM documents),
+      idf AS (SELECT term, CAST(COUNT(DISTINCT id) AS BIGINT) AS df
+        FROM qt GROUP BY 1),
+      idfb AS (SELECT term, ${fl2rSql("n", "df")} AS ib
+        FROM idf CROSS JOIN nd),
+      tf AS (SELECT term, id, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+      sc AS (SELECT id, SUM(tf * ib) AS score_bits
+        FROM tf JOIN idfb USING (term) GROUP BY 1)
+      SELECT id, CAST(score_bits AS BIGINT) AS score_bits
+      FROM sc ORDER BY score_bits DESC, id LIMIT 20"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4189,5 +4265,5 @@ object Battery {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132)
 }

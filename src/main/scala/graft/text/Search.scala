@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FloorLog2Ratio
+
+/** Full-text search over the corpus — the inverted-index family: a
+  * curation pipeline needs exact term/phrase lookup ("which documents
+  * contain this contaminated string", "where does this boilerplate
+  * occur") and a deterministic relevance ranking, at corpus scale.
+  *
+  *  - '''Postings''' (`buildPostings`): the classic positional
+  *    inverted index as rows `(term, id, pos)` — one narrow
+  *    tokenize+posexplode pass. Persist it partitioned/bucketed by
+  *    term and every term lookup becomes a pruned scan instead of a
+  *    corpus pass; the frame form feeds the operators below directly.
+  *  - '''Term stats''' (`termStats`): document frequency + collection
+  *    frequency per term (one vocab-sized aggregate) — the IDF side
+  *    of ranking and the "rare term first" planning input.
+  *  - '''Phrase search''' (`phraseSearch`): exact k-word phrase
+  *    occurrences via the standard positional-join: term i of the
+  *    phrase at `pos - i` ⇒ k−1 equi-joins on `(id, pos)`. Each side
+  *    is a single-term posting list (filter-pushdown scan of the
+  *    stored index); AQE broadcasts the rare-term sides. No window
+  *    functions, no per-doc re-scan — cost follows the PHRASE terms'
+  *    posting sizes, not the corpus.
+  *  - '''Ranking''' (`rankByTfIdfBits`): tf·idf with the idf
+  *    quantized to exact integer bits (`⌊log2(N/df)⌋` via
+  *    [[graft.functions.FloorLog2Ratio]]) — `score = Σ_t tf(t,d) ·
+  *    idf_bits(t)` is pure BIGINT arithmetic, so the ranking is
+  *    bit-for-bit reproducible (the float tf·idf lives in
+  *    [[graft.text.Relevance]]; this is the deterministic-ordering
+  *    twin for provenance-bearing pipelines).
+  *
+  * Tokenizer: [[LmQuality.toks]] (trim, whitespace split, ''-free) —
+  * one tokenizer across the model/search family so a phrase found
+  * here is the phrase the LM scored. */
+object Search {
+
+  /** Positional postings `(term, id, pos)` — `pos` is the 0-based
+    * token offset. Fully narrow (no exchange); write it bucketed by
+    * `term` for pruned lookups at rest. */
+  def buildPostings(idCol: String, textCol: String)(docs: DataFrame): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(LmQuality.toks(textCol)).as(Seq("pos", "term")))
+      .select(col("term"), col("id"), col("pos"))
+
+  /** Per-term document frequency (`df`) and collection frequency
+    * (`cf`) — ONE shuffle on the term, vocab-sized result. */
+  def termStats(postings: DataFrame): DataFrame =
+    postings.groupBy("term")
+      .agg(countDistinct(col("id")).as("df"), count(lit(1)).as("cf"))
+
+  /** Exact phrase occurrences: `(id, pos)` of every start position
+    * where `phrase` appears contiguously. k−1 equi-joins on
+    * `(id, pos)`, each probing one term's posting list; overlapping
+    * matches all report (a phrase "a a" in "a a a" matches at 0 AND
+    * 1). Empty phrase is a contract error (throw) — "match
+    * everything" silently is never what a screen meant. */
+  def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val first = postings.filter(col("term") === phrase.head)
+      .select(col("id"), col("pos"))
+    phrase.tail.zipWithIndex.foldLeft(first) { case (acc, (term, i)) =>
+      acc.join(postings.filter(col("term") === term)
+          .select(col("id"), (col("pos") - lit(i + 1)).as("pos")),
+        Seq("id", "pos"))
+    }
+  }
+
+  /** Deterministic tf·idf ranking of the corpus for a term-set query:
+    * `score_bits(d) = Σ_t tf(t,d) · ⌊log2(N/df(t))⌋` over the query
+    * terms present in the corpus (absent terms carry no evidence and
+    * drop out; a corpus-wide term has idf_bits 0 and ranks nothing,
+    * exactly as idf intends). Returns the top `k` as
+    * `(id, score_bits)`, ties broken by id — a k-bounded TakeOrdered,
+    * not a global sort. `nDocs` is the caller's corpus size (pass
+    * `docs.count()` or the catalog stat — not recomputed here so the
+    * stored-postings path needs no extra corpus pass). */
+  def rankByTfIdfBits(postings: DataFrame, query: Seq[String], nDocs: Long,
+      k: Int): DataFrame = {
+    require(query.nonEmpty, "rankByTfIdfBits: empty query")
+    require(nDocs >= 1, s"rankByTfIdfBits: nDocs must be >= 1, got $nDocs")
+    val qterms = postings.filter(col("term").isin(query.distinct: _*))
+    val idf = qterms.groupBy("term")
+      .agg(countDistinct(col("id")).as("df"))
+      .select(col("term"),
+        FloorLog2Ratio.of(lit(nDocs), col("df")).cast("long").as("idf_bits"))
+    qterms.groupBy("term", "id").agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), Seq("term"))
+      .groupBy("id")
+      .agg(sum(col("tf") * col("idf_bits")).as("score_bits"))
+      .orderBy(col("score_bits").desc, col("id"))
+      .limit(k)
+  }
+
+  /** The corpus's most frequent `n`-gram (ties to the binary-smallest
+    * gram string) — the deterministic "what boilerplate should I
+    * search for" helper battery q131 seeds its phrase from. One
+    * narrow window pass + one gram-keyed aggregate + a 1-row
+    * TakeOrdered. */
+  def topNgram(idCol: String, textCol: String, n: Int)(docs: DataFrame): Seq[String] = {
+    require(n >= 1, s"topNgram: n must be >= 1, got $n")
+    // gram strings built narrowly: transform over window start indexes
+    val g = docs
+      .select(LmQuality.toks(textCol).as("tk"))
+      .select(explode(when(size(col("tk")) >= n,
+        expr(s"transform(sequence(0, size(tk) - $n), i -> " +
+          s"array_join(slice(tk, i + 1, $n), ' '))"))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    g.groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g"))
+      .limit(1)
+      .head().getString(0).split(' ').toSeq
+  }
+}

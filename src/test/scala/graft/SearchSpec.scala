@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Search
+
+/** Unit coverage of the inverted-index family (battery q130–q132
+  * check the full pipelines against the DuckDB oracle). */
+class SearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def posts(rows: (Long, String)*) =
+    Search.buildPostings("doc_id", "text")(rows.toDF("doc_id", "text"))
+
+  test("buildPostings: 0-based positions, ''-free tokens") {
+    val got = posts((1L, "  a  b a "), (2L, ""))
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == Set(("a", 1L, 0), ("b", 1L, 1), ("a", 1L, 2)))
+  }
+
+  test("termStats: df counts documents, cf counts occurrences") {
+    val got = Search.termStats(posts((1L, "a b a"), (2L, "a c")))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 3L), ("b", 1L, 1L), ("c", 1L, 1L)))
+  }
+
+  test("phraseSearch: overlapping matches, boundary positions, absent terms") {
+    val p = posts((1L, "a a a b"), (2L, "b a a"), (3L, "x y"))
+    // "a a" overlaps in doc 1 (0 and 1) and ends doc 2 (pos 1)
+    assert(Search.phraseSearch(p, Seq("a", "a"))
+      .as[(Long, Int)].collect().toSet == Set((1L, 0), (1L, 1), (2L, 1)))
+    // phrase crossing the doc end never matches
+    assert(Search.phraseSearch(p, Seq("a", "b", "x")).isEmpty)
+    // absent first term -> empty, not error
+    assert(Search.phraseSearch(p, Seq("zz", "a")).isEmpty)
+    // single-term phrase = the posting list
+    assert(Search.phraseSearch(p, Seq("b"))
+      .as[(Long, Int)].collect().toSet == Set((1L, 3), (2L, 0)))
+    intercept[IllegalArgumentException](Search.phraseSearch(p, Seq.empty))
+  }
+
+  test("rankByTfIdfBits: hand-computed bits; ubiquitous and absent terms carry nothing") {
+    // 4 docs: rare/mid each in 2 docs (idf_bits = ⌊log2 4/2⌋ = 1),
+    // "all" in all 4 (bits 0 — ranks nothing), "ghost" nowhere.
+    // scores: d1 = tf(rare)1·1 + tf(mid)1·1 = 2; d2 = 2·1 + 1·1 = 3;
+    // d3 = d4 = 0 ("all" only)
+    val p = posts(
+      (1L, "rare mid all"), (2L, "mid all rare rare"),
+      (3L, "all"), (4L, "all all"))
+    val got = Search.rankByTfIdfBits(p,
+        Seq("rare", "mid", "all", "ghost"), nDocs = 4L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 3L), (1L, 2L), (3L, 0L), (4L, 0L)), s"got $got")
+    // k cuts deterministically on (score desc, id asc)
+    val cut = Search.rankByTfIdfBits(p, Seq("all"), nDocs = 4L, k = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(cut == Seq((1L, 0L), (2L, 0L)), s"cut $cut")
+    intercept[IllegalArgumentException](
+      Search.rankByTfIdfBits(p, Seq.empty, 4L, 1))
+    intercept[IllegalArgumentException](
+      Search.rankByTfIdfBits(p, Seq("a"), 0L, 1))
+  }
+
+  test("topNgram: most frequent wins, count ties break to the smaller gram") {
+    val docs = Seq(
+      (1L, "b c x a a y b c"), (2L, "a a z b c"), (3L, "a")) // "b c" x3, "a a" x2... recount
+    // bigrams: doc1: "b c","c x","x a","a a","a y","y b","b c"; doc2:
+    // "a a","a z","z b","b c"; doc3 too short. "b c" 3, "a a" 2.
+    assert(Search.topNgram("doc_id", "text", 2)(docs.toDF("doc_id", "text"))
+      == Seq("b", "c"))
+    // force a tie: "p q" and "q p" both twice -> "p q" < "q p" wins
+    val tie = Seq((1L, "p q p q p")).toDF("doc_id", "text")
+    assert(Search.topNgram("doc_id", "text", 2)(tie) == Seq("p", "q"))
+    intercept[IllegalArgumentException](
+      Search.topNgram("doc_id", "text", 0)(tie))
+  }
+}
