@@ -533,6 +533,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("q131 phrase search: positional equi-join chain, no cross product") {
+    val df = Battery.q131.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase join degenerated to a product:\n$p")
+  }
+
+  test("q132 tf-idf ranking: idf broadcast, cut is a bounded TakeOrdered") {
+    val df = Battery.q132.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), s"idf join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
+  }
+
   test("q127 DSIR: B-row histograms broadcast, resample cut is a bounded TakeOrdered") {
     val df = Battery.q127.run(spark, dir)
     df.collect()
