@@ -338,6 +338,24 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** The standing search-index ingest: each micro-batch's postings are
+    * appended to the STORED term-bucketed index via
+    * [[graft.text.Search.admitPostingsBatch]] — exactly-once per
+    * document through foreachBatch replay (the admit anti-joins the
+    * stored ids), so a standing stream keeps the phrase-search index
+    * current with zero corpus recompute. */
+  def indexPostings(
+      docs: DataFrame, idCol: String, textCol: String,
+      table: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.text.Search.admitPostingsBatch(b.toDF(), idCol, textCol, table)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Stream-stream inner join with an event-time interval condition:
     * each left row matches right rows with the same key whose time lies
     * in [leftTime − lookback, leftTime]. Both watermarks plus the

@@ -95,6 +95,50 @@ object Search {
       .limit(k)
   }
 
+  /** Bootstrap the STORED postings index: the corpus's postings as a
+    * managed table bucketed AND sorted by `term`, so every term
+    * lookup (phrase search, stats) is a bucket-pruned, row-group-
+    * skipping scan instead of a corpus pass, and term-keyed
+    * aggregates/joins run exchange-free against other tables bucketed
+    * the same way — the same catalog layout contract as the near-dup
+    * and semantic index loops. */
+  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, numBuckets: Int = 32): Unit =
+    graft.store.Store.overwriteBucketed(
+      buildPostings(idCol, textCol)(docs), table, Seq("term"), numBuckets)
+
+  /** The standing search-index ingest transaction: append a new
+    * batch's postings under the table's bucket spec, EXACTLY ONCE per
+    * document — postings of ids the index already holds are skipped
+    * (left-anti against the stored ids restricted to the batch), so a
+    * foreachBatch replay after a crash re-appends nothing. Returns
+    * the postings actually appended.
+    *
+    * Cost note: the id probe scans the term-bucketed index (bucketing
+    * by term cannot prune an id predicate) — one index scan per
+    * admitted batch. At corpus scales where that dominates, keep a
+    * doc-id registry table beside the index and probe that instead;
+    * the append path here is unchanged. */
+  def admitPostingsBatch(batch: DataFrame, idCol: String, textCol: String,
+      table: String): DataFrame = {
+    val spark = batch.sparkSession
+    val batchPost = buildPostings(idCol, textCol)(batch)
+    val already = spark.table(table)
+      .join(batchPost.select("id").distinct(), Seq("id"), "left_semi")
+      .select("id").distinct()
+    val fresh = batchPost.join(already, Seq("id"), "left_anti")
+      .localCheckpoint(false) // pin membership BEFORE the append mutates the table
+    graft.store.Store.appendBucketed(fresh, table)
+    fresh
+  }
+
+  /** [[phraseSearch]] against the stored index — each term filter
+    * reaches the parquet scan as a pushed predicate over the
+    * term-sorted buckets. */
+  def phraseSearchStored(spark: org.apache.spark.sql.SparkSession,
+      table: String, phrase: Seq[String]): DataFrame =
+    phraseSearch(spark.table(table), phrase)
+
   /** The corpus's most frequent `n`-gram (ties to the binary-smallest
     * gram string) — the deterministic "what boilerplate should I
     * search for" helper battery q131 seeds its phrase from. One

@@ -61,6 +61,33 @@ class SearchSpec extends SparkTestBase {
       Search.rankByTfIdfBits(p, Seq("a"), 0L, 1))
   }
 
+  test("stored postings index: admit is exactly-once per doc through replay; term filters push down") {
+    import graft.store.Store
+    val tbl = "t_search_postings"
+    try {
+      Search.writePostingsIndex(
+        Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text"),
+        "doc_id", "text", tbl, numBuckets = 4)
+      // admit: one novel doc + one already-indexed doc in the same batch
+      val appended = Search.admitPostingsBatch(
+        Seq((2L, "b c d"), (3L, "c d e")).toDF("doc_id", "text"),
+        "doc_id", "text", tbl)
+      assert(appended.select("id").as[Long].collect().toSet == Set(3L))
+      // replay of the same batch appends nothing
+      val replay = Search.admitPostingsBatch(
+        Seq((2L, "b c d"), (3L, "c d e")).toDF("doc_id", "text"),
+        "doc_id", "text", tbl)
+      assert(replay.isEmpty)
+      assert(spark.table(tbl).count() == 9L) // 3 + 3 + 3 postings, no dupes
+      // the stored index answers phrase search; term filter reaches the scan
+      val q = Search.phraseSearchStored(spark, tbl, Seq("c", "d"))
+      assert(q.as[(Long, Int)].collect().toSet == Set((2L, 1), (3L, 0)))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters") && p.contains("EqualTo(term,c)"),
+        s"term filter not pushed to the postings scan:\n$p")
+    } finally Store.drop(spark, tbl)
+  }
+
   test("topNgram: most frequent wins, count ties break to the smaller gram") {
     val docs = Seq(
       (1L, "b c x a a y b c"), (2L, "a a z b c"), (3L, "a")) // "b c" x3, "a a" x2... recount

@@ -394,6 +394,27 @@ class StreamOpsSpec extends SparkTestBase {
     assert(streamNb == batchNb, s"stream=$streamNb batch=$batchNb")
   }
 
+  test("indexPostings: the stream grows the search index; phrase search sees admissions") {
+    import graft.text.Search
+    import graft.store.Store
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "t_stream_postings"
+    try {
+      Search.writePostingsIndex(
+        Seq((1L, "x y z")).toDF("doc_id", "text"), "doc_id", "text", tbl, 4)
+      val ckpt = java.nio.file.Files.createTempDirectory("post_ckpt").toString
+      val input = MemoryStream[(Long, String)]
+      val q = StreamOps.indexPostings(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl, ckpt)
+      input.addData((2L, "y z w")); q.processAllAvailable()
+      input.addData((2L, "y z w"), (3L, "z w v")); q.processAllAvailable() // 2 replays
+      q.stop()
+      assert(spark.table(tbl).count() == 9L, "replay duplicated postings")
+      assert(Search.phraseSearchStored(spark, tbl, Seq("z", "w"))
+        .select("id").as[Long].collect().toSet == Set(2L, 3L))
+    } finally Store.drop(spark, tbl)
+  }
+
   test("idempotentParquetSink: a replayed batch does not duplicate rows") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
