@@ -4255,6 +4255,62 @@ object Battery {
       SELECT id, CAST(score_bits AS BIGINT) AS score_bits
       FROM sc ORDER BY score_bits DESC, id LIMIT 20"""))
 
+  /** Token-entropy quality signal
+    * ([[graft.text.LmQuality.tokenEntropyBits]]): exact integer
+    * `n·H(token distribution)` per document — the
+    * repetition/gibberish detector in its unigram-distribution form.
+    * The oracle replays per-type counts, the windowed doc total, and
+    * the c·⌊log2(n/c)⌋ sum. */
+  val q133 = Q("q133_token_entropy",
+    (s, dir) => graft.text.LmQuality.tokenEntropyBits("doc_id", "text")(
+        t(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""WITH $lmToksCte,
+      ct AS (SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(tk) AS w FROM lmtk) GROUP BY 1, 2),
+      wn AS (SELECT doc_id, c,
+          CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM ct),
+      eb AS (SELECT doc_id, MAX(n) AS n_tokens,
+          SUM(c * ${fl2rSql("n", "c")}) AS entropy_bits
+        FROM wn GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(entropy_bits, 0) AS BIGINT) AS entropy_bits
+      FROM documents d LEFT JOIN eb USING (doc_id) ORDER BY doc_id"""))
+
+  /** Exact triangle counting ([[graft.operators.Triangles]]) on the
+    * parts-co-ordered-together graph (edges = distinct part pairs
+    * sharing an order): degree-oriented node-iterator — each triangle
+    * once, hub out-degrees bounded by orientation. The oracle replays
+    * canonicalization, degrees, orientation, the wedge self-join, and
+    * the closing join. */
+  val q134 = Q("q134_triangle_count",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      graft.operators.Triangles.countsRow(pairs, "pa", "pb")
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      deg AS (SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY 1),
+      o AS (SELECT
+          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN u ELSE v END AS src,
+          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN v ELSE u END AS dst,
+          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN d2.d ELSE d1.d END AS ddst
+        FROM pairs JOIN deg d1 ON d1.n = u JOIN deg d2 ON d2.n = v),
+      wedges AS (SELECT a.src, a.dst AS y, b.dst AS z
+        FROM o a JOIN o b ON a.src = b.src
+        WHERE a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst)),
+      tri AS (SELECT 1 FROM wedges w JOIN o e ON e.src = w.y AND e.dst = w.z)
+      SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+        CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+        CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4265,5 +4321,5 @@ object Battery {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed triangle counting — the clustering-structure
+  * probe for the engine's graphs (near-dup graphs, co-occurrence
+  * graphs): triangle density separates genuine duplicate CLUSTERS
+  * (cliquish) from chains of borderline pairs, and is the numerator
+  * of the global clustering coefficient.
+  *
+  * Algorithm: the degree-oriented node-iterator (the MapReduce-era
+  * standard, Suri & Vassilvitskii WWW 2011): orient every undirected
+  * edge from its (degree, id)-smaller endpoint to the larger, build
+  * wedges by self-joining oriented edges on their source, and close
+  * each wedge against the oriented edge set. Orientation makes each
+  * triangle count EXACTLY once and bounds any node's out-degree by
+  * O(√m) — the skew cap that keeps the wedge join from exploding on
+  * hub nodes (a hub's edges point INTO it once its degree passes its
+  * neighbors'). Cost: two shuffles over the edge list plus one over
+  * the wedge set (|wedges| = Σ out-deg² ≤ O(m^1.5) worst case, far
+  * less on real graphs).
+  *
+  * Everything is exact integer and join-ordered deterministically, so
+  * the whole pipeline replays in ANSI SQL (battery q134). Self-loops
+  * are dropped, duplicate/bidirectional input edges collapse to one
+  * undirected edge.
+  */
+object Triangles {
+
+  /** Canonical undirected edges (u < v, deduped, loop-free) from any
+    * (a, b) pair frame. */
+  def canonicalEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** Edges oriented by the (degree, id) total order: `src ≺ dst`.
+    * Carries the dst's order key so wedge endpoints compare without
+    * another degree join. */
+  private[operators] def orient(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val e = edges
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+    def uFirst = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    e.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+  }
+
+  /** (n_edges, n_wedges, n_triangles) as one row — wedges counted in
+    * the oriented order (each unordered open/closed pair-of-edges at
+    * a common apex once), triangles exactly once each. */
+  def countsRow(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = canonicalEdges(pairs, aCol, bCol).localCheckpoint(false)
+    val o = orient(edges).localCheckpoint(false)
+    // wedge (apex src; y ≺ z in the orientation order) — the skew-
+    // bounded self-join
+    val wedges = o.select(col("src"), col("dst").as("y"),
+        col("ddst").as("dy"))
+      .join(o.select(col("src"), col("dst").as("z"), col("ddst").as("dz")),
+        Seq("src"))
+      .filter((col("dy") < col("dz")) ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+    val tri = wedges.join(
+      o.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+    val nE = edges.count()
+    val nW = wedges.count()
+    val nT = tri.count()
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    Seq((nE, nW, nT)).toDF("n_edges", "n_wedges", "n_triangles")
+  }
+}

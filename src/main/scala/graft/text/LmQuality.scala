@@ -192,6 +192,34 @@ object LmQuality {
       .withColumn("predicted", col("score_bits") > lit(0L))
   }
 
+  /** Token-entropy quality signal: per document,
+    * `entropy_bits = Σ_types c_w · ⌊log2(n / c_w)⌋` — the exact
+    * integer form of `n · H(token distribution)` (total
+    * self-surprisal). The repetition/gibberish detector: a doc that
+    * is one token over and over scores 0 regardless of length, a
+    * diverse doc scores ≈ n·log2(distinct) — the threshold
+    * composes with [[Curation.repetitionFilter]]'s n-gram view (this
+    * is the unigram-distribution view of the same defect class,
+    * needing no window build). Returns `(id, n_tokens, entropy_bits)`
+    * for every doc (empty docs: 0 over 0). Two aggregates — (id,
+    * token) then (id) — nothing vocab-global, nothing pairwise. */
+  def tokenEntropyBits(idCol: String, textCol: String)(docs: DataFrame): DataFrame = {
+    val perType = docs.select(col(idCol), explode(toks(textCol)).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("c"))
+    val perDoc = perType
+      .withColumn("n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
+      .select(col(idCol), col("c"),
+        (col("c") * FloorLog2Ratio.of(col("n"), col("c")).cast(LongType)).as("b"),
+        col("n"))
+      .groupBy(idCol)
+      .agg(max("n").as("n_tokens"), sum("b").as("entropy_bits"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("entropy_bits"), lit(0L)).as("entropy_bits"))
+  }
+
   /** Hashed-bigram feature bucket (DSIR's feature map): the md5-based
     * 60-bit hash the dedup family already uses, folded modulo
     * `buckets` — deterministic, SQL-replayable, and collision-folding

@@ -139,6 +139,20 @@ class LmQualitySpec extends SparkTestBase {
       (13L, 0L, 1L, true)))  // prior only
   }
 
+  test("tokenEntropyBits: repetition scores zero, diversity scores n·log2(types)") {
+    val docs = Seq(
+      (1L, "x x x x x x x x"),    // one type -> 0 bits, any length
+      (2L, "a b c d"),            // uniform over 4 -> 4·⌊log2 4⌋ = 8
+      (3L, "a a b b"),            // uniform over 2 -> 4·⌊log2 2⌋ = 4
+      (4L, "a a a b"),            // 3·⌊log2 4/3⌋ + 1·⌊log2 4⌋ = 0 + 2
+      (5L, "")                    // empty -> (0, 0)
+    ).toDF("doc_id", "text")
+    val got = graft.text.LmQuality.tokenEntropyBits("doc_id", "text")(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 8L, 0L), (2L, 4L, 8L), (3L, 4L, 4L),
+      (4L, 4L, 2L), (5L, 0L, 0L)))
+  }
+
   // ------------------------------------------------------------ DSIR
 
   test("dsirWeights: identical raw and target corpora weigh exactly zero") {

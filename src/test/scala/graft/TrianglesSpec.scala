@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Triangles
+
+/** Unit coverage of exact triangle counting (battery q134 checks the
+  * full co-order-graph pipeline against the DuckDB oracle). */
+class TrianglesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def counts(edges: (Long, Long)*): (Long, Long, Long) = {
+    val r = Triangles.countsRow(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long)].head()
+    r
+  }
+
+  test("a triangle counts once; duplicate/reversed/self edges collapse") {
+    // K3 plus noise: duplicate edge, reversed edge, self loop
+    val (e, w, t) = counts((1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 1L), (1L, 2L), (2L, 2L))
+    assert((e, w, t) == ((3L, 1L, 1L)), s"($e,$w,$t)")
+  }
+
+  test("K4 has 4 triangles; a path has none") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(counts(k4: _*)._3 == 4L)
+    assert(counts((1L, 2L), (2L, 3L), (3L, 4L))._3 == 0L)
+  }
+
+  test("hub star + one chord: orientation bounds work and still finds the triangle") {
+    // star center 100 with 6 leaves, plus chord (1,2): exactly one
+    // triangle (100,1,2). The center's edges orient INTO it (its
+    // degree exceeds every leaf's), so its out-degree is 0 — the
+    // skew-cap property — while leaves 1,2 each emit toward 100.
+    val star = (1L to 6L).map(i => (100L, i))
+    val (e, w, t) = counts(star :+ ((1L, 2L)): _*)
+    assert((e, t) == ((7L, 1L)), s"($e,$w,$t)")
+    // wedge count = sum C(outdeg,2): leaves 1,2 have outdeg 2
+    // ((100) and each other)? no: orientation of (1,2) is 1->2 by id
+    // tie at degree 2... leaf1: deg 2, leaf2: deg 2, others deg 1,
+    // center deg 7. Edges: leaf->center x6 (deg 1|2 < 7), 1->2 (tie
+    // 2=2, id). outdeg(1)=2 -> 1 wedge; everything else < 2.
+    assert(w == 1L, s"wedges $w")
+  }
+
+  test("property: matches brute-force triple enumeration on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val n = 12
+      val edges = (for {
+        i <- 1L to n; j <- (i + 1) to n if rnd.nextDouble() < 0.3
+      } yield (i, j)).toSeq
+      val adj = edges.toSet
+      def has(a: Long, b: Long) = adj.contains((a min b, a max b))
+      val brute = (for {
+        a <- 1L to n; b <- (a + 1) to n; c <- (b + 1) to n
+        if has(a, b) && has(b, c) && has(a, c)
+      } yield 1).size.toLong
+      assert(counts(edges: _*)._3 == brute)
+    }
+  }
+}
