@@ -85,6 +85,19 @@ object ScaleBench {
       // (first pass materializes it to parquet under the scale dir,
       // timed passes only read) should scale as the probed-member
       // count, O(n/√n · nprobe) = O(√n) — the whole point of IVF.
+      // triangle counting at scale runs on the graph the engine
+      // actually mints at scale — the near-dup candidate graph (the
+      // battery q134 co-order graph needs the lineitem table the
+      // scale dirs don't carry); composition also measures the
+      // orientation skew-cap on LSH's hub-prone buckets
+      "x134_triangle_neardup" -> ((s: SparkSession, dir: String) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.operators.Triangles.countsRow(
+          graft.dedup.Dedup.ophCandidatePairs(
+            docs, "doc_id", "text", graft.dedup.Dedup.CharShingles(5),
+            bands = 8, rowsPerBand = 4),
+          "id_a", "id_b")
+      }),
       "x112_ivfpq_build" -> ((s: SparkSession, dir: String) =>
         buildIvfPqFrames(s, dir)._1),
       "x113_ivfpq_query_stored" -> ((s: SparkSession, dir: String) => {
