@@ -4311,6 +4311,45 @@ object Battery {
         CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
         CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles"""))
 
+  /** Per-node triangle membership ([[graft.operators.Triangles.perNode]]):
+    * the local-clustering ingredients (node, degree, n_triangles) on
+    * the co-order graph, top-50 by triangle count. Each closed
+    * triangle credits its three corners; the oracle replays the
+    * corner explode and the (count desc, node) cut on top of q134's
+    * chain. */
+  val q135 = Q("q135_local_clustering",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      graft.operators.Triangles.perNode(pairs, "pa", "pb")
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(50)
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      deg AS (SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY 1),
+      o AS (SELECT
+          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN u ELSE v END AS src,
+          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN v ELSE u END AS dst,
+          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN d2.d ELSE d1.d END AS ddst
+        FROM pairs JOIN deg d1 ON d1.n = u JOIN deg d2 ON d2.n = v),
+      tri AS (SELECT w.src, w.y, w.z FROM (
+          SELECT a.src, a.dst AS y, b.dst AS z
+          FROM o a JOIN o b ON a.src = b.src
+          WHERE a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst)) w
+        JOIN o e ON e.src = w.y AND e.dst = w.z),
+      pc AS (SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT unnest([src, y, z]) AS node FROM tri) GROUP BY 1)
+      SELECT n AS node, CAST(d AS BIGINT) AS degree,
+        CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles
+      FROM deg LEFT JOIN pc ON pc.node = deg.n
+      ORDER BY n_triangles DESC, node LIMIT 50"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4321,5 +4360,5 @@ object Battery {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
 }

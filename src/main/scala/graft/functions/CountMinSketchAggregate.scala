@@ -127,6 +127,19 @@ object CountMinSketch {
     GraftSqlBridge.column(CountMinSketch(
       GraftSqlBridge.expression(item.cast("string")), depth, width).toAggregateExpression())
 
+  /** Merge a frame of flattened sketches (e.g. one per day / per
+    * micro-batch, all built with the same d and w) into the combined
+    * matrix as `(pos, cell)` rows — the read side of a persisted
+    * sketch log: elementwise addition commutes, so summing stored
+    * partial sketches equals the one-pass sketch of the union, without
+    * rescanning any history. */
+  def mergedCells(sketches: org.apache.spark.sql.DataFrame,
+      sketchCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode, sum}
+    sketches.select(posexplode(col(sketchCol)).as(Seq("pos", "c")))
+      .groupBy("pos").agg(sum("c").as("cell"))
+  }
+
   /** Point estimate of a LITERAL key against a sketch column: the
     * min over rows of the key's cell — buckets are computed
     * driver-side with [[bucketOf]], so the lookup is d element_at's

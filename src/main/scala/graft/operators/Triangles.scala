@@ -54,6 +54,34 @@ object Triangles {
       when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
   }
 
+  /** Per-node triangle membership + degree — the local-clustering
+    * ingredients `(node, degree, n_triangles)` as exact integers (the
+    * coefficient itself, `2t/(d(d−1))`, is one IEEE division of exact
+    * operands away — left to the caller so rankings can stay pure
+    * integer). Each closed triangle (src, y, z) credits all three
+    * corners; nodes in no triangle report 0. Same two-shuffle
+    * orientation machinery as [[countsRow]] plus one explode +
+    * node-keyed aggregate. */
+  def perNode(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = canonicalEdges(pairs, aCol, bCol).localCheckpoint(false)
+    val o = orient(edges).localCheckpoint(false)
+    val tri = o.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+      .join(o.select(col("src"), col("dst").as("z"), col("ddst").as("dz")),
+        Seq("src"))
+      .filter((col("dy") < col("dz")) ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+      .join(o.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+    val perCorner = tri
+      .select(explode(array(col("src"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(perCorner, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** (n_edges, n_wedges, n_triangles) as one row — wedges counted in
     * the oriented order (each unordered open/closed pair-of-edges at
     * a common apex once), triangles exactly once each. */

@@ -356,6 +356,28 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming frequency monitor: each micro-batch's Count-Min sketch
+    * ([[graft.functions.CountMinSketch]]) lands as ONE row in the
+    * per-batch-partitioned sink — replays overwrite their own
+    * partition, so the sketch LOG is exactly-once per batch, and the
+    * current whole-corpus matrix is
+    * [[graft.functions.CountMinSketch.mergedCells]] over the stored
+    * rows (elementwise add commutes — summing the log equals the
+    * one-pass sketch of everything seen, no history rescan). Item
+    * counts at any moment cost one read of batch-count × d·w longs. */
+  def cmsSink(
+      items: DataFrame, itemCol: String, depth: Int, width: Int,
+      path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    items.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatch(b.toDF().agg(
+          graft.functions.CountMinSketch.sketch(col(itemCol), depth, width)
+            .as("sk")), id, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Stream-stream inner join with an event-time interval condition:
     * each left row matches right rows with the same key whose time lies
     * in [leftTime − lookback, leftTime]. Both watermarks plus the

@@ -84,6 +84,18 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("cms: merging stored partial sketches equals the one-pass sketch of the union") {
+    val df = spark.range(3000).select(
+      (col("id") % 7).as("g"), concat(lit("w"), col("id") % 131).as("w"))
+    val partials = df.groupBy("g").agg(CountMinSketch.sketch(col("w"), 4, 32).as("sk"))
+    val merged = CountMinSketch.mergedCells(partials, "sk")
+      .orderBy("pos").as[(Int, Long)].collect().toSeq
+    val global = df.agg(CountMinSketch.sketch(col("w"), 4, 32).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("pos", "cell")))
+      .orderBy("pos").as[(Int, Long)].collect().toSeq
+    assert(merged == global)
+  }
+
   test("cms: SQL surface and loud rejects") {
     GraftExtensions.register(spark)
     val n = spark.sql(

@@ -415,6 +415,33 @@ class StreamOpsSpec extends SparkTestBase {
     } finally Store.drop(spark, tbl)
   }
 
+  test("cmsSink: the stored sketch log merges to the batch sketch of everything seen") {
+    import graft.functions.CountMinSketch
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val input = MemoryStream[String]
+    val q = StreamOps.cmsSink(
+      input.toDF().toDF("w"), "w", depth = 4, width = 16,
+      s"$dir/sk", s"$dir/ckpt")
+    input.addData("a", "b", "a"); q.processAllAvailable()
+    input.addData("b", "c"); q.processAllAvailable()
+    q.stop()
+    val merged = CountMinSketch.mergedCells(
+        spark.read.parquet(s"$dir/sk"), "sk")
+      .orderBy("pos").as[(Int, Long)].collect().toSeq
+    val batch = Seq("a", "b", "a", "b", "c").toDF("w")
+      .agg(CountMinSketch.sketch(col("w"), 4, 16).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("pos", "cell")))
+      .orderBy("pos").as[(Int, Long)].collect().toSeq
+    assert(merged == batch, "sketch log diverged from one-pass sketch")
+    // replay of batch 1 overwrites its partition — the log stays exactly-once
+    StreamOps.upsertBatch(Seq("b", "c").toDF("w")
+      .agg(CountMinSketch.sketch(col("w"), 4, 16).as("sk")), 1L, s"$dir/sk")
+    val after = CountMinSketch.mergedCells(spark.read.parquet(s"$dir/sk"), "sk")
+      .orderBy("pos").as[(Int, Long)].collect().toSeq
+    assert(after == batch, "replayed batch double-counted")
+  }
+
   test("idempotentParquetSink: a replayed batch does not duplicate rows") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString

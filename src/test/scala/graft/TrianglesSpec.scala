@@ -42,6 +42,19 @@ class TrianglesSpec extends SparkTestBase {
     assert(w == 1L, s"wedges $w")
   }
 
+  test("perNode: every corner credited; triangle-free nodes report zero") {
+    // K4: every node in C(3,2)=3 triangles at degree 3; pendant node
+    // 9 hangs off node 1 with no triangles
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)) :+ ((1L, 9L))
+    val got = Triangles.perNode(k4.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L, 3L), (2L, 3L, 3L), (3L, 3L, 3L),
+      (4L, 3L, 3L), (9L, 1L, 0L)))
+    // the corner credits are consistent with the global count:
+    // sum of per-node triangles = 3 * total
+    assert(got.toSeq.map(_._3).sum == 3L * 4L)
+  }
+
   test("property: matches brute-force triple enumeration on random graphs") {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { _ =>
