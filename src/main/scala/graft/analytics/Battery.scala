@@ -4350,6 +4350,41 @@ object Battery {
       FROM deg LEFT JOIN pc ON pc.node = deg.n
       ORDER BY n_triangles DESC, node LIMIT 50"""))
 
+  /** k-core decomposition ([[graft.operators.KCore]]): the 80-core of
+    * the co-order graph — 5 peeling rounds cascade 143 nodes out at
+    * sf0.01, a genuine unravel, not a no-op cut. The engine peels to
+    * FIXPOINT; the oracle unrolls 10 rounds of the same
+    * degree-filter-semijoin stage, and the k-core's uniqueness (the
+    * maximal subgraph is order-independent) makes the two equal
+    * whenever the unroll reaches the fixpoint — the same
+    * bounded-unroll pattern as the q87 PageRank oracle. */
+  val q136 = Q("q136_kcore",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      graft.operators.KCore.kCore(pairs, "pa", "pb", k = 80)
+        .orderBy("node")
+    },
+    Some {
+      val stages = (1 to 10).map { i =>
+        s"""kp$i AS MATERIALIZED (SELECT n FROM (SELECT n, COUNT(*) AS d FROM (
+             SELECT u AS n FROM s${i - 1} UNION ALL SELECT v FROM s${i - 1})
+             GROUP BY 1) WHERE d >= 80),
+           s$i AS MATERIALIZED (SELECT u, v FROM s${i - 1}
+             WHERE u IN (SELECT n FROM kp$i) AND v IN (SELECT n FROM kp$i))"""
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      s0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      $stages
+      SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u AS n FROM s10 UNION ALL SELECT v FROM s10)
+      GROUP BY 1 ORDER BY node"""
+    })
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4360,5 +4395,5 @@ object Battery {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }
