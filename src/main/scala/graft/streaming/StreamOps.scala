@@ -378,6 +378,29 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** The ONLINE LM trainer: each micro-batch's bigram and unigram
+    * count deltas land as per-batch partitions (both writes replay-
+    * safe — a re-run batch overwrites its own partitions, and the two
+    * sinks are rewritten together on replay, so they never diverge).
+    * [[graft.text.LmQuality.lmFromLogs]] over the stored logs is then
+    * BIT-IDENTICAL to offline [[graft.text.LmQuality.trainBigramLm]]
+    * on everything the stream has seen — the perplexity screen's
+    * model refresh becomes "re-read two logs", not "rescan the
+    * corpus". */
+  def lmCountsSink(
+      docs: DataFrame, idCol: String, textCol: String,
+      biPath: String, uniPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batch = b.toDF()
+        upsertBatch(graft.text.LmQuality.bigramCounts(idCol, textCol)(batch), id, biPath)
+        upsertBatch(graft.text.LmQuality.unigramCounts(textCol)(batch), id, uniPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Stream-stream inner join with an event-time interval condition:
     * each left row matches right rows with the same key whose time lies
     * in [leftTime − lookback, leftTime]. Both watermarks plus the

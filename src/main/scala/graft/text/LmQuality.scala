@@ -192,6 +192,36 @@ object LmQuality {
       .withColumn("predicted", col("score_bits") > lit(0L))
   }
 
+  /** One batch's bigram count deltas `(prev, w, c)` — the additive
+    * unit of the ONLINE trainer: bigram counts are a sum, so a log of
+    * per-batch deltas rolls up to the one-pass model of the union
+    * ([[lmFromLogs]]), no corpus rescan. */
+  def bigramCounts(idCol: String, textCol: String)(batch: DataFrame): DataFrame =
+    transitions(batch, idCol, textCol)
+      .groupBy("prev", "w").agg(count(lit(1)).as("c"))
+
+  /** One batch's unigram counts `(tok, c)` — logged beside the bigram
+    * deltas so the reconstructed model's vocab term counts EVERY
+    * token (a single-token doc contributes vocabulary but no
+    * transition; without this log the online V would drift from the
+    * offline one). */
+  def unigramCounts(textCol: String)(batch: DataFrame): DataFrame =
+    batch.select(explode(toks(textCol)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+
+  /** Reconstruct the exact [[BigramLm]] from count logs (e.g. the
+    * per-batch partitions [[graft.streaming.StreamOps.lmCountsSink]]
+    * writes): bigrams and histories are groupBy-sums over the delta
+    * rows, V is the distinct logged token count + 1 — bit-identical
+    * to [[trainBigramLm]] over the union of the logged batches
+    * (spec-pinned), because every model ingredient is additive. */
+  def lmFromLogs(biLog: DataFrame, uniLog: DataFrame, minCount: Long = 1L): BigramLm = {
+    val bigrams = biLog.groupBy("prev", "w").agg(sum("c").as("c2"))
+    val histories = bigrams.groupBy("prev").agg(sum("c2").as("c1"))
+    val vocab = uniLog.agg(countDistinct(col("tok"))).head().getLong(0) + 1L
+    BigramLm(bigrams.filter(col("c2") >= minCount), histories, vocab)
+  }
+
   /** Token-entropy quality signal: per document,
     * `entropy_bits = Σ_types c_w · ⌊log2(n / c_w)⌋` — the exact
     * integer form of `n · H(token distribution)` (total

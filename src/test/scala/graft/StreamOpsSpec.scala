@@ -442,6 +442,47 @@ class StreamOpsSpec extends SparkTestBase {
     assert(after == batch, "replayed batch double-counted")
   }
 
+  test("lmCountsSink: the online model log reconstructs the offline model exactly") {
+    import graft.text.LmQuality
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    // batch 2 includes a SINGLE-token doc: vocab-only, no transitions —
+    // the case the unigram log exists for
+    val b1 = Seq((1L, "a b a b c"), (2L, "a b"))
+    val b2 = Seq((3L, " a  "), (4L, "c d c"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.lmCountsSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/bi", s"$dir/uni", s"$dir/ckpt")
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val online = LmQuality.lmFromLogs(
+      spark.read.parquet(s"$dir/bi"), spark.read.parquet(s"$dir/uni"))
+    val offline = LmQuality.trainBigramLm("doc_id", "text")(
+      (b1 ++ b2).toDF("doc_id", "text"))
+    assert(online.vocabSize == offline.vocabSize) // incl. the 1-token doc's token
+    assert(online.bigrams.as[(String, String, Long)].collect().toSet ==
+      offline.bigrams.as[(String, String, Long)].collect().toSet)
+    assert(online.histories.as[(String, Long)].collect().toSet ==
+      offline.histories.as[(String, Long)].collect().toSet)
+    // and the screens agree doc-for-doc on a probe corpus
+    val probe = Seq((10L, "a b c d"), (11L, "z z")).toDF("doc_id", "text")
+    assert(LmQuality.surprisalBits("doc_id", "text", online)(probe)
+      .as[(Long, Long, Long)].collect().toSet ==
+      LmQuality.surprisalBits("doc_id", "text", offline)(probe)
+        .as[(Long, Long, Long)].collect().toSet)
+    // replay of batch 1 rewrites both its partitions — model unchanged
+    StreamOps.upsertBatch(
+      LmQuality.bigramCounts("doc_id", "text")(b2.toDF("doc_id", "text")), 1L, s"$dir/bi")
+    StreamOps.upsertBatch(
+      LmQuality.unigramCounts("text")(b2.toDF("doc_id", "text")), 1L, s"$dir/uni")
+    val replayed = LmQuality.lmFromLogs(
+      spark.read.parquet(s"$dir/bi"), spark.read.parquet(s"$dir/uni"))
+    assert(replayed.bigrams.as[(String, String, Long)].collect().toSet ==
+      offline.bigrams.as[(String, String, Long)].collect().toSet)
+  }
+
   test("idempotentParquetSink: a replayed batch does not duplicate rows") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
