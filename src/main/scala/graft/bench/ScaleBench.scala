@@ -98,6 +98,18 @@ object ScaleBench {
             bands = 8, rowsPerBand = 4),
           "id_a", "id_b")
       }),
+      // k-core on the near-dup candidate graph (the battery q136
+      // co-order graph needs lineitem; this is the graph the engine
+      // mints at scale) — k=3 keeps genuine dup-cluster cores, and the
+      // peel-round count is itself a scale observable
+      "x136_kcore_neardup" -> ((s: SparkSession, dir: String) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.operators.KCore.kCore(
+          graft.dedup.Dedup.ophCandidatePairs(
+            docs, "doc_id", "text", graft.dedup.Dedup.CharShingles(5),
+            bands = 8, rowsPerBand = 4),
+          "id_a", "id_b", k = 3)
+      }),
       "x112_ivfpq_build" -> ((s: SparkSession, dir: String) =>
         buildIvfPqFrames(s, dir)._1),
       "x113_ivfpq_query_stored" -> ((s: SparkSession, dir: String) => {
