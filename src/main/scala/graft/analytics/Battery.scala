@@ -4385,6 +4385,59 @@ object Battery {
       GROUP BY 1 ORDER BY node"""
     })
 
+  /** k-anonymity audit ([[graft.quality.QualitySuite.kAnonymity]]):
+    * quasi-identifier groups smaller than k — the re-identifiable
+    * combinations a privacy release must generalize or suppress. */
+  val q137 = Q("q137_k_anonymity",
+    (s, dir) => QualitySuite.kAnonymity(
+        t(s, dir, "customer"), Seq("c_mktsegment", "c_nationkey"), k = 7L)
+      .orderBy("c_mktsegment", "c_nationkey"),
+    Some("""SELECT c_mktsegment, c_nationkey,
+        CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 7
+      ORDER BY c_mktsegment, c_nationkey"""))
+
+  /** Keyed snapshot diff ([[graft.store.Store.tableDiff]]): orders vs
+    * a deterministically mutated copy (drop every 97th key, rewrite
+    * priority on every 31st, add negated copies of every 113th) —
+    * added/removed/changed/unchanged per key via one full-outer join
+    * with column-wise null-safe equality (no rendering, no hashing).
+    * The oracle rebuilds the mutation and replays the join and the
+    * IS DISTINCT FROM chain. */
+  val q138 = Q("q138_table_diff",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val right = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 31 === 0, lit("X-DIFF"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(o.filter(col("o_orderkey") % 113 === 0)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+      graft.store.Store.tableDiff(o, right, Seq("o_orderkey"))
+        .groupBy("status").agg(count(lit(1)).as("n_keys"))
+        .orderBy("status")
+    },
+    Some("""WITH r AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+          CASE WHEN o_orderkey % 31 = 0 THEN 'X-DIFF' ELSE o_orderpriority END
+            AS o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+          o_orderpriority
+        FROM orders WHERE o_orderkey % 113 = 0),
+      d AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'added'
+          WHEN r.o_orderkey IS NULL THEN 'removed'
+          WHEN (l.o_custkey IS DISTINCT FROM r.o_custkey)
+            OR (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)
+            OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice)
+            OR (l.o_orderdate IS DISTINCT FROM r.o_orderdate)
+            OR (l.o_orderpriority IS DISTINCT FROM r.o_orderpriority)
+          THEN 'changed' ELSE 'unchanged' END AS status
+        FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM d GROUP BY 1 ORDER BY status"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4395,5 +4448,5 @@ object Battery {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
 }

@@ -29,6 +29,20 @@ object QualitySuite {
     CheckResult(s"fk($key)", orphans == 0, orphans, s"$orphans orphan row(s)")
   }
 
+  /** k-anonymity audit (Sweeney 2002): quasi-identifier combinations
+    * whose group is smaller than `k` — the rows a release would
+    * re-identify. Returns the violating combinations with their group
+    * sizes (empty = the projection is k-anonymous). One shuffle on
+    * the QID key; composes with the redaction family as the
+    * "generalize or suppress these" worklist. */
+  def kAnonymity(df: DataFrame, qidCols: Seq[String], k: Long): DataFrame = {
+    require(qidCols.nonEmpty, "kAnonymity: no quasi-identifier columns")
+    require(k >= 2, s"kAnonymity: k must be >= 2, got $k")
+    df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
+
   /** Bounds re-validation: all values in [lo,hi] or NULL
     * (quality_report.md:561-572). One pass over the table for all
     * columns (single aggregate, not one job per column). */

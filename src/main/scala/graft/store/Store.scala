@@ -2,7 +2,7 @@ package graft.store
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.CatalogTableType
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, struct, when}
 
 /** Engine-managed table catalog (SURVEY §2.A O-2…O-5, §7.1 step 6).
   *
@@ -118,6 +118,35 @@ object Store {
   /** Read back a managed table (replaces the JDBC SK read-back O-4 —
     * though with in-plan SKs the round trip itself is gone). */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Keyed snapshot diff — the "what changed between corpus v1 and
+    * v2" audit: per key, `added` (right only), `removed` (left only),
+    * `changed` (both, any non-key column differs), `unchanged`.
+    * Comparison is COLUMN-WISE null-safe equality on the native
+    * values (no string rendering, no hashing — a double compares as
+    * its bits, so two engines reading the same files agree), via one
+    * full-outer join on the key. Schemas must match exactly — a
+    * column mismatch is a schema migration, not a data diff, and
+    * silently intersecting columns would report "unchanged" across a
+    * dropped field. */
+  def tableDiff(left: DataFrame, right: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "tableDiff: no key columns")
+    require(left.columns.sameElements(right.columns),
+      s"tableDiff: schema mismatch (${left.columns.mkString(",")} vs ${right.columns.mkString(",")})")
+    val valCols = left.columns.filterNot(keyCols.contains).toSeq
+    def packed(df: DataFrame, as: String): DataFrame =
+      df.select((keyCols.map(col) :+ struct(
+        (lit(1L).as("__present") +: valCols.map(col)): _*).as(as)): _*)
+    val changed = valCols
+      .map(c => !(col(s"__lv.$c") <=> col(s"__rv.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    packed(left, "__lv").join(packed(right, "__rv"), keyCols.toSeq, "full_outer")
+      .select((keyCols.map(col) :+
+        when(col("__lv").isNull, "added")
+          .when(col("__rv").isNull, "removed")
+          .when(changed, "changed")
+          .otherwise("unchanged").as("status")): _*)
+  }
 
   /** Collect table (+ optional column) statistics so the cost-based
     * optimizer plans from real row counts and NDVs instead of

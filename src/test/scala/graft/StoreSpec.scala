@@ -204,6 +204,49 @@ class StoreSpec extends SparkTestBase {
     assert(Store.quoted("we`ird") == "`we``ird`")
   }
 
+  test("tableDiff: added/removed/changed/unchanged incl. null transitions") {
+    import graft.store.Store
+    val l = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "s", "v")
+    val r = Seq((1L, Some("a"), 10.0),                 // unchanged
+      (2L, Some("B"), 20.0),                           // changed (value)
+      (3L, None: Option[String], 30.0),                // unchanged (null == null)
+      (5L, Some("e"), 50.0))                           // added; 4 removed
+    .toDF("k", "s", "v")
+    val got = Store.tableDiff(l, r, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"))
+    // null -> value IS a change
+    val got2 = Store.tableDiff(
+      Seq((3L, None: Option[String])).toDF("k", "s"),
+      Seq((3L, Some("x"))).toDF("k", "s"), Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got2 == Map(3L -> "changed"))
+    // all-key schema: presence is the only signal
+    val got3 = Store.tableDiff(
+      Seq(Tuple1(1L), Tuple1(2L)).toDF("k"),
+      Seq(Tuple1(2L), Tuple1(3L)).toDF("k"), Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got3 == Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
+    intercept[IllegalArgumentException](
+      Store.tableDiff(l, r.drop("v"), Seq("k")))
+  }
+
+  test("kAnonymity flags only sub-k groups; loud rejects") {
+    import graft.quality.QualitySuite
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 2), ("c", 3))
+      .toDF("seg", "nat")
+    val got = QualitySuite.kAnonymity(df, Seq("seg", "nat"), k = 3L)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("b", 2, 2L), ("c", 3, 1L)))
+    intercept[IllegalArgumentException](
+      QualitySuite.kAnonymity(df, Seq.empty, 3L))
+    intercept[IllegalArgumentException](
+      QualitySuite.kAnonymity(df, Seq("seg"), 1L))
+  }
+
   test("analyze works on reserved-word and db-qualified table names") {
     Store.ensureDatabase(spark, "graft_test")
     Store.overwrite(spark.range(10).selectExpr("id AS k"), "`select`")
