@@ -4438,6 +4438,124 @@ object Battery {
       SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys
       FROM d GROUP BY 1 ORDER BY status"""))
 
+  /** The record-linkage fixture shared by q139/q140 (Spark side): a
+    * corrupted twin of every customer (key+1e6; name perturbed on
+    * every 5th key, balance negated on every 3rd, segment kept),
+    * blocked into candidate pairs on nationkey, labeled by key
+    * correspondence. ~90k labeled pairs at sf0.01. */
+  private def fsPairs(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val dup = cust.select(
+      (col("c_custkey") + 1000000L).as("c_custkey"),
+      when(col("c_custkey") % 5 === 0, concat(col("c_name"), lit("~x")))
+        .otherwise(col("c_name")).as("c_name"),
+      col("c_nationkey"),
+      when(col("c_custkey") % 3 === 0, -col("c_acctbal"))
+        .otherwise(col("c_acctbal")).as("c_acctbal"),
+      col("c_mktsegment"))
+    cust.as("a").join(dup.as("b"), col("a.c_nationkey") === col("b.c_nationkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        col("a.c_name").as("name_a"), col("b.c_name").as("name_b"),
+        col("a.c_acctbal").as("bal_a"), col("b.c_acctbal").as("bal_b"),
+        col("a.c_mktsegment").as("seg_a"), col("b.c_mktsegment").as("seg_b"))
+      .withColumn("is_match", col("id_b") === col("id_a") + 1000000L)
+  }
+
+  private val fsFields: Seq[graft.operators.Linkage.FieldPair] = Seq(
+    ("acctbal", "bal_a", "bal_b"),
+    ("name", "name_a", "name_b"),
+    ("segment", "seg_a", "seg_b"))
+
+  /** The SQL twin of [[fsPairs]] + per-field agreement counts. */
+  private val fsPairsSql =
+    """dup AS (SELECT c_custkey + 1000000 AS c_custkey,
+        CASE WHEN c_custkey % 5 = 0 THEN c_name || '~x' ELSE c_name END AS c_name,
+        c_nationkey,
+        CASE WHEN c_custkey % 3 = 0 THEN -c_acctbal ELSE c_acctbal END AS c_acctbal,
+        c_mktsegment
+      FROM customer),
+      prs AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        a.c_name AS name_a, b.c_name AS name_b,
+        a.c_acctbal AS bal_a, b.c_acctbal AS bal_b,
+        a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+        b.c_custkey = a.c_custkey + 1000000 AS is_match
+      FROM customer a JOIN dup b ON a.c_nationkey = b.c_nationkey),
+      fc AS (SELECT field,
+        SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_m,
+        SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS n_u,
+        SUM(CASE WHEN is_match AND ag THEN 1 ELSE 0 END) AS a_m,
+        SUM(CASE WHEN NOT is_match AND ag THEN 1 ELSE 0 END) AS a_u
+      FROM (
+        SELECT 'name' AS field, is_match, name_a IS NOT DISTINCT FROM name_b AS ag FROM prs
+        UNION ALL
+        SELECT 'acctbal', is_match, bal_a IS NOT DISTINCT FROM bal_b FROM prs
+        UNION ALL
+        SELECT 'segment', is_match, seg_a IS NOT DISTINCT FROM seg_b FROM prs)
+      GROUP BY field)"""
+
+  /** The SQL twin of the weight computation (add-one m/u, signed
+    * floor-log2 bits). */
+  private val fsWeightsSql =
+    s"""wn AS (SELECT field,
+        CAST((a_m + 1) * (n_u + 2) AS BIGINT) AS na_n,
+        CAST((n_m + 2) * (a_u + 1) AS BIGINT) AS na_d,
+        CAST((n_m - a_m + 1) * (n_u + 2) AS BIGINT) AS nd_n,
+        CAST((n_m + 2) * (n_u - a_u + 1) AS BIGINT) AS nd_d
+      FROM fc),
+      wts AS (SELECT field,
+        CASE WHEN na_n >= na_d THEN ${fl2rSql("na_n", "na_d")}
+             ELSE -${fl2rSql("na_d", "na_n")} END AS w_agree_bits,
+        CASE WHEN nd_n >= nd_d THEN ${fl2rSql("nd_n", "nd_d")}
+             ELSE -${fl2rSql("nd_d", "nd_n")} END AS w_disagree_bits
+      FROM wn)"""
+
+  /** Fellegi–Sunter weight TRAINING ([[graft.operators.Linkage]],
+    * JASA 1969 — the Splink/Census model, supervised counting form):
+    * per-field log-likelihood-ratio weights in exact signed integer
+    * bits from add-one-smoothed m/u counts over ~90k labeled blocked
+    * pairs. The oracle replays corruption, blocking, counts, and the
+    * signed quantization. */
+  val q139 = Q("q139_fs_weights",
+    (s, dir) => graft.operators.Linkage.fsWeights(
+        fsPairs(s, dir), "is_match", fsFields)
+      .orderBy("field"),
+    Some(s"""WITH $fsPairsSql,
+      $fsWeightsSql
+      SELECT field, CAST(w_agree_bits AS BIGINT) AS w_agree_bits,
+        CAST(w_disagree_bits AS BIGINT) AS w_disagree_bits
+      FROM wts ORDER BY field"""))
+
+  /** End-to-end linkage ([[graft.operators.Linkage.linkFs]]): train on
+    * the labeled pairs, score every pair as Σ field weights, decide at
+    * ≥ 10 bits — the confusion matrix (predicted × truth) is the
+    * output, so a drift in ANY weight, the score sum, or the
+    * threshold rule hash-mismatches. */
+  val q140 = Q("q140_fs_linkage",
+    (s, dir) => graft.operators.Linkage.linkFs(
+        fsPairs(s, dir), "is_match", fsFields, minScoreBits = 10L)
+      .groupBy("predicted", "is_match")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("predicted", "is_match"),
+    Some(s"""WITH $fsPairsSql,
+      $fsWeightsSql,
+      w AS (SELECT
+        MAX(CASE WHEN field = 'name' THEN w_agree_bits END) AS name_wa,
+        MAX(CASE WHEN field = 'name' THEN w_disagree_bits END) AS name_wd,
+        MAX(CASE WHEN field = 'acctbal' THEN w_agree_bits END) AS bal_wa,
+        MAX(CASE WHEN field = 'acctbal' THEN w_disagree_bits END) AS bal_wd,
+        MAX(CASE WHEN field = 'segment' THEN w_agree_bits END) AS seg_wa,
+        MAX(CASE WHEN field = 'segment' THEN w_disagree_bits END) AS seg_wd
+      FROM wts),
+      sc AS (SELECT is_match,
+        (CASE WHEN name_a IS NOT DISTINCT FROM name_b THEN name_wa ELSE name_wd END
+         + CASE WHEN bal_a IS NOT DISTINCT FROM bal_b THEN bal_wa ELSE bal_wd END
+         + CASE WHEN seg_a IS NOT DISTINCT FROM seg_b THEN seg_wa ELSE seg_wd END)
+          AS score
+      FROM prs CROSS JOIN w)
+      SELECT score >= 10 AS predicted, is_match,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM sc GROUP BY 1, 2 ORDER BY predicted, is_match"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4448,5 +4566,5 @@ object Battery {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140)
 }
