@@ -72,19 +72,6 @@ object ScaleBench {
         graft.similarity.Similarity.semDedup(
           emb, "vec_id", "embedding", k, iters = 2, theta = 0.99)
       }),
-      // IVFADC-R at PRODUCTION sizing — the battery q112 pins 10
-      // generator labels and a literal codebook for oracle stability;
-      // here the index is sized by the operator's documented rules:
-      // lists ∝ √n (per-list size also ∝ √n, so the probed fraction
-      // nprobe/lists SHRINKS as the corpus grows), residual PQ
-      // codebook trained on a FIXED-size deterministic sample (the
-      // training cost must not grow with the corpus). Build and read
-      // paths are measured separately because they scale differently:
-      // the build (coarse Lloyd + residuals + encode) is the
-      // ~linear-in-n write path; the query against the STORED index
-      // (first pass materializes it to parquet under the scale dir,
-      // timed passes only read) should scale as the probed-member
-      // count, O(n/√n · nprobe) = O(√n) — the whole point of IVF.
       // triangle counting at scale runs on the graph the engine
       // actually mints at scale — the near-dup candidate graph (the
       // battery q134 co-order graph needs the lineitem table the
@@ -110,6 +97,32 @@ object ScaleBench {
             bands = 8, rowsPerBand = 4),
           "id_a", "id_b", k = 3)
       }),
+      // keyed snapshot diff at scale: the scale-dir orders table
+      // (150k→15M rows) against its q138-style deterministic mutation
+      // — the full-outer join + column-wise compare is the whole cost
+      "x138_table_diff" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val key = o.columns.head
+        val right = o.filter(col(key) % 97 =!= 0)
+          .unionByName(o.filter(col(key) % 113 === 0)
+            .withColumn(key, -col(key)))
+        graft.store.Store.tableDiff(o, right, Seq(key))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+      }),
+      // IVFADC-R at PRODUCTION sizing — the battery q112 pins 10
+      // generator labels and a literal codebook for oracle stability;
+      // here the index is sized by the operator's documented rules:
+      // lists ∝ √n (per-list size also ∝ √n, so the probed fraction
+      // nprobe/lists SHRINKS as the corpus grows), residual PQ
+      // codebook trained on a FIXED-size deterministic sample (the
+      // training cost must not grow with the corpus). Build and read
+      // paths are measured separately because they scale differently:
+      // the build (coarse Lloyd + residuals + encode) is the
+      // ~linear-in-n write path; the query against the STORED index
+      // (first pass materializes it to parquet under the scale dir,
+      // timed passes only read) should scale as the probed-member
+      // count, O(n/√n · nprobe) = O(√n) — the whole point of IVF.
       "x112_ivfpq_build" -> ((s: SparkSession, dir: String) =>
         buildIvfPqFrames(s, dir)._1),
       "x113_ivfpq_query_stored" -> ((s: SparkSession, dir: String) => {
