@@ -43,6 +43,29 @@ object QualitySuite {
       .filter(col("group_size") < k)
   }
 
+  /** Corpus-overlap estimate WITHOUT a join: `|A∩B| ≈ |A| + |B| −
+    * |A∪B|` by inclusion–exclusion over mergeable HLL sketches — the
+    * "how much of corpus B is already in corpus A" audit at two scans
+    * and a constant-size union, where the exact answer is a corpus ⋈
+    * corpus semi-join. Returns one row `(est_a, est_b, est_union,
+    * est_intersection)`; est_intersection is clamped at 0 (the
+    * subtraction can go slightly negative on disjoint sets —
+    * estimator noise, not signal). Relative error follows HLL
+    * (~1–2 % at default lgK), amplified for SMALL intersections of
+    * large sets — use the exact semi-join when the answer drives a
+    * per-row decision rather than a monitoring dashboard. */
+  def overlapEstimate(a: DataFrame, b: DataFrame, colName: String): DataFrame = {
+    val sa = a.agg(hll_sketch_agg(col(colName)).as("sk"))
+    val sb = b.agg(hll_sketch_agg(col(colName)).as("sk"))
+    sa.select(col("sk").as("ska")).crossJoin(sb.select(col("sk").as("skb")))
+      .select(
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_union"))
+      .withColumn("est_intersection",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+  }
+
   /** Bounds re-validation: all values in [lo,hi] or NULL
     * (quality_report.md:561-572). One pass over the table for all
     * columns (single aggregate, not one job per column). */

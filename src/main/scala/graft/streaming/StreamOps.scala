@@ -401,6 +401,30 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming record-linkage screen: arriving records are blocked
+    * against a STATIC reference table (stream-static equi-join on the
+    * blocking key — stateless, like [[nearDupScreen]]), each candidate
+    * pair scored by the trained Fellegi–Sunter weights (a narrow
+    * literal sum — [[graft.operators.Linkage.scoreFs]]), and pairs at
+    * ≥ `minScoreBits` emitted as (batch id, reference id, score).
+    * Batch and stream verdicts are identical by construction: the
+    * per-pair decision has no cross-pair state. Weights are frozen at
+    * query construction (retrain offline → restart, as with the
+    * perplexity screen's model). `fields` name columns AFTER the
+    * join, so disambiguate by selecting/aliasing in `batchCols` /
+    * `refCols` before calling. */
+  def linkageScreen(
+      records: DataFrame, refTable: DataFrame, blockKey: String,
+      idCol: String, refIdCol: String,
+      fields: Seq[graft.operators.Linkage.FieldPair],
+      weights: Map[String, (Long, Long)],
+      minScoreBits: Long): DataFrame =
+    graft.operators.Linkage.scoreFs(
+        records.join(refTable, Seq(blockKey)), fields, weights)
+      .filter(col("score_bits") >= lit(minScoreBits))
+      .select(col(idCol).as("batch_id"), col(refIdCol).as("ref_id"),
+        col("score_bits"))
+
   /** Stream-stream inner join with an event-time interval condition:
     * each left row matches right rows with the same key whose time lies
     * in [leftTime − lookback, leftTime]. Both watermarks plus the

@@ -549,6 +549,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
   }
 
+  test("q134 triangles: orientation/wedge/close are all equi-joins, no product") {
+    val df = Battery.q134.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle chain degenerated to a product:\n$p")
+  }
+
+  test("q140 linkage: blocking join is an equi-join; scoring is join-free (literal weights)") {
+    val df = Battery.q140.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking degenerated to a product:\n$p")
+    // exactly the ONE blocking join feeds scoring — the weights ride
+    // as literals, so no second join may appear in the scored plan
+    assert("Join".r.findAllIn(p).size <= 2, // blocking join (+ AQE echo)
+      s"scoring path grew an unexpected join:\n$p")
+  }
+
   test("q127 DSIR: B-row histograms broadcast, resample cut is a bounded TakeOrdered") {
     val df = Battery.q127.run(spark, dir)
     df.collect()

@@ -96,6 +96,20 @@ class SketchSpec extends SparkTestBase {
     assert(merged == global)
   }
 
+  test("overlapEstimate: inclusion-exclusion tracks the exact overlap; disjoint clamps at 0") {
+    import graft.quality.QualitySuite
+    val a = spark.range(0, 10000).toDF("v")
+    val b = spark.range(6000, 16000).toDF("v") // true overlap 4000
+    val r = QualitySuite.overlapEstimate(a, b, "v")
+      .as[(Long, Long, Long, Long)].head()
+    assert(math.abs(r._4 - 4000L) < 600, s"intersection estimate ${r._4}")
+    assert(math.abs(r._3 - 16000L) < 800, s"union estimate ${r._3}")
+    val disjoint = QualitySuite.overlapEstimate(
+      spark.range(0, 5000).toDF("v"), spark.range(100000, 105000).toDF("v"), "v")
+      .as[(Long, Long, Long, Long)].head()
+    assert(disjoint._4 >= 0L && disjoint._4 < 300, s"disjoint est ${disjoint._4}")
+  }
+
   test("cms: SQL surface and loud rejects") {
     GraftExtensions.register(spark)
     val n = spark.sql(

@@ -483,6 +483,33 @@ class StreamOpsSpec extends SparkTestBase {
       offline.bigrams.as[(String, String, Long)].collect().toSet)
   }
 
+  test("linkageScreen: stateless stream probe of the reference ≡ batch linkage verdicts") {
+    import graft.operators.Linkage
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((100L, 1, "ann", "x"), (200L, 1, "bob", "y"), (300L, 2, "cat", "z"))
+      .toDF("ref_id", "blk", "ref_name", "ref_seg")
+    val fields = Seq(("name", "name", "ref_name"), ("seg", "seg", "ref_seg"))
+    val w = Map("name" -> (8L, -4L), "seg" -> (2L, -2L))
+    val batchRows = Seq((1L, 1, "ann", "x"), (2L, 1, "ann", "q"), (3L, 2, "dog", "z"))
+    val batchGot = Linkage.scoreFs(
+        batchRows.toDF("rec_id", "blk", "name", "seg").join(ref, Seq("blk")),
+        fields, w)
+      .filter(col("score_bits") >= 6L)
+      .select("rec_id", "ref_id", "score_bits")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batchGot == Set((1L, 100L, 10L), (2L, 100L, 6L)), s"$batchGot")
+    val input = MemoryStream[(Long, Int, String, String)]
+    val screened = StreamOps.linkageScreen(
+      input.toDF().toDF("rec_id", "blk", "name", "seg"), ref, "blk",
+      "rec_id", "ref_id", fields, w, minScoreBits = 6L)
+    val q = screened.writeStream.format("memory").queryName("t_linkscreen")
+      .outputMode("append").start()
+    input.addData(batchRows: _*); q.processAllAvailable(); q.stop()
+    val streamGot = spark.table("t_linkscreen")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamGot == batchGot, s"stream=$streamGot batch=$batchGot")
+  }
+
   test("idempotentParquetSink: a replayed batch does not duplicate rows") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
