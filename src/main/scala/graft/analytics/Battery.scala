@@ -4556,6 +4556,29 @@ object Battery {
         CAST(COUNT(*) AS BIGINT) AS n_pairs
       FROM sc GROUP BY 1, 2 ORDER BY predicted, is_match"""))
 
+  /** Exact-integer weighted systematic sampling
+    * ([[graft.text.Curation.systematicWeightedSample]]): ~500 orders
+    * drawn ∝ integer cents of o_totalprice by the PPS threshold walk
+    * (heavy orders can repeat; Σ n_copies = 500 exactly). The engine
+    * computes the global cumsum as the two-level bucket scan; the
+    * oracle as one window cumsum — identical integers, so the
+    * bucketing seam is proven invisible. */
+  val q141 = Q("q141_weighted_sample",
+    (s, dir) => graft.text.Curation.systematicWeightedSample(
+        "o_orderkey", "wt", n = 500L)(
+        t(s, dir, "orders").select(col("o_orderkey"), cents(col("o_totalprice")).as("wt")))
+      .select(col("o_orderkey"), col("n_copies"))
+      .orderBy("o_orderkey"),
+    Some(s"""WITH w AS (SELECT o_orderkey AS id,
+        ${centsSql("o_totalprice")} AS wt FROM orders),
+      c AS (SELECT id, wt, SUM(wt) OVER (ORDER BY id) AS cum FROM w),
+      t AS (SELECT SUM(wt) AS tot FROM w)
+      SELECT id AS o_orderkey,
+        CAST((cum * 500) // tot - ((cum - wt) * 500) // tot AS BIGINT) AS n_copies
+      FROM c CROSS JOIN t
+      WHERE (cum * 500) // tot - ((cum - wt) * 500) // tot > 0
+      ORDER BY o_orderkey"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4566,5 +4589,5 @@ object Battery {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
 }

@@ -169,6 +169,63 @@ object Curation {
     if (rankCol.isDefined) ranked else ranked.drop(rc)
   }
 
+  /** Weighted systematic sampling, EXACT-INTEGER form: select ~`n`
+    * units with probability proportional to an integer weight (sample
+    * documents ∝ token count for a token-budget mixture, orders ∝
+    * value, …) by walking `n` equally-spaced thresholds down the
+    * cumulative weight axis — the classic PPS-systematic design, made
+    * deterministic and engine-replayable: a unit whose cumulative
+    * interval `(C−w, C]` contains `k` thresholds is emitted with
+    * `n_copies = ⌊C·n/W⌋ − ⌊(C−w)·n/W⌋` (heavy units CAN repeat —
+    * that is PPS semantics, not a bug; Σ n_copies = n exactly).
+    *
+    * Distribution shape: the global cumulative sum is the textbook
+    * two-level scan — deterministic id-range buckets, per-bucket
+    * totals rolled into broadcast offsets (bucket-count-bounded
+    * driver handoff), then an INTRA-bucket window cumsum — so no
+    * single-partition global window exists anywhere. Requires unique
+    * ids (the walk order), nonnegative weights, and `W·n < 2⁶³`
+    * (loud require — cross-multiplication stays in BIGINT). */
+  def systematicWeightedSample(
+      idCol: String, weightCol: String, n: Long, buckets: Int = 64)(
+      df: DataFrame): DataFrame = {
+    require(n >= 1, s"systematicWeightedSample: n must be >= 1, got $n")
+    require(buckets >= 1, s"systematicWeightedSample: buckets must be >= 1, got $buckets")
+    val bounds = df.agg(
+      min(col(idCol)).cast("long"), max(col(idCol)).cast("long"),
+      coalesce(sum(col(weightCol)), lit(0L)).cast("long"),
+      coalesce(sum(when(col(weightCol) < 0, 1L).otherwise(0L)), lit(0L)),
+      count(lit(1)), countDistinct(col(idCol))).head()
+    val (lo, hi, total) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    require(bounds.getLong(3) == 0L, "systematicWeightedSample: negative weights")
+    require(bounds.getLong(4) == bounds.getLong(5),
+      "systematicWeightedSample: ids must be unique (they define the walk order)")
+    require(total >= 1, "systematicWeightedSample: total weight is zero")
+    require(total <= Long.MaxValue / n,
+      s"systematicWeightedSample: W·n overflows BIGINT (W=$total, n=$n)")
+    val width = math.max(1L, (hi - lo) / buckets + 1L)
+    val withB = df.withColumn("__b", expr(
+      s"CAST((CAST(`$idCol` AS BIGINT) - ${lo}L) div ${width}L AS INT)"))
+    val offsets = withB.groupBy("__b")
+      .agg(sum(col(weightCol)).cast("long").as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (b, s)) => (b, acc + s) }
+      .toList.sliding(2).collect { case List((_, off), (b, _)) => b -> off }.toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+      when(col("__b") === b, lit(off)).otherwise(acc)
+    }
+    val cum = sum(col(weightCol)).over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col(idCol))).cast("long") + offCol
+    withB.withColumn("__c", cum)
+      // `div`, not `/`: Spark's slash is DOUBLE division even on
+      // BIGINTs, and the threshold walk must be exact integer floor
+      .withColumn("n_copies", expr(
+        s"((__c * ${n}L) div ${total}L) - " +
+          s"(((__c - `$weightCol`) * ${n}L) div ${total}L)"))
+      .filter(col("n_copies") > 0)
+      .drop("__b", "__c")
+  }
+
   /** Training-mixture sampling: per-source deterministic Bernoulli
     * rates (md5-bucket < rate·outOf) — the "data mixing" step that
     * up-/down-weights sources when assembling a training corpus.

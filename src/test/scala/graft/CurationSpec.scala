@@ -405,4 +405,37 @@ class CurationSpec extends SparkTestBase {
     val all = Curation.capPerGroup("source", "doc_id", 100000)(docs).count()
     assert(all == docs.count())
   }
+
+  test("systematicWeightedSample: exact threshold walk, bucket-seam invariance, loud rejects") {
+    import org.apache.spark.sql.functions._
+    // weights [1,1,2], n=4, W=4: cum [1,2,4] -> copies [1,1,2]
+    val tiny = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("id", "w")
+    val got = Curation.systematicWeightedSample("id", "w", n = 4L)(tiny)
+      .select("id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 2L)))
+    // zero-weight units are never drawn; a dominant unit repeats
+    val skew = Seq((1L, 0L), (2L, 10L), (3L, 1L)).toDF("id", "w")
+    val g2 = Curation.systematicWeightedSample("id", "w", n = 5L)(skew)
+      .select("id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(!g2.contains(1L) && g2(2L) >= 4L && g2.values.sum == 5L, s"$g2")
+    // sum-of-copies == n and bucket-count invariance on a random frame
+    val rnd = new scala.util.Random(3)
+    val big = (1L to 500L).map(i => (i * 7 % 1000, 1L + rnd.nextInt(50).toLong))
+      .distinct.toDF("id", "w")
+    val a = Curation.systematicWeightedSample("id", "w", 37L, buckets = 1)(big)
+      .select("id", "n_copies").as[(Long, Long)].collect().toSet
+    val b = Curation.systematicWeightedSample("id", "w", 37L, buckets = 7)(big)
+      .select("id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(a == b, "bucket seam changed the sample")
+    assert(a.toSeq.map(_._2).sum == 37L)
+    intercept[IllegalArgumentException](
+      Curation.systematicWeightedSample("id", "w", 2L)(
+        Seq((1L, 1L), (1L, 1L)).toDF("id", "w"))) // duplicate ids
+    intercept[IllegalArgumentException](
+      Curation.systematicWeightedSample("id", "w", 2L)(
+        Seq((1L, -1L), (2L, 3L)).toDF("id", "w"))) // negative weight
+    intercept[IllegalArgumentException](
+      Curation.systematicWeightedSample("id", "w", Long.MaxValue / 2)(
+        Seq((1L, 5L)).toDF("id", "w"))) // W*n overflow
+  }
 }
