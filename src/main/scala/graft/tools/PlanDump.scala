@@ -71,7 +71,21 @@ object PlanDump {
     "q112_ivfpq_residual_topk" ->
       "Residual IVFADC read path: routing and LUT products are broadcast builders over list-count/m·ksub-row sides; the corpus-sized CODES table is filtered to probed lists by a BroadcastHashJoin BEFORE any per-subspace explode or scoring (pruning × compression — nprobe/|lists| of the rows at m·8/dims·8 of the bytes); the coarse ⟨q,mvec⟩ term rides the same broadcast, and the final per-(qid,id) sum + k-bounded TopKBy keep every exchange ≤ k·|queries| rows. PlanSpec pins the broadcast prune.",
     "q114_repeated_spans" ->
-      "Sliding-window substring dedup, discovery phase: positional n-grams shuffle ONCE on the 16-byte md5 gram key into a partial count+min(struct) aggregate; occurrences rejoin the ≥2-count stats on the same key as a plain equi-join (corpus-sized both sides — nothing broadcast, never a cross product; AQE may broadcast at toy SF); the span merge windows over FLAGGED rows only. PlanSpec pins the equi-join + partial-agg shape.")
+      "Sliding-window substring dedup, discovery phase: positional n-grams shuffle ONCE on the 16-byte md5 gram key into a partial count+min(struct) aggregate; occurrences rejoin the ≥2-count stats on the same key as a plain equi-join (corpus-sized both sides — nothing broadcast, never a cross product; AQE may broadcast at toy SF); the span merge windows over FLAGGED rows only. PlanSpec pins the equi-join + partial-agg shape.",
+    "q125_lm_surprisal" ->
+      "LM perplexity scoring: transition extraction is fully narrow (slice/zip in-row); the vocab-sized bigram and history model tables build once and BROADCAST to every lookup (never sort-merge against the corpus — PlanSpec pins it), so the 100 TB side pays only its per-doc aggregate; the filter decision is an integer cross-multiplication, no division node anywhere.",
+    "q128_cms_cells" ->
+      "Count-Min sketch build: ONE partial/final TypedImperativeAggregate pair — each mapper's d×w long matrix is the only thing crossing the exchange (the token stream never does); posexplode of the single result row is driver-scale.",
+    "q131_phrase_search" ->
+      "Phrase search: each phrase term's posting list is a filtered narrow pass (against the STORED index: a pushed EqualTo(term) scan over term-sorted buckets — SearchSpec pins it), chained by (id, pos) equi-joins; cost follows the PHRASE terms' posting sizes, never the corpus. No window functions, no per-doc rescan.",
+    "q134_triangle_count" ->
+      "Triangle counting: degree-oriented node-iterator — canonicalize, one degree aggregate, orient, wedge SELF-join on the source (out-degrees bounded O(√m) by orientation — the hub skew cap), close with an (y, z) equi-join; every stage an equi-join or partial aggregate, no product anywhere (PlanSpec pins it).",
+    "q136_kcore" ->
+      "k-core peeling: per round one degree aggregate + two LEFT SEMI joins over the monotonically shrinking live edge set, localCheckpoint barriers so round plans never stack; round count = the graph's cascade depth (5 here), not a data-sized loop.",
+    "q140_fs_linkage" ->
+      "Fellegi–Sunter linkage: candidate pairs from the blocking EQUI-join (never all-pairs); training is ONE aggregate producing a fields-sized count table; scoring rides the pairs as a narrow literal-weight sum — no second join in the scored plan (PlanSpec pins ≤ the blocking join).",
+    "q141_weighted_sample" ->
+      "Weighted PPS sampling: the global cumulative sum is a TWO-LEVEL scan — per-bucket totals (one small aggregate, offsets broadcast as a literal CASE) + an INTRA-bucket window — so no single-partition global window exists; the threshold walk is exact BIGINT div arithmetic in-row.")
 
   /** The q87 PageRank ITERATION body, shown separately: the real loop
     * localCheckpoints rank state each pass, so the battery query's
