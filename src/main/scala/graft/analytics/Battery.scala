@@ -4579,6 +4579,92 @@ object Battery {
       WHERE (cum * 500) // tot - ((cum - wt) * 500) // tot > 0
       ORDER BY o_orderkey"""))
 
+  /** MODEL-BASED curation funnel capstone — the learned twin of q54's
+    * heuristic funnel, composing the session's quality models as ONE
+    * oracle-checked pipeline: perplexity cut (bigram LM trained on
+    * the EN slice, ≤ 4.4 bits/transition — 500 → 308 docs) → token-
+    * entropy floor (≥ 3.8 bits/token, the repetition gate — cuts near
+    * the survivor median) → DSIR top-100 resample toward the EN
+    * target. A drift in ANY stage's model, threshold rule, or
+    * survivor set reshapes the final ranking and hash-mismatches. */
+  val q142 = Q("q142_model_funnel",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.text.LmQuality.trainBigramLm("doc_id", "text")(
+        docs.filter(col("lang") === "en"))
+      val kept1 = graft.text.LmQuality.perplexityFilter(
+          "doc_id", "text", lm, maxMilliBitsPerTransition = 4400L)(docs)
+        .select(docs.columns.map(col): _*)
+      val entOk = graft.text.LmQuality.tokenEntropyBits("doc_id", "text")(kept1)
+        .filter(col("entropy_bits") * 10 >= lit(38L) * col("n_tokens"))
+        .select("doc_id")
+      val kept2 = kept1.join(entOk, Seq("doc_id"), "left_semi")
+      graft.text.LmQuality.dsirResample("doc_id", "text",
+          target = docs.filter(col("lang") === "en"), k = 100, buckets = 512)(kept2)
+        .select(col("doc_id"), col("n_feats"), col("weight_bits"))
+        .orderBy(col("weight_bits").desc, col("doc_id"))
+    },
+    Some(s"""WITH $lmToksCte,
+      entk AS (SELECT * FROM lmtk WHERE lang = 'en'),
+      ${lmTransSql("entk", "trtr")},
+      big AS (SELECT prev, w, COUNT(*) AS n_pair FROM trtr GROUP BY 1, 2),
+      hist AS (SELECT prev, SUM(n_pair) AS n_hist FROM big GROUP BY 1),
+      vq AS (SELECT COUNT(DISTINCT tok) + 1 AS v
+             FROM (SELECT unnest(tk) AS tok FROM entk)),
+      ${lmTransSql("lmtk", "sctr")},
+      pterms AS (SELECT s.doc_id,
+          CAST(COALESCE(h.n_hist, 0) + v AS BIGINT) AS nm,
+          CAST(COALESCE(b.n_pair, 0) + 1 AS BIGINT) AS dn
+        FROM sctr s
+        LEFT JOIN big b ON b.prev = s.prev AND b.w = s.w
+        LEFT JOIN hist h ON h.prev = s.prev
+        CROSS JOIN vq),
+      pbits AS (SELECT doc_id, ${fl2rSql("nm", "dn")} AS b FROM pterms),
+      pagg AS (SELECT doc_id, COUNT(*) AS n_trans, SUM(b) AS total_bits
+        FROM pbits GROUP BY 1),
+      k1 AS (SELECT d.doc_id FROM documents d LEFT JOIN pagg USING (doc_id)
+        WHERE COALESCE(total_bits, 0) * 1000 <= 4400 * COALESCE(n_trans, 0)),
+      k1tk AS (SELECT * FROM lmtk WHERE doc_id IN (SELECT doc_id FROM k1)),
+      ct AS (SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(tk) AS w FROM k1tk) GROUP BY 1, 2),
+      wn AS (SELECT doc_id, c,
+          CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM ct),
+      eb AS (SELECT doc_id, MAX(n) AS n_tokens,
+          SUM(c * ${fl2rSql("n", "c")}) AS entropy_bits
+        FROM wn GROUP BY 1),
+      k2 AS (SELECT k1.doc_id FROM k1 LEFT JOIN eb USING (doc_id)
+        WHERE COALESCE(entropy_bits, 0) * 10 >= 38 * COALESCE(n_tokens, 0)),
+      k2tk AS (SELECT * FROM lmtk WHERE doc_id IN (SELECT doc_id FROM k2)),
+      ${lmTransSql("k2tk", "rawtr")},
+      feats AS (SELECT doc_id,
+          ('0x' || substr(md5(prev || ' ' || w), 1, 15))::BIGINT % 512 AS f
+        FROM rawtr),
+      ${lmTransSql("entk", "tgttr")},
+      tfeats AS (SELECT doc_id,
+          ('0x' || substr(md5(prev || ' ' || w), 1, 15))::BIGINT % 512 AS f
+        FROM tgttr),
+      rc AS (SELECT f, COUNT(*) AS c_raw FROM feats GROUP BY 1),
+      tc AS (SELECT f, COUNT(*) AS c_tgt FROM tfeats GROUP BY 1),
+      tots AS (SELECT (SELECT COUNT(*) FROM feats) AS tot_r,
+          (SELECT COUNT(*) FROM tfeats) AS tot_t),
+      dterms AS (SELECT doc_id,
+          CAST(tot_r + 512 AS BIGINT) AS nm_r,
+          CAST(COALESCE(c_raw, 0) + 1 AS BIGINT) AS dn_r,
+          CAST(tot_t + 512 AS BIGINT) AS nm_t,
+          CAST(COALESCE(c_tgt, 0) + 1 AS BIGINT) AS dn_t
+        FROM feats LEFT JOIN rc USING (f) LEFT JOIN tc USING (f)
+        CROSS JOIN tots),
+      dbits AS (SELECT doc_id,
+          ${fl2rSql("nm_r", "dn_r")} - ${fl2rSql("nm_t", "dn_t")} AS b
+        FROM dterms),
+      dagg AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(b) AS weight_bits
+        FROM dbits GROUP BY 1)
+      SELECT k2.doc_id,
+        CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+        CAST(COALESCE(weight_bits, 0) AS BIGINT) AS weight_bits
+      FROM k2 LEFT JOIN dagg USING (doc_id)
+      ORDER BY weight_bits DESC, doc_id LIMIT 100"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4589,5 +4675,5 @@ object Battery {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
 }
