@@ -3429,9 +3429,9 @@ object Battery {
       .orderBy("doc_id", "span_start"),
     Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         FROM documents),
-      wins AS (SELECT doc_id, u.p AS pos,
-          md5(array_to_string(list_slice(tk, u.p + 1, u.p + 5), ' ')) AS h
-        FROM toks CROSS JOIN range(0, 2000) u(p) WHERE u.p <= len(tk) - 5),
+      wins AS (SELECT doc_id, p AS pos,
+          md5(array_to_string(list_slice(tk, p + 1, p + 5), ' ')) AS h
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 4)) AS p FROM toks)),
       occ AS (SELECT doc_id, pos,
           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
           COUNT(*) OVER (PARTITION BY h) AS cnt
@@ -3459,9 +3459,9 @@ object Battery {
       .orderBy("doc_id"),
     Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         FROM documents),
-      wins AS (SELECT doc_id, u.p AS pos,
-          md5(array_to_string(list_slice(tk, u.p + 1, u.p + 5), ' ')) AS h
-        FROM toks CROSS JOIN range(0, 2000) u(p) WHERE u.p <= len(tk) - 5),
+      wins AS (SELECT doc_id, p AS pos,
+          md5(array_to_string(list_slice(tk, p + 1, p + 5), ' ')) AS h
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 4)) AS p FROM toks)),
       occ AS (SELECT doc_id, pos,
           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
           COUNT(*) OVER (PARTITION BY h) AS cnt
@@ -3469,8 +3469,8 @@ object Battery {
       flagged AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
       cov AS (SELECT DISTINCT doc_id, pos + v.d AS tpos
         FROM flagged CROSS JOIN range(0, 5) v(d)),
-      tok2 AS (SELECT doc_id, u.p AS tpos, tk[CAST(u.p + 1 AS INT)] AS tok
-        FROM toks CROSS JOIN range(0, 2000) u(p) WHERE u.p < len(tk)),
+      tok2 AS (SELECT doc_id, p AS tpos, tk[CAST(p + 1 AS INT)] AS tok
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS p FROM toks)),
       kept AS (SELECT t.doc_id, t.tpos, t.tok
         FROM tok2 t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tpos = t.tpos
         WHERE c.doc_id IS NULL),
@@ -3942,7 +3942,7 @@ object Battery {
        FROM documents)"""
   private def lmTransSql(from: String, as_ : String): String =
     s"""$as_ AS (SELECT doc_id, tk[i] AS prev, tk[i+1] AS w
-       FROM $from CROSS JOIN range(1, 2000) r(i) WHERE i <= len(tk) - 1)"""
+       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM $from))"""
 
   /** Bigram-LM TRAINING ([[graft.text.LmQuality.trainBigramLm]],
     * CCNet arXiv:1911.00359): one corpus pass → vocab-sized
@@ -4182,8 +4182,8 @@ object Battery {
   /** DuckDB positional-postings CTE (mirrors
     * [[graft.text.Search.buildPostings]]: 0-based token offsets). */
   private val postingsCte =
-    """post AS (SELECT doc_id AS id, u.p AS pos, tk[u.p + 1] AS term
-       FROM lmtk CROSS JOIN range(0, 2000) u(p) WHERE u.p < len(tk))"""
+    """post AS (SELECT doc_id AS id, p AS pos, tk[p + 1] AS term
+       FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS p FROM lmtk))"""
 
   /** Inverted-index term statistics ([[graft.text.Search.termStats]]):
     * df + cf per term from the positional postings — the IDF side of
@@ -4215,7 +4215,7 @@ object Battery {
     },
     Some(s"""WITH $lmToksCte,
       grams AS (SELECT array_to_string(list_slice(tk, i + 1, i + 3), ' ') AS g
-        FROM lmtk CROSS JOIN range(0, 2000) r(i) WHERE i <= len(tk) - 3),
+        FROM (SELECT tk, unnest(range(0, len(tk) - 2)) AS i FROM lmtk)),
       top AS (SELECT string_split(g, ' ') AS ph FROM (
         SELECT g, COUNT(*) AS c FROM grams GROUP BY 1
         ORDER BY c DESC, g LIMIT 1)),
@@ -4434,7 +4434,8 @@ object Battery {
             OR (l.o_orderdate IS DISTINCT FROM r.o_orderdate)
             OR (l.o_orderpriority IS DISTINCT FROM r.o_orderpriority)
           THEN 'changed' ELSE 'unchanged' END AS status
-        FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+        FROM orders l FULL OUTER JOIN r
+          ON l.o_orderkey IS NOT DISTINCT FROM r.o_orderkey)
       SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys
       FROM d GROUP BY 1 ORDER BY status"""))
 

@@ -4,10 +4,10 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count-Min sketch (Cormode & Muthukrishnan 2005) as a mergeable
@@ -44,7 +44,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class CountMinSketch(
     child: Expression, depth: Int, width: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
+
+  // ImplicitCastInputTypes: the SQL surface gets the same to-string
+  // coercion the Column wrapper applies, so `cms_sketch(int_col, …)`
+  // is an analysis-time cast (or error), never a runtime
+  // ClassCastException from the UTF8String eval below.
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   require(depth >= 1 && depth <= 4,
     s"cms_sketch depth must be in [1, 4] (md5 yields four 32-bit slices), got $depth")

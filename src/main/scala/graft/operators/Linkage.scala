@@ -72,14 +72,27 @@ object Linkage {
     * `w_agree = bits(m/u)`, `w_disagree = bits((1−m)/(1−u))` with
     * add-one-smoothed `m = (a_m+1)/(n_m+2)`, `u = (a_u+1)/(n_u+2)`. */
   def fsWeights(pairs: DataFrame, labelCol: String,
-      fields: Seq[FieldPair]): DataFrame =
-    fsCounts(pairs, labelCol, fields).select(
+      fields: Seq[FieldPair]): DataFrame = {
+    // Loud overflow guard (the ~3·10⁹-pair envelope stated above):
+    // signedBits multiplies (a+1)·(n+2)-style count pairs in BIGINT,
+    // and non-ANSI Spark would WRAP past 2⁶³ — silently wrong weights.
+    // Counts are a fields-sized aggregate, so checking costs one tiny
+    // pass; localCheckpoint keeps the pairs scan from running twice.
+    val counts = fsCounts(pairs, labelCol, fields).localCheckpoint(false)
+    val overflow = counts.filter(
+        col("n_match") + 2L > lit(Long.MaxValue) / (col("n_unmatch") + 2L))
+      .select("field").collect().map(_.getString(0))
+    require(overflow.isEmpty,
+      s"fsWeights: labeled-pair counts overflow the BIGINT weight arithmetic " +
+        s"for fields ${overflow.mkString(",")} (bound: (n_match+2)·(n_unmatch+2) < 2^63)")
+    counts.select(
       col("field"),
       signedBits(col("a_match") + 1L, col("n_match") + 2L,
         col("a_unmatch") + 1L, col("n_unmatch") + 2L).as("w_agree_bits"),
       signedBits(col("n_match") - col("a_match") + 1L, col("n_match") + 2L,
         col("n_unmatch") - col("a_unmatch") + 1L, col("n_unmatch") + 2L)
         .as("w_disagree_bits"))
+  }
 
   /** Score pairs under trained weights (the bounded literal handoff —
     * one (w_agree, w_disagree) pair per field): adds

@@ -140,8 +140,15 @@ object Store {
     val changed = valCols
       .map(c => !(col(s"__lv.$c") <=> col(s"__rv.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    packed(left, "__lv").join(packed(right, "__rv"), keyCols.toSeq, "full_outer")
-      .select((keyCols.map(col) :+
+    // Null-safe (<=>) key equality — still an equi-join (Spark's
+    // EqualNullSafe extracts as a hash-join key), but a NULL key now
+    // matches its counterpart and diffs column-wise instead of being
+    // double-reported as added+removed.
+    val cond = keyCols.map(k => col(s"__l.$k") <=> col(s"__r.$k")).reduce(_ && _)
+    packed(left, "__lv").alias("__l")
+      .join(packed(right, "__rv").alias("__r"), cond, "full_outer")
+      .select((keyCols.map(k =>
+          when(col("__lv").isNotNull, col(s"__l.$k")).otherwise(col(s"__r.$k")).as(k)) :+
         when(col("__lv").isNull, "added")
           .when(col("__rv").isNull, "removed")
           .when(changed, "changed")

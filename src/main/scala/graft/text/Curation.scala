@@ -196,6 +196,9 @@ object Curation {
       coalesce(sum(col(weightCol)), lit(0L)).cast("long"),
       coalesce(sum(when(col(weightCol) < 0, 1L).otherwise(0L)), lit(0L)),
       count(lit(1)), countDistinct(col(idCol))).head()
+    // count first: on an empty frame min/max are NULL and getLong
+    // would NPE before any friendly message could fire
+    require(bounds.getLong(4) > 0L, "systematicWeightedSample: input is empty")
     val (lo, hi, total) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
     require(bounds.getLong(3) == 0L, "systematicWeightedSample: negative weights")
     require(bounds.getLong(4) == bounds.getLong(5),

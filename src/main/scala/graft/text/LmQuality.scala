@@ -94,18 +94,22 @@ object LmQuality {
     BigramLm(bigrams.filter(col("c2") >= minCount), histories, vocab)
   }
 
-  /** Score every document's total surprisal under `lm`: per
+  /** The single-corpus-pass surprisal aggregate: `(id, n_trans,
+    * total_bits)` for every document with ≥ 1 transition — the shared
+    * core of [[surprisalBits]] and [[perplexityFilter]]. Per
     * transition, `bits = ⌊log2((c1 + V) / (c2 + 1))⌋` — the add-one
     * smoothed `−log2 p(w|prev)` in exact integer bits (unseen history
-    * ⇒ `⌊log2 V⌋`). Returns `(id, n_trans, total_bits)` for EVERY
-    * input document (too-short docs score 0 over 0 transitions — the
-    * caller's threshold policy decides them, not a silent drop).
+    * ⇒ `⌊log2 V⌋`).
     *
-    * Join shape: corpus transitions ⋈ vocab-sized model tables
-    * (broadcast under AQE at model ≪ corpus) → one groupBy(id). */
-  def surprisalBits(idCol: String, textCol: String, lm: BigramLm)(
-      docs: DataFrame): DataFrame = {
-    val scored = transitions(docs, idCol, textCol)
+    * Join shape: corpus transitions (an `(id, text)`-pruned scan,
+    * tokenized ONCE) ⋈ vocab-sized model tables (broadcast under AQE
+    * at model ≪ corpus) → one groupBy(id). Zero-transition docs are
+    * absent here by construction; both callers resurrect them with a
+    * left join + coalesce-to-zero, so neither pays a second id scan
+    * inside this frame. */
+  private def surprisalAgg(idCol: String, textCol: String, lm: BigramLm)(
+      docs: DataFrame): DataFrame =
+    transitions(docs, idCol, textCol)
       .join(lm.bigrams, Seq("prev", "w"), "left")
       .join(lm.histories, Seq("prev"), "left")
       .select(col(idCol), FloorLog2Ratio.of(
@@ -113,11 +117,19 @@ object LmQuality {
         coalesce(col("c2"), lit(0L)) + lit(1L)).cast(LongType).as("bits"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_trans"), sum("bits").as("total_bits"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+
+  /** Per-document surprisal scores: returns `(id, n_trans,
+    * total_bits)` for EVERY input document (too-short docs score 0
+    * over 0 transitions — the caller's threshold policy decides them,
+    * not a silent drop). The resurrect join reads only the pruned id
+    * column. */
+  def surprisalBits(idCol: String, textCol: String, lm: BigramLm)(
+      docs: DataFrame): DataFrame =
+    docs.select(col(idCol)).join(surprisalAgg(idCol, textCol, lm)(docs),
+        Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_trans"), lit(0L)).as("n_trans"),
         coalesce(col("total_bits"), lit(0L)).as("total_bits"))
-  }
 
   /** CCNet's filter decision: keep documents whose mean surprisal is
     * at most `maxMilliBitsPerTransition / 1000` bits/transition — as
@@ -127,10 +139,26 @@ object LmQuality {
     * is typically narrower than one whole bit). Zero-transition docs
     * pass trivially (0 ≤ 0) — perplexity carries no evidence about
     * them; compose with [[Curation.qualityFilter]]'s length floor to
-    * drop them. Adds `total_bits`/`n_trans` columns for audit. */
+    * drop them. Adds `total_bits`/`n_trans` columns for audit.
+    *
+    * Scan shape (single-scan contract, LmQualitySpec-pinned
+    * equivalent to the `docs ⋈ surprisalBits(docs)` formulation it
+    * replaced): the corpus text is tokenized and scored ONCE
+    * ([[surprisalAgg]]'s pruned `(id, text)` scan), then the full doc
+    * frame joins that narrow 3-column score frame LEFT with
+    * coalesce-to-zero — one join, no second tokenize, no separate
+    * id-only resurrect branch. The old form put `surprisalBits`
+    * (itself docs-id ⋈ scored) on the probe side of a second
+    * corpus-wide join, so the score path cost as much as LM training
+    * (BENCH_SCALE g100x: 11.3 s vs 10.0 s); this form pays one
+    * score-frame build + one attach join. */
   def perplexityFilter(idCol: String, textCol: String, lm: BigramLm,
       maxMilliBitsPerTransition: Long)(docs: DataFrame): DataFrame =
-    docs.join(surprisalBits(idCol, textCol, lm)(docs), Seq(idCol))
+    docs.join(surprisalAgg(idCol, textCol, lm)(docs), Seq(idCol), "left")
+      .select((col(idCol) +:
+        docs.columns.filter(_ != idCol).map(col) :+
+        coalesce(col("n_trans"), lit(0L)).as("n_trans") :+
+        coalesce(col("total_bits"), lit(0L)).as("total_bits")): _*)
       .filter(col("total_bits") * lit(1000L) <=
         lit(maxMilliBitsPerTransition) * col("n_trans"))
 

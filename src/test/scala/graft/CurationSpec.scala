@@ -437,5 +437,10 @@ class CurationSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Curation.systematicWeightedSample("id", "w", Long.MaxValue / 2)(
         Seq((1L, 5L)).toDF("id", "w"))) // W*n overflow
+    // empty input: a NAMED require, not an opaque NPE off the null min/max
+    val emptyErr = intercept[IllegalArgumentException](
+      Curation.systematicWeightedSample("id", "w", 2L)(
+        Seq.empty[(Long, Long)].toDF("id", "w")))
+    assert(emptyErr.getMessage.contains("input is empty"))
   }
 }

@@ -113,6 +113,27 @@ class LmQualitySpec extends SparkTestBase {
     assert(kept(2000L) == Set(10L, 11L, 13L))
   }
 
+  test("perplexityFilter: single-scan form ≡ the docs ⋈ surprisalBits formulation") {
+    // Parity pin for the round-12 rewrite: the old form joined the full
+    // doc frame against surprisalBits(docs) (which re-joined an id-only
+    // scan), doubling the corpus read; the new form attaches the
+    // surprisal aggregate with ONE left join. Rows, values, column
+    // names, AND column order must be identical.
+    val lm = LmQuality.trainBigramLm("doc_id", "text")(tinyTrain)
+    val docs = Seq(
+      (10L, "a b c", "en"), (11L, "a c", "fr"), (12L, "z z", "en"),
+      (13L, "a", "de"), (14L, "", "en")
+    ).toDF("doc_id", "text", "lang")
+    for (maxMilli <- Seq(0L, 500L, 1500L, 2000L)) {
+      val neu = LmQuality.perplexityFilter("doc_id", "text", lm, maxMilli)(docs)
+      val old = docs.join(LmQuality.surprisalBits("doc_id", "text", lm)(docs),
+          Seq("doc_id"))
+        .filter(col("total_bits") * lit(1000L) <= lit(maxMilli) * col("n_trans"))
+      assert(neu.columns.toSeq == old.columns.toSeq)
+      assert(neu.collect().toSet == old.collect().toSet)
+    }
+  }
+
   // ---------------------------------------------------- NB classifier
 
   test("nbScoreBits: hand-computed scores, prior, OOV, and the tie rule") {

@@ -116,6 +116,15 @@ class SketchSpec extends SparkTestBase {
       "SELECT size(cms_sketch(CAST(id AS STRING), 3, 16)) FROM range(10)")
       .as[Int].collect()(0)
     assert(n == 48)
+    // SQL-path input typing matches the Column API: a non-string item
+    // is implicitly CAST to string at analysis time (identical sketch
+    // to the explicit cast), never a runtime ClassCastException
+    val m = spark.sql("SELECT cms_sketch(id, 3, 16) FROM range(10)")
+      .as[Seq[Long]].collect()(0)
+    val mExplicit = spark.sql(
+      "SELECT cms_sketch(CAST(id AS STRING), 3, 16) FROM range(10)")
+      .as[Seq[Long]].collect()(0)
+    assert(m == mExplicit)
     intercept[IllegalArgumentException](
       graft.functions.CountMinSketch(null, 5, 16))
     intercept[IllegalArgumentException](

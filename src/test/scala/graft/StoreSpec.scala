@@ -232,6 +232,14 @@ class StoreSpec extends SparkTestBase {
     assert(got3 == Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
     intercept[IllegalArgumentException](
       Store.tableDiff(l, r.drop("v"), Seq("k")))
+    // NULL keys match their counterpart (null-safe key join) — a
+    // null-keyed row diffs column-wise instead of being reported as
+    // both added and removed
+    val got4 = Store.tableDiff(
+      Seq((None: Option[Long], "x"), (Some(1L), "a")).toDF("k", "s"),
+      Seq((None: Option[Long], "y"), (Some(1L), "a")).toDF("k", "s"), Seq("k"))
+      .as[(Option[Long], String)].collect().toMap
+    assert(got4 == Map((None: Option[Long]) -> "changed", Some(1L) -> "unchanged"))
   }
 
   test("kAnonymity flags only sub-k groups; loud rejects") {
