@@ -4666,6 +4666,150 @@ object Battery {
       FROM k2 LEFT JOIN dagg USING (doc_id)
       ORDER BY weight_bits DESC, doc_id LIMIT 100"""))
 
+  /** The unrolled-iteration EM oracle (q143): replays
+    * [[graft.operators.Linkage.fsEmParams]]'s exact fixed-point E/M
+    * steps in SQL — pattern counts, the HUGEINT posterior products,
+    * the single ⌊S·A/(A+B)⌋ posterior quantization, the floored
+    * M-step ratios, and the [1, S−1] clamp — for a FIXED `iters`,
+    * via one CTE pair (e_k, p_k) per iteration (the q81/q87
+    * unrolled-loop oracle pattern). */
+  private def emOracleSql(iters: Int): String = {
+    val S = "1000000"
+    val fieldsG = Seq("bal", "name", "seg") // pattern-agreement flags
+    def prodM(p: String) = fieldsG.map(f =>
+      s"(CASE WHEN g_$f THEN $p.m_$f ELSE $S - $p.m_$f END)").mkString(" * ")
+    def prodU(p: String) = fieldsG.map(f =>
+      s"(CASE WHEN g_$f THEN $p.u_$f ELSE $S - $p.u_$f END)").mkString(" * ")
+    def clamp(e: String) = s"GREATEST(CAST(1 AS HUGEINT), LEAST(CAST(${S}-1 AS HUGEINT), $e))"
+    val pat =
+      s"""pat AS (SELECT bal_a IS NOT DISTINCT FROM bal_b AS g_bal,
+         name_a IS NOT DISTINCT FROM name_b AS g_name,
+         seg_a IS NOT DISTINCT FROM seg_b AS g_seg,
+         CAST(COUNT(*) AS HUGEINT) AS n FROM prs GROUP BY 1, 2, 3)"""
+    val p0 =
+      s"""p0 AS (SELECT CAST(500000 AS HUGEINT) AS lam,
+         ${fieldsG.map(f => s"CAST(900000 AS HUGEINT) AS m_$f, CAST(100000 AS HUGEINT) AS u_$f").mkString(", ")})"""
+    val steps = (1 to iters).map { k =>
+      val prev = s"p${k - 1}"
+      val e =
+        s"""e$k AS (SELECT g_bal, g_name, g_seg, n,
+           ($S * ($prev.lam * ${prodM(prev)})) //
+             ($prev.lam * ${prodM(prev)} + ($S - $prev.lam) * ${prodU(prev)}) AS w
+           FROM pat CROSS JOIN $prev)"""
+      val mT = fieldsG.map(f =>
+        s"""${clamp(s"($S * SUM(CASE WHEN g_$f THEN n * w ELSE CAST(0 AS HUGEINT) END)) // SUM(n * w)")} AS m_$f,
+           ${clamp(s"($S * SUM(CASE WHEN g_$f THEN n * ($S - w) ELSE CAST(0 AS HUGEINT) END)) // SUM(n * ($S - w))")} AS u_$f""")
+        .mkString(", ")
+      val p = s"""p$k AS (SELECT ${clamp(s"SUM(n * w) // SUM(n)")} AS lam, $mT FROM e$k)"""
+      s"$e,\n      $p"
+    }.mkString(",\n      ")
+    s"""WITH $fsPairsSql,
+      $pat,
+      $p0,
+      $steps,
+      mu AS (
+        SELECT 'acctbal' AS field, CAST(m_bal AS BIGINT) AS m_ppm,
+          CAST(u_bal AS BIGINT) AS u_ppm FROM p$iters
+        UNION ALL SELECT 'name', CAST(m_name AS BIGINT), CAST(u_name AS BIGINT) FROM p$iters
+        UNION ALL SELECT 'segment', CAST(m_seg AS BIGINT), CAST(u_seg AS BIGINT) FROM p$iters),
+      muc AS (SELECT field, m_ppm, u_ppm,
+        $S - m_ppm AS dm, $S - u_ppm AS du FROM mu)
+      SELECT field, m_ppm, u_ppm,
+        CAST(CASE WHEN m_ppm >= u_ppm THEN ${fl2rSql("m_ppm", "u_ppm")}
+             ELSE -${fl2rSql("u_ppm", "m_ppm")} END AS BIGINT) AS w_agree_bits,
+        CAST(CASE WHEN dm >= du THEN ${fl2rSql("dm", "du")}
+             ELSE -${fl2rSql("du", "dm")} END AS BIGINT) AS w_disagree_bits
+      FROM muc ORDER BY field"""
+  }
+
+  /** UNSUPERVISED Fellegi–Sunter weight estimation
+    * ([[graft.operators.Linkage.fsEmParams]]/`fsEmWeights` — FS §3 /
+    * Winkler 1988, the label-free path real linkage runs): EM over the
+    * 2^F agreement-pattern counts of the q139 blocked candidate pairs,
+    * every E/M step exact fixed-point integer arithmetic on the ppm
+    * lattice, 10 iterations. The labels exist in the fixture but are
+    * NOT given to the estimator; the oracle unrolls all ten iterations
+    * (pattern counts → HUGEINT posterior → floored M-step → clamp), so
+    * any drift in init, quantization order, or the clamp rule
+    * hash-mismatches. */
+  val q143 = Q("q143_fs_em_weights",
+    (s, dir) => graft.operators.Linkage.fsEmWeights(
+        fsPairs(s, dir), fsFields, iters = 10)
+      .orderBy("field"),
+    Some(emOracleSql(10)))
+
+  /** Deterministic BM25 ranking ([[graft.text.Search.rankByBm25Bits]],
+    * Robertson–Spärck Jones with Lucene's non-negative idf): top-20
+    * documents for the q132 query under the exact-integer
+    * quantization (avg-length milli-tokens, length factor, saturation
+    * — three stated floors, k1=1.2/b=0.75 as milli-integers). The
+    * oracle replays every floor with `//` integer division, so a
+    * drift in ANY quantization point, the idf ratio, or the tiebreak
+    * hash-mismatches. */
+  val q144 = Q("q144_bm25_rank",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Search.rankByBm25Bits(
+          graft.text.Search.buildPostings("doc_id", "text")(docs),
+          query = Seq("table", "hash", "scan"), nDocs = docs.count(), k = 20)
+        .orderBy(col("score_milli_bits").desc, col("id"))
+    },
+    Some(s"""WITH $lmToksCte,
+      $postingsCte,
+      dls AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM post GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n FROM documents),
+      am AS (SELECT (1000 * (SELECT SUM(dl) FROM dls)) // n AS avgm
+        FROM nd),
+      qt AS (SELECT * FROM post WHERE term IN ('table', 'hash', 'scan')),
+      idf AS (SELECT term, CAST(COUNT(DISTINCT id) AS BIGINT) AS df
+        FROM qt GROUP BY 1),
+      idfb AS (SELECT term, ${fl2rSql("(2*n+2)", "(2*df+1)")} AS ib
+        FROM idf CROSS JOIN nd),
+      tf AS (SELECT term, id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM qt GROUP BY 1, 2),
+      lfx AS (SELECT t.term, t.id, t.tf,
+          ((1000 - 750) * avgm + 750 * 1000 * dl) // avgm AS lf
+        FROM tf t JOIN dls USING (id) CROSS JOIN am),
+      sc AS (SELECT id,
+          SUM(ib * ((1000000 * tf * (1200 + 1000)) //
+            (1000000 * tf + 1200 * lf))) AS score
+        FROM lfx JOIN idfb USING (term) GROUP BY 1)
+      SELECT id, CAST(score AS BIGINT) AS score_milli_bits
+      FROM sc ORDER BY score_milli_bits DESC, id LIMIT 20"""))
+
+  /** Phrase search against the STORED postings index
+    * ([[graft.text.Search.writePostingsIndex]] →
+    * [[graft.text.Search.phraseSearchStored]] — the production path
+    * q131 only proxied): the corpus's postings land as a managed
+    * table bucketed+sorted by term, then the corpus's top BIGRAM is
+    * searched by probing THAT table, so each term filter is a pruned
+    * scan of the index at rest (cost follows posting-list size, not
+    * corpus size). The oracle replays gram selection, postings, and
+    * the positional join from the raw corpus — a divergence anywhere
+    * in the write→read round trip hash-mismatches. */
+  val q145 = Q("q145_phrase_stored",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val phrase = graft.text.Search.topNgram("doc_id", "text", 2)(docs)
+      graft.text.Search.writePostingsIndex(docs, "doc_id", "text",
+        "graft_q145_postings", numBuckets = 8)
+      graft.text.Search.phraseSearchStored(s, "graft_q145_postings", phrase)
+        .orderBy("id", "pos")
+    },
+    Some(s"""WITH $lmToksCte,
+      grams AS (SELECT array_to_string(list_slice(tk, i + 1, i + 2), ' ') AS g
+        FROM (SELECT tk, unnest(range(0, len(tk) - 1)) AS i FROM lmtk)),
+      top AS (SELECT string_split(g, ' ') AS ph FROM (
+        SELECT g, COUNT(*) AS c FROM grams GROUP BY 1
+        ORDER BY c DESC, g LIMIT 1)),
+      $postingsCte
+      SELECT p0.id, CAST(p0.pos AS INT) AS pos
+      FROM post p0
+      JOIN post p1 ON p1.id = p0.id AND p1.pos = p0.pos + 1
+      CROSS JOIN top
+      WHERE p0.term = ph[1] AND p1.term = ph[2]
+      ORDER BY p0.id, p0.pos"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4676,5 +4820,6 @@ object Battery {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
+    q143, q144, q145)
 }

@@ -109,6 +109,130 @@ object Linkage {
     pairs.withColumn("score_bits", score)
   }
 
+  // ------------------------------------------------------------------
+  // Unsupervised (EM) estimation — Fellegi & Sunter §3 / Winkler 1988,
+  // the label-free path production linkers (Splink) actually run.
+  // ------------------------------------------------------------------
+
+  /** Fixed-point scale of the EM parameter lattice: probabilities are
+    * integers in [1, 10⁶−1] (ppm). One millionth of probability mass
+    * is far below any linkage decision boundary, and the lattice makes
+    * every E/M step exact integer arithmetic — replayable bit-for-bit
+    * by the SQL oracle (products stay < 10³⁰·|fields| ≪ HUGEINT for
+    * ≤ 4 fields; the engine side uses BigInt, so IT is exact at any
+    * field count). */
+  val EmScale: Long = 1000000L
+
+  /** Agreement-pattern counts over (unlabeled) candidate pairs: one
+    * row per observed pattern of per-field agreement booleans plus its
+    * pair count — the 2^F-bounded sufficient statistic EM iterates on.
+    * ONE aggregate pass over the pairs; everything after is
+    * driver-side arithmetic on ≤ 2^F rows (the same bounded-handoff
+    * contract as [[linkFs]]'s weight collect). */
+  def patternCounts(pairs: DataFrame, fields: Seq[FieldPair]): DataFrame = {
+    require(fields.nonEmpty, "patternCounts: no comparison fields")
+    pairs.select(fields.map(f => agree(f).as("g_" + f._1)): _*)
+      .groupBy(fields.map(f => col("g_" + f._1)): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** EM-estimated model parameters, all on the ppm lattice. */
+  final case class EmParams(
+      lambdaPpm: Long, mPpm: Map[String, Long], uPpm: Map[String, Long])
+
+  /** Estimate `λ` (match proportion) and per-field `m`/`u`
+    * probabilities by EM over the agreement-pattern counts — NO labels.
+    *
+    * Determinism contract (every step exact integer, every rounding a
+    * stated floor):
+    *  - init: `λ₀ = S/2`, `m₀ = 0.9·S`, `u₀ = 0.1·S` (S = [[EmScale]];
+    *    the classic high-m/low-u symmetric start — EM for this mixture
+    *    is label-switching-symmetric, and this init pins the "match"
+    *    component to the high-agreement mode).
+    *  - E-step, per pattern j: `A_j = λ·Π_f (γ_jf ? m_f : S−m_f)`,
+    *    `B_j = (S−λ)·Π_f (γ_jf ? u_f : S−u_f)` (exact BigInt), and the
+    *    posterior quantizes ONCE: `w_j = ⌊S·A_j/(A_j+B_j)⌋`.
+    *  - M-step: `λ' = ⌊Σ n_j·w_j / N⌋`,
+    *    `m_f' = ⌊S·Σ_{γ_jf} n_j·w_j / Σ n_j·w_j⌋`,
+    *    `u_f' = ⌊S·Σ_{γ_jf} n_j·(S−w_j) / Σ n_j·(S−w_j)⌋`.
+    *  - every parameter clamps to `[1, S−1]` after each M-step (the
+    *    add-one analog: no component ever absorbs to 0/1, so A+B ≥ 1
+    *    and no division is ever by zero); if a component's posterior
+    *    mass vanishes entirely (`Σ n_j·w_j = 0` or the complement),
+    *    iteration STOPS with the previous parameters — a degenerate
+    *    corpus (e.g. all pairs identical) has no two-class signal.
+    *
+    * `iters` is deliberately a small fixed bound (default 20): EM on a
+    * 2^F-cell multinomial converges in a handful of steps, the cost is
+    * driver-side-trivial, and a FIXED iteration count is what the
+    * unrolled SQL oracle replays (battery q143) — no data-dependent
+    * stopping rule to drift on. */
+  def fsEmParams(pairs: DataFrame, fields: Seq[FieldPair],
+      iters: Int = 20): EmParams = {
+    require(iters >= 1, s"fsEmParams: iters must be >= 1, got $iters")
+    val S = BigInt(EmScale)
+    val rows = patternCounts(pairs, fields).collect()
+    require(rows.nonEmpty, "fsEmParams: no candidate pairs")
+    val pats: Array[(Array[Boolean], BigInt)] = rows.map { r =>
+      (fields.indices.map(i => r.getBoolean(i)).toArray, BigInt(r.getLong(fields.size)))
+    }
+    val nTotal = pats.map(_._2).sum
+    var lam = S / 2
+    var m = Array.fill(fields.size)(S * 9 / 10)
+    var u = Array.fill(fields.size)(S / 10)
+    var it = 0
+    var degenerate = false
+    while (it < iters && !degenerate) {
+      val w = pats.map { case (g, _) =>
+        val a = lam * fields.indices.map(i => if (g(i)) m(i) else S - m(i)).product
+        val b = (S - lam) * fields.indices.map(i => if (g(i)) u(i) else S - u(i)).product
+        S * a / (a + b)
+      }
+      val sw = pats.indices.map(j => pats(j)._2 * w(j)).sum
+      val su = pats.indices.map(j => pats(j)._2 * (S - w(j))).sum
+      if (sw == 0 || su == 0) degenerate = true
+      else {
+        def clamp(x: BigInt): BigInt = x.max(BigInt(1)).min(S - 1)
+        lam = clamp(sw / nTotal)
+        m = fields.indices.map { i =>
+          clamp(S * pats.indices.filter(j => pats(j)._1(i))
+            .map(j => pats(j)._2 * w(j)).sum / sw)
+        }.toArray
+        u = fields.indices.map { i =>
+          clamp(S * pats.indices.filter(j => pats(j)._1(i))
+            .map(j => pats(j)._2 * (S - w(j))).sum / su)
+        }.toArray
+        it += 1
+      }
+    }
+    EmParams(lam.toLong,
+      fields.indices.map(i => fields(i)._1 -> m(i).toLong).toMap,
+      fields.indices.map(i => fields(i)._1 -> u(i).toLong).toMap)
+  }
+
+  /** Driver-side signed-bit twin of [[signedBits]] (same quantization
+    * rule: floor toward zero on both sides of 1). */
+  private def signedBitsOf(num: Long, den: Long): Long =
+    if (num >= den) FloorLog2Ratio.evalBits(num, den).toLong
+    else -FloorLog2Ratio.evalBits(den, num).toLong
+
+  /** Unsupervised per-field weights from [[fsEmParams]], shaped like
+    * [[fsWeights]] plus the estimated probabilities for audit:
+    * `(field, m_ppm, u_ppm, w_agree_bits, w_disagree_bits)` with
+    * `w_agree = bits(m/u)`, `w_disagree = bits((S−m)/(S−u))` — feed
+    * the bits straight into [[scoreFs]]. */
+  def fsEmWeights(pairs: DataFrame, fields: Seq[FieldPair],
+      iters: Int = 20): DataFrame = {
+    val p = fsEmParams(pairs, fields, iters)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    fields.map { f =>
+      val (mp, up) = (p.mPpm(f._1), p.uPpm(f._1))
+      (f._1, mp, up, signedBitsOf(mp, up),
+        signedBitsOf(EmScale - mp, EmScale - up))
+    }.toDF("field", "m_ppm", "u_ppm", "w_agree_bits", "w_disagree_bits")
+  }
+
   /** Train-and-score in one call: weights from the labeled pairs,
     * every pair scored, `predicted = score_bits ≥ minScoreBits`.
     * Returns the scored frame; read the weights separately via

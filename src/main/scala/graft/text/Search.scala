@@ -95,6 +95,67 @@ object Search {
       .limit(k)
   }
 
+  /** Deterministic BM25 ranking (Robertson–Spärck Jones; the Okapi
+    * form with Lucene's non-negative idf) — the saturation/
+    * length-normalized upgrade of [[rankByTfIdfBits]], quantized so
+    * the whole computation is exact BIGINT arithmetic with three
+    * STATED floor points (each replayed by the SQL oracle, battery
+    * q144):
+    *
+    *  1. `avg_len_milli = ⌊1000·T/N⌋` — corpus mean doc length in
+    *     milli-tokens (T = total tokens = |postings|, N = `nDocs`).
+    *  2. `len_factor_milli(d) = ⌊((1000−b)·avgm + b·1000·dl(d)) /
+    *     avgm⌋` — `1000·(1−b′+b′·dl/avgdl)` with `b′ = b/1000`.
+    *  3. `sat_milli(t,d) = ⌊10⁶·tf·(k1+1000) / (10⁶·tf +
+    *     k1·len_factor_milli)⌋` — `1000·tf(k1′+1)/(tf+k1′·lf)` with
+    *     `k1′ = k1/1000`; the classic saturation curve, ≤ k1+1000.
+    *
+    * `idf_bits(t) = ⌊log2((2N+2)/(2df+1))⌋` — Lucene's
+    * `log(1 + (N−df+½)/(df+½))` reduced to one exact integer ratio
+    * (never negative, zero only for terms in > half the corpus).
+    * `score_milli_bits(d) = Σ_t idf_bits(t) · sat_milli(t,d)`;
+    * ranking is (score desc, id), a k-bounded TakeOrdered.
+    *
+    * Defaults `k1 = 1.2, b = 0.75` as milli-integers. Shuffle shape:
+    * doc lengths are ONE postings aggregate on the id (at rest, store
+    * them beside the stored index and this becomes a colocated probe);
+    * idf is a query-terms-only aggregate broadcast to the tf rows; the
+    * only corpus-sized join is tf ⋈ doc-lengths on the id. Overflow
+    * envelope: `10⁶·tf·(k1+1000) < 2⁶³` ⇔ `tf < 4·10⁹` at the default
+    * k1 — documents beyond 4 billion occurrences of one term are not
+    * documents. */
+  def rankByBm25Bits(postings: DataFrame, query: Seq[String], nDocs: Long,
+      k: Int, k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    require(query.nonEmpty, "rankByBm25Bits: empty query")
+    require(nDocs >= 1, s"rankByBm25Bits: nDocs must be >= 1, got $nDocs")
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
+      s"rankByBm25Bits: k1Milli >= 0 and bMilli in [0, 1000], got $k1Milli/$bMilli")
+    val dls = postings.groupBy("id").agg(count(lit(1)).as("dl"))
+    val totTokens = dls.agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
+    val avgm = 1000L * totTokens / nDocs
+    require(avgm >= 1,
+      s"rankByBm25Bits: corpus averages < 1/1000 token per doc (T=$totTokens, N=$nDocs)")
+    val qterms = postings.filter(col("term").isin(query.distinct: _*))
+    val idf = qterms.groupBy("term")
+      .agg(countDistinct(col("id")).as("df"))
+      .select(col("term"),
+        FloorLog2Ratio.of(lit(2L * nDocs + 2L), lit(2L) * col("df") + lit(1L))
+          .cast("long").as("idf_bits"))
+    qterms.groupBy("term", "id").agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), Seq("term"))
+      .join(dls, Seq("id"))
+      // `div`, not `/`: Spark's slash is DOUBLE division on BIGINTs,
+      // and the three quantization points must be exact integer floors
+      .withColumn("lf", expr(
+        s"(((1000 - $bMilli) * ${avgm}L + $bMilli * 1000 * dl) div ${avgm}L)"))
+      .withColumn("sat", expr(
+        s"((1000000 * tf * (${k1Milli}L + 1000)) div (1000000 * tf + $k1Milli * lf))"))
+      .groupBy("id")
+      .agg(sum(col("idf_bits") * col("sat")).as("score_milli_bits"))
+      .orderBy(col("score_milli_bits").desc, col("id"))
+      .limit(k)
+  }
+
   /** Bootstrap the STORED postings index: the corpus's postings as a
     * managed table bucketed AND sorted by `term`, so every term
     * lookup (phrase search, stats) is a bucket-pruned, row-group-

@@ -57,4 +57,83 @@ class LinkageSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Linkage.scoreFs(pairs, fields, Map("name" -> (1L, -1L))))
   }
+
+  // ------------------------------------------------------------- EM
+
+  /** Deterministic mixture fixture: 2000 pairs, 20% true matches.
+    * Agreement rates by construction (conditionally independent):
+    * match:     name 90%, bal 92%, seg 100%
+    * non-match: name  5%, bal 10%, seg  50%  */
+  private def emFixture = (1 to 2000).map { i =>
+    val isMatch = i % 5 == 0
+    // non-match moduli COPRIME with 5: a multiple-of-5 modulus would
+    // be a subset of the matches, so non-matches would never agree and
+    // EM would (correctly) absorb u to the lattice floor
+    val nameAg = if (isMatch) i % 50 != 0 else i % 19 == 0
+    val balAg = if (isMatch) i % 25 != 0 else i % 9 == 0
+    val segAg = if (isMatch) true else i % 2 == 0
+    ("n" + i, if (nameAg) "n" + i else "x" + i,
+      "b" + i, if (balAg) "b" + i else "y" + i,
+      "s" + i, if (segAg) "s" + i else "z" + i, isMatch)
+  }.toDF("name_a", "name_b", "bal_a", "bal_b", "seg_a", "seg_b", "is_match")
+
+  private val emFields: Seq[Linkage.FieldPair] = Seq(
+    ("bal", "bal_a", "bal_b"), ("name", "name_a", "name_b"),
+    ("seg", "seg_a", "seg_b"))
+
+  test("patternCounts: one row per agreement pattern, counts sum to |pairs|") {
+    val got = Linkage.patternCounts(pairs, fields)
+      .as[(Boolean, Boolean, Long)].collect().toSet
+    // (city, name): (T,T)=1 match x-x; (F,T)=1 y-y; (T,F)=1 x-y; (F,F)=1 x-z
+    assert(got == Set((true, true, 1L), (false, true, 1L),
+      (true, false, 1L), (false, false, 1L)))
+  }
+
+  test("fsEmParams: label-free EM recovers the planted mixture") {
+    val p = Linkage.fsEmParams(emFixture, emFields)
+    val S = Linkage.EmScale
+    // λ -> the planted 20% match proportion (generously banded: EM's
+    // component boundary is soft where patterns overlap)
+    assert(p.lambdaPpm > S / 10 && p.lambdaPpm < 3 * S / 10, s"lambda=${p.lambdaPpm}")
+    // m high / u low on every field, ordered the planted way
+    for (f <- Seq("name", "bal")) {
+      assert(p.mPpm(f) > 8 * S / 10, s"m($f)=${p.mPpm(f)}")
+      assert(p.uPpm(f) < 2 * S / 10, s"u($f)=${p.uPpm(f)}")
+    }
+    assert(p.mPpm("seg") > 9 * S / 10 && p.uPpm("seg") < 6 * S / 10)
+  }
+
+  test("fsEmWeights: converge to the supervised weights on the labeled fixture") {
+    val em = Linkage.fsEmWeights(emFixture, emFields)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._4, r._5)).toMap
+    val sup = Linkage.fsWeights(emFixture, "is_match", emFields)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    for (f <- emFields.map(_._1)) {
+      val (ea, ed) = em(f); val (sa, sd) = sup(f)
+      // same sign and within 1 bit: the quantized EM estimate of the
+      // same mixture the labels define
+      assert(math.abs(ea - sa) <= 1, s"$f agree: em=$ea sup=$sa")
+      assert(math.abs(ed - sd) <= 1, s"$f disagree: em=$ed sup=$sd")
+      // agree evidence never negative, disagree never positive (seg's
+      // ~2:1 agree ratio floors to 0 bits — in BOTH estimators)
+      assert(ea >= 0 && ed <= 0, s"$f signs: $ea/$ed")
+    }
+  }
+
+  test("fsEmParams: deterministic, bounded-iteration, loud on empty") {
+    val a = Linkage.fsEmParams(emFixture, emFields, iters = 7)
+    val b = Linkage.fsEmParams(emFixture, emFields, iters = 7)
+    assert(a == b)
+    // uniform input (every field agrees on every pair) must not crash —
+    // parameters clamp to the lattice edge instead of absorbing to 0/1
+    val uni = Seq(("a", "a"), ("b", "b")).toDF("va", "vb")
+    val u = Linkage.fsEmParams(uni, Seq(("v", "va", "vb")))
+    assert(u.mPpm("v") >= 1 && u.mPpm("v") <= Linkage.EmScale - 1)
+    intercept[IllegalArgumentException](
+      Linkage.fsEmParams(emFixture, emFields, iters = 0))
+    intercept[IllegalArgumentException](
+      Linkage.fsEmParams(emFixture.limit(0), emFields))
+  }
 }

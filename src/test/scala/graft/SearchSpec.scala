@@ -61,6 +61,38 @@ class SearchSpec extends SparkTestBase {
       Search.rankByTfIdfBits(p, Seq("a"), 0L, 1))
   }
 
+  test("rankByBm25Bits: hand-computed saturation + length normalization") {
+    // Same 4-doc corpus as the tf-idf test. T = 10, N = 4 ->
+    // avgm = 2500 milli-tokens; lf(d) = 250 + 300·dl.
+    // idf_bits: rare/mid df=2 -> fl2r(10,5)=1; all df=4 -> fl2r(10,9)=0.
+    // sat = ⌊1e6·tf·2200 / (1e6·tf + 1200·lf)⌋:
+    //  d1 (dl=3, lf=1150): rare tf1 -> 924, mid tf1 -> 924 => 1848
+    //  d2 (dl=4, lf=1450): rare tf2 -> 1176, mid tf1 -> 802 => 1978
+    //  d3/d4: only "all" (idf 0) => 0
+    val p = posts(
+      (1L, "rare mid all"), (2L, "mid all rare rare"),
+      (3L, "all"), (4L, "all all"))
+    val got = Search.rankByBm25Bits(p,
+        Seq("rare", "mid", "all", "ghost"), nDocs = 4L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1978L), (1L, 1848L), (3L, 0L), (4L, 0L)), s"got $got")
+    // b = 0: length normalization off -> lf = 1000 for every doc;
+    // sat depends on tf only: tf1 -> 1000, tf2 -> 1375
+    val flat = Search.rankByBm25Bits(p, Seq("rare"), nDocs = 4L, k = 10,
+        k1Milli = 1200L, bMilli = 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(flat == Seq((2L, 1375L), (1L, 1000L)), s"flat $flat")
+    // k1 = 0: saturation collapses to presence (sat = 1000 always)
+    val bin = Search.rankByBm25Bits(p, Seq("rare"), nDocs = 4L, k = 10,
+        k1Milli = 0L, bMilli = 750L)
+      .as[(Long, Long)].collect().toSeq
+    assert(bin == Seq((1L, 1000L), (2L, 1000L)), s"bin $bin")
+    intercept[IllegalArgumentException](
+      Search.rankByBm25Bits(p, Seq.empty, 4L, 1))
+    intercept[IllegalArgumentException](
+      Search.rankByBm25Bits(p, Seq("a"), 4L, 1, bMilli = 1001L))
+  }
+
   test("stored postings index: admit is exactly-once per doc through replay; term filters push down") {
     import graft.store.Store
     val tbl = "t_search_postings"
