@@ -810,22 +810,36 @@ object Battery {
       COUNT(DISTINCT md5(text)) AS n_distinct_payloads
       FROM documents GROUP BY 1 ORDER BY kind"""))
 
-  /** Multimodal decode→frame-sample→embed path (DecodeStub is a
-    * deterministic fake; the mapPartitions batch shape is real), HARD
-    * oracle-checked: each embedding value is pool_sum/4f/255f with
-    * pool_sum an integer ≤ 1020, so round(x·1020) inverts the float
-    * normalization EXACTLY (float rounding error ≲ 6e-5 ≪ 0.5) and the
-    * check is pure 64-bit integer math end to end — a wrong decode,
-    * wrong pooling, OR wrong float normalization all shift the
-    * recovered integers. The DuckDB side replays the stub's wrapping
-    * arithmetic in HUGEINT mod 2^64 (rolling hash over the UTF-8
-    * payload — ASCII in this corpus — then 64 xorshift steps per frame
-    * via a recursive CTE). */
+  /** REAL video decode→frame-sample→embed path
+    * ([[graft.multimodal.Multimodal.decodeVideoAndEmbed]] over
+    * MOTION-COMPENSATED MCV8 streams — round 12 retired the last
+    * decode fake), HARD oracle-checked: per document a 16×16 scene
+    * translating `(1+id%3, id%2)` px/frame is MCV8-encoded
+    * (keyframes every 3, so sampling crosses GOPs), frames 0,2,4,…
+    * are seek-decoded through the motion-vector chain, resized 16→8
+    * (nearest neighbor: out(r,c)=in(2r,2c)) and 2×2-mean-pooled into
+    * the 16-dim embedding. Each embedding value is pool_sum/4f/255f
+    * with pool_sum an integer ≤ 1020, so round(x·1020) inverts the
+    * float normalization EXACTLY and the check is pure integer math
+    * end to end — a wrong motion prediction, residual, seek, resize,
+    * pooling, or normalization all shift the recovered integers. The
+    * DuckDB side computes every sampled pixel from the closed-form
+    * translation formula. */
   val q35 = Q("q35_media_frame_features",
     (s, dir) => {
-      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
-      val feats = Multimodal.decodeAndEmbed(media, stride = 2, maxFrames = 4)
-      feats.toDF()
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val dx0 = (1 + id % 3).toInt; val dy0 = (id % 2).toInt
+          val total = (1 + id % 7).toInt
+          def px(f: Int, r: Int, c: Int) =
+            ((id * 11 + (r + f * dy0).toLong * 31 + (c + f * dx0).toLong * 17) % 256).toInt
+          val frames = (0 until total).map(f => Array.tabulate(16, 16)((r, c) => px(f, r, c)))
+          Multimodal.MediaRow(id,
+            Multimodal.MediaMeta("video", 16, 16, 0, total.toLong * 1000L),
+            graft.multimodal.Codec.encodeAviMcv(frames, fps = 1, keyframeInterval = 3))
+        }
+      Multimodal.decodeVideoAndEmbed(media, stride = 2, maxFrames = 4).toDF()
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"),
           sum(aggregate(
@@ -833,48 +847,17 @@ object Battery {
             lit(0L), (acc, v) => acc + v * v)).as("sum_sq_pool"))
         .orderBy("media_id")
     },
-    Some("""WITH RECURSIVE
-      m AS (
-        SELECT doc_id AS media_id,
-          CASE WHEN doc_id % 3 = 0
-            THEN greatest(1, CAST((n_chars * 100) // 1000 AS BIGINT))
-            ELSE 1 END AS total_frames,
-          list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS HUGEINT)) AS bs
-        FROM documents),
-      fr AS (
-        SELECT media_id, bs, CAST(f AS BIGINT) AS frame_idx
-        FROM m, unnest(generate_series(0, CAST(least(total_frames - 1, 6) AS BIGINT), 2)) AS t(f)),
-      seed AS (
-        SELECT media_id, frame_idx,
-          list_reduce(
-            list_prepend(
-              (CAST(1125899906842597 AS HUGEINT)
-               + CAST(frame_idx AS HUGEINT) * CAST(11400714819323198485 AS HUGEINT))
-              % 18446744073709551616,
-              bs),
-            (acc, x) -> (acc * 31 + x) % 18446744073709551616) AS h
-        FROM fr),
-      xs AS (
-        SELECT media_id, frame_idx, 0 AS step, h, CAST(NULL AS HUGEINT) AS gv FROM seed
-        UNION ALL
-        SELECT media_id, frame_idx, step,
-          xor(h2, (h2 * 131072) % 18446744073709551616) AS h,
-          xor(h2, (h2 * 131072) % 18446744073709551616) % 256 AS gv
-        FROM (
-          SELECT media_id, frame_idx, step, xor(h1, h1 // 128) AS h2
-          FROM (
-            SELECT media_id, frame_idx, step + 1 AS step,
-              xor(h, (h * 8192) % 18446744073709551616) AS h1
-            FROM xs WHERE step < 64))),
-      pools AS (
-        SELECT media_id, frame_idx,
-          ((step - 1) // 8) // 2 AS pr, ((step - 1) % 8) // 2 AS pc,
-          SUM(gv) AS s
-        FROM xs WHERE step >= 1
-        GROUP BY media_id, frame_idx, pr, pc),
-      pf AS (SELECT media_id, frame_idx, SUM(s * s) AS ssq FROM pools GROUP BY media_id, frame_idx)
+    Some("""WITH m AS (SELECT doc_id AS media_id, 1 + doc_id % 7 AS total,
+        1 + doc_id % 3 AS dx0, doc_id % 2 AS dy0 FROM documents),
+      fr AS (SELECT media_id, dx0, dy0, CAST(f AS BIGINT) AS f
+        FROM m, unnest(generate_series(0, CAST(least(total - 1, 6) AS BIGINT), 2)) t(f)),
+      smp AS (SELECT media_id, f, pr, pc,
+          SUM((media_id*11 + (4*pr + 2*i + f*dy0)*31 + (4*pc + 2*j + f*dx0)*17) % 256) AS s
+        FROM fr, range(0, 4) a(pr), range(0, 4) b(pc), range(0, 2) ii(i), range(0, 2) jj(j)
+        GROUP BY media_id, f, pr, pc),
+      persq AS (SELECT media_id, f, SUM(s * s) AS ssq FROM smp GROUP BY media_id, f)
       SELECT media_id, COUNT(*) AS n_frames, CAST(SUM(ssq) AS BIGINT) AS sum_sq_pool
-      FROM pf GROUP BY media_id ORDER BY media_id"""))
+      FROM persq GROUP BY media_id ORDER BY media_id"""))
 
   /** Backward as-of join (events ← latest prior order per user) —
     * a single-shuffle union+window composition; oracle via DuckDB's
@@ -1328,29 +1311,35 @@ object Battery {
       UNION ALL SELECT 's5_sample', COUNT(*) FROM s5
       ORDER BY stage"""))
 
-  /** The frame-sampling SCHEDULE of the multimodal path, cross-checked
-    * in SQL: per kind, how many frames decodeAndEmbed(stride=2,
-    * maxFrames=4) emits. The decode kernel is a stub, but the
-    * scheduling arithmetic (frameCount → stride/cap sampling) is real
-    * and this pins it against an independent engine. */
+  /** The frame-sampling SCHEDULE of the multimodal path over REAL
+    * containers: per document an AVI with `1 + id%11` DIB frames, the
+    * stream length read back from the container itself
+    * (`aviFrameCount` inside
+    * [[graft.multimodal.Multimodal.decodeVideoAndEmbed]]), sampled at
+    * stride 2 capped at 4 — the cap BINDS here (streams up to 11
+    * frames), unlike q35. Output is the schedule histogram; the
+    * oracle recomputes `least(4, ceil(total/2))` per doc, so a
+    * container frame-count, stride, or cap bug shifts the histogram. */
   val q55 = Q("q55_media_frame_schedule",
     (s, dir) => {
-      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
-      val feats = Multimodal.decodeAndEmbed(media, stride = 2, maxFrames = 4)
-      feats.toDF().groupBy("media_id").agg(count(lit(1)).as("n_frames"))
-        .join(media.toDF().select(col("media_id"), col("meta.kind").as("kind")), "media_id")
-        .groupBy("kind")
-        .agg(count(lit(1)).as("n_media"), sum("n_frames").as("total_frames"))
-        .orderBy("kind")
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val total = (1 + id % 11).toInt
+          val frames = (0 until total).map(f =>
+            Array.tabulate(8, 8)((r, c) => ((id + f * 7 + r * 3 + c) % 256).toInt))
+          Multimodal.MediaRow(id,
+            Multimodal.MediaMeta("video", 8, 8, 0, total.toLong * 1000L),
+            graft.multimodal.Codec.encodeAvi(frames, fps = 4))
+        }
+      Multimodal.decodeVideoAndEmbed(media, stride = 2, maxFrames = 4).toDF()
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .groupBy("n_frames").agg(count(lit(1)).as("n_media"))
+        .orderBy("n_frames")
     },
-    Some("""WITH m AS (SELECT doc_id,
-        CASE WHEN doc_id % 3 = 0 THEN 'video'
-             WHEN doc_id % 3 = 1 THEN 'image' ELSE 'audio' END AS kind,
-        CASE WHEN doc_id % 3 = 0 THEN greatest(1, (n_chars * 100) // 1000) ELSE 1 END AS fc
-      FROM documents)
-      SELECT kind, COUNT(*) AS n_media,
-        CAST(SUM(least(4, (fc + 1) // 2)) AS BIGINT) AS total_frames
-      FROM m GROUP BY kind ORDER BY kind"""))
+    Some("""SELECT least(4, (doc_id % 11 + 2) // 2) AS n_frames,
+      COUNT(*) AS n_media
+      FROM documents GROUP BY 1 ORDER BY n_frames"""))
 
   /** The NATIVE as-of join operator (custom LogicalPlan + Strategy +
     * SparkPlan, graft.plans.AsOfJoinPlan) on the q36 workload shape —
@@ -4810,6 +4799,59 @@ object Battery {
       WHERE p0.term = ph[1] AND p1.term = ph[2]
       ORDER BY p0.id, p0.pos"""))
 
+  /** MOTION-COMPENSATED video round trip
+    * ([[graft.multimodal.Codec.encodeAviMcv]] — the H.261/MPEG-style
+    * block-matching P-frame construction, lossless by mod-256
+    * residuals): per document, a 24×32 scene translating
+    * `(1 + id%3, id%2)` px/frame is encoded as one keyframe + four
+    * P-frames, then frames 0/2/4 are decoded through the GOP seek
+    * path — frame 4's pixels exist only through the motion-vector
+    * chain of all four P-frames. The oracle computes every pixel from
+    * the closed-form translation formula, so ANY motion-compensation,
+    * residual, chunking, or seek bug hash-mismatches. (CodecSpec pins
+    * separately that translation compresses to SKIP blocks — the
+    * motion search is load-bearing, not decorative.) */
+  val q146 = Q("q146_avi_mcv_motion_sums",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val dx0 = (1 + id % 3).toInt; val dy0 = (id % 2).toInt
+          def px(f: Int, r: Int, c: Int) =
+            ((id * 7 + (r + f * dy0).toLong * 31 + (c + f * dx0).toLong * 17) % 256).toInt
+          val frames = (0 until 5).map(f => Array.tabulate(24, 32)((r, c) => px(f, r, c)))
+          val avi = graft.multimodal.Codec.encodeAviMcv(
+            frames, fps = 5, keyframeInterval = 5)
+          require(graft.multimodal.Codec.aviFrameCount(avi) == 5, "MCV8 stream lost frames")
+          val (fps, picked) = graft.multimodal.Codec.decodeAviFrames(
+            avi, Multimodal.sampleFrameIndices(5, stride = 2, maxFrames = 8))
+          require(fps == 5, "MCV8 round-trip lost fps")
+          for {
+            (fi, g) <- picked
+            br <- 0 until 3; bc <- 0 until 4
+          } yield {
+            var sum = 0L
+            var r = br * 8
+            while (r < br * 8 + 8) {
+              var c = bc * 8
+              while (c < bc * 8 + 8) { sum += g(r)(c); c += 1 }
+              r += 1
+            }
+            (id, fi.toLong, br.toLong, bc.toLong, sum)
+          }
+        }
+        .toDF("media_id", "frame_idx", "block_row", "block_col", "pixel_sum")
+        .orderBy("media_id", "frame_idx", "block_row", "block_col")
+    },
+    Some("""WITH px AS (SELECT doc_id AS media_id, CAST(f AS BIGINT) AS f,
+        CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+        (doc_id*7 + (r + f*(doc_id%2))*31 + (c + f*(1 + doc_id%3))*17) % 256 AS v
+      FROM documents, (VALUES (0),(2),(4)) t(f), range(0, 24) u(r), range(0, 32) w(c))
+      SELECT media_id, f AS frame_idx, r // 8 AS block_row, c // 8 AS block_col,
+        CAST(SUM(v) AS BIGINT) AS pixel_sum
+      FROM px GROUP BY media_id, f, r // 8, c // 8
+      ORDER BY media_id, frame_idx, block_row, block_col"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4821,5 +4863,5 @@ object Battery {
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145)
+    q143, q144, q145, q146)
 }

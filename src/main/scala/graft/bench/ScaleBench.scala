@@ -123,6 +123,39 @@ object ScaleBench {
       // (first pass materializes it to parquet under the scale dir,
       // timed passes only read) should scale as the probed-member
       // count, O(n/√n · nprobe) = O(√n) — the whole point of IVF.
+      // A/B pair isolating the round-12 single-scan perplexityFilter
+      // rewrite: both variants pay the identical LM-training cost, then
+      // x125_ppl_onescan runs the shipped filter (ONE surprisal build +
+      // one attach join) while x125_ppl_twoscan replays the retired
+      // formulation (docs ⋈ surprisalBits(docs): a second id-resurrect
+      // join and a second corpus-wide probe). The delta is the fix.
+      "x125_ppl_onescan" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions.col
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val lm = graft.text.LmQuality.trainBigramLm("doc_id", "text")(
+          docs.filter(col("lang") === "en"))
+        graft.text.LmQuality.perplexityFilter("doc_id", "text", lm, 4400L)(docs)
+      }),
+      "x125_ppl_twoscan" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val lm = graft.text.LmQuality.trainBigramLm("doc_id", "text")(
+          docs.filter(col("lang") === "en"))
+        docs.join(graft.text.LmQuality.surprisalBits("doc_id", "text", lm)(docs),
+            Seq("doc_id"))
+          .filter(col("total_bits") * lit(1000L) <= lit(4400L) * col("n_trans"))
+      }),
+      // BPE training at a REAL vocabulary size (1k merges) through the
+      // batched trainer — the battery q117 pins 6 sequential merges for
+      // oracle stability; this measures the production path's job-count
+      // economics (1k merges in ~1k/32 rounds instead of 1k jobs). The
+      // corpus collapses to the word-frequency table in one pass, so
+      // the decades should separate ONLY in that first pass + the
+      // vocab-table round costs.
+      "x117_bpe_train_1k" -> ((s: SparkSession, dir: String) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.text.Curation.trainBpeBatched("text", nMerges = 1000, batch = 32)(docs)
+      }),
       "x112_ivfpq_build" -> ((s: SparkSession, dir: String) =>
         buildIvfPqFrames(s, dir)._1),
       "x113_ivfpq_query_stored" -> ((s: SparkSession, dir: String) => {

@@ -19,9 +19,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * IMA-ADPCM kernel below (pure-integer predictor/step-table
   * recurrence, WAV format tag 0x11), and VIDEO decodes for real via
   * the AVI RIFF container reader at the bottom (uncompressed-DIB and
-  * MJPEG streams — every intra-frame codec a JVM can honestly carry),
-  * so the [[Multimodal.DecodeStub]] fake remains only for INTER-frame
-  * (H.264-class) codecs, which need a native library. Battery
+  * MJPEG streams), including INTER-frame codecs: RLE8 delta frames
+  * and the MCV8 motion-compensated P-frame codec (block-matching
+  * motion vectors + lossless residuals, the H.261/MPEG construction)
+  * — NO decode fake remains anywhere in the engine. Battery
   * q85/q86/q100/q102/q105 verify these kernels cross-engine: Spark
   * round-trips real bytes (encode → decode → feature), while the
   * DuckDB oracle recomputes the same features arithmetically from the
@@ -113,9 +114,9 @@ object Codec {
   // the whole decode is an integer recurrence (predictor ± a step-     //
   // table fraction, both clamped), so it is ORACLE-CHECKABLE: a SQL    //
   // engine can replay the identical recurrence and hash-compare        //
-  // decoded samples (battery q102). This closes the compressed-AUDIO   //
-  // half of the DecodeStub's former scope; the stub now covers video   //
-  // only.                                                              //
+  // decoded samples (battery q102). This closed the compressed-AUDIO   //
+  // half of the decode-fake's former scope (the video half fell to     //
+  // the AVI codecs below, MCV8 last).                                  //
   // ------------------------------------------------------------------ //
 
   /** The 89-entry quantizer step-size table of the IMA ADPCM spec
@@ -586,10 +587,10 @@ object Codec {
   // PNG / JPEG — COMPRESSED formats via the JDK's own pure-Java        //
   // ImageIO plugins (no native codec binding: the javax.imageio        //
   // readers/writers for PNG, JPEG, BMP, GIF and TIFF ship inside       //
-  // every Java SE runtime and run headless). This retires the          //
-  // "compressed formats need native codecs" DecodeStub claim for       //
-  // still images; the stub now covers only video/audio codecs          //
-  // (H.264/FLAC-class) the JDK genuinely does not carry.               //
+  // every Java SE runtime and run headless). This retired the          //
+  // "compressed formats need native codecs" decode-fake claim for      //
+  // still images (audio fell to IMA-ADPCM/G.711, video to the AVI      //
+  // codecs below, MCV8 last).                                          //
   //                                                                    //
   // PNG is DEFLATE-compressed and LOSSLESS: decode(encode(g)) == g     //
   // byte-for-byte, so PNG decode is oracle-checkable the same way as   //
@@ -759,9 +760,9 @@ object Codec {
   //    previous frame for everything else, giving the stream genuine   //
   //    GOP structure (see the RLE8 section below; battery q106         //
   //    oracle-checks the cross-frame carry-over).                      //
-  // This closes the VIDEO scope of [[Multimodal.DecodeStub]] down to   //
-  // motion-compensated transform codecs (H.264-class), which           //
-  // genuinely need a native library. Container layout follows the      //
+  // A fourth codec, MCV8 (further below), adds MOTION COMPENSATION —  //
+  // block-matching motion vectors + lossless residuals — closing the   //
+  // last decode-fake scope entirely. Container layout follows the      //
   // public AVI RIFF spec: LIST(hdrl){avih, LIST(strl){strh,strf}},     //
   // LIST(movi){frame chunks}, idx1 — including the RIFF even-byte      //
   // chunk padding rule (odd-sized MJPEG frames exercise it).           //
@@ -1082,6 +1083,205 @@ object Codec {
       fps, w, h, handler = fourcc("MRLE"), compression = BiRle8, bitCount = 8)
   }
 
+  // ------------------------------------------------------------------ //
+  // MCV8 — MOTION-COMPENSATED video (fourcc 'MCV8', 8-bit gray), the   //
+  // textbook H.261/MPEG-1 P-frame construction in pure integer byte    //
+  // ops: frames split into 16×16 macroblocks, each predicted from the  //
+  // PREVIOUS reconstructed frame at an integer motion vector chosen    //
+  // by exhaustive SAD (sum of absolute differences) argmin over a      //
+  // ±7-pixel search window, plus a per-pixel residual that makes the   //
+  // codec exactly LOSSLESS (residuals are mod-256 differences, so      //
+  // pred + resid ≡ cur). This is the block-matching motion-estimation  //
+  // + motion-compensated-prediction + residual-coding pipeline every   //
+  // real inter-frame codec (H.26x/MPEG/VPx/AV1) is built on — minus    //
+  // the transform/entropy stages, which only change the residual's     //
+  // REPRESENTATION, not the motion semantics. Lossless residuals make  //
+  // the whole chain oracle-checkable the q106 way, one step further:   //
+  // a pixel's value at frame k is its last writer's formula traced     //
+  // THROUGH the motion-vector chain back to a keyframe (battery q146   //
+  // plants a translating scene and the oracle replays the closed       //
+  // form), and CodecSpec pins that a pure in-range translation         //
+  // yields SKIP blocks carrying exactly the planted vector — the       //
+  // compression is real, not incidental.                               //
+  //                                                                    //
+  // Frame payload ('00dc' chunk body):                                 //
+  //   'K' + w·h literal gray bytes (TOP-DOWN row-major), or            //
+  //   'P' + per macroblock in raster order:                            //
+  //         mode byte (0 = SKIP: block is the motion-shifted           //
+  //         prediction verbatim; 1 = RESIDUAL), dx+7, dy+7 (bytes),    //
+  //         then bw·bh residual bytes iff mode 1.                      //
+  // Search contract (what makes encode deterministic): candidates      //
+  // scan dy then dx, both ascending −7..7, a candidate is valid iff    //
+  // the full reference block stays in frame, FIRST strict minimum      //
+  // wins, SKIP iff its SAD is exactly 0. Keyframes every               //
+  // `keyframeInterval` frames (idx1 AVIIF_KEYFRAME set) give the       //
+  // stream the same GOP seek structure as RLE8 — decodeAviFrames'     //
+  // O(GOP) path applies unchanged.                                     //
+  // ------------------------------------------------------------------ //
+
+  private val McvFourcc = fourcc("MCV8")
+  private val McvBlock = 16
+  private val McvRange = 7
+
+  private def mcvKeyframe(gray: Array[Array[Int]]): Array[Byte] = {
+    val h = gray.length; val w = gray(0).length
+    val out = new Array[Byte](1 + w * h)
+    out(0) = 'K'.toByte
+    var i = 1; var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) { out(i) = gray(r)(c).toByte; i += 1; c += 1 }
+      r += 1
+    }
+    out
+  }
+
+  /** Motion search for one block: (dx, dy, sad) under the stated scan/
+    * tie contract. */
+  private def mcvSearch(prev: Array[Array[Int]], cur: Array[Array[Int]],
+      bx: Int, by: Int, bw: Int, bh: Int): (Int, Int, Int) = {
+    val h = cur.length; val w = cur(0).length
+    var bestSad = Int.MaxValue; var bestDx = 0; var bestDy = 0
+    var dy = -McvRange
+    while (dy <= McvRange) {
+      val sy = by + dy
+      if (sy >= 0 && sy + bh <= h) {
+        var dx = -McvRange
+        while (dx <= McvRange) {
+          val sx = bx + dx
+          if (sx >= 0 && sx + bw <= w) {
+            var sad = 0; var r = 0
+            while (r < bh && sad < bestSad) { // early out once beaten
+              var c = 0
+              while (c < bw) {
+                sad += math.abs(cur(by + r)(bx + c) - prev(sy + r)(sx + c))
+                c += 1
+              }
+              r += 1
+            }
+            if (sad < bestSad) { bestSad = sad; bestDx = dx; bestDy = dy }
+          }
+          dx += 1
+        }
+      }
+      dy += 1
+    }
+    (bestDx, bestDy, bestSad)
+  }
+
+  private def mcvPFrame(prev: Array[Array[Int]], cur: Array[Array[Int]]): Array[Byte] = {
+    val h = cur.length; val w = cur(0).length
+    val buf = new java.io.ByteArrayOutputStream(1 + w * h / 4)
+    buf.write('P'.toInt)
+    var by = 0
+    while (by < h) {
+      val bh = math.min(McvBlock, h - by)
+      var bx = 0
+      while (bx < w) {
+        val bw = math.min(McvBlock, w - bx)
+        val (dx, dy, sad) = mcvSearch(prev, cur, bx, by, bw, bh)
+        buf.write(if (sad == 0) 0 else 1)
+        buf.write(dx + McvRange)
+        buf.write(dy + McvRange)
+        if (sad != 0) {
+          var r = 0
+          while (r < bh) {
+            var c = 0
+            while (c < bw) {
+              buf.write((cur(by + r)(bx + c) - prev(by + dy + r)(bx + dx + c)) & 0xff)
+              c += 1
+            }
+            r += 1
+          }
+        }
+        bx += McvBlock
+      }
+      by += McvBlock
+    }
+    buf.toByteArray
+  }
+
+  /** Apply one MCV8 frame onto `canvas` in place. Defensive bounds on
+    * every read — hostile bytes must throw, not scribble. */
+  private def mcvApply(data: Array[Byte], canvas: Array[Array[Int]]): Unit = {
+    val h = canvas.length; val w = canvas(0).length
+    require(data.length >= 1, "MCV8 empty frame chunk")
+    (data(0) & 0xff) match {
+      case 'K' =>
+        require(data.length == 1 + w * h,
+          s"MCV8 keyframe size ${data.length} != ${1 + w * h}")
+        var i = 1; var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) { canvas(r)(c) = data(i) & 0xff; i += 1; c += 1 }
+          r += 1
+        }
+      case 'P' =>
+        // prediction reads the canvas AS OF the previous frame; blocks
+        // earlier in raster order must not feed later ones
+        val prev = canvas.map(_.clone())
+        var i = 1
+        var by = 0
+        while (by < h) {
+          val bh = math.min(McvBlock, h - by)
+          var bx = 0
+          while (bx < w) {
+            val bw = math.min(McvBlock, w - bx)
+            require(i + 3 <= data.length, "MCV8 truncated block header")
+            val mode = data(i) & 0xff
+            val dx = (data(i + 1) & 0xff) - McvRange
+            val dy = (data(i + 2) & 0xff) - McvRange
+            i += 3
+            require(mode == 0 || mode == 1, s"MCV8 unknown block mode $mode")
+            val sx = bx + dx; val sy = by + dy
+            require(sx >= 0 && sx + bw <= w && sy >= 0 && sy + bh <= h,
+              s"MCV8 motion vector ($dx,$dy) leaves the frame at block ($bx,$by)")
+            if (mode == 0) {
+              var r = 0
+              while (r < bh) {
+                var c = 0
+                while (c < bw) { canvas(by + r)(bx + c) = prev(sy + r)(sx + c); c += 1 }
+                r += 1
+              }
+            } else {
+              require(i + bw * bh <= data.length, "MCV8 truncated residual block")
+              var r = 0
+              while (r < bh) {
+                var c = 0
+                while (c < bw) {
+                  canvas(by + r)(bx + c) = (prev(sy + r)(sx + c) + (data(i) & 0xff)) & 0xff
+                  i += 1; c += 1
+                }
+                r += 1
+              }
+            }
+            bx += McvBlock
+          }
+          by += McvBlock
+        }
+        require(i == data.length, s"MCV8 trailing bytes: ${data.length - i}")
+      case other => throw new IllegalArgumentException(
+        s"MCV8 unknown frame type $other")
+    }
+  }
+
+  /** Grayscale frames → AVI with the MCV8 motion-compensated codec: a
+    * keyframe every `keyframeInterval` frames, P-frames (block motion
+    * vectors + mod-256 residuals against the previous frame) between.
+    * Exactly lossless; a scene translating ≤ ±7 px/frame compresses to
+    * SKIP blocks (3 bytes per 16×16 block). */
+  def encodeAviMcv(
+      frames: Seq[Array[Array[Int]]], fps: Int, keyframeInterval: Int = 8): Array[Byte] = {
+    require(keyframeInterval > 0, s"keyframeInterval must be positive ($keyframeInterval)")
+    val (w, h) = checkFrames(frames, fps)
+    val payloads = frames.zipWithIndex.map { case (f, i) =>
+      if (i % keyframeInterval == 0) mcvKeyframe(f)
+      else mcvPFrame(frames(i - 1), f)
+    }
+    writeAviContainer(payloads, frames.indices.map(_ % keyframeInterval == 0),
+      fps, w, h, handler = McvFourcc, compression = McvFourcc, bitCount = 8)
+  }
+
   /** Parsed container metadata plus the frame-chunk table: (bodyOffset,
     * size, keyframe) per video frame, in stream order — located but NOT
     * decoded, so callers can seek-decode a sample of frames without
@@ -1171,9 +1371,10 @@ object Codec {
             val bpp = bb.getShort(body + 14)
             compression = bb.getInt(body + 16)
             require(compression == fourcc("MJPG") || (compression == 0 && bpp == 24) ||
-                (compression == BiRle8 && bpp == 8),
+                (compression == BiRle8 && bpp == 8) ||
+                (compression == McvFourcc && bpp == 8),
               s"unsupported AVI codec (biCompression $compression, $bpp bpp) " +
-                "— this decoder carries DIB24, MJPG and RLE8")
+                "— this decoder carries DIB24, MJPG, RLE8 and MCV8")
             require(w > 0 && h > 0, s"bad strf geometry ${w}x$h")
             if (bpp == 8) { // read the palette: RGBQUADs after the 40-byte header
               val declared = bb.getInt(body + 32) // biClrUsed (0 = full 256)
@@ -1234,7 +1435,8 @@ object Codec {
     AviStream(fps, w, h, compression, chunks, palette)
   }
 
-  private def isInterFrame(st: AviStream): Boolean = st.compression == BiRle8
+  private def isInterFrame(st: AviStream): Boolean =
+    st.compression == BiRle8 || st.compression == McvFourcc
 
   /** Decode one INTRA frame chunk (DIB24 / MJPG). */
   private def decodeAviChunk(
@@ -1246,13 +1448,15 @@ object Codec {
     else dibFrameDecode(data, st.w, st.h)
   }
 
-  /** Apply RLE8 chunk `i` onto the running canvas in place. */
-  private def rle8ApplyChunk(
+  /** Apply INTER-frame chunk `i` (RLE8 or MCV8) onto the running
+    * canvas in place. */
+  private def interApplyChunk(
       bytes: Array[Byte], st: AviStream, i: Int, canvas: Array[Array[Int]]): Unit = {
     val (off, size, _) = st.chunks(i)
     val data = new Array[Byte](size)
     System.arraycopy(bytes, off, data, 0, size)
-    rle8Apply(data, canvas, st.palette)
+    if (st.compression == BiRle8) rle8Apply(data, canvas, st.palette)
+    else mcvApply(data, canvas)
   }
 
   /** AVI bytes → (fps, ALL decoded grayscale frames, in stream order).
@@ -1267,10 +1471,10 @@ object Codec {
       // frame-0 content — decoding it against a blank canvas would be
       // silent garbage, the failure mode this module exists to avoid
       require(st.chunks.isEmpty || st.chunks.head._3,
-        "RLE8 stream does not start with a keyframe")
+        "inter-frame stream does not start with a keyframe")
       val canvas = Array.ofDim[Int](st.h, st.w)
       val out = st.chunks.indices.map { i =>
-        rle8ApplyChunk(bytes, st, i, canvas)
+        interApplyChunk(bytes, st, i, canvas)
         canvas.map(_.clone())
       }
       (st.fps, out)
@@ -1303,7 +1507,7 @@ object Codec {
       (st.fps, indices.map(i => (i, decodeAviChunk(bytes, st, st.chunks(i)))))
     } else {
       // one forward canvas walk over the union of the targets' GOPs
-      require(st.chunks.head._3, "RLE8 stream does not start with a keyframe")
+      require(st.chunks.head._3, "inter-frame stream does not start with a keyframe")
       val targets = indices.distinct.sorted
       val decoded = scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
       var canvas: Array[Array[Int]] = null
@@ -1316,7 +1520,7 @@ object Codec {
         }
         while (pos < t) {
           pos += 1
-          rle8ApplyChunk(bytes, st, pos, canvas)
+          interApplyChunk(bytes, st, pos, canvas)
         }
         decoded(t) = canvas.map(_.clone())
       }

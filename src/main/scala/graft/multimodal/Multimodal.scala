@@ -8,24 +8,26 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads with typed metadata, processed by
   * per-partition batch operators.
   *
-  * Decode is REAL for every STILL-IMAGE and AUDIO format this engine
-  * claims — [[Codec]] parses genuine PCM WAV, IMA-ADPCM WAV (format
-  * 0x11 — real compressed audio, battery q102), and 24 bpp BMP bytes
-  * itself (battery q85/q86 hash-verify the decoded features
-  * cross-engine) and routes PNG/JPEG/GIF/TIFF through the JDK's own
-  * pure-Java ImageIO codecs (battery q100 hash-verifies the lossless
-  * PNG path; CodecSpec bounds the lossy JPEG path). VIDEO decodes for
-  * real too, through the AVI RIFF container reader
-  * ([[Codec.decodeAvi]]: uncompressed-DIB and MJPEG streams — battery
-  * q105 hash-verifies the DIB path frame-by-frame, [[decodeVideoAndEmbed]]
-  * is the pipeline twin). Only INTER-frame video codecs (H.264-class
-  * motion compensation), which the JDK genuinely does not
-  * carry, go through the clearly-marked DETERMINISTIC FAKE
-  * ([[DecodeStub]]) — and every Spark-side piece around it is real
-  * and tested: the schema contract, the mapPartitions batch shape
-  * (decoder state amortized per partition, exactly how a JNI/FFmpeg
-  * handle would be reused), partitioning, and the downstream feature
-  * pipeline (embeddings feed [[graft.similarity.Similarity]] as-is).
+  * Decode is REAL for EVERY format this engine claims — no fake
+  * remains anywhere. [[Codec]] parses genuine PCM WAV, IMA-ADPCM WAV
+  * (format 0x11 — real compressed audio, battery q102), G.711
+  * μ-law/A-law, and 24 bpp BMP bytes itself (battery q85/q86
+  * hash-verify the decoded features cross-engine), routes
+  * PNG/JPEG/GIF/TIFF through the JDK's own pure-Java ImageIO codecs
+  * (battery q100 hash-verifies the lossless PNG path; CodecSpec
+  * bounds the lossy JPEG path), and decodes VIDEO through the AVI
+  * RIFF container reader — intra-frame (uncompressed-DIB, MJPEG;
+  * battery q105), inter-frame delta (RLE8; battery q106), and
+  * MOTION-COMPENSATED inter-frame ([[Codec.encodeAviMcv]]'s
+  * block-matching P-frame codec; battery q146/q35 verify the decode
+  * through the motion-vector chain). [[decodeVideoAndEmbed]] /
+  * [[decodeImageAndEmbed]] / [[decodeAudioWindows]] are the pipeline
+  * operators over those codecs: mapPartitions batch shape (decoder
+  * state amortizable per partition, exactly how a JNI/FFmpeg handle
+  * would be reused), real frame sampling/seek economics, and feature
+  * output feeding [[graft.similarity.Similarity]] as-is. Payloads in
+  * formats NOT carried fail loudly at decode — silently misreading
+  * media is the one failure mode this module refuses.
   */
 object Multimodal {
 
@@ -55,38 +57,6 @@ object Multimodal {
       StructField("sampleRateHz", IntegerType, nullable = false),
       StructField("durationMs", LongType, nullable = false))), nullable = true),
     StructField("payload", BinaryType, nullable = true)))
-
-  /** DETERMINISTIC FAKE decode kernel. A real deployment swaps this
-    * object for a codec binding (libjpeg/FFmpeg); the call signature —
-    * bytes in, dimensioned frame matrix out — is the real contract.
-    * The fake derives "pixels" from a rolling hash of the payload so
-    * outputs are stable across runs/partitionings. */
-  object DecodeStub {
-    /** Fake-decode one frame: an 8×8 grid of hash-derived bytes. */
-    def decodeFrame(payload: Array[Byte], frameIdx: Int): Array[Array[Int]] = {
-      val grid = Array.ofDim[Int](8, 8)
-      var h = 1125899906842597L + frameIdx * 0x9e3779b97f4a7c15L
-      var i = 0
-      while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
-      var r = 0
-      while (r < 8) {
-        var c = 0
-        while (c < 8) {
-          h ^= h << 13; h ^= h >>> 7; h ^= h << 17
-          grid(r)(c) = (h & 0xff).toInt
-          c += 1
-        }
-        r += 1
-      }
-      grid
-    }
-
-    /** Number of frames the fake container "holds". */
-    def frameCount(meta: MediaMeta): Int = meta.kind match {
-      case "video" => math.max(1, (meta.durationMs / 1000L).toInt)
-      case _ => 1
-    }
-  }
 
   /** Uniform frame sampling: every `stride`-th frame, at most
     * `maxFrames`. Pure index arithmetic — the real scheduling logic. */
@@ -120,16 +90,6 @@ object Multimodal {
     val hop = hopMs.toLong * sampleRateHz / 1000
     if (totalSamples < win || win <= 0 || hop <= 0) Seq.empty
     else (0L to totalSamples - win by hop).map(s => (s, s + win))
-  }
-
-  /** DETERMINISTIC FAKE window energy (stands in for mean-square PCM
-    * amplitude): hash of payload + window index, scaled to [0, 1). */
-  def windowEnergyStub(payload: Array[Byte], windowIdx: Int): Double = {
-    var h = 0x9e3779b97f4a7c15L * (windowIdx + 1)
-    var i = 0
-    while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
-    h ^= h >>> 33
-    (h & 0xfffff).toDouble / 0x100000.toDouble
   }
 
   /** 8×8 "pixels" → 16-dim mean-pooled embedding (2×2 pooling over the
@@ -240,48 +200,19 @@ object Multimodal {
       .distinct()
   }
 
-  /** Decode → frame-sample → embed, as ONE mapPartitions pass: the
-    * decoder handle ("stub state") is created once per partition and
-    * reused across rows — the batch shape a native codec needs. Output
-    * is a flat Dataset[FrameFeature] ready for similarity search.
-    *
-    * Parallelism note: mapPartitions inherits the INPUT partitioning,
-    * so a split-starved scan (few files / single row groups) runs the
-    * decode on few cores. With a real codec (10ms+ per frame, unlike
-    * this stub) wrap the input in
-    * [[graft.operators.Rebalance.forCpuStage]] first — with the stub,
-    * the extra exchange costs more than the fake decode saves, so it
-    * is deliberately NOT wired here (same measurement as q29's simhash
-    * pass). */
-  def decodeAndEmbed(
-      media: Dataset[MediaRow], stride: Int = 2, maxFrames: Int = 8): Dataset[FrameFeature] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      // per-partition decoder init would go here (JNI handle, buffers)
-      rows.flatMap { m =>
-        val total = DecodeStub.frameCount(m.meta)
-        sampleFrameIndices(total, stride, maxFrames).map { fi =>
-          val grid = DecodeStub.decodeFrame(m.payload, fi)
-          FrameFeature(m.media_id, fi, 8, 8, embedFrame(grid))
-        }
-      }
-    }
-  }
-
   /** REAL still-image decode → resize → embed, one mapPartitions
-    * pass — the ImageIO-backed twin of [[decodeAndEmbed]] for binary
-    * columns holding genuine PNG/JPEG/GIF/TIFF/BMP bytes (decode
+    * pass — the ImageIO-backed member of the decode-operator family
+    * for binary columns holding genuine PNG/JPEG/GIF/TIFF/BMP bytes (decode
     * dispatches on magic bytes, so mixed-format corpora just work).
     * Each image yields ONE [[FrameFeature]] (frame_idx 0): decode
     * ([[Codec.decodePng]]'s reader) → nearest-neighbor resize to 8×8
     * ([[resizeFrame]]) → 16-dim pooled embedding ([[embedFrame]]),
     * ready for [[graft.similarity.Similarity]] as-is — the full
     * image-dedup path (decode → embed → SemDeDup/screen) with no fake
-    * anywhere. Unlike the stub twin, ImageIO decode is REAL CPU work:
+    * anywhere. ImageIO decode is REAL CPU work:
     * wrap split-starved inputs in
     * [[graft.operators.Rebalance.forCpuStage]] so the decode spreads
-    * across cores (the scaladoc trade-off on [[decodeAndEmbed]] flips
-    * here). Undecodable payloads fail loudly — silently skipping
+    * across cores. Undecodable payloads fail loudly — silently skipping
     * corrupt media is how a corpus quietly loses coverage; pre-filter
     * with a try in a `flatMap` variant if best-effort is wanted. */
   /** Decoded-audio window features (one row per scheduled window).
@@ -296,9 +227,8 @@ object Multimodal {
     * WAV-backed twin of [[decodeImageAndEmbed]] for binary columns
     * holding genuine RIFF/WAVE bytes of ANY carried codec
     * ([[Codec.decodeWavAuto]] routes on the format tag: PCM16,
-    * IMA-ADPCM, G.711 μ-law/A-law — mixed-codec corpora just work),
-    * retiring [[windowEnergyStub]] for every codec the JVM honestly
-    * decodes. Window scheduling runs on the exact decoded sample count
+    * IMA-ADPCM, G.711 μ-law/A-law — mixed-codec corpora just work).
+    * Window scheduling runs on the exact decoded sample count
     * ([[audioWindowIndicesSamples]]); undecodable payloads fail
     * loudly, like the image twin. Wrap split-starved inputs in
     * [[graft.operators.Rebalance.forCpuStage]] — ADPCM/G.711 expansion
@@ -334,9 +264,13 @@ object Multimodal {
   }
 
   /** REAL video decode → frame-sample → embed, one mapPartitions
-    * pass — the AVI-backed twin of [[decodeAndEmbed]] for binary
-    * columns holding genuine AVI bytes (uncompressed-DIB or MJPEG
-    * streams, [[Codec.decodeAvi]]). The container is parsed ONCE per
+    * pass — the AVI-backed member of the decode-operator family for
+    * binary columns holding genuine AVI bytes of ANY carried stream
+    * (uncompressed-DIB, MJPEG, RLE8, motion-compensated MCV8 —
+    * [[Codec.decodeAviFrames]] routes on biCompression, and
+    * inter-frame streams decode through their GOP, so a sampled
+    * frame's pixels arrive through the motion/delta chain back to its
+    * keyframe). The container is parsed ONCE per
     * row and the sampled frames ([[sampleFrameIndices]] over the real
     * stream length) go through resize → [[embedFrame]], yielding one
     * [[FrameFeature]] per sampled frame with its true frame index —
@@ -378,8 +312,12 @@ object Multimodal {
       md5(col(payloadCol)).as("content_md5"))
 
   /** Build a MediaRow dataset from the documents table (text bytes as
-    * payload) — a deterministic stand-in corpus so the multimodal path
-    * is exercised against driver testdata. */
+    * payload) — a deterministic stand-in corpus for PAYLOAD-LEVEL
+    * operators only (byte length, content hash, kind split — battery
+    * q34): the payloads are opaque bytes, not decodable media, and the
+    * decode operators ([[decodeVideoAndEmbed]] etc.) correctly REJECT
+    * them. Queries that exercise decode mint real codec bytes instead
+    * (q35/q100–q106/q146). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(

@@ -653,4 +653,99 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codec.encodeAvi(
       Seq(Array(Array(1, 2)), Array(Array(1))), fps = 1))
   }
+
+  // ------------------------------- MCV8 ------------------------------ //
+
+  /** Frame f of a scene translating (dx0, dy0) px/frame: pixel (r, c)
+    * samples a closed-form pattern over the infinite plane, so
+    * cur(r, c) == prev(r + dy0, c + dx0) wherever the reference stays
+    * in frame — exactly the construction motion compensation exists
+    * for. */
+  private def translating(h: Int, w: Int, n: Int, dx0: Int, dy0: Int) =
+    (0 until n).map(f => Array.tabulate(h, w)((r, c) =>
+      (((r + f * dy0) * 31 + (c + f * dx0) * 17) % 256 + 256) % 256))
+
+  test("AVI/MCV8 round trip is lossless under mutations AND translations (property)") {
+    val cfg = for {
+      h <- Gen.chooseNum(1, 40); w <- Gen.chooseNum(1, 40)
+      n <- Gen.chooseNum(1, 5); kfi <- Gen.chooseNum(1, 4)
+      dx0 <- Gen.chooseNum(-3, 3); dy0 <- Gen.chooseNum(-3, 3)
+    } yield (h, w, n, kfi, dx0, dy0)
+    ScalaCheckSupport.checkProp(Prop.forAll(cfg, Gen.chooseNum(0L, Long.MaxValue)) {
+      case ((h, w, n, kfi, dx0, dy0), seed) =>
+        var s = seed | 1L
+        def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+        // translation + sparse random scribbles on top (residual path)
+        val frames = translating(h, w, n, dx0, dy0).map(_.map(_.clone())).toArray
+        (1 until n).foreach { f =>
+          val muts = (math.abs(next()) % 5L).toInt
+          (0 until muts).foreach { _ =>
+            val r = (math.abs(next()) % h).toInt
+            val c = (math.abs(next()) % w).toInt
+            frames(f)(r)(c) = (math.abs(next()) % 256).toInt
+          }
+        }
+        val avi = Codec.encodeAviMcv(frames.toSeq, fps = 12, keyframeInterval = kfi)
+        val (fps, back) = Codec.decodeAvi(avi)
+        fps == 12 && back.length == n &&
+          back.zip(frames).forall { case (a, b) =>
+            a.zip(b).forall { case (x, y) => x.sameElements(y) }
+          }
+    }, minSuccessful = 20)
+  }
+
+  test("MCV8 motion compensation is real: translation compresses to SKIP blocks") {
+    // 128x128 scene translating 1 px/frame: every pixel changes every
+    // frame, so RLE8's changed-run deltas degenerate to ~full frames,
+    // while MCV8's motion search finds the shift and emits 3-byte SKIP
+    // blocks everywhere except the border blocks whose shifted
+    // reference leaves the frame — the defining capability gap between
+    // unchanged-pixel carry-over and true motion compensation.
+    val frames = translating(128, 128, 12, dx0 = 1, dy0 = 0)
+    val mcv = Codec.encodeAviMcv(frames, fps = 12, keyframeInterval = 12)
+    val rle = Codec.encodeAviRle8(frames, fps = 12, keyframeInterval = 12)
+    val allKey = Codec.encodeAviMcv(frames, fps = 12, keyframeInterval = 1)
+    assert(mcv.length * 2 < rle.length,
+      s"MCV8 ${mcv.length}B should compress translation far below RLE8 ${rle.length}B")
+    assert(mcv.length * 4 < allKey.length,
+      s"MCV8 ${mcv.length}B should be far below all-keyframe ${allKey.length}B")
+    // and the decode is still exact
+    val back = Codec.decodeAvi(mcv)._2
+    assert(back.zip(frames).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    // RLE8 decodes the same content too (both lossless, different cost)
+    val backR = Codec.decodeAvi(rle)._2
+    assert(backR.zip(frames).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
+
+  test("MCV8 GOP seek equals full decode on sampled indices; idx1 marks keyframes") {
+    val frames = translating(24, 40, 9, dx0 = -1, dy0 = 2)
+    val avi = Codec.encodeAviMcv(frames, fps = 6, keyframeInterval = 3)
+    assert(Codec.aviFrameCount(avi) == 9)
+    val full = Codec.decodeAvi(avi)._2
+    val (fps, picked) = Codec.decodeAviFrames(avi, Seq(8, 1, 4))
+    assert(fps == 6)
+    picked.foreach { case (i, g) =>
+      assert(g.zip(full(i)).forall { case (a, b) => a.sameElements(b) },
+        s"seek frame $i diverged from full decode")
+    }
+  }
+
+  test("MCV8 rejects hostile bytes loudly: truncation, bad mode, bad vector") {
+    val frames = translating(20, 20, 4, 1, 1)
+    val avi = Codec.encodeAviMcv(frames, fps = 5, keyframeInterval = 4)
+    // truncating the RIFF payload must throw, never hang or scribble
+    intercept[IllegalArgumentException](
+      Codec.decodeAvi(java.util.Arrays.copyOf(avi, avi.length - 10)))
+    // flip every payload byte position once; each mutant either decodes
+    // or throws IllegalArgumentException — nothing else (q602-style)
+    var threw = 0
+    (avi.length - 60 until avi.length - 20).foreach { i =>
+      val m = avi.clone(); m(i) = (m(i) ^ 0x7f).toByte
+      try Codec.decodeAvi(m)
+      catch { case _: IllegalArgumentException => threw += 1 }
+    }
+    assert(threw > 0, "no mutation was rejected — bounds checks missing?")
+  }
 }

@@ -25,25 +25,28 @@ class MultimodalSpec2 extends SparkTestBase {
     }
   }
 
-  test("q35 battery output matches a driver-side replay of the stub (sf0.001)") {
+  test("q35 battery output matches a driver-side closed-form replay (sf0.001)") {
+    // the battery path runs encode(MCV8) → GOP seek decode → resize →
+    // pool → float → integer recovery; this replay computes the same
+    // sums straight from the translation formula, touching NO codec —
+    // so it catches a codec/seek/resize/pool bug from the other side
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
     val got = graft.analytics.Battery.q35.run(spark, dir)
       .select("media_id", "n_frames", "sum_sq_pool")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"), col("n_chars")).collect()
-    val want = docs.map { r =>
-      val (id, text, nChars) = (r.getLong(0), r.getString(1), r.getLong(2))
-      val kind = if (id % 3 == 0) "video" else if (id % 3 == 1) "image" else "audio"
-      val meta = Multimodal.MediaMeta(kind, 640, 480, 16000, nChars * 100L)
-      val payload = text.getBytes("UTF-8")
-      val frames = Multimodal.sampleFrameIndices(Multimodal.DecodeStub.frameCount(meta), 2, 4)
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val want = ids.map { id =>
+      val dx0 = (1 + id % 3).toInt; val dy0 = (id % 2).toInt
+      val total = (1 + id % 7).toInt
+      def px(f: Int, r: Int, c: Int) =
+        ((id * 11 + (r + f * dy0).toLong * 31 + (c + f * dx0).toLong * 17) % 256).toInt
+      val frames = Multimodal.sampleFrameIndices(total, 2, 4)
       val ssq = frames.map { fi =>
-        val grid = Multimodal.DecodeStub.decodeFrame(payload, fi)
         (0 until 4).flatMap(pr => (0 until 4).map { pc =>
-          val s = grid(2 * pr)(2 * pc) + grid(2 * pr)(2 * pc + 1) +
-            grid(2 * pr + 1)(2 * pc) + grid(2 * pr + 1)(2 * pc + 1)
+          val s = px(fi, 4 * pr, 4 * pc) + px(fi, 4 * pr, 4 * pc + 2) +
+            px(fi, 4 * pr + 2, 4 * pc) + px(fi, 4 * pr + 2, 4 * pc + 2)
           s.toLong * s
         }).sum
       }.sum
@@ -60,15 +63,6 @@ class MultimodalSpec2 extends SparkTestBase {
     assert(w.last._2 <= 16000L)
     assert(w.length == (16000 - 400) / 160 + 1)
     assert(Multimodal.audioWindowIndices(10L, 16000, 25, 10).isEmpty)
-  }
-
-  test("windowEnergyStub is deterministic and in [0,1)") {
-    val p = "some payload".getBytes("UTF-8")
-    val e1 = Multimodal.windowEnergyStub(p, 3)
-    val e2 = Multimodal.windowEnergyStub(p, 3)
-    assert(e1 == e2)
-    assert(e1 >= 0.0 && e1 < 1.0)
-    assert(Multimodal.windowEnergyStub(p, 4) != e1)
   }
 
   test("decodeImageAndEmbed: real PNG/JPEG payloads through decode → resize → embed") {
