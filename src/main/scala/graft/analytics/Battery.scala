@@ -4661,7 +4661,9 @@ object Battery {
     * the single ⌊S·A/(A+B)⌋ posterior quantization, the floored
     * M-step ratios, and the [1, S−1] clamp — for a FIXED `iters`,
     * via one CTE pair (e_k, p_k) per iteration (the q81/q87
-    * unrolled-loop oracle pattern). */
+    * unrolled-loop oracle pattern). Returns a WITH prefix ending in
+    * the `emw` weights CTE (and the `prs` pairs CTE), so q143 selects
+    * the weights and q148 scores pairs under them. */
   private def emOracleSql(iters: Int): String = {
     val S = "1000000"
     val fieldsG = Seq("bal", "name", "seg") // pattern-agreement flags
@@ -4702,13 +4704,13 @@ object Battery {
         UNION ALL SELECT 'name', CAST(m_name AS BIGINT), CAST(u_name AS BIGINT) FROM p$iters
         UNION ALL SELECT 'segment', CAST(m_seg AS BIGINT), CAST(u_seg AS BIGINT) FROM p$iters),
       muc AS (SELECT field, m_ppm, u_ppm,
-        $S - m_ppm AS dm, $S - u_ppm AS du FROM mu)
-      SELECT field, m_ppm, u_ppm,
+        $S - m_ppm AS dm, $S - u_ppm AS du FROM mu),
+      emw AS (SELECT field, m_ppm, u_ppm,
         CAST(CASE WHEN m_ppm >= u_ppm THEN ${fl2rSql("m_ppm", "u_ppm")}
              ELSE -${fl2rSql("u_ppm", "m_ppm")} END AS BIGINT) AS w_agree_bits,
         CAST(CASE WHEN dm >= du THEN ${fl2rSql("dm", "du")}
              ELSE -${fl2rSql("du", "dm")} END AS BIGINT) AS w_disagree_bits
-      FROM muc ORDER BY field"""
+      FROM muc)"""
   }
 
   /** UNSUPERVISED Fellegi–Sunter weight estimation
@@ -4725,7 +4727,9 @@ object Battery {
     (s, dir) => graft.operators.Linkage.fsEmWeights(
         fsPairs(s, dir), fsFields, iters = 10)
       .orderBy("field"),
-    Some(emOracleSql(10)))
+    Some(s"""${emOracleSql(10)}
+      SELECT field, m_ppm, u_ppm, w_agree_bits, w_disagree_bits
+      FROM emw ORDER BY field"""))
 
   /** Deterministic BM25 ranking ([[graft.text.Search.rankByBm25Bits]],
     * Robertson–Spärck Jones with Lucene's non-negative idf): top-20
@@ -4852,6 +4856,88 @@ object Battery {
       FROM px GROUP BY media_id, f, r // 8, c // 8
       ORDER BY media_id, frame_idx, block_row, block_col"""))
 
+  /** SCD TYPE 2 versioned-dimension apply ([[graft.store.Store.scd2Init]]
+    * / `scd2Apply` — Kimball type 2; the reference's docs name it the
+    * follow-on to their TRUNCATE+reload dims): customers snapshot at
+    * t=100 folds one change batch (segment change at 200 for every 3rd
+    * key, attribute-identical row at 220 for every 5th — a NO-OP
+    * unless a key-%15 change-back, a second change at 300 for every
+    * 7th, brand-new keys at 250), then every version row is emitted.
+    * The oracle replays the timeline contract 1:1 (per-key order,
+    * run-dedup by null-safe lag compare, lead() closing) — a drift in
+    * tie rules, no-op suppression, or chaining hash-mismatches. */
+  val q147 = Q("q147_scd2_versions",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val init = graft.store.Store.scd2Init(
+        cust.withColumn("eff", lit(100L)), Seq("k"), "eff")
+      val changes =
+        cust.filter(col("k") % 3 === 0)
+          .select(col("k"), concat(col("seg"), lit("-X")).as("seg"), lit(200L).as("eff"))
+        .unionByName(cust.filter(col("k") % 5 === 0)
+          .select(col("k"), col("seg"), lit(220L).as("eff")))
+        .unionByName(cust.filter(col("k") % 7 === 0)
+          .select(col("k"), concat(col("seg"), lit("-Y")).as("seg"), lit(300L).as("eff")))
+        .unionByName(cust.filter(col("k") % 11 === 0)
+          .select((col("k") + 1000000L).as("k"), lit("NEW").as("seg"), lit(250L).as("eff")))
+      graft.store.Store.scd2Apply(init, changes, Seq("k"), "eff")
+        .orderBy("k", "valid_from")
+    },
+    Some("""WITH cust AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+      tl AS (
+        SELECT k, seg, CAST(100 AS BIGINT) AS vf, 0 AS src FROM cust
+        UNION ALL SELECT k, seg || '-X', 200, 1 FROM cust WHERE k % 3 = 0
+        UNION ALL SELECT k, seg, 220, 1 FROM cust WHERE k % 5 = 0
+        UNION ALL SELECT k, seg || '-Y', 300, 1 FROM cust WHERE k % 7 = 0
+        UNION ALL SELECT k + 1000000, 'NEW', 250, 1 FROM cust WHERE k % 11 = 0),
+      lg AS (SELECT k, seg, vf, src,
+          lag(seg) OVER (PARTITION BY k ORDER BY vf, src) AS prev
+        FROM tl),
+      kept AS (SELECT k, seg, vf, src FROM lg
+        WHERE prev IS NULL OR prev IS DISTINCT FROM seg),
+      fin AS (SELECT k, seg, vf AS valid_from,
+          lead(vf) OVER (PARTITION BY k ORDER BY vf, src) AS valid_to
+        FROM kept)
+      SELECT k, seg, valid_from, valid_to, valid_to IS NULL AS is_current
+      FROM fin ORDER BY k, valid_from"""))
+
+  /** End-to-end UNSUPERVISED linkage: q143's EM weights (no labels
+    * anywhere in training) score the blocked pairs and decide at ≥ 10
+    * bits; the output confusion matrix is judged against the planted
+    * truth — so the whole label-free chain (pattern counts → EM →
+    * quantized weights → literal-sum scoring → threshold) must land
+    * the same decisions in both engines. */
+  val q148 = Q("q148_fs_em_linkage",
+    (s, dir) => {
+      val pairs = fsPairs(s, dir)
+      val w = graft.operators.Linkage.fsEmWeights(pairs, fsFields, iters = 10)
+        .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+      graft.operators.Linkage.scoreFs(pairs, fsFields, w)
+        .withColumn("predicted", col("score_bits") >= lit(10L))
+        .groupBy("predicted", "is_match")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("predicted", "is_match")
+    },
+    Some(s"""${emOracleSql(10)},
+      w AS (SELECT
+        MAX(CASE WHEN field = 'name' THEN w_agree_bits END) AS name_wa,
+        MAX(CASE WHEN field = 'name' THEN w_disagree_bits END) AS name_wd,
+        MAX(CASE WHEN field = 'acctbal' THEN w_agree_bits END) AS bal_wa,
+        MAX(CASE WHEN field = 'acctbal' THEN w_disagree_bits END) AS bal_wd,
+        MAX(CASE WHEN field = 'segment' THEN w_agree_bits END) AS seg_wa,
+        MAX(CASE WHEN field = 'segment' THEN w_disagree_bits END) AS seg_wd
+      FROM emw),
+      sc AS (SELECT is_match,
+        (CASE WHEN name_a IS NOT DISTINCT FROM name_b THEN name_wa ELSE name_wd END
+         + CASE WHEN bal_a IS NOT DISTINCT FROM bal_b THEN bal_wa ELSE bal_wd END
+         + CASE WHEN seg_a IS NOT DISTINCT FROM seg_b THEN seg_wa ELSE seg_wd END)
+          AS score
+      FROM prs CROSS JOIN w)
+      SELECT score >= 10 AS predicted, is_match,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM sc GROUP BY 1, 2 ORDER BY predicted, is_match"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4863,5 +4949,5 @@ object Battery {
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146)
+    q143, q144, q145, q146, q147, q148)
 }

@@ -1,8 +1,9 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.CatalogTableType
-import org.apache.spark.sql.functions.{col, lit, struct, when}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lag, lead, lit, struct, when}
 
 /** Engine-managed table catalog (SURVEY §2.A O-2…O-5, §7.1 step 6).
   *
@@ -154,6 +155,104 @@ object Store {
           .when(changed, "changed")
           .otherwise("unchanged").as("status")): _*)
   }
+
+  /** SCD TYPE 2 — versioned dimension history (Kimball's slowly
+    * changing dimension type 2; the reference's own docs recommend it
+    * as the follow-on to their TRUNCATE+reload dims,
+    * vincent_valentin/docs/architecture_notes.md:216-221). A versioned
+    * dim carries, besides its key and attribute columns, the three
+    * meta columns `valid_from` / `valid_to` / `is_current`: one row
+    * per version, `valid_to` NULL on the open version, and
+    * half-open validity `[valid_from, valid_to)`.
+    *
+    * [[scd2Init]] bootstraps the table from a first snapshot;
+    * [[scd2Apply]] folds a change batch in: a change whose attributes
+    * differ from the key's previous version closes that version at the
+    * change's effective point and opens a new one; attribute-identical
+    * changes are NO-OPS (no version churn); multiple changes per key
+    * in one batch chain in effective order; new keys insert.
+    * [[scd2AsOf]] is the point-in-time read.
+    *
+    * Determinism contract: the per-key timeline is (valid_from asc,
+    * existing-version-first at ties); change rows carrying the SAME
+    * attributes as their timeline predecessor are dropped (null-safe
+    * column-wise compare, the [[tableDiff]] rule); `valid_to` =
+    * next kept version's `valid_from`. Loud rejects (each one bounded
+    * aggregate over batch/dim-sized frames): duplicate `(key,
+    * effective)` change rows (no deterministic order), multiple open
+    * versions per key (corrupt input dim), and changes effective
+    * BEFORE a key's open version (retroactive history rewrites need a
+    * rebuild from the full change log, not an apply).
+    *
+    * Scale shape: closed versions PASS THROUGH untouched (history is
+    * append-mostly — the per-key window runs only over open versions +
+    * the batch, not the whole history); one shuffle on the key for the
+    * window; validation joins are key-equi-joins of batch-sized
+    * frames. At 100 TB store the dim partitioned by `is_current` so
+    * the apply reads only the open slice. */
+  def scd2Apply(dim: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      effectiveCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Apply: no key columns")
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    require(meta.forall(dim.columns.contains),
+      s"scd2Apply: dim must carry ${meta.mkString("/")} (use scd2Init first)")
+    val attrs = dim.columns.filterNot(c => keyCols.contains(c) || meta.contains(c)).toSeq
+    require(changes.columns.toSet == (keyCols ++ attrs :+ effectiveCol).toSet,
+      s"scd2Apply: changes columns ${changes.columns.mkString(",")} must be " +
+        s"keys ++ attrs ++ $effectiveCol (${(keyCols ++ attrs :+ effectiveCol).mkString(",")})")
+    val dupChanges = changes.groupBy((keyCols :+ effectiveCol).map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupChanges == 0,
+      s"scd2Apply: duplicate (key, $effectiveCol) rows in the change batch")
+    val cur = dim.filter(col("is_current"))
+    val dupOpen = cur.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupOpen == 0, "scd2Apply: dim has multiple open versions for a key")
+    val incoming = changes.select(
+      (keyCols ++ attrs).map(col) :+ col(effectiveCol).as("valid_from") :+
+        lit(1).as("__src"): _*)
+    val retro = incoming.as("i")
+      .join(cur.select((keyCols.map(col) :+ col("valid_from").as("__cvf")): _*), keyCols)
+      .filter(col("valid_from") < col("__cvf")).limit(1).count()
+    require(retro == 0,
+      "scd2Apply: change effective before a key's open version — retroactive " +
+        "rewrites need a rebuild from the full change log")
+    val timeline = cur.select(
+        (keyCols ++ attrs).map(col) :+ col("valid_from") :+ lit(0).as("__src"): _*)
+      .unionByName(incoming)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("valid_from").asc, col("__src").asc)
+    val attrStruct = struct(attrs.map(col): _*)
+    val kept = timeline.withColumn("__prev", lag(attrStruct, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrStruct))
+    val versioned = kept
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(dim.columns.map(col): _*)
+    dim.filter(!col("is_current")).unionByName(versioned)
+  }
+
+  /** Bootstrap a versioned dim from a first snapshot: every row is the
+    * open version, `valid_from` = its `effectiveCol` value (column
+    * consumed), `valid_to` NULL, `is_current` true. */
+  def scd2Init(snapshot: DataFrame, keyCols: Seq[String],
+      effectiveCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Init: no key columns")
+    require(snapshot.columns.contains(effectiveCol),
+      s"scd2Init: snapshot has no $effectiveCol column")
+    val vf = col(effectiveCol)
+    snapshot
+      .withColumn("valid_from", vf)
+      .drop(effectiveCol)
+      .withColumn("valid_to", lit(null).cast(snapshot.schema(effectiveCol).dataType))
+      .withColumn("is_current", lit(true))
+  }
+
+  /** Point-in-time read of a versioned dim: the version rows whose
+    * half-open validity `[valid_from, valid_to)` contains `at`. */
+  def scd2AsOf(dim: DataFrame, at: Column): DataFrame =
+    dim.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || at < col("valid_to")))
 
   /** Collect table (+ optional column) statistics so the cost-based
     * optimizer plans from real row counts and NDVs instead of

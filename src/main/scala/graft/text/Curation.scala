@@ -858,7 +858,14 @@ object Curation {
     * narrow codegen map; `localCheckpoint` after each round keeps the
     * plan shallow instead of nesting the merge history (same loop
     * hygiene as [[graft.similarity.Similarity.kmeans]]). Stops early
-    * if the corpus runs out of adjacent pairs. */
+    * if the corpus runs out of adjacent pairs.
+    *
+    * LOOP BOUND (the valve): cost is ONE Spark job per merge, so this
+    * exact-sequential form is for small/audit vocabularies — a
+    * production 32k-merge vocabulary means 32k sequential jobs. For
+    * large `nMerges` use [[trainBpeBatched]], which selects up to
+    * `batch` non-interacting merges per round at ~1/batch the job
+    * count. */
   def trainBpe(textCol: String, nMerges: Int)(df: DataFrame): DataFrame = {
     require(nMerges >= 1, "trainBpe needs at least one merge round")
     val spark = df.sparkSession
@@ -884,6 +891,70 @@ object Curation {
         words = words.withColumn("syms",
             graft.functions.BpeExpressions.bpeMergeStep(sy, l, r))
           .localCheckpoint(false)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "n_pair")
+  }
+
+  /** Batched BPE training — the production form for real vocabulary
+    * sizes. [[trainBpe]] is exact sequential BPE but costs ONE Spark
+    * job (pair-count shuffle + argmax collect) per merge: a 32k-merge
+    * vocabulary would be 32k sequential jobs, which is the loop bound
+    * its scaladoc warns about. This variant selects up to `batch`
+    * NON-INTERACTING merges per round — the public fast-BPE /
+    * SentencePiece-style optimization — cutting the job count by ~the
+    * batch factor (BENCH_SCALE: 1k merges in ~1k/batch rounds).
+    *
+    * Selection rule (deterministic): take candidate pairs in the
+    * sequential order (count desc, then (l, r) binary order), accept
+    * a pair iff NEITHER symbol appears in a pair already accepted
+    * this round. Merging (a,b) only perturbs counts of pairs sharing
+    * `a` or `b`, so every accepted pair's count is still exact when
+    * it applies — the approximation (vs exact sequential BPE) is only
+    * that a pair CREATED by an earlier merge in the same round cannot
+    * be selected until the next round, and that rejected-conflict
+    * pairs wait a round. `batch = 1` is EXACTLY [[trainBpe]]
+    * (spec-pinned). `n_pair` records each merge's count at its
+    * round's start.
+    *
+    * Per round: one pair-count shuffle over the vocab table, one
+    * bounded collect (≤ 4·batch candidate rows), `≤ batch` chained
+    * narrow codegen merge kernels, one lazy localCheckpoint. */
+  def trainBpeBatched(textCol: String, nMerges: Int, batch: Int = 32)(
+      df: DataFrame): DataFrame = {
+    require(nMerges >= 1, "trainBpeBatched needs at least one merge round")
+    require(batch >= 1, s"trainBpeBatched: batch must be >= 1, got $batch")
+    val spark = df.sparkSession
+    var words = bpeWordTable(textCol)(df).localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val want = math.min(batch, nMerges - merges.size)
+      val sy = col("syms")
+      val cand = words.filter(size(sy) >= 2)
+        .select(col("n"), explode(transform(sequence(lit(0), size(sy) - 2),
+          i => struct(element_at(sy, i + 1).as("l"), element_at(sy, i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(want * 4) // headroom: conflicts skip candidates
+        .collect()
+      if (cand.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = cand.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (l, r, _) =>
+            if (used(l) || used(r)) false
+            else { used += l; used += r; true }
+          }
+          .take(want).toList
+        picked.foreach { case (l, r, c) => merges += ((merges.size + 1, l, r, c)) }
+        words = picked.foldLeft(words) { case (w, (l, r, _)) =>
+          w.withColumn("syms",
+            graft.functions.BpeExpressions.bpeMergeStep(col("syms"), l, r))
+        }.localCheckpoint(false)
       }
     }
     import spark.implicits._

@@ -82,6 +82,38 @@ class BpeSpec extends SparkTestBase {
     assert(got == Seq((1, "a", "b", 2L), (2, "x", "y", 2L)))
   }
 
+  test("trainBpeBatched: batch=1 IS trainBpe; conflicting pairs defer a round") {
+    val docs = Seq("ab ab ab", "abab abab", "xy cd xy cd").toDF("text")
+    val seqRef = Curation.trainBpe("text", nMerges = 4)(docs)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect().toSeq
+    val b1 = Curation.trainBpeBatched("text", nMerges = 4, batch = 1)(docs)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(b1 == seqRef, s"batch=1 diverged: $b1 vs $seqRef")
+    // top-2 pairs sharing a symbol must NOT merge in one round:
+    // word "abc" x4 -> counts (a,b)=4, (b,c)=4. Round 1 of batch=2
+    // accepts (a,b), rejects (b,c) (shares b); round 2 then sees
+    // [ab, c] -> (ab,c)=4. Sequential BPE computes the same.
+    val chain = Seq.fill(4)("abc").toDF("text")
+    val batched = Curation.trainBpeBatched("text", nMerges = 2, batch = 2)(chain)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(batched == Seq((1, "a", "b", 4L), (2, "ab", "c", 4L)), s"$batched")
+    assert(batched == Curation.trainBpe("text", nMerges = 2)(chain)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect().toSeq)
+    // independent pairs DO merge in one round, in (count, pair) order
+    val indep = Seq("ab ab cd").toDF("text")
+    val both = Curation.trainBpeBatched("text", nMerges = 2, batch = 8)(indep)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(both == Seq((1, "a", "b", 2L), (2, "c", "d", 1L)), s"$both")
+    // deterministic across runs
+    assert(Curation.trainBpeBatched("text", nMerges = 4, batch = 3)(docs)
+      .collect().toSeq == Curation.trainBpeBatched("text", nMerges = 4, batch = 3)(docs)
+      .collect().toSeq)
+    intercept[IllegalArgumentException](
+      Curation.trainBpeBatched("text", 0)(docs))
+    intercept[IllegalArgumentException](
+      Curation.trainBpeBatched("text", 1, batch = 0)(docs))
+  }
+
   test("bpeEncode flattens per-word encodings in document order") {
     val docs = Seq((1L, "The theater aaaa")).toDF("doc_id", "text")
     val toks = docs.transform(Curation.bpeEncode("text",

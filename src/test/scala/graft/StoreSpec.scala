@@ -242,6 +242,64 @@ class StoreSpec extends SparkTestBase {
     assert(got4 == Map((None: Option[Long]) -> "changed", Some(1L) -> "unchanged"))
   }
 
+  test("scd2: init → apply closes/opens/chains/no-ops; asOf reads point-in-time") {
+    import graft.store.Store
+    // v1 snapshot at t=10
+    val snap = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "eff")
+    val dim1 = Store.scd2Init(snap, Seq("k"), "eff")
+    assert(dim1.columns.toSeq == Seq("k", "v", "valid_from", "valid_to", "is_current"))
+    assert(dim1.as[(Long, String, Long, Option[Long], Boolean)].collect().toSet ==
+      Set((1L, "a", 10L, None, true), (2L, "b", 10L, None, true)))
+    // batch: k=1 changes twice (chain), k=2 unchanged (no-op), k=3 new
+    val ch = Seq((1L, "a2", 20L), (1L, "a3", 30L), (2L, "b", 25L), (3L, "c", 20L))
+      .toDF("k", "v", "eff")
+    val dim2 = Store.scd2Apply(dim1, ch, Seq("k"), "eff")
+    val got = dim2.as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 10L, Some(20L), false),
+      (1L, "a2", 20L, Some(30L), false),
+      (1L, "a3", 30L, None, true),
+      (2L, "b", 10L, None, true),      // attribute-identical change: NO churn
+      (3L, "c", 20L, None, true)), s"$got")
+    // closed history passes through a second apply untouched; a change
+    // BACK to an old value is a genuinely new version
+    val dim3 = Store.scd2Apply(dim2, Seq((1L, "a", 40L)).toDF("k", "v", "eff"),
+      Seq("k"), "eff")
+    val v1 = dim3.filter(col("k") === 1).orderBy("valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(v1 == Seq(
+      (1L, "a", 10L, Some(20L), false), (1L, "a2", 20L, Some(30L), false),
+      (1L, "a3", 30L, Some(40L), false), (1L, "a", 40L, None, true)))
+    // point-in-time reads across the version chain
+    def asOf(t: Long) = Store.scd2AsOf(dim3.filter(col("k") === 1), lit(t))
+      .select("v").as[String].collect().toSeq
+    assert(asOf(9L).isEmpty && asOf(10L) == Seq("a") && asOf(29L) == Seq("a2") &&
+      asOf(35L) == Seq("a3") && asOf(99L) == Seq("a"))
+    // null-safe attribute compare: null -> value IS a change, null -> null is not
+    val dn1 = Store.scd2Init(
+      Seq((1L, None: Option[String], 5L)).toDF("k", "v", "eff"), Seq("k"), "eff")
+    val dn2 = Store.scd2Apply(dn1,
+      Seq((1L, None: Option[String], 6L), (1L, Some("x"), 7L)).toDF("k", "v", "eff"),
+      Seq("k"), "eff")
+    assert(dn2.count() == 2) // null->null no-op'd, null->x versioned
+  }
+
+  test("scd2: loud rejects — dup change rows, corrupt dim, retroactive change") {
+    import graft.store.Store
+    val dim = Store.scd2Init(Seq((1L, "a", 10L)).toDF("k", "v", "eff"), Seq("k"), "eff")
+    intercept[IllegalArgumentException](Store.scd2Apply(dim,
+      Seq((1L, "x", 20L), (1L, "y", 20L)).toDF("k", "v", "eff"), Seq("k"), "eff"))
+    intercept[IllegalArgumentException](Store.scd2Apply(dim,
+      Seq((1L, "x", 5L)).toDF("k", "v", "eff"), Seq("k"), "eff")) // retroactive
+    val corrupt = dim.unionByName(dim) // two open versions for k=1
+    intercept[IllegalArgumentException](Store.scd2Apply(corrupt,
+      Seq((1L, "x", 20L)).toDF("k", "v", "eff"), Seq("k"), "eff"))
+    intercept[IllegalArgumentException](Store.scd2Apply(dim,
+      Seq((1L, 20L)).toDF("k", "eff"), Seq("k"), "eff")) // schema mismatch
+    intercept[IllegalArgumentException](
+      Store.scd2Init(Seq((1L, "a")).toDF("k", "v"), Seq("k"), "eff"))
+  }
+
   test("kAnonymity flags only sub-k groups; loud rejects") {
     import graft.quality.QualitySuite
     val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 2), ("c", 3))
