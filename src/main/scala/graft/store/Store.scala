@@ -189,9 +189,19 @@ object Store {
     * the batch, not the whole history); one shuffle on the key for the
     * window; validation joins are key-equi-joins of batch-sized
     * frames. At 100 TB store the dim partitioned by `is_current` so
-    * the apply reads only the open slice. */
+    * the apply reads only the open slice.
+    *
+    * `rebuildHistory = true` is the REPLAY-SAFE mode (the streaming
+    * sink's, [[graft.streaming.StreamOps.scd2Sink]]): keys touched by
+    * the batch rebuild their WHOLE timeline (closed versions included)
+    * instead of only the open one, and the retroactive-change reject
+    * is lifted — so re-applying an already-applied batch reconstructs
+    * the identical table (every replayed change coincides with its
+    * existing version row and run-dedups away), at the cost of
+    * windowing affected keys' full history. Untouched keys still pass
+    * through. */
   def scd2Apply(dim: DataFrame, changes: DataFrame, keyCols: Seq[String],
-      effectiveCol: String): DataFrame = {
+      effectiveCol: String, rebuildHistory: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "scd2Apply: no key columns")
     val meta = Seq("valid_from", "valid_to", "is_current")
     require(meta.forall(dim.columns.contains),
@@ -211,13 +221,19 @@ object Store {
     val incoming = changes.select(
       (keyCols ++ attrs).map(col) :+ col(effectiveCol).as("valid_from") :+
         lit(1).as("__src"): _*)
-    val retro = incoming.as("i")
-      .join(cur.select((keyCols.map(col) :+ col("valid_from").as("__cvf")): _*), keyCols)
-      .filter(col("valid_from") < col("__cvf")).limit(1).count()
-    require(retro == 0,
-      "scd2Apply: change effective before a key's open version — retroactive " +
-        "rewrites need a rebuild from the full change log")
-    val timeline = cur.select(
+    if (!rebuildHistory) {
+      val retro = incoming.as("i")
+        .join(cur.select((keyCols.map(col) :+ col("valid_from").as("__cvf")): _*), keyCols)
+        .filter(col("valid_from") < col("__cvf")).limit(1).count()
+      require(retro == 0,
+        "scd2Apply: change effective before a key's open version — retroactive " +
+          "rewrites need rebuildHistory = true (or a rebuild from the full change log)")
+    }
+    val batchKeys = changes.select(keyCols.map(col): _*).distinct()
+    val windowBase =
+      if (rebuildHistory) dim.join(batchKeys, keyCols, "left_semi")
+      else cur
+    val timeline = windowBase.select(
         (keyCols ++ attrs).map(col) :+ col("valid_from") :+ lit(0).as("__src"): _*)
       .unionByName(incoming)
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -229,7 +245,10 @@ object Store {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
       .select(dim.columns.map(col): _*)
-    dim.filter(!col("is_current")).unionByName(versioned)
+    val passThrough =
+      if (rebuildHistory) dim.join(batchKeys, keyCols, "left_anti")
+      else dim.filter(!col("is_current"))
+    passThrough.unionByName(versioned)
   }
 
   /** Bootstrap a versioned dim from a first snapshot: every row is the

@@ -446,6 +446,49 @@ object StreamOps {
       col(rightTime) <= col(leftTime))
   }
 
+  /** The STANDING SCD-2 dimension maintainer: each micro-batch of
+    * change rows (key cols + attribute cols + `effectiveCol`) folds
+    * into the stored versioned dim via
+    * [[graft.store.Store.scd2Apply]] in `rebuildHistory` mode, so the
+    * dimension's version history stays current as changes stream in —
+    * the incremental form of the reference's TRUNCATE+reload dims.
+    *
+    * Restart safety under foreachBatch replay (same batchId re-runs
+    * after a crash): rebuild mode makes the apply IDEMPOTENT — every
+    * replayed change row coincides with the version row it already
+    * minted (same key, same valid_from, same attributes) and
+    * run-dedups away, so re-applying a batch reconstructs the
+    * identical table. The updated frame is EAGERLY `localCheckpoint`ed
+    * BEFORE the overwrite — the write replaces the table the plan
+    * reads, and Spark (rightly) refuses a read-from-target overwrite
+    * on a live lineage (the semantic-index rebuild's rule,
+    * [[graft.similarity.Similarity]]). A crash between checkpoint and
+    * overwrite replays cleanly; the overwrite itself is the catalog's
+    * atomic-swap contract ([[graft.store.Store.overwrite]]).
+    *
+    * The table must exist ([[graft.store.Store.scd2Init]] +
+    * `Store.overwrite` bootstrap it). Changes inside one batch chain
+    * by effective order, exactly as in the batch operator — batch ≡
+    * stream version history is spec-pinned (StreamOpsSpec). */
+  def scd2Sink(
+      changes: DataFrame, table: String, keyCols: Seq[String],
+      effectiveCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = b.sparkSession
+        val updated = graft.store.Store.scd2Apply(
+            spark.table(table), b.toDF(), keyCols, effectiveCol,
+            rebuildHistory = true)
+          .localCheckpoint() // EAGER: pin BEFORE the overwrite replaces the source
+        graft.store.Store.overwrite(updated, table)
+        updated.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** One micro-batch of the idempotent sink: the batch overwrites ITS
     * OWN batch_id partition only (dynamic partition overwrite), so a
     * replayed batch after a failure rewrites the same files instead of

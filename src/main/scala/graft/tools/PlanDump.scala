@@ -85,7 +85,11 @@ object PlanDump {
     "q140_fs_linkage" ->
       "Fellegi–Sunter linkage: candidate pairs from the blocking EQUI-join (never all-pairs); training is ONE aggregate producing a fields-sized count table; scoring rides the pairs as a narrow literal-weight sum — no second join in the scored plan (PlanSpec pins ≤ the blocking join).",
     "q141_weighted_sample" ->
-      "Weighted PPS sampling: the global cumulative sum is a TWO-LEVEL scan — per-bucket totals (one small aggregate, offsets broadcast as a literal CASE) + an INTRA-bucket window — so no single-partition global window exists; the threshold walk is exact BIGINT div arithmetic in-row.")
+      "Weighted PPS sampling: the global cumulative sum is a TWO-LEVEL scan — per-bucket totals (one small aggregate, offsets broadcast as a literal CASE) + an INTRA-bucket window — so no single-partition global window exists; the threshold walk is exact BIGINT div arithmetic in-row.",
+    "q144_bm25_rank" ->
+      "BM25 ranking: doc lengths are ONE postings aggregate on the id (stored beside the index at rest); the query-terms-only idf table BROADCASTS to the tf rows; saturation/length factors are in-row BIGINT div arithmetic; the cut is a bounded TakeOrderedAndProject (PlanSpec pins broadcast + TakeOrdered + no product).",
+    "q147_scd2_versions" ->
+      "SCD Type 2 apply: closed versions PASS THROUGH (union side, untouched); the per-key timeline is one hashpartitioning(key) exchange feeding lag (run-dedup) + lead (closing) windows — no single-partition window anywhere (PlanSpec pins it); validation joins are batch-sized key equi-joins.")
 
   /** The q87 PageRank ITERATION body, shown separately: the real loop
     * localCheckpoints rank state each pass, so the battery query's

@@ -577,4 +577,41 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
+
+  test("q144 BM25: idf broadcast, cut is a bounded TakeOrdered, no product") {
+    val df = Battery.q144.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), s"idf join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q147 SCD2 apply: key-partitioned window, no single-partition exchange, no product") {
+    val df = Battery.q147.run(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    // the timeline window partitions by the key — an empty partitionBy
+    // would collapse the whole dim to one task (the shape scd2 must
+    // never have; the orderBy tail plans as range partitioning)
+    assert(!p.contains("Exchange SinglePartition"), s"single-partition window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("perplexityFilter reads the corpus exactly twice (score build + attach), never thrice") {
+    // the round-12 single-scan contract: ONE (id, text)-pruned scan
+    // builds the surprisal aggregate, ONE wide scan is the attach
+    // side; the retired formulation added a third id-only scan
+    import graft.text.LmQuality
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // train on an IN-MEMORY frame so the model tables' own lineage
+    // contributes no parquet scans — the count isolates the filter
+    val lm = LmQuality.trainBigramLm("doc_id", "text")(
+      Seq((1L, "a b c a b")).toDF("doc_id", "text"))
+    val p = plan(LmQuality.perplexityFilter("doc_id", "text", lm, 4400L)(docs))
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"corpus scanned $scans times:\n$p")
+    assert(scans >= 1, s"plan shape changed — scan count unparseable:\n$p")
+  }
 }

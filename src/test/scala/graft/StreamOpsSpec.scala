@@ -601,4 +601,46 @@ class StreamOpsSpec extends SparkTestBase {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
     assert(streamed.size == 4) // 3 chunks for doc 1, 1 for doc 2
   }
+
+  test("scd2Sink: streamed change batches maintain the versioned dim; batch ≡ stream; replay-safe") {
+    import graft.store.Store
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2_ckpt").toString
+    val init = Store.scd2Init(
+      Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("k", "v", "eff"), Seq("k"), "eff")
+    Store.overwrite(init, "t_scd2_dim")
+    try {
+      val input = MemoryStream[(Long, String, Long)]
+      val q = StreamOps.scd2Sink(input.toDF().toDF("k", "v", "eff"),
+        "t_scd2_dim", Seq("k"), "eff", ckpt)
+      // batch 0: k=1 changes, k=2 no-ops, k=3 new
+      input.addData((1L, "a2", 200L), (2L, "b", 200L), (3L, "c", 200L))
+      q.processAllAvailable()
+      // batch 1: k=1 changes again (chains on batch 0's version)
+      input.addData((1L, "a3", 300L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("t_scd2_dim")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+      // batch ≡ stream: one offline apply of the union of both batches
+      val batchForm = Store.scd2Apply(init,
+        Seq((1L, "a2", 200L), (2L, "b", 200L), (3L, "c", 200L), (1L, "a3", 300L))
+          .toDF("k", "v", "eff"), Seq("k"), "eff")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+      assert(got == batchForm, s"stream=$got batch=$batchForm")
+      assert(got == Set(
+        (1L, "a", 100L, Some(200L), false), (1L, "a2", 200L, Some(300L), false),
+        (1L, "a3", 300L, None, true), (2L, "b", 100L, None, true),
+        (3L, "c", 200L, None, true)))
+      // REPLAY of batch 0 (crash scenario): rebuild-mode apply of an
+      // already-applied batch reconstructs the IDENTICAL table
+      val replayed = Store.scd2Apply(spark.table("t_scd2_dim"),
+        Seq((1L, "a2", 200L), (2L, "b", 200L), (3L, "c", 200L)).toDF("k", "v", "eff"),
+        Seq("k"), "eff", rebuildHistory = true)
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+      assert(replayed == got, s"replay diverged: $replayed")
+    } finally {
+      Store.drop(spark, "t_scd2_dim")
+    }
+  }
 }
