@@ -97,6 +97,26 @@ object ScaleBench {
             bands = 8, rowsPerBand = 4),
           "id_a", "id_b", k = 3)
       }),
+      // SCD Type 2 apply at scale: bootstrap the scale-dir orders table
+      // (150k→15M keys) as a versioned dim, then fold one change batch
+      // (priority rewrite on every 3rd key at t=200, attribute-identical
+      // rows on every 5th at t=220 — no-ops except the %15 change-backs).
+      // Cost = the validation aggregates + ONE key-partitioned window
+      // over open versions + batch; closed history would pass through
+      // untouched (none exists at bootstrap, so this measures the
+      // worst case: every key enters the window).
+      "x147_scd2_apply" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val key = o.columns.head
+        val init = graft.store.Store.scd2Init(
+          o.withColumn("eff", lit(100L)), Seq(key), "eff")
+        val changes = o.filter(col(key) % 3 === 0)
+          .withColumn("o_orderpriority", lit("X-CHG"))
+          .withColumn("eff", lit(200L))
+          .unionByName(o.filter(col(key) % 5 === 0).withColumn("eff", lit(220L)))
+        graft.store.Store.scd2Apply(init, changes, Seq(key), "eff")
+      }),
       // keyed snapshot diff at scale: the scale-dir orders table
       // (150k→15M rows) against its q138-style deterministic mutation
       // — the full-outer join + column-wise compare is the whole cost
