@@ -2013,20 +2013,26 @@ object Battery {
   /** Per-source quality deciles (NTILE) — curriculum/difficulty
     * binning: rank each source's docs by mean token length (an exact-
     * operand IEEE ratio) and cut into 10 equal-depth buckets. The
-    * window order carries a doc_id tiebreak so the cut is a total
-    * order — NTILE on ties is otherwise engine-arbitrary. */
+    * order carries a doc_id tiebreak so the cut is a total order —
+    * NTILE on ties is otherwise engine-arbitrary. Since round 12 the
+    * engine side rides [[graft.operators.GroupedNtile]] — the
+    * two-phase-rank form with NO per-group window (a window here is
+    * one task per source at corpus scale); bucket assignment is
+    * spec-pinned identical to `ntile(10) OVER (...)`, which is
+    * exactly what the unchanged oracle still computes. */
   val q84 = Q("q84_quality_deciles",
     (s, dir) => {
       val toks = split(trim(lower(col("text"))), "\\s+")
       val nTok = size(toks).cast(LongType)
       val nonSpace = length(regexp_replace(col("text"), "\\s", "")).cast(LongType)
       val meanTokLen = nonSpace.cast("double") / nTok.cast("double")
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("mean_token_len"), col("doc_id"))
-      t(s, dir, "documents")
+      val base = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), nTok.as("n_tokens"),
           meanTokLen.as("mean_token_len"))
-        .withColumn("decile", ntile(10).over(w).cast(LongType))
+      graft.operators.GroupedNtile.groupedNtile(
+          Seq("source"), Seq(col("mean_token_len"), col("doc_id")), 10,
+          bucketCol = "decile")(base)
+        .select("doc_id", "source", "n_tokens", "mean_token_len", "decile")
         .orderBy("doc_id")
     },
     Some("""WITH q AS (SELECT doc_id, source,
