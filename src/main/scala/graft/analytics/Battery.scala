@@ -950,9 +950,11 @@ object Battery {
   /** Exact percentiles over integer cents: interpolation operands are
     * exact, binary-fraction quantiles (.25/.5/.75) keep every product
     * representable, so Spark's (1−d)·lo + d·hi and DuckDB's
-    * lo + d·(hi−lo) land on the same double. Exact percentile is a
-    * per-group sort — the scale path is approx_percentile; this is the
-    * parity-checkable form. */
+    * lo + d·(hi−lo) land on the same double. This aggregate form is a
+    * per-group collect-and-sort buffer — since round 12 the EXACT
+    * scale path is q149's rank-filter
+    * ([[graft.operators.GroupedNtile.exactPercentilesDisc]]); this
+    * stays as the interpolated (CONT) parity form. */
   val q40 = Q("q40_percentiles",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -4944,6 +4946,33 @@ object Battery {
         CAST(COUNT(*) AS BIGINT) AS n_pairs
       FROM sc GROUP BY 1, 2 ORDER BY predicted, is_match"""))
 
+  /** Exact per-group percentiles AT SCALE
+    * ([[graft.operators.GroupedNtile.exactPercentilesDisc]] — the true
+    * scale path q40's scaladoc deferred): quartiles + max of integer
+    * order cents per priority class via the two-phase rank and a
+    * rank-equality filter — no per-group collect-and-sort buffer. The
+    * probabilities are exact rationals, so the target rank
+    * `⌈num·n/den⌉` is integer arithmetic; the oracle replays the rule
+    * with a row_number window. */
+  val q149 = Q("q149_exact_percentiles_scale",
+    (s, dir) => graft.operators.GroupedNtile.exactPercentilesDisc(
+        Seq("o_orderpriority"), "v",
+        probs = Seq((1L, 4L), (1L, 2L), (3L, 4L), (1L, 1L)))(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          cents(col("o_totalprice")).as("v")))
+      .orderBy("o_orderpriority", "p_den", "p_num"),
+    Some(s"""WITH w AS (SELECT o_orderpriority,
+        ${centsSql("o_totalprice")} AS v FROM orders),
+      r AS (SELECT o_orderpriority, v,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
+          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM w),
+      p AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (1, 1)) t(num, den))
+      SELECT o_orderpriority, CAST(num AS BIGINT) AS p_num,
+        CAST(den AS BIGINT) AS p_den, v AS value
+      FROM r CROSS JOIN p WHERE rn = (num * n + den - 1) // den
+      ORDER BY o_orderpriority, p_den, p_num"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4955,5 +4984,5 @@ object Battery {
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146, q147, q148)
+    q143, q144, q145, q146, q147, q148, q149)
 }

@@ -55,4 +55,45 @@ object GroupedNtile {
             s"(__gsk - __g0 + 1 - __rem * (__base + 1) + __base - 1) div __base")))
       .drop("__gsk", "__g0", "__gn", "__base", "__rem")
   }
+
+  /** Exact per-group discrete percentiles at corpus scale — the true
+    * scale path q40's scaladoc deferred ("exact percentile is a
+    * per-group sort; the scale path is approx_percentile"): the same
+    * two-phase rank as [[groupedNtile]], then `percentile_disc(p)` is
+    * the value at in-group rank `⌈p·cnt⌉` — a FILTER on rank, no
+    * per-group collect-and-sort buffer anywhere.
+    *
+    * Probabilities are RATIONALS `(num, den)` (e.g. `(1,2)` =
+    * median), so the target rank `⌈num·cnt/den⌉ = (num·cnt + den − 1)
+    * div den` is exact integer arithmetic — a double `0.1·n` can land
+    * one ulp above an integer and ceil to the WRONG rank; a rational
+    * cannot. Requires `0 < num ≤ den`. Ties in the value column are
+    * fine (tied rows share the value, so the rank→value map is
+    * deterministic without a tiebreak).
+    *
+    * Returns one row per (group, prob): groupCols ++ `(p_num, p_den,
+    * value)`. Cost: one global range sort + a broadcast group-counts
+    * join + a narrow filter — nothing single-task. */
+  def exactPercentilesDisc(groupCols: Seq[String], valueCol: String,
+      probs: Seq[(Long, Long)])(df: DataFrame): DataFrame = {
+    require(groupCols.nonEmpty, "exactPercentilesDisc: no group columns")
+    require(probs.nonEmpty, "exactPercentilesDisc: no probabilities")
+    probs.foreach { case (num, den) =>
+      require(num > 0 && num <= den,
+        s"exactPercentilesDisc: prob must satisfy 0 < num <= den, got $num/$den")
+    }
+    val ranked = Sk.withDistributedSk(
+      df.select((groupCols :+ valueCol).map(col): _*), "__gsk",
+      groupCols.map(col) :+ col(valueCol))
+    val groups = ranked.groupBy(groupCols.map(col): _*)
+      .agg(min(col("__gsk")).as("__g0"), count(lit(1)).as("__gn"))
+    val withRank = ranked.join(broadcast(groups), groupCols)
+      .withColumn("__r", col("__gsk") - col("__g0") + lit(1L))
+    probs.map { case (num, den) =>
+      withRank
+        .filter(col("__r") === expr(s"(${num}L * __gn + ${den}L - 1) div ${den}L"))
+        .select((groupCols.map(col) :+ lit(num).as("p_num") :+ lit(den).as("p_den") :+
+          col(valueCol).as("value")): _*)
+    }.reduce(_ unionByName _)
+  }
 }

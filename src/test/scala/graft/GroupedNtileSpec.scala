@@ -40,6 +40,33 @@ class GroupedNtileSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("exactPercentilesDisc ≡ per-group sort reference, incl. duplicate values") {
+    val df = (
+      (1 to 13).map(i => ("a", (i * 7 % 5).toLong)) ++ // duplicates everywhere
+      Seq(("b", 42L)) ++
+      (1 to 10).map(i => ("c", i.toLong))
+    ).toDF("g", "v")
+    val probs = Seq((1L, 4L), (1L, 2L), (3L, 4L), (1L, 1L))
+    val got = GroupedNtile.exactPercentilesDisc(Seq("g"), "v", probs)(df)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val byG = df.as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val want = (for {
+      (g, vs) <- byG.toSeq
+      (num, den) <- probs
+    } yield {
+      val rank = ((num * vs.length + den - 1) / den).toInt // ceil(p·n)
+      (g, num, den, vs(rank - 1))
+    }).toSet
+    assert(got == want, s"got $got want $want")
+    // p = 1/1 is the max, p at the smallest rational the min-ish rank
+    assert(got.contains(("b", 1L, 1L, 42L)))
+    intercept[IllegalArgumentException](
+      GroupedNtile.exactPercentilesDisc(Seq("g"), "v", Seq((0L, 2L)))(df))
+    intercept[IllegalArgumentException](
+      GroupedNtile.exactPercentilesDisc(Seq("g"), "v", Seq((3L, 2L)))(df))
+  }
+
   test("groupedNtile: loud rejects") {
     intercept[IllegalArgumentException](
       GroupedNtile.groupedNtile(Seq("g"), Seq(col("v")), 0)(fixture))
