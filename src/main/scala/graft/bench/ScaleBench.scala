@@ -176,6 +176,38 @@ object ScaleBench {
         val docs = s.read.parquet(s"$dir/documents.parquet")
         graft.text.Curation.trainBpeBatched("text", nMerges = 1000, batch = 32)(docs)
       }),
+      // MCV8 GOP seek-decode at scale, against a STORED video corpus
+      // (the x113 stored-index pattern: the first pass mints one
+      // 16-frame 32x32 translating MCV8 stream per doc and stores the
+      // payloads — encode cost is one-time corpus build, NOT the
+      // measured op; timed passes read the binary column and
+      // seek-decode frames 0/3/6/9 through their GOP chains — keyframes
+      // at 0/5/10/15, so the walk decodes 0; 0-3; 5-6; 5-9: the
+      // O(GOP-span) economics, never O(stream)).
+      "x146_mcv_seek_stored" -> ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val path = s"$dir/mcv_videos.parquet"
+        if (!new java.io.File(path).exists()) {
+          System.err.println(s"[scalebench] minting $path (one-time)")
+          s.read.parquet(s"$dir/documents.parquet").select(
+              org.apache.spark.sql.functions.col("doc_id")).as[Long]
+            .map { id =>
+              val frames = (0 until 16).map(f =>
+                Array.tabulate(32, 32)((r, c) =>
+                  (((r + f) * 31 + (c + f * 2) * 17 + id * 7) % 256 + 256).toInt % 256))
+              (id, graft.multimodal.Codec.encodeAviMcv(
+                frames, fps = 4, keyframeInterval = 5))
+            }.toDF("media_id", "payload")
+            .write.mode("overwrite").parquet(path)
+        }
+        val media = s.read.parquet(path).as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.Multimodal.MediaMeta("video", 32, 32, 0, 4000L), bytes)
+          }
+        graft.multimodal.Multimodal.decodeVideoAndEmbed(media, stride = 3, maxFrames = 4)
+          .toDF()
+      }),
       "x112_ivfpq_build" -> ((s: SparkSession, dir: String) =>
         buildIvfPqFrames(s, dir)._1),
       "x113_ivfpq_query_stored" -> ((s: SparkSession, dir: String) => {
