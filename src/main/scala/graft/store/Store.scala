@@ -251,6 +251,66 @@ object Store {
     passThrough.unionByName(versioned)
   }
 
+  /** The SPLIT SCD-2 store — the shape that survives 100 TB of
+    * history: [[scd2Apply]] returns the whole table, so a sink built
+    * on it rewrites ALL closed versions every batch (O(history) per
+    * batch). Here the dimension lives as two parts instead:
+    *
+    *  - `openTable`: ONE row per key — the open versions. Overwritten
+    *    per batch: O(keys), never O(history).
+    *  - `closedPath`: an APPEND-ONLY parquet log of closed versions.
+    *    Rows are appended exactly once through any replay (left-anti
+    *    on (key, valid_from) against the stored log — the
+    *    admitPostingsBatch dedup pattern; at scales where that probe
+    *    dominates, bucket the log by key or keep a (key, valid_from)
+    *    registry beside it).
+    *
+    * One transaction = [[scd2ApplySplit]]: compute the rebuilt open
+    * timeline (EAGER checkpoint — the write replaces the table the
+    * plan reads), append the batch's newly-closed versions to the log,
+    * then overwrite the open slice. WRITE ORDER IS LOAD-BEARING:
+    * closed-append happens FIRST — a crash between the two writes
+    * leaves the old open table in place, and the replay's re-derived
+    * closed rows anti-join away against the already-appended ones;
+    * the reverse order could lose a closed version forever (open
+    * overwritten ⇒ the replay can no longer derive the version it was
+    * supposed to close). Replays re-run the whole transaction
+    * idempotently. [[scd2Versions]] is the read view (open ∪ log). */
+  def scd2ApplySplit(spark: SparkSession, changes: DataFrame,
+      openTable: String, closedPath: String, keyCols: Seq[String],
+      effectiveCol: String): Unit = {
+    val open = table(spark, openTable)
+    // rebuildHistory: replayed changes must coincide-and-dedup against
+    // the open versions they already minted (and retro vs an open
+    // version superseded IN the replayed batch must not throw)
+    val updated = scd2Apply(open, changes, keyCols, effectiveCol,
+        rebuildHistory = true)
+      .localCheckpoint() // EAGER: both writes below invalidate inputs
+    val newlyClosed = updated.filter(!col("is_current"))
+    val fresh =
+      if (new java.io.File(closedPath).exists())
+        newlyClosed.join(spark.read.parquet(closedPath)
+            .select((keyCols :+ "valid_from").map(col): _*),
+          keyCols :+ "valid_from", "left_anti")
+      else newlyClosed
+    fresh.write.mode(SaveMode.Append).parquet(closedPath)
+    overwrite(updated.filter(col("is_current")), openTable)
+    updated.unpersist()
+    ()
+  }
+
+  /** Read view of the split SCD-2 store: open versions ∪ the closed
+    * log — the same frame [[scd2Apply]]'s monolithic form returns
+    * (spec-pinned equal). */
+  def scd2Versions(spark: SparkSession, openTable: String,
+      closedPath: String): DataFrame = {
+    val open = table(spark, openTable)
+    if (new java.io.File(closedPath).exists())
+      open.unionByName(spark.read.parquet(closedPath)
+        .select(open.columns.map(col): _*))
+    else open
+  }
+
   /** Bootstrap a versioned dim from a first snapshot: every row is the
     * open version, `valid_from` = its `effectiveCol` value (column
     * consumed), `valid_to` NULL, `is_current` true. */

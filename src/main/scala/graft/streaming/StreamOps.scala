@@ -469,7 +469,13 @@ object StreamOps {
     * The table must exist ([[graft.store.Store.scd2Init]] +
     * `Store.overwrite` bootstrap it). Changes inside one batch chain
     * by effective order, exactly as in the batch operator — batch ≡
-    * stream version history is spec-pinned (StreamOpsSpec). */
+    * stream version history is spec-pinned (StreamOpsSpec).
+    *
+    * COST BOUND: each batch overwrites the WHOLE table, closed history
+    * included — O(history) writes per batch. Right for small/medium
+    * dims (one table, simplest ops); for history-heavy dims use
+    * [[scd2SinkSplit]], whose per-batch write cost is O(open keys +
+    * batch) regardless of history depth. */
   def scd2Sink(
       changes: DataFrame, table: String, keyCols: Seq[String],
       effectiveCol: String,
@@ -484,6 +490,29 @@ object StreamOps {
         graft.store.Store.overwrite(updated, table)
         updated.unpersist()
         ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** The split-store SCD-2 maintainer — [[scd2Sink]]'s 100 TB form:
+    * [[scd2Sink]] overwrites the WHOLE versioned table per batch
+    * (O(history)); this one maintains the open-slice table + the
+    * append-only closed log via the
+    * [[graft.store.Store.scd2ApplySplit]] transaction, so each batch
+    * costs O(open keys + batch) writes regardless of history depth.
+    * Same replay contract (the transaction is idempotent; write order
+    * inside it is load-bearing — see its scaladoc);
+    * [[graft.store.Store.scd2Versions]] is the read view, spec-pinned
+    * equal to the monolithic table. */
+  def scd2SinkSplit(
+      changes: DataFrame, openTable: String, closedPath: String,
+      keyCols: Seq[String], effectiveCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.store.Store.scd2ApplySplit(
+          b.sparkSession, b.toDF(), openTable, closedPath, keyCols, effectiveCol)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())

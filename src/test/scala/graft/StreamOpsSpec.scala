@@ -643,4 +643,59 @@ class StreamOpsSpec extends SparkTestBase {
       Store.drop(spark, "t_scd2_dim")
     }
   }
+
+  test("scd2SinkSplit: open table + closed log ≡ monolithic history; replay and crash-window safe") {
+    import graft.store.Store
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2s_ckpt").toString
+    val closedPath = java.nio.file.Files.createTempDirectory("scd2s_log").toString + "/closed"
+    val init = Store.scd2Init(
+      Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("k", "v", "eff"), Seq("k"), "eff")
+    Store.overwrite(init, "t_scd2_open")
+    try {
+      val input = MemoryStream[(Long, String, Long)]
+      val q = StreamOps.scd2SinkSplit(input.toDF().toDF("k", "v", "eff"),
+        "t_scd2_open", closedPath, Seq("k"), "eff", ckpt)
+      input.addData((1L, "a2", 200L), (2L, "b", 200L), (3L, "c", 200L))
+      q.processAllAvailable()
+      input.addData((1L, "a3", 300L), (1L, "a4", 350L)) // in-batch chain
+      q.processAllAvailable()
+      q.stop()
+      // read view ≡ the monolithic apply of the same batches
+      val got = Store.scd2Versions(spark, "t_scd2_open", closedPath)
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+      val mono = Store.scd2Apply(Store.scd2Apply(init,
+          Seq((1L, "a2", 200L), (2L, "b", 200L), (3L, "c", 200L)).toDF("k", "v", "eff"),
+          Seq("k"), "eff"),
+          Seq((1L, "a3", 300L), (1L, "a4", 350L)).toDF("k", "v", "eff"),
+          Seq("k"), "eff")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+      assert(got == mono, s"split=$got mono=$mono")
+      // open table holds EXACTLY one open row per key — O(keys), not O(history)
+      assert(spark.table("t_scd2_open").count() == 3L)
+      assert(spark.table("t_scd2_open").filter(!col("is_current")).count() == 0L)
+      // REPLAY: re-running batch 1's transaction changes nothing
+      Store.scd2ApplySplit(spark,
+        Seq((1L, "a3", 300L), (1L, "a4", 350L)).toDF("k", "v", "eff"),
+        "t_scd2_open", closedPath, Seq("k"), "eff")
+      assert(Store.scd2Versions(spark, "t_scd2_open", closedPath)
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet == mono)
+      // CRASH WINDOW: closed rows already appended, open NOT yet
+      // overwritten (the load-bearing write order) — re-running the
+      // full transaction must not duplicate the pre-appended rows
+      val nextBatch = Seq((2L, "b2", 400L)).toDF("k", "v", "eff")
+      val preClosed = Seq((2L, "b", 100L, Some(400L), false))
+        .toDF("k", "v", "valid_from", "valid_to", "is_current")
+      preClosed.write.mode("append").parquet(closedPath) // simulate the partial write
+      Store.scd2ApplySplit(spark, nextBatch,
+        "t_scd2_open", closedPath, Seq("k"), "eff")
+      val fin = Store.scd2Versions(spark, "t_scd2_open", closedPath)
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+      assert(fin.size == fin.toSet.size, s"duplicate versions after crash replay: $fin")
+      assert(fin.toSet.contains((2L, "b2", 400L, None, true)))
+      assert(fin.toSet.contains((2L, "b", 100L, Some(400L), false)))
+    } finally {
+      Store.drop(spark, "t_scd2_open")
+    }
+  }
 }
