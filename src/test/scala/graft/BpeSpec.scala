@@ -114,6 +114,25 @@ class BpeSpec extends SparkTestBase {
       Curation.trainBpeBatched("text", 1, batch = 0)(docs))
   }
 
+  test("trainBpeBatched completes the requested merge count when the vocab allows") {
+    // 120 distinct 8-char words -> ~800 merges available; asking for
+    // 200 with batch=16 must yield EXACTLY 200 (the BENCH_SCALE x117
+    // 1k-merge claim rides this completion property), with dense
+    // unique ranks in selection order
+    val words = (0 until 120).map { i =>
+      val sb = new StringBuilder
+      var v = i * 2654435761L
+      (0 until 8).foreach { _ => sb.append(('a' + (v % 17)).toChar); v /= 17 }
+      sb.toString
+    }
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val m = Curation.trainBpeBatched("text", nMerges = 200, batch = 16)(docs)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect()
+    assert(m.length == 200, s"only ${m.length} merges learned")
+    assert(m.map(_._1).toSeq == (1 to 200), "ranks not dense")
+    assert(m.map(r => (r._2, r._3)).distinct.length == 200, "duplicate merge pair")
+  }
+
   test("bpeEncode flattens per-word encodings in document order") {
     val docs = Seq((1L, "The theater aaaa")).toDF("doc_id", "text")
     val toks = docs.transform(Curation.bpeEncode("text",
