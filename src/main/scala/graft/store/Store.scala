@@ -288,7 +288,7 @@ object Store {
       .localCheckpoint() // EAGER: both writes below invalidate inputs
     val newlyClosed = updated.filter(!col("is_current"))
     val fresh =
-      if (new java.io.File(closedPath).exists())
+      if (pathExists(spark, closedPath))
         newlyClosed.join(spark.read.parquet(closedPath)
             .select((keyCols :+ "valid_from").map(col): _*),
           keyCols :+ "valid_from", "left_anti")
@@ -305,10 +305,18 @@ object Store {
   def scd2Versions(spark: SparkSession, openTable: String,
       closedPath: String): DataFrame = {
     val open = table(spark, openTable)
-    if (new java.io.File(closedPath).exists())
+    if (pathExists(spark, closedPath))
       open.unionByName(spark.read.parquet(closedPath)
         .select(open.columns.map(col): _*))
     else open
+  }
+
+  /** Filesystem-agnostic existence probe (HDFS/S3A/local all resolve
+    * through the Hadoop FS the path names — a `java.io.File` check
+    * would silently answer "absent" for any non-local store). */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   /** Bootstrap a versioned dim from a first snapshot: every row is the
