@@ -4973,6 +4973,52 @@ object Battery {
       FROM r CROSS JOIN p WHERE rn = (num * n + den - 1) // den
       ORDER BY o_orderpriority, p_den, p_num"""))
 
+  /** Point-in-time read of the q147 versioned dim
+    * ([[graft.store.Store.scd2AsOf]]): the dimension AS OF t=250 —
+    * between the t=200/220 changes and the t=300 ones, with the t=250
+    * new keys just born — one row per key, exercising the half-open
+    * `[valid_from, valid_to)` rule at both edges. The oracle replays
+    * the q147 timeline and applies the same containment filter. */
+  val q150 = Q("q150_scd2_asof",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val init = graft.store.Store.scd2Init(
+        cust.withColumn("eff", lit(100L)), Seq("k"), "eff")
+      val changes =
+        cust.filter(col("k") % 3 === 0)
+          .select(col("k"), concat(col("seg"), lit("-X")).as("seg"), lit(200L).as("eff"))
+        .unionByName(cust.filter(col("k") % 5 === 0)
+          .select(col("k"), col("seg"), lit(220L).as("eff")))
+        .unionByName(cust.filter(col("k") % 7 === 0)
+          .select(col("k"), concat(col("seg"), lit("-Y")).as("seg"), lit(300L).as("eff")))
+        .unionByName(cust.filter(col("k") % 11 === 0)
+          .select((col("k") + 1000000L).as("k"), lit("NEW").as("seg"), lit(250L).as("eff")))
+      graft.store.Store.scd2AsOf(
+          graft.store.Store.scd2Apply(init, changes, Seq("k"), "eff"), lit(250L))
+        .select("k", "seg", "valid_from")
+        .orderBy("k")
+    },
+    Some("""WITH cust AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+      tl AS (
+        SELECT k, seg, CAST(100 AS BIGINT) AS vf, 0 AS src FROM cust
+        UNION ALL SELECT k, seg || '-X', 200, 1 FROM cust WHERE k % 3 = 0
+        UNION ALL SELECT k, seg, 220, 1 FROM cust WHERE k % 5 = 0
+        UNION ALL SELECT k, seg || '-Y', 300, 1 FROM cust WHERE k % 7 = 0
+        UNION ALL SELECT k + 1000000, 'NEW', 250, 1 FROM cust WHERE k % 11 = 0),
+      lg AS (SELECT k, seg, vf, src,
+          lag(seg) OVER (PARTITION BY k ORDER BY vf, src) AS prev
+        FROM tl),
+      kept AS (SELECT k, seg, vf, src FROM lg
+        WHERE prev IS NULL OR prev IS DISTINCT FROM seg),
+      fin AS (SELECT k, seg, vf AS valid_from,
+          lead(vf) OVER (PARTITION BY k ORDER BY vf, src) AS valid_to
+        FROM kept)
+      SELECT k, seg, valid_from
+      FROM fin
+      WHERE valid_from <= 250 AND (valid_to IS NULL OR 250 < valid_to)
+      ORDER BY k"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -4984,5 +5030,5 @@ object Battery {
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146, q147, q148, q149)
+    q143, q144, q145, q146, q147, q148, q149, q150)
 }
