@@ -5019,6 +5019,42 @@ object Battery {
       WHERE valid_from <= 250 AND (valid_to IS NULL OR 250 < valid_to)
       ORDER BY k"""))
 
+  /** INCREMENTAL connected components
+    * ([[graft.operators.ConnectedComponents.incrementalComponents]] —
+    * the standing near-dup loop's missing maintenance piece): batch 1's
+    * arithmetic edge set resolves to exact min-labels, then batch 2
+    * FOLDS IN through the contracted delta graph (touched components +
+    * new vertices only, never the history). The oracle computes plain
+    * components of the UNION graph by recursive-CTE transitive closure
+    * — so the fold must land exactly where a full recompute does,
+    * merges, bridges, and new vertices included. */
+  val q151 = Q("q151_incremental_components",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val b1 = cust.filter(col("k") % 3 === 0)
+        .select(col("k").as("id_a"), (col("k") + 1L + col("k") % 4).as("id_b"))
+      val b2 = cust.filter(col("k") % 4 === 1)
+        .select(col("k").as("id_a"), (col("k") + 2L + col("k") % 5).as("id_b"))
+      graft.operators.ConnectedComponents.incrementalComponents(
+          graft.operators.ConnectedComponents.components(b1), b2)
+        .select(col("id").as("node"), col("comp").as("component"))
+        .orderBy("node")
+    },
+    Some("""WITH RECURSIVE b AS (
+        SELECT c_custkey AS a, c_custkey + 1 + c_custkey % 4 AS bb
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_custkey + 2 + c_custkey % 5
+        FROM customer WHERE c_custkey % 4 = 1),
+      edges AS (SELECT a AS src, bb AS dst FROM b
+        UNION SELECT bb, a FROM b),
+      walk(src, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+      SELECT src AS node, CAST(MIN(reach) AS BIGINT) AS component
+      FROM walk GROUP BY src ORDER BY node"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -5030,5 +5066,5 @@ object Battery {
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146, q147, q148, q149, q150)
+    q143, q144, q145, q146, q147, q148, q149, q150, q151)
 }

@@ -61,4 +61,49 @@ class ConnectedComponentsSpec extends SparkTestBase {
       }
     }, minSuccessful = 8)
   }
+
+  test("incrementalComponents: folding batches ≡ full recompute (merge, bridge, new nodes, no-op)") {
+    // batch 1: two separate components {1,2,3} and {10,11}
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val l1 = ConnectedComponents.components(b1)
+    // batch 2: bridge the two components (3-10), extend with a brand-new
+    // node (11-20), a fully-new component (30-31), and a redundant
+    // intra-component edge (1-3, must change nothing)
+    val b2 = Seq((3L, 10L), (11L, 20L), (30L, 31L), (1L, 3L)).toDF("id_a", "id_b")
+    val inc = ConnectedComponents.incrementalComponents(l1, b2)
+      .as[(Long, Long)].collect().toMap
+    val full = ConnectedComponents.components(
+        b1.unionByName(b2)).as[(Long, Long)].collect().toMap
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc(20L) == 1L && inc(10L) == 1L && inc(30L) == 30L)
+    // a second fold on top of the first (inductive chain)
+    val b3 = Seq((31L, 1L)).toDF("id_a", "id_b") // merge everything but nothing else
+    val inc2 = ConnectedComponents.incrementalComponents(
+        ConnectedComponents.incrementalComponents(l1, b2), b3)
+      .as[(Long, Long)].collect().toMap
+    val full2 = ConnectedComponents.components(b1.unionByName(b2).unionByName(b3))
+      .as[(Long, Long)].collect().toMap
+    assert(inc2 == full2, s"inc2=$inc2 full2=$full2")
+    // empty delta is the identity
+    val idless = ConnectedComponents.incrementalComponents(l1,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+    assert(idless == l1.as[(Long, Long)].collect().toMap)
+  }
+
+  test("incrementalComponents ≡ full recompute on random batch splits (property)") {
+    val pairGen = Gen.listOfN(40, for {
+      a <- Gen.chooseNum(0L, 25L); b <- Gen.chooseNum(0L, 25L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    ScalaCheckSupport.checkProp(Prop.forAll(pairGen, Gen.chooseNum(1, 39)) { (ps, cut) =>
+      ps.size < 2 || {
+        val k = math.min(cut, ps.size - 1)
+        val (h1, h2) = ps.splitAt(k)
+        val inc = ConnectedComponents.incrementalComponents(
+            ConnectedComponents.components(h1.toDF("id_a", "id_b")),
+            h2.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        inc == reference(ps)
+      }
+    }, minSuccessful = 6)
+  }
 }
