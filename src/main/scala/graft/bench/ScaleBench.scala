@@ -176,6 +176,35 @@ object ScaleBench {
         val docs = s.read.parquet(s"$dir/documents.parquet")
         graft.text.Curation.trainBpeBatched("text", nMerges = 1000, batch = 32)(docs)
       }),
+      // Incremental-CC fold at scale, against STORED state (one-time
+      // build: OPH near-dup candidate edges over the corpus, split 90%
+      // "history" / 10% "new batch" by endpoint; history edges resolve
+      // to labels once and are stored with the batch edges). The timed
+      // op is ONLY the fold: contract the batch through the stored
+      // labels, CC on the delta graph, relabel through the delta
+      // mapping — the claim being measured is that fold cost tracks
+      // the DELTA + one narrow labels pass, not the edge history.
+      "x151_inc_fold_stored" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions.col
+        val base = s"$dir/inc_cc"
+        if (!new java.io.File(s"$base/labels.parquet").exists()) {
+          System.err.println(s"[scalebench] building $base (one-time)")
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+          val edges = graft.dedup.Dedup.ophCandidatePairs(
+              docs, "doc_id", "text", graft.dedup.Dedup.CharShingles(5),
+              bands = 8, rowsPerBand = 4)
+            .localCheckpoint()
+          val hist = edges.filter(col("id_a") % 10 =!= 0 && col("id_b") % 10 =!= 0)
+          val batch = edges.filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+          graft.operators.ConnectedComponents.components(hist)
+            .write.mode("overwrite").parquet(s"$base/labels.parquet")
+          batch.select("id_a", "id_b")
+            .write.mode("overwrite").parquet(s"$base/batch_edges.parquet")
+        }
+        graft.operators.ConnectedComponents.incrementalComponents(
+          s.read.parquet(s"$base/labels.parquet"),
+          s.read.parquet(s"$base/batch_edges.parquet"))
+      }),
       // MCV8 GOP seek-decode at scale, against a STORED video corpus
       // (the x113 stored-index pattern: the first pass mints one
       // 16-frame 32x32 translating MCV8 stream per doc and stores the
