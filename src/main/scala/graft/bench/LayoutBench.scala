@@ -39,7 +39,7 @@ object LayoutBench {
     val linDir = s"$base/linear_x"
     val zDir = s"$base/zorder_xy"
     val hDir = s"$base/hilbert_xy"
-    if (!new java.io.File(hDir).exists()) {
+    if (!BenchFs.exists(spark, hDir)) {
       System.err.println(s"[layoutbench] writing $n x $n grid, $files files per layout")
       val grid = spark.range(n.toLong * n).select(
         (col("id") / n).cast("int").as("x"),

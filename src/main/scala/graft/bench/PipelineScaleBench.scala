@@ -43,14 +43,14 @@ object PipelineScaleBench {
     val scales = Seq(("p1x", 1L), ("p10x", 10L), ("p100x", 100L))
     scales.foreach { case (g, mult) =>
       val tsv = s"$base/$g/off"
-      if (!new java.io.File(tsv).exists()) {
+      if (!BenchFs.exists(spark, tsv)) {
         System.err.println(s"[pipescale] generating $tsv (${mult}x)")
         OffTsvGen.generate(spark, tsv, rows = OffTsvGen.ReferenceRows * mult)
       }
     }
 
     /** One full pipeline run; returns (total, silver, gold, metrics+queries). */
-    def runOnce(g: String): (Double, Double, Double, Double) = {
+    def runOnce(g: String, mult: Long): (Double, Double, Double, Double) = {
       graft.CacheReset(spark)
       val tsv = s"$base/$g/off"
       val silverPath = s"$base/$g/silver"
@@ -66,8 +66,10 @@ object PipelineScaleBench {
         spark.read.parquet(p)
       })
       val t2 = System.nanoTime()
+      // rowsIn must track the decade's actual input size — the unscaled
+      // constant would silently mis-state rowsIn/rowsRejected at 10x/100x
       graft.metrics.Metrics.compute(
-        silverBack, OffTsvGen.ReferenceRows, 0L, 0L)
+        silverBack, OffTsvGen.ReferenceRows * mult, 0L, 0L)
       val fact = gold("fact_nutrition_snapshot"); val product = gold("dim_product")
       val brand = gold("dim_brand"); val category = gold("dim_category")
       val time = gold("dim_time")
@@ -85,8 +87,8 @@ object PipelineScaleBench {
     }
 
     val rows = scales.map { case (g, mult) =>
-      val a = runOnce(g)
-      val b = runOnce(g)
+      val a = runOnce(g, mult)
+      val b = runOnce(g, mult)
       val best = if (b._1 <= a._1) b else a
       System.err.println(f"[pipescale] $g: total=${best._1}%.2fs " +
         f"silver=${best._2}%.2fs gold=${best._3}%.2fs queries=${best._4}%.2fs " +

@@ -187,7 +187,7 @@ object ScaleBench {
       "x151_inc_fold_stored" -> ((s: SparkSession, dir: String) => {
         import org.apache.spark.sql.functions.col
         val base = s"$dir/inc_cc"
-        if (!new java.io.File(s"$base/labels.parquet").exists()) {
+        if (!BenchFs.exists(s, s"$base/labels.parquet")) {
           System.err.println(s"[scalebench] building $base (one-time)")
           val docs = s.read.parquet(s"$dir/documents.parquet")
           val edges = graft.dedup.Dedup.ophCandidatePairs(
@@ -216,7 +216,7 @@ object ScaleBench {
       "x146_mcv_seek_stored" -> ((s: SparkSession, dir: String) => {
         import s.implicits._
         val path = s"$dir/mcv_videos.parquet"
-        if (!new java.io.File(path).exists()) {
+        if (!BenchFs.exists(s, path)) {
           System.err.println(s"[scalebench] minting $path (one-time)")
           s.read.parquet(s"$dir/documents.parquet").select(
               org.apache.spark.sql.functions.col("doc_id")).as[Long]
@@ -242,7 +242,7 @@ object ScaleBench {
       "x113_ivfpq_query_stored" -> ((s: SparkSession, dir: String) => {
         import s.implicits._
         val ix = s"$dir/ivfpq_index"
-        if (!new java.io.File(s"$ix/codes.parquet").exists()) {
+        if (!BenchFs.exists(s, s"$ix/codes.parquet")) {
           val (codes, means, cb) = buildIvfPqFrames(s, dir)
           codes.write.mode("overwrite").parquet(s"$ix/codes.parquet")
           means.write.mode("overwrite").parquet(s"$ix/means.parquet")
@@ -304,7 +304,7 @@ object ScaleBench {
     val scales = Seq(("g1x", 5000, 150000L), ("g10x", 50000, 1500000L),
       ("g100x", 500000, 15000000L))
     scales.foreach { case (g, nDocs, nOrders) =>
-      if (!new java.io.File(s"$base/$g/documents.parquet").exists()) {
+      if (!BenchFs.exists(spark, s"$base/$g/documents.parquet")) {
         System.err.println(s"[scalebench] generating $base/$g")
         ScaleGen.docs(spark, nDocs, seed = 42)
           .write.mode("overwrite").parquet(s"$base/$g/documents.parquet")
@@ -312,7 +312,7 @@ object ScaleBench {
           .write.mode("overwrite").parquet(s"$base/$g/orders.parquet")
       }
       // embeddings landed later: generate independently if absent
-      if (!new java.io.File(s"$base/$g/embeddings.parquet").exists()) {
+      if (!BenchFs.exists(spark, s"$base/$g/embeddings.parquet")) {
         System.err.println(s"[scalebench] generating $base/$g embeddings")
         ScaleGen.embeddings(spark, nDocs * 2 / 5, seed = 43)
           .write.mode("overwrite").parquet(s"$base/$g/embeddings.parquet")

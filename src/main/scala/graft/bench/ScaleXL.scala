@@ -37,7 +37,7 @@ object ScaleXL {
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = s"$base/g1000x"
-    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+    if (!BenchFs.exists(spark, s"$dir/embeddings.parquet")) {
       System.err.println(s"[scalexl] generating $dir embeddings (2M x 64)")
       ScaleGen.embeddings(spark, 2000000, seed = 43)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

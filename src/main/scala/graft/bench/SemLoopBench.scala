@@ -55,7 +55,7 @@ object SemLoopBench {
       val dir = s"$base/$g"
       // same deterministic generator + seed as ScaleBench, so either
       // campaign can (re)create the shared scale points
-      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      if (!BenchFs.exists(spark, s"$dir/embeddings.parquet")) {
         System.err.println(s"[semloop] generating $dir embeddings")
         ScaleGen.embeddings(spark, nDocs * 2 / 5, seed = 43)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

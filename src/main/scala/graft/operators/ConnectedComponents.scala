@@ -150,7 +150,11 @@ object ConnectedComponents {
     * vertices. The full labels table is read once and shuffles once. */
   def incrementalComponents(labels: DataFrame, newEdges: DataFrame): DataFrame = {
     val l = labels.select(col("id"), col("comp"))
+    // null endpoints dropped up front, matching components()'s rule —
+    // otherwise the newNodes path would mint (null, null) labels and
+    // singleton the non-null partner, diverging from a full recompute
     val e = newEdges.select(col("id_a"), col("id_b"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
     val contracted = e
       .join(l.select(col("id").as("id_a"), col("comp").as("__ca")), Seq("id_a"), "left")
       .join(l.select(col("id").as("id_b"), col("comp").as("__cb")), Seq("id_b"), "left")

@@ -275,7 +275,24 @@ object Store {
     * the reverse order could lose a closed version forever (open
     * overwritten ⇒ the replay can no longer derive the version it was
     * supposed to close). Replays re-run the whole transaction
-    * idempotently. [[scd2Versions]] is the read view (open ∪ log). */
+    * idempotently. [[scd2Versions]] is the read view (open ∪ log).
+    *
+    * RETROACTIVE-CHANGE GUARD: the apply runs in rebuildHistory mode
+    * (replays demand it — a replayed change may be effective before
+    * the CURRENT open version that a later change in the same batch
+    * minted), which lifts [[scd2Apply]]'s retro reject. But rebuild
+    * mode here sees only the OPEN slice, not the history it would need
+    * to re-derive a timeline — so a genuinely retroactive change
+    * (effective inside intervals already in the closed log, and not a
+    * replay of a logged closure) would silently append an OVERLAPPING
+    * closed version. Guarded loudly instead: after the replay
+    * anti-join, any surviving (genuinely new) closed row whose
+    * `valid_from` precedes its key's max logged `valid_to` is a
+    * retroactive rewrite → throw, mirroring the monolithic non-rebuild
+    * reject. (A legitimate new closure always starts at-or-after its
+    * key's last logged closure — the open version it closes did.) The
+    * probe reads the closed log restricted to batch keys, the same
+    * cost class as the replay anti-join beside it. */
   def scd2ApplySplit(spark: SparkSession, changes: DataFrame,
       openTable: String, closedPath: String, keyCols: Seq[String],
       effectiveCol: String): Unit = {
@@ -287,13 +304,30 @@ object Store {
         rebuildHistory = true)
       .localCheckpoint() // EAGER: both writes below invalidate inputs
     val newlyClosed = updated.filter(!col("is_current"))
-    val fresh =
+    val logKeyed =
       if (pathExists(spark, closedPath))
-        newlyClosed.join(spark.read.parquet(closedPath)
-            .select((keyCols :+ "valid_from").map(col): _*),
+        Some(spark.read.parquet(closedPath)
+          .join(changes.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+          .localCheckpoint()) // read once; feeds both the replay anti-join and the retro guard
+      else None
+    val fresh = logKeyed match {
+      case Some(log) =>
+        val deduped = newlyClosed.join(
+          log.select((keyCols :+ "valid_from").map(col): _*),
           keyCols :+ "valid_from", "left_anti")
-      else newlyClosed
+        val maxVt = log.groupBy(keyCols.map(col): _*)
+          .agg(org.apache.spark.sql.functions.max(col("valid_to")).as("__max_vt"))
+        val retro = deduped.join(maxVt, keyCols)
+          .filter(col("valid_from") < col("__max_vt")).limit(1).count()
+        require(retro == 0,
+          "scd2ApplySplit: change closes a version effective inside the closed log's " +
+            "history — a retroactive rewrite needs a rebuild from the full change log, " +
+            "not a split apply (would append overlapping closed versions)")
+        deduped
+      case None => newlyClosed
+    }
     fresh.write.mode(SaveMode.Append).parquet(closedPath)
+    logKeyed.foreach(_.unpersist())
     overwrite(updated.filter(col("is_current")), openTable)
     updated.unpersist()
     ()

@@ -88,6 +88,19 @@ class ConnectedComponentsSpec extends SparkTestBase {
     val idless = ConnectedComponents.incrementalComponents(l1,
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
     assert(idless == l1.as[(Long, Long)].collect().toMap)
+    // null endpoints in the delta follow components()'s drop rule:
+    // fold ≡ full recompute on malformed input too (no (null,null)
+    // rows, no phantom singleton for the non-null partner)
+    val bNull = Seq((Some(3L), Some(10L)), (None, Some(99L)), (Some(98L), None))
+      .toDF("id_a", "id_b")
+    val incNull = ConnectedComponents.incrementalComponents(l1, bNull)
+      .as[(Long, Long)].collect().toMap
+    val fullNull = ConnectedComponents.components(
+        b1.select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+          .unionByName(bNull.select(col("id_a"), col("id_b"))))
+      .as[(Long, Long)].collect().toMap
+    assert(incNull == fullNull, s"incNull=$incNull fullNull=$fullNull")
+    assert(!incNull.contains(99L) && !incNull.contains(98L))
   }
 
   test("incrementalComponents ≡ full recompute on random batch splits (property)") {
