@@ -96,6 +96,29 @@ object PipelineScaleBench {
       (g, mult, best)
     }
 
+    // A/B of the silver stage alone: reference-parity multiLine scan vs
+    // the splittable fast path (Ingest.bronzeCsvSplittable — quote-parity
+    // guard + multiLine=false). The guard pass is INSIDE the timed span:
+    // the fast path must win including its own proof, or it isn't a win.
+    def silverLap(g: String, splittable: Boolean): Double = {
+      graft.CacheReset(spark)
+      val tsv = s"$base/$g/off"
+      val t0 = System.nanoTime()
+      val bronze =
+        if (splittable) graft.ingest.Ingest.bronzeCsvSplittable(spark, tsv)
+        else graft.ingest.Ingest.bronzeCsv(spark, tsv)
+      graft.pipeline.OffPipeline.silver(bronze)
+        .write.mode("overwrite").parquet(s"$base/$g/silver_ab")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val abRows = scales.map { case (g, _) =>
+      val ml = math.min(silverLap(g, splittable = false), silverLap(g, splittable = false))
+      val sp = math.min(silverLap(g, splittable = true), silverLap(g, splittable = true))
+      System.err.println(f"[pipescale] $g silver A/B: multiLine=$ml%.2fs splittable=$sp%.2fs " +
+        f"(${ml / sp}%.2fx)")
+      (g, ml, sp)
+    }
+
     // merge into BENCH_SCALE.json under the ScaleBench key convention
     val jsonFile = java.nio.file.Paths.get("BENCH_SCALE.json")
     val existing: Map[String, String] = if (java.nio.file.Files.exists(jsonFile)) {
@@ -107,11 +130,17 @@ object PipelineScaleBench {
       val m = rows.map { case (g, _, t) => g -> sel(t) }.toMap
       s"""{"t1x":${fmt(m("p1x"))},"t10x":${fmt(m("p10x"))},"t100x":${fmt(m("p100x"))}}"""
     }
+    def byAb(sel: ((String, Double, Double)) => Double): String = {
+      val m = abRows.map(r => r._1 -> sel(r)).toMap
+      s"""{"t1x":${fmt(m("p1x"))},"t10x":${fmt(m("p10x"))},"t100x":${fmt(m("p100x"))}}"""
+    }
     val merged = existing ++ Map(
       "x200_pipeline" -> by(_._1),
       "x201_pipe_silver" -> by(_._2),
       "x202_pipe_gold" -> by(_._3),
-      "x203_pipe_queries" -> by(_._4))
+      "x203_pipe_queries" -> by(_._4),
+      "x204_silver_multiline" -> byAb(_._2),
+      "x205_silver_splittable" -> byAb(_._3))
     val json = merged.toSeq.sortBy(_._1)
       .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
     java.nio.file.Files.write(jsonFile, (json + "\n").getBytes("UTF-8"))
@@ -121,6 +150,11 @@ object PipelineScaleBench {
     rows.foreach { case (g, mult, (tot, sil, gol, q)) =>
       val n = OffTsvGen.ReferenceRows * mult
       println(f"| $g | $n | ${fmt(tot)} | ${fmt(sil)} | ${fmt(gol)} | ${fmt(q)} | ${(n / tot).toLong} |")
+    }
+    println("\n| decade | silver multiLine (s) | silver splittable (s) | speedup |")
+    println("|---|---|---|---|")
+    abRows.foreach { case (g, ml, sp) =>
+      println(f"| $g | ${fmt(ml)} | ${fmt(sp)} | ${ml / sp}%.2fx |")
     }
     spark.stop()
   }

@@ -28,8 +28,11 @@ object OffPipeline {
     // is the CSV *parse* itself, which no post-scan exchange can
     // parallelize, and the codegen'd clean cascade is cheap enough
     // that shuffling 418k rows to spread it loses. At real scale the
-    // fix is upstream — many input files (each its own task) or
-    // multiLine=false when fields are known newline-free.
+    // fix is upstream: Ingest.bronzeCsvSplittable proves the corpus
+    // quoted-newline-free (one cheap parity scan, loud throw otherwise)
+    // and reads with multiLine=false — parallelism then follows bytes
+    // (maxPartitionBytes splits), not file count. Measured A/B at
+    // 1x/10x/100x in PipelineScaleBench (x204/x205 rows).
     val projected = Ingest.renameDashes(
       Ingest.selectExisting(bronze, OffModel.rawAllowlist))
 

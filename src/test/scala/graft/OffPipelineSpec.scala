@@ -220,4 +220,35 @@ class OffPipelineSpec extends SparkTestBase {
         }
     }
   }
+
+  test("splittable bronze ≡ multiLine bronze on the golden TSV, through silver") {
+    import graft.ingest.Ingest
+    val ml = Ingest.bronzeCsv(spark, tsvPath)
+    val sp = Ingest.bronzeCsvSplittable(spark, tsvPath)
+    assert(sp.schema == ml.schema)
+    assert(sp.collect().map(_.toSeq).toSet == ml.collect().map(_.toSeq).toSet)
+    // and the whole silver layer is identical through either scan
+    val silverMl = OffPipeline.silver(ml).collect().map(_.toSeq).toSet
+    val silverSp = OffPipeline.silver(sp).collect().map(_.toSeq).toSet
+    assert(silverSp == silverMl)
+  }
+
+  test("splittable bronze guard rejects a quoted-newline corpus loudly") {
+    import graft.ingest.Ingest
+    val dir = Files.createTempDirectory("graft-mlfix")
+    val f = dir.resolve("embedded_newline.tsv")
+    // a quoted product_name spanning a line break — legal under
+    // multiLine=true, shredded under line splitting
+    Files.writeString(f,
+      "code\tproduct_name\tbrands\n" +
+        "0001\t\"Choc\nBar\"\tAcme\n" +
+        "0002\tPlain\tAcme\n")
+    // the multiLine scan parses it as TWO records (parity baseline)
+    assert(Ingest.bronzeCsv(spark, f.toString).count() == 2)
+    val ex = intercept[IllegalArgumentException](
+      Ingest.bronzeCsvSplittable(spark, f.toString))
+    assert(ex.getMessage.contains("unbalanced quotes"))
+    // validate=false documents the escape hatch: caller takes the risk
+    assert(Ingest.bronzeCsvSplittable(spark, f.toString, validate = false).count() == 3)
+  }
 }

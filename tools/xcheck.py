@@ -2,8 +2,9 @@ import json, duckdb, glob, sys, hashlib
 import pandas as pd
 import numpy as np
 
-sfdir = "/root/testdata/sf0.01"
-out = "/tmp/verify_out"
+# usage: xcheck.py [sfdir] [verify_out_dir] — defaults are the driver-gate shape
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for tname in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{sfdir}/{tname}.parquet')")
