@@ -5055,6 +5055,36 @@ object Battery {
       SELECT src AS node, CAST(MIN(reach) AS BIGINT) AS component
       FROM walk GROUP BY src ORDER BY node"""))
 
+  /** ATOMIC manifest-store lifecycle ([[graft.store.Manifest]]): build
+    * a versioned table from thirds of `orders` through the full
+    * protocol — overwrite-commit, append-commit, reader-safe compact,
+    * gc past retention, append again — then aggregate the final
+    * snapshot. The oracle replays the LOGICAL content (all of orders)
+    * in plain SQL: the store's whole point is that no sequence of
+    * commits/compactions/gcs can make the read view diverge from the
+    * logical table, so hash equality here is the storage protocol's
+    * correctness statement, not just an aggregate check. */
+  val q152 = Q("q152_manifest_lifecycle",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q152").toString + "/orders_t"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      Manifest.overwrite(orders.filter(col("o_orderkey") % 3 === 0), root)
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 1), root)
+      Manifest.compact(s, root)
+      Manifest.gc(s, root, keepVersions = 1)
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 2), root)
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("status")
+    },
+    Some(s"""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+      ${dsumSql("o_totalprice")} AS total_price
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -5066,5 +5096,5 @@ object Battery {
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146, q147, q148, q149, q150, q151)
+    q143, q144, q145, q146, q147, q148, q149, q150, q151, q152)
 }

@@ -675,6 +675,94 @@ object Dedup {
     ()
   }
 
+  /** [[writeCorpusIndex]] on the ATOMIC manifest store
+    * ([[graft.store.Manifest]]): the two index parts live under
+    * versioned roots; the family marker travels in the manifest's
+    * metadata map instead of TBLPROPERTIES (so it survives compaction
+    * without re-assertion). */
+  def writeCorpusIndexManifest(
+      docs: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
+      bands: Int, rowsPerBand: Int,
+      hashedRoot: String, bandedRoot: String,
+      family: SigFamily = PermMinhash): Unit = {
+    val hashed = hashedDocs(docs, idCol, textCol, mode).localCheckpoint(false)
+    graft.store.Manifest.overwrite(hashed, hashedRoot)
+    graft.store.Manifest.overwrite(
+      hashed.select(col("id"),
+        posexplode(family.sigCol(col("h"), bands, rowsPerBand)).as(Seq("band", "bandsig"))),
+      bandedRoot, meta = Map("graft.sig.family" -> family.name))
+    hashed.unpersist()
+    ()
+  }
+
+  /** [[admitBatch]] on the ATOMIC manifest store — the standing admit
+    * loop inheriting snapshot-isolated commits: every append/compact
+    * publishes by one atomic manifest rename, so a probe racing the
+    * maintenance pass reads a complete committed index snapshot, never
+    * the half-rewritten table the catalog form documents as its
+    * residual window (Store.compact's rename swap). What the manifest
+    * form gives up: the catalog form's bucketed layout options — the
+    * probe here shuffles the (small) batch side against the corpus
+    * scan. Same protocol ordering (hashed committed FIRST; a crash
+    * between the commits leaves fingerprints without banded rows,
+    * which is screened-but-never-probed = harmless), same replay
+    * story (a replayed batch near-duplicates its own prior admissions
+    * at jaccard 1.0 and is screened out, so nothing re-appends).
+    * Maintenance: when a root's current file list exceeds
+    * `compactMinFiles`, compact + gc — both reader-safe. */
+  def admitBatchManifest(
+      batch: DataFrame, idCol: String, textCol: String, mode: ShingleMode,
+      bands: Int, rowsPerBand: Int,
+      hashedRoot: String, bandedRoot: String,
+      minJaccard: Double,
+      maxBucketSize: Int = Int.MaxValue,
+      compactMinFiles: Int = 64,
+      family: SigFamily = PermMinhash): DataFrame = {
+    val spark = batch.sparkSession
+    import graft.store.Manifest
+    val bandedSnap = Manifest.current(spark, bandedRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"$bandedRoot has no committed corpus index — writeCorpusIndexManifest first"))
+    bandedSnap.meta.get("graft.sig.family") match {
+      case Some(f) => require(f == family.name,
+        s"corpus index $bandedRoot was written with signature family '$f' but this " +
+          s"probe uses '${family.name}' — a mismatched family buckets nothing and is " +
+          "a silent recall hole")
+      case None => require(family == PermMinhash,
+        s"corpus index $bandedRoot carries no family marker (pre-family index = perm) " +
+          s"but this probe uses '${family.name}'")
+    }
+    val batchHashed = hashedDocs(batch, idCol, textCol, mode).localCheckpoint(false)
+    def banded(h: DataFrame): DataFrame = h.select(col("id"),
+      posexplode(family.sigCol(col("h"), bands, rowsPerBand)).as(Seq("band", "bandsig")))
+    val pairs = incrementalCandidatePairs(
+      banded(batchHashed),
+      Manifest.readSnapshot(spark, bandedRoot, bandedSnap), maxBucketSize)
+    val dupIds = pairs
+      .join(batchHashed.select(col("id").as("batch_id"), col("h").as("__ha")), "batch_id")
+      .join(Manifest.read(spark, hashedRoot)
+          .select(col("id").as("corpus_id"), col("h").as("__hb")),
+        "corpus_id")
+      .filter(jaccardOfHashSets(col("__ha"), col("__hb")) >= minJaccard)
+      .select(col("batch_id").as("id")).distinct()
+    val admittedHashed = batchHashed.join(dupIds, Seq("id"), "left_anti")
+      .localCheckpoint(false)
+    Manifest.append(admittedHashed, hashedRoot)
+    Manifest.append(banded(admittedHashed), bandedRoot,
+      meta = Map("graft.sig.family" -> family.name))
+    Seq(hashedRoot, bandedRoot).foreach { root =>
+      if (Manifest.current(spark, root).exists(_.files.size > compactMinFiles)) {
+        Manifest.compact(spark, root)
+        Manifest.gc(spark, root)
+        ()
+      }
+    }
+    val admitted = batch.join(
+      admittedHashed.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    batchHashed.unpersist()
+    admitted
+  }
+
   /** The signature family recorded on a stored banded-signature table,
     * if any (pre-family indexes carry no marker and are treated as
     * [[PermMinhash]], which is what wrote them). */

@@ -1,0 +1,250 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** ATOMIC versioned-manifest table commits — the public Delta/Iceberg
+  * idea (a table is a LOG of immutable snapshots, each a manifest
+  * listing immutable data files; one atomic pointer move publishes a
+  * snapshot), sized to this engine: no external format dependency,
+  * plain parquet files + tiny JSON manifests.
+  *
+  * Why it exists: [[Store.overwrite]]/[[Store.compact]] rewrite files
+  * under a live catalog name — a reader racing a compaction can see a
+  * half-rewritten table, and the unpartitioned compact's rename-swap
+  * has a window where the name is absent (Store.scala documents both
+  * honestly). The standing admit loops' crash reasoning covers APPEND
+  * ordering (hashed-first, idempotent replay) but not that reader
+  * race. Here every mutation is published by ONE atomic filesystem
+  * rename of a manifest file; readers resolve the newest manifest and
+  * read exactly the files it lists — always a complete snapshot, never
+  * a mix. Old snapshots stay readable until [[gc]].
+  *
+  * Layout under `root/`:
+  *  - `data/b<uuid>/part-*.parquet` — immutable data files, written
+  *    once by the batch that stages them, never modified.
+  *  - `manifest/m%016d` — one JSON per version: the FULL relative file
+  *    list of that snapshot plus a string-map of table metadata.
+  *    Written to a `_tmp.<uuid>` sibling first, then RENAMED into
+  *    place — rename is the commit point AND the race arbiter
+  *    (HDFS-style rename fails if the destination exists, so two
+  *    committers of version N cannot both win).
+  *
+  * Semantics:
+  *  - [[append]] = previous manifest's files + the batch's new files —
+  *    O(batch) data written per commit, never O(history).
+  *  - [[overwrite]] = only the new files (atomic table replace).
+  *  - [[compact]] = read current, coalesce to a file-size target,
+  *    publish as an overwrite — zero reader disruption, unlike the
+  *    catalog compact's name-absent window.
+  *  - Optimistic concurrency: a committer that loses the rename race
+  *    re-reads the NEW latest manifest and retries with the next
+  *    version number (its staged data files are already in place; only
+  *    the manifest retry loops). Lost-update-free appends, like the
+  *    public Delta protocol's commit loop.
+  *  - Crash windows: data staged but no manifest → invisible orphan
+  *    (removed by [[gc]]); manifest tmp written but not renamed →
+  *    invisible orphan. A crash can only ever leave the PREVIOUS
+  *    snapshot current — there is no state in which a reader sees a
+  *    partial table.
+  *
+  * Scale shape: a commit is one rename + one small JSON regardless of
+  * table size; readers pay one directory listing of `manifest/` (the
+  * newest name sorts last — version ids are zero-padded). At 100 TB
+  * the manifest file list grows with file count, the motivation for
+  * periodic [[compact]]; file-listing cost never touches data bytes.
+  *
+  * Local-FS caveat (documented, not hidden): `RawLocalFileSystem`
+  * rename is not guaranteed atomic the way HDFS rename is; the
+  * PROTOCOL is correct on any FS with atomic no-overwrite rename
+  * (HDFS, most object-store committers' rename emulation layers).
+  */
+object Manifest {
+
+  /** One snapshot: ordered relative file paths + table metadata. */
+  final case class Snapshot(version: Long, files: Seq[String], meta: Map[String, String])
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestDir(root: String) = new Path(root, "manifest")
+  private def dataDir(root: String) = new Path(root, "data")
+  private def manifestPath(root: String, v: Long) =
+    new Path(manifestDir(root), f"m$v%016d")
+
+  // --- tiny JSON: {"files":["a","b"],"meta":{"k":"v"}} — escapes only
+  // what the file-name/metadata domain needs (quotes, backslashes)
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def render(files: Seq[String], meta: Map[String, String]): String =
+    s"""{"files":[${files.map(jstr).mkString(",")}],""" +
+      s""""meta":{${meta.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")}}}"""
+  private val strLit = """"((?:[^"\\]|\\.)*)"""".r
+  private def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
+  private def parse(txt: String): (Seq[String], Map[String, String]) = {
+    val filesPart = txt.substring(txt.indexOf("\"files\":[") + 9, txt.indexOf("],\"meta\""))
+    val metaPart = txt.substring(txt.indexOf("\"meta\":{") + 8, txt.lastIndexOf("}"))
+    val files = strLit.findAllMatchIn(filesPart).map(m => unesc(m.group(1))).toSeq
+    val metaStrs = strLit.findAllMatchIn(metaPart).map(m => unesc(m.group(1))).toSeq
+    (files, metaStrs.grouped(2).collect { case Seq(k, v) => k -> v }.toMap)
+  }
+
+  /** Newest committed snapshot, or None for an empty/absent root. */
+  def current(spark: SparkSession, root: String): Option[Snapshot] = {
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    if (!f.exists(dir)) return None
+    val versions = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("m\\d{16}")).map(_.drop(1).toLong)
+    if (versions.isEmpty) None else Some(snapshot(spark, root, versions.max))
+  }
+
+  /** A specific committed snapshot (time travel). */
+  def snapshot(spark: SparkSession, root: String, version: Long): Snapshot = {
+    val f = fs(spark, root)
+    val p = manifestPath(root, version)
+    require(f.exists(p), s"no committed version $version under $root")
+    val in = f.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val (files, meta) = parse(txt)
+    Snapshot(version, files, meta)
+  }
+
+  /** All committed versions, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("m\\d{16}")).map(_.drop(1).toLong).sorted.toSeq
+  }
+
+  /** Read the current snapshot (empty-schema-safe: an absent root
+    * throws — an empty TABLE is a committed manifest with no files,
+    * which reads as an empty frame of the caller-known schema only if
+    * at least one file exists; callers bootstrap with an init commit). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    readSnapshot(spark, root, snap)
+  }
+
+  /** Read a pinned snapshot — the isolation guarantee made usable: the
+    * file list is fixed at resolve time, so later commits/compactions
+    * never change (or break) this frame until [[gc]] passes retention. */
+  def readSnapshot(spark: SparkSession, root: String, snap: Snapshot): DataFrame = {
+    require(snap.files.nonEmpty,
+      s"$root version ${snap.version} is an empty snapshot — nothing to read")
+    spark.read.parquet(snap.files.map(rel => new Path(dataDir(root), rel).toString): _*)
+  }
+
+  /** Stage `df` as new immutable parquet files under data/; returns
+    * their manifest-relative paths. */
+  private def stage(df: DataFrame, root: String): Seq[String] = {
+    val spark = df.sparkSession
+    val batchDir = "b" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val target = new Path(dataDir(root), batchDir)
+    df.write.mode("overwrite").parquet(target.toString)
+    val f = fs(spark, root)
+    f.listStatus(target).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      .sorted.map(n => s"$batchDir/$n").toSeq
+  }
+
+  /** Publish `files` (+meta) as the next version on top of `base`;
+    * optimistic retry on manifest-name collision. Returns the version. */
+  private def publish(spark: SparkSession, root: String,
+      newFiles: Seq[String], meta: Map[String, String],
+      baseFiles: Snapshot => Seq[String]): Long = {
+    val f = fs(spark, root)
+    f.mkdirs(manifestDir(root))
+    var attempt = 0
+    while (attempt < 64) {
+      val cur = current(spark, root)
+      val v = cur.map(_.version + 1).getOrElse(0L)
+      val files = cur.map(baseFiles).getOrElse(Seq.empty) ++ newFiles
+      val tmp = new Path(manifestDir(root),
+        s"_tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val out = f.create(tmp, false)
+      try out.write(render(files, meta).getBytes("UTF-8")) finally out.close()
+      // rename = the atomic commit point; a false return (or the
+      // best-effort exists pre-check, for local FS whose POSIX rename
+      // silently overwrites) means another committer won version v —
+      // re-resolve and retry on top of THEIR snapshot (our staged data
+      // files are already in place)
+      if (!f.exists(manifestPath(root, v)) && f.rename(tmp, manifestPath(root, v))) return v
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"$root: lost the commit race 64 times — a livelocked writer storm")
+  }
+
+  /** Atomic append: stage the batch's files, publish prev ∪ new. */
+  def append(df: DataFrame, root: String,
+      meta: Map[String, String] = Map.empty): Long =
+    publish(df.sparkSession, root, stage(df, root), meta, _.files)
+
+  /** Atomic table replace: stage, publish ONLY the new files. */
+  def overwrite(df: DataFrame, root: String,
+      meta: Map[String, String] = Map.empty): Long =
+    publish(df.sparkSession, root, stage(df, root), meta, _ => Seq.empty)
+
+  /** Reader-safe small-file compaction: read current, rewrite into
+    * ~targetBytes files, publish as an overwrite carrying the same
+    * metadata. Readers pinned to older snapshots keep their files
+    * (until [[gc]]); new readers see the compacted snapshot. */
+  def compact(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val df = readSnapshot(spark, root, snap)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = ((bytes + targetBytes - 1) / targetBytes).max(1).min(1L << 20).toInt
+    // localCheckpoint: the staged write must not re-read files a racing
+    // gc of a PREVIOUS compaction round might be clearing
+    val staged = df.repartition(target).localCheckpoint()
+    try publish(spark, root, stage(staged, root), snap.meta, _ => Seq.empty)
+    finally { staged.unpersist(); () }
+  }
+
+  /** Garbage collection: drop all but the newest `keepVersions`
+    * manifests, then delete every data file referenced by NO retained
+    * manifest (this also sweeps crash orphans — staged-but-never-
+    * committed batch dirs and unrenamed manifest tmps). Manifests are
+    * deleted FIRST so a reader resolving after gc starts can never pin
+    * a snapshot whose files are about to vanish; readers pinned BEFORE
+    * gc to an expired snapshot are the documented retention trade
+    * (the public formats' VACUUM caveat). Returns deleted data paths. */
+  def gc(spark: SparkSession, root: String, keepVersions: Int = 2): Seq[String] = {
+    require(keepVersions >= 1, "gc must retain at least the current version")
+    val f = fs(spark, root)
+    val all = versions(spark, root)
+    if (all.isEmpty) return Seq.empty
+    val dropped = all.dropRight(keepVersions)
+    dropped.foreach(v => f.delete(manifestPath(root, v), false))
+    // unrenamed manifest tmps are crash debris by definition
+    if (f.exists(manifestDir(root)))
+      f.listStatus(manifestDir(root)).map(_.getPath)
+        .filter(_.getName.startsWith("_tmp.")).foreach(f.delete(_, false))
+    val retained = versions(spark, root)
+      .flatMap(v => snapshot(spark, root, v).files).toSet
+    val dd = dataDir(root)
+    if (!f.exists(dd)) return Seq.empty
+    val removed = scala.collection.mutable.ArrayBuffer[String]()
+    f.listStatus(dd).filter(_.isDirectory).foreach { b =>
+      val batch = b.getPath.getName
+      f.listStatus(b.getPath).foreach { st =>
+        val rel = s"$batch/${st.getPath.getName}"
+        val isData = st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+        if (!isData || !retained.contains(rel)) {
+          f.delete(st.getPath, false)
+          if (isData) removed += rel
+        }
+      }
+      if (f.listStatus(b.getPath).isEmpty) f.delete(b.getPath, false)
+    }
+    removed.toSeq
+  }
+}

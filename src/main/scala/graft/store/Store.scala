@@ -333,6 +333,64 @@ object Store {
     ()
   }
 
+  /** [[scd2ApplySplit]] on the ATOMIC manifest store ([[Manifest]]):
+    * the open slice and the closed log each live under a versioned
+    * root, and every write is published by one atomic manifest commit.
+    * Same transaction protocol (closed-append FIRST, then open
+    * replace; replays anti-join; retroactive rewrites reject loudly) —
+    * what changes is the failure surface: a reader racing either write
+    * always resolves a complete committed snapshot, never a
+    * half-rewritten open table, and a crash between staging and commit
+    * leaves only invisible orphans for [[Manifest.gc]]. Bootstrap the
+    * open root with `Manifest.overwrite(scd2Init(...), openRoot)`. */
+  def scd2ApplySplitAtomic(spark: SparkSession, changes: DataFrame,
+      openRoot: String, closedRoot: String, keyCols: Seq[String],
+      effectiveCol: String): Unit = {
+    val open = Manifest.read(spark, openRoot)
+    val updated = scd2Apply(open, changes, keyCols, effectiveCol,
+        rebuildHistory = true)
+      .localCheckpoint()
+    val newlyClosed = updated.filter(!col("is_current"))
+    val logSnap = Manifest.current(spark, closedRoot).filter(_.files.nonEmpty)
+    val logKeyed = logSnap.map(s =>
+      Manifest.readSnapshot(spark, closedRoot, s)
+        .join(changes.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+        .localCheckpoint())
+    val fresh = logKeyed match {
+      case Some(log) =>
+        val deduped = newlyClosed.join(
+          log.select((keyCols :+ "valid_from").map(col): _*),
+          keyCols :+ "valid_from", "left_anti")
+        val maxVt = log.groupBy(keyCols.map(col): _*)
+          .agg(org.apache.spark.sql.functions.max(col("valid_to")).as("__max_vt"))
+        val retro = deduped.join(maxVt, keyCols)
+          .filter(col("valid_from") < col("__max_vt")).limit(1).count()
+        require(retro == 0,
+          "scd2ApplySplitAtomic: change closes a version effective inside the closed " +
+            "log's history — a retroactive rewrite needs a rebuild from the full " +
+            "change log, not a split apply (would append overlapping closed versions)")
+        deduped
+      case None => newlyClosed
+    }
+    Manifest.append(fresh, closedRoot)
+    Manifest.overwrite(updated.filter(col("is_current")), openRoot)
+    logKeyed.foreach(_.unpersist())
+    updated.unpersist()
+    ()
+  }
+
+  /** Read view of the atomic split store: open ∪ closed-log manifests
+    * (spec-pinned ≡ the monolithic [[scd2Apply]] result). */
+  def scd2VersionsAtomic(spark: SparkSession, openRoot: String,
+      closedRoot: String): DataFrame = {
+    val open = Manifest.read(spark, openRoot)
+    Manifest.current(spark, closedRoot).filter(_.files.nonEmpty) match {
+      case Some(s) => open.unionByName(
+        Manifest.readSnapshot(spark, closedRoot, s).select(open.columns.map(col): _*))
+      case None => open
+    }
+  }
+
   /** Read view of the split SCD-2 store: open versions ∪ the closed
     * log — the same frame [[scd2Apply]]'s monolithic form returns
     * (spec-pinned equal). */
