@@ -5085,6 +5085,107 @@ object Battery {
       ${dsumSql("o_totalprice")} AS total_price
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** STREAMING CURATION PIPELINE CAPSTONE
+    * ([[graft.streaming.StreamOps.curationPipelineSink]]): a REAL
+    * multi-batch streamed run — documents arrive in three micro-batches
+    * (doc_id mod 3), each batch flowing clean → intra-batch exact dedup
+    * → near-dup screen-and-admit against the standing corpus index →
+    * per-batch admitted sink → split-SCD2 per-source ingest profile on
+    * atomic manifest roots. The result joins every admitted doc to the
+    * SCD2 version in force at its batch, so ONE oracle hash covers the
+    * admitted corpus, the batch partitioning, and the versioned
+    * timeline together. The SQL replays the entire sequential process:
+    * cleaned text, per-batch exact dedup, batch 1 screened against
+    * batch 0's admissions, batch 2 against both, then the profile
+    * timeline with SCD2 run-dedup and lead() closure. Batch ingestion
+    * collects each slice to the driver for MemoryStream — test-harness
+    * plumbing (bounded: the documents table), not the engine path. */
+  val q153 = Q("q153_curation_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val base = java.nio.file.Files.createTempDirectory("graft_q153").toString
+      val hashedT = "graft_q153_hashed"; val bandedT = "graft_q153_banded"
+      Dedup.writeCorpusIndex(docs.limit(0), "doc_id", "text",
+        Dedup.CharShingles(5), 8, 4, hashedT, bandedT)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamOps.curationPipelineSink(
+        input.toDF().toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", Dedup.CharShingles(5), 8, 4,
+        hashedT, bandedT, minJaccard = 0.5,
+        s"$base/admitted", s"$base/scd2_open", s"$base/scd2_closed",
+        s"$base/ckpt")
+      (0 to 2).foreach { bnum =>
+        input.addData(docs.filter(col("doc_id") % 3 === bnum)
+          .as[(Long, String, String)].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val admitted = s.read.parquet(s"$base/admitted")
+      val versions = graft.store.Store.scd2VersionsAtomic(
+        s, s"$base/scd2_open", s"$base/scd2_closed")
+      admitted.as("d").join(versions.as("v"),
+          col("d.source") === col("v.source") &&
+            col("v.valid_from") <= col("d.batch_id") &&
+            (col("v.valid_to").isNull || col("d.batch_id") < col("v.valid_to")))
+        .select(col("d.doc_id"), col("d.source"),
+          col("d.batch_id").cast(LongType).as("batch"),
+          col("v.valid_from"), col("v.n_admitted"), col("v.max_admitted_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH cd AS (SELECT doc_id, source,
+        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text,
+        doc_id % 3 AS batch FROM documents),
+      ex AS (SELECT doc_id, source, text, batch FROM (
+        SELECT *, row_number() OVER (PARTITION BY batch, text ORDER BY doc_id) AS rn
+        FROM cd) WHERE rn = 1),
+      sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM ex),
+      $hashSetCte,
+      ${sigBandedSql(8, 4)},
+      adm0 AS (SELECT doc_id FROM ex WHERE batch = 0),
+      c1 AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+             FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bandsig = b.bandsig
+             JOIN ex ea ON ea.doc_id = a.doc_id AND ea.batch = 1
+             JOIN adm0 c ON c.doc_id = b.doc_id),
+      d1 AS (SELECT DISTINCT bid FROM c1
+             JOIN shh sa ON sa.doc_id = bid JOIN shh sb ON sb.doc_id = cid
+             WHERE ${jaccardSql("sa.h", "sb.h")} >= 0.5),
+      adm1 AS (SELECT doc_id FROM ex WHERE batch = 1
+               AND doc_id NOT IN (SELECT bid FROM d1)),
+      corp1 AS (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1),
+      c2 AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+             FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bandsig = b.bandsig
+             JOIN ex ea ON ea.doc_id = a.doc_id AND ea.batch = 2
+             JOIN corp1 c ON c.doc_id = b.doc_id),
+      d2 AS (SELECT DISTINCT bid FROM c2
+             JOIN shh sa ON sa.doc_id = bid JOIN shh sb ON sb.doc_id = cid
+             WHERE ${jaccardSql("sa.h", "sb.h")} >= 0.5),
+      adm2 AS (SELECT doc_id FROM ex WHERE batch = 2
+               AND doc_id NOT IN (SELECT bid FROM d2)),
+      admitted AS (SELECT e.doc_id, e.source, e.batch FROM ex e
+        JOIN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+              UNION ALL SELECT doc_id FROM adm2) a USING (doc_id)),
+      prof AS (SELECT source, batch AS eff, COUNT(*) AS n_admitted,
+          MAX(doc_id) AS max_admitted_id
+        FROM admitted GROUP BY source, batch),
+      seq AS (SELECT source, eff, n_admitted, max_admitted_id,
+          LAG(n_admitted) OVER w AS pn, LAG(max_admitted_id) OVER w AS pm
+        FROM prof WINDOW w AS (PARTITION BY source ORDER BY eff)),
+      kept AS (SELECT source, eff AS valid_from, n_admitted, max_admitted_id
+        FROM seq WHERE pn IS NULL OR pn <> n_admitted OR pm <> max_admitted_id),
+      vers AS (SELECT source, valid_from,
+          LEAD(valid_from) OVER (PARTITION BY source ORDER BY valid_from) AS valid_to,
+          n_admitted, max_admitted_id FROM kept)
+      SELECT d.doc_id, d.source, CAST(d.batch AS BIGINT) AS batch,
+        v.valid_from, v.n_admitted, v.max_admitted_id
+      FROM admitted d JOIN vers v ON v.source = d.source
+        AND v.valid_from <= d.batch AND (v.valid_to IS NULL OR d.batch < v.valid_to)
+      ORDER BY d.doc_id"""))
+
   /** All registered queries, in gate order. */
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
@@ -5096,5 +5197,5 @@ object Battery {
     q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146, q147, q148, q149, q150, q151, q152)
+    q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
 }

@@ -518,6 +518,99 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** ONE micro-batch of the full curation pipeline — the capstone
+    * transaction composing the standing loops that were previously
+    * specced only individually: clean → intra-batch exact dedup →
+    * near-dup screen-and-admit against the standing corpus index →
+    * admitted-corpus sink → split-SCD2 per-source ingest profile.
+    * Public so batch callers (and the battery's oracle replay) can run
+    * the identical transaction without a stream.
+    *
+    * Stages, with the determinism/replay argument for each:
+    *  1. CLEAN: `lower(trim(regexp_replace(text, "\\s+", " ")))` — the
+    *     normal form the screen hashes; pure column function.
+    *  2. EXACT DEDUP (intra-batch): keep the smallest id per identical
+    *     cleaned text. Cross-batch exact dups are the near-dup
+    *     screen's job (jaccard 1.0 ≥ any threshold).
+    *  3. SCREEN-AND-ADMIT: [[graft.dedup.Dedup.admitBatch]] against
+    *     the standing hashed/banded index (bootstrap the two tables
+    *     with `writeCorpusIndex(docs.limit(0), …)` before the first
+    *     batch).
+    *  4. REPLAY-STABLE ADMITTED SET: the batch's admitted docs are
+    *     re-derived as `batch ⋉ hashed-index` (ids are the index's
+    *     primary key and batches are id-disjoint) rather than taken
+    *     from admitBatch's return value. This closes the one crash
+    *     window the individual loops' reasoning leaves open END TO
+    *     END: a crash AFTER the index appends but BEFORE the sink
+    *     write makes the replay screen those docs out (they
+    *     near-duplicate their own prior admission), so the admitBatch
+    *     return value is EMPTY on replay — the semi-join still finds
+    *     them in the index and reproduces the identical sink rows and
+    *     SCD2 changes. Every crash point therefore converges to the
+    *     same final state on replay.
+    *  5. SINK: [[upsertBatch]] (per-batch dynamic partition overwrite
+    *     — replays rewrite, never duplicate).
+    *  6. SCD2 per-source profile: changes = (source, n_admitted,
+    *     max_admitted_id, eff = batchId) — batchIds are monotone, so
+    *     `eff` is a valid effective axis; a replayed batch re-derives
+    *     the identical changes, which coincide with their existing
+    *     versions and no-op through the rebuild dedup. Applied via
+    *     [[graft.store.Store.scd2ApplySplitAtomic]] on manifest roots
+    *     (atomic commits; first batch bootstraps the open root). */
+  def curateBatch(
+      b: DataFrame, batchId: Long,
+      idCol: String, textCol: String, sourceCol: String,
+      mode: graft.dedup.Dedup.ShingleMode, bands: Int, rowsPerBand: Int,
+      hashedTable: String, bandedTable: String, minJaccard: Double,
+      admittedPath: String, openRoot: String, closedRoot: String): Unit = {
+    val spark = b.sparkSession
+    val cleaned = b.withColumn(textCol,
+      lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(textCol)).orderBy(col(idCol))
+    val exact = cleaned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint() // one substrate for screen + admitted re-derivation
+    graft.dedup.Dedup.admitBatch(exact, idCol, textCol, mode, bands, rowsPerBand,
+      hashedTable, bandedTable, minJaccard)
+    val admitted = exact.join(
+        spark.table(hashedTable).select(col("id").as(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint() // consumed by the sink write AND the profile agg
+    upsertBatch(admitted, batchId, admittedPath)
+    val changes = admitted.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_admitted"), max(col(idCol)).as("max_admitted_id"))
+      .withColumn("eff", lit(batchId))
+    if (graft.store.Manifest.current(spark, openRoot).isEmpty)
+      graft.store.Manifest.overwrite(
+        graft.store.Store.scd2Init(changes, Seq("source"), "eff"), openRoot)
+    else
+      graft.store.Store.scd2ApplySplitAtomic(
+        spark, changes, openRoot, closedRoot, Seq("source"), "eff")
+    exact.unpersist()
+    admitted.unpersist()
+    ()
+  }
+
+  /** The streaming form of [[curateBatch]]: ingest → clean → exact
+    * dedup → near-dup screen-and-admit → SCD2 split maintenance as ONE
+    * foreachBatch pipeline. End-to-end idempotent under foreachBatch
+    * replay by [[curateBatch]]'s stage-by-stage argument. */
+  def curationPipelineSink(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      mode: graft.dedup.Dedup.ShingleMode, bands: Int, rowsPerBand: Int,
+      hashedTable: String, bandedTable: String, minJaccard: Double,
+      admittedPath: String, openRoot: String, closedRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        curateBatch(b.toDF(), id, idCol, textCol, sourceCol,
+          mode, bands, rowsPerBand, hashedTable, bandedTable, minJaccard,
+          admittedPath, openRoot, closedRoot)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** One micro-batch of the idempotent sink: the batch overwrites ITS
     * OWN batch_id partition only (dynamic partition overwrite), so a
     * replayed batch after a failure rewrites the same files instead of

@@ -698,4 +698,81 @@ class StreamOpsSpec extends SparkTestBase {
       Store.drop(spark, "t_scd2_open")
     }
   }
+
+  test("curationPipelineSink capstone: clean→exact→screen→sink→SCD2 as one stream; idempotent through every crash window") {
+    import graft.dedup.Dedup
+    import graft.store.Store
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("capstone").toString
+    val hashedT = "t_cap_hashed"; val bandedT = "t_cap_banded"
+    val (admittedPath, openRoot, closedRoot) =
+      (s"$base/admitted", s"$base/open", s"$base/closed")
+    def doc(id: Long, text: String, src: String) = (id, text, src)
+    // pre-cleaned texts (lowercase, single-space) so the clean stage is
+    // identity and expectations are hand-checkable
+    val b0 = Seq(
+      doc(1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      doc(2L, "one two three four five six", "s2"),
+      doc(3L, "alpha beta gamma delta epsilon zeta", "s1")) // intra-batch exact dup of 1
+    val b1 = Seq(
+      doc(10L, "alpha beta gamma delta epsilon zeta eta", "s1"), // near-dup of 1
+      doc(11L, "seven eight nine ten eleven twelve", "s2"))
+    val b2 = Seq(
+      doc(20L, "one two three four five six", "s2"), // cross-batch exact dup of 2
+      doc(21L, "thirteen fourteen fifteen sixteen seventeen", "s1"))
+    try {
+      Dedup.writeCorpusIndex(
+        Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"),
+        "doc_id", "text", Dedup.CharShingles(5), 8, 4, hashedT, bandedT)
+      val input = MemoryStream[(Long, String, String)]
+      val q = StreamOps.curationPipelineSink(
+        input.toDF().toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", Dedup.CharShingles(5), 8, 4,
+        hashedT, bandedT, minJaccard = 0.5,
+        admittedPath, openRoot, closedRoot, s"$base/ckpt")
+      Seq(b0, b1, b2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+
+      def sinkState() = spark.read.parquet(admittedPath)
+        .select(col("doc_id"), col("batch_id").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      def scd2State() = Store.scd2VersionsAtomic(spark, openRoot, closedRoot)
+        .select(col("source"), col("n_admitted"), col("max_admitted_id"),
+          col("valid_from"), col("valid_to"))
+        .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+      val wantSink = Set((1L, 0L), (2L, 0L), (11L, 1L), (21L, 2L))
+      val wantScd2 = Set(
+        ("s1", 1L, 1L, 0L, Some(2L)), ("s1", 1L, 21L, 2L, None),
+        ("s2", 1L, 2L, 0L, Some(1L)), ("s2", 1L, 11L, 1L, None))
+      assert(sinkState() == wantSink, s"sink=${sinkState()}")
+      assert(scd2State() == wantScd2, s"scd2=${scd2State()}")
+
+      // FULL REPLAY of the last batch (foreachBatch crash-and-rerun):
+      // identical final state everywhere
+      StreamOps.curateBatch(b2.toDF("doc_id", "text", "source"), 2L,
+        "doc_id", "text", "source", Dedup.CharShingles(5), 8, 4,
+        hashedT, bandedT, 0.5, admittedPath, openRoot, closedRoot)
+      assert(sinkState() == wantSink, "full replay must be a no-op")
+      assert(scd2State() == wantScd2, "full replay must be a no-op")
+
+      // PARTIAL-CRASH replay: batch 3's index appends landed but the
+      // crash hit BEFORE the sink/SCD2 writes. The naive replay would
+      // screen doc 30 out (it near-duplicates its own admission) and
+      // lose it from the sink forever; curateBatch's batch ⋉ index
+      // re-derivation must still deliver it downstream.
+      val b3 = Seq(doc(30L, "eighteen nineteen twenty twentyone", "s1"))
+      Dedup.admitBatch(b3.toDF("doc_id", "text", "source"),
+        "doc_id", "text", Dedup.CharShingles(5), 8, 4, hashedT, bandedT, 0.5)
+      StreamOps.curateBatch(b3.toDF("doc_id", "text", "source"), 3L,
+        "doc_id", "text", "source", Dedup.CharShingles(5), 8, 4,
+        hashedT, bandedT, 0.5, admittedPath, openRoot, closedRoot)
+      assert(sinkState() == wantSink + ((30L, 3L)),
+        "partial-crash replay must still sink the batch's admissions")
+      assert(scd2State() == wantScd2 - (("s1", 1L, 21L, 2L, None)) +
+        (("s1", 1L, 21L, 2L, Some(3L))) + (("s1", 1L, 30L, 3L, None)),
+        s"scd2 after partial-crash replay: ${scd2State()}")
+    } finally {
+      Store.drop(spark, hashedT); Store.drop(spark, bandedT)
+    }
+  }
 }
