@@ -1,0 +1,491 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Tables
+import graft.clean.TextClean
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.operators.AsOfJoin
+import graft.quality.QualitySuite
+import graft.similarity.Similarity
+import graft.star.Sk
+
+/** EM linkage, stored-index search, SCD2, manifest store and the streaming capstone (q143-q153).
+  *
+  * One link of the [[Battery]] mixin chain — the battery is split by
+  * family for reviewability; the chain preserves the original single-
+  * object member order (and with it val-initialization order) exactly.
+  */
+trait BatteryStoreOps extends BatteryModels {
+
+  /** UNSUPERVISED Fellegi–Sunter weight estimation
+    * ([[graft.operators.Linkage.fsEmParams]]/`fsEmWeights` — FS §3 /
+    * Winkler 1988, the label-free path real linkage runs): EM over the
+    * 2^F agreement-pattern counts of the q139 blocked candidate pairs,
+    * every E/M step exact fixed-point integer arithmetic on the ppm
+    * lattice, 10 iterations. The labels exist in the fixture but are
+    * NOT given to the estimator; the oracle unrolls all ten iterations
+    * (pattern counts → HUGEINT posterior → floored M-step → clamp), so
+    * any drift in init, quantization order, or the clamp rule
+    * hash-mismatches. */
+  val q143 = Q("q143_fs_em_weights",
+    (s, dir) => graft.operators.Linkage.fsEmWeights(
+        fsPairs(s, dir), fsFields, iters = 10)
+      .orderBy("field"),
+    Some(s"""${emOracleSql(10)}
+      SELECT field, m_ppm, u_ppm, w_agree_bits, w_disagree_bits
+      FROM emw ORDER BY field"""))
+
+  /** Deterministic BM25 ranking ([[graft.text.Search.rankByBm25Bits]],
+    * Robertson–Spärck Jones with Lucene's non-negative idf): top-20
+    * documents for the q132 query under the exact-integer
+    * quantization (avg-length milli-tokens, length factor, saturation
+    * — three stated floors, k1=1.2/b=0.75 as milli-integers). The
+    * oracle replays every floor with `//` integer division, so a
+    * drift in ANY quantization point, the idf ratio, or the tiebreak
+    * hash-mismatches. */
+  val q144 = Q("q144_bm25_rank",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Search.rankByBm25Bits(
+          graft.text.Search.buildPostings("doc_id", "text")(docs),
+          query = Seq("table", "hash", "scan"), nDocs = docs.count(), k = 20)
+        .orderBy(col("score_milli_bits").desc, col("id"))
+    },
+    Some(s"""WITH $lmToksCte,
+      $postingsCte,
+      dls AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM post GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n FROM documents),
+      am AS (SELECT (1000 * (SELECT SUM(dl) FROM dls)) // n AS avgm
+        FROM nd),
+      qt AS (SELECT * FROM post WHERE term IN ('table', 'hash', 'scan')),
+      idf AS (SELECT term, CAST(COUNT(DISTINCT id) AS BIGINT) AS df
+        FROM qt GROUP BY 1),
+      idfb AS (SELECT term, ${fl2rSql("(2*n+2)", "(2*df+1)")} AS ib
+        FROM idf CROSS JOIN nd),
+      tf AS (SELECT term, id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM qt GROUP BY 1, 2),
+      lfx AS (SELECT t.term, t.id, t.tf,
+          ((1000 - 750) * avgm + 750 * 1000 * dl) // avgm AS lf
+        FROM tf t JOIN dls USING (id) CROSS JOIN am),
+      sc AS (SELECT id,
+          SUM(ib * ((1000000 * tf * (1200 + 1000)) //
+            (1000000 * tf + 1200 * lf))) AS score
+        FROM lfx JOIN idfb USING (term) GROUP BY 1)
+      SELECT id, CAST(score AS BIGINT) AS score_milli_bits
+      FROM sc ORDER BY score_milli_bits DESC, id LIMIT 20"""))
+
+  /** Phrase search against the STORED postings index
+    * ([[graft.text.Search.writePostingsIndex]] →
+    * [[graft.text.Search.phraseSearchStored]] — the production path
+    * q131 only proxied): the corpus's postings land as a managed
+    * table bucketed+sorted by term, then the corpus's top BIGRAM is
+    * searched by probing THAT table, so each term filter is a pruned
+    * scan of the index at rest (cost follows posting-list size, not
+    * corpus size). The oracle replays gram selection, postings, and
+    * the positional join from the raw corpus — a divergence anywhere
+    * in the write→read round trip hash-mismatches. */
+  val q145 = Q("q145_phrase_stored",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val phrase = graft.text.Search.topNgram("doc_id", "text", 2)(docs)
+      graft.text.Search.writePostingsIndex(docs, "doc_id", "text",
+        "graft_q145_postings", numBuckets = 8)
+      graft.text.Search.phraseSearchStored(s, "graft_q145_postings", phrase)
+        .orderBy("id", "pos")
+    },
+    Some(s"""WITH $lmToksCte,
+      grams AS (SELECT array_to_string(list_slice(tk, i + 1, i + 2), ' ') AS g
+        FROM (SELECT tk, unnest(range(0, len(tk) - 1)) AS i FROM lmtk)),
+      top AS (SELECT string_split(g, ' ') AS ph FROM (
+        SELECT g, COUNT(*) AS c FROM grams GROUP BY 1
+        ORDER BY c DESC, g LIMIT 1)),
+      $postingsCte
+      SELECT p0.id, CAST(p0.pos AS INT) AS pos
+      FROM post p0
+      JOIN post p1 ON p1.id = p0.id AND p1.pos = p0.pos + 1
+      CROSS JOIN top
+      WHERE p0.term = ph[1] AND p1.term = ph[2]
+      ORDER BY p0.id, p0.pos"""))
+
+  /** MOTION-COMPENSATED video round trip
+    * ([[graft.multimodal.Codec.encodeAviMcv]] — the H.261/MPEG-style
+    * block-matching P-frame construction, lossless by mod-256
+    * residuals): per document, a 24×32 scene translating
+    * `(1 + id%3, id%2)` px/frame is encoded as one keyframe + four
+    * P-frames, then frames 0/2/4 are decoded through the GOP seek
+    * path — frame 4's pixels exist only through the motion-vector
+    * chain of all four P-frames. The oracle computes every pixel from
+    * the closed-form translation formula, so ANY motion-compensation,
+    * residual, chunking, or seek bug hash-mismatches. (CodecSpec pins
+    * separately that translation compresses to SKIP blocks — the
+    * motion search is load-bearing, not decorative.) */
+  val q146 = Q("q146_avi_mcv_motion_sums",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val dx0 = (1 + id % 3).toInt; val dy0 = (id % 2).toInt
+          def px(f: Int, r: Int, c: Int) =
+            ((id * 7 + (r + f * dy0).toLong * 31 + (c + f * dx0).toLong * 17) % 256).toInt
+          val frames = (0 until 5).map(f => Array.tabulate(24, 32)((r, c) => px(f, r, c)))
+          val avi = graft.multimodal.Codec.encodeAviMcv(
+            frames, fps = 5, keyframeInterval = 5)
+          require(graft.multimodal.Codec.aviFrameCount(avi) == 5, "MCV8 stream lost frames")
+          val (fps, picked) = graft.multimodal.Codec.decodeAviFrames(
+            avi, Multimodal.sampleFrameIndices(5, stride = 2, maxFrames = 8))
+          require(fps == 5, "MCV8 round-trip lost fps")
+          for {
+            (fi, g) <- picked
+            br <- 0 until 3; bc <- 0 until 4
+          } yield {
+            var sum = 0L
+            var r = br * 8
+            while (r < br * 8 + 8) {
+              var c = bc * 8
+              while (c < bc * 8 + 8) { sum += g(r)(c); c += 1 }
+              r += 1
+            }
+            (id, fi.toLong, br.toLong, bc.toLong, sum)
+          }
+        }
+        .toDF("media_id", "frame_idx", "block_row", "block_col", "pixel_sum")
+        .orderBy("media_id", "frame_idx", "block_row", "block_col")
+    },
+    Some("""WITH px AS (SELECT doc_id AS media_id, CAST(f AS BIGINT) AS f,
+        CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+        (doc_id*7 + (r + f*(doc_id%2))*31 + (c + f*(1 + doc_id%3))*17) % 256 AS v
+      FROM documents, (VALUES (0),(2),(4)) t(f), range(0, 24) u(r), range(0, 32) w(c))
+      SELECT media_id, f AS frame_idx, r // 8 AS block_row, c // 8 AS block_col,
+        CAST(SUM(v) AS BIGINT) AS pixel_sum
+      FROM px GROUP BY media_id, f, r // 8, c // 8
+      ORDER BY media_id, frame_idx, block_row, block_col"""))
+
+  /** SCD TYPE 2 versioned-dimension apply ([[graft.store.Store.scd2Init]]
+    * / `scd2Apply` — Kimball type 2; the reference's docs name it the
+    * follow-on to their TRUNCATE+reload dims): customers snapshot at
+    * t=100 folds one change batch (segment change at 200 for every 3rd
+    * key, attribute-identical row at 220 for every 5th — a NO-OP
+    * unless a key-%15 change-back, a second change at 300 for every
+    * 7th, brand-new keys at 250), then every version row is emitted.
+    * The oracle replays the timeline contract 1:1 (per-key order,
+    * run-dedup by null-safe lag compare, lead() closing) — a drift in
+    * tie rules, no-op suppression, or chaining hash-mismatches. */
+  val q147 = Q("q147_scd2_versions",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val init = graft.store.Store.scd2Init(
+        cust.withColumn("eff", lit(100L)), Seq("k"), "eff")
+      val changes =
+        cust.filter(col("k") % 3 === 0)
+          .select(col("k"), concat(col("seg"), lit("-X")).as("seg"), lit(200L).as("eff"))
+        .unionByName(cust.filter(col("k") % 5 === 0)
+          .select(col("k"), col("seg"), lit(220L).as("eff")))
+        .unionByName(cust.filter(col("k") % 7 === 0)
+          .select(col("k"), concat(col("seg"), lit("-Y")).as("seg"), lit(300L).as("eff")))
+        .unionByName(cust.filter(col("k") % 11 === 0)
+          .select((col("k") + 1000000L).as("k"), lit("NEW").as("seg"), lit(250L).as("eff")))
+      graft.store.Store.scd2Apply(init, changes, Seq("k"), "eff")
+        .orderBy("k", "valid_from")
+    },
+    Some("""WITH cust AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+      tl AS (
+        SELECT k, seg, CAST(100 AS BIGINT) AS vf, 0 AS src FROM cust
+        UNION ALL SELECT k, seg || '-X', 200, 1 FROM cust WHERE k % 3 = 0
+        UNION ALL SELECT k, seg, 220, 1 FROM cust WHERE k % 5 = 0
+        UNION ALL SELECT k, seg || '-Y', 300, 1 FROM cust WHERE k % 7 = 0
+        UNION ALL SELECT k + 1000000, 'NEW', 250, 1 FROM cust WHERE k % 11 = 0),
+      lg AS (SELECT k, seg, vf, src,
+          lag(seg) OVER (PARTITION BY k ORDER BY vf, src) AS prev
+        FROM tl),
+      kept AS (SELECT k, seg, vf, src FROM lg
+        WHERE prev IS NULL OR prev IS DISTINCT FROM seg),
+      fin AS (SELECT k, seg, vf AS valid_from,
+          lead(vf) OVER (PARTITION BY k ORDER BY vf, src) AS valid_to
+        FROM kept)
+      SELECT k, seg, valid_from, valid_to, valid_to IS NULL AS is_current
+      FROM fin ORDER BY k, valid_from"""))
+
+  /** End-to-end UNSUPERVISED linkage: q143's EM weights (no labels
+    * anywhere in training) score the blocked pairs and decide at ≥ 10
+    * bits; the output confusion matrix is judged against the planted
+    * truth — so the whole label-free chain (pattern counts → EM →
+    * quantized weights → literal-sum scoring → threshold) must land
+    * the same decisions in both engines. */
+  val q148 = Q("q148_fs_em_linkage",
+    (s, dir) => {
+      val pairs = fsPairs(s, dir)
+      val w = graft.operators.Linkage.fsEmWeights(pairs, fsFields, iters = 10)
+        .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+      graft.operators.Linkage.scoreFs(pairs, fsFields, w)
+        .withColumn("predicted", col("score_bits") >= lit(10L))
+        .groupBy("predicted", "is_match")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("predicted", "is_match")
+    },
+    Some(s"""${emOracleSql(10)},
+      w AS (SELECT
+        MAX(CASE WHEN field = 'name' THEN w_agree_bits END) AS name_wa,
+        MAX(CASE WHEN field = 'name' THEN w_disagree_bits END) AS name_wd,
+        MAX(CASE WHEN field = 'acctbal' THEN w_agree_bits END) AS bal_wa,
+        MAX(CASE WHEN field = 'acctbal' THEN w_disagree_bits END) AS bal_wd,
+        MAX(CASE WHEN field = 'segment' THEN w_agree_bits END) AS seg_wa,
+        MAX(CASE WHEN field = 'segment' THEN w_disagree_bits END) AS seg_wd
+      FROM emw),
+      sc AS (SELECT is_match,
+        (CASE WHEN name_a IS NOT DISTINCT FROM name_b THEN name_wa ELSE name_wd END
+         + CASE WHEN bal_a IS NOT DISTINCT FROM bal_b THEN bal_wa ELSE bal_wd END
+         + CASE WHEN seg_a IS NOT DISTINCT FROM seg_b THEN seg_wa ELSE seg_wd END)
+          AS score
+      FROM prs CROSS JOIN w)
+      SELECT score >= 10 AS predicted, is_match,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM sc GROUP BY 1, 2 ORDER BY predicted, is_match"""))
+
+  /** Exact per-group percentiles AT SCALE
+    * ([[graft.operators.GroupedNtile.exactPercentilesDisc]] — the true
+    * scale path q40's scaladoc deferred): quartiles + max of integer
+    * order cents per priority class via the two-phase rank and a
+    * rank-equality filter — no per-group collect-and-sort buffer. The
+    * probabilities are exact rationals, so the target rank
+    * `⌈num·n/den⌉` is integer arithmetic; the oracle replays the rule
+    * with a row_number window. */
+  val q149 = Q("q149_exact_percentiles_scale",
+    (s, dir) => graft.operators.GroupedNtile.exactPercentilesDisc(
+        Seq("o_orderpriority"), "v",
+        probs = Seq((1L, 4L), (1L, 2L), (3L, 4L), (1L, 1L)))(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          cents(col("o_totalprice")).as("v")))
+      .orderBy("o_orderpriority", "p_den", "p_num"),
+    Some(s"""WITH w AS (SELECT o_orderpriority,
+        ${centsSql("o_totalprice")} AS v FROM orders),
+      r AS (SELECT o_orderpriority, v,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
+          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM w),
+      p AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (1, 1)) t(num, den))
+      SELECT o_orderpriority, CAST(num AS BIGINT) AS p_num,
+        CAST(den AS BIGINT) AS p_den, v AS value
+      FROM r CROSS JOIN p WHERE rn = (num * n + den - 1) // den
+      ORDER BY o_orderpriority, p_den, p_num"""))
+
+  /** Point-in-time read of the q147 versioned dim
+    * ([[graft.store.Store.scd2AsOf]]): the dimension AS OF t=250 —
+    * between the t=200/220 changes and the t=300 ones, with the t=250
+    * new keys just born — one row per key, exercising the half-open
+    * `[valid_from, valid_to)` rule at both edges. The oracle replays
+    * the q147 timeline and applies the same containment filter. */
+  val q150 = Q("q150_scd2_asof",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val init = graft.store.Store.scd2Init(
+        cust.withColumn("eff", lit(100L)), Seq("k"), "eff")
+      val changes =
+        cust.filter(col("k") % 3 === 0)
+          .select(col("k"), concat(col("seg"), lit("-X")).as("seg"), lit(200L).as("eff"))
+        .unionByName(cust.filter(col("k") % 5 === 0)
+          .select(col("k"), col("seg"), lit(220L).as("eff")))
+        .unionByName(cust.filter(col("k") % 7 === 0)
+          .select(col("k"), concat(col("seg"), lit("-Y")).as("seg"), lit(300L).as("eff")))
+        .unionByName(cust.filter(col("k") % 11 === 0)
+          .select((col("k") + 1000000L).as("k"), lit("NEW").as("seg"), lit(250L).as("eff")))
+      graft.store.Store.scd2AsOf(
+          graft.store.Store.scd2Apply(init, changes, Seq("k"), "eff"), lit(250L))
+        .select("k", "seg", "valid_from")
+        .orderBy("k")
+    },
+    Some("""WITH cust AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+      tl AS (
+        SELECT k, seg, CAST(100 AS BIGINT) AS vf, 0 AS src FROM cust
+        UNION ALL SELECT k, seg || '-X', 200, 1 FROM cust WHERE k % 3 = 0
+        UNION ALL SELECT k, seg, 220, 1 FROM cust WHERE k % 5 = 0
+        UNION ALL SELECT k, seg || '-Y', 300, 1 FROM cust WHERE k % 7 = 0
+        UNION ALL SELECT k + 1000000, 'NEW', 250, 1 FROM cust WHERE k % 11 = 0),
+      lg AS (SELECT k, seg, vf, src,
+          lag(seg) OVER (PARTITION BY k ORDER BY vf, src) AS prev
+        FROM tl),
+      kept AS (SELECT k, seg, vf, src FROM lg
+        WHERE prev IS NULL OR prev IS DISTINCT FROM seg),
+      fin AS (SELECT k, seg, vf AS valid_from,
+          lead(vf) OVER (PARTITION BY k ORDER BY vf, src) AS valid_to
+        FROM kept)
+      SELECT k, seg, valid_from
+      FROM fin
+      WHERE valid_from <= 250 AND (valid_to IS NULL OR 250 < valid_to)
+      ORDER BY k"""))
+
+  /** INCREMENTAL connected components
+    * ([[graft.operators.ConnectedComponents.incrementalComponents]] —
+    * the standing near-dup loop's missing maintenance piece): batch 1's
+    * arithmetic edge set resolves to exact min-labels, then batch 2
+    * FOLDS IN through the contracted delta graph (touched components +
+    * new vertices only, never the history). The oracle computes plain
+    * components of the UNION graph by recursive-CTE transitive closure
+    * — so the fold must land exactly where a full recompute does,
+    * merges, bridges, and new vertices included. */
+  val q151 = Q("q151_incremental_components",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val b1 = cust.filter(col("k") % 3 === 0)
+        .select(col("k").as("id_a"), (col("k") + 1L + col("k") % 4).as("id_b"))
+      val b2 = cust.filter(col("k") % 4 === 1)
+        .select(col("k").as("id_a"), (col("k") + 2L + col("k") % 5).as("id_b"))
+      graft.operators.ConnectedComponents.incrementalComponents(
+          graft.operators.ConnectedComponents.components(b1), b2)
+        .select(col("id").as("node"), col("comp").as("component"))
+        .orderBy("node")
+    },
+    Some("""WITH RECURSIVE b AS (
+        SELECT c_custkey AS a, c_custkey + 1 + c_custkey % 4 AS bb
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_custkey + 2 + c_custkey % 5
+        FROM customer WHERE c_custkey % 4 = 1),
+      edges AS (SELECT a AS src, bb AS dst FROM b
+        UNION SELECT bb, a FROM b),
+      walk(src, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+      SELECT src AS node, CAST(MIN(reach) AS BIGINT) AS component
+      FROM walk GROUP BY src ORDER BY node"""))
+
+  /** ATOMIC manifest-store lifecycle ([[graft.store.Manifest]]): build
+    * a versioned table from thirds of `orders` through the full
+    * protocol — overwrite-commit, append-commit, reader-safe compact,
+    * gc past retention, append again — then aggregate the final
+    * snapshot. The oracle replays the LOGICAL content (all of orders)
+    * in plain SQL: the store's whole point is that no sequence of
+    * commits/compactions/gcs can make the read view diverge from the
+    * logical table, so hash equality here is the storage protocol's
+    * correctness statement, not just an aggregate check. */
+  val q152 = Q("q152_manifest_lifecycle",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q152").toString + "/orders_t"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      Manifest.overwrite(orders.filter(col("o_orderkey") % 3 === 0), root)
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 1), root)
+      Manifest.compact(s, root)
+      Manifest.gc(s, root, keepVersions = 1)
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 2), root)
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("status")
+    },
+    Some(s"""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+      ${dsumSql("o_totalprice")} AS total_price
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** STREAMING CURATION PIPELINE CAPSTONE
+    * ([[graft.streaming.StreamOps.curationPipelineSink]]): a REAL
+    * multi-batch streamed run — documents arrive in three micro-batches
+    * (doc_id mod 3), each batch flowing clean → intra-batch exact dedup
+    * → near-dup screen-and-admit against the standing corpus index →
+    * per-batch admitted sink → split-SCD2 per-source ingest profile on
+    * atomic manifest roots. The result joins every admitted doc to the
+    * SCD2 version in force at its batch, so ONE oracle hash covers the
+    * admitted corpus, the batch partitioning, and the versioned
+    * timeline together. The SQL replays the entire sequential process:
+    * cleaned text, per-batch exact dedup, batch 1 screened against
+    * batch 0's admissions, batch 2 against both, then the profile
+    * timeline with SCD2 run-dedup and lead() closure. Batch ingestion
+    * collects each slice to the driver for MemoryStream — test-harness
+    * plumbing (bounded: the documents table), not the engine path. */
+  val q153 = Q("q153_curation_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val base = java.nio.file.Files.createTempDirectory("graft_q153").toString
+      val hashedT = "graft_q153_hashed"; val bandedT = "graft_q153_banded"
+      Dedup.writeCorpusIndex(docs.limit(0), "doc_id", "text",
+        Dedup.CharShingles(5), 8, 4, hashedT, bandedT)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamOps.curationPipelineSink(
+        input.toDF().toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", Dedup.CharShingles(5), 8, 4,
+        hashedT, bandedT, minJaccard = 0.5,
+        s"$base/admitted", s"$base/scd2_open", s"$base/scd2_closed",
+        s"$base/ckpt")
+      (0 to 2).foreach { bnum =>
+        input.addData(docs.filter(col("doc_id") % 3 === bnum)
+          .as[(Long, String, String)].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val admitted = s.read.parquet(s"$base/admitted")
+      val versions = graft.store.Store.scd2VersionsAtomic(
+        s, s"$base/scd2_open", s"$base/scd2_closed")
+      admitted.as("d").join(versions.as("v"),
+          col("d.source") === col("v.source") &&
+            col("v.valid_from") <= col("d.batch_id") &&
+            (col("v.valid_to").isNull || col("d.batch_id") < col("v.valid_to")))
+        .select(col("d.doc_id"), col("d.source"),
+          col("d.batch_id").cast(LongType).as("batch"),
+          col("v.valid_from"), col("v.n_admitted"), col("v.max_admitted_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH cd AS (SELECT doc_id, source,
+        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text,
+        doc_id % 3 AS batch FROM documents),
+      ex AS (SELECT doc_id, source, text, batch FROM (
+        SELECT *, row_number() OVER (PARTITION BY batch, text ORDER BY doc_id) AS rn
+        FROM cd) WHERE rn = 1),
+      sh AS (SELECT doc_id, ${shingleSql(5)} AS s FROM ex),
+      $hashSetCte,
+      ${sigBandedSql(8, 4)},
+      adm0 AS (SELECT doc_id FROM ex WHERE batch = 0),
+      c1 AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+             FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bandsig = b.bandsig
+             JOIN ex ea ON ea.doc_id = a.doc_id AND ea.batch = 1
+             JOIN adm0 c ON c.doc_id = b.doc_id),
+      d1 AS (SELECT DISTINCT bid FROM c1
+             JOIN shh sa ON sa.doc_id = bid JOIN shh sb ON sb.doc_id = cid
+             WHERE ${jaccardSql("sa.h", "sb.h")} >= 0.5),
+      adm1 AS (SELECT doc_id FROM ex WHERE batch = 1
+               AND doc_id NOT IN (SELECT bid FROM d1)),
+      corp1 AS (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1),
+      c2 AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+             FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bandsig = b.bandsig
+             JOIN ex ea ON ea.doc_id = a.doc_id AND ea.batch = 2
+             JOIN corp1 c ON c.doc_id = b.doc_id),
+      d2 AS (SELECT DISTINCT bid FROM c2
+             JOIN shh sa ON sa.doc_id = bid JOIN shh sb ON sb.doc_id = cid
+             WHERE ${jaccardSql("sa.h", "sb.h")} >= 0.5),
+      adm2 AS (SELECT doc_id FROM ex WHERE batch = 2
+               AND doc_id NOT IN (SELECT bid FROM d2)),
+      admitted AS (SELECT e.doc_id, e.source, e.batch FROM ex e
+        JOIN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+              UNION ALL SELECT doc_id FROM adm2) a USING (doc_id)),
+      prof AS (SELECT source, batch AS eff, COUNT(*) AS n_admitted,
+          MAX(doc_id) AS max_admitted_id
+        FROM admitted GROUP BY source, batch),
+      seq AS (SELECT source, eff, n_admitted, max_admitted_id,
+          LAG(n_admitted) OVER w AS pn, LAG(max_admitted_id) OVER w AS pm
+        FROM prof WINDOW w AS (PARTITION BY source ORDER BY eff)),
+      kept AS (SELECT source, eff AS valid_from, n_admitted, max_admitted_id
+        FROM seq WHERE pn IS NULL OR pn <> n_admitted OR pm <> max_admitted_id),
+      vers AS (SELECT source, valid_from,
+          LEAD(valid_from) OVER (PARTITION BY source ORDER BY valid_from) AS valid_to,
+          n_admitted, max_admitted_id FROM kept)
+      SELECT d.doc_id, d.source, CAST(d.batch AS BIGINT) AS batch,
+        v.valid_from, v.n_admitted, v.max_admitted_id
+      FROM admitted d JOIN vers v ON v.source = d.source
+        AND v.valid_from <= d.batch AND (v.valid_to IS NULL OR d.batch < v.valid_to)
+      ORDER BY d.doc_id"""))
+
+  /** All registered queries, in gate order. */
+}
