@@ -487,5 +487,43 @@ trait BatteryStoreOps extends BatteryModels {
         AND v.valid_from <= d.batch AND (v.valid_to IS NULL OR d.batch < v.valid_to)
       ORDER BY d.doc_id"""))
 
+  /** APPROXIMATE triangle count
+    * ([[graft.operators.Triangles.approxCountsRow]], Doulion edge
+    * sampling, Tsourakakis et al. KDD 2009) on the same co-order graph
+    * as the exact q134 — the measured-error cheap mode beside the
+    * battery's #1 absolute cost. Deterministic md5 edge sampling at
+    * 1/k, exact count on the sparsified graph, integer k³ scale-up;
+    * the oracle re-derives the identical sample in SQL and replays the
+    * same orient/wedge/close chain over it. */
+  val q154 = Q("q154_triangle_approx",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      graft.operators.Triangles.approxCountsRow(pairs, "pa", "pb", k = 3, seed = 7L)
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      sampled AS (SELECT u, v FROM pairs
+        WHERE ('0x' || substr(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR) || '_7'), 1, 15))::BIGINT % 3 = 0),
+      deg AS (SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM sampled UNION ALL SELECT v FROM sampled) GROUP BY 1),
+      o AS (SELECT
+          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN u ELSE v END AS src,
+          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN v ELSE u END AS dst,
+          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN d2.d ELSE d1.d END AS ddst
+        FROM sampled JOIN deg d1 ON d1.n = u JOIN deg d2 ON d2.n = v),
+      wedges AS (SELECT a.src, a.dst AS y, b.dst AS z
+        FROM o a JOIN o b ON a.src = b.src
+        WHERE a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst)),
+      tri AS (SELECT 1 FROM wedges w JOIN o e ON e.src = w.y AND e.dst = w.z)
+      SELECT CAST(3 AS BIGINT) AS k,
+        CAST((SELECT COUNT(*) FROM sampled) AS BIGINT) AS n_edges_sampled,
+        CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles_sampled,
+        CAST((SELECT COUNT(*) * 27 FROM tri) AS BIGINT) AS estimate"""))
+
   /** All registered queries, in gate order. */
 }

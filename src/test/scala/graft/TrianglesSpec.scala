@@ -71,4 +71,39 @@ class TrianglesSpec extends SparkTestBase {
       assert(counts(edges: _*)._3 == brute)
     }
   }
+
+  test("approxCountsRow: unbiased-shaped estimate, deterministic replay, k=1 degenerates to exact") {
+    import graft.operators.Triangles
+    // dense-ish random graph with a real triangle population
+    val rnd = new scala.util.Random(11)
+    val n = 40
+    val edges = (for {
+      i <- 1L to n; j <- (i + 1) to n if rnd.nextDouble() < 0.35
+    } yield (i, j)).toSeq
+    val df = edges.toDF("id_a", "id_b")
+    val exact = Triangles.countsRow(df, "id_a", "id_b")
+      .collect()(0).getAs[Long]("n_triangles")
+    assert(exact > 100, s"fixture too sparse: $exact triangles")
+    // k=1 keeps every edge: the estimator IS the exact count
+    val k1 = Triangles.approxCountsRow(df, "id_a", "id_b", k = 1).collect()(0)
+    assert(k1.getAs[Long]("estimate") == exact)
+    assert(k1.getAs[Long]("n_edges_sampled") == edges.size.toLong)
+    // k=2: averaged over independent seeds the estimate tracks the
+    // truth (Doulion is unbiased; a loose 40% band on an 8-seed mean
+    // keeps the test deterministic-but-meaningful)
+    val ests = (1L to 8L).map(seed =>
+      Triangles.approxCountsRow(df, "id_a", "id_b", k = 2, seed = seed)
+        .collect()(0).getAs[Long]("estimate"))
+    val mean = ests.sum.toDouble / ests.size
+    assert(math.abs(mean - exact) / exact < 0.4,
+      s"8-seed mean $mean vs exact $exact (ests=$ests)")
+    // same (k, seed) replays the identical sample and estimate
+    val again = Triangles.approxCountsRow(df, "id_a", "id_b", k = 2, seed = 3L)
+      .collect()(0).getAs[Long]("estimate")
+    val again2 = Triangles.approxCountsRow(df, "id_a", "id_b", k = 2, seed = 3L)
+      .collect()(0).getAs[Long]("estimate")
+    assert(again == again2)
+    intercept[IllegalArgumentException](
+      Triangles.approxCountsRow(df, "id_a", "id_b", k = 0))
+  }
 }
