@@ -31,6 +31,9 @@ object PipelineScaleBench {
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_pipescale")
+    // optional section filter: "all" (default) | "pipeline" | "ab" | "abfile"
+    val section = args.lift(1).getOrElse("all")
+    def runSection(s: String): Boolean = section == "all" || section == s
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -86,7 +89,7 @@ object PipelineScaleBench {
       ((t3 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
     }
 
-    val rows = scales.map { case (g, mult) =>
+    val rows = if (!runSection("pipeline")) Seq.empty else scales.map { case (g, mult) =>
       val a = runOnce(g, mult)
       val b = runOnce(g, mult)
       val best = if (b._1 <= a._1) b else a
@@ -111,13 +114,49 @@ object PipelineScaleBench {
         .write.mode("overwrite").parquet(s"$base/$g/silver_ab")
       (System.nanoTime() - t0) / 1e9
     }
-    val abRows = scales.map { case (g, _) =>
+    val abRows = if (!runSection("ab")) Seq.empty else scales.map { case (g, _) =>
       val ml = math.min(silverLap(g, splittable = false), silverLap(g, splittable = false))
       val sp = math.min(silverLap(g, splittable = true), silverLap(g, splittable = true))
       System.err.println(f"[pipescale] $g silver A/B: multiLine=$ml%.2fs splittable=$sp%.2fs " +
         f"(${ml / sp}%.2fx)")
       (g, ml, sp)
     }
+
+    // SINGLE-FILE A/B — the reference's real input shape (ONE TSV dump,
+    // docs/readme.md): with files < cores the multiLine scan is the
+    // one-task bottleneck the splittable path exists to break. The
+    // 32-file layout above deliberately CANNOT show this (32 files
+    // saturate 32 cores either way — that A/B isolates the parser-mode
+    // cost alone). Run at 1x/10x; the 100x single-file multiLine lap
+    // would be one task parsing 12 GB (~30+ min) — the point is made
+    // at 10x without burning the bench budget.
+    val abFileRows = if (!runSection("abfile")) Seq.empty else
+      scales.take(2).map { case (g, _) =>
+        val one = s"$base/$g/off_onefile"
+        if (!BenchFs.exists(spark, one)) {
+          System.err.println(s"[pipescale] coalescing $g to a single file")
+          spark.read.option("header", "true").option("sep", "\t")
+            .option("quote", "\"").option("escape", "\"")
+            .option("multiLine", "true").csv(s"$base/$g/off")
+            .coalesce(1).write.mode("overwrite")
+            .option("sep", "\t").option("header", "true").csv(one)
+        }
+        def lap(splittable: Boolean): Double = {
+          graft.CacheReset(spark)
+          val t0 = System.nanoTime()
+          val bronze =
+            if (splittable) graft.ingest.Ingest.bronzeCsvSplittable(spark, one)
+            else graft.ingest.Ingest.bronzeCsv(spark, one)
+          graft.pipeline.OffPipeline.silver(bronze)
+            .write.mode("overwrite").parquet(s"$base/$g/silver_ab1")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val ml = math.min(lap(false), lap(false))
+        val sp = math.min(lap(true), lap(true))
+        System.err.println(f"[pipescale] $g SINGLE-FILE silver A/B: " +
+          f"multiLine=$ml%.2fs splittable=$sp%.2fs (${ml / sp}%.2fx)")
+        (g, ml, sp)
+      }
 
     // merge into BENCH_SCALE.json under the ScaleBench key convention
     val jsonFile = java.nio.file.Paths.get("BENCH_SCALE.json")
@@ -134,13 +173,22 @@ object PipelineScaleBench {
       val m = abRows.map(r => r._1 -> sel(r)).toMap
       s"""{"t1x":${fmt(m("p1x"))},"t10x":${fmt(m("p10x"))},"t100x":${fmt(m("p100x"))}}"""
     }
-    val merged = existing ++ Map(
-      "x200_pipeline" -> by(_._1),
-      "x201_pipe_silver" -> by(_._2),
-      "x202_pipe_gold" -> by(_._3),
-      "x203_pipe_queries" -> by(_._4),
-      "x204_silver_multiline" -> byAb(_._2),
-      "x205_silver_splittable" -> byAb(_._3))
+    def byAbFile(sel: ((String, Double, Double)) => Double): String = {
+      val m = abFileRows.map(r => r._1 -> sel(r)).toMap
+      s"""{"t1x":${fmt(m("p1x"))},"t10x":${fmt(m("p10x"))}}"""
+    }
+    val merged = existing ++
+      (if (rows.nonEmpty) Map(
+        "x200_pipeline" -> by(_._1),
+        "x201_pipe_silver" -> by(_._2),
+        "x202_pipe_gold" -> by(_._3),
+        "x203_pipe_queries" -> by(_._4)) else Map.empty) ++
+      (if (abRows.nonEmpty) Map(
+        "x204_silver_multiline" -> byAb(_._2),
+        "x205_silver_splittable" -> byAb(_._3)) else Map.empty) ++
+      (if (abFileRows.nonEmpty) Map(
+        "x206_silver1f_multiline" -> byAbFile(_._2),
+        "x207_silver1f_splittable" -> byAbFile(_._3)) else Map.empty)
     val json = merged.toSeq.sortBy(_._1)
       .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
     java.nio.file.Files.write(jsonFile, (json + "\n").getBytes("UTF-8"))
@@ -151,10 +199,13 @@ object PipelineScaleBench {
       val n = OffTsvGen.ReferenceRows * mult
       println(f"| $g | $n | ${fmt(tot)} | ${fmt(sil)} | ${fmt(gol)} | ${fmt(q)} | ${(n / tot).toLong} |")
     }
-    println("\n| decade | silver multiLine (s) | silver splittable (s) | speedup |")
-    println("|---|---|---|---|")
+    println("\n| decade | layout | silver multiLine (s) | silver splittable (s) | speedup |")
+    println("|---|---|---|---|---|")
     abRows.foreach { case (g, ml, sp) =>
-      println(f"| $g | ${fmt(ml)} | ${fmt(sp)} | ${ml / sp}%.2fx |")
+      println(f"| $g | 32 files | ${fmt(ml)} | ${fmt(sp)} | ${ml / sp}%.2fx |")
+    }
+    abFileRows.foreach { case (g, ml, sp) =>
+      println(f"| $g | 1 file | ${fmt(ml)} | ${fmt(sp)} | ${ml / sp}%.2fx |")
     }
     spark.stop()
   }
