@@ -126,28 +126,34 @@ object Triangles {
     * `estimate` is exact integer arithmetic (no float variance path);
     * k is capped so `k³` cannot overflow a Long against any physical
     * triangle count. */
-  def approxCountsRow(
+  /** The 1/k-sampled canonical edge set [[approxCountsRow]] counts on.
+    * The sample predicate is a pure function of the canonical (u, v),
+    * so it commutes with the dedup: filtering BEFORE the distinct
+    * yields the identical sampled edge set while the distinct — the
+    * dominant shuffle when the input pair list is dup-heavy (the
+    * co-order graph's 7M pair rows → 1.2M edges) — processes ~1/k of
+    * the rows (plan-pinned in PlanSpec). On pre-deduped edge lists
+    * it's the wedge-join shrink (~k²) that pays instead. */
+  def sampledCanonicalEdges(
       pairs: DataFrame, aCol: String, bCol: String,
-      k: Int, seed: Long = 0L): DataFrame = {
-    require(k >= 1 && k <= 1000000, s"approxCountsRow: k=$k out of (0, 10^6]")
+      k: Int, seed: Long): DataFrame = {
     val h = conv(substring(md5(concat_ws("_",
         col("u").cast("string"), col("v").cast("string"),
         lit(seed.toString))), 1, 15), 16, 10)
       .cast(org.apache.spark.sql.types.LongType)
-    // the sample predicate is a pure function of the canonical (u, v),
-    // so it commutes with the dedup: filtering BEFORE the distinct
-    // yields the identical sampled edge set while the distinct — the
-    // dominant shuffle when the input pair list is dup-heavy (the
-    // co-order graph's 7M pair rows → 1.2M edges) — processes ~1/k of
-    // the rows. This is where the approx mode's speedup comes from on
-    // dup-heavy inputs; on pre-deduped edge lists it's the wedge-join
-    // shrink (~k²) that pays.
-    val sampled = pairs
+    pairs
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .filter(pmod(h, lit(k.toLong)) === 0L)
       .distinct()
+  }
+
+  def approxCountsRow(
+      pairs: DataFrame, aCol: String, bCol: String,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"approxCountsRow: k=$k out of (0, 10^6]")
+    val sampled = sampledCanonicalEdges(pairs, aCol, bCol, k, seed)
       .localCheckpoint(false)
     val o = orient(sampled).localCheckpoint(false)
     val wedges = o.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))

@@ -557,6 +557,33 @@ class PlanSpec extends SparkTestBase {
       s"triangle chain degenerated to a product:\n$p")
   }
 
+  test("q154 approx triangles: sampled-edge plan has no product; sample filter sits BELOW the dedup") {
+    // approxCountsRow's result frame is a driver-built row (the real
+    // work runs in its internal actions), so the pin inspects the
+    // sampled-edge building block it counts on
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+    val df = graft.operators.Triangles.sampledCanonicalEdges(pairs, "pa", "pb", 3, 7L)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sampled triangle chain degenerated to a product:\n$p")
+    // the md5 sample predicate must prune rows BEFORE the distinct's
+    // HashAggregate/Exchange pair — that ordering is where the
+    // dup-heavy-input speedup comes from. Plan text prints consumers
+    // above producers, so everything printed after the LAST "pmod"
+    // occurrence is beneath the sample filter; no HashAggregate may
+    // appear there (an aggregate beneath the filter would mean the
+    // dedup ran on unsampled rows).
+    assert(p.contains("pmod"), s"sample filter missing from the plan:\n$p")
+    val below = p.substring(p.lastIndexOf("pmod"))
+    assert(!below.contains("HashAggregate"),
+      s"an aggregate runs beneath the sample filter — the sample no longer " +
+        s"prunes the dedup:\n$p")
+  }
+
   test("q140 linkage: blocking join is an equi-join; scoring is join-free (literal weights)") {
     val df = Battery.q140.run(spark, dir)
     df.collect()
