@@ -518,6 +518,26 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** [[scd2SinkSplit]] on the ATOMIC manifest store
+    * ([[graft.store.Store.scd2ApplySplitAtomic]]): identical
+    * transaction protocol and replay semantics, but both parts publish
+    * by atomic manifest commits, so a reader racing any batch's writes
+    * always resolves a complete committed snapshot. Bootstrap
+    * `openRoot` with `Manifest.overwrite(scd2Init(...), openRoot)`
+    * before starting the stream. */
+  def scd2SinkSplitAtomic(
+      changes: DataFrame, openRoot: String, closedRoot: String,
+      keyCols: Seq[String], effectiveCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.store.Store.scd2ApplySplitAtomic(
+          b.sparkSession, b.toDF(), openRoot, closedRoot, keyCols, effectiveCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** ONE micro-batch of the full curation pipeline — the capstone
     * transaction composing the standing loops that were previously
     * specced only individually: clean → intra-batch exact dedup →

@@ -154,6 +154,34 @@ class ManifestSpec extends SparkTestBase {
       .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet == mono)
   }
 
+  test("scd2SinkSplitAtomic: streamed batches maintain the atomic split store ≡ monolithic history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val openRoot = newRoot("sinko")
+    val closedRoot = newRoot("sinkc")
+    val ckpt = Files.createTempDirectory("scd2a_ckpt").toString
+    val init = Store.scd2Init(
+      Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("k", "v", "eff"), Seq("k"), "eff")
+    Manifest.overwrite(init, openRoot)
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamOps.scd2SinkSplitAtomic(
+      input.toDF().toDF("k", "v", "eff"), openRoot, closedRoot, Seq("k"), "eff", ckpt)
+    input.addData((1L, "a2", 200L), (3L, "c", 200L))
+    q.processAllAvailable()
+    input.addData((1L, "a3", 300L))
+    q.processAllAvailable()
+    q.stop()
+    val got = Store.scd2VersionsAtomic(spark, openRoot, closedRoot)
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    val mono = Store.scd2Apply(Store.scd2Apply(init,
+        Seq((1L, "a2", 200L), (3L, "c", 200L)).toDF("k", "v", "eff"), Seq("k"), "eff"),
+        Seq((1L, "a3", 300L)).toDF("k", "v", "eff"), Seq("k"), "eff")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == mono, s"atomic stream=$got mono=$mono")
+    // the open root holds exactly one open row per key, all committed
+    assert(Manifest.read(spark, openRoot).count() == 3L)
+  }
+
   test("admitBatchManifest: screen/admit ≡ the catalog form; replay admits nothing twice; maintenance compacts") {
     import graft.dedup.Dedup
     val hashedRoot = newRoot("admith")
