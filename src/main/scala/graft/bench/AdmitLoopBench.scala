@@ -85,23 +85,54 @@ object AdmitLoopBench {
     System.err.println(f"[admitloop] first10=${first10}%.2fs last10=${last10}%.2fs " +
       f"maxFiles=$maxFiles admitted=$admittedTotal")
 
+    // ATOMIC-STORE TWIN: the identical 40-batch loop through
+    // admitBatchManifest (snapshot-committed index roots, in-loop
+    // Manifest.compact+gc) — measures what the atomic layer costs the
+    // standing loop. The commit itself is one rename + a small JSON
+    // regardless of table size; the difference shows mostly in the
+    // manifest file-list read per probe.
+    val mBase = java.nio.file.Files.createTempDirectory("graft_admitloop_m").toString
+    val (hRoot, bRoot) = (s"$mBase/hashed", s"$mBase/banded")
+    Dedup.writeCorpusIndexManifest(corpus, "doc_id", "text", Dedup.CharShingles(5),
+      8, 4, hRoot, bRoot)
+    val lapsM = new scala.collection.mutable.ArrayBuffer[Double](nBatches)
+    var admittedM = 0L
+    (0 until nBatches).foreach { b =>
+      val batch = pool.filter(col("doc_id") % nBatches === b)
+      val t0 = System.nanoTime()
+      val admitted = Dedup.admitBatchManifest(batch, "doc_id", "text",
+        Dedup.CharShingles(5), 8, 4, hRoot, bRoot,
+        minJaccard = 0.5, compactMinFiles = 48)
+      admittedM += admitted.count()
+      lapsM += (System.nanoTime() - t0) / 1e9
+    }
+    val first10M = lapsM.take(10).sum / 10
+    val last10M = lapsM.takeRight(10).sum / 10
+    System.err.println(f"[admitloop] ATOMIC first10=${first10M}%.2fs last10=${last10M}%.2fs " +
+      f"admitted=$admittedM (catalog admitted $admittedTotal — must match)")
+    require(admittedM == admittedTotal,
+      s"atomic loop admitted $admittedM vs catalog $admittedTotal — verdict divergence")
+
     val jsonFile = java.nio.file.Paths.get("BENCH_SCALE.json")
     val existing: Map[String, String] = if (java.nio.file.Files.exists(jsonFile)) {
       val txt = new String(java.nio.file.Files.readAllBytes(jsonFile), "UTF-8")
       """"([qx]\d+\w*)"\s*:\s*(\{[^}]*\})""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2)).toMap
     } else Map.empty
-    val merged = existing + ("x160_admit_loop" ->
-      s"""{"first10":${fmt(first10)},"last10":${fmt(last10)},"max_files":$maxFiles,"batches":$nBatches}""")
+    val merged = existing ++ Map(
+      "x160_admit_loop" ->
+        s"""{"first10":${fmt(first10)},"last10":${fmt(last10)},"max_files":$maxFiles,"batches":$nBatches}""",
+      "x161_admit_loop_atomic" ->
+        s"""{"first10":${fmt(first10M)},"last10":${fmt(last10M)},"batches":$nBatches}""")
     val json = merged.toSeq.sortBy(_._1)
       .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
     java.nio.file.Files.write(jsonFile, (json + "\n").getBytes("UTF-8"))
 
-    println("| window | mean batch (s) |")
-    println("|---|---|")
-    println(s"| first 10 | ${fmt(first10)} |")
-    println(s"| last 10 | ${fmt(last10)} |")
-    println(s"| max index files | $maxFiles |")
+    println("| store | first-10 mean (s) | last-10 mean (s) |")
+    println("|---|---|---|")
+    println(s"| catalog | ${fmt(first10)} | ${fmt(last10)} |")
+    println(s"| atomic manifest | ${fmt(first10M)} | ${fmt(last10M)} |")
+    println(s"| max catalog index files | $maxFiles | |")
     graft.store.Store.drop(spark, hashedT)
     graft.store.Store.drop(spark, bandedT)
     spark.stop()
