@@ -525,5 +525,41 @@ trait BatteryStoreOps extends BatteryModels {
         CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles_sampled,
         CAST((SELECT COUNT(*) * 27 FROM tri) AS BIGINT) AS estimate"""))
 
+  /** DATA-SKIPPING read over the manifest store
+    * ([[graft.store.Manifest.readWhereBetween]]): orders land in four
+    * key-range-disjoint appends carrying per-file min/max stats (the
+    * Delta-style skip index), then a range probe reads ONLY the files
+    * whose recorded range intersects — correctness is scan-set
+    * independent by construction (the predicate re-applies to rows),
+    * which is exactly what the plain-SQL oracle states. The pruning
+    * EFFECTIVENESS is spec-asserted (ManifestSpec); here the skip path
+    * itself carries the hash gate. */
+  val q155 = Q("q155_manifest_skipping",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q155").toString + "/orders_s"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      // quartile-range appends: each file's o_orderkey range is tight
+      val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = hi / 4 + 1
+      (0L to 3L).foreach { qtr =>
+        Manifest.append(
+          orders.filter(col("o_orderkey") >= qtr * cut &&
+            col("o_orderkey") < (qtr + 1) * cut).coalesce(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      Manifest.readWhereBetween(s, root, "o_orderkey", cut + 1, 2 * cut - 2)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("status")
+    },
+    Some(s"""WITH cut AS (SELECT MAX(o_orderkey) // 4 + 1 AS c FROM orders)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM orders, cut WHERE o_orderkey BETWEEN c + 1 AND 2 * c - 2
+      GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

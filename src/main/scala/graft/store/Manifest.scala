@@ -1,6 +1,7 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** ATOMIC versioned-manifest table commits — the public Delta/Iceberg
@@ -61,8 +62,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object Manifest {
 
-  /** One snapshot: ordered relative file paths + table metadata. */
-  final case class Snapshot(version: Long, files: Seq[String], meta: Map[String, String])
+  /** One snapshot: ordered relative file paths + table metadata +
+    * optional per-file column statistics (file → column → (min, max),
+    * the Delta-style data-skipping index; absent entries mean "no
+    * stats — never prune this file"). */
+  final case class Snapshot(version: Long, files: Seq[String],
+      meta: Map[String, String],
+      stats: Map[String, Map[String, (Any, Any)]] = Map.empty)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -72,21 +78,75 @@ object Manifest {
   private def manifestPath(root: String, v: Long) =
     new Path(manifestDir(root), f"m$v%016d")
 
-  // --- tiny JSON: {"files":["a","b"],"meta":{"k":"v"}} — escapes only
-  // what the file-name/metadata domain needs (quotes, backslashes)
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-  private def render(files: Seq[String], meta: Map[String, String]): String =
-    s"""{"files":[${files.map(jstr).mkString(",")}],""" +
-      s""""meta":{${meta.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")}}}"""
-  private val strLit = """"((?:[^"\\]|\\.)*)"""".r
-  private def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
-  private def parse(txt: String): (Seq[String], Map[String, String]) = {
-    val filesPart = txt.substring(txt.indexOf("\"files\":[") + 9, txt.indexOf("],\"meta\""))
-    val metaPart = txt.substring(txt.indexOf("\"meta\":{") + 8, txt.lastIndexOf("}"))
-    val files = strLit.findAllMatchIn(filesPart).map(m => unesc(m.group(1))).toSeq
-    val metaStrs = strLit.findAllMatchIn(metaPart).map(m => unesc(m.group(1))).toSeq
-    (files, metaStrs.grouped(2).collect { case Seq(k, v) => k -> v }.toMap)
+  // --- manifest JSON via json4s (ships with Spark):
+  // {"files":[...], "meta":{k:v}, "stats":{file:{col:{"lo":x,"hi":y}}}}
+  // Stat bounds keep their JSON type (number for numerics, string for
+  // strings) so pruning compares in the value domain, never lexically
+  // on rendered text.
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+  private def statJson(v: Any): JValue = v match {
+    case l: Long => JLong(l)
+    case i: Int => JLong(i.toLong)
+    case s: Short => JLong(s.toLong)
+    case b: Byte => JLong(b.toLong)
+    case d: Double => JDouble(d)
+    case f: Float => JDouble(f.toDouble)
+    case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+    case d: BigDecimal => JDecimal(d)
+    case s: String => JString(s)
+    case other => JString(String.valueOf(other)) // dates/timestamps via canonical text
+  }
+  private def statValue(j: JValue): Option[Any] = j match {
+    case JLong(l) => Some(l)
+    case JInt(i) => Some(i.toLong)
+    case JDouble(d) => Some(d)
+    case JDecimal(d) => Some(d)
+    case JString(s) => Some(s)
+    case _ => None // JNull (all-null file) → no stats → never pruned
+  }
+  private def render(files: Seq[String], meta: Map[String, String],
+      stats: Map[String, Map[String, (Any, Any)]]): String = {
+    val base: List[(String, JValue)] = List(
+      "files" -> JArray(files.map(JString(_)).toList),
+      "meta" -> JObject(meta.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }))
+    val withStats =
+      if (stats.isEmpty) base
+      else base :+ ("stats" -> (JObject(stats.toList.sortBy(_._1).map { case (f, cols) =>
+        f -> (JObject(cols.toList.sortBy(_._1).map { case (c, (lo, hi)) =>
+          c -> (JObject("lo" -> statJson(lo), "hi" -> statJson(hi)): JValue)
+        }): JValue)
+      }): JValue))
+    JsonMethods.compact(JsonMethods.render(JObject(withStats)))
+  }
+  private def parse(txt: String): (Seq[String], Map[String, String],
+      Map[String, Map[String, (Any, Any)]]) = {
+    val j = JsonMethods.parse(txt)
+    val files = (j \ "files") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Seq.empty
+    }
+    val meta = (j \ "meta") match {
+      case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val stats = (j \ "stats") match {
+      case JObject(fs) => fs.flatMap { case (f, cols) =>
+        cols match {
+          case JObject(cs) =>
+            val m = cs.flatMap { case (c, b) =>
+              (statValue(b \ "lo"), statValue(b \ "hi")) match {
+                case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+                case _ => None
+              }
+            }.toMap
+            if (m.nonEmpty) Some(f -> m) else None
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty[String, Map[String, (Any, Any)]]
+    }
+    (files, meta, stats)
   }
 
   /** Newest committed snapshot, or None for an empty/absent root. */
@@ -106,8 +166,8 @@ object Manifest {
     require(f.exists(p), s"no committed version $version under $root")
     val in = f.open(p)
     val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    val (files, meta) = parse(txt)
-    Snapshot(version, files, meta)
+    val (files, meta, stats) = parse(txt)
+    Snapshot(version, files, meta, stats)
   }
 
   /** All committed versions, ascending. */
@@ -151,22 +211,29 @@ object Manifest {
       .sorted.map(n => s"$batchDir/$n").toSeq
   }
 
-  /** Publish `files` (+meta) as the next version on top of `base`;
-    * optimistic retry on manifest-name collision. Returns the version. */
+  /** Publish `files` (+meta, +stats) as the next version on top of
+    * `base`; optimistic retry on manifest-name collision. Inherited
+    * files keep their stats; new files carry `newStats`. Returns the
+    * version. */
   private def publish(spark: SparkSession, root: String,
       newFiles: Seq[String], meta: Map[String, String],
-      baseFiles: Snapshot => Seq[String]): Long = {
+      baseFiles: Snapshot => Seq[String],
+      newStats: Map[String, Map[String, (Any, Any)]] = Map.empty): Long = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     var attempt = 0
     while (attempt < 64) {
       val cur = current(spark, root)
       val v = cur.map(_.version + 1).getOrElse(0L)
-      val files = cur.map(baseFiles).getOrElse(Seq.empty) ++ newFiles
+      val inherited = cur.map(baseFiles).getOrElse(Seq.empty)
+      val files = inherited ++ newFiles
+      val inheritedStats = cur.map(s => s.stats.filter(kv => inherited.contains(kv._1)))
+        .getOrElse(Map.empty)
       val tmp = new Path(manifestDir(root),
         s"_tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
       val out = f.create(tmp, false)
-      try out.write(render(files, meta).getBytes("UTF-8")) finally out.close()
+      try out.write(render(files, meta, inheritedStats ++ newStats).getBytes("UTF-8"))
+      finally out.close()
       // rename = the atomic commit point; a false return (or the
       // best-effort exists pre-check, for local FS whose POSIX rename
       // silently overwrites) means another committer won version v —
@@ -180,32 +247,136 @@ object Manifest {
       s"$root: lost the commit race 64 times — a livelocked writer storm")
   }
 
-  /** Atomic append: stage the batch's files, publish prev ∪ new. */
+  /** Per-file min/max for `statsCols` over a just-staged batch dir —
+    * the data-skipping index entries. ONE narrow pass over the staged
+    * files (same cost class as the write itself; the parquet-footer
+    * read would be cheaper still but needs format internals). A column
+    * whose min or max is null in a file (all-null file) gets no entry
+    * there — conservative "never prune". */
+  private def fileStats(spark: SparkSession, root: String,
+      staged: Seq[String], statsCols: Seq[String]): Map[String, Map[String, (Any, Any)]] = {
+    if (statsCols.isEmpty || staged.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{input_file_name, max, min, substring_index}
+    val byName = staged.map(rel => rel.substring(rel.indexOf('/') + 1) -> rel).toMap
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+    val paths = staged.map(rel => new Path(dataDir(root), rel).toString)
+    spark.read.parquet(paths: _*)
+      .groupBy(substring_index(input_file_name(), "/", -1).as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .flatMap { r =>
+        byName.get(r.getString(0)).map { rel =>
+          rel -> statsCols.flatMap { c =>
+            val (lo, hi) = (r.getAs[Any](s"__lo_$c"), r.getAs[Any](s"__hi_$c"))
+            if (lo == null || hi == null) None else Some(c -> (lo, hi))
+          }.toMap
+        }
+      }
+      .filter(_._2.nonEmpty).toMap
+  }
+
+  /** Atomic append: stage the batch's files, publish prev ∪ new.
+    * `statsCols` adds per-file min/max of those columns to the
+    * manifest — the data-skipping index [[readWhereBetween]] prunes
+    * by (one extra narrow pass over the staged batch). */
   def append(df: DataFrame, root: String,
-      meta: Map[String, String] = Map.empty): Long =
-    publish(df.sparkSession, root, stage(df, root), meta, _.files)
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val staged = stage(df, root)
+    publish(spark, root, staged, meta, _.files,
+      fileStats(spark, root, staged, statsCols))
+  }
 
   /** Atomic table replace: stage, publish ONLY the new files. */
   def overwrite(df: DataFrame, root: String,
-      meta: Map[String, String] = Map.empty): Long =
-    publish(df.sparkSession, root, stage(df, root), meta, _ => Seq.empty)
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val staged = stage(df, root)
+    publish(spark, root, staged, meta, _ => Seq.empty,
+      fileStats(spark, root, staged, statsCols))
+  }
+
+  /** Total order over stat bounds and predicate constants of the same
+    * family: integral (Long/Int/...), fractional (Double/Float),
+    * decimals, strings. Cross-family numeric compares go through
+    * BigDecimal (a Long bound vs a Double probe must not fall back to
+    * string order). */
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Number, y: Number) =>
+      new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString))
+    case _ => throw new IllegalArgumentException(
+      s"manifest stats: cannot order ${a.getClass.getName} against ${b.getClass.getName}")
+  }
+
+  /** DATA-SKIPPING read: rows of the current snapshot with
+    * `lo <= colName <= hi`, scanning ONLY the files whose recorded
+    * [min, max] intersects the range (files without stats for the
+    * column are conservatively scanned). Semantics are EXACT
+    * regardless of pruning — the range filter is applied to the rows
+    * too, so a stats-free file contributes exactly its matching rows.
+    * Returns the frame; [[prunedFileCount]] reports the skip rate for
+    * measurement. */
+  def readWhereBetween(spark: SparkSession, root: String,
+      colName: String, lo: Any, hi: Any): DataFrame = {
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val keep = prunedFiles(snap, colName, lo, hi)
+    val base =
+      if (keep.isEmpty)
+        // every file pruned: read one file for the SCHEMA, emit no rows
+        // (fabricating a schema here would desync from the stored one)
+        readSnapshot(spark, root, snap.copy(files = snap.files.take(1)))
+          .filter(lit(false))
+      else readSnapshot(spark, root, snap.copy(files = keep))
+    base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
+
+  /** The file subset of `snap` whose recorded [min, max] for `colName`
+    * intersects [lo, hi] (no stats → kept). */
+  def prunedFiles(snap: Snapshot, colName: String, lo: Any, hi: Any): Seq[String] =
+    snap.files.filter { f =>
+      snap.stats.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
+        case None => true
+      }
+    }
 
   /** Reader-safe small-file compaction: read current, rewrite into
     * ~targetBytes files, publish as an overwrite carrying the same
     * metadata. Readers pinned to older snapshots keep their files
     * (until [[gc]]); new readers see the compacted snapshot. */
   def compact(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): Long = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      rangeBy: Seq[String] = Nil): Long = {
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
     val df = readSnapshot(spark, root, snap)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = ((bytes + targetBytes - 1) / targetBytes).max(1).min(1L << 20).toInt
-    // localCheckpoint: the staged write must not re-read files a racing
-    // gc of a PREVIOUS compaction round might be clearing
-    val staged = df.repartition(target).localCheckpoint()
-    try publish(spark, root, stage(staged, root), snap.meta, _ => Seq.empty)
-    finally { staged.unpersist(); () }
+    // `rangeBy` keeps the skip index SHARP through compaction: a hash
+    // repartition scatters rows, so every compacted file's [min, max]
+    // widens toward the global range and [[readWhereBetween]] stops
+    // pruning; a range repartition on the skip column re-clusters it.
+    // localCheckpoint either way: the staged write must not re-read
+    // files a racing gc of a PREVIOUS compaction round might be
+    // clearing.
+    val repart =
+      if (rangeBy.nonEmpty) df.repartitionByRange(target, rangeBy.map(col): _*)
+      else df.repartition(target)
+    val staged = repart.localCheckpoint()
+    try {
+      val stagedFiles = stage(staged, root)
+      // the skip index survives compaction: recompute stats for every
+      // column any pre-compaction file carried stats for
+      val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+      publish(spark, root, stagedFiles, snap.meta, _ => Seq.empty,
+        fileStats(spark, root, stagedFiles, statCols))
+    } finally { staged.unpersist(); () }
   }
 
   /** Garbage collection: drop all but the newest `keepVersions`

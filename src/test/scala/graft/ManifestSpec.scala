@@ -109,6 +109,47 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.read(spark, root).as[Long].collect().sorted.toSeq == want)
   }
 
+  test("data skipping: per-file stats prune reads, semantics exact, index survives range compaction") {
+    val root = newRoot("skip")
+    // three appends with disjoint key ranges → files with tight ranges
+    Manifest.append(spark.range(0, 100).toDF("id").coalesce(1), root, statsCols = Seq("id"))
+    Manifest.append(spark.range(100, 200).toDF("id").coalesce(1), root, statsCols = Seq("id"))
+    Manifest.append(spark.range(200, 300).toDF("id").coalesce(1), root, statsCols = Seq("id"))
+    val snap = Manifest.current(spark, root).get
+    assert(snap.stats.size == snap.files.size, s"stats missing: ${snap.stats.keys}")
+    // [120, 150] intersects only the middle file's [100, 199]
+    val kept = Manifest.prunedFiles(snap, "id", 120L, 150L)
+    assert(kept.size < snap.files.size, s"nothing pruned: $kept of ${snap.files}")
+    assert(Manifest.readWhereBetween(spark, root, "id", 120L, 150L)
+      .as[Long].collect().sorted.toSeq == (120L to 150L))
+    // fully-out-of-range probe: every file pruned, empty result, real schema
+    val none = Manifest.readWhereBetween(spark, root, "id", 1000L, 2000L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id"))
+    // a stats-free append is conservatively scanned (correct, unpruned)
+    Manifest.append(spark.range(400, 410).toDF("id").coalesce(1), root)
+    assert(Manifest.readWhereBetween(spark, root, "id", 400L, 405L)
+      .as[Long].collect().sorted.toSeq == (400L to 405L))
+    // range compaction keeps the skip index present AND sharp
+    Manifest.compact(spark, root, targetBytes = 1024, rangeBy = Seq("id"))
+    val snap2 = Manifest.current(spark, root).get
+    assert(snap2.stats.nonEmpty, "skip index lost through compaction")
+    assert(Manifest.readWhereBetween(spark, root, "id", 120L, 150L)
+      .as[Long].collect().sorted.toSeq == (120L to 150L))
+    if (snap2.files.size > 1) {
+      val keptAfter = Manifest.prunedFiles(snap2, "id", 120L, 150L)
+      assert(keptAfter.size < snap2.files.size,
+        s"range compaction should keep pruning sharp: $keptAfter of ${snap2.files}")
+    }
+    // string-typed stats order in the value domain
+    val sroot = newRoot("skipstr")
+    Manifest.append(Seq("apple", "banana").toDF("w").coalesce(1), sroot, statsCols = Seq("w"))
+    Manifest.append(Seq("melon", "peach").toDF("w").coalesce(1), sroot, statsCols = Seq("w"))
+    val ssnap = Manifest.current(spark, sroot).get
+    assert(Manifest.prunedFiles(ssnap, "w", "a", "c").size == 1)
+    assert(Manifest.readWhereBetween(spark, sroot, "w", "a", "c")
+      .as[String].collect().sorted.toSeq == Seq("apple", "banana"))
+  }
+
   test("manifest metadata round-trips and survives compaction") {
     val root = newRoot("meta")
     Manifest.overwrite(Seq((1L, "a")).toDF("k", "v"), root,
