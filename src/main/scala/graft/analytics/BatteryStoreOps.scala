@@ -561,5 +561,171 @@ trait BatteryStoreOps extends BatteryModels {
       FROM orders, cut WHERE o_orderkey BETWEEN c + 1 AND 2 * c - 2
       GROUP BY 1 ORDER BY 1"""))
 
+  /** EXACTLY-ONCE transactional appends
+    * ([[graft.store.Manifest.appendOnce]], the public Delta `txn`
+    * idea): orders land in three appendOnce batches under one writer
+    * id, then two FAILURE REPLAYS fire — the latest txn again and an
+    * older one — and both must be recognized by the recorded watermark
+    * and skipped. The oracle is the plain logical table: any
+    * double-commit doubles a third of the rows and hash-mismatches.
+    * `meta_rows` carries [[graft.store.Manifest.rowCount]] — count(*)
+    * answered from the manifest's parquet-footer row counts with no
+    * data scan — pinned against the oracle's real COUNT(*). */
+  val q156 = Q("q156_manifest_txn",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q156").toString + "/orders_x"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      (0 to 2).foreach { i =>
+        Manifest.appendOnce(orders.filter(col("o_orderkey") % 3 === i),
+          root, "ingest", i.toLong)
+      }
+      // failure replays: the current txn and an older one — both skip
+      Manifest.appendOnce(orders.filter(col("o_orderkey") % 3 === 1),
+        root, "ingest", 1L)
+      Manifest.appendOnce(orders.filter(col("o_orderkey") % 3 === 0),
+        root, "ingest", 0L)
+      val metaRows = Manifest.rowCount(Manifest.current(s, root).get)
+        .getOrElse(sys.error("manifest lost its row counts"))
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("meta_rows", lit(metaRows))
+        .orderBy("status")
+    },
+    Some(s"""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+      ${dsumSql("o_totalprice")} AS total_price,
+      (SELECT COUNT(*) FROM orders) AS meta_rows
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** RESTORE + the append-only change feed
+    * ([[graft.store.Manifest.restore]]/`changesSince`): a bad deploy
+    * overwrites the table, restore rolls it back to the last good
+    * version (files, metadata, row counts wholesale — itself a new
+    * version, so the bad state stays travel-able), the lost slice is
+    * re-appended, and the change feed since the restore point must be
+    * EXACTLY that slice. One hash covers the rolled-back table and the
+    * feed's file-level delta arithmetic together. */
+  val q157 = Q("q157_manifest_restore",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q157").toString + "/orders_r"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      Manifest.overwrite(orders.filter(col("o_orderkey") % 3 === 0), root) // v0
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 1), root)    // v1
+      Manifest.overwrite(orders.filter(col("o_orderkey") % 3 === 2), root) // v2: bad deploy
+      Manifest.restore(s, root, 1L)                                        // v3: rollback
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 2), root)    // v4
+      def agg(df: DataFrame, part: String) = df
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("part", lit(part))
+      agg(Manifest.read(s, root), "table")
+        .unionByName(agg(Manifest.changesSince(s, root, 3L), "feed"))
+        .orderBy("part", "status")
+    },
+    Some(s"""SELECT 'table' AS part, o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM orders GROUP BY 1, 2
+      UNION ALL
+      SELECT 'feed', o_orderstatus, COUNT(*), ${dsumSql("o_totalprice")}
+      FROM orders WHERE o_orderkey % 3 = 2 GROUP BY 1, 2
+      ORDER BY part, status"""))
+
+  /** MERGE / upsert on the manifest store
+    * ([[graft.store.Manifest.upsert]] — the Delta MERGE shape: stats-
+    * pruned candidates, semi-join touched-file discovery, only touched
+    * files rewritten, one atomic commit): orders land as four
+    * range-disjoint stat'd appends, then one batch UPDATES every key
+    * ≡ 0 (mod 97) (price bumped, status rewritten) and INSERTS a
+    * shifted copy of every key ≡ 1 (mod 131). The oracle replays merge
+    * semantics in plain SQL — target rows minus batch keys, union the
+    * batch — so a lost update, a resurrected replaced row (file
+    * accounting), or a dropped insert all hash-mismatch. */
+  val q158 = Q("q158_manifest_upsert",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q158").toString + "/orders_m"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = hi / 4 + 1
+      (0L to 3L).foreach { qtr =>
+        Manifest.append(
+          orders.filter(col("o_orderkey") >= qtr * cut &&
+            col("o_orderkey") < (qtr + 1) * cut).coalesce(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      val updates = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("o_orderstatus", lit("U"))
+      val inserts = orders.filter(col("o_orderkey") % 131 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10L * (hi + 1)))
+        .withColumn("o_orderstatus", lit("I"))
+      Manifest.upsert(updates.unionByName(inserts), root, "o_orderkey")
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("status")
+    },
+    Some(s"""WITH hi AS (SELECT MAX(o_orderkey) AS h FROM orders),
+      batch AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+          o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey + 10 * (h + 1), o_custkey, 'I',
+          o_totalprice, o_orderdate, o_orderpriority
+        FROM orders, hi WHERE o_orderkey % 131 = 1),
+      merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM batch)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price, MAX(o_orderkey) AS max_key
+      FROM merged GROUP BY 1 ORDER BY 1"""))
+
+  /** File-pruned DELETE on the manifest store
+    * ([[graft.store.Manifest.deleteWhereBetween]]): a mid-table key
+    * slab is deleted from the four-file stat'd layout — one file fully
+    * covered (vanishes from the snapshot), neighbors partially
+    * rewritten, the rest carried by identity — then the table
+    * aggregates against a plain NOT-BETWEEN oracle. */
+  val q159 = Q("q159_manifest_delete",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q159").toString + "/orders_d"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = hi / 4 + 1
+      (0L to 3L).foreach { qtr =>
+        Manifest.append(
+          orders.filter(col("o_orderkey") >= qtr * cut &&
+            col("o_orderkey") < (qtr + 1) * cut).coalesce(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      // [cut/2, 2*cut + cut/2]: covers file 1 fully, clips files 0 and 2
+      Manifest.deleteWhereBetween(s, root, "o_orderkey", cut / 2, 2 * cut + cut / 2)
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("status")
+    },
+    Some(s"""WITH cut AS (SELECT MAX(o_orderkey) // 4 + 1 AS c FROM orders)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM orders, cut
+      WHERE o_orderkey NOT BETWEEN c // 2 AND 2 * c + c // 2
+      GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

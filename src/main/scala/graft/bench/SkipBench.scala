@@ -1,0 +1,133 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measured effectiveness of the manifest store's DATA SKIPPING
+  * ([[graft.store.Manifest.readWhereBetween]]) — the LayoutBench
+  * counterpart for the skip index: build a manifest table from the
+  * g100x orders corpus (15M rows) as range-disjoint stat'd appends,
+  * then probe a narrow key range three ways:
+  *
+  *  - full scan + filter (`Manifest.read(...).filter(...)`) — baseline
+  *  - skip read (`readWhereBetween`) — files pruned by per-file stats
+  *
+  * Reports files scanned and min-of-2 wall for each, and merges
+  * `x162_manifest_skip` into BENCH_SCALE.json:
+  * `{"full":s,"skip":s,"files_total":n,"files_scanned":n}`.
+  */
+object SkipBench {
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/tmp/graft_scale")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.store.Manifest
+
+    if (!BenchFs.exists(spark, s"$base/g100x/orders.parquet")) {
+      System.err.println(s"[skipbench] generating $base/g100x/orders.parquet")
+      ScaleGen.orders(spark, 15000000L)
+        .write.mode("overwrite").parquet(s"$base/g100x/orders.parquet")
+    }
+    val root = s"$base/g100x/orders_manifest"
+    if (!BenchFs.exists(spark, s"$root/manifest")) {
+      System.err.println(s"[skipbench] building stat'd manifest table (32 range appends)")
+      val orders = spark.read.parquet(s"$base/g100x/orders.parquet")
+      val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = hi / 32 + 1
+      (0L until 32L).foreach { i =>
+        Manifest.append(
+          orders.filter(col("o_orderkey") >= i * cut && col("o_orderkey") < (i + 1) * cut),
+          root, statsCols = Seq("o_orderkey"))
+      }
+    }
+    val snap = Manifest.current(spark, root).get
+    val hi = Manifest.read(spark, root).agg(max(col("o_orderkey"))).head().getLong(0)
+    val (lo, up) = (hi / 2, hi / 2 + hi / 100) // ~1% key slab mid-table
+
+    def timeIt(f: () => Long): (Double, Long) = {
+      def once(): (Double, Long) = {
+        graft.CacheReset(spark)
+        val t0 = System.nanoTime()
+        val n = f()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val a = once(); val b = once()
+      (math.min(a._1, b._1), b._2)
+    }
+    val (fullSec, nFull) = timeIt(() =>
+      Manifest.read(spark, root)
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") <= up)
+        .agg(count(lit(1))).head().getLong(0))
+    val (skipSec, nSkip) = timeIt(() =>
+      Manifest.readWhereBetween(spark, root, "o_orderkey", lo, up)
+        .agg(count(lit(1))).head().getLong(0))
+    require(nFull == nSkip, s"skip read diverged: $nSkip vs $nFull rows")
+    val scanned = Manifest.prunedFiles(snap, "o_orderkey", lo, up).size
+    // count(*): manifest metadata (footer row counts) vs a real scan
+    val (scanCountSec, nScan) = timeIt(() =>
+      Manifest.read(spark, root).agg(count(lit(1))).head().getLong(0))
+    val (metaCountSec, nMeta) = timeIt(() => Manifest.countRows(spark, root))
+    require(nScan == nMeta, s"metadata count diverged: $nMeta vs $nScan")
+    System.err.println(f"[skipbench] full=$fullSec%.2fs skip=$skipSec%.2fs " +
+      f"(${fullSec / skipSec}%.2fx) files=$scanned/${snap.files.size} rows=$nFull " +
+      f"countScan=$scanCountSec%.3fs countMeta=$metaCountSec%.3fs")
+
+    // x163: MERGE cost follows touched files — upsert 1,000 keys that
+    // all live in ONE of the 32 files, vs rewriting the whole table.
+    // The upsert is content-idempotent (same rows re-asserted) so the
+    // bench table stays logically unchanged across runs; the
+    // full-rewrite baseline is rolled back via restore.
+    val cutKey = hi / 32 + 1 // the build loop's per-file range width
+    val oneFileBatch = Manifest.readWhereBetween(
+        spark, root, "o_orderkey", 16L * cutKey, 16L * cutKey + 5000L)
+      .limit(1000).localCheckpoint()
+    val nBatch = oneFileBatch.count()
+    val filesBefore = Manifest.current(spark, root).get.files.toSet
+    val t0 = System.nanoTime()
+    Manifest.upsert(oneFileBatch, root, "o_orderkey")
+    val upsertSec = (System.nanoTime() - t0) / 1e9
+    val rewrittenFiles = filesBefore.diff(
+      Manifest.current(spark, root).get.files.toSet).size
+    val t1 = System.nanoTime()
+    Manifest.overwrite(Manifest.read(spark, root), root,
+      statsCols = Seq("o_orderkey"))
+    val rewriteSec = (System.nanoTime() - t1) / 1e9
+    Manifest.restore(spark, root,
+      Manifest.current(spark, root).get.version - 1) // pre-overwrite state
+    Manifest.gc(spark, root, keepVersions = 1)
+    System.err.println(f"[skipbench] upsert($nBatch keys)=$upsertSec%.2fs " +
+      f"(files rewritten: $rewrittenFiles/32) fullRewrite=$rewriteSec%.2fs")
+    oneFileBatch.unpersist()
+
+    val jsonFile = java.nio.file.Paths.get("BENCH_SCALE.json")
+    val existing: Map[String, String] = if (java.nio.file.Files.exists(jsonFile)) {
+      val txt = new String(java.nio.file.Files.readAllBytes(jsonFile), "UTF-8")
+      """"([qx]\d+\w*)"\s*:\s*(\{[^}]*\})""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    } else Map.empty
+    val merged = existing +
+      ("x162_manifest_skip" ->
+        s"""{"full":${fmt(fullSec)},"skip":${fmt(skipSec)},"files_total":${snap.files.size},"files_scanned":$scanned,"count_scan":${fmt(scanCountSec)},"count_meta":${fmt(metaCountSec)}}""") +
+      ("x163_manifest_upsert" ->
+        s"""{"upsert_1file":${fmt(upsertSec)},"files_rewritten":$rewrittenFiles,"full_rewrite":${fmt(rewriteSec)},"batch_rows":$nBatch}""")
+    val json = merged.toSeq.sortBy(_._1)
+      .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(jsonFile, (json + "\n").getBytes("UTF-8"))
+
+    println(s"| read | wall (s) | files scanned |")
+    println(s"|---|---|---|")
+    println(s"| full + filter | ${fmt(fullSec)} | ${snap.files.size} |")
+    println(s"| skip (readWhereBetween) | ${fmt(skipSec)} | $scanned |")
+    spark.stop()
+  }
+}

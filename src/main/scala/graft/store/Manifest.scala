@@ -43,6 +43,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    version number (its staged data files are already in place; only
   *    the manifest retry loops). Lost-update-free appends, like the
   *    public Delta protocol's commit loop.
+  *  - [[appendOnce]] = exactly-once per (writerId, txnId) — the public
+  *    `txn` action; the idempotent sink for streaming writers.
+  *  - [[upsert]] / [[deleteWhereBetween]] = MERGE and DELETE whose
+  *    cost follows the FILES TOUCHED (stats-pruned + semi-join touch
+  *    discovery), committed atomically with a planned-parent guard
+  *    against concurrent commits.
+  *  - Table metadata MERGES across commits (properties), the schema
+  *    fingerprint is recorded every commit and ENFORCED on appends,
+  *    per-file row counts come free from parquet footers (so
+  *    [[countRows]] is O(0) in data bytes), [[restore]] rolls the
+  *    table back to any retained version, and [[changesSince]] is the
+  *    append-only change feed (loud throw when a file-rewriting commit
+  *    intervened).
   *  - Crash windows: data staged but no manifest → invisible orphan
   *    (removed by [[gc]]); manifest tmp written but not renamed →
   *    invisible orphan. A crash can only ever leave the PREVIOUS
@@ -65,10 +78,28 @@ object Manifest {
   /** One snapshot: ordered relative file paths + table metadata +
     * optional per-file column statistics (file → column → (min, max),
     * the Delta-style data-skipping index; absent entries mean "no
-    * stats — never prune this file"). */
+    * stats — never prune this file") + optional per-file row counts
+    * (recorded by the same stats pass; [[rowCount]] answers count(*)
+    * from metadata when every file carries one). */
   final case class Snapshot(version: Long, files: Seq[String],
       meta: Map[String, String],
-      stats: Map[String, Map[String, (Any, Any)]] = Map.empty)
+      stats: Map[String, Map[String, (Any, Any)]] = Map.empty,
+      rows: Map[String, Long] = Map.empty)
+
+  /** Reserved metadata key: the last committed transaction id per
+    * writer, `graft.txn.<writerId> -> txnId` ([[appendOnce]]). */
+  private def txnKey(writerId: String) = s"graft.txn.$writerId"
+  /** Reserved metadata key: the table's schema fingerprint, recorded at
+    * every commit and ENFORCED on append (loud throw on drift). */
+  val SchemaKey = "graft.schema"
+
+  /** Order-insensitive (sorted by field name): parquet reads resolve
+    * columns BY NAME per file, so appends that reorder columns are
+    * legitimate; renames and retypes are not. Nullability-insensitive
+    * too (parquet round-trips relax it). */
+  private def schemaFingerprint(df: DataFrame): String =
+    df.schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
+      .sorted.mkString(",")
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -106,7 +137,8 @@ object Manifest {
     case _ => None // JNull (all-null file) → no stats → never pruned
   }
   private def render(files: Seq[String], meta: Map[String, String],
-      stats: Map[String, Map[String, (Any, Any)]]): String = {
+      stats: Map[String, Map[String, (Any, Any)]],
+      rows: Map[String, Long]): String = {
     val base: List[(String, JValue)] = List(
       "files" -> JArray(files.map(JString(_)).toList),
       "meta" -> JObject(meta.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }))
@@ -117,10 +149,15 @@ object Manifest {
           c -> (JObject("lo" -> statJson(lo), "hi" -> statJson(hi)): JValue)
         }): JValue)
       }): JValue))
-    JsonMethods.compact(JsonMethods.render(JObject(withStats)))
+    val withRows =
+      if (rows.isEmpty) withStats
+      else withStats :+ ("rows" -> (JObject(rows.toList.sortBy(_._1).map {
+        case (f, n) => f -> (JLong(n): JValue)
+      }): JValue))
+    JsonMethods.compact(JsonMethods.render(JObject(withRows)))
   }
   private def parse(txt: String): (Seq[String], Map[String, String],
-      Map[String, Map[String, (Any, Any)]]) = {
+      Map[String, Map[String, (Any, Any)]], Map[String, Long]) = {
     val j = JsonMethods.parse(txt)
     val files = (j \ "files") match {
       case JArray(xs) => xs.collect { case JString(s) => s }
@@ -146,7 +183,14 @@ object Manifest {
       }.toMap
       case _ => Map.empty[String, Map[String, (Any, Any)]]
     }
-    (files, meta, stats)
+    val rows = (j \ "rows") match {
+      case JObject(fs) => fs.collect {
+        case (f, JLong(n)) => f -> n
+        case (f, JInt(n)) => f -> n.toLong
+      }.toMap
+      case _ => Map.empty[String, Long]
+    }
+    (files, meta, stats, rows)
   }
 
   /** Newest committed snapshot, or None for an empty/absent root. */
@@ -166,8 +210,8 @@ object Manifest {
     require(f.exists(p), s"no committed version $version under $root")
     val in = f.open(p)
     val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    val (files, meta, stats) = parse(txt)
-    Snapshot(version, files, meta, stats)
+    val (files, meta, stats, rows) = parse(txt)
+    Snapshot(version, files, meta, stats, rows)
   }
 
   /** All committed versions, ascending. */
@@ -211,35 +255,57 @@ object Manifest {
       .sorted.map(n => s"$batchDir/$n").toSeq
   }
 
-  /** Publish `files` (+meta, +stats) as the next version on top of
-    * `base`; optimistic retry on manifest-name collision. Inherited
-    * files keep their stats; new files carry `newStats`. Returns the
-    * version. */
+  /** Publish `files` (+meta, +stats, +rows) as the next version on top
+    * of `base`; optimistic retry on manifest-name collision. Inherited
+    * files keep their stats and row counts; new files carry `newStats`
+    * / `newRows`. `metaFn` maps the PREVIOUS snapshot's metadata to the
+    * new one — evaluated inside the retry loop, so merge semantics hold
+    * against whatever snapshot actually wins as the parent. `skipIf`
+    * (evaluated against the same resolved parent) abandons the commit
+    * and returns the parent's version — the [[appendOnce]] idempotency
+    * arbiter, raced correctly because the check re-runs on every retry.
+    * Returns (version, committed). */
   private def publish(spark: SparkSession, root: String,
-      newFiles: Seq[String], meta: Map[String, String],
+      newFiles: Seq[String], metaFn: Map[String, String] => Map[String, String],
       baseFiles: Snapshot => Seq[String],
-      newStats: Map[String, Map[String, (Any, Any)]] = Map.empty): Long = {
+      newStats: Map[String, Map[String, (Any, Any)]] = Map.empty,
+      newRows: Map[String, Long] = Map.empty,
+      skipIf: Snapshot => Boolean = _ => false,
+      requireVersion: Option[Long] = None): (Long, Boolean) = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     var attempt = 0
     while (attempt < 64) {
       val cur = current(spark, root)
+      // read-modify-write ops (upsert/delete) planned against a specific
+      // parent; committing on top of anything else could resurrect rows
+      // a concurrent compaction re-materialized — throw, caller retries
+      requireVersion.foreach(rv =>
+        if (!cur.map(_.version).contains(rv))
+          throw new IllegalStateException(
+            s"$root: concurrent commit (expected parent version $rv, " +
+              s"found ${cur.map(_.version).getOrElse(-1L)}) — retry the operation"))
+      cur.filter(skipIf).foreach(s => return (s.version, false))
       val v = cur.map(_.version + 1).getOrElse(0L)
       val inherited = cur.map(baseFiles).getOrElse(Seq.empty)
       val files = inherited ++ newFiles
       val inheritedStats = cur.map(s => s.stats.filter(kv => inherited.contains(kv._1)))
         .getOrElse(Map.empty)
+      val inheritedRows = cur.map(s => s.rows.filter(kv => inherited.contains(kv._1)))
+        .getOrElse(Map.empty)
+      val meta = metaFn(cur.map(_.meta).getOrElse(Map.empty))
       val tmp = new Path(manifestDir(root),
         s"_tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
       val out = f.create(tmp, false)
-      try out.write(render(files, meta, inheritedStats ++ newStats).getBytes("UTF-8"))
+      try out.write(render(files, meta, inheritedStats ++ newStats,
+        inheritedRows ++ newRows).getBytes("UTF-8"))
       finally out.close()
       // rename = the atomic commit point; a false return (or the
       // best-effort exists pre-check, for local FS whose POSIX rename
       // silently overwrites) means another committer won version v —
       // re-resolve and retry on top of THEIR snapshot (our staged data
       // files are already in place)
-      if (!f.exists(manifestPath(root, v)) && f.rename(tmp, manifestPath(root, v))) return v
+      if (!f.exists(manifestPath(root, v)) && f.rename(tmp, manifestPath(root, v))) return (v, true)
       f.delete(tmp, false)
       attempt += 1
     }
@@ -252,7 +318,14 @@ object Manifest {
     * files (same cost class as the write itself; the parquet-footer
     * read would be cheaper still but needs format internals). A column
     * whose min or max is null in a file (all-null file) gets no entry
-    * there — conservative "never prune". */
+    * there — conservative "never prune".
+    *
+    * The second return is the set of staged files the scan actually saw
+    * rows in, when the pass ran (`None` when it didn't): Spark writes a
+    * schema-only zero-row part file for an empty first task, and a
+    * stat-less file is conservatively scanned by every
+    * [[readWhereBetween]] forever — so callers drop zero-row files from
+    * the published list instead (they contribute no rows to any read). */
   private def fileStats(spark: SparkSession, root: String,
       staged: Seq[String], statsCols: Seq[String]): Map[String, Map[String, (Any, Any)]] = {
     if (statsCols.isEmpty || staged.isEmpty) return Map.empty
@@ -276,27 +349,122 @@ object Manifest {
       .filter(_._2.nonEmpty).toMap
   }
 
+  /** Per-file row counts from the parquet FOOTERS — driver-side
+    * metadata reads (parquet-hadoop is on Spark's classpath), no Spark
+    * job, so EVERY commit records counts and [[rowCount]] answers
+    * count(*) from the manifest alone. */
+  private def footerRows(spark: SparkSession, root: String,
+      staged: Seq[String]): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    staged.map { rel =>
+      val p = new Path(dataDir(root), rel)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val n = try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally rd.close()
+      rel -> n
+    }.toMap
+  }
+
+  /** Drop the staged files the footers prove empty (Spark writes a
+    * schema-only zero-row part file for an empty first task; left in
+    * the list it would carry no skip stats and be conservatively
+    * scanned by every probe forever). An all-empty batch keeps ONE
+    * file so the snapshot still carries the schema. */
+  private def withoutEmpty(staged: Seq[String], rows: Map[String, Long]): Seq[String] = {
+    val kept = staged.filter(f => rows.getOrElse(f, 1L) > 0L)
+    if (kept.nonEmpty) kept else staged.take(1)
+  }
+
+  /** Schema enforcement (on by default for [[append]]/[[appendOnce]]):
+    * an append whose batch schema drifts from the table's recorded
+    * fingerprint throws BEFORE any commit — the public formats' schema
+    * enforcement, minus evolution (an intentional schema change goes
+    * through [[overwrite]], which re-records). Nullability-insensitive
+    * (parquet round-trips relax it). Tables created before fingerprints
+    * existed enforce from their next commit on. */
+  private def requireSchema(spark: SparkSession, root: String, fp: String): Unit =
+    current(spark, root).flatMap(_.meta.get(SchemaKey)).foreach { recorded =>
+      require(recorded == fp,
+        s"$root: append schema [$fp] drifts from the table's recorded schema " +
+          s"[$recorded]; an intentional change must go through overwrite")
+    }
+
   /** Atomic append: stage the batch's files, publish prev ∪ new.
     * `statsCols` adds per-file min/max of those columns to the
     * manifest — the data-skipping index [[readWhereBetween]] prunes
-    * by (one extra narrow pass over the staged batch). */
+    * by (one extra narrow pass over the staged batch). Metadata MERGES
+    * over the previous snapshot's (table properties; new values win),
+    * the batch schema is enforced against the table's recorded
+    * fingerprint (loud throw on drift), and per-file row counts land
+    * from the parquet footers (no job). */
   def append(df: DataFrame, root: String,
       meta: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Long = {
-    val spark = df.sparkSession
-    val staged = stage(df, root)
-    publish(spark, root, staged, meta, _.files,
-      fileStats(spark, root, staged, statsCols))
-  }
+      statsCols: Seq[String] = Nil): Long =
+    commitStaged(df, root, meta, statsCols, _.files, enforceSchema = true,
+      skipIf = _ => false)._1
 
-  /** Atomic table replace: stage, publish ONLY the new files. */
+  /** Atomic table replace: stage, publish ONLY the new files. The
+    * schema fingerprint is RE-recorded (overwrite is the intentional
+    * schema-change path); metadata still merges. */
   def overwrite(df: DataFrame, root: String,
       meta: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil): Long =
+    commitStaged(df, root, meta, statsCols, _ => Seq.empty, enforceSchema = false,
+      skipIf = _ => false)._1
+
+  /** EXACTLY-ONCE append — the public Delta `txn` idea, the idempotent
+    * sink a streaming writer needs: `txnId` is the writer's
+    * monotonically increasing transaction number (a Structured
+    * Streaming batchId); the manifest records the last committed one
+    * per `writerId`, and a replayed or raced duplicate commit is
+    * SKIPPED (staged files swept immediately). The check re-runs inside
+    * the optimistic commit loop against whichever snapshot wins as
+    * parent, so two racing replays of the same (writer, txn) commit
+    * exactly one batch. Returns (version, committed). */
+  def appendOnce(df: DataFrame, root: String, writerId: String, txnId: Long,
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): (Long, Boolean) = {
+    require(writerId.nonEmpty && !writerId.exists(c => c.isWhitespace || c == '"'),
+      s"writerId must be a simple token, got [$writerId]")
     val spark = df.sparkSession
+    def done(s: Snapshot): Boolean =
+      s.meta.get(txnKey(writerId)).exists(_.toLong >= txnId)
+    // fast path: no staging work when the txn is already in
+    current(spark, root).filter(done).foreach(s => return (s.version, false))
+    val (v, committed, staged) = commitStaged(df, root,
+      meta + (txnKey(writerId) -> txnId.toString), statsCols, _.files,
+      enforceSchema = true, skipIf = done)
+    // abandoned commit: sweep ONLY our own staged batch dir (another
+    // writer's staged-but-uncommitted batch must survive; [[gc]] is the
+    // backstop for crash debris)
+    if (!committed) staged.headOption.foreach { rel =>
+      val f = fs(spark, root)
+      f.delete(new Path(dataDir(root), rel.substring(0, rel.indexOf('/'))), true)
+      ()
+    }
+    (v, committed)
+  }
+
+  /** Common commit path: stage → footer row counts → drop empty files
+    * → optional schema enforcement → min/max stats pass → publish.
+    * Returns (version, committed, stagedFiles). */
+  private def commitStaged(df: DataFrame, root: String,
+      meta: Map[String, String], statsCols: Seq[String],
+      baseFiles: Snapshot => Seq[String], enforceSchema: Boolean,
+      skipIf: Snapshot => Boolean): (Long, Boolean, Seq[String]) = {
+    val spark = df.sparkSession
+    val fp = schemaFingerprint(df)
+    if (enforceSchema) requireSchema(spark, root, fp)
     val staged = stage(df, root)
-    publish(spark, root, staged, meta, _ => Seq.empty,
-      fileStats(spark, root, staged, statsCols))
+    val rows = footerRows(spark, root, staged)
+    val kept = withoutEmpty(staged, rows)
+    val stats = fileStats(spark, root, kept, statsCols)
+    val (v, committed) = publish(spark, root, kept,
+      old => old ++ meta + (SchemaKey -> fp),
+      baseFiles, stats, rows.filter(kv => kept.contains(kv._1)), skipIf)
+    (v, committed, staged)
   }
 
   /** Total order over stat bounds and predicate constants of the same
@@ -346,6 +514,165 @@ object Manifest {
       }
     }
 
+  /** count(*) answered from the MANIFEST alone — Some(sum of the
+    * per-file footer counts) when every file in the snapshot carries
+    * one, None when any predates row-count recording (fall back to a
+    * scan). O(1) in data bytes; the public formats' numRecords idea. */
+  def rowCount(snap: Snapshot): Option[Long] =
+    if (snap.files.forall(snap.rows.contains)) Some(snap.files.map(snap.rows).sum)
+    else None
+
+  /** count(*) of the current snapshot: metadata fast path, scan
+    * fallback for pre-row-count tables. */
+  def countRows(spark: SparkSession, root: String): Long = {
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    rowCount(snap).getOrElse(readSnapshot(spark, root, snap).count())
+  }
+
+  /** RESTORE: publish an old snapshot's exact state (files, metadata,
+    * stats, row counts) as a NEW version — the public formats' table
+    * rollback. Requires every file of the target snapshot to still
+    * exist (loud throw if [[gc]] already swept it). Note the
+    * transaction caveat the public formats share: restoring to before
+    * an [[appendOnce]] commit also restores the txn watermark, so that
+    * batch becomes committable again — which is exactly what a rollback
+    * means. */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    val snapV = snapshot(spark, root, version)
+    val f = fs(spark, root)
+    val missing = snapV.files.filterNot(rel => f.exists(new Path(dataDir(root), rel)))
+    require(missing.isEmpty,
+      s"$root: cannot restore version $version — gc already swept ${missing.take(3)}" +
+        s"${if (missing.size > 3) s" (+${missing.size - 3} more)" else ""}")
+    publish(spark, root, snapV.files, _ => snapV.meta, _ => Seq.empty,
+      snapV.stats, snapV.rows)._1
+  }
+
+  /** INCREMENTAL read: the rows appended strictly AFTER `sinceVersion`
+    * — a batch consumer's change feed. Exact precisely when the lineage
+    * since then is append-only, which is verified structurally (every
+    * file of the old snapshot must survive in the current one); an
+    * intervening overwrite/compact/restore rewrites files and throws
+    * loudly — re-read the table and re-baseline, the public formats'
+    * own rule for file-rewriting commits in a change feed. */
+  def changesSince(spark: SparkSession, root: String, sinceVersion: Long): DataFrame = {
+    val cur = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val old = snapshot(spark, root, sinceVersion)
+    val curSet = cur.files.toSet
+    val rewritten = old.files.filterNot(curSet)
+    require(rewritten.isEmpty,
+      s"$root: versions $sinceVersion..${cur.version} are not append-only " +
+        s"(${rewritten.size} files rewritten, e.g. ${rewritten.take(2)}) — " +
+        "re-read the full table and re-baseline")
+    val oldSet = old.files.toSet
+    val fresh = cur.files.filterNot(oldSet)
+    if (fresh.isEmpty)
+      readSnapshot(spark, root, cur.copy(files = cur.files.take(1))).filter(lit(false))
+    else readSnapshot(spark, root, cur.copy(files = fresh))
+  }
+
+  /** MERGE / upsert by key — the table-format point-update whose cost
+    * follows TOUCHED FILES, not table size: coarse-prune candidate
+    * files by the recorded [min, max] of `keyCol` against the batch's
+    * key range, then discover the files actually containing a batch key
+    * with ONE semi-join scan of the candidates (`input_file_name`, the
+    * public Delta MERGE's touched-file discovery), rewrite only those
+    * (matched rows replaced by their batch row, every other row carried
+    * through), append the batch, and publish (files − touched) ∪
+    * rewritten ∪ batch in ONE atomic commit. Untouched files keep their
+    * identity, stats, and row counts.
+    *
+    * Semantics: batch keys must be unique (loud throw); a key present
+    * in multiple table files (appended duplicates) has ALL copies
+    * replaced by the one batch row; batch rows with unmatched keys are
+    * inserts. Read-modify-write concurrency: the commit requires the
+    * snapshot it planned against to still be current — a concurrent
+    * commit throws (retry the upsert), never silently resurrects
+    * replaced rows. */
+  def upsert(batch: DataFrame, root: String, keyCol: String): Long = {
+    val spark = batch.sparkSession
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val fp = schemaFingerprint(batch)
+    requireSchema(spark, root, fp)
+    val dup = batch.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch has duplicate $keyCol values (e.g. ${dup.head.get(0)}) — " +
+        "one row per key, the merge is otherwise ambiguous")
+    val range = batch.agg(
+      org.apache.spark.sql.functions.min(col(keyCol)),
+      org.apache.spark.sql.functions.max(col(keyCol))).head()
+    if (range.isNullAt(0)) return snap.version // empty batch: no-op
+    val candidates = prunedFiles(snap, keyCol, range.get(0), range.get(1))
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.{input_file_name, substring_index}
+        val byName = candidates.map(rel =>
+          rel.substring(rel.indexOf('/') + 1) -> rel).toMap
+        spark.read.parquet(candidates.map(rel =>
+            new Path(dataDir(root), rel).toString): _*)
+          .select(col(keyCol),
+            substring_index(input_file_name(), "/", -1).as("__f"))
+          .join(batch.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .select("__f").distinct().collect()
+          .flatMap(r => byName.get(r.getString(0))).toSeq
+      }
+    val touchedSet = touched.toSet
+    val rewritten =
+      if (touched.isEmpty) batch
+      else spark.read.parquet(touched.map(rel =>
+          new Path(dataDir(root), rel).toString): _*)
+        .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(batch)
+    val staged = stage(rewritten, root)
+    val rows = footerRows(spark, root, staged)
+    val kept = withoutEmpty(staged, rows)
+    val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+    val stats = fileStats(spark, root, kept, statCols)
+    publish(spark, root, kept, old => old + (SchemaKey -> fp),
+      _.files.filterNot(touchedSet), stats,
+      rows.filter(kv => kept.contains(kv._1)),
+      requireVersion = Some(snap.version))._1
+  }
+
+  /** DELETE of a key range, file-pruned: only the files whose recorded
+    * [min, max] intersects [lo, hi] are rewritten (minus the matching
+    * rows — a fully-covered file simply vanishes from the snapshot);
+    * every other file is carried through untouched. Same atomicity and
+    * read-modify-write concurrency contract as [[upsert]]. */
+  def deleteWhereBetween(spark: SparkSession, root: String,
+      colName: String, lo: Any, hi: Any): Long = {
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val touched = prunedFiles(snap, colName, lo, hi)
+    if (touched.isEmpty) return snap.version
+    val touchedSet = touched.toSet
+    val survivors = spark.read.parquet(touched.map(rel =>
+        new Path(dataDir(root), rel).toString): _*)
+      .filter(!(col(colName) >= lit(lo) && col(colName) <= lit(hi)) ||
+        col(colName).isNull)
+    val staged = stage(survivors, root)
+    val rows = footerRows(spark, root, staged)
+    // unlike a commit of fresh data, an all-empty rewrite publishes NO
+    // files here — the untouched remainder of the table still carries
+    // the schema (and a fully-emptied table keeps its newest staged
+    // schema file via withoutEmpty only when nothing else remains)
+    val nonEmpty = staged.filter(f => rows.getOrElse(f, 1L) > 0L)
+    val kept =
+      if (nonEmpty.nonEmpty || snap.files.exists(f => !touchedSet.contains(f))) nonEmpty
+      else staged.take(1)
+    val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+    val stats = fileStats(spark, root, kept, statCols)
+    publish(spark, root, kept, old => old,
+      _.files.filterNot(touchedSet), stats,
+      rows.filter(kv => kept.contains(kv._1)),
+      requireVersion = Some(snap.version))._1
+  }
+
   /** Reader-safe small-file compaction: read current, rewrite into
     * ~targetBytes files, publish as an overwrite carrying the same
     * metadata. Readers pinned to older snapshots keep their files
@@ -371,11 +698,14 @@ object Manifest {
     val staged = repart.localCheckpoint()
     try {
       val stagedFiles = stage(staged, root)
+      val rows = footerRows(spark, root, stagedFiles)
+      val kept = withoutEmpty(stagedFiles, rows)
       // the skip index survives compaction: recompute stats for every
       // column any pre-compaction file carried stats for
       val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
-      publish(spark, root, stagedFiles, snap.meta, _ => Seq.empty,
-        fileStats(spark, root, stagedFiles, statCols))
+      val stats = fileStats(spark, root, kept, statCols)
+      publish(spark, root, kept, old => old,
+        _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)))._1
     } finally { staged.unpersist(); () }
   }
 
@@ -414,7 +744,9 @@ object Manifest {
           if (isData) removed += rel
         }
       }
-      if (f.listStatus(b.getPath).isEmpty) f.delete(b.getPath, false)
+      // recursive: checksum-FS .crc debris is invisible to listStatus
+      // but still blocks a plain rmdir
+      if (f.listStatus(b.getPath).isEmpty) f.delete(b.getPath, true)
     }
     removed.toSeq
   }

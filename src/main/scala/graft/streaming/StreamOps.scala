@@ -636,6 +636,30 @@ object StreamOps {
     * replayed batch after a failure rewrites the same files instead of
     * appending duplicates — the retry-safe exactly-once-ish pattern for
     * plain-parquet sinks (no transactional table format needed). */
+  /** EXACTLY-ONCE streaming append into an atomic manifest table —
+    * [[graft.store.Manifest.appendOnce]] with the micro-batch id as
+    * the transaction number, the public Delta-sink idea. Contrast with
+    * [[upsertBatch]]: that one makes replays idempotent by dynamic
+    * partition OVERWRITE (same batch partition rewritten, readers can
+    * race the rewrite); this one never rewrites anything — a replayed
+    * batch is recognized by the recorded (writerId, batchId) watermark
+    * and skipped before commit, and every reader resolves a complete
+    * committed snapshot. `statsCols` threads through to the skip
+    * index, so a standing stream maintains a data-skipping table. */
+  def manifestSink(
+      stream: DataFrame, root: String, writerId: String,
+      checkpoint: String,
+      statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.store.Manifest.appendOnce(b.toDF(), root, writerId, id,
+          statsCols = statsCols)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   def upsertBatch(batch: DataFrame, batchId: Long, path: String): Unit =
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")

@@ -140,6 +140,29 @@ class ManifestSpec extends SparkTestBase {
       assert(keptAfter.size < snap2.files.size,
         s"range compaction should keep pruning sharp: $keptAfter of ${snap2.files}")
     }
+    // a stat'd append drops Spark's schema-only zero-row part files
+    // (left in the list they would carry no stats and be conservatively
+    // scanned by every probe forever)
+    val eroot = newRoot("skipempty")
+    // partition 0 empty, partition 1 carries all rows → Spark stages an
+    // empty part-00000 beside the real file
+    Manifest.append(
+      spark.range(500, 600).toDF("id")
+        .repartition(2, (col("id") >= 500).cast("int")),
+      eroot, statsCols = Seq("id"))
+    val esnap = Manifest.current(spark, eroot).get
+    assert(esnap.stats.size == esnap.files.size,
+      s"zero-row staged file survived into the list: ${esnap.files} stats ${esnap.stats.keys}")
+    assert(Manifest.read(spark, eroot).as[Long].collect().sorted.toSeq == (500L to 599L))
+    // an ALL-empty stat'd batch still publishes one schema file
+    Manifest.overwrite(
+      spark.range(0, 10).toDF("id").filter(lit(false)).repartition(2),
+      eroot, statsCols = Seq("id"))
+    val allEmpty = Manifest.current(spark, eroot).get
+    assert(allEmpty.files.size == 1 && allEmpty.stats.isEmpty)
+    assert(Manifest.read(spark, eroot).count() == 0)
+    assert(Manifest.read(spark, eroot).columns.toSeq == Seq("id"))
+
     // string-typed stats order in the value domain
     val sroot = newRoot("skipstr")
     Manifest.append(Seq("apple", "banana").toDF("w").coalesce(1), sroot, statsCols = Seq("w"))
@@ -148,6 +171,186 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.prunedFiles(ssnap, "w", "a", "c").size == 1)
     assert(Manifest.readWhereBetween(spark, sroot, "w", "a", "c")
       .as[String].collect().sorted.toSeq == Seq("apple", "banana"))
+  }
+
+  test("appendOnce: exactly-once per (writer, txn) — replays and raced duplicates skip") {
+    val root = newRoot("txn")
+    val (v0, c0) = Manifest.appendOnce(spark.range(0, 10).toDF("id"), root, "w1", 0L)
+    assert(c0 && v0 == 0L)
+    // replay of txn 0: skipped, nothing double-committed, staged debris swept
+    val (v0b, c0b) = Manifest.appendOnce(spark.range(0, 10).toDF("id"), root, "w1", 0L)
+    assert(!c0b && v0b == 0L)
+    assert(Manifest.read(spark, root).count() == 10)
+    val dataDirs = new java.io.File(s"$root/data").listFiles.count(_.isDirectory)
+    assert(dataDirs == 1, s"abandoned replay left staged debris: $dataDirs batch dirs")
+    // next txn commits; an OLDER txn replayed after it still skips (>= watermark)
+    val (_, c1) = Manifest.appendOnce(spark.range(10, 30).toDF("id"), root, "w1", 1L)
+    assert(c1)
+    assert(!Manifest.appendOnce(spark.range(0, 10).toDF("id"), root, "w1", 0L)._2)
+    // a DIFFERENT writer's txn 0 is independent
+    val (_, cw2) = Manifest.appendOnce(spark.range(100, 105).toDF("id"), root, "w2", 0L)
+    assert(cw2)
+    assert(Manifest.read(spark, root).count() == 35)
+    // watermarks survive compaction (metadata carries through)
+    Manifest.compact(spark, root)
+    assert(!Manifest.appendOnce(spark.range(0, 10).toDF("id"), root, "w1", 1L)._2)
+    assert(!Manifest.appendOnce(spark.range(0, 10).toDF("id"), root, "w2", 0L)._2)
+    assert(Manifest.read(spark, root).count() == 35)
+  }
+
+  test("schema enforcement: drifting append throws loudly, overwrite re-records") {
+    val root = newRoot("schema")
+    Manifest.append(Seq((1L, "a")).toDF("k", "v"), root)
+    // same shape appends fine (nullability-insensitive)
+    Manifest.append(Seq((2L, "b")).toDF("k", "v"), root)
+    // REORDERED columns append fine — parquet reads resolve by name
+    Manifest.append(Seq(("bb", 22L)).toDF("v", "k"), root)
+    assert(Manifest.read(spark, root).select("k", "v").count() == 3)
+    // renamed column → loud reject, store untouched
+    val e1 = intercept[IllegalArgumentException] {
+      Manifest.append(Seq((3L, "c")).toDF("k", "w"), root)
+    }
+    assert(e1.getMessage.contains("drifts"))
+    // retyped column → loud reject
+    intercept[IllegalArgumentException] {
+      Manifest.append(Seq((3, "c")).toDF("k", "v"), root) // k Int, was Long
+    }
+    assert(Manifest.read(spark, root).count() == 3)
+    // the intentional change goes through overwrite, which re-records
+    Manifest.overwrite(Seq((9L, "z", true)).toDF("k", "v", "flag"), root)
+    Manifest.append(Seq((10L, "y", false)).toDF("k", "v", "flag"), root)
+    assert(Manifest.read(spark, root).count() == 2)
+  }
+
+  test("row counts from footers: countRows answers from metadata on every commit kind") {
+    val root = newRoot("rows")
+    Manifest.append(spark.range(0, 100).toDF("id").repartition(3), root)
+    Manifest.append(spark.range(100, 150).toDF("id"), root)
+    val snap = Manifest.current(spark, root).get
+    assert(Manifest.rowCount(snap).contains(150L),
+      s"rows map incomplete: ${snap.rows} for ${snap.files}")
+    assert(Manifest.countRows(spark, root) == 150L)
+    Manifest.compact(spark, root)
+    assert(Manifest.rowCount(Manifest.current(spark, root).get).contains(150L))
+    Manifest.overwrite(spark.range(0, 7).toDF("id"), root)
+    assert(Manifest.countRows(spark, root) == 7L)
+  }
+
+  test("restore rolls back to a retained version; gc'd targets reject loudly") {
+    val root = newRoot("restore")
+    Manifest.overwrite(spark.range(0, 50).toDF("id"), root)         // v0
+    Manifest.append(spark.range(50, 80).toDF("id"), root)           // v1
+    Manifest.overwrite(spark.range(1000, 1005).toDF("id"), root)    // v2
+    val v3 = Manifest.restore(spark, root, 1L)
+    assert(v3 == 3L)
+    assert(Manifest.read(spark, root).as[Long].collect().sorted.toSeq == (0L until 80L))
+    // restored snapshot keeps its row counts (metadata restored wholesale)
+    assert(Manifest.countRows(spark, root) == 80L)
+    // and restore is itself a version: the overwrite state is still travel-able
+    assert(Manifest.readSnapshot(spark, root, Manifest.snapshot(spark, root, 2L))
+      .count() == 5)
+    // a target whose data files are gone rejects loudly instead of
+    // publishing a broken table (the retention trade made visible)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Manifest.snapshot(spark, root, 2L).files.foreach(rel =>
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$root/data/$rel"), false))
+    val e = intercept[IllegalArgumentException] {
+      Manifest.restore(spark, root, 2L)
+    }
+    assert(e.getMessage.contains("gc already swept"))
+    // and a gc'd-away manifest rejects at resolve
+    Manifest.gc(spark, root, keepVersions = 1)
+    intercept[IllegalArgumentException] { Manifest.restore(spark, root, 0L) }
+    ()
+  }
+
+  test("changesSince: append-only change feed; file-rewriting commits throw") {
+    val root = newRoot("cdc")
+    Manifest.overwrite(spark.range(0, 10).toDF("id"), root)         // v0
+    Manifest.append(spark.range(10, 25).toDF("id"), root)           // v1
+    Manifest.append(spark.range(25, 30).toDF("id"), root)           // v2
+    assert(Manifest.changesSince(spark, root, 0L)
+      .as[Long].collect().sorted.toSeq == (10L until 30L))
+    assert(Manifest.changesSince(spark, root, 1L)
+      .as[Long].collect().sorted.toSeq == (25L until 30L))
+    // no new commits → empty frame, real schema
+    val none = Manifest.changesSince(spark, root, 2L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id"))
+    // a compaction rewrites files → the feed refuses rather than double-counts
+    Manifest.compact(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      Manifest.changesSince(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("not append-only"))
+    // re-baseline at the compacted version: feed works again
+    Manifest.append(spark.range(30, 33).toDF("id"), root)
+    assert(Manifest.changesSince(spark, root, 3L)
+      .as[Long].collect().sorted.toSeq == (30L until 33L))
+  }
+
+  test("upsert: rewrites only touched files; untouched files keep identity, stats, counts") {
+    val root = newRoot("upsert")
+    // four range-disjoint stat'd files
+    (0L to 3L).foreach(i => Manifest.append(
+      spark.range(i * 100, (i + 1) * 100).toDF("id")
+        .withColumn("v", col("id") * 10).coalesce(1),
+      root, statsCols = Seq("id")))
+    val before = Manifest.current(spark, root).get
+    assert(before.files.size == 4)
+    // batch: update two keys in the SECOND file, insert two new keys
+    val batch = Seq((150L, -1L), (199L, -2L), (1000L, -3L), (1001L, -4L))
+      .toDF("id", "v")
+    Manifest.upsert(batch, root, "id")
+    val after = Manifest.current(spark, root).get
+    // files 0, 2, 3 carried through by identity (no rewrite)
+    val untouched = before.files.filter(f =>
+      before.stats(f)("id")._1 match { case lo: Long => lo != 100L; case _ => false })
+    assert(untouched.forall(after.files.contains),
+      s"untouched files rewritten: kept ${after.files}")
+    assert(!after.files.contains(before.files.diff(untouched).head),
+      "touched file not replaced")
+    // content: merge semantics
+    val got = Manifest.read(spark, root).orderBy("id").as[(Long, Long)].collect()
+    assert(got.length == 402)
+    assert(got.count(_._2 < 0) == 4)
+    assert(got.find(_._1 == 150L).get._2 == -1L)
+    assert(got.find(_._1 == 151L).get._2 == 1510L)
+    // metadata row counts stayed complete through the partial rewrite
+    assert(Manifest.rowCount(after).contains(402L))
+    // skip stats recomputed for the rewritten files too
+    assert(after.stats.size == after.files.size)
+    // duplicate batch keys reject loudly
+    intercept[IllegalArgumentException] {
+      Manifest.upsert(Seq((1L, 1L), (1L, 2L)).toDF("id", "v"), root, "id")
+    }
+    // empty batch is a version no-op
+    val v = after.version
+    assert(Manifest.upsert(Seq.empty[(Long, Long)].toDF("id", "v"), root, "id") == v)
+  }
+
+  test("deleteWhereBetween: file-pruned delete; fully-covered files vanish") {
+    val root = newRoot("delete")
+    (0L to 3L).foreach(i => Manifest.append(
+      spark.range(i * 100, (i + 1) * 100).toDF("id").coalesce(1),
+      root, statsCols = Seq("id")))
+    val before = Manifest.current(spark, root).get
+    // [100, 250]: file 1 fully covered (vanishes), file 2 partially rewritten
+    Manifest.deleteWhereBetween(spark, root, "id", 100L, 250L)
+    val after = Manifest.current(spark, root).get
+    val expected = (0L until 100L) ++ (251L until 400L)
+    assert(Manifest.read(spark, root).as[Long].collect().sorted.toSeq == expected)
+    // files 0 and 3 carried through by identity
+    val keptOld = before.files.filter(after.files.contains)
+    assert(keptOld.size == 2, s"expected 2 untouched files, kept $keptOld")
+    assert(Manifest.rowCount(after).contains(expected.size.toLong))
+    // out-of-range delete is a version no-op (nothing pruned in)
+    val v = after.version
+    assert(Manifest.deleteWhereBetween(spark, root, "id", 5000L, 6000L) == v)
+    // deleting everything keeps a schema file, table reads empty
+    Manifest.deleteWhereBetween(spark, root, "id", 0L, 400L)
+    assert(Manifest.read(spark, root).count() == 0)
+    assert(Manifest.read(spark, root).columns.toSeq == Seq("id"))
   }
 
   test("manifest metadata round-trips and survives compaction") {

@@ -532,6 +532,37 @@ class StreamOpsSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/data").count() == 4)
   }
 
+  test("manifestSink: exactly-once streamed appends into an atomic manifest table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-msink").toString
+    val root = s"$dir/table"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.manifestSink(
+      input.toDF().toDF("id", "v"), root, "writer-a", s"$dir/ckpt",
+      statsCols = Seq("id"))
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.store.Manifest.read(spark, root).count() == 3)
+    // count(*) straight from the manifest — the stream maintained row counts
+    assert(graft.store.Manifest.countRows(spark, root) == 3L)
+    // failure-replay of batch 1 (same writer, same batchId): recognized
+    // by the txn watermark, nothing double-committed
+    val (_, committed) = graft.store.Manifest.appendOnce(
+      Seq((3L, "c")).toDF("id", "v"), root, "writer-a", 1L)
+    assert(!committed)
+    assert(graft.store.Manifest.read(spark, root).count() == 3)
+    // while the next batchId appends, and the skip index kept stats
+    assert(graft.store.Manifest.appendOnce(
+      Seq((4L, "d")).toDF("id", "v"), root, "writer-a", 2L,
+      statsCols = Seq("id"))._2)
+    assert(graft.store.Manifest.read(spark, root).count() == 4)
+    val snap = graft.store.Manifest.current(spark, root).get
+    assert(snap.stats.size == snap.files.size, s"skip stats missing: ${snap.stats.keys}")
+  }
+
   test("sessionize: in-batch gap close and event-time timeout close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
