@@ -727,5 +727,58 @@ trait BatteryStoreOps extends BatteryModels {
       WHERE o_orderkey NOT BETWEEN c // 2 AND 2 * c + c // 2
       GROUP BY 1 ORDER BY 1"""))
 
+  /** EXACTLY-ONCE incremental mirror
+    * ([[graft.streaming.StreamOps.manifestMirrorStep]] — the read side
+    * of the manifest change feed): orders land in the source table as
+    * three separate commits, a mirror pump pulls the deltas across in
+    * two steps (the second covering two pending commits at once),
+    * transforming en route (even keys only, a derived flag column). The
+    * pump keeps NO state of its own — its cursor is the destination's
+    * (writer → txn) watermark, advanced by the same atomic commit as
+    * the data — and a lagging second pump replaying an old delta is
+    * skipped by that watermark. The oracle replays the transform in
+    * plain SQL; any duplicated or dropped delta hash-mismatches, and
+    * `meta_rows` pins the destination's footer-count metadata count(*)
+    * against the oracle's real COUNT(*). */
+  val q160 = Q("q160_manifest_mirror",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q160").toString
+      val src = s"$base/orders_src"
+      val dst = s"$base/orders_dst"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      import graft.streaming.StreamOps
+      def pump(): Option[Long] = StreamOps.manifestMirrorStep(
+        s, src, dst, "mirror",
+        transform = _.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("big", (col("o_totalprice") > 150000.0).cast("int")),
+        statsCols = Seq("o_orderkey"))
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 0), src)
+      pump() // bootstrap step: full first commit
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 1), src)
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 2), src)
+      pump() // one step, two pending source commits
+      // lagging second pump replays the bootstrap delta: watermark skips
+      Manifest.appendOnce(
+        orders.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 === 0)
+          .withColumn("big", (col("o_totalprice") > 150000.0).cast("int")),
+        dst, "mirror", 0L)
+      val metaRows = Manifest.rowCount(Manifest.current(s, dst).get)
+        .getOrElse(sys.error("mirror lost its row counts"))
+      Manifest.read(s, dst)
+        .groupBy(col("o_orderstatus").as("status"), col("big"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("meta_rows", lit(metaRows))
+        .orderBy("status", "big")
+    },
+    Some(s"""SELECT o_orderstatus AS status,
+        CAST(o_totalprice > 150000.0 AS INT) AS big,
+        COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS meta_rows
+      FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** All registered queries, in gate order. */
 }

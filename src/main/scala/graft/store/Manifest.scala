@@ -559,19 +559,37 @@ object Manifest {
   def changesSince(spark: SparkSession, root: String, sinceVersion: Long): DataFrame = {
     val cur = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
+    changes(spark, root, sinceVersion, cur)
+  }
+
+  /** [[changesSince]] against an explicitly PINNED target snapshot —
+    * the race-free form for a feed consumer that must commit the exact
+    * version it read (resolve `current` once, read the delta up to it,
+    * record its version; a commit landing in between is simply the next
+    * step's delta instead of silently widening this one). */
+  def changes(spark: SparkSession, root: String, sinceVersion: Long,
+      to: Snapshot): DataFrame = {
     val old = snapshot(spark, root, sinceVersion)
-    val curSet = cur.files.toSet
+    val curSet = to.files.toSet
     val rewritten = old.files.filterNot(curSet)
     require(rewritten.isEmpty,
-      s"$root: versions $sinceVersion..${cur.version} are not append-only " +
+      s"$root: versions $sinceVersion..${to.version} are not append-only " +
         s"(${rewritten.size} files rewritten, e.g. ${rewritten.take(2)}) — " +
         "re-read the full table and re-baseline")
     val oldSet = old.files.toSet
-    val fresh = cur.files.filterNot(oldSet)
+    val fresh = to.files.filterNot(oldSet)
     if (fresh.isEmpty)
-      readSnapshot(spark, root, cur.copy(files = cur.files.take(1))).filter(lit(false))
-    else readSnapshot(spark, root, cur.copy(files = fresh))
+      readSnapshot(spark, root, to.copy(files = to.files.take(1))).filter(lit(false))
+    else readSnapshot(spark, root, to.copy(files = fresh))
   }
+
+  /** Last transaction id committed by `writerId` through [[appendOnce]]
+    * — read from the current snapshot's metadata. For a feed consumer
+    * mirroring INTO a manifest table, this IS the durable cursor: no
+    * side state to keep consistent, crash safety inherited from the
+    * manifest's own atomic commit. */
+  def lastTxn(spark: SparkSession, root: String, writerId: String): Option[Long] =
+    current(spark, root).flatMap(_.meta.get(txnKey(writerId))).map(_.toLong)
 
   /** MERGE / upsert by key — the table-format point-update whose cost
     * follows TOUCHED FILES, not table size: coarse-prune candidate

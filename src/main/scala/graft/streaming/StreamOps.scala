@@ -631,11 +631,6 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
-  /** One micro-batch of the idempotent sink: the batch overwrites ITS
-    * OWN batch_id partition only (dynamic partition overwrite), so a
-    * replayed batch after a failure rewrites the same files instead of
-    * appending duplicates — the retry-safe exactly-once-ish pattern for
-    * plain-parquet sinks (no transactional table format needed). */
   /** EXACTLY-ONCE streaming append into an atomic manifest table —
     * [[graft.store.Manifest.appendOnce]] with the micro-batch id as
     * the transaction number, the public Delta-sink idea. Contrast with
@@ -660,6 +655,55 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** INCREMENTAL MIRROR step — the read side of [[manifestSink]]: pull
+    * the source manifest table's changes since the last mirrored
+    * version, apply `transform`, and commit the result to the
+    * destination manifest table EXACTLY ONCE. The consumer keeps NO
+    * side state: its cursor IS the destination's (writerId → txnId)
+    * watermark ([[graft.store.Manifest.lastTxn]]), advanced by the same
+    * atomic commit that lands the data — so there is no window where
+    * data is committed but the cursor is stale or vice versa, and a
+    * crashed/raced pump replays into [[graft.store.Manifest.appendOnce]]'s
+    * skip. One step may cover SEVERAL source commits (the delta between
+    * the watermark and the pinned current snapshot); the source version
+    * is resolved ONCE and the delta read against that pinned snapshot
+    * ([[graft.store.Manifest.changes]]), so a source commit racing the
+    * step simply becomes the next step's delta. Returns the mirrored
+    * source version, or None when already up to date (or the source has
+    * no committed version yet).
+    *
+    * Contracts inherited loudly: a file-rewriting source commit
+    * (overwrite/compact/restore) throws via `changes`'s append-only
+    * check — re-baseline by hand; `transform` must be deterministic and
+    * row-local (a replayed delta is SKIPPED, not re-transformed, so a
+    * nondeterministic transform would make replay-vs-first-run
+    * divergence invisible). */
+  def manifestMirrorStep(
+      spark: org.apache.spark.sql.SparkSession, srcRoot: String, dstRoot: String,
+      writerId: String,
+      transform: DataFrame => DataFrame = identity,
+      statsCols: Seq[String] = Nil): Option[Long] = {
+    import graft.store.Manifest
+    val cur = Manifest.current(spark, srcRoot) match {
+      case Some(s) if s.files.nonEmpty => s
+      case _ => return None
+    }
+    val last = Manifest.lastTxn(spark, dstRoot, writerId)
+    if (last.exists(_ >= cur.version)) return None
+    val delta = last match {
+      case None => Manifest.readSnapshot(spark, srcRoot, cur) // bootstrap: full snapshot
+      case Some(v) => Manifest.changes(spark, srcRoot, v, cur)
+    }
+    Manifest.appendOnce(transform(delta), dstRoot, writerId, cur.version,
+      statsCols = statsCols)
+    Some(cur.version)
+  }
+
+  /** One micro-batch of the idempotent sink: the batch overwrites ITS
+    * OWN batch_id partition only (dynamic partition overwrite), so a
+    * replayed batch after a failure rewrites the same files instead of
+    * appending duplicates — the retry-safe exactly-once-ish pattern for
+    * plain-parquet sinks (no transactional table format needed). */
   def upsertBatch(batch: DataFrame, batchId: Long, path: String): Unit =
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")

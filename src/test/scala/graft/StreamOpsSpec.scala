@@ -563,6 +563,49 @@ class StreamOpsSpec extends SparkTestBase {
     assert(snap.stats.size == snap.files.size, s"skip stats missing: ${snap.stats.keys}")
   }
 
+  test("manifestMirrorStep: exactly-once incremental mirror, no consumer-side state") {
+    import graft.store.Manifest
+    val dir = java.nio.file.Files.createTempDirectory("graft-mirror").toString
+    val src = s"$dir/src"
+    val dst = s"$dir/dst"
+    def step(): Option[Long] = StreamOps.manifestMirrorStep(
+      spark, src, dst, "mirror",
+      transform = _.filter(col("id") % 2 === 0).withColumn("v2", upper(col("v"))),
+      statsCols = Seq("id"))
+
+    // source absent → no-op, not a throw
+    assert(step().isEmpty)
+
+    Manifest.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src) // v0
+    assert(step().contains(0L)) // bootstrap: full snapshot
+    assert(Manifest.read(spark, dst).collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      == Set((2L, "B")))
+    assert(step().isEmpty) // up to date
+
+    Manifest.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), src) // v1
+    Manifest.append(Seq((5L, "e"), (6L, "f")).toDF("id", "v"), src) // v2
+    assert(step().contains(2L)) // one step covers BOTH pending commits
+    assert(Manifest.read(spark, dst).filter(col("id") % 2 =!= 0).isEmpty)
+    assert(Manifest.countRows(spark, dst) == 3L) // 2, 4, 6
+
+    // lagging second pump replaying an old delta: the destination's txn
+    // watermark (the only cursor there is) skips it — no duplicates
+    val (_, committed) = Manifest.appendOnce(
+      Seq((2L, "b", "B")).toDF("id", "v", "v2"), dst, "mirror", 0L)
+    assert(!committed)
+    assert(Manifest.countRows(spark, dst) == 3L)
+
+    // the mirror maintains the destination's skip index
+    val snap = Manifest.current(spark, dst).get
+    assert(snap.stats.size == snap.files.size, s"skip stats missing: ${snap.stats.keys}")
+
+    // a file-rewriting source commit breaks the append-only feed contract
+    Manifest.compact(spark, src, targetBytes = 1L << 20)
+    Manifest.append(Seq((7L, "g"), (8L, "h")).toDF("id", "v"), src)
+    val e = intercept[IllegalArgumentException] { step() }
+    assert(e.getMessage.contains("not append-only"))
+  }
+
   test("sessionize: in-batch gap close and event-time timeout close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
