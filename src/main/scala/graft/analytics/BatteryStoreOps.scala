@@ -780,5 +780,39 @@ trait BatteryStoreOps extends BatteryModels {
       FROM orders WHERE o_orderkey % 2 = 0
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** MULTI-COLUMN clustered layout + conjunctive skip read
+    * ([[graft.store.Manifest.compactClustered]]/`readWhere` — the
+    * public OPTIMIZE ZORDER BY): orders land unclustered, a Hilbert
+    * compaction rewrites the table so per-file [min, max] boxes are
+    * tight on BOTH (o_custkey, o_totalprice), and a 2-D box probe
+    * reads through the pruned file set. The oracle is the same
+    * conjunction in plain SQL — pruning must be invisible to
+    * semantics (ManifestSpec pins that it actually prunes). */
+  val q161 = Q("q161_manifest_zorder",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q161").toString + "/orders_z"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      Manifest.append(orders, root, statsCols = Seq("o_orderkey"))
+      Manifest.compactClustered(s, root, Seq("o_custkey", "o_totalprice"),
+        targetBytes = 64 * 1024, curve = "hilbert")
+      Manifest.readWhere(s, root,
+        Seq(("o_custkey", 100L, 500L), ("o_totalprice", 50000.0, 150000.0)))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"))
+        .orderBy("status")
+    },
+    Some(s"""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price,
+        MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust
+      FROM orders
+      WHERE o_custkey BETWEEN 100 AND 500
+        AND o_totalprice BETWEEN 50000.0 AND 150000.0
+      GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

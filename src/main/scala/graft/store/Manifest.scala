@@ -727,6 +727,61 @@ object Manifest {
     } finally { staged.unpersist(); () }
   }
 
+  /** MULTI-COLUMN clustered compaction — the public OPTIMIZE ZORDER BY:
+    * rewrite the table along a space-filling curve over `cols`
+    * ([[Layout.cluster]]; `curve` = "z" any-k or "hilbert" 2-D) so
+    * EVERY layout column's per-file [min, max] box is tight and the
+    * skip index prunes on all of them at once — where
+    * [[compact]](rangeBy=…) is lexicographic and only the leading
+    * column stays sharp. Stats are recorded for `cols` plus whatever
+    * the table already indexed; same reader-safe overwrite publish as
+    * [[compact]]. */
+  def compactClustered(spark: SparkSession, root: String, cols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 8, curve: String = "z"): Long = {
+    require(cols.nonEmpty, "compactClustered needs at least one layout column")
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val df = readSnapshot(spark, root, snap)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = ((bytes + targetBytes - 1) / targetBytes).max(1).min(1L << 20).toInt
+    val staged = Layout.cluster(df, Layout.boundariesFor(df, cols, bits),
+      target, bits, curve).localCheckpoint()
+    try {
+      val stagedFiles = stage(staged, root)
+      val rows = footerRows(spark, root, stagedFiles)
+      val kept = withoutEmpty(stagedFiles, rows)
+      val statCols = (snap.stats.values.flatMap(_.keys).toSeq ++ cols).distinct
+      val stats = fileStats(spark, root, kept, statCols)
+      publish(spark, root, kept, old => old,
+        _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)))._1
+    } finally { staged.unpersist(); () }
+  }
+
+  /** Multi-predicate skip read: files pruned by EVERY conjunct's
+    * recorded [min, max] (a file survives only if each predicate's
+    * range intersects its box), the conjunction re-applied to rows —
+    * the read shape [[compactClustered]] makes fast on all layout
+    * columns at once. */
+  def readWhere(spark: SparkSession, root: String,
+      preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "readWhere needs at least one (col, lo, hi) conjunct")
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val keep = preds.foldLeft(snap.files) { case (files, (c, lo, hi)) =>
+      val surviving = prunedFiles(snap.copy(files = files), c, lo, hi)
+      surviving
+    }
+    val base =
+      if (keep.isEmpty)
+        readSnapshot(spark, root, snap.copy(files = snap.files.take(1)))
+          .filter(lit(false))
+      else readSnapshot(spark, root, snap.copy(files = keep))
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
+  }
+
   /** Garbage collection: drop all but the newest `keepVersions`
     * manifests, then delete every data file referenced by NO retained
     * manifest (this also sweeps crash orphans — staged-but-never-

@@ -173,6 +173,56 @@ class ManifestSpec extends SparkTestBase {
       .as[String].collect().sorted.toSeq == Seq("apple", "banana"))
   }
 
+  test("compactClustered: curve layout makes the skip index prune on every layout column") {
+    val grid = spark.range(0, 128L * 128L)
+      .select(expr("id % 128").as("x"), expr("id div 128").as("y"))
+    val expect = grid.filter(col("x").between(32, 63) && col("y").between(32, 63))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def boxFiles(root: String): (Int, Int) = {
+      val snap = Manifest.current(spark, root).get
+      val fx = Manifest.prunedFiles(snap, "x", 32L, 63L)
+      (Manifest.prunedFiles(snap.copy(files = fx), "y", 32L, 63L).size, snap.files.size)
+    }
+    def boxRead(root: String): Seq[(Long, Long)] =
+      Manifest.readWhere(spark, root, Seq(("x", 32L, 63L), ("y", 32L, 63L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // three roots, identical base append → identical compaction file targets
+    val lexRoot = newRoot("zorder_lex")
+    val zRoot = newRoot("zorder_z")
+    val hRoot = newRoot("zorder_h")
+    Manifest.append(grid, lexRoot, statsCols = Seq("x", "y"))
+    Manifest.append(grid, zRoot, statsCols = Seq("x", "y"))
+    Manifest.append(grid, hRoot, statsCols = Seq("x", "y"))
+
+    // lexicographic range layout: every file spans a sliver of x and
+    // most of y, so the y conjunct barely prunes beyond what x did
+    Manifest.compact(spark, lexRoot, targetBytes = 64, rangeBy = Seq("x", "y"))
+    val (lexKept, lexTotal) = boxFiles(lexRoot)
+    assert(lexTotal > 16, s"need file sprawl for the comparison, got $lexTotal")
+    assert(boxRead(lexRoot) == expect)
+
+    // z-order clustered: both columns' boxes are tight → strictly fewer
+    // files survive the SAME conjunctive probe
+    Manifest.compactClustered(spark, zRoot, Seq("x", "y"), targetBytes = 64)
+    val (zKept, zTotal) = boxFiles(zRoot)
+    assert(zTotal > 16, s"need file sprawl for the comparison, got $zTotal")
+    assert(zKept < lexKept,
+      s"z-order should out-prune lexicographic on the 2-D box: z $zKept/$zTotal vs lex $lexKept/$lexTotal")
+    assert(boxRead(zRoot) == expect)
+    val zSnap = Manifest.current(spark, zRoot).get
+    assert(zSnap.stats.size == zSnap.files.size, "clustered compaction lost skip stats")
+    assert(Manifest.rowCount(zSnap).contains(128L * 128L))
+
+    // hilbert twin: same semantics, same pruning class
+    Manifest.compactClustered(spark, hRoot, Seq("x", "y"), targetBytes = 64,
+      curve = "hilbert")
+    val (hKept, _) = boxFiles(hRoot)
+    assert(hKept < lexKept,
+      s"hilbert should out-prune lexicographic on the 2-D box: $hKept vs $lexKept")
+    assert(boxRead(hRoot) == expect)
+  }
+
   test("appendOnce: exactly-once per (writer, txn) — replays and raced duplicates skip") {
     val root = newRoot("txn")
     val (v0, c0) = Manifest.appendOnce(spark.range(0, 10).toDF("id"), root, "w1", 0L)
