@@ -814,5 +814,63 @@ trait BatteryStoreOps extends BatteryModels {
         AND o_totalprice BETWEEN 50000.0 AND 150000.0
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Streaming CDC APPLY
+    * ([[graft.streaming.StreamOps.manifestUpsertSink]]): three change
+    * batches stream into one manifest table — a full insert load, then
+    * two update waves touching overlapping key sets — and the final
+    * table must be exactly last-writer-wins per key, which the oracle
+    * replays with a window over the change log. A replay of the final
+    * batch (foreachBatch's actual recovery window) must leave the
+    * table bit-identical. */
+  val q162 = Q("q162_manifest_cdc",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q162").toString + "/orders_cdc"
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      import graft.store.Manifest
+      def rows(df: DataFrame): Seq[(Long, Long, String, Double)] =
+        df.as[(Long, Long, String, Double)].collect().toSeq
+      val b1 = orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("U1"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      val b2 = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U2"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(2000.0))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double)]
+      val q = graft.streaming.StreamOps.manifestUpsertSink(
+        input.toDF().toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        root, "o_orderkey", root + "_ckpt")
+      Seq(orders, b1, b2).foreach { b =>
+        input.addData(rows(b): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // recovery-window replay: re-merging the final batch is a no-op
+      Manifest.upsert(b2, root, "o_orderkey")
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("status")
+    },
+    Some(s"""WITH cdc AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS b FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U1', o_totalprice + 1000.0, 1 FROM orders
+        WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U2', o_totalprice + 2000.0, 2 FROM orders
+        WHERE o_orderkey % 7 = 0),
+      latest AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY b DESC) AS rn
+        FROM cdc) WHERE rn = 1)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM latest GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

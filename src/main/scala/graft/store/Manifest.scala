@@ -255,6 +255,19 @@ object Manifest {
       .sorted.map(n => s"$batchDir/$n").toSeq
   }
 
+  /** Same-JVM commit serialization, one lock per table root — the
+    * public Delta LogStore idea for filesystems whose rename silently
+    * OVERWRITES (POSIX/local): the exists-then-rename pair in
+    * [[publish]] is check-then-act, so two threads in one driver could
+    * both "win" the same version and the first manifest would be
+    * silently replaced (a lost update). Writers in ONE JVM — the actual
+    * deployment shape, one Spark driver per pipeline — serialize here;
+    * CROSS-process atomicity is the filesystem's rename-if-absent
+    * contract (atomic on HDFS, best-effort on raw local). */
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
+
   /** Publish `files` (+meta, +stats, +rows) as the next version on top
     * of `base`; optimistic retry on manifest-name collision. Inherited
     * files keep their stats and row counts; new files carry `newStats`
@@ -263,7 +276,8 @@ object Manifest {
     * against whatever snapshot actually wins as the parent. `skipIf`
     * (evaluated against the same resolved parent) abandons the commit
     * and returns the parent's version — the [[appendOnce]] idempotency
-    * arbiter, raced correctly because the check re-runs on every retry.
+    * arbiter, raced correctly because the check re-runs on every retry,
+    * under the same per-root lock as the commit itself.
     * Returns (version, committed). */
   private def publish(spark: SparkSession, root: String,
       newFiles: Seq[String], metaFn: Map[String, String] => Map[String, String],
@@ -276,37 +290,44 @@ object Manifest {
     f.mkdirs(manifestDir(root))
     var attempt = 0
     while (attempt < 64) {
-      val cur = current(spark, root)
-      // read-modify-write ops (upsert/delete) planned against a specific
-      // parent; committing on top of anything else could resurrect rows
-      // a concurrent compaction re-materialized — throw, caller retries
-      requireVersion.foreach(rv =>
-        if (!cur.map(_.version).contains(rv))
-          throw new IllegalStateException(
-            s"$root: concurrent commit (expected parent version $rv, " +
-              s"found ${cur.map(_.version).getOrElse(-1L)}) — retry the operation"))
-      cur.filter(skipIf).foreach(s => return (s.version, false))
-      val v = cur.map(_.version + 1).getOrElse(0L)
-      val inherited = cur.map(baseFiles).getOrElse(Seq.empty)
-      val files = inherited ++ newFiles
-      val inheritedStats = cur.map(s => s.stats.filter(kv => inherited.contains(kv._1)))
-        .getOrElse(Map.empty)
-      val inheritedRows = cur.map(s => s.rows.filter(kv => inherited.contains(kv._1)))
-        .getOrElse(Map.empty)
-      val meta = metaFn(cur.map(_.meta).getOrElse(Map.empty))
-      val tmp = new Path(manifestDir(root),
-        s"_tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
-      val out = f.create(tmp, false)
-      try out.write(render(files, meta, inheritedStats ++ newStats,
-        inheritedRows ++ newRows).getBytes("UTF-8"))
-      finally out.close()
-      // rename = the atomic commit point; a false return (or the
-      // best-effort exists pre-check, for local FS whose POSIX rename
-      // silently overwrites) means another committer won version v —
-      // re-resolve and retry on top of THEIR snapshot (our staged data
-      // files are already in place)
-      if (!f.exists(manifestPath(root, v)) && f.rename(tmp, manifestPath(root, v))) return (v, true)
-      f.delete(tmp, false)
+      val outcome: Option[(Long, Boolean)] = lockFor(root).synchronized {
+        val cur = current(spark, root)
+        // read-modify-write ops (upsert/delete) planned against a specific
+        // parent; committing on top of anything else could resurrect rows
+        // a concurrent compaction re-materialized — throw, caller retries
+        requireVersion.foreach(rv =>
+          if (!cur.map(_.version).contains(rv))
+            throw new IllegalStateException(
+              s"$root: concurrent commit (expected parent version $rv, " +
+                s"found ${cur.map(_.version).getOrElse(-1L)}) — retry the operation"))
+        cur.filter(skipIf) match {
+          case Some(s) => Some((s.version, false))
+          case None =>
+            val v = cur.map(_.version + 1).getOrElse(0L)
+            val inherited = cur.map(baseFiles).getOrElse(Seq.empty)
+            val files = inherited ++ newFiles
+            val inheritedStats = cur.map(s => s.stats.filter(kv => inherited.contains(kv._1)))
+              .getOrElse(Map.empty)
+            val inheritedRows = cur.map(s => s.rows.filter(kv => inherited.contains(kv._1)))
+              .getOrElse(Map.empty)
+            val meta = metaFn(cur.map(_.meta).getOrElse(Map.empty))
+            val tmp = new Path(manifestDir(root),
+              s"_tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
+            val out = f.create(tmp, false)
+            try out.write(render(files, meta, inheritedStats ++ newStats,
+              inheritedRows ++ newRows).getBytes("UTF-8"))
+            finally out.close()
+            // rename = the atomic commit point; a false return (or the
+            // exists pre-check, for a CROSS-process committer the lock
+            // cannot see) means another committer won version v —
+            // re-resolve and retry on top of THEIR snapshot (our staged
+            // data files are already in place)
+            if (!f.exists(manifestPath(root, v)) && f.rename(tmp, manifestPath(root, v)))
+              Some((v, true))
+            else { f.delete(tmp, false); None }
+        }
+      }
+      outcome.foreach(return _)
       attempt += 1
     }
     throw new IllegalStateException(

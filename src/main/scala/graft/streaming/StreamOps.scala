@@ -699,6 +699,42 @@ object StreamOps {
     Some(cur.version)
   }
 
+  /** Streaming CDC APPLY into a manifest table: each micro-batch
+    * carries the latest row per key (collapse upstream —
+    * [[graft.dedup.Dedup]] latest-per-key; duplicate keys in one batch
+    * reject loudly) and lands as a MERGE
+    * ([[graft.store.Manifest.upsert]]): matched keys replaced, new keys
+    * inserted, rewrite cost following TOUCHED FILES via the key-stats
+    * prune, not table size. The bootstrap commit is an overwrite that
+    * seeds the key skip index (`statsCols`, default the merge key).
+    *
+    * Replay safety is VALUE idempotency over foreachBatch's actual
+    * recovery window: after a crash only the latest uncommitted batch
+    * replays (earlier batches never do), and re-merging the same
+    * latest-per-key batch reproduces the identical logical table —
+    * whether the crash hit before or after that batch's commit.
+    * Single-writer per table: a concurrent commit makes the merge
+    * throw its planned-parent conflict loudly rather than resurrect
+    * replaced rows. */
+  def manifestUpsertSink(
+      stream: DataFrame, root: String, keyCol: String,
+      checkpoint: String,
+      statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stats = if (statsCols.nonEmpty) statsCols else Seq(keyCol)
+    stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = b.toDF()
+        if (graft.store.Manifest.current(batch.sparkSession, root).isEmpty)
+          graft.store.Manifest.overwrite(batch, root, statsCols = stats)
+        else
+          graft.store.Manifest.upsert(batch, root, keyCol)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** One micro-batch of the idempotent sink: the batch overwrites ITS
     * OWN batch_id partition only (dynamic partition overwrite), so a
     * replayed batch after a failure rewrites the same files instead of

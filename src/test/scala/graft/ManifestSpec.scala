@@ -173,6 +173,40 @@ class ManifestSpec extends SparkTestBase {
       .as[String].collect().sorted.toSeq == Seq("apple", "banana"))
   }
 
+  test("optimistic commit loop: racing writers all land; raced same-txn replays commit exactly once") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 8 writers x 4 batches, all racing one root: every commit must
+      // land (lost-update-free), versions must be contiguous
+      val root = newRoot("race")
+      val futs = for (t <- 0 until 8; b <- 0 until 4) yield Future {
+        Manifest.append(Seq((t.toLong, b.toLong)).toDF("w", "b"), root)
+      }
+      val vs = Await.result(Future.sequence(futs), 180.seconds)
+      assert(vs.sorted == (0L until 32L), s"versions not contiguous: ${vs.sorted}")
+      assert(Manifest.versions(spark, root) == (0L until 32L))
+      assert(Manifest.read(spark, root).as[(Long, Long)].collect().toSet
+        == (for (t <- 0 until 8; b <- 0 until 4) yield (t.toLong, b.toLong)).toSet)
+
+      // 6 threads replaying the SAME (writer, txn): exactly one commits,
+      // the rest are skipped by the watermark check re-raced inside the
+      // commit loop, and their staged batches are swept
+      val root2 = newRoot("race1x")
+      val reps = (0 until 6).map(i => Future {
+        Manifest.appendOnce(Seq((i.toLong, "dup")).toDF("k", "v"), root2, "w", 0L)
+      })
+      val outcomes = Await.result(Future.sequence(reps), 180.seconds)
+      assert(outcomes.count(_._2) == 1, s"exactly one replay must commit: $outcomes")
+      assert(Manifest.read(spark, root2).count() == 1)
+      // no abandoned staged debris beyond the winner's batch dir
+      val dataDirs = new java.io.File(s"$root2/data").listFiles().filter(_.isDirectory)
+      assert(dataDirs.length == 1, s"losers must sweep their staged dirs: ${dataDirs.toSeq}")
+    } finally { pool.shutdown(); () }
+  }
+
   test("compactClustered: curve layout makes the skip index prune on every layout column") {
     val grid = spark.range(0, 128L * 128L)
       .select(expr("id % 128").as("x"), expr("id div 128").as("y"))

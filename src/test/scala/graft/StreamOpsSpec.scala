@@ -563,6 +563,38 @@ class StreamOpsSpec extends SparkTestBase {
     assert(snap.stats.size == snap.files.size, s"skip stats missing: ${snap.stats.keys}")
   }
 
+  test("manifestUpsertSink: streamed CDC merge, last writer wins, replay-idempotent") {
+    import graft.store.Manifest
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcsink").toString
+    val root = s"$dir/table"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.manifestUpsertSink(
+      input.toDF().toDF("id", "v"), root, "id", s"$dir/ckpt")
+    // batch 0: bootstrap insert
+    input.addData((1L, "a0"), (2L, "b0"), (3L, "c0"))
+    q.processAllAvailable()
+    // batch 1: update key 2, insert key 4
+    input.addData((2L, "b1"), (4L, "d1"))
+    q.processAllAvailable()
+    q.stop()
+    def state(): Set[(Long, String)] =
+      Manifest.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state() == Set((1L, "a0"), (2L, "b1"), (3L, "c0"), (4L, "d1")))
+    // the bootstrap seeded the key skip index; the merge maintained it
+    val snap = Manifest.current(spark, root).get
+    assert(snap.stats.size == snap.files.size, s"key stats missing: ${snap.stats.keys}")
+    // foreachBatch's recovery window replays only the LATEST batch:
+    // re-merging it reproduces the identical logical table
+    Manifest.upsert(Seq((2L, "b1"), (4L, "d1")).toDF("id", "v"), root, "id")
+    assert(state() == Set((1L, "a0"), (2L, "b1"), (3L, "c0"), (4L, "d1")))
+    // in-batch duplicate keys (uncollapsed CDC) reject loudly
+    intercept[IllegalArgumentException] {
+      Manifest.upsert(Seq((7L, "x"), (7L, "y")).toDF("id", "v"), root, "id")
+    }
+  }
+
   test("manifestMirrorStep: exactly-once incremental mirror, no consumer-side state") {
     import graft.store.Manifest
     val dir = java.nio.file.Files.createTempDirectory("graft-mirror").toString
