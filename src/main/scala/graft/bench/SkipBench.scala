@@ -109,6 +109,68 @@ object SkipBench {
       f"(files rewritten: $rewrittenFiles/32) fullRewrite=$rewriteSec%.2fs")
     oneFileBatch.unpersist()
 
+    // x164: 2-D layout — the SAME conjunctive box probe against a
+    // lexicographic range layout vs a Hilbert-clustered one
+    // (compactClustered), both ~8 MB files from the same 15M-row base.
+    val lexRoot = s"$base/g100x/orders_manifest_lex2d"
+    val clusRoot = s"$base/g100x/orders_manifest_hilbert2d"
+    val dims = Seq("o_custkey", "o_totalprice")
+    if (!BenchFs.exists(spark, s"$lexRoot/manifest")) {
+      System.err.println(s"[skipbench] building 2-D lexicographic layout")
+      Manifest.overwrite(spark.read.parquet(s"$base/g100x/orders.parquet"),
+        lexRoot, statsCols = dims)
+      Manifest.compact(spark, lexRoot, targetBytes = 8L << 20, rangeBy = dims)
+      Manifest.gc(spark, lexRoot, keepVersions = 1)
+    }
+    if (!BenchFs.exists(spark, s"$clusRoot/manifest")) {
+      System.err.println(s"[skipbench] building 2-D hilbert-clustered layout")
+      Manifest.overwrite(spark.read.parquet(s"$base/g100x/orders.parquet"),
+        clusRoot, statsCols = dims)
+      Manifest.compactClustered(spark, clusRoot, dims,
+        targetBytes = 8L << 20, curve = "hilbert")
+      Manifest.gc(spark, clusRoot, keepVersions = 1)
+    }
+    // Three probe shapes, the public OPTIMIZE ZORDER narrative: the
+    // lexicographic layout is optimal for a LEADING-column slab and
+    // useless for a SECOND-column slab (every file spans all of it);
+    // the curve layout serves all shapes from one clustering.
+    val probeBase = Manifest.read(spark, clusRoot)
+    val custHi = probeBase.agg(max(col("o_custkey"))).head().getLong(0)
+    val prRow = probeBase.agg(
+      min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    val (prLo, prHi) = (prRow.getDouble(0), prRow.getDouble(1))
+    val pLead = Seq[(String, Any, Any)](
+      ("o_custkey", custHi / 2, custHi / 2 + custHi / 50)) // 2% leading slab
+    val pSecond = Seq[(String, Any, Any)](
+      ("o_totalprice", prLo + (prHi - prLo) * 0.49,
+        prLo + (prHi - prLo) * 0.51)) // 2% second-column slab
+    val pBox = Seq[(String, Any, Any)](
+      ("o_custkey", custHi * 45L / 100L, custHi * 55L / 100L),
+      ("o_totalprice", prLo + (prHi - prLo) * 0.45,
+        prLo + (prHi - prLo) * 0.55)) // 10% x 10% square box
+    def keptFiles(r: String, preds: Seq[(String, Any, Any)]): (Int, Int) = {
+      val sn = Manifest.current(spark, r).get
+      val kept = preds.foldLeft(sn.files) { case (fl, (c, lo, up2)) =>
+        Manifest.prunedFiles(sn.copy(files = fl), c, lo, up2)
+      }
+      (kept.size, sn.files.size)
+    }
+    def probeCount(r: String, preds: Seq[(String, Any, Any)]): () => Long =
+      () => Manifest.readWhere(spark, r, preds).agg(count(lit(1))).head().getLong(0)
+    def probe(tag: String, preds: Seq[(String, Any, Any)]): (Double, Double, Int, Int, Int) = {
+      val (lexSec, nLex) = timeIt(probeCount(lexRoot, preds))
+      val (clusSec, nClus) = timeIt(probeCount(clusRoot, preds))
+      require(nLex == nClus, s"2-D layouts diverged on $tag: $nLex vs $nClus rows")
+      val (lexKept, total) = keptFiles(lexRoot, preds)
+      val (clusKept, _) = keptFiles(clusRoot, preds)
+      System.err.println(f"[skipbench] $tag: lex=$lexSec%.2fs ($lexKept/$total files) " +
+        f"hilbert=$clusSec%.2fs ($clusKept/$total files) rows=$nLex")
+      (lexSec, clusSec, lexKept, clusKept, total)
+    }
+    val (leadLex, leadClus, leadLexF, leadClusF, total2d) = probe("lead-slab", pLead)
+    val (secLex, secClus, secLexF, secClusF, _) = probe("second-slab", pSecond)
+    val (boxLex, boxClus, boxLexF, boxClusF, _) = probe("square-box", pBox)
+
     val jsonFile = java.nio.file.Paths.get("BENCH_SCALE.json")
     val existing: Map[String, String] = if (java.nio.file.Files.exists(jsonFile)) {
       val txt = new String(java.nio.file.Files.readAllBytes(jsonFile), "UTF-8")
@@ -119,7 +181,9 @@ object SkipBench {
       ("x162_manifest_skip" ->
         s"""{"full":${fmt(fullSec)},"skip":${fmt(skipSec)},"files_total":${snap.files.size},"files_scanned":$scanned,"count_scan":${fmt(scanCountSec)},"count_meta":${fmt(metaCountSec)}}""") +
       ("x163_manifest_upsert" ->
-        s"""{"upsert_1file":${fmt(upsertSec)},"files_rewritten":$rewrittenFiles,"full_rewrite":${fmt(rewriteSec)},"batch_rows":$nBatch}""")
+        s"""{"upsert_1file":${fmt(upsertSec)},"files_rewritten":$rewrittenFiles,"full_rewrite":${fmt(rewriteSec)},"batch_rows":$nBatch}""") +
+      ("x164_manifest_zorder" ->
+        s"""{"files_total":$total2d,"lead_lex_files":$leadLexF,"lead_hilbert_files":$leadClusF,"second_lex_files":$secLexF,"second_hilbert_files":$secClusF,"box_lex_files":$boxLexF,"box_hilbert_files":$boxClusF,"lead_lex":${fmt(leadLex)},"lead_hilbert":${fmt(leadClus)},"second_lex":${fmt(secLex)},"second_hilbert":${fmt(secClus)},"box_lex":${fmt(boxLex)},"box_hilbert":${fmt(boxClus)}}""")
     val json = merged.toSeq.sortBy(_._1)
       .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
     java.nio.file.Files.write(jsonFile, (json + "\n").getBytes("UTF-8"))
