@@ -872,5 +872,46 @@ trait BatteryStoreOps extends BatteryModels {
         ${dsumSql("o_totalprice")} AS total_price
       FROM latest GROUP BY 1 ORDER BY 1"""))
 
+  /** PLANNER-INTEGRATED manifest scan
+    * ([[graft.store.Manifest.table]] — a table-format `FileIndex`
+    * under Spark's own `HadoopFsRelation`, the public Delta
+    * architecture): orders land as four range-disjoint stat'd commits
+    * and the query arrives as ordinary SQL over a temp view — no
+    * engine-specific read API anywhere — with the BETWEEN pruned
+    * against the manifest's per-file stats at scan-planning time and
+    * the price predicate applied row-level inside the stock vectorized
+    * parquet read. Oracle is the identical SQL over the plain table;
+    * ManifestSpec pins that the pruning actually happens
+    * (numFiles metric). */
+  val q163 = Q("q163_manifest_table",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q163").toString + "/orders_t"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = hi / 4 + 1
+      (0L to 3L).foreach { qtr =>
+        Manifest.append(
+          orders.filter(col("o_orderkey") >= qtr * cut &&
+            col("o_orderkey") < (qtr + 1) * cut).coalesce(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      Manifest.table(s, root).createOrReplaceTempView("graft_q163_orders")
+      s.sql(s"""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+          ${dsumSql("o_totalprice")} AS total_price
+        FROM graft_q163_orders
+        WHERE o_orderkey BETWEEN ${cut / 2} AND ${cut + cut / 2}
+          AND o_totalprice > 100000.0
+        GROUP BY 1 ORDER BY 1""")
+    },
+    Some(s"""WITH cut AS (SELECT MAX(o_orderkey) // 4 + 1 AS c FROM orders)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM orders, cut
+      WHERE o_orderkey BETWEEN c // 2 AND c + c // 2
+        AND o_totalprice > 100000.0
+      GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

@@ -493,7 +493,7 @@ object Manifest {
     * decimals, strings. Cross-family numeric compares go through
     * BigDecimal (a Long bound vs a Double probe must not fall back to
     * string order). */
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
+  private[store] def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: String, y: String) => x.compareTo(y)
     case (x: Number, y: Number) =>
@@ -801,6 +801,31 @@ object Manifest {
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
+  }
+
+  /** The manifest table as a PLANNER-INTEGRATED scan
+    * ([[ManifestFileIndex]] under Spark's own `HadoopFsRelation` +
+    * `ParquetFileFormat` — the public Delta architecture): ANY filter
+    * a DataFrame/SQL query pushes down prunes files through the
+    * manifest's recorded per-file stats at scan-planning time, and
+    * the read itself is stock vectorized parquet inside whole-stage
+    * codegen, with the same predicates pushed further into footers and
+    * row groups. [[read]] is the plain snapshot scan (all files);
+    * `table` is what a catalog would hand a query engine. Pinned to
+    * the current snapshot at call time. */
+  def table(spark: SparkSession, root: String): DataFrame = {
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    require(snap.files.nonEmpty,
+      s"$root version ${snap.version} is an empty snapshot — nothing to read")
+    val index = new ManifestFileIndex(spark, root, snap)
+    val schema = spark.read
+      .parquet(new Path(dataDir(root), snap.files.head).toString).schema
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, new org.apache.spark.sql.types.StructType(), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(relation)
   }
 
   /** Garbage collection: drop all but the newest `keepVersions`

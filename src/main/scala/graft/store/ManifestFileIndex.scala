@@ -1,0 +1,122 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/** The manifest skip index wired into Spark's SCAN PLANNER — the
+  * public Delta architecture (a table-format [[FileIndex]] under
+  * `HadoopFsRelation`): Catalyst hands `listFiles` the pushed data
+  * filters at planning time, and the per-file [min, max] stats recorded
+  * in the manifest prune the file list BEFORE the scan exists. From
+  * there everything is stock Spark — `ParquetFileFormat` vectorized
+  * reads, whole-stage codegen, parquet footer/row-group pushdown of the
+  * same predicates — so ANY DataFrame/SQL query over
+  * [[Manifest.table]] skips files, not just the dedicated
+  * `readWhereBetween`/`readWhere` API.
+  *
+  * Pinned to one snapshot at construction (snapshot isolation, same as
+  * every other manifest read): `refresh()` is deliberately a no-op —
+  * re-resolve via a fresh [[Manifest.table]] call.
+  *
+  * Pruning is conservative by construction: only conjuncts of the
+  * shapes `col (=|<|<=|>|>=) literal`, null-safe equality, and `col IN
+  * (…)` over stat'd columns prune; anything else (casts, functions,
+  * ORs, unstat'd columns, type families [[Manifest.cmp]] cannot order)
+  * keeps the file. Correctness never depends on pruning — Spark
+  * re-applies every filter to the rows it reads. */
+final class ManifestFileIndex(
+    spark: SparkSession, root: String,
+    val snapshot: Manifest.Snapshot) extends FileIndex {
+
+  private val dataDirPath = new Path(s"$root/data")
+
+  // driver-side statuses for the pinned file list, resolved once
+  private val statuses: Map[String, FileStatus] = {
+    val fsys = dataDirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    snapshot.files.map(rel => rel -> fsys.getFileStatus(new Path(dataDirPath, rel))).toMap
+  }
+
+  override def rootPaths: Seq[Path] = Seq(dataDirPath)
+  override def partitionSchema: StructType = new StructType()
+  override def inputFiles: Array[String] =
+    snapshot.files.map(rel => new Path(dataDirPath, rel).toString).toArray
+  override def sizeInBytes: Long = statuses.valuesIterator.map(_.getLen).sum
+  override def refresh(): Unit = () // pinned snapshot — see scaladoc
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val conjuncts = dataFilters.flatMap(splitAnd)
+    val kept = snapshot.files.filter { f =>
+      conjuncts.forall(c => survives(f, c))
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(statuses).toArray))
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Catalyst-internal literal → the manifest stats value domain.
+    * None = a type we do not prune on (conservative). */
+  private def litValue(v: Any): Option[Any] = v match {
+    case null => None
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+    case n: java.lang.Number => Some(n)
+    case _ => None // booleans, binary, internal date/timestamp encodings
+  }
+
+  private def bounds(file: String, attr: String): Option[(Any, Any)] =
+    snapshot.stats.get(file).flatMap(_.get(attr))
+
+  /** Does `file` possibly contain rows satisfying the conjunct?
+    * Unrecognized shapes and incomparable type families answer true. */
+  private def survives(file: String, c: Expression): Boolean = {
+    def check(attr: String, f: ((Any, Any)) => Boolean): Boolean =
+      bounds(file, attr) match {
+        case Some(b) => try f(b) catch { case _: IllegalArgumentException => true }
+        case None => true // no stats for this column in this file
+      }
+    c match {
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        litValue(v).forall(x => check(a.name, { case (_, mx) => Manifest.cmp(mx, x) >= 0 }))
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        litValue(v).forall(x => check(a.name, { case (_, mx) => Manifest.cmp(mx, x) >= 0 }))
+      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+        litValue(v).forall(x => check(a.name, { case (_, mx) => Manifest.cmp(mx, x) > 0 }))
+      case LessThan(Literal(v, _), a: AttributeReference) =>
+        litValue(v).forall(x => check(a.name, { case (_, mx) => Manifest.cmp(mx, x) > 0 }))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        litValue(v).forall(x => check(a.name, { case (mn, _) => Manifest.cmp(mn, x) <= 0 }))
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        litValue(v).forall(x => check(a.name, { case (mn, _) => Manifest.cmp(mn, x) <= 0 }))
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        litValue(v).forall(x => check(a.name, { case (mn, _) => Manifest.cmp(mn, x) < 0 }))
+      case GreaterThan(Literal(v, _), a: AttributeReference) =>
+        litValue(v).forall(x => check(a.name, { case (mn, _) => Manifest.cmp(mn, x) < 0 }))
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        litValue(v).forall(x => check(a.name,
+          { case (mn, mx) => Manifest.cmp(mn, x) <= 0 && Manifest.cmp(mx, x) >= 0 }))
+      case EqualTo(Literal(v, _), a: AttributeReference) =>
+        litValue(v).forall(x => check(a.name,
+          { case (mn, mx) => Manifest.cmp(mn, x) <= 0 && Manifest.cmp(mx, x) >= 0 }))
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
+        litValue(v).forall(x => check(a.name,
+          { case (mn, mx) => Manifest.cmp(mn, x) <= 0 && Manifest.cmp(mx, x) >= 0 }))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        val xs = vs.collect { case Literal(v, _) => litValue(v) }
+        if (xs.exists(_.isEmpty)) true
+        else check(a.name, { case (mn, mx) =>
+          xs.flatten.exists(x => Manifest.cmp(mn, x) <= 0 && Manifest.cmp(mx, x) >= 0)
+        })
+      case _ => true
+    }
+  }
+}

@@ -173,6 +173,52 @@ class ManifestSpec extends SparkTestBase {
       .as[String].collect().sorted.toSeq == Seq("apple", "banana"))
   }
 
+  test("table: planner-integrated scan prunes files by manifest stats for any pushed filter") {
+    val root = newRoot("fidx")
+    Manifest.append(spark.range(0, 100).toDF("id").coalesce(1), root, statsCols = Seq("id"))
+    Manifest.append(spark.range(100, 200).toDF("id").coalesce(1), root, statsCols = Seq("id"))
+    Manifest.append(spark.range(200, 300).toDF("id").coalesce(1), root, statsCols = Seq("id"))
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // materialize so AQE finalizes and metrics fill
+      var plan = df.queryExecution.executedPlan
+      plan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          plan = a.executedPlan
+        case _ =>
+      }
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$plan")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+
+    val t = Manifest.table(spark, root)
+    // a BETWEEN through the ordinary DataFrame API prunes to one file
+    val mid = t.filter(col("id") >= 120L && col("id") <= 150L)
+    assert(scannedFiles(mid) == 1L)
+    assert(mid.as[Long].collect().sorted.toSeq == (120L to 150L))
+    // equality and IN prune too
+    assert(scannedFiles(t.filter(col("id") === 250L)) == 1L)
+    assert(scannedFiles(t.filter(col("id").isin(5L, 250L))) == 2L)
+    // SQL over a temp view rides the same index
+    t.createOrReplaceTempView("graft_fidx")
+    val viaSql = spark.sql("SELECT id FROM graft_fidx WHERE id > 220")
+    assert(scannedFiles(viaSql) == 1L)
+    assert(viaSql.as[Long].collect().sorted.toSeq == (221L to 299L))
+    // an unsupported predicate shape keeps every file — and stays correct
+    val odd = t.filter((col("id") % 100) === 50L)
+    assert(scannedFiles(odd) == 3L)
+    assert(odd.as[Long].collect().sorted.toSeq == Seq(50L, 150L, 250L))
+    // a stats-free append is conservatively scanned wherever it could match
+    Manifest.append(spark.range(400, 410).toDF("id").coalesce(1), root)
+    val t2 = Manifest.table(spark, root)
+    assert(scannedFiles(t2.filter(col("id") >= 120L && col("id") <= 150L)) == 2L)
+    assert(t2.filter(col("id") >= 120L && col("id") <= 150L)
+      .as[Long].collect().sorted.toSeq == (120L to 150L))
+  }
+
   test("optimistic commit loop: racing writers all land; raced same-txn replays commit exactly once") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
