@@ -913,5 +913,51 @@ trait BatteryStoreOps extends BatteryModels {
         AND o_totalprice > 100000.0
       GROUP BY 1 ORDER BY 1"""))
 
+  /** DELETION-VECTOR deletes
+    * ([[graft.store.Manifest.deleteWhereBetweenDv]] — the public Delta
+    * DV idea): two key slabs are deleted from a four-file stat'd
+    * layout WITHOUT rewriting a single data file (each commit is a
+    * side parquet of (file, row-index) pairs plus a metadata pointer),
+    * the table is read through the vector, then a range compaction
+    * APPLIES the vector and clears it — and the post-compaction
+    * aggregate must equal the same plain NOT-BETWEEN oracle, proving
+    * the vector's row accounting exactly once across its whole
+    * lifecycle (record → accumulate → serve reads → apply → clear). */
+  val q164 = Q("q164_manifest_dv",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q164").toString + "/orders_dv"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = hi / 4 + 1
+      (0L to 3L).foreach { qtr =>
+        Manifest.append(
+          orders.filter(col("o_orderkey") >= qtr * cut &&
+            col("o_orderkey") < (qtr + 1) * cut).coalesce(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      val before = Manifest.current(s, root).get.files
+      Manifest.deleteWhereBetweenDv(s, root, "o_orderkey", cut / 2, cut + cut / 2)
+      Manifest.deleteWhereBetweenDv(s, root, "o_orderkey", 3 * cut, 3 * cut + cut / 4)
+      require(Manifest.current(s, root).get.files == before,
+        "a DV delete must not rewrite data files")
+      Manifest.compact(s, root, rangeBy = Seq("o_orderkey"))
+      require(!Manifest.current(s, root).get.meta.contains(Manifest.DvKey),
+        "compaction must apply and clear the deletion vector")
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("status")
+    },
+    Some(s"""WITH cut AS (SELECT MAX(o_orderkey) // 4 + 1 AS c FROM orders)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM orders, cut
+      WHERE o_orderkey NOT BETWEEN c // 2 AND c + c // 2
+        AND o_orderkey NOT BETWEEN 3 * c AND 3 * c + c // 4
+      GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

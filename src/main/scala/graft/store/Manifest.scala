@@ -93,6 +93,14 @@ object Manifest {
     * every commit and ENFORCED on append (loud throw on drift). */
   val SchemaKey = "graft.schema"
 
+  /** Reserved metadata key: the current DELETION VECTOR's root-relative
+    * parquet path (columns `f` = manifest-relative data file, `ri` =
+    * row index within it). Absent = no outstanding deletions. Every
+    * reader goes through [[readSnapshot]] (or [[table]]'s wrap), which
+    * anti-joins the vector out; compaction APPLIES it (reads through
+    * the vector, publishes clean files, clears the pointer). */
+  val DvKey = "graft.dv"
+
   /** Order-insensitive (sorted by field name): parquet reads resolve
     * columns BY NAME per file, so appends that reorder columns are
     * legitimate; renames and retypes are not. Nullability-insensitive
@@ -235,12 +243,37 @@ object Manifest {
 
   /** Read a pinned snapshot — the isolation guarantee made usable: the
     * file list is fixed at resolve time, so later commits/compactions
-    * never change (or break) this frame until [[gc]] passes retention. */
+    * never change (or break) this frame until [[gc]] passes retention.
+    * The ONE reader choke point: the snapshot's deletion vector (if
+    * any) is anti-joined out here, so no path through the store can
+    * resurrect deleted rows. */
   def readSnapshot(spark: SparkSession, root: String, snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty,
       s"$root version ${snap.version} is an empty snapshot — nothing to read")
-    spark.read.parquet(snap.files.map(rel => new Path(dataDir(root), rel).toString): _*)
+    applyDv(spark, root, snap,
+      spark.read.parquet(snap.files.map(rel => new Path(dataDir(root), rel).toString): _*))
   }
+
+  /** The snapshot's deletion vector as a frame, when one is recorded. */
+  private def dvFrame(spark: SparkSession, root: String, snap: Snapshot): Option[DataFrame] =
+    snap.meta.get(DvKey).map(rel => spark.read.parquet(new Path(root, rel).toString))
+
+  /** Anti-join a FILE-SOURCE frame over this snapshot's files against
+    * its deletion vector (no-op without one). Requires `df` to still
+    * expose `_metadata` (i.e. be the raw scan, before any join). */
+  private def applyDv(spark: SparkSession, root: String, snap: Snapshot,
+      df: DataFrame): DataFrame =
+    dvFrame(spark, root, snap) match {
+      case None => df
+      case Some(dv) =>
+        import org.apache.spark.sql.functions.expr
+        df.withColumn("__graft_f",
+            expr("substring_index(_metadata.file_path, '/data/', -1)"))
+          .withColumn("__graft_ri", expr("_metadata.row_index"))
+          .join(dv.select(col("f").as("__graft_f"), col("ri").as("__graft_ri")),
+            Seq("__graft_f", "__graft_ri"), "left_anti")
+          .drop("__graft_f", "__graft_ri")
+    }
 
   /** Stage `df` as new immutable parquet files under data/; returns
     * their manifest-relative paths. */
@@ -540,7 +573,8 @@ object Manifest {
     * one, None when any predates row-count recording (fall back to a
     * scan). O(1) in data bytes; the public formats' numRecords idea. */
   def rowCount(snap: Snapshot): Option[Long] =
-    if (snap.files.forall(snap.rows.contains)) Some(snap.files.map(snap.rows).sum)
+    if (snap.meta.contains(DvKey)) None // footer counts include DV'd rows
+    else if (snap.files.forall(snap.rows.contains)) Some(snap.files.map(snap.rows).sum)
     else None
 
   /** count(*) of the current snapshot: metadata fast path, scan
@@ -562,6 +596,8 @@ object Manifest {
   def restore(spark: SparkSession, root: String, version: Long): Long = {
     val snapV = snapshot(spark, root, version)
     val f = fs(spark, root)
+    snapV.meta.get(DvKey).foreach(rel => require(f.exists(new Path(root, rel)),
+      s"$root: cannot restore version $version — gc already swept its deletion vector $rel"))
     val missing = snapV.files.filterNot(rel => f.exists(new Path(dataDir(root), rel)))
     require(missing.isEmpty,
       s"$root: cannot restore version $version — gc already swept ${missing.take(3)}" +
@@ -591,6 +627,9 @@ object Manifest {
   def changes(spark: SparkSession, root: String, sinceVersion: Long,
       to: Snapshot): DataFrame = {
     val old = snapshot(spark, root, sinceVersion)
+    require(old.meta.get(DvKey) == to.meta.get(DvKey),
+      s"$root: versions $sinceVersion..${to.version} are not append-only " +
+        "(a deletion-vector commit intervened) — re-read the full table and re-baseline")
     val curSet = to.files.toSet
     val rewritten = old.files.filterNot(curSet)
     require(rewritten.isEmpty,
@@ -663,8 +702,8 @@ object Manifest {
     val touchedSet = touched.toSet
     val rewritten =
       if (touched.isEmpty) batch
-      else spark.read.parquet(touched.map(rel =>
-          new Path(dataDir(root), rel).toString): _*)
+      else applyDv(spark, root, snap, spark.read.parquet(touched.map(rel =>
+          new Path(dataDir(root), rel).toString): _*))
         .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(batch)
     val staged = stage(rewritten, root)
@@ -690,8 +729,9 @@ object Manifest {
     val touched = prunedFiles(snap, colName, lo, hi)
     if (touched.isEmpty) return snap.version
     val touchedSet = touched.toSet
-    val survivors = spark.read.parquet(touched.map(rel =>
-        new Path(dataDir(root), rel).toString): _*)
+    val survivors = applyDv(spark, root, snap,
+        spark.read.parquet(touched.map(rel =>
+          new Path(dataDir(root), rel).toString): _*))
       .filter(!(col(colName) >= lit(lo) && col(colName) <= lit(hi)) ||
         col(colName).isNull)
     val staged = stage(survivors, root)
@@ -710,6 +750,52 @@ object Manifest {
       _.files.filterNot(touchedSet), stats,
       rows.filter(kv => kept.contains(kv._1)),
       requireVersion = Some(snap.version))._1
+  }
+
+  /** DELETE as a DELETION VECTOR — the public Delta DV idea: record
+    * the matching rows' (file, row index) pairs in a side parquet file
+    * and commit only a metadata pointer — ZERO data files rewritten,
+    * so at 1 GB files deleting 100 rows no longer rewrites a gigabyte
+    * ([[deleteWhereBetween]] is the rewrite form). Every reader
+    * anti-joins the vector out at the [[readSnapshot]] choke point;
+    * the next [[compact]]/[[compactClustered]] APPLIES it (they read
+    * through the vector) and clears the pointer. The trade, stated:
+    * reads pay one anti-join until that compaction, and
+    * [[rowCount]]/[[countRows]] fall back to a scan while a vector is
+    * outstanding. Candidate files are stats-pruned; vectors accumulate
+    * across deletes (entries for files later rewritten by
+    * upsert/delete are stale-but-harmless — the join is keyed by file
+    * — and are dropped at the next DV write). Same planned-parent
+    * concurrency contract as [[upsert]]. */
+  def deleteWhereBetweenDv(spark: SparkSession, root: String,
+      colName: String, lo: Any, hi: Any): Long = {
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val candidates = prunedFiles(snap, colName, lo, hi)
+    if (candidates.isEmpty) return snap.version
+    import org.apache.spark.sql.functions.expr
+    val cand = spark.read.parquet(candidates.map(rel =>
+        new Path(dataDir(root), rel).toString): _*)
+      .withColumn("__graft_f",
+        expr("substring_index(_metadata.file_path, '/data/', -1)"))
+      .withColumn("__graft_ri", expr("_metadata.row_index"))
+    val newDel = cand
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+      .select(col("__graft_f").as("f"), col("__graft_ri").as("ri"))
+    val liveFiles = snap.files.toSet
+    val combined = dvFrame(spark, root, snap) match {
+      case None => newDel
+      case Some(old) => // drop stale entries for files no longer live
+        old.filter(col("f").isInCollection(liveFiles)).unionByName(newDel)
+    }
+    val staged = combined.localCheckpoint()
+    try {
+      if (staged.isEmpty) return snap.version // nothing matched
+      val rel = s"dv/dv-${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      staged.coalesce(1).write.parquet(new Path(root, rel).toString)
+      publish(spark, root, Seq.empty, old => old + (DvKey -> rel), _.files,
+        requireVersion = Some(snap.version))._1
+    } finally { staged.unpersist(); () }
   }
 
   /** Reader-safe small-file compaction: read current, rewrite into
@@ -743,7 +829,9 @@ object Manifest {
       // column any pre-compaction file carried stats for
       val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
       val stats = fileStats(spark, root, kept, statCols)
-      publish(spark, root, kept, old => old,
+      // a clean rewrite APPLIES any outstanding deletion vector (the
+      // read above went through it) — clear the pointer
+      publish(spark, root, kept, old => old - DvKey,
         _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)))._1
     } finally { staged.unpersist(); () }
   }
@@ -774,7 +862,9 @@ object Manifest {
       val kept = withoutEmpty(stagedFiles, rows)
       val statCols = (snap.stats.values.flatMap(_.keys).toSeq ++ cols).distinct
       val stats = fileStats(spark, root, kept, statCols)
-      publish(spark, root, kept, old => old,
+      // a clean rewrite APPLIES any outstanding deletion vector (the
+      // read above went through it) — clear the pointer
+      publish(spark, root, kept, old => old - DvKey,
         _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)))._1
     } finally { staged.unpersist(); () }
   }
@@ -825,7 +915,9 @@ object Manifest {
       index, new org.apache.spark.sql.types.StructType(), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty[String, String])(spark)
-    spark.baseRelationToDataFrame(relation)
+    // outstanding deletion vector: same anti-join wrap as readSnapshot
+    // (the FileIndex prunes files underneath either way)
+    applyDv(spark, root, snap, spark.baseRelationToDataFrame(relation))
   }
 
   /** Garbage collection: drop all but the newest `keepVersions`
@@ -847,8 +939,15 @@ object Manifest {
     if (f.exists(manifestDir(root)))
       f.listStatus(manifestDir(root)).map(_.getPath)
         .filter(_.getName.startsWith("_tmp.")).foreach(f.delete(_, false))
-    val retained = versions(spark, root)
-      .flatMap(v => snapshot(spark, root, v).files).toSet
+    val retainedSnaps = versions(spark, root).map(v => snapshot(spark, root, v))
+    val retained = retainedSnaps.flatMap(_.files).toSet
+    // deletion vectors: keep every dv file a retained manifest points at
+    val retainedDv = retainedSnaps.flatMap(_.meta.get(DvKey)).toSet
+    val dvDir = new Path(root, "dv")
+    if (f.exists(dvDir))
+      f.listStatus(dvDir).foreach { st =>
+        if (!retainedDv.contains(s"dv/${st.getPath.getName}")) f.delete(st.getPath, true)
+      }
     val dd = dataDir(root)
     if (!f.exists(dd)) return Seq.empty
     val removed = scala.collection.mutable.ArrayBuffer[String]()

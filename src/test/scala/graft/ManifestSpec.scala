@@ -219,6 +219,60 @@ class ManifestSpec extends SparkTestBase {
       .as[Long].collect().sorted.toSeq == (120L to 150L))
   }
 
+  test("deletion vectors: delete without rewriting a file; every read path honors them; compaction applies and clears") {
+    val root = newRoot("dv")
+    (0 to 3).foreach(i => Manifest.append(
+      spark.range(i * 100L, i * 100L + 100).toDF("id").coalesce(1),
+      root, statsCols = Seq("id"))) // v0..v3
+    val filesBefore = Manifest.current(spark, root).get.files
+
+    // DV delete of a slab clipping two files: ZERO data files rewritten
+    Manifest.deleteWhereBetweenDv(spark, root, "id", 150L, 249L) // v4
+    val snap = Manifest.current(spark, root).get
+    assert(snap.files == filesBefore, "a DV delete must not touch the file list")
+    assert(snap.meta.contains(Manifest.DvKey))
+    def ids(): Seq[Long] = Manifest.read(spark, root).as[Long].collect().sorted.toSeq
+    assert(ids() == ((0L to 149L) ++ (250L to 399L)))
+    // the skip read and the planner-integrated table both honor the DV
+    assert(Manifest.readWhereBetween(spark, root, "id", 120L, 260L)
+      .as[Long].collect().sorted.toSeq == ((120L to 149L) ++ (250L to 260L)))
+    assert(Manifest.table(spark, root).filter(col("id").between(120L, 260L))
+      .as[Long].collect().sorted.toSeq == ((120L to 149L) ++ (250L to 260L)))
+    // metadata count is honestly unavailable while a DV is outstanding
+    assert(Manifest.rowCount(snap).isEmpty)
+    assert(Manifest.countRows(spark, root) == 300L)
+    // the change feed refuses to pretend a DV commit is append-only
+    val e = intercept[IllegalArgumentException] { Manifest.changesSince(spark, root, 3L) }
+    assert(e.getMessage.contains("deletion-vector"))
+
+    // vectors accumulate across deletes
+    Manifest.deleteWhereBetweenDv(spark, root, "id", 0L, 9L) // v5
+    assert(Manifest.countRows(spark, root) == 290L)
+
+    // a merge rewriting a DV'd file must not resurrect its deleted rows
+    Manifest.upsert(Seq(260L).toDF("id"), root, "id") // v6: rewrites file 2
+    assert(Manifest.countRows(spark, root) == 290L)
+    assert(ids() == ((10L to 149L) ++ (250L to 399L)))
+
+    // compaction reads through the vector, publishes clean, clears it
+    Manifest.compact(spark, root, targetBytes = 1L << 20, rangeBy = Seq("id")) // v7
+    val clean = Manifest.current(spark, root).get
+    assert(!clean.meta.contains(Manifest.DvKey), "compaction must clear the DV pointer")
+    assert(Manifest.rowCount(clean).contains(290L))
+    assert(ids() == ((10L to 149L) ++ (250L to 399L)))
+
+    // restore to pre-delete resurrects by design (rollback semantics)
+    Manifest.restore(spark, root, 3L) // v8
+    assert(Manifest.countRows(spark, root) == 400L)
+
+    // gc sweeps dv files no retained manifest points at
+    Manifest.gc(spark, root, keepVersions = 1)
+    val dvDir = new java.io.File(s"$root/dv")
+    assert(!dvDir.exists() || dvDir.listFiles().isEmpty,
+      s"orphaned dv files survived gc: ${Option(dvDir.listFiles()).map(_.toSeq)}")
+    assert(Manifest.countRows(spark, root) == 400L)
+  }
+
   test("optimistic commit loop: racing writers all land; raced same-txn replays commit exactly once") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
