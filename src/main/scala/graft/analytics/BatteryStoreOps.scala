@@ -796,7 +796,7 @@ trait BatteryStoreOps extends BatteryModels {
       import graft.store.Manifest
       Manifest.append(orders, root, statsCols = Seq("o_orderkey"))
       Manifest.compactClustered(s, root, Seq("o_custkey", "o_totalprice"),
-        targetBytes = 64 * 1024, curve = "hilbert")
+        targetBytes = 256 * 1024, curve = "hilbert")
       Manifest.readWhere(s, root,
         Seq(("o_custkey", 100L, 500L), ("o_totalprice", 50000.0, 150000.0)))
         .groupBy(col("o_orderstatus").as("status"))
