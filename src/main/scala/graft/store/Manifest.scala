@@ -266,11 +266,16 @@ object Manifest {
     dvFrame(spark, root, snap) match {
       case None => df
       case Some(dv) =>
-        import org.apache.spark.sql.functions.expr
+        import org.apache.spark.sql.functions.{broadcast, expr}
+        // the vector side must BROADCAST — a corpus-wide sort-merge
+        // anti-join for a few hundred deleted rows would be the scale
+        // bug; deletes large enough to overflow a broadcast belong to
+        // the rewrite form (deleteWhereBetween) or a compaction
         df.withColumn("__graft_f",
             expr("substring_index(_metadata.file_path, '/data/', -1)"))
           .withColumn("__graft_ri", expr("_metadata.row_index"))
-          .join(dv.select(col("f").as("__graft_f"), col("ri").as("__graft_ri")),
+          .join(broadcast(
+              dv.select(col("f").as("__graft_f"), col("ri").as("__graft_ri"))),
             Seq("__graft_f", "__graft_ri"), "left_anti")
           .drop("__graft_f", "__graft_ri")
     }
@@ -903,9 +908,19 @@ object Manifest {
     * row groups. [[read]] is the plain snapshot scan (all files);
     * `table` is what a catalog would hand a query engine. Pinned to
     * the current snapshot at call time. */
-  def table(spark: SparkSession, root: String): DataFrame = {
-    val snap = current(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"$root has no committed version"))
+  def table(spark: SparkSession, root: String): DataFrame =
+    tableSnapshot(spark, root, current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version")))
+
+  /** TIME-TRAVEL twin of [[table]]: the planner-integrated scan of a
+    * PAST version — skip pruning, vectorized reads, and that version's
+    * deletion vector all included. Valid while the version is within
+    * [[gc]] retention, like every pinned-snapshot read. */
+  def tableAsOf(spark: SparkSession, root: String, version: Long): DataFrame =
+    tableSnapshot(spark, root, snapshot(spark, root, version))
+
+  private def tableSnapshot(spark: SparkSession, root: String,
+      snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty,
       s"$root version ${snap.version} is an empty snapshot — nothing to read")
     val index = new ManifestFileIndex(spark, root, snap)

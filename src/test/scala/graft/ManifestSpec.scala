@@ -241,6 +241,16 @@ class ManifestSpec extends SparkTestBase {
     // metadata count is honestly unavailable while a DV is outstanding
     assert(Manifest.rowCount(snap).isEmpty)
     assert(Manifest.countRows(spark, root) == 300L)
+    // the vector side of the anti-join BROADCASTS — a corpus-wide
+    // sort-merge for a few hundred deleted rows would be the scale bug
+    val dvPlan = Manifest.read(spark, root).queryExecution.executedPlan.toString
+    assert(dvPlan.contains("BroadcastHashJoin") || dvPlan.contains("BroadcastNestedLoopJoin"),
+      s"DV anti-join must broadcast the vector:\n$dvPlan")
+    assert(!dvPlan.contains("SortMergeJoin"), "DV anti-join went sort-merge")
+    // time travel through the planner-integrated scan: v3 pre-dates the
+    // delete and reads the full table, v4 reads through the vector
+    assert(Manifest.tableAsOf(spark, root, 3L).count() == 400L)
+    assert(Manifest.tableAsOf(spark, root, 4L).count() == 300L)
     // the change feed refuses to pretend a DV commit is append-only
     val e = intercept[IllegalArgumentException] { Manifest.changesSince(spark, root, 3L) }
     assert(e.getMessage.contains("deletion-vector"))
