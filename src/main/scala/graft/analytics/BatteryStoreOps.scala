@@ -959,5 +959,51 @@ trait BatteryStoreOps extends BatteryModels {
         AND o_orderkey NOT BETWEEN 3 * c AND 3 * c + c // 4
       GROUP BY 1 ORDER BY 1"""))
 
+  /** ZERO-COPY shallow clone + copy-on-write divergence
+    * ([[graft.store.Manifest.shallowClone]] — the public Delta SHALLOW
+    * CLONE): orders are cloned without moving a byte (the clone's
+    * manifest references the source files absolutely), then a merge
+    * mutates THE CLONE ONLY (every key ≡ 0 (mod 97) re-statused and
+    * re-priced, rewriting just the touched files into the clone's own
+    * data dir). One hash covers both sides: the clone must show the
+    * merged state and the source must be bit-pristine — a
+    * copy-on-write leak in either direction mismatches. */
+  val q165 = Q("q165_manifest_clone",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q165").toString
+      val src = s"$base/orders_src"
+      val dst = s"$base/orders_clone"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      Manifest.append(orders.coalesce(4), src, statsCols = Seq("o_orderkey"))
+      Manifest.shallowClone(s, src, dst)
+      val updates = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("o_orderstatus", lit("U"))
+      Manifest.upsert(updates, dst, "o_orderkey")
+      def agg(df: DataFrame, part: String) = df
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("part", lit(part))
+      agg(Manifest.read(s, dst), "clone")
+        .unionByName(agg(Manifest.read(s, src), "source"))
+        .orderBy("part", "status")
+    },
+    Some(s"""WITH merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'U', o_totalprice + 1000.0 FROM orders
+        WHERE o_orderkey % 97 = 0)
+      SELECT 'clone' AS part, o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM merged GROUP BY 1, 2
+      UNION ALL
+      SELECT 'source', o_orderstatus, COUNT(*), ${dsumSql("o_totalprice")}
+      FROM orders GROUP BY 1, 2
+      ORDER BY part, status"""))
+
   /** All registered queries, in gate order. */
 }

@@ -254,6 +254,15 @@ object Manifest {
       spark.read.parquet(snap.files.map(rel => new Path(dataDir(root), rel).toString): _*))
   }
 
+  /** A snapshot file entry as the deletion vector's key domain: the
+    * data-dir-relative name `_metadata.file_path` extraction yields —
+    * absolute entries (shallow clones) are cut at their LAST "/data/";
+    * local-relative entries pass through. */
+  private def dvName(entry: String): String = {
+    val i = entry.lastIndexOf("/data/")
+    if (i < 0) entry else entry.substring(i + 6)
+  }
+
   /** The snapshot's deletion vector as a frame, when one is recorded. */
   private def dvFrame(spark: SparkSession, root: String, snap: Snapshot): Option[DataFrame] =
     snap.meta.get(DvKey).map(rel => spark.read.parquet(new Path(root, rel).toString))
@@ -695,7 +704,7 @@ object Manifest {
       else {
         import org.apache.spark.sql.functions.{input_file_name, substring_index}
         val byName = candidates.map(rel =>
-          rel.substring(rel.indexOf('/') + 1) -> rel).toMap
+          rel.substring(rel.lastIndexOf('/') + 1) -> rel).toMap
         spark.read.parquet(candidates.map(rel =>
             new Path(dataDir(root), rel).toString): _*)
           .select(col(keyCol),
@@ -787,7 +796,7 @@ object Manifest {
     val newDel = cand
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
       .select(col("__graft_f").as("f"), col("__graft_ri").as("ri"))
-    val liveFiles = snap.files.toSet
+    val liveFiles = snap.files.map(dvName).toSet
     val combined = dvFrame(spark, root, snap) match {
       case None => newDel
       case Some(old) => // drop stale entries for files no longer live
@@ -933,6 +942,37 @@ object Manifest {
     // outstanding deletion vector: same anti-join wrap as readSnapshot
     // (the FileIndex prunes files underneath either way)
     applyDv(spark, root, snap, spark.baseRelationToDataFrame(relation))
+  }
+
+  /** ZERO-COPY shallow clone — the public Delta SHALLOW CLONE: publish
+    * `dstRoot`'s first version as a manifest referencing the SOURCE's
+    * current data files by ABSOLUTE path. No data bytes move; stats,
+    * row counts, schema fingerprint, and any outstanding deletion
+    * vector carry over (the DV pointer is made absolute too). Every
+    * subsequent mutation is COPY-ON-WRITE into the clone's own data
+    * dir: appends stage locally, upsert/delete rewrite only their
+    * touched files locally (source untouched), and a [[compact]] fully
+    * materializes the clone, cutting the last tie to the source.
+    *
+    * The caveat is the public one, stated not hidden: [[gc]] on the
+    * SOURCE does not know about clones — sweeping a source version a
+    * clone still references breaks the clone. Keep clone lifetimes
+    * inside source retention, or compact the clone to materialize. */
+  def shallowClone(spark: SparkSession, srcRoot: String, dstRoot: String): Long = {
+    val snap = current(spark, srcRoot).getOrElse(
+      throw new IllegalArgumentException(s"$srcRoot has no committed version"))
+    require(current(spark, dstRoot).isEmpty,
+      s"$dstRoot already has a committed version — clone targets a fresh root")
+    def abs(rel: String): String = new Path(dataDir(srcRoot), rel).toString
+    val files = snap.files.map(abs)
+    val rename = snap.files.zip(files).toMap
+    val meta = snap.meta.get(DvKey) match {
+      case Some(dvRel) => snap.meta + (DvKey -> new Path(srcRoot, dvRel).toString)
+      case None => snap.meta
+    }
+    publish(spark, dstRoot, files, _ => meta, _ => Seq.empty,
+      snap.stats.map { case (k, v) => rename(k) -> v },
+      snap.rows.map { case (k, v) => rename(k) -> v })._1
   }
 
   /** Garbage collection: drop all but the newest `keepVersions`

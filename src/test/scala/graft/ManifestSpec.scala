@@ -283,6 +283,56 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.countRows(spark, root) == 400L)
   }
 
+  test("shallowClone: zero-copy clone reads the source; mutations are copy-on-write") {
+    val src = newRoot("clone_src")
+    val dst = newRoot("clone_dst")
+    (0 to 2).foreach(i => Manifest.append(
+      spark.range(i * 100L, i * 100L + 100).toDF("id").coalesce(1),
+      src, statsCols = Seq("id")))
+    Manifest.deleteWhereBetweenDv(spark, src, "id", 150L, 159L)
+    val srcVersion = Manifest.current(spark, src).get.version
+    def srcIds(): Seq[Long] = Manifest.read(spark, src).as[Long].collect().sorted.toSeq
+    val srcBefore = srcIds()
+
+    Manifest.shallowClone(spark, src, dst)
+    // zero copy: the clone owns no data bytes yet
+    val dstData = new java.io.File(s"$dst/data")
+    assert(!dstData.exists() || dstData.listFiles().isEmpty)
+    def dstIds(): Seq[Long] = Manifest.read(spark, dst).as[Long].collect().sorted.toSeq
+    assert(dstIds() == srcBefore, "clone must read exactly the source (incl. its DV)")
+    // the skip index carried over (absolute keys)
+    assert(Manifest.readWhereBetween(spark, dst, "id", 120L, 170L)
+      .as[Long].collect().sorted.toSeq == ((120L to 149L) ++ (160L to 170L)))
+
+    // copy-on-write: an upsert rewrites only its touched file, locally
+    Manifest.upsert(Seq(250L, 1000L).toDF("id"), dst, "id")
+    assert(dstData.exists() && dstData.listFiles().nonEmpty, "COW must write locally")
+    assert(dstIds() == (srcBefore.filterNot(_ == 250L) ++ Seq(250L, 1000L)).sorted)
+    // the source is untouched — same version, same rows
+    assert(Manifest.current(spark, src).get.version == srcVersion)
+    assert(srcIds() == srcBefore)
+    // schema enforcement carried through the clone
+    intercept[IllegalArgumentException] {
+      Manifest.append(Seq((1L, "x")).toDF("id", "extra"), dst)
+    }
+
+    // DV deletes on the CLONE accumulate across absolute + local files
+    Manifest.deleteWhereBetweenDv(spark, dst, "id", 0L, 9L)
+    Manifest.deleteWhereBetweenDv(spark, dst, "id", 20L, 29L)
+    assert(Manifest.countRows(spark, dst) == srcBefore.size + 1 - 20)
+    assert(srcIds() == srcBefore)
+
+    // compaction fully materializes: no entry references the source
+    Manifest.compact(spark, dst, targetBytes = 1L << 20, rangeBy = Seq("id"))
+    val clean = Manifest.current(spark, dst).get
+    assert(clean.files.forall(!_.contains(src)),
+      s"compacted clone still references the source: ${clean.files}")
+    assert(Manifest.countRows(spark, dst) == srcBefore.size + 1 - 20)
+    // with the tie cut, source gc can proceed without breaking the clone
+    Manifest.gc(spark, src, keepVersions = 1)
+    assert(Manifest.countRows(spark, dst) == srcBefore.size + 1 - 20)
+  }
+
   test("optimistic commit loop: racing writers all land; raced same-txn replays commit exactly once") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
