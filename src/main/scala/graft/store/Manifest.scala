@@ -84,7 +84,8 @@ object Manifest {
   final case class Snapshot(version: Long, files: Seq[String],
       meta: Map[String, String],
       stats: Map[String, Map[String, (Any, Any)]] = Map.empty,
-      rows: Map[String, Long] = Map.empty)
+      rows: Map[String, Long] = Map.empty,
+      bytes: Map[String, Long] = Map.empty)
 
   /** Reserved metadata key: the last committed transaction id per
     * writer, `graft.txn.<writerId> -> txnId` ([[appendOnce]]). */
@@ -146,7 +147,7 @@ object Manifest {
   }
   private def render(files: Seq[String], meta: Map[String, String],
       stats: Map[String, Map[String, (Any, Any)]],
-      rows: Map[String, Long]): String = {
+      rows: Map[String, Long], bytes: Map[String, Long]): String = {
     val base: List[(String, JValue)] = List(
       "files" -> JArray(files.map(JString(_)).toList),
       "meta" -> JObject(meta.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }))
@@ -162,10 +163,15 @@ object Manifest {
       else withStats :+ ("rows" -> (JObject(rows.toList.sortBy(_._1).map {
         case (f, n) => f -> (JLong(n): JValue)
       }): JValue))
-    JsonMethods.compact(JsonMethods.render(JObject(withRows)))
+    val withBytes =
+      if (bytes.isEmpty) withRows
+      else withRows :+ ("bytes" -> (JObject(bytes.toList.sortBy(_._1).map {
+        case (f, n) => f -> (JLong(n): JValue)
+      }): JValue))
+    JsonMethods.compact(JsonMethods.render(JObject(withBytes)))
   }
   private def parse(txt: String): (Seq[String], Map[String, String],
-      Map[String, Map[String, (Any, Any)]], Map[String, Long]) = {
+      Map[String, Map[String, (Any, Any)]], Map[String, Long], Map[String, Long]) = {
     val j = JsonMethods.parse(txt)
     val files = (j \ "files") match {
       case JArray(xs) => xs.collect { case JString(s) => s }
@@ -191,14 +197,14 @@ object Manifest {
       }.toMap
       case _ => Map.empty[String, Map[String, (Any, Any)]]
     }
-    val rows = (j \ "rows") match {
+    def longMap(key: String): Map[String, Long] = (j \ key) match {
       case JObject(fs) => fs.collect {
         case (f, JLong(n)) => f -> n
         case (f, JInt(n)) => f -> n.toLong
       }.toMap
       case _ => Map.empty[String, Long]
     }
-    (files, meta, stats, rows)
+    (files, meta, stats, longMap("rows"), longMap("bytes"))
   }
 
   /** Newest committed snapshot, or None for an empty/absent root. */
@@ -218,8 +224,8 @@ object Manifest {
     require(f.exists(p), s"no committed version $version under $root")
     val in = f.open(p)
     val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    val (files, meta, stats, rows) = parse(txt)
-    Snapshot(version, files, meta, stats, rows)
+    val (files, meta, stats, rows, bytes) = parse(txt)
+    Snapshot(version, files, meta, stats, rows, bytes)
   }
 
   /** All committed versions, ascending. */
@@ -332,7 +338,8 @@ object Manifest {
       newStats: Map[String, Map[String, (Any, Any)]] = Map.empty,
       newRows: Map[String, Long] = Map.empty,
       skipIf: Snapshot => Boolean = _ => false,
-      requireVersion: Option[Long] = None): (Long, Boolean) = {
+      requireVersion: Option[Long] = None,
+      newBytes: Map[String, Long] = Map.empty): (Long, Boolean) = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     var attempt = 0
@@ -357,12 +364,14 @@ object Manifest {
               .getOrElse(Map.empty)
             val inheritedRows = cur.map(s => s.rows.filter(kv => inherited.contains(kv._1)))
               .getOrElse(Map.empty)
+            val inheritedBytes = cur.map(s => s.bytes.filter(kv => inherited.contains(kv._1)))
+              .getOrElse(Map.empty)
             val meta = metaFn(cur.map(_.meta).getOrElse(Map.empty))
             val tmp = new Path(manifestDir(root),
               s"_tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
             val out = f.create(tmp, false)
             try out.write(render(files, meta, inheritedStats ++ newStats,
-              inheritedRows ++ newRows).getBytes("UTF-8"))
+              inheritedRows ++ newRows, inheritedBytes ++ newBytes).getBytes("UTF-8"))
             finally out.close()
             // rename = the atomic commit point; a false return (or the
             // exists pre-check, for a CROSS-process committer the lock
@@ -417,22 +426,26 @@ object Manifest {
       .filter(_._2.nonEmpty).toMap
   }
 
-  /** Per-file row counts from the parquet FOOTERS — driver-side
-    * metadata reads (parquet-hadoop is on Spark's classpath), no Spark
-    * job, so EVERY commit records counts and [[rowCount]] answers
-    * count(*) from the manifest alone. */
-  private def footerRows(spark: SparkSession, root: String,
-      staged: Seq[String]): Map[String, Long] = {
+  /** Per-file row counts AND byte sizes from the parquet FOOTERS —
+    * driver-side metadata reads (parquet-hadoop is on Spark's
+    * classpath), no Spark job, so EVERY commit records both:
+    * [[rowCount]] answers count(*) from the manifest alone, and
+    * [[ManifestFileIndex]] plans scans with ZERO per-file status RPCs
+    * (the public formats record sizes in the log for the same reason).
+    * Returns (rows, bytes). */
+  private def footerMeta(spark: SparkSession, root: String,
+      staged: Seq[String]): (Map[String, Long], Map[String, Long]) = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
-    staged.map { rel =>
+    val both = staged.map { rel =>
       val p = new Path(dataDir(root), rel)
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       val n = try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       finally rd.close()
-      rel -> n
-    }.toMap
+      (rel, n, in.getLength)
+    }
+    (both.map(t => t._1 -> t._2).toMap, both.map(t => t._1 -> t._3).toMap)
   }
 
   /** Drop the staged files the footers prove empty (Spark writes a
@@ -526,12 +539,13 @@ object Manifest {
     val fp = schemaFingerprint(df)
     if (enforceSchema) requireSchema(spark, root, fp)
     val staged = stage(df, root)
-    val rows = footerRows(spark, root, staged)
+    val (rows, bytesM) = footerMeta(spark, root, staged)
     val kept = withoutEmpty(staged, rows)
     val stats = fileStats(spark, root, kept, statsCols)
     val (v, committed) = publish(spark, root, kept,
       old => old ++ meta + (SchemaKey -> fp),
-      baseFiles, stats, rows.filter(kv => kept.contains(kv._1)), skipIf)
+      baseFiles, stats, rows.filter(kv => kept.contains(kv._1)), skipIf,
+      newBytes = bytesM.filter(kv => kept.contains(kv._1)))
     (v, committed, staged)
   }
 
@@ -617,7 +631,7 @@ object Manifest {
       s"$root: cannot restore version $version — gc already swept ${missing.take(3)}" +
         s"${if (missing.size > 3) s" (+${missing.size - 3} more)" else ""}")
     publish(spark, root, snapV.files, _ => snapV.meta, _ => Seq.empty,
-      snapV.stats, snapV.rows)._1
+      snapV.stats, snapV.rows, newBytes = snapV.bytes)._1
   }
 
   /** INCREMENTAL read: the rows appended strictly AFTER `sinceVersion`
@@ -721,14 +735,15 @@ object Manifest {
         .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(batch)
     val staged = stage(rewritten, root)
-    val rows = footerRows(spark, root, staged)
+    val (rows, bytesM) = footerMeta(spark, root, staged)
     val kept = withoutEmpty(staged, rows)
     val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
     val stats = fileStats(spark, root, kept, statCols)
     publish(spark, root, kept, old => old + (SchemaKey -> fp),
       _.files.filterNot(touchedSet), stats,
       rows.filter(kv => kept.contains(kv._1)),
-      requireVersion = Some(snap.version))._1
+      requireVersion = Some(snap.version),
+      newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
   }
 
   /** DELETE of a key range, file-pruned: only the files whose recorded
@@ -749,7 +764,7 @@ object Manifest {
       .filter(!(col(colName) >= lit(lo) && col(colName) <= lit(hi)) ||
         col(colName).isNull)
     val staged = stage(survivors, root)
-    val rows = footerRows(spark, root, staged)
+    val (rows, bytesM) = footerMeta(spark, root, staged)
     // unlike a commit of fresh data, an all-empty rewrite publishes NO
     // files here — the untouched remainder of the table still carries
     // the schema (and a fully-emptied table keeps its newest staged
@@ -763,7 +778,8 @@ object Manifest {
     publish(spark, root, kept, old => old,
       _.files.filterNot(touchedSet), stats,
       rows.filter(kv => kept.contains(kv._1)),
-      requireVersion = Some(snap.version))._1
+      requireVersion = Some(snap.version),
+      newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
   }
 
   /** DELETE as a DELETION VECTOR — the public Delta DV idea: record
@@ -837,7 +853,7 @@ object Manifest {
     val staged = repart.localCheckpoint()
     try {
       val stagedFiles = stage(staged, root)
-      val rows = footerRows(spark, root, stagedFiles)
+      val (rows, bytesM) = footerMeta(spark, root, stagedFiles)
       val kept = withoutEmpty(stagedFiles, rows)
       // the skip index survives compaction: recompute stats for every
       // column any pre-compaction file carried stats for
@@ -846,7 +862,8 @@ object Manifest {
       // a clean rewrite APPLIES any outstanding deletion vector (the
       // read above went through it) — clear the pointer
       publish(spark, root, kept, old => old - DvKey,
-        _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)))._1
+        _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)),
+        newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
     } finally { staged.unpersist(); () }
   }
 
@@ -872,14 +889,15 @@ object Manifest {
       target, bits, curve).localCheckpoint()
     try {
       val stagedFiles = stage(staged, root)
-      val rows = footerRows(spark, root, stagedFiles)
+      val (rows, bytesM) = footerMeta(spark, root, stagedFiles)
       val kept = withoutEmpty(stagedFiles, rows)
       val statCols = (snap.stats.values.flatMap(_.keys).toSeq ++ cols).distinct
       val stats = fileStats(spark, root, kept, statCols)
       // a clean rewrite APPLIES any outstanding deletion vector (the
       // read above went through it) — clear the pointer
       publish(spark, root, kept, old => old - DvKey,
-        _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)))._1
+        _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)),
+        newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
     } finally { staged.unpersist(); () }
   }
 
@@ -972,7 +990,8 @@ object Manifest {
     }
     publish(spark, dstRoot, files, _ => meta, _ => Seq.empty,
       snap.stats.map { case (k, v) => rename(k) -> v },
-      snap.rows.map { case (k, v) => rename(k) -> v })._1
+      snap.rows.map { case (k, v) => rename(k) -> v },
+      newBytes = snap.bytes.map { case (k, v) => rename(k) -> v })._1
   }
 
   /** Garbage collection: drop all but the newest `keepVersions`

@@ -36,11 +36,22 @@ final class ManifestFileIndex(
 
   private val dataDirPath = new Path(s"$root/data")
 
-  // driver-side statuses for the pinned file list, resolved once
-  private val statuses: Map[String, FileStatus] = {
-    val fsys = dataDirPath.getFileSystem(spark.sessionState.newHadoopConf())
-    snapshot.files.map(rel => rel -> fsys.getFileStatus(new Path(dataDirPath, rel))).toMap
-  }
+  // file statuses for the pinned list: built from the manifest's
+  // recorded byte sizes when every file carries one — ZERO per-file
+  // status RPCs at scan planning, the reason the public formats record
+  // sizes in their logs (modTime 0 is fine: Spark only consumes length
+  // + path here). Pre-size-recording tables fall back to getFileStatus.
+  private val statuses: Map[String, FileStatus] =
+    if (snapshot.files.forall(snapshot.bytes.contains))
+      snapshot.files.map { rel =>
+        rel -> new FileStatus(snapshot.bytes(rel), false, 1, 128L << 20, 0L,
+          new Path(dataDirPath, rel))
+      }.toMap
+    else {
+      val fsys = dataDirPath.getFileSystem(spark.sessionState.newHadoopConf())
+      snapshot.files.map(rel =>
+        rel -> fsys.getFileStatus(new Path(dataDirPath, rel))).toMap
+    }
 
   override def rootPaths: Seq[Path] = Seq(dataDirPath)
   override def partitionSchema: StructType = new StructType()

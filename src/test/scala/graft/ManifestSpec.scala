@@ -194,6 +194,12 @@ class ManifestSpec extends SparkTestBase {
       scans.map(_.metrics("numFiles").value).sum
     }
 
+    // every commit records byte sizes, so the FileIndex plans with
+    // ZERO per-file status RPCs (the zero-RPC branch engages)
+    val snapB = Manifest.current(spark, root).get
+    assert(snapB.files.forall(snapB.bytes.contains),
+      s"byte sizes missing: ${snapB.bytes.keys} of ${snapB.files}")
+
     val t = Manifest.table(spark, root)
     // a BETWEEN through the ordinary DataFrame API prunes to one file
     val mid = t.filter(col("id") >= 120L && col("id") <= 150L)
