@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   *  - full scan + filter (`Manifest.read(...).filter(...)`) — baseline
   *  - skip read (`readWhereBetween`) — files pruned by per-file stats
   *
-  * Reports files scanned and min-of-2 wall for each, and merges
-  * `x162_manifest_skip` into BENCH_SCALE.json:
-  * `{"full":s,"skip":s,"files_total":n,"files_scanned":n}`.
+  * Reports files scanned and min-of-2 wall for each, then measures the
+  * touched-files-only MERGE against a full rewrite (x163) and the
+  * three-probe lexicographic-vs-Hilbert 2-D layout comparison (x164).
+  * Merges `x162_manifest_skip`, `x163_manifest_upsert`, and
+  * `x164_manifest_zorder` into BENCH_SCALE.json.
   */
 object SkipBench {
 
