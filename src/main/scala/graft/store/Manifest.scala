@@ -102,6 +102,11 @@ object Manifest {
     * the vector, publishes clean files, clears the pointer). */
   val DvKey = "graft.dv"
 
+  /** Reserved metadata key: the OPERATION that produced each version —
+    * stamped fresh on every commit (it never merges forward), read
+    * back by [[history]], the public DESCRIBE HISTORY idea. */
+  val OpKey = "graft.op"
+
   /** Order-insensitive (sorted by field name): parquet reads resolve
     * columns BY NAME per file, so appends that reorder columns are
     * legitimate; renames and retypes are not. Nullability-insensitive
@@ -458,6 +463,70 @@ object Manifest {
     if (kept.nonEmpty) kept else staged.take(1)
   }
 
+  /** Reserved metadata key prefix: CHECK constraints,
+    * `graft.check.<name> -> <SQL predicate>` — the public formats'
+    * table constraints. Enforced on every data-adding commit
+    * ([[append]]/[[appendOnce]]/[[overwrite]]/[[upsert]]); a NULL
+    * predicate result counts as a violation (the Delta rule). */
+  val CheckKeyPrefix = "graft.check."
+
+  /** Register a CHECK constraint. The EXISTING table must already
+    * satisfy it (one validation scan; loud throw with the violation
+    * count otherwise) — a constraint that is born violated would make
+    * every future commit fail confusingly. */
+  def addCheck(spark: SparkSession, root: String, name: String,
+      predicateSql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be a simple token, got [$name]")
+    current(spark, root).foreach { snap =>
+      if (snap.files.nonEmpty) {
+        val bad = violations(readSnapshot(spark, root, snap),
+          Map(CheckKeyPrefix + name -> predicateSql)).head._2
+        require(bad == 0L,
+          s"$root: cannot add CHECK $name ($predicateSql) — " +
+            s"$bad existing rows violate it")
+      }
+    }
+    publish(spark, root, Seq.empty,
+      old => old + (CheckKeyPrefix + name -> predicateSql) +
+        (OpKey -> s"addCheck($name)"),
+      _.files)._1
+  }
+
+  /** Drop a CHECK constraint (no-op commit if absent). */
+  def dropCheck(spark: SparkSession, root: String, name: String): Long =
+    publish(spark, root, Seq.empty,
+      old => old - (CheckKeyPrefix + name) + (OpKey -> s"dropCheck($name)"),
+      _.files)._1
+
+  /** Violation counts per registered check over `df` — ONE aggregate
+    * pass for all constraints; NULL predicate results count as
+    * violations. */
+  private def violations(df: DataFrame,
+      checks: Map[String, String]): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.{expr, sum, when}
+    val ordered = checks.toSeq
+    val aggs = ordered.map { case (_, pred) =>
+      sum(when(!expr(pred) || expr(pred).isNull, 1L).otherwise(0L))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    ordered.zipWithIndex.map { case ((k, _), i) =>
+      k -> (if (row.isNullAt(i)) 0L else row.getLong(i)) // empty batch → null sum
+    }
+  }
+
+  /** Enforce every registered CHECK against a batch BEFORE staging. */
+  private def requireChecks(spark: SparkSession, root: String, df: DataFrame): Unit = {
+    val checks = current(spark, root)
+      .map(_.meta.filter(_._1.startsWith(CheckKeyPrefix))).getOrElse(Map.empty)
+    if (checks.isEmpty) return
+    violations(df, checks).foreach { case (k, bad) =>
+      require(bad == 0L,
+        s"$root: $bad batch rows violate CHECK ${k.stripPrefix(CheckKeyPrefix)} " +
+          s"(${checks(k)}) — commit refused")
+    }
+  }
+
   /** Schema enforcement (on by default for [[append]]/[[appendOnce]]):
     * an append whose batch schema drifts from the table's recorded
     * fingerprint throws BEFORE any commit — the public formats' schema
@@ -484,7 +553,7 @@ object Manifest {
       meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil): Long =
     commitStaged(df, root, meta, statsCols, _.files, enforceSchema = true,
-      skipIf = _ => false)._1
+      skipIf = _ => false, op = "append")._1
 
   /** Atomic table replace: stage, publish ONLY the new files. The
     * schema fingerprint is RE-recorded (overwrite is the intentional
@@ -493,7 +562,7 @@ object Manifest {
       meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil): Long =
     commitStaged(df, root, meta, statsCols, _ => Seq.empty, enforceSchema = false,
-      skipIf = _ => false)._1
+      skipIf = _ => false, op = "overwrite")._1
 
   /** EXACTLY-ONCE append — the public Delta `txn` idea, the idempotent
     * sink a streaming writer needs: `txnId` is the writer's
@@ -516,7 +585,7 @@ object Manifest {
     current(spark, root).filter(done).foreach(s => return (s.version, false))
     val (v, committed, staged) = commitStaged(df, root,
       meta + (txnKey(writerId) -> txnId.toString), statsCols, _.files,
-      enforceSchema = true, skipIf = done)
+      enforceSchema = true, skipIf = done, op = "appendOnce")
     // abandoned commit: sweep ONLY our own staged batch dir (another
     // writer's staged-but-uncommitted batch must survive; [[gc]] is the
     // backstop for crash debris)
@@ -534,16 +603,17 @@ object Manifest {
   private def commitStaged(df: DataFrame, root: String,
       meta: Map[String, String], statsCols: Seq[String],
       baseFiles: Snapshot => Seq[String], enforceSchema: Boolean,
-      skipIf: Snapshot => Boolean): (Long, Boolean, Seq[String]) = {
+      skipIf: Snapshot => Boolean, op: String): (Long, Boolean, Seq[String]) = {
     val spark = df.sparkSession
     val fp = schemaFingerprint(df)
     if (enforceSchema) requireSchema(spark, root, fp)
+    requireChecks(spark, root, df)
     val staged = stage(df, root)
     val (rows, bytesM) = footerMeta(spark, root, staged)
     val kept = withoutEmpty(staged, rows)
     val stats = fileStats(spark, root, kept, statsCols)
     val (v, committed) = publish(spark, root, kept,
-      old => old ++ meta + (SchemaKey -> fp),
+      old => old ++ meta + (SchemaKey -> fp) + (OpKey -> op),
       baseFiles, stats, rows.filter(kv => kept.contains(kv._1)), skipIf,
       newBytes = bytesM.filter(kv => kept.contains(kv._1)))
     (v, committed, staged)
@@ -630,7 +700,8 @@ object Manifest {
     require(missing.isEmpty,
       s"$root: cannot restore version $version — gc already swept ${missing.take(3)}" +
         s"${if (missing.size > 3) s" (+${missing.size - 3} more)" else ""}")
-    publish(spark, root, snapV.files, _ => snapV.meta, _ => Seq.empty,
+    publish(spark, root, snapV.files,
+      _ => snapV.meta + (OpKey -> s"restore($version)"), _ => Seq.empty,
       snapV.stats, snapV.rows, newBytes = snapV.bytes)._1
   }
 
@@ -703,6 +774,7 @@ object Manifest {
       throw new IllegalArgumentException(s"$root has no committed version"))
     val fp = schemaFingerprint(batch)
     requireSchema(spark, root, fp)
+    requireChecks(spark, root, batch)
     val dup = batch.groupBy(col(keyCol)).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -739,7 +811,7 @@ object Manifest {
     val kept = withoutEmpty(staged, rows)
     val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
     val stats = fileStats(spark, root, kept, statCols)
-    publish(spark, root, kept, old => old + (SchemaKey -> fp),
+    publish(spark, root, kept, old => old + (SchemaKey -> fp) + (OpKey -> "upsert"),
       _.files.filterNot(touchedSet), stats,
       rows.filter(kv => kept.contains(kv._1)),
       requireVersion = Some(snap.version),
@@ -775,7 +847,7 @@ object Manifest {
       else staged.take(1)
     val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
     val stats = fileStats(spark, root, kept, statCols)
-    publish(spark, root, kept, old => old,
+    publish(spark, root, kept, old => old + (OpKey -> "delete"),
       _.files.filterNot(touchedSet), stats,
       rows.filter(kv => kept.contains(kv._1)),
       requireVersion = Some(snap.version),
@@ -823,7 +895,8 @@ object Manifest {
       if (staged.isEmpty) return snap.version // nothing matched
       val rel = s"dv/dv-${java.util.UUID.randomUUID().toString.replace("-", "")}"
       staged.coalesce(1).write.parquet(new Path(root, rel).toString)
-      publish(spark, root, Seq.empty, old => old + (DvKey -> rel), _.files,
+      publish(spark, root, Seq.empty,
+        old => old + (DvKey -> rel) + (OpKey -> "deleteDv"), _.files,
         requireVersion = Some(snap.version))._1
     } finally { staged.unpersist(); () }
   }
@@ -861,7 +934,7 @@ object Manifest {
       val stats = fileStats(spark, root, kept, statCols)
       // a clean rewrite APPLIES any outstanding deletion vector (the
       // read above went through it) — clear the pointer
-      publish(spark, root, kept, old => old - DvKey,
+      publish(spark, root, kept, old => old - DvKey + (OpKey -> "compact"),
         _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)),
         newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
     } finally { staged.unpersist(); () }
@@ -895,7 +968,7 @@ object Manifest {
       val stats = fileStats(spark, root, kept, statCols)
       // a clean rewrite APPLIES any outstanding deletion vector (the
       // read above went through it) — clear the pointer
-      publish(spark, root, kept, old => old - DvKey,
+      publish(spark, root, kept, old => old - DvKey + (OpKey -> "compact"),
         _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)),
         newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
     } finally { staged.unpersist(); () }
@@ -962,6 +1035,27 @@ object Manifest {
     applyDv(spark, root, snap, spark.baseRelationToDataFrame(relation))
   }
 
+  /** The table's commit history as a frame — the public DESCRIBE
+    * HISTORY: one row per RETAINED version (gc trims the left edge),
+    * newest first, with the operation that produced it ([[OpKey]],
+    * stamped fresh per commit), file/row/byte totals from the
+    * manifest alone (no data scan; `n_rows` is null for versions
+    * predating row counts or carrying a deletion vector), and the
+    * schema fingerprint. Driver-side manifest reads only. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, root).map { v =>
+      val s = snapshot(spark, root, v)
+      (v, s.meta.getOrElse(OpKey, null), s.files.size.toLong,
+        rowCount(s).map(Long.box).orNull.asInstanceOf[java.lang.Long],
+        if (s.files.forall(s.bytes.contains)) Long.box(s.files.map(s.bytes).sum)
+        else null.asInstanceOf[java.lang.Long],
+        s.meta.contains(DvKey), s.meta.getOrElse(SchemaKey, null))
+    }.sortBy(-_._1)
+      .toDF("version", "operation", "n_files", "n_rows", "n_bytes",
+        "has_deletion_vector", "schema")
+  }
+
   /** ZERO-COPY shallow clone — the public Delta SHALLOW CLONE: publish
     * `dstRoot`'s first version as a manifest referencing the SOURCE's
     * current data files by ABSOLUTE path. No data bytes move; stats,
@@ -988,7 +1082,7 @@ object Manifest {
       case Some(dvRel) => snap.meta + (DvKey -> new Path(srcRoot, dvRel).toString)
       case None => snap.meta
     }
-    publish(spark, dstRoot, files, _ => meta, _ => Seq.empty,
+    publish(spark, dstRoot, files, _ => meta + (OpKey -> "clone"), _ => Seq.empty,
       snap.stats.map { case (k, v) => rename(k) -> v },
       snap.rows.map { case (k, v) => rename(k) -> v },
       newBytes = snap.bytes.map { case (k, v) => rename(k) -> v })._1

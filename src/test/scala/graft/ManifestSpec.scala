@@ -289,6 +289,68 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.countRows(spark, root) == 400L)
   }
 
+  test("history: one row per retained version with the producing operation, metadata-only") {
+    val root = newRoot("history")
+    Manifest.append(spark.range(0, 100).toDF("id").coalesce(1), root, statsCols = Seq("id"))
+    Manifest.append(spark.range(100, 200).toDF("id").coalesce(1), root, statsCols = Seq("id"))
+    Manifest.upsert(Seq(50L).toDF("id"), root, "id")
+    Manifest.deleteWhereBetweenDv(spark, root, "id", 150L, 159L)
+    Manifest.compact(spark, root, targetBytes = 1L << 20, rangeBy = Seq("id"))
+    Manifest.restore(spark, root, 1L)
+    val h = Manifest.history(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(5))).toSeq
+    assert(h.map(_._1) == Seq(5L, 4L, 3L, 2L, 1L, 0L), "newest first, all retained")
+    assert(h.map(_._2) == Seq("restore(1)", "compact", "deleteDv", "upsert",
+      "append", "append"))
+    // metadata-only row counts: null while the DV is outstanding (v3),
+    // concrete everywhere else
+    assert(h.find(_._1 == 3L).get._4.isEmpty)
+    assert(h.find(_._1 == 4L).get._4.contains(190L)) // compact applied the DV
+    assert(h.find(_._1 == 5L).get._4.contains(200L)) // restore(1): full table back
+    assert(h.map(_._5) == Seq(false, false, true, false, false, false))
+    // gc trims the left edge of history
+    Manifest.gc(spark, root, keepVersions = 2)
+    assert(Manifest.history(spark, root).collect().map(_.getLong(0)).toSeq == Seq(5L, 4L))
+  }
+
+  test("check constraints: enforced on every data-adding commit; null predicates violate") {
+    val root = newRoot("check")
+    Manifest.append(spark.range(0, 100).toDF("id").coalesce(1), root, statsCols = Seq("id"))
+    // a constraint the existing data violates is refused at birth
+    val born = intercept[IllegalArgumentException] {
+      Manifest.addCheck(spark, root, "small", "id < 50")
+    }
+    assert(born.getMessage.contains("existing rows violate"))
+    Manifest.addCheck(spark, root, "nonneg", "id >= 0")
+    val vBefore = Manifest.current(spark, root).get.version
+
+    // a violating append is refused BEFORE commit — version unchanged
+    val bad = intercept[IllegalArgumentException] {
+      Manifest.append(Seq(-5L, 200L).toDF("id"), root)
+    }
+    assert(bad.getMessage.contains("violate CHECK nonneg"))
+    assert(Manifest.current(spark, root).get.version == vBefore)
+    // a NULL predicate result is a violation (the public rule)
+    intercept[IllegalArgumentException] {
+      Manifest.append(Seq[Option[Long]](Some(1L), None).toDF("id"), root)
+    }
+    // valid data commits; the merge path enforces too
+    Manifest.append(Seq(200L).toDF("id"), root)
+    intercept[IllegalArgumentException] {
+      Manifest.upsert(Seq(-1L).toDF("id"), root, "id")
+    }
+    Manifest.upsert(Seq(300L).toDF("id"), root, "id")
+    // dropCheck lifts the rule
+    Manifest.dropCheck(spark, root, "nonneg")
+    Manifest.append(Seq(-5L).toDF("id"), root)
+    assert(Manifest.countRows(spark, root) == 103L)
+    // the lifecycle is visible in history
+    val ops = Manifest.history(spark, root).collect().map(_.getString(1)).toSeq
+    assert(ops.contains("addCheck(nonneg)") && ops.contains("dropCheck(nonneg)"))
+  }
+
   test("shallowClone: zero-copy clone reads the source; mutations are copy-on-write") {
     val src = newRoot("clone_src")
     val dst = newRoot("clone_dst")
@@ -611,7 +673,10 @@ class ManifestSpec extends SparkTestBase {
     assert(m0("graft.sig.family") == "perm")
     assert(m0("note") == "with \"quotes\" and \\slash")
     Manifest.compact(spark, root)
-    assert(Manifest.current(spark, root).get.meta == m0)
+    // user metadata survives wholesale; the operation stamp is the one
+    // key that is deliberately per-commit ("overwrite" → "compact")
+    assert(Manifest.current(spark, root).get.meta - Manifest.OpKey == m0 - Manifest.OpKey)
+    assert(Manifest.current(spark, root).get.meta(Manifest.OpKey) == "compact")
   }
 
   test("scd2ApplySplitAtomic: ≡ monolithic history; replay-safe; retro reject; reader never sees a mix") {
