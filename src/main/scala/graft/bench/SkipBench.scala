@@ -173,6 +173,20 @@ object SkipBench {
     val (secLex, secClus, secLexF, secClusF, _) = probe("second-slab", pSecond)
     val (boxLex, boxClus, boxLexF, boxClusF, _) = probe("square-box", pBox)
 
+    // x166: the PLANNER-INTEGRATED path — plain SQL over Manifest.table
+    // must prune like the dedicated readWhereBetween API (the FileIndex
+    // feeds the same stats to Catalyst at scan-planning time), at the
+    // same wall cost. Also times the zero-RPC planning resolve.
+    val (tableSec, nTable) = timeIt { () =>
+      Manifest.table(spark, root).createOrReplaceTempView("skipbench_orders")
+      spark.sql(
+        s"SELECT COUNT(*) FROM skipbench_orders WHERE o_orderkey BETWEEN $lo AND $up")
+        .head().getLong(0)
+    }
+    require(nTable == nFull, s"planner path diverged: $nTable vs $nFull rows")
+    System.err.println(f"[skipbench] planner-table SQL=$tableSec%.2fs " +
+      f"(vs skip API $skipSec%.2fs, full $fullSec%.2fs)")
+
     val jsonFile = java.nio.file.Paths.get("BENCH_SCALE.json")
     val existing: Map[String, String] = if (java.nio.file.Files.exists(jsonFile)) {
       val txt = new String(java.nio.file.Files.readAllBytes(jsonFile), "UTF-8")
@@ -184,6 +198,8 @@ object SkipBench {
         s"""{"full":${fmt(fullSec)},"skip":${fmt(skipSec)},"files_total":${snap.files.size},"files_scanned":$scanned,"count_scan":${fmt(scanCountSec)},"count_meta":${fmt(metaCountSec)}}""") +
       ("x163_manifest_upsert" ->
         s"""{"upsert_1file":${fmt(upsertSec)},"files_rewritten":$rewrittenFiles,"full_rewrite":${fmt(rewriteSec)},"batch_rows":$nBatch}""") +
+      ("x166_manifest_table_sql" ->
+        s"""{"sql":${fmt(tableSec)},"skip_api":${fmt(skipSec)},"full":${fmt(fullSec)}}""") +
       ("x164_manifest_zorder" ->
         s"""{"files_total":$total2d,"lead_lex_files":$leadLexF,"lead_hilbert_files":$leadClusF,"second_lex_files":$secLexF,"second_hilbert_files":$secClusF,"box_lex_files":$boxLexF,"box_hilbert_files":$boxClusF,"lead_lex":${fmt(leadLex)},"lead_hilbert":${fmt(leadClus)},"second_lex":${fmt(secLex)},"second_hilbert":${fmt(secClus)},"box_lex":${fmt(boxLex)},"box_hilbert":${fmt(boxClus)}}""")
     val json = merged.toSeq.sortBy(_._1)
