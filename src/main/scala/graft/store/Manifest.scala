@@ -905,6 +905,51 @@ object Manifest {
     * ~targetBytes files, publish as an overwrite carrying the same
     * metadata. Readers pinned to older snapshots keep their files
     * (until [[gc]]); new readers see the compacted snapshot. */
+  /** PARTIAL compaction — the 100 TB steady-state form: bin-pack ONLY
+    * the files smaller than `smallBytes` into ~targetBytes files and
+    * carry every large file by IDENTITY (stats, row counts, byte sizes
+    * untouched). [[compact]] rewrites the whole table — O(table) work
+    * a standing admit loop cannot pay every maintenance cycle; this is
+    * O(small files), which is what the loop actually produces. Uses
+    * the manifest's recorded byte sizes (no status RPCs; a
+    * pre-size-recording file counts as small once, getting it sized).
+    * The deletion vector is PRESERVED, not applied: entries for
+    * rewritten small files go stale-but-harmless (the rewrite read
+    * goes through the vector), entries for carried files are still
+    * load-bearing — only the full [[compact]] clears the pointer.
+    * Returns the new version, or the current one when fewer than two
+    * small files exist (nothing to pack). */
+  def compactSmall(spark: SparkSession, root: String,
+      smallBytes: Long = 8L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024,
+      rangeBy: Seq[String] = Nil): Long = {
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val small = snap.files.filter(f => snap.bytes.get(f).forall(_ < smallBytes))
+    if (small.size < 2) return snap.version
+    val smallSet = small.toSet
+    val df = applyDv(spark, root, snap, spark.read.parquet(
+      small.map(rel => new Path(dataDir(root), rel).toString): _*))
+    val bytes = small.flatMap(snap.bytes.get).sum.max(1L)
+    val target = ((bytes + targetBytes - 1) / targetBytes).max(1).min(1L << 20).toInt
+    val repart =
+      if (rangeBy.nonEmpty) df.repartitionByRange(target, rangeBy.map(col): _*)
+      else df.repartition(target)
+    val staged = repart.localCheckpoint()
+    try {
+      val stagedFiles = stage(staged, root)
+      val (rows, bytesM) = footerMeta(spark, root, stagedFiles)
+      val kept = withoutEmpty(stagedFiles, rows)
+      val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+      val stats = fileStats(spark, root, kept, statCols)
+      publish(spark, root, kept, old => old + (OpKey -> "compactSmall"),
+        _.files.filterNot(smallSet), stats,
+        rows.filter(kv => kept.contains(kv._1)),
+        requireVersion = Some(snap.version),
+        newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
+    } finally { staged.unpersist(); () }
+  }
+
   def compact(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024,
       rangeBy: Seq[String] = Nil): Long = {

@@ -315,6 +315,44 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.history(spark, root).collect().map(_.getLong(0)).toSeq == Seq(5L, 4L))
   }
 
+  test("compactSmall: bin-packs only small files; large files carried by identity; DV preserved") {
+    val root = newRoot("csmall")
+    Manifest.append(spark.range(0, 20000).toDF("id").coalesce(1), root,
+      statsCols = Seq("id")) // the one LARGE file
+    (0 until 6).foreach(i => Manifest.append(
+      spark.range(20000L + i * 100, 20000L + i * 100 + 100).toDF("id").coalesce(1),
+      root, statsCols = Seq("id"))) // six tiny files
+    val snap0 = Manifest.current(spark, root).get
+    val large = snap0.files.maxBy(snap0.bytes)
+    assert(snap0.bytes(large) > 32 * 1024, s"large file too small: ${snap0.bytes}")
+    // deletions in BOTH a carried file and a to-be-packed file
+    Manifest.deleteWhereBetweenDv(spark, root, "id", 100L, 109L)   // in large
+    Manifest.deleteWhereBetweenDv(spark, root, "id", 20050L, 20059L) // in small
+
+    Manifest.compactSmall(spark, root, smallBytes = 32 * 1024,
+      targetBytes = 1L << 20, rangeBy = Seq("id"))
+    val snap1 = Manifest.current(spark, root).get
+    // the large file is carried by IDENTITY — entry, stats, counts, bytes
+    assert(snap1.files.contains(large))
+    assert(snap1.stats(large) == snap0.stats(large))
+    assert(snap1.rows(large) == snap0.rows(large))
+    assert(snap1.bytes(large) == snap0.bytes(large))
+    // the six small files collapsed
+    assert(snap1.files.size < snap0.files.size)
+    assert(snap1.meta(Manifest.OpKey) == "compactSmall")
+    // the vector SURVIVES (large-file entries still load-bearing);
+    // small-file deletions are baked into the rewrite
+    assert(snap1.meta.contains(Manifest.DvKey))
+    def ids(): Seq[Long] = Manifest.read(spark, root).as[Long].collect().sorted.toSeq
+    val expect = ((0L until 20600L).filterNot(i =>
+      (i >= 100 && i <= 109) || (i >= 20050 && i <= 20059))).toSeq
+    assert(ids() == expect)
+    // only the FULL compact applies and clears the vector
+    Manifest.compact(spark, root, targetBytes = 1L << 20, rangeBy = Seq("id"))
+    assert(!Manifest.current(spark, root).get.meta.contains(Manifest.DvKey))
+    assert(ids() == expect)
+  }
+
   test("check constraints: enforced on every data-adding commit; null predicates violate") {
     val root = newRoot("check")
     Manifest.append(spark.range(0, 100).toDF("id").coalesce(1), root, statsCols = Seq("id"))
