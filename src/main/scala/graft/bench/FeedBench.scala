@@ -52,9 +52,12 @@ object FeedBench {
       require(stepped.nonEmpty, s"step $b mirrored nothing")
       val snap = Manifest.current(spark, dst).get
       maxFiles = math.max(maxFiles, snap.files.size)
-      // dst maintenance: compaction must not disturb the txn watermark
+      // dst maintenance: PARTIAL compaction (the steady-state tool —
+      // O(small files), large packed files carried by identity) must
+      // not disturb the txn watermark
       if (b % 10 == 9) {
-        Manifest.compact(spark, dst, rangeBy = Seq("o_orderkey"))
+        Manifest.compactSmall(spark, dst, smallBytes = 4L << 20,
+          targetBytes = 64L << 20, rangeBy = Seq("o_orderkey"))
         Manifest.gc(spark, dst, keepVersions = 1)
         System.err.println(f"[feed] batch $b: ${laps.last}%.2fs, " +
           f"${snap.files.size} files pre-compact")
