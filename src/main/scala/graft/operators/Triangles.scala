@@ -123,9 +123,11 @@ object Triangles {
     * convention), never an RNG: the same (k, seed) replays the same
     * sample in any engine — the battery oracle re-derives it in SQL —
     * and different seeds give independent estimates to average.
-    * `estimate` is exact integer arithmetic (no float variance path);
-    * k is capped so `k³` cannot overflow a Long against any physical
-    * triangle count. */
+    * `estimate` is exact integer arithmetic (no float variance path),
+    * computed in BigInt — at the k = 10⁶ cap, k³ alone is 10¹⁸, so
+    * Long multiplication would silently wrap for any sampled count
+    * ≥ 10; an estimate that genuinely exceeds Long.MaxValue throws
+    * loudly rather than wrapping. */
   /** The 1/k-sampled canonical edge set [[approxCountsRow]] counts on.
     * The sample predicate is a pure function of the canonical (u, v),
     * so it commutes with the dedup: filtering BEFORE the distinct
@@ -165,9 +167,13 @@ object Triangles {
       o.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
     val nE = sampled.count()
     val nT = tri.count()
+    val est = BigInt(nT) * BigInt(k).pow(3)
+    require(est.isValidLong,
+      s"approxCountsRow: estimate $est (n_triangles_sampled=$nT, k=$k) " +
+        "overflows Long — lower k for this graph")
     val spark = pairs.sparkSession
     import spark.implicits._
-    Seq((k.toLong, nE, nT, nT * k.toLong * k * k))
+    Seq((k.toLong, nE, nT, est.toLong))
       .toDF("k", "n_edges_sampled", "n_triangles_sampled", "estimate")
   }
 }

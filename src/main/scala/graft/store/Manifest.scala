@@ -80,12 +80,16 @@ object Manifest {
     * the Delta-style data-skipping index; absent entries mean "no
     * stats — never prune this file") + optional per-file row counts
     * (recorded by the same stats pass; [[rowCount]] answers count(*)
-    * from metadata when every file carries one). */
+    * from metadata when every file carries one). `chainLen` is the
+    * resolution bookkeeping of the incremental log (how many delta
+    * manifests sit between this version and its nearest full
+    * checkpoint) — in-memory only, never serialized. */
   final case class Snapshot(version: Long, files: Seq[String],
       meta: Map[String, String],
       stats: Map[String, Map[String, (Any, Any)]] = Map.empty,
       rows: Map[String, Long] = Map.empty,
-      bytes: Map[String, Long] = Map.empty)
+      bytes: Map[String, Long] = Map.empty,
+      chainLen: Int = 0)
 
   /** Reserved metadata key: the last committed transaction id per
     * writer, `graft.txn.<writerId> -> txnId` ([[appendOnce]]). */
@@ -122,6 +126,15 @@ object Manifest {
   private def dataDir(root: String) = new Path(root, "data")
   private def manifestPath(root: String, v: Long) =
     new Path(manifestDir(root), f"m$v%016d")
+  /** Checkpoint SIDECAR for a delta version: the fully-resolved
+    * snapshot of `v`, written by [[gc]] before it drops the older
+    * manifests the delta chains through. Readers try the sidecar first;
+    * the original delta stays in place purely as the version listing
+    * (the `m\d{16}` names drive [[versions]]/[[current]]). Immutable
+    * content (the resolved snapshot), so writing it is idempotent and
+    * a crash between sidecar write and manifest drops just re-runs. */
+  private def checkpointPath(root: String, v: Long) =
+    new Path(manifestDir(root), f"m$v%016d.cp")
 
   // --- manifest JSON via json4s (ships with Spark):
   // {"files":[...], "meta":{k:v}, "stats":{file:{col:{"lo":x,"hi":y}}}}
@@ -150,15 +163,11 @@ object Manifest {
     case JString(s) => Some(s)
     case _ => None // JNull (all-null file) → no stats → never pruned
   }
-  private def render(files: Seq[String], meta: Map[String, String],
-      stats: Map[String, Map[String, (Any, Any)]],
-      rows: Map[String, Long], bytes: Map[String, Long]): String = {
-    val base: List[(String, JValue)] = List(
-      "files" -> JArray(files.map(JString(_)).toList),
-      "meta" -> JObject(meta.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }))
+  private def perFileFields(stats: Map[String, Map[String, (Any, Any)]],
+      rows: Map[String, Long], bytes: Map[String, Long]): List[(String, JValue)] = {
     val withStats =
-      if (stats.isEmpty) base
-      else base :+ ("stats" -> (JObject(stats.toList.sortBy(_._1).map { case (f, cols) =>
+      if (stats.isEmpty) Nil
+      else List("stats" -> (JObject(stats.toList.sortBy(_._1).map { case (f, cols) =>
         f -> (JObject(cols.toList.sortBy(_._1).map { case (c, (lo, hi)) =>
           c -> (JObject("lo" -> statJson(lo), "hi" -> statJson(hi)): JValue)
         }): JValue)
@@ -168,15 +177,48 @@ object Manifest {
       else withStats :+ ("rows" -> (JObject(rows.toList.sortBy(_._1).map {
         case (f, n) => f -> (JLong(n): JValue)
       }): JValue))
-    val withBytes =
-      if (bytes.isEmpty) withRows
-      else withRows :+ ("bytes" -> (JObject(bytes.toList.sortBy(_._1).map {
-        case (f, n) => f -> (JLong(n): JValue)
-      }): JValue))
-    JsonMethods.compact(JsonMethods.render(JObject(withBytes)))
+    if (bytes.isEmpty) withRows
+    else withRows :+ ("bytes" -> (JObject(bytes.toList.sortBy(_._1).map {
+      case (f, n) => f -> (JLong(n): JValue)
+    }): JValue))
   }
-  private def parse(txt: String): (Seq[String], Map[String, String],
-      Map[String, Map[String, (Any, Any)]], Map[String, Long], Map[String, Long]) = {
+  private def render(files: Seq[String], meta: Map[String, String],
+      stats: Map[String, Map[String, (Any, Any)]],
+      rows: Map[String, Long], bytes: Map[String, Long]): String = {
+    val base: List[(String, JValue)] = List(
+      "files" -> JArray(files.map(JString(_)).toList),
+      "meta" -> JObject(meta.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }))
+    JsonMethods.compact(JsonMethods.render(JObject(
+      base ++ perFileFields(stats, rows, bytes))))
+  }
+  /** A DELTA manifest: `base` (the parent version), files added and
+    * removed relative to it, the FULL new metadata map (small), and
+    * stats/rows/bytes for the ADDED files only — O(batch) JSON per
+    * commit instead of O(table), the incremental-log half of the public
+    * Delta log + checkpoint design. */
+  private def renderDelta(base: Long, add: Seq[String], remove: Seq[String],
+      meta: Map[String, String], stats: Map[String, Map[String, (Any, Any)]],
+      rows: Map[String, Long], bytes: Map[String, Long]): String = {
+    val head: List[(String, JValue)] = List(
+      "base" -> JLong(base),
+      "add" -> JArray(add.map(JString(_)).toList),
+      "remove" -> JArray(remove.map(JString(_)).toList),
+      "meta" -> JObject(meta.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }))
+    JsonMethods.compact(JsonMethods.render(JObject(
+      head ++ perFileFields(stats, rows, bytes))))
+  }
+
+  /** A parsed manifest document: full (checkpoint) or delta. */
+  private sealed trait Doc
+  private final case class FullDoc(files: Seq[String], meta: Map[String, String],
+      stats: Map[String, Map[String, (Any, Any)]],
+      rows: Map[String, Long], bytes: Map[String, Long]) extends Doc
+  private final case class DeltaDoc(base: Long, add: Seq[String],
+      remove: Seq[String], meta: Map[String, String],
+      stats: Map[String, Map[String, (Any, Any)]],
+      rows: Map[String, Long], bytes: Map[String, Long]) extends Doc
+
+  private def parse(txt: String): Doc = {
     val j = JsonMethods.parse(txt)
     val files = (j \ "files") match {
       case JArray(xs) => xs.collect { case JString(s) => s }
@@ -209,7 +251,17 @@ object Manifest {
       }.toMap
       case _ => Map.empty[String, Long]
     }
-    (files, meta, stats, longMap("rows"), longMap("bytes"))
+    def strList(key: String): Seq[String] = (j \ key) match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Seq.empty
+    }
+    (j \ "base") match {
+      case JLong(b) => DeltaDoc(b, strList("add"), strList("remove"),
+        meta, stats, longMap("rows"), longMap("bytes"))
+      case JInt(b) => DeltaDoc(b.toLong, strList("add"), strList("remove"),
+        meta, stats, longMap("rows"), longMap("bytes"))
+      case _ => FullDoc(files, meta, stats, longMap("rows"), longMap("bytes"))
+    }
   }
 
   /** Newest committed snapshot, or None for an empty/absent root. */
@@ -222,15 +274,58 @@ object Manifest {
     if (versions.isEmpty) None else Some(snapshot(spark, root, versions.max))
   }
 
-  /** A specific committed snapshot (time travel). */
+  /** How many consecutive delta manifests may chain before [[publish]]
+    * forces a full checkpoint — bounds resolution depth (a cold
+    * [[snapshot]] read walks at most this many documents) while keeping
+    * 15 of every 16 commits O(batch) in JSON bytes. Bench-visible knob
+    * ([[graft.bench]]): 1 = every manifest full, the pre-incremental
+    * behavior, the A/B baseline. */
+  @volatile private[graft] var checkpointEvery: Int = 16
+
+  /** Resolved snapshots are immutable per (root, version) — a tiny
+    * driver cache turns chain walks and the repeated `current()` reads
+    * inside commit loops into map hits. Bounded crudely (clear at cap):
+    * entries can carry 10⁵-file lists, so the cap stays small. */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Snapshot]()
+  private[graft] def clearSnapshotCache(): Unit = snapCache.clear()
+
+  /** A specific committed snapshot (time travel). Delta manifests
+    * resolve against their base chain (depth ≤ [[checkpointEvery]]);
+    * a [[gc]]-written checkpoint sidecar short-circuits the walk. */
   def snapshot(spark: SparkSession, root: String, version: Long): Snapshot = {
     val f = fs(spark, root)
-    val p = manifestPath(root, version)
-    require(f.exists(p), s"no committed version $version under $root")
-    val in = f.open(p)
-    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    val (files, meta, stats, rows, bytes) = parse(txt)
-    Snapshot(version, files, meta, stats, rows, bytes)
+    val cp = checkpointPath(root, version)
+    val m = manifestPath(root, version)
+    // existence is checked even on a cache hit — a gc'd-away version
+    // must reject at resolve (one FS stat; the chain walk is what the
+    // cache saves)
+    val cpExists = f.exists(cp)
+    require(cpExists || f.exists(m), s"no committed version $version under $root")
+    val cached = snapCache.get((root, version))
+    if (cached != null) return cached
+    def readDoc(p: Path): Doc = {
+      val in = f.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      parse(txt)
+    }
+    val doc: Doc = if (cpExists) readDoc(cp) else readDoc(m)
+    val snap = doc match {
+      case FullDoc(files, meta, stats, rows, bytes) =>
+        Snapshot(version, files, meta, stats, rows, bytes, chainLen = 0)
+      case DeltaDoc(base, add, remove, meta, stats, rows, bytes) =>
+        val parent = snapshot(spark, root, base)
+        val removed = remove.toSet
+        Snapshot(version,
+          parent.files.filterNot(removed) ++ add, meta,
+          (parent.stats -- removed) ++ stats,
+          (parent.rows -- removed) ++ rows,
+          (parent.bytes -- removed) ++ bytes,
+          chainLen = parent.chainLen + 1)
+    }
+    if (snapCache.size >= 32) snapCache.clear()
+    snapCache.put((root, version), snap)
+    snap
   }
 
   /** All committed versions, ascending. */
@@ -364,19 +459,41 @@ object Manifest {
           case None =>
             val v = cur.map(_.version + 1).getOrElse(0L)
             val inherited = cur.map(baseFiles).getOrElse(Seq.empty)
-            val files = inherited ++ newFiles
-            val inheritedStats = cur.map(s => s.stats.filter(kv => inherited.contains(kv._1)))
-              .getOrElse(Map.empty)
-            val inheritedRows = cur.map(s => s.rows.filter(kv => inherited.contains(kv._1)))
-              .getOrElse(Map.empty)
-            val inheritedBytes = cur.map(s => s.bytes.filter(kv => inherited.contains(kv._1)))
-              .getOrElse(Map.empty)
+            // set-filter, never Seq.contains: that would be O(files^2)
+            // string compares per commit attempt — the kind of driver
+            // cost that curves at 100 TB file counts
+            val inheritedSet = inherited.toSet
+            val removeList = cur.map(_.files.filterNot(inheritedSet)).getOrElse(Seq.empty)
             val meta = metaFn(cur.map(_.meta).getOrElse(Map.empty))
+            // INCREMENTAL LOG: when the change is small relative to the
+            // table and the parent's chain is shorter than
+            // [[checkpointEvery]], write a DELTA manifest — O(batch)
+            // JSON bytes per commit. Full checkpoints bound resolution
+            // depth and absorb file-rewriting commits (overwrite /
+            // compact / restore produce deltas as large as the full
+            // list, so they fall through to full automatically).
+            val nFiles = inherited.size + newFiles.size
+            val useDelta = cur.exists(_.chainLen + 1 < checkpointEvery) &&
+              (newFiles.size + removeList.size) * 2 < nFiles
+            val json =
+              if (useDelta)
+                renderDelta(cur.get.version, newFiles, removeList, meta,
+                  newStats, newRows, newBytes)
+              else {
+                val files = inherited ++ newFiles
+                val inheritedStats = cur.map(s => s.stats.filter(kv => inheritedSet(kv._1)))
+                  .getOrElse(Map.empty)
+                val inheritedRows = cur.map(s => s.rows.filter(kv => inheritedSet(kv._1)))
+                  .getOrElse(Map.empty)
+                val inheritedBytes = cur.map(s => s.bytes.filter(kv => inheritedSet(kv._1)))
+                  .getOrElse(Map.empty)
+                render(files, meta, inheritedStats ++ newStats,
+                  inheritedRows ++ newRows, inheritedBytes ++ newBytes)
+              }
             val tmp = new Path(manifestDir(root),
               s"_tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
             val out = f.create(tmp, false)
-            try out.write(render(files, meta, inheritedStats ++ newStats,
-              inheritedRows ++ newRows, inheritedBytes ++ newBytes).getBytes("UTF-8"))
+            try out.write(json.getBytes("UTF-8"))
             finally out.close()
             // rename = the atomic commit point; a false return (or the
             // exists pre-check, for a CROSS-process committer the lock
@@ -623,13 +740,32 @@ object Manifest {
     * family: integral (Long/Int/...), fractional (Double/Float),
     * decimals, strings. Cross-family numeric compares go through
     * BigDecimal (a Long bound vs a Double probe must not fall back to
-    * string order). */
-  private[store] def cmp(a: Any, b: Any): Int = (a, b) match {
+    * string order).
+    *
+    * Temporal values (java.sql.Date/Timestamp probes from a caller, or
+    * java.time values Spark's collect may surface) normalize to the SAME
+    * canonical text [[statJson]] stored their bounds as — those ISO-ish
+    * forms are order-preserving lexically: dates are fixed-width
+    * yyyy-MM-dd, and a timestamp's variable-length decimal fraction
+    * still compares correctly digit-by-digit (a shorter fraction that is
+    * a prefix of a longer one is the smaller value). Without this,
+    * date-range probes against date-stat'd files threw in the
+    * (String, Date) match — data skipping unusable on the single most
+    * common skip column family. */
+  private def temporalText(v: Any): Any = v match {
+    case d: java.sql.Date => String.valueOf(d)
+    case t: java.sql.Timestamp => String.valueOf(t)
+    case d: java.time.LocalDate => String.valueOf(java.sql.Date.valueOf(d))
+    case t: java.time.LocalDateTime => String.valueOf(java.sql.Timestamp.valueOf(t))
+    case t: java.time.Instant => String.valueOf(java.sql.Timestamp.from(t))
+    case other => other
+  }
+  private[store] def cmp(a0: Any, b0: Any): Int = (temporalText(a0), temporalText(b0)) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: String, y: String) => x.compareTo(y)
     case (x: Number, y: Number) =>
       new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString))
-    case _ => throw new IllegalArgumentException(
+    case (a, b) => throw new IllegalArgumentException(
       s"manifest stats: cannot order ${a.getClass.getName} against ${b.getClass.getName}")
   }
 
@@ -1134,24 +1270,69 @@ object Manifest {
   }
 
   /** Garbage collection: drop all but the newest `keepVersions`
-    * manifests, then delete every data file referenced by NO retained
-    * manifest (this also sweeps crash orphans — staged-but-never-
-    * committed batch dirs and unrenamed manifest tmps). Manifests are
-    * deleted FIRST so a reader resolving after gc starts can never pin
-    * a snapshot whose files are about to vanish; readers pinned BEFORE
-    * gc to an expired snapshot are the documented retention trade
-    * (the public formats' VACUUM caveat). Returns deleted data paths. */
-  def gc(spark: SparkSession, root: String, keepVersions: Int = 2): Seq[String] = {
+    * manifests, then delete expired data files. Two deletion regimes,
+    * because a file referenced by NO manifest at all is
+    * INDISTINGUISHABLE from a concurrent writer's staged-but-not-yet-
+    * committed batch ([[stage]] runs outside the commit lock — sweeping
+    * it would let the writer's manifest commit referencing missing
+    * files, a corrupt table):
+    *  - files the EXPIRED (dropped) manifests referenced are committed
+    *    history past retention — deleted unconditionally;
+    *  - files referenced by no manifest (crash orphans OR in-flight
+    *    stages) are deleted only once older than `orphanMinAgeMs` —
+    *    the public VACUUM modification-time rule. A crashed writer's
+    *    debris ages into eligibility; a live writer commits long before
+    *    the window closes (a single stage+publish is seconds). Same
+    *    valve for unrenamed manifest tmps and unreferenced dv files.
+    *
+    * Manifests are deleted FIRST so a reader resolving after gc starts
+    * can never pin a snapshot whose files are about to vanish; readers
+    * pinned BEFORE gc to an expired snapshot are the documented
+    * retention trade (the public formats' VACUUM caveat). Returns
+    * deleted data paths. */
+  def gc(spark: SparkSession, root: String, keepVersions: Int = 2,
+      orphanMinAgeMs: Long = 10L * 60 * 1000): Seq[String] = {
     require(keepVersions >= 1, "gc must retain at least the current version")
     val f = fs(spark, root)
     val all = versions(spark, root)
     if (all.isEmpty) return Seq.empty
     val dropped = all.dropRight(keepVersions)
-    dropped.foreach(v => f.delete(manifestPath(root, v), false))
-    // unrenamed manifest tmps are crash debris by definition
+    // resolve the expired snapshots BEFORE unlinking their manifests —
+    // afterwards "expired history" and "orphan" are indistinguishable
+    val droppedSnaps = dropped.map(v => snapshot(spark, root, v))
+    val droppedRefs = droppedSnaps.flatMap(_.files).toSet
+    val droppedDv = droppedSnaps.flatMap(_.meta.get(DvKey)).toSet
+    val cutoff = System.currentTimeMillis() - orphanMinAgeMs
+    // incremental log: if the oldest RETAINED version is a delta, its
+    // resolution chains through manifests about to be dropped — write
+    // its fully-resolved CHECKPOINT SIDECAR first (idempotent: content
+    // is the immutable resolved snapshot; rename-if-absent arbitrates).
+    // Every newer retained version's chain stops there too (bases are
+    // contiguous v → v-1). A crash between sidecar write and the drops
+    // below just re-runs.
+    if (dropped.nonEmpty) {
+      val oldestRetained = all.takeRight(keepVersions).head
+      val snap = snapshot(spark, root, oldestRetained)
+      if (snap.chainLen > 0) {
+        val tmp = new Path(manifestDir(root),
+          s"_tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
+        val out = f.create(tmp, false)
+        try out.write(render(snap.files, snap.meta, snap.stats, snap.rows,
+          snap.bytes).getBytes("UTF-8"))
+        finally out.close()
+        val cp = checkpointPath(root, oldestRetained)
+        if (f.exists(cp) || !f.rename(tmp, cp)) f.delete(tmp, false)
+      }
+    }
+    dropped.foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(checkpointPath(root, v), false)
+    }
     if (f.exists(manifestDir(root)))
-      f.listStatus(manifestDir(root)).map(_.getPath)
-        .filter(_.getName.startsWith("_tmp.")).foreach(f.delete(_, false))
+      f.listStatus(manifestDir(root))
+        .filter(st => st.getPath.getName.startsWith("_tmp.") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => f.delete(st.getPath, false))
     val retainedSnaps = versions(spark, root).map(v => snapshot(spark, root, v))
     val retained = retainedSnaps.flatMap(_.files).toSet
     // deletion vectors: keep every dv file a retained manifest points at
@@ -1159,7 +1340,10 @@ object Manifest {
     val dvDir = new Path(root, "dv")
     if (f.exists(dvDir))
       f.listStatus(dvDir).foreach { st =>
-        if (!retainedDv.contains(s"dv/${st.getPath.getName}")) f.delete(st.getPath, true)
+        val rel = s"dv/${st.getPath.getName}"
+        if (!retainedDv.contains(rel) &&
+            (droppedDv.contains(rel) || st.getModificationTime < cutoff))
+          f.delete(st.getPath, true)
       }
     val dd = dataDir(root)
     if (!f.exists(dd)) return Seq.empty
@@ -1170,7 +1354,8 @@ object Manifest {
         val rel = s"$batch/${st.getPath.getName}"
         val isData = st.getPath.getName.endsWith(".parquet") &&
           !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
-        if (!isData || !retained.contains(rel)) {
+        if (!retained.contains(rel) &&
+            (droppedRefs.contains(rel) || st.getModificationTime < cutoff)) {
           f.delete(st.getPath, false)
           if (isData) removed += rel
         }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
 
@@ -24,12 +24,15 @@ import org.apache.spark.sql.types.StructType
   * every other manifest read): `refresh()` is deliberately a no-op —
   * re-resolve via a fresh [[Manifest.table]] call.
   *
-  * Pruning is conservative by construction: only conjuncts of the
-  * shapes `col (=|<|<=|>|>=) literal`, null-safe equality, and `col IN
-  * (…)` over stat'd columns prune; anything else (casts, functions,
-  * ORs, unstat'd columns, type families [[Manifest.cmp]] cannot order)
-  * keeps the file. Correctness never depends on pruning — Spark
-  * re-applies every filter to the rows it reads. */
+  * Pruning is conservative by construction: conjuncts of the shapes
+  * `col (=|<|<=|>|>=) literal`, null-safe equality, `col IN (…)`, and
+  * any OR-tree of those shapes over stat'd columns prune (a file
+  * survives an OR iff some disjunct might match it — the union of the
+  * disjuncts' file sets); anything else (casts, functions, NOT,
+  * unstat'd columns, type families [[Manifest.cmp]] cannot order)
+  * keeps the file. Date/timestamp literals prune via their canonical
+  * text forms. Correctness never depends on pruning — Spark re-applies
+  * every filter to the rows it reads. */
 final class ManifestFileIndex(
     spark: SparkSession, root: String,
     val snapshot: Manifest.Snapshot) extends FileIndex {
@@ -74,14 +77,27 @@ final class ManifestFileIndex(
     case other => Seq(other)
   }
 
-  /** Catalyst-internal literal → the manifest stats value domain.
-    * None = a type we do not prune on (conservative). */
-  private def litValue(v: Any): Option[Any] = v match {
-    case null => None
-    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
-    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
-    case n: java.lang.Number => Some(n)
-    case _ => None // booleans, binary, internal date/timestamp encodings
+  /** Catalyst-internal literal → the manifest stats value domain; a
+    * non-match means "a type we do not prune on" and the enclosing
+    * conjunct falls through to the conservative `case _ => true`.
+    * DATE/TIMESTAMP literals (internal days/micros encodings) convert to
+    * the same canonical java.sql text [[Manifest.cmp]] orders temporal
+    * stat bounds in — so date-slab SQL over [[Manifest.table]] prunes,
+    * the primary data-skipping shape. */
+  private object Lit {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    def unapply(e: Expression): Option[Any] = e match {
+      case Literal(null, _) => None
+      case Literal(days: Int, DateType) =>
+        Some(String.valueOf(DateTimeUtils.toJavaDate(days)))
+      case Literal(micros: Long, TimestampType) =>
+        Some(String.valueOf(DateTimeUtils.toJavaTimestamp(micros)))
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => Some(s.toString)
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) => Some(d.toJavaBigDecimal)
+      case Literal(n: java.lang.Number, _) => Some(n)
+      case _ => None // booleans, binary, NTZ/interval encodings
+    }
   }
 
   private def bounds(file: String, attr: String): Option[(Any, Any)] =
@@ -96,37 +112,43 @@ final class ManifestFileIndex(
         case None => true // no stats for this column in this file
       }
     c match {
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-        litValue(v).forall(x => check(a.name, { case (_, mx) => Manifest.cmp(mx, x) >= 0 }))
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        litValue(v).forall(x => check(a.name, { case (_, mx) => Manifest.cmp(mx, x) >= 0 }))
-      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
-        litValue(v).forall(x => check(a.name, { case (_, mx) => Manifest.cmp(mx, x) > 0 }))
-      case LessThan(Literal(v, _), a: AttributeReference) =>
-        litValue(v).forall(x => check(a.name, { case (_, mx) => Manifest.cmp(mx, x) > 0 }))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-        litValue(v).forall(x => check(a.name, { case (mn, _) => Manifest.cmp(mn, x) <= 0 }))
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        litValue(v).forall(x => check(a.name, { case (mn, _) => Manifest.cmp(mn, x) <= 0 }))
-      case LessThan(a: AttributeReference, Literal(v, _)) =>
-        litValue(v).forall(x => check(a.name, { case (mn, _) => Manifest.cmp(mn, x) < 0 }))
-      case GreaterThan(Literal(v, _), a: AttributeReference) =>
-        litValue(v).forall(x => check(a.name, { case (mn, _) => Manifest.cmp(mn, x) < 0 }))
-      case EqualTo(a: AttributeReference, Literal(v, _)) =>
-        litValue(v).forall(x => check(a.name,
-          { case (mn, mx) => Manifest.cmp(mn, x) <= 0 && Manifest.cmp(mx, x) >= 0 }))
-      case EqualTo(Literal(v, _), a: AttributeReference) =>
-        litValue(v).forall(x => check(a.name,
-          { case (mn, mx) => Manifest.cmp(mn, x) <= 0 && Manifest.cmp(mx, x) >= 0 }))
-      case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
-        litValue(v).forall(x => check(a.name,
-          { case (mn, mx) => Manifest.cmp(mn, x) <= 0 && Manifest.cmp(mx, x) >= 0 }))
+      case GreaterThanOrEqual(a: AttributeReference, Lit(x)) =>
+        check(a.name, { case (_, mx) => Manifest.cmp(mx, x) >= 0 })
+      case LessThanOrEqual(Lit(x), a: AttributeReference) =>
+        check(a.name, { case (_, mx) => Manifest.cmp(mx, x) >= 0 })
+      case GreaterThan(a: AttributeReference, Lit(x)) =>
+        check(a.name, { case (_, mx) => Manifest.cmp(mx, x) > 0 })
+      case LessThan(Lit(x), a: AttributeReference) =>
+        check(a.name, { case (_, mx) => Manifest.cmp(mx, x) > 0 })
+      case LessThanOrEqual(a: AttributeReference, Lit(x)) =>
+        check(a.name, { case (mn, _) => Manifest.cmp(mn, x) <= 0 })
+      case GreaterThanOrEqual(Lit(x), a: AttributeReference) =>
+        check(a.name, { case (mn, _) => Manifest.cmp(mn, x) <= 0 })
+      case LessThan(a: AttributeReference, Lit(x)) =>
+        check(a.name, { case (mn, _) => Manifest.cmp(mn, x) < 0 })
+      case GreaterThan(Lit(x), a: AttributeReference) =>
+        check(a.name, { case (mn, _) => Manifest.cmp(mn, x) < 0 })
+      case EqualTo(a: AttributeReference, Lit(x)) =>
+        check(a.name,
+          { case (mn, mx) => Manifest.cmp(mn, x) <= 0 && Manifest.cmp(mx, x) >= 0 })
+      case EqualTo(Lit(x), a: AttributeReference) =>
+        check(a.name,
+          { case (mn, mx) => Manifest.cmp(mn, x) <= 0 && Manifest.cmp(mx, x) >= 0 })
+      case EqualNullSafe(a: AttributeReference, Lit(x)) =>
+        check(a.name,
+          { case (mn, mx) => Manifest.cmp(mn, x) <= 0 && Manifest.cmp(mx, x) >= 0 })
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        val xs = vs.collect { case Literal(v, _) => litValue(v) }
+        val xs = vs.map { case l: Literal => Lit.unapply(l) }
         if (xs.exists(_.isEmpty)) true
         else check(a.name, { case (mn, mx) =>
           xs.flatten.exists(x => Manifest.cmp(mn, x) <= 0 && Manifest.cmp(mx, x) >= 0)
         })
+      // OR of prunable shapes (the common date-slab disjunction): a file
+      // survives iff SOME disjunct might match it — each side is itself
+      // conservative (unrecognized shapes answer true), so the union
+      // never over-prunes. `a BETWEEN x AND y OR a BETWEEN p AND q`
+      // scans exactly the union of the two ranges' file sets.
+      case Or(l, r) => survives(file, l) || survives(file, r)
       case _ => true
     }
   }

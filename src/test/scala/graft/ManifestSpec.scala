@@ -64,8 +64,19 @@ class ManifestSpec extends SparkTestBase {
     assert(pinned.as[(Long, String)].collect().toSet == before)
     assert(Manifest.read(spark, root).count() == 2)
 
-    // gc sweeps the crash orphans (and the expired snapshot's files)
+    // a DEFAULT gc must NOT sweep the fresh unreferenced batch — it is
+    // indistinguishable from a concurrent writer's staged-but-not-yet-
+    // committed files (stage runs outside the commit lock); only age
+    // proves it crash debris. The expired v0 files ARE swept (they were
+    // referenced by a dropped manifest — provably history, not a stage).
     Manifest.gc(spark, root, keepVersions = 1)
+    assert(new java.io.File(s"$root/data/bdeadbeefcrash").exists(),
+      "young unreferenced files must survive default gc (in-flight stage)")
+    assert(tmpManifest.exists())
+    assert(Manifest.versions(spark, root) == Seq(1L))
+
+    // past the orphan age window the same debris is swept
+    Manifest.gc(spark, root, keepVersions = 1, orphanMinAgeMs = 0L)
     assert(!new java.io.File(s"$root/data/bdeadbeefcrash").exists())
     assert(!tmpManifest.exists())
     assert(Manifest.read(spark, root).count() == 2) // survivor intact
@@ -830,5 +841,97 @@ class ManifestSpec extends SparkTestBase {
       "maintenance should keep file sprawl bounded")
     val total = Manifest.read(spark, hashedRoot).count()
     assert(total == 3 + 21, s"expected all fillers admitted, got $total")
+  }
+
+  test("incremental log: small commits write O(batch) deltas, checkpoints bound the chain, resolution is exact") {
+    val root = newRoot("deltalog")
+    val want = scala.collection.mutable.ArrayBuffer[Long]()
+    (0 until 40).foreach { i =>
+      Manifest.append(
+        spark.range(i * 10L, i * 10L + 10).toDF("id").coalesce(1),
+        root, statsCols = Seq("id"))
+      want ++= (i * 10L until i * 10L + 10)
+    }
+    // chain shape: chains bounded by checkpointEvery, almost every
+    // commit a delta (fulls only at bootstrap — where a delta would not
+    // be materially smaller — and at the forced 16-commit checkpoints),
+    // chain length stepping +1 per delta and resetting at checkpoints
+    val lens = (0L until 40L).map(v => Manifest.snapshot(spark, root, v).chainLen)
+    assert(lens.forall(_ < 16), s"chain must stay bounded: $lens")
+    assert(lens.count(_ == 0) <= 4, s"most commits must be deltas: $lens")
+    lens.sliding(2).foreach { case Seq(p, n) =>
+      assert(n == p + 1 || n == 0, s"chain steps +1 or checkpoints: $lens")
+    }
+    // delta manifests are O(batch) on disk: the newest delta (1 added
+    // file) must be far smaller than the last full checkpoint (full
+    // file list + stats)
+    def manifestBytes(v: Long) =
+      new java.io.File(f"$root/manifest/m$v%016d").length()
+    val lastFull = lens.zipWithIndex.filter(_._1 == 0).map(_._2).max.toLong
+    assert(lens(39).toInt != 0)
+    assert(manifestBytes(39L) * 4 < manifestBytes(lastFull),
+      s"delta v39 ${manifestBytes(39L)}B vs checkpoint v$lastFull ${manifestBytes(lastFull)}B")
+    // resolution is exact across the whole history: content, row
+    // counts, data skipping all answer through the reconstructed chain
+    assert(Manifest.read(spark, root).as[Long].collect().sorted.toSeq == want.sorted.toSeq)
+    assert(Manifest.countRows(spark, root) == 400L)
+    assert(Manifest.readWhereBetween(spark, root, "id", 100L, 109L)
+      .as[Long].collect().sorted.toSeq == (100L to 109L))
+    val snap = Manifest.current(spark, root).get
+    assert(Manifest.prunedFiles(snap, "id", 100L, 109L).size == 1,
+      "skip index must stay sharp through delta resolution")
+    // time travel into the middle of a chain
+    assert(Manifest.readSnapshot(spark, root, Manifest.snapshot(spark, root, 20L))
+      .count() == 210L)
+    // equivalence: the same commits with checkpointEvery=1 (every
+    // manifest full — the pre-incremental format) resolve to the same
+    // table and the same per-file metadata
+    val twin = newRoot("deltalog_full")
+    Manifest.checkpointEvery = 1
+    try {
+      (0 until 40).foreach { i =>
+        Manifest.append(
+          spark.range(i * 10L, i * 10L + 10).toDF("id").coalesce(1),
+          twin, statsCols = Seq("id"))
+      }
+    } finally Manifest.checkpointEvery = 16
+    val a = Manifest.current(spark, root).get
+    val b = Manifest.current(spark, twin).get
+    assert(a.files.size == b.files.size)
+    assert(a.rows.values.toSeq.sorted == b.rows.values.toSeq.sorted)
+    assert(Manifest.read(spark, twin).as[Long].collect().sorted.toSeq ==
+      want.sorted.toSeq)
+  }
+
+  test("incremental log: gc writes the checkpoint sidecar before dropping a retained delta's chain") {
+    val root = newRoot("deltagc")
+    (0 until 10).foreach(i => Manifest.append(
+      spark.range(i * 5L, i * 5L + 5).toDF("id").coalesce(1), root,
+      statsCols = Seq("id")))
+    // v9 is a delta deep in a chain; gc to keepVersions=1 must leave it
+    // fully readable with every older manifest gone
+    assert(Manifest.snapshot(spark, root, 9L).chainLen == 8)
+    Manifest.gc(spark, root, keepVersions = 1)
+    assert(Manifest.versions(spark, root) == Seq(9L))
+    assert(new java.io.File(f"$root/manifest/m${9L}%016d.cp").exists(),
+      "gc must checkpoint the oldest retained delta")
+    Manifest.clearSnapshotCache() // force a cold resolve through the sidecar
+    assert(Manifest.snapshot(spark, root, 9L).chainLen == 0,
+      "sidecar resolution is checkpoint-direct")
+    assert(Manifest.read(spark, root).as[Long].collect().sorted.toSeq ==
+      (0L until 50L))
+    assert(Manifest.countRows(spark, root) == 50L)
+    // the table keeps working: more deltas on top of the sidecar'd
+    // version, another gc, content intact
+    Manifest.append(spark.range(50L, 55L).toDF("id").coalesce(1), root,
+      statsCols = Seq("id"))
+    Manifest.gc(spark, root, keepVersions = 1)
+    Manifest.clearSnapshotCache()
+    assert(Manifest.read(spark, root).as[Long].collect().sorted.toSeq ==
+      (0L until 55L))
+    // file-rewriting ops still publish full manifests mid-chain
+    Manifest.compact(spark, root, rangeBy = Seq("id"))
+    assert(Manifest.current(spark, root).get.chainLen == 0,
+      "compact is a full checkpoint by construction")
   }
 }
