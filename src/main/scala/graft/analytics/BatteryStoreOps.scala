@@ -1005,5 +1005,132 @@ trait BatteryStoreOps extends BatteryModels {
       FROM orders GROUP BY 1, 2
       ORDER BY part, status"""))
 
+  /** SCHEMA EVOLUTION on the manifest store
+    * ([[graft.store.Manifest.appendMerge]] — the public mergeSchema
+    * append): a table born with three order columns evolves twice
+    * live — a batch ARRIVES with a new `o_orderstatus` column (old
+    * files read it as NULL through the recorded merged schema), then
+    * a batch OMITS `o_totalprice` (staged as typed NULLs) — and the
+    * final aggregate must see exactly the union-with-NULL-padding
+    * table. The oracle replays the three slices with explicit NULL
+    * casts. NULL-safe aggregation: counts of the evolved column prove
+    * the backfill is real NULLs, not defaults. */
+  val q166 = Q("q166_manifest_evolution",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q166").toString + "/orders_ev"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"), root)
+      Manifest.appendMerge(orders.filter(col("o_orderkey") % 3 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"), root)
+      Manifest.appendMerge(orders.filter(col("o_orderkey") % 3 === 2)
+        .select("o_orderkey", "o_custkey", "o_orderstatus"), root)
+      Manifest.read(s, root)
+        .groupBy(coalesce(col("o_orderstatus"), lit("_pre_evolution_"))
+          .as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("o_totalprice")).as("n_priced"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_price"))
+        .orderBy("status")
+    },
+    Some(s"""WITH ev AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 1
+        UNION ALL
+        SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE), o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 2)
+      SELECT COALESCE(o_orderstatus, '_pre_evolution_') AS status,
+        COUNT(*) AS n_orders, COUNT(o_totalprice) AS n_priced,
+        ${dsumSql("COALESCE(o_totalprice, 0.0)")} AS total_price
+      FROM ev GROUP BY 1 ORDER BY 1"""))
+
+  /** OR-OF-RANGES DATA SKIPPING through the planner-integrated scan
+    * ([[graft.store.ManifestFileIndex]]): the table is range-compacted
+    * on the key so files carry tight [min, max] slabs, then plain SQL
+    * with a two-slab OR filter runs over [[graft.store.Manifest.table]]
+    * — the FileIndex scans only the union of the two slabs' file sets
+    * (pinned by the ManifestSpec scan-metric matrix; here the oracle
+    * pins the ANSWER). A third NOT-quite-prunable predicate rides
+    * along to prove conservatism never costs correctness. */
+  val q167 = Q("q167_manifest_or_skip",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q167").toString + "/orders_or"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      Manifest.append(orders, root, statsCols = Seq("o_orderkey"))
+      Manifest.compact(s, root, targetBytes = 256L * 1024,
+        rangeBy = Seq("o_orderkey"))
+      val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = hi / 10 + 1
+      Manifest.table(s, root).createOrReplaceTempView("graft_q167_orders")
+      s.sql(s"""
+        SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+          ${dsumSql("o_totalprice")} AS total_price
+        FROM graft_q167_orders
+        WHERE (o_orderkey BETWEEN $cut AND ${2 * cut}
+               OR o_orderkey BETWEEN ${7 * cut} AND ${8 * cut})
+          AND o_orderkey % 2 = 1
+        GROUP BY 1 ORDER BY 1""")
+    },
+    Some(s"""WITH cut AS (SELECT MAX(o_orderkey) // 10 + 1 AS c FROM orders)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM orders, cut
+      WHERE (o_orderkey BETWEEN c AND 2 * c
+             OR o_orderkey BETWEEN 7 * c AND 8 * c)
+        AND o_orderkey % 2 = 1
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** DV-AWARE METADATA count(*)
+    * ([[graft.store.Manifest.rowCount]] + [[graft.store.Manifest.DvRowsKey]]):
+    * two overlapping deletion-vector deletes land (the overlap
+    * re-derives duplicate (file, row) pairs — the vector dedups, so
+    * the recorded live count stays exact), then the metadata-only
+    * count — no data scan — is surfaced AS A COLUMN next to per-status
+    * scan aggregates; the oracle recomputes both from the delete
+    * semantics. A mismatch between the metadata path and the scan path
+    * hash-fails. */
+  val q168 = Q("q168_manifest_dv_count",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q168").toString + "/orders_dvc"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = hi / 4 + 1
+      (0L to 3L).foreach { qtr =>
+        Manifest.append(
+          orders.filter(col("o_orderkey") >= qtr * cut &&
+            col("o_orderkey") < (qtr + 1) * cut).coalesce(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      Manifest.deleteWhereBetweenDv(s, root, "o_orderkey", cut / 2, cut + cut / 2)
+      Manifest.deleteWhereBetweenDv(s, root, "o_orderkey", cut, 2 * cut)
+      val metaCount = Manifest.rowCount(Manifest.current(s, root).get)
+        .getOrElse(sys.error("metadata count must be available under a DV"))
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("n_live_meta", lit(metaCount))
+        .orderBy("status")
+    },
+    Some(s"""WITH cut AS (SELECT MAX(o_orderkey) // 4 + 1 AS c FROM orders),
+      live AS (
+        SELECT * FROM orders, cut
+        WHERE NOT (o_orderkey BETWEEN c // 2 AND c + c // 2)
+          AND NOT (o_orderkey BETWEEN c AND 2 * c))
+      SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price,
+        (SELECT COUNT(*) FROM live) AS n_live_meta
+      FROM live GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

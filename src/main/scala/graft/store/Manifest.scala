@@ -73,6 +73,67 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * PROTOCOL is correct on any FS with atomic no-overwrite rename
   * (HDFS, most object-store committers' rename emulation layers).
   */
+/** A read-modify-write commit (upsert / delete / partial compact) found
+  * a different current version than the snapshot it planned against —
+  * committing anyway could resurrect rows a concurrent commit
+  * re-materialized. Retryable by construction: re-plan against the new
+  * snapshot ([[Manifest.upsert]] and friends do so automatically, a
+  * bounded number of times). */
+final class ConcurrentCommitException(msg: String)
+  extends IllegalStateException(msg)
+
+/** Cross-PROCESS commit arbitration — the public Delta LogStore idea,
+  * pluggable per filesystem. The in-JVM per-root lock in [[Manifest]]
+  * serializes same-driver writers; this trait closes the remaining
+  * seam: two DRIVERS committing to one root. Implementations provide
+  * mutual exclusion around the exists-check + rename pair (or prove
+  * they don't need it — HDFS rename-if-absent is already atomic). */
+trait CommitArbiter {
+  /** Run `body` (the publish critical section) under whatever
+    * cross-process exclusion this filesystem needs. */
+  def withCommitLock[T](root: String)(body: => T): T
+}
+
+/** For filesystems whose no-overwrite rename IS the atomic arbiter
+  * (HDFS contract): no extra locking — losing a rename race surfaces
+  * as rename=false and the optimistic loop retries. */
+object RenameArbiter extends CommitArbiter {
+  def withCommitLock[T](root: String)(body: => T): T = body
+}
+
+/** For raw LOCAL filesystems, whose POSIX rename silently OVERWRITES:
+  * a lock FILE under `manifest/` acquired with atomic O_EXCL create
+  * (java.io.File.createNewFile — atomic on POSIX), released on exit.
+  * A crashed holder's lock goes stale and is taken over past
+  * `staleMs` — safe because the guarded section is milliseconds (one
+  * manifest JSON write + rename), so a lock older than tens of
+  * seconds provably has no live holder. The acquisition loop jitters
+  * and gives up loudly after `acquireTimeoutMs` rather than deadlock. */
+final class LockFileArbiter(staleMs: Long = 30000L,
+    acquireTimeoutMs: Long = 60000L) extends CommitArbiter {
+  def withCommitLock[T](root: String)(body: => T): T = {
+    val dir = new java.io.File(
+      new Path(root, "manifest").toUri.getPath)
+    dir.mkdirs()
+    val lock = new java.io.File(dir, "_commit.lock")
+    val deadline = System.currentTimeMillis() + acquireTimeoutMs
+    var held = false
+    while (!held) {
+      held = lock.createNewFile()
+      if (!held) {
+        val age = System.currentTimeMillis() - lock.lastModified()
+        if (lock.lastModified() > 0L && age > staleMs) lock.delete()
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"$root: could not acquire cross-process commit lock in " +
+              s"${acquireTimeoutMs}ms — a stuck holder or a writer storm")
+        Thread.sleep(5L + scala.util.Random.nextInt(20))
+      }
+    }
+    try body finally { lock.delete(); () }
+  }
+}
+
 object Manifest {
 
   /** One snapshot: ordered relative file paths + table metadata +
@@ -98,6 +159,14 @@ object Manifest {
     * every commit and ENFORCED on append (loud throw on drift). */
   val SchemaKey = "graft.schema"
 
+  /** Reserved metadata key: the table's full StructType as JSON — set
+    * by [[overwrite]] and [[appendMerge]] (schema-recording commits)
+    * and carried forward by metadata merge. When present, every read
+    * passes it to the parquet reader explicitly, so files that predate
+    * a column addition read that column as NULL (by-name resolution) —
+    * the mergeSchema half of the public formats' schema evolution. */
+  val SchemaJsonKey = "graft.schemaJson"
+
   /** Reserved metadata key: the current DELETION VECTOR's root-relative
     * parquet path (columns `f` = manifest-relative data file, `ri` =
     * row index within it). Absent = no outstanding deletions. Every
@@ -105,6 +174,18 @@ object Manifest {
     * anti-joins the vector out; compaction APPLIES it (reads through
     * the vector, publishes clean files, clears the pointer). */
   val DvKey = "graft.dv"
+
+  /** Reserved metadata key: the number of live (file, row) entries in
+    * the current deletion vector — recorded by [[deleteWhereBetweenDv]]
+    * (the vector is deduplicated before the count, so it is EXACTLY
+    * the number of deleted-but-unrewritten rows), consumed by
+    * [[rowCount]] so count(*) stays a metadata answer while a vector
+    * is outstanding. Dropped by any commit that rewrites files under
+    * an outstanding vector (upsert / delete / compactSmall): entries
+    * for rewritten files go stale and the count would overcount —
+    * those states fall back to a scan until the next DV write or
+    * full compaction re-establishes it. */
+  val DvRowsKey = "graft.dv.rows"
 
   /** Reserved metadata key: the OPERATION that produced each version —
     * stamped fresh on every commit (it never merges forward), read
@@ -356,8 +437,31 @@ object Manifest {
   def readSnapshot(spark: SparkSession, root: String, snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty,
       s"$root version ${snap.version} is an empty snapshot — nothing to read")
-    applyDv(spark, root, snap,
-      spark.read.parquet(snap.files.map(rel => new Path(dataDir(root), rel).toString): _*))
+    applyDv(spark, root, snap, readFiles(spark, root, snap, snap.files))
+  }
+
+  /** The snapshot's recorded StructType, when a schema-recording commit
+    * has run ([[SchemaJsonKey]]) — absent on pre-evolution tables,
+    * whose reads keep inferring schema from their (uniform) files. */
+  private def recordedSchema(snap: Snapshot): Option[org.apache.spark.sql.types.StructType] =
+    snap.meta.get(SchemaJsonKey).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Raw parquet scan of a FILE SUBSET of `snap`, under the table's
+    * recorded schema when one exists — the single place every
+    * subset-read (upsert touch rewrite, delete rewrite, DV candidates,
+    * partial compaction) goes through, so evolved tables (files with
+    * heterogeneous column sets) read uniformly: absent columns resolve
+    * to NULL by name. Does NOT apply the deletion vector — callers
+    * that need live rows wrap with [[applyDv]]. */
+  private def readFiles(spark: SparkSession, root: String, snap: Snapshot,
+      files: Seq[String]): DataFrame = {
+    val reader = recordedSchema(snap) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
+    reader.parquet(files.map(rel => new Path(dataDir(root), rel).toString): _*)
   }
 
   /** A snapshot file entry as the deletion vector's key domain: the
@@ -421,6 +525,18 @@ object Manifest {
   private def lockFor(root: String): Object =
     rootLocks.computeIfAbsent(root, _ => new Object)
 
+  /** Cross-process commit arbitration, selected by scheme: raw local
+    * filesystems (overwriting POSIX rename) get the lock-file arbiter;
+    * everything else relies on the filesystem's own atomic
+    * no-overwrite rename ([[RenameArbiter]] — the HDFS contract).
+    * Swappable for a custom [[CommitArbiter]] (an object-store
+    * conditional-put arbiter, say) before any commits run. */
+  @volatile var arbiterFor: String => CommitArbiter = { root =>
+    val scheme = Option(new Path(root).toUri.getScheme).getOrElse("file")
+    if (scheme == "file") defaultLocalArbiter else RenameArbiter
+  }
+  private val defaultLocalArbiter = new LockFileArbiter()
+
   /** Publish `files` (+meta, +stats, +rows) as the next version on top
     * of `base`; optimistic retry on manifest-name collision. Inherited
     * files keep their stats and row counts; new files carry `newStats`
@@ -444,14 +560,19 @@ object Manifest {
     f.mkdirs(manifestDir(root))
     var attempt = 0
     while (attempt < 64) {
+      // in-JVM lock (same-driver writers) wrapping the cross-process
+      // arbiter (other drivers); the critical section spans parent
+      // resolution through the commit rename so a concurrent driver
+      // cannot slip a version in between
       val outcome: Option[(Long, Boolean)] = lockFor(root).synchronized {
+       arbiterFor(root).withCommitLock(root) {
         val cur = current(spark, root)
         // read-modify-write ops (upsert/delete) planned against a specific
         // parent; committing on top of anything else could resurrect rows
         // a concurrent compaction re-materialized — throw, caller retries
         requireVersion.foreach(rv =>
           if (!cur.map(_.version).contains(rv))
-            throw new IllegalStateException(
+            throw new ConcurrentCommitException(
               s"$root: concurrent commit (expected parent version $rv, " +
                 s"found ${cur.map(_.version).getOrElse(-1L)}) — retry the operation"))
         cur.filter(skipIf) match {
@@ -504,6 +625,7 @@ object Manifest {
               Some((v, true))
             else { f.delete(tmp, false); None }
         }
+       }
       }
       outcome.foreach(return _)
       attempt += 1
@@ -673,13 +795,71 @@ object Manifest {
       skipIf = _ => false, op = "append")._1
 
   /** Atomic table replace: stage, publish ONLY the new files. The
-    * schema fingerprint is RE-recorded (overwrite is the intentional
-    * schema-change path); metadata still merges. */
+    * schema fingerprint AND the full schema JSON are RE-recorded
+    * (overwrite is the intentional schema-change path); metadata still
+    * merges. */
   def overwrite(df: DataFrame, root: String,
       meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil): Long =
-    commitStaged(df, root, meta, statsCols, _ => Seq.empty, enforceSchema = false,
+    commitStaged(df, root, meta + (SchemaJsonKey -> df.schema.json), statsCols,
+      _ => Seq.empty, enforceSchema = false,
       skipIf = _ => false, op = "overwrite")._1
+
+  /** SCHEMA-EVOLVING append — the public mergeSchema: the batch may ADD
+    * columns (recorded in the table schema; files that predate the
+    * addition read them as NULL) and may OMIT existing columns (staged
+    * as typed NULLs, so every staged file carries the full merged
+    * schema); a TYPE change on an existing column throws loudly —
+    * that is an intentional rewrite and goes through [[overwrite]].
+    * New columns append after the existing ones, Delta's rule. CHECK
+    * constraints run against the PADDED batch, so a NOT-NULL-style
+    * check on an omitted column refuses the commit (NULLs violate). */
+  def appendMerge(df: DataFrame, root: String,
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val merged: org.apache.spark.sql.types.StructType = current(spark, root) match {
+      case None => df.schema
+      case Some(snap) =>
+        val table = recordedSchema(snap).getOrElse(
+          readFiles(spark, root, snap, snap.files.take(1)).schema)
+        val byName = table.fields.map(f => f.name -> f).toMap
+        df.schema.fields.foreach(f => byName.get(f.name).foreach { tf =>
+          require(tf.dataType.catalogString == f.dataType.catalogString,
+            s"$root: appendMerge cannot change column ${f.name} from " +
+              s"${tf.dataType.catalogString} to ${f.dataType.catalogString} — " +
+              "a type change is an intentional rewrite (overwrite)")
+        })
+        val fresh = df.schema.fields.filterNot(f => byName.contains(f.name))
+        org.apache.spark.sql.types.StructType(table.fields ++ fresh)
+    }
+    // recorded DEEP-NULLABLE: files predating a column addition read it
+    // as NULL, so nothing in an evolved table may claim non-nullability
+    // (the vectorized parquet reader enforces the recorded schema)
+    val mergedN = nullableDeep(merged).asInstanceOf[org.apache.spark.sql.types.StructType]
+    val have = df.columns.toSet
+    val padded = df.select(mergedN.fields.toSeq.map(f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+    commitStaged(padded, root, meta + (SchemaJsonKey -> mergedN.json), statsCols,
+      _.files, enforceSchema = false, skipIf = _ => false, op = "appendMerge")._1
+  }
+
+  /** Every field (recursively) nullable — what an evolved table's
+    * recorded schema must claim. */
+  private def nullableDeep(dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullableDeep(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(nullableDeep(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(nullableDeep(m.keyType), nullableDeep(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+  }
 
   /** EXACTLY-ONCE append — the public Delta `txn` idea, the idempotent
     * sink a streaming writer needs: `txnId` is the writer's
@@ -713,6 +893,24 @@ object Manifest {
     }
     (v, committed)
   }
+
+  /** BENCH/TEST-ONLY commit of fabricated file entries — no data is
+    * staged and the entries must never be read; exists so the log
+    * benches ([[graft.bench.ManifestLogBench]]) and the two-process
+    * race harness ([[graft.tools.CommitRace]]) can exercise COMMIT
+    * PROTOCOL cost and atomicity at 10⁴–10⁵-file manifests without
+    * paying 10⁵ real parquet writes that would drown the measured
+    * object. Goes through the real [[publish]] (locks, arbiter,
+    * delta/checkpoint decision) with synthetic stats. */
+  private[graft] def appendSynthetic(spark: SparkSession, root: String,
+      names: Seq[String], rowsPer: Long = 1000L,
+      bytesPer: Long = 64L << 20): Long =
+    publish(spark, root, names,
+      old => old + (OpKey -> "appendSynthetic"), _.files,
+      newStats = names.map(n => n -> Map[String, (Any, Any)](
+        "id" -> (0L: Any, rowsPer: Any))).toMap,
+      newRows = names.map(_ -> rowsPer).toMap,
+      newBytes = names.map(_ -> bytesPer).toMap)._1
 
   /** Common commit path: stage → footer row counts → drop empty files
     * → optional schema enforcement → min/max stats pass → publish.
@@ -806,10 +1004,19 @@ object Manifest {
     * per-file footer counts) when every file in the snapshot carries
     * one, None when any predates row-count recording (fall back to a
     * scan). O(1) in data bytes; the public formats' numRecords idea. */
-  def rowCount(snap: Snapshot): Option[Long] =
-    if (snap.meta.contains(DvKey)) None // footer counts include DV'd rows
-    else if (snap.files.forall(snap.rows.contains)) Some(snap.files.map(snap.rows).sum)
-    else None
+  def rowCount(snap: Snapshot): Option[Long] = {
+    val footerSum =
+      if (snap.files.forall(snap.rows.contains)) Some(snap.files.map(snap.rows).sum)
+      else None
+    snap.meta.get(DvKey) match {
+      case None => footerSum
+      case Some(_) => // footer counts include DV'd rows; subtract the
+        // recorded live vector count when one is present (absent after
+        // a file-rewriting commit stranded stale entries -> scan)
+        for { total <- footerSum; dv <- snap.meta.get(DvRowsKey) }
+          yield total - dv.toLong
+    }
+  }
 
   /** count(*) of the current snapshot: metadata fast path, scan
     * fallback for pre-row-count tables. */
@@ -904,7 +1111,34 @@ object Manifest {
     * snapshot it planned against to still be current — a concurrent
     * commit throws (retry the upsert), never silently resurrects
     * replaced rows. */
-  def upsert(batch: DataFrame, root: String, keyCol: String): Long = {
+  def upsert(batch: DataFrame, root: String, keyCol: String,
+      maxRetries: Int = 4): Long =
+    retryingCommit(s"$root upsert", maxRetries)(upsertPlanned(batch, root, keyCol))
+
+  /** Bounded auto-retry for the read-modify-write commits: on a
+    * [[ConcurrentCommitException]] (another commit landed between plan
+    * and publish) the operation RE-PLANS from scratch against the new
+    * current snapshot — correct by construction, because every planned
+    * artifact (touched files, rewrites, vectors) derives from the
+    * snapshot resolved inside the body. Loud after `attempts` replans:
+    * a root under that much write pressure needs its writers
+    * coordinated, not silently serialized here. */
+  private def retryingCommit[T](what: String, attempts: Int)(body: => T): T = {
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentCommitException =>
+          i += 1
+          if (i > attempts) throw new IllegalStateException(
+            s"$what: still conflicting after $attempts re-plans " +
+              "(concurrent writer storm)", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def upsertPlanned(batch: DataFrame, root: String, keyCol: String): Long = {
     val spark = batch.sparkSession
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
@@ -927,8 +1161,7 @@ object Manifest {
         import org.apache.spark.sql.functions.{input_file_name, substring_index}
         val byName = candidates.map(rel =>
           rel.substring(rel.lastIndexOf('/') + 1) -> rel).toMap
-        spark.read.parquet(candidates.map(rel =>
-            new Path(dataDir(root), rel).toString): _*)
+        readFiles(spark, root, snap, candidates)
           .select(col(keyCol),
             substring_index(input_file_name(), "/", -1).as("__f"))
           .join(batch.select(col(keyCol)), Seq(keyCol), "left_semi")
@@ -938,8 +1171,7 @@ object Manifest {
     val touchedSet = touched.toSet
     val rewritten =
       if (touched.isEmpty) batch
-      else applyDv(spark, root, snap, spark.read.parquet(touched.map(rel =>
-          new Path(dataDir(root), rel).toString): _*))
+      else applyDv(spark, root, snap, readFiles(spark, root, snap, touched))
         .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(batch)
     val staged = stage(rewritten, root)
@@ -947,7 +1179,8 @@ object Manifest {
     val kept = withoutEmpty(staged, rows)
     val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
     val stats = fileStats(spark, root, kept, statCols)
-    publish(spark, root, kept, old => old + (SchemaKey -> fp) + (OpKey -> "upsert"),
+    publish(spark, root, kept,
+      old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "upsert"),
       _.files.filterNot(touchedSet), stats,
       rows.filter(kv => kept.contains(kv._1)),
       requireVersion = Some(snap.version),
@@ -960,6 +1193,11 @@ object Manifest {
     * every other file is carried through untouched. Same atomicity and
     * read-modify-write concurrency contract as [[upsert]]. */
   def deleteWhereBetween(spark: SparkSession, root: String,
+      colName: String, lo: Any, hi: Any, maxRetries: Int = 4): Long =
+    retryingCommit(s"$root delete", maxRetries)(
+      deleteWhereBetweenPlanned(spark, root, colName, lo, hi))
+
+  private def deleteWhereBetweenPlanned(spark: SparkSession, root: String,
       colName: String, lo: Any, hi: Any): Long = {
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
@@ -967,8 +1205,7 @@ object Manifest {
     if (touched.isEmpty) return snap.version
     val touchedSet = touched.toSet
     val survivors = applyDv(spark, root, snap,
-        spark.read.parquet(touched.map(rel =>
-          new Path(dataDir(root), rel).toString): _*))
+        readFiles(spark, root, snap, touched))
       .filter(!(col(colName) >= lit(lo) && col(colName) <= lit(hi)) ||
         col(colName).isNull)
     val staged = stage(survivors, root)
@@ -983,7 +1220,7 @@ object Manifest {
       else staged.take(1)
     val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
     val stats = fileStats(spark, root, kept, statCols)
-    publish(spark, root, kept, old => old + (OpKey -> "delete"),
+    publish(spark, root, kept, old => old - DvRowsKey + (OpKey -> "delete"),
       _.files.filterNot(touchedSet), stats,
       rows.filter(kv => kept.contains(kv._1)),
       requireVersion = Some(snap.version),
@@ -1006,14 +1243,18 @@ object Manifest {
     * — and are dropped at the next DV write). Same planned-parent
     * concurrency contract as [[upsert]]. */
   def deleteWhereBetweenDv(spark: SparkSession, root: String,
+      colName: String, lo: Any, hi: Any, maxRetries: Int = 4): Long =
+    retryingCommit(s"$root deleteDv", maxRetries)(
+      deleteWhereBetweenDvPlanned(spark, root, colName, lo, hi))
+
+  private def deleteWhereBetweenDvPlanned(spark: SparkSession, root: String,
       colName: String, lo: Any, hi: Any): Long = {
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
     val candidates = prunedFiles(snap, colName, lo, hi)
     if (candidates.isEmpty) return snap.version
     import org.apache.spark.sql.functions.expr
-    val cand = spark.read.parquet(candidates.map(rel =>
-        new Path(dataDir(root), rel).toString): _*)
+    val cand = readFiles(spark, root, snap, candidates)
       .withColumn("__graft_f",
         expr("substring_index(_metadata.file_path, '/data/', -1)"))
       .withColumn("__graft_ri", expr("_metadata.row_index"))
@@ -1026,13 +1267,18 @@ object Manifest {
       case Some(old) => // drop stale entries for files no longer live
         old.filter(col("f").isInCollection(liveFiles)).unionByName(newDel)
     }
-    val staged = combined.localCheckpoint()
+    // distinct: a range overlapping an earlier DV delete re-derives the
+    // same (f, ri) pairs (the candidate read is raw, pre-vector) — the
+    // anti-join doesn't care, but the recorded live count must
+    val staged = combined.distinct().localCheckpoint()
     try {
-      if (staged.isEmpty) return snap.version // nothing matched
+      val nDeleted = staged.count()
+      if (nDeleted == 0L) return snap.version // nothing matched
       val rel = s"dv/dv-${java.util.UUID.randomUUID().toString.replace("-", "")}"
       staged.coalesce(1).write.parquet(new Path(root, rel).toString)
       publish(spark, root, Seq.empty,
-        old => old + (DvKey -> rel) + (OpKey -> "deleteDv"), _.files,
+        old => old + (DvKey -> rel) + (DvRowsKey -> nDeleted.toString) +
+          (OpKey -> "deleteDv"), _.files,
         requireVersion = Some(snap.version))._1
     } finally { staged.unpersist(); () }
   }
@@ -1064,8 +1310,7 @@ object Manifest {
     val small = snap.files.filter(f => snap.bytes.get(f).forall(_ < smallBytes))
     if (small.size < 2) return snap.version
     val smallSet = small.toSet
-    val df = applyDv(spark, root, snap, spark.read.parquet(
-      small.map(rel => new Path(dataDir(root), rel).toString): _*))
+    val df = applyDv(spark, root, snap, readFiles(spark, root, snap, small))
     val bytes = small.flatMap(snap.bytes.get).sum.max(1L)
     val target = ((bytes + targetBytes - 1) / targetBytes).max(1).min(1L << 20).toInt
     val repart =
@@ -1078,7 +1323,8 @@ object Manifest {
       val kept = withoutEmpty(stagedFiles, rows)
       val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
       val stats = fileStats(spark, root, kept, statCols)
-      publish(spark, root, kept, old => old + (OpKey -> "compactSmall"),
+      publish(spark, root, kept,
+        old => old - DvRowsKey + (OpKey -> "compactSmall"),
         _.files.filterNot(smallSet), stats,
         rows.filter(kv => kept.contains(kv._1)),
         requireVersion = Some(snap.version),
@@ -1115,7 +1361,8 @@ object Manifest {
       val stats = fileStats(spark, root, kept, statCols)
       // a clean rewrite APPLIES any outstanding deletion vector (the
       // read above went through it) — clear the pointer
-      publish(spark, root, kept, old => old - DvKey + (OpKey -> "compact"),
+      publish(spark, root, kept,
+        old => old - DvKey - DvRowsKey + (OpKey -> "compact"),
         _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)),
         newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
     } finally { staged.unpersist(); () }
@@ -1149,7 +1396,8 @@ object Manifest {
       val stats = fileStats(spark, root, kept, statCols)
       // a clean rewrite APPLIES any outstanding deletion vector (the
       // read above went through it) — clear the pointer
-      publish(spark, root, kept, old => old - DvKey + (OpKey -> "compact"),
+      publish(spark, root, kept,
+        old => old - DvKey - DvRowsKey + (OpKey -> "compact"),
         _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)),
         newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
     } finally { staged.unpersist(); () }
@@ -1205,8 +1453,8 @@ object Manifest {
     require(snap.files.nonEmpty,
       s"$root version ${snap.version} is an empty snapshot — nothing to read")
     val index = new ManifestFileIndex(spark, root, snap)
-    val schema = spark.read
-      .parquet(new Path(dataDir(root), snap.files.head).toString).schema
+    val schema = recordedSchema(snap).getOrElse(spark.read
+      .parquet(new Path(dataDir(root), snap.files.head).toString).schema)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, new org.apache.spark.sql.types.StructType(), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,

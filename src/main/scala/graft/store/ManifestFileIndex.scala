@@ -147,8 +147,11 @@ final class ManifestFileIndex(
       // survives iff SOME disjunct might match it — each side is itself
       // conservative (unrecognized shapes answer true), so the union
       // never over-prunes. `a BETWEEN x AND y OR a BETWEEN p AND q`
-      // scans exactly the union of the two ranges' file sets.
+      // scans exactly the union of the two ranges' file sets. The AND
+      // case makes the recursion total: a BETWEEN is And(>=, <=) when
+      // it appears INSIDE an Or (top-level Ands were already split).
       case Or(l, r) => survives(file, l) || survives(file, r)
+      case And(l, r) => survives(file, l) && survives(file, r)
       case _ => true
     }
   }

@@ -713,9 +713,11 @@ object StreamOps {
     * replays (earlier batches never do), and re-merging the same
     * latest-per-key batch reproduces the identical logical table —
     * whether the crash hit before or after that batch's commit.
-    * Single-writer per table: a concurrent commit makes the merge
-    * throw its planned-parent conflict loudly rather than resurrect
-    * replaced rows. */
+    * Concurrency: a commit landing between the merge's plan and its
+    * publish (a maintenance compaction, say) triggers the merge's
+    * bounded auto-re-plan ([[graft.store.Manifest.upsert]]) — the sink
+    * survives concurrent table maintenance, and only a sustained
+    * writer storm surfaces as a loud failure. */
   def manifestUpsertSink(
       stream: DataFrame, root: String, keyCol: String,
       checkpoint: String,

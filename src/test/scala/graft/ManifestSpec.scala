@@ -224,10 +224,46 @@ class ManifestSpec extends SparkTestBase {
     val viaSql = spark.sql("SELECT id FROM graft_fidx WHERE id > 220")
     assert(scannedFiles(viaSql) == 1L)
     assert(viaSql.as[Long].collect().sorted.toSeq == (221L to 299L))
+    // OR of prunable ranges scans exactly the union of the disjuncts'
+    // file sets — the common date-slab disjunction shape
+    val orTwo = t.filter((col("id") >= 10L && col("id") <= 20L) ||
+      (col("id") >= 210L && col("id") <= 220L))
+    assert(scannedFiles(orTwo) == 2L)
+    assert(orTwo.as[Long].collect().sorted.toSeq ==
+      ((10L to 20L) ++ (210L to 220L)))
+    // OR via SQL prunes the same way
+    assert(scannedFiles(spark.sql(
+      "SELECT id FROM graft_fidx WHERE id BETWEEN 10 AND 20 OR id BETWEEN 210 AND 220")) == 2L)
+    // an OR with an unprunable disjunct conservatively keeps every file
+    assert(scannedFiles(t.filter((col("id") <= 5L) ||
+      ((col("id") % 7) === 0L))) == 3L)
     // an unsupported predicate shape keeps every file — and stays correct
     val odd = t.filter((col("id") % 100) === 50L)
     assert(scannedFiles(odd) == 3L)
     assert(odd.as[Long].collect().sorted.toSeq == Seq(50L, 150L, 250L))
+    // DATE literals prune via their canonical text forms; the bespoke
+    // skip-read API accepts java.sql.Date probes the same way
+    val droot = newRoot("fidxdate")
+    def month(m: Int): org.apache.spark.sql.DataFrame =
+      spark.range(1, 11).toDF("n").select(
+        (col("n") + m * 100).as("id"),
+        to_date(concat(lit(f"2026-$m%02d-"),
+          lpad(col("n").cast("string"), 2, "0"))).as("d")).coalesce(1)
+    (1 to 3).foreach(m => Manifest.append(month(m), droot, statsCols = Seq("d")))
+    val dt = Manifest.table(spark, droot)
+    val feb = dt.filter(col("d") >= lit(java.sql.Date.valueOf("2026-02-01")) &&
+      col("d") <= lit(java.sql.Date.valueOf("2026-02-28")))
+    assert(scannedFiles(feb) == 1L)
+    assert(feb.count() == 10L)
+    dt.createOrReplaceTempView("graft_fidx_d")
+    assert(scannedFiles(spark.sql(
+      "SELECT id FROM graft_fidx_d WHERE d = DATE'2026-03-05'")) == 1L)
+    assert(Manifest.readWhereBetween(spark, droot, "d",
+      java.sql.Date.valueOf("2026-01-01"), java.sql.Date.valueOf("2026-01-31"))
+      .count() == 10L)
+    assert(Manifest.prunedFiles(Manifest.current(spark, droot).get, "d",
+      java.sql.Date.valueOf("2026-01-01"), java.sql.Date.valueOf("2026-01-31"))
+      .size == 1)
     // a stats-free append is conservatively scanned wherever it could match
     Manifest.append(spark.range(400, 410).toDF("id").coalesce(1), root)
     val t2 = Manifest.table(spark, root)
@@ -255,8 +291,9 @@ class ManifestSpec extends SparkTestBase {
       .as[Long].collect().sorted.toSeq == ((120L to 149L) ++ (250L to 260L)))
     assert(Manifest.table(spark, root).filter(col("id").between(120L, 260L))
       .as[Long].collect().sorted.toSeq == ((120L to 149L) ++ (250L to 260L)))
-    // metadata count is honestly unavailable while a DV is outstanding
-    assert(Manifest.rowCount(snap).isEmpty)
+    // metadata count stays exact under a DV (footer sum minus the
+    // recorded live vector count)
+    assert(Manifest.rowCount(snap).contains(300L))
     assert(Manifest.countRows(spark, root) == 300L)
     // the vector side of the anti-join BROADCASTS — a corpus-wide
     // sort-merge for a few hundred deleted rows would be the scale bug
@@ -315,9 +352,9 @@ class ManifestSpec extends SparkTestBase {
     assert(h.map(_._1) == Seq(5L, 4L, 3L, 2L, 1L, 0L), "newest first, all retained")
     assert(h.map(_._2) == Seq("restore(1)", "compact", "deleteDv", "upsert",
       "append", "append"))
-    // metadata-only row counts: null while the DV is outstanding (v3),
-    // concrete everywhere else
-    assert(h.find(_._1 == 3L).get._4.isEmpty)
+    // metadata-only row counts: DV-aware (footer sum minus recorded
+    // vector count at v3), concrete everywhere
+    assert(h.find(_._1 == 3L).get._4.contains(190L))
     assert(h.find(_._1 == 4L).get._4.contains(190L)) // compact applied the DV
     assert(h.find(_._1 == 5L).get._4.contains(200L)) // restore(1): full table back
     assert(h.map(_._5) == Seq(false, false, true, false, false, false))
@@ -933,5 +970,137 @@ class ManifestSpec extends SparkTestBase {
     Manifest.compact(spark, root, rangeBy = Seq("id"))
     assert(Manifest.current(spark, root).get.chainLen == 0,
       "compact is a full checkpoint by construction")
+  }
+
+  test("appendMerge: adds columns with null backfill, pads omitted columns, rejects type changes") {
+    val root = newRoot("evolve")
+    Manifest.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root,
+      statsCols = Seq("k"))
+    // evolve: new column w arrives
+    Manifest.appendMerge(Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("k", "v", "w"), root)
+    val afterAdd = Manifest.read(spark, root)
+    assert(afterAdd.columns.toSeq == Seq("k", "v", "w"),
+      "new columns append after existing ones")
+    assert(afterAdd.as[(Long, String, Option[Double])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(30.0)), (4L, "d", Some(40.0))),
+      "pre-evolution files read the new column as NULL")
+    // evolve again: a batch OMITTING v gets typed-NULL padding
+    Manifest.appendMerge(Seq((5L, 50.0)).toDF("k", "w"), root)
+    assert(Manifest.read(spark, root).filter(col("k") === 5L)
+      .as[(Long, Option[String], Option[Double])].head() == ((5L, None, Some(50.0))))
+    // a type change rejects loudly
+    val e = intercept[IllegalArgumentException](
+      Manifest.appendMerge(Seq((6L, 1)).toDF("k", "w"), root))
+    assert(e.getMessage.contains("cannot change column"))
+    // plain append now enforces the MERGED schema
+    intercept[IllegalArgumentException](
+      Manifest.append(Seq((7L, "x")).toDF("k", "v"), root))
+    // read-modify-write across heterogeneous files: upsert a key living
+    // in a pre-evolution file — the rewrite must read that file under
+    // the merged schema
+    Manifest.upsert(Seq((1L, "a2", 11.0)).toDF("k", "v", "w"), root, "k")
+    assert(Manifest.read(spark, root).filter(col("k") === 1L)
+      .as[(Long, String, Option[Double])].head() == ((1L, "a2", Some(11.0))))
+    assert(Manifest.countRows(spark, root) == 5L)
+    // the planner-integrated scan uses the recorded merged schema too
+    assert(Manifest.table(spark, root).columns.toSeq == Seq("k", "v", "w"))
+    assert(Manifest.table(spark, root).filter(col("w").isNull).count() == 1L)
+    // overwrite re-records schema wholesale (shrink is legal there)
+    Manifest.overwrite(Seq((9L, "z")).toDF("k", "v"), root)
+    assert(Manifest.read(spark, root).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("DV-aware countRows: metadata count survives an outstanding deletion vector") {
+    val root = newRoot("dvcount")
+    Manifest.append(spark.range(0, 100).toDF("id").coalesce(1), root,
+      statsCols = Seq("id"))
+    Manifest.append(spark.range(100, 200).toDF("id").coalesce(1), root,
+      statsCols = Seq("id"))
+    Manifest.deleteWhereBetweenDv(spark, root, "id", 10L, 19L)
+    val s1 = Manifest.current(spark, root).get
+    assert(Manifest.rowCount(s1).contains(190L),
+      "count(*) must stay a metadata answer under a DV")
+    assert(Manifest.countRows(spark, root) == 190L)
+    // overlapping second delete re-derives some of the same (f, ri)
+    // pairs — the recorded count must stay exact (the vector dedups)
+    Manifest.deleteWhereBetweenDv(spark, root, "id", 15L, 24L)
+    assert(Manifest.rowCount(Manifest.current(spark, root).get).contains(185L))
+    // an append under the vector keeps the metadata answer
+    Manifest.append(spark.range(200, 210).toDF("id").coalesce(1), root,
+      statsCols = Seq("id"))
+    assert(Manifest.rowCount(Manifest.current(spark, root).get).contains(195L))
+    // a file-rewriting commit strands stale entries: the metadata count
+    // honestly withdraws (None) and the scan fallback stays exact
+    Manifest.upsert(Seq(50L).toDF("id"), root, "id")
+    val s2 = Manifest.current(spark, root).get
+    assert(Manifest.rowCount(s2).isEmpty,
+      "stale-entry states must fall back to a scan, not overcount")
+    assert(Manifest.countRows(spark, root) == 195L)
+    // full compaction applies the vector and restores metadata counts
+    Manifest.compact(spark, root)
+    assert(Manifest.rowCount(Manifest.current(spark, root).get).contains(195L))
+  }
+
+  test("upsert auto-retry: read-modify-write commits survive interleaved appends") {
+    val root = newRoot("retry")
+    Manifest.append(spark.range(0, 1000).toDF("id").coalesce(2), root,
+      statsCols = Seq("id"))
+    // a background writer appending while the foreground upserts: every
+    // upsert that loses its planned parent re-plans (bounded) instead
+    // of throwing — both writers' effects land
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try (0 until 5).foreach { i =>
+        Manifest.append(
+          spark.range(2000L + i * 10, 2000L + i * 10 + 10).toDF("id").coalesce(1),
+          root, statsCols = Seq("id"))
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    appender.start()
+    (0 until 5).foreach { i =>
+      Manifest.upsert(Seq(i.toLong * 100).toDF("id"), root, "id")
+    }
+    appender.join()
+    assert(errs.isEmpty, s"background appends failed: ${errs.peek()}")
+    assert(Manifest.countRows(spark, root) == 1050L)
+    assert(Manifest.read(spark, root).as[Long].collect().toSet ==
+      ((0L until 1000L) ++ (2000L until 2050L)).toSet)
+  }
+
+  test("cross-process commit atomicity: a second driver JVM and this one interleave lossless commits") {
+    val root = newRoot("xproc")
+    Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), root)
+    val n = 12
+    // second DRIVER: a separate JVM running the same commit protocol at
+    // the same root — on raw local fs this only stays lossless because
+    // the lock-file arbiter serializes exists+rename across processes
+    val cp = System.getProperty("java.class.path")
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val pb = new ProcessBuilder(javaBin, "-cp", cp,
+      "-Xmx2g", "graft.tools.CommitRace", root, "w2", n.toString)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new StringBuilder
+    val reader = new Thread(() => {
+      val src = scala.io.Source.fromInputStream(proc.getInputStream)
+      try src.getLines().foreach(l => out.synchronized { out.append(l).append('\n') })
+      finally src.close()
+    })
+    reader.start()
+    // this driver commits concurrently
+    (0 until n).foreach(i => Manifest.appendSynthetic(spark, root, Seq(s"w1_$i")))
+    assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "second driver did not finish")
+    reader.join(10000)
+    assert(out.synchronized(out.toString).contains(s"[commitrace] w2 done $n"),
+      s"second driver failed:\n$out")
+    Manifest.clearSnapshotCache()
+    val snap = Manifest.current(spark, root).get
+    val got = snap.files.toSet
+    val missing = ((0 until n).map(i => s"w1_$i") ++ (0 until n).map(i => s"w2_$i"))
+      .filterNot(got)
+    assert(missing.isEmpty, s"lost commits across processes: $missing")
+    assert(snap.version == 2L * n, "every commit must have won exactly one version")
   }
 }
