@@ -151,6 +151,29 @@ object Triangles {
       .distinct()
   }
 
+  /** MEASURED operating point for the exact/approx pair
+    * (TriangleCrossoverBench + the isolated q134/q154 A/B,
+    * BENCH_SCALE x168): Doulion k=3 beats the exact counter 1.45× on
+    * the 1.2M-edge co-order graph (7M raw pairs) and 2.7×/6.1×
+    * (k=3/k=30) on a 10M-edge hub-heavy graph — the sampling pass
+    * commutes with the canonical-edge distinct, so dup-heavy inputs
+    * sample BEFORE the dominant shuffle. Below ~10⁶ raw pair rows both
+    * forms are ~1 s and the exact answer removes estimator variance
+    * for free, so [[countsRowAuto]] selects exact there. */
+  val ApproxCrossoverPairRows: Long = 1000000L
+
+  /** Exact/approx AUTO-SELECT in the approx result shape: inputs under
+    * `exactBelowRows` RAW pair rows (one narrow count, no shuffle) run
+    * the k=1 degenerate — everything sampled, estimate == exact count
+    * — larger inputs run the requested-k Doulion estimator. One schema
+    * either way; the `k` column records which path ran. */
+  def countsRowAuto(pairs: DataFrame, aCol: String, bCol: String,
+      k: Int, seed: Long = 0L,
+      exactBelowRows: Long = ApproxCrossoverPairRows): DataFrame = {
+    val eff = if (pairs.count() < exactBelowRows) 1 else k
+    approxCountsRow(pairs, aCol, bCol, eff, seed)
+  }
+
   def approxCountsRow(
       pairs: DataFrame, aCol: String, bCol: String,
       k: Int, seed: Long = 0L): DataFrame = {

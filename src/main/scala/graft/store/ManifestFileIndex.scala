@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
 
@@ -152,6 +152,20 @@ final class ManifestFileIndex(
       // it appears INSIDE an Or (top-level Ands were already split).
       case Or(l, r) => survives(file, l) || survives(file, r)
       case And(l, r) => survives(file, l) && survives(file, r)
+      // col LIKE 'p%' (Catalyst rewrites the trailing-wildcard LIKE to
+      // StartsWith): some s in [lo, hi] has prefix p iff p <= hi (the
+      // minimal prefixed string is p itself) and lo's first |p| chars
+      // are <= p (then either lo < p <= hi, or lo itself is prefixed).
+      // String bounds only; other stat families fall through true.
+      case StartsWith(a: AttributeReference, Literal(p0, _))
+          if p0.isInstanceOf[org.apache.spark.unsafe.types.UTF8String] =>
+        val p = p0.toString
+        bounds(file, a.name) match {
+          case Some((lo: String, hi: String)) =>
+            p.compareTo(hi) <= 0 &&
+              lo.substring(0, math.min(lo.length, p.length)).compareTo(p) <= 0
+          case _ => true
+        }
       case _ => true
     }
   }

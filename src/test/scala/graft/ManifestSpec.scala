@@ -264,6 +264,23 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.prunedFiles(Manifest.current(spark, droot).get, "d",
       java.sql.Date.valueOf("2026-01-01"), java.sql.Date.valueOf("2026-01-31"))
       .size == 1)
+    // LIKE 'prefix%' (Catalyst StartsWith) prunes on string stats
+    val sroot = newRoot("fidxstr")
+    def batchS(tag: String) = spark.range(0, 10).toDF("n")
+      .select(concat(lit(tag),
+        lpad(col("n").cast("string"), 2, "0")).as("s")).coalesce(1)
+    Seq("apple_", "mango_", "zebra_").foreach(tag =>
+      Manifest.append(batchS(tag), sroot, statsCols = Seq("s")))
+    val st = Manifest.table(spark, sroot)
+    val likeOne = st.filter(col("s").startsWith("mango"))
+    assert(scannedFiles(likeOne) == 1L)
+    assert(likeOne.count() == 10L)
+    st.createOrReplaceTempView("graft_fidx_s")
+    assert(scannedFiles(spark.sql(
+      "SELECT s FROM graft_fidx_s WHERE s LIKE 'ze%'")) == 1L)
+    // a prefix below every file's range scans nothing but stays correct
+    val likeNone = st.filter(col("s").startsWith("aaa"))
+    assert(likeNone.count() == 0L)
     // a stats-free append is conservatively scanned wherever it could match
     Manifest.append(spark.range(400, 410).toDF("id").coalesce(1), root)
     val t2 = Manifest.table(spark, root)

@@ -105,5 +105,15 @@ class TrianglesSpec extends SparkTestBase {
     assert(again == again2)
     intercept[IllegalArgumentException](
       Triangles.approxCountsRow(df, "id_a", "id_b", k = 0))
+    // auto-select: below the crossover the k=1 exact degenerate runs
+    // (estimate == exact, k column records the path); above it the
+    // requested k runs
+    val autoSmall = Triangles.countsRowAuto(df, "id_a", "id_b", k = 5).collect()(0)
+    assert(autoSmall.getAs[Long]("k") == 1L)
+    assert(autoSmall.getAs[Long]("estimate") == exact)
+    val autoBig = Triangles.countsRowAuto(df, "id_a", "id_b", k = 2,
+      seed = 3L, exactBelowRows = 1L).collect()(0)
+    assert(autoBig.getAs[Long]("k") == 2L)
+    assert(autoBig.getAs[Long]("estimate") == again)
   }
 }
