@@ -823,26 +823,68 @@ object Manifest {
       case Some(snap) =>
         val table = recordedSchema(snap).getOrElse(
           readFiles(spark, root, snap, snap.files.take(1)).schema)
-        val byName = table.fields.map(f => f.name -> f).toMap
-        df.schema.fields.foreach(f => byName.get(f.name).foreach { tf =>
-          require(tf.dataType.catalogString == f.dataType.catalogString,
-            s"$root: appendMerge cannot change column ${f.name} from " +
-              s"${tf.dataType.catalogString} to ${f.dataType.catalogString} — " +
-              "a type change is an intentional rewrite (overwrite)")
-        })
-        val fresh = df.schema.fields.filterNot(f => byName.contains(f.name))
-        org.apache.spark.sql.types.StructType(table.fields ++ fresh)
+        val batchByName = df.schema.fields.map(f => f.name -> f).toMap
+        val tableNames = table.fields.map(_.name).toSet
+        val evolved = table.fields.map { tf =>
+          batchByName.get(tf.name) match {
+            case Some(bf) => widened(tf.dataType, bf.dataType) match {
+              case Some(w) => tf.copy(dataType = w)
+              case None => throw new IllegalArgumentException(
+                s"$root: appendMerge cannot change column ${tf.name} from " +
+                  s"${tf.dataType.catalogString} to ${bf.dataType.catalogString} — " +
+                  "only safe widenings (byte→short→int→long, float→double, " +
+                  "same-scale decimal precision growth) merge; anything else " +
+                  "is an intentional rewrite (overwrite)")
+            }
+            case None => tf
+          }
+        }
+        val fresh = df.schema.fields.filterNot(f => tableNames.contains(f.name))
+        org.apache.spark.sql.types.StructType(evolved ++ fresh)
     }
     // recorded DEEP-NULLABLE: files predating a column addition read it
     // as NULL, so nothing in an evolved table may claim non-nullability
     // (the vectorized parquet reader enforces the recorded schema)
     val mergedN = nullableDeep(merged).asInstanceOf[org.apache.spark.sql.types.StructType]
     val have = df.columns.toSet
+    // present columns CAST to the merged (possibly wider) type — a
+    // no-op when unchanged; staged files always carry the wide form,
+    // while pre-widening files read wide through the recorded schema
+    // (the 4.x vectorized parquet reader's type-widening contract,
+    // verified for exactly the promotions `widened` admits)
     val padded = df.select(mergedN.fields.toSeq.map(f =>
-      if (have(f.name)) col(f.name)
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)): _*)
     commitStaged(padded, root, meta + (SchemaJsonKey -> mergedN.json), statsCols,
       _.files, enforceSchema = false, skipIf = _ => false, op = "appendMerge")._1
+  }
+
+  /** The wider of two types when the promotion is SAFE under the
+    * parquet reader's widening contract (old files keep their narrow
+    * physical type and read wide through the recorded schema):
+    * the integral ladder byte→short→int→long, float→double, and
+    * same-scale decimal precision growth. Everything else — including
+    * int↔float cross-family, string↔anything, nested shape changes —
+    * answers None and the merge rejects loudly. */
+  private def widened(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType):
+      Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    if (a.catalogString == b.catalogString) return Some(a)
+    def rank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(0); case ShortType => Some(1)
+      case IntegerType => Some(2); case LongType => Some(3)
+      case _ => None
+    }
+    ((rank(a), rank(b)) match {
+      case (Some(x), Some(y)) => Some(if (x >= y) a else b)
+      case _ => None
+    }).orElse((a, b) match {
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
+        Some(if (x.precision >= y.precision) x else y)
+      case _ => None
+    })
   }
 
   /** Every field (recursively) nullable — what an evolved table's

@@ -1005,9 +1005,9 @@ class ManifestSpec extends SparkTestBase {
     Manifest.appendMerge(Seq((5L, 50.0)).toDF("k", "w"), root)
     assert(Manifest.read(spark, root).filter(col("k") === 5L)
       .as[(Long, Option[String], Option[Double])].head() == ((5L, None, Some(50.0))))
-    // a type change rejects loudly
+    // an unsafe type change rejects loudly
     val e = intercept[IllegalArgumentException](
-      Manifest.appendMerge(Seq((6L, 1)).toDF("k", "w"), root))
+      Manifest.appendMerge(Seq((6L, "oops")).toDF("k", "w"), root))
     assert(e.getMessage.contains("cannot change column"))
     // plain append now enforces the MERGED schema
     intercept[IllegalArgumentException](
@@ -1025,6 +1025,38 @@ class ManifestSpec extends SparkTestBase {
     // overwrite re-records schema wholesale (shrink is legal there)
     Manifest.overwrite(Seq((9L, "z")).toDF("k", "v"), root)
     assert(Manifest.read(spark, root).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("appendMerge type widening: int→long and float→double merge wide; old files read wide") {
+    val root = newRoot("widen")
+    Manifest.append(
+      spark.range(0, 5).select(col("id").cast("int").as("k"),
+        col("id").cast("float").as("x")).coalesce(1),
+      root, statsCols = Seq("k"))
+    // a batch arriving with the WIDER types evolves the table in place
+    Manifest.appendMerge(
+      spark.range(5, 10).select(col("id").as("k"),
+        col("id").cast("double").as("x")).coalesce(1), root)
+    val got = Manifest.read(spark, root)
+    assert(got.schema("k").dataType.catalogString == "bigint")
+    assert(got.schema("x").dataType.catalogString == "double")
+    assert(got.as[(Long, Double)].collect().toSet ==
+      (0L until 10L).map(i => (i, i.toDouble)).toSet,
+      "pre-widening files must read wide losslessly")
+    // a NARROWER later batch upcasts at staging (files stay uniform)
+    Manifest.appendMerge(
+      spark.range(10, 12).select(col("id").cast("int").as("k"),
+        col("id").cast("float").as("x")).coalesce(1), root)
+    assert(Manifest.read(spark, root).count() == 12L)
+    assert(Manifest.countRows(spark, root) == 12L)
+    // skip reads keep working across the mixed physical types
+    assert(Manifest.readWhereBetween(spark, root, "k", 2L, 3L)
+      .as[(Long, Double)].collect().map(_._1).sorted.toSeq == Seq(2L, 3L))
+    // cross-family stays rejected
+    intercept[IllegalArgumentException](Manifest.appendMerge(
+      spark.range(0, 1).select(col("id").cast("int").as("k"),
+        col("id").cast("int").as("x")).coalesce(1), root))
+    ()
   }
 
   test("DV-aware countRows: metadata count survives an outstanding deletion vector") {
