@@ -1132,5 +1132,174 @@ trait BatteryStoreOps extends BatteryModels {
         (SELECT COUNT(*) FROM live) AS n_live_meta
       FROM live GROUP BY 1 ORDER BY 1"""))
 
+  /** HYBRID retrieval with reciprocal-rank fusion
+    * ([[graft.operators.RankFusion.rrf]] — Cormack et al. SIGIR 2009,
+    * the production RAG retriever shape): the q144 BM25 lexical top-20
+    * and the q25 embedding-cosine top-20 (documents and vectors share
+    * the id space) fuse by exact-integer RRF — each list contributes
+    * `10⁹ div (60 + rank)` ppb, ids absent from a list contribute
+    * nothing. The oracle replays BOTH retrievers (the full BM25
+    * integer-quantization chain and the quantized-cosine ranking) and
+    * the fused floor arithmetic, so a drift in either ranking, the
+    * rank tiebreaks, or the fusion quantization hash-mismatches. */
+  val q169 = Q("q169_hybrid_rrf",
+    (s, dir) => {
+      import graft.operators.RankFusion
+      val docs = t(s, dir, "documents")
+      val lex = graft.text.Search.rankByBm25Bits(
+        graft.text.Search.buildPostings("doc_id", "text")(docs),
+        query = Seq("table", "hash", "scan"), nDocs = docs.count(), k = 20)
+      val lexR = RankFusion.rankBy(lex,
+          Seq(col("score_milli_bits").desc, col("id").asc))
+        .select("id", "rank")
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      val query = emb.filter(col("vec_id") === 0).select(col("qv").as("qqv"))
+      val vec = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(query))
+        .select(col("vec_id").as("id"),
+          Similarity.cosineQ(col("qv"), col("qqv")).as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc).limit(20)
+      val vecR = RankFusion.rankBy(vec, Seq(col("cosine").desc, col("id").asc))
+        .select("id", "rank")
+      RankFusion.rrf(Seq(lexR, vecR), "id", k = 10)
+    },
+    Some(s"""WITH $lmToksCte,
+      $postingsCte,
+      dls AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM post GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n FROM documents),
+      am AS (SELECT (1000 * (SELECT SUM(dl) FROM dls)) // n AS avgm
+        FROM nd),
+      qt AS (SELECT * FROM post WHERE term IN ('table', 'hash', 'scan')),
+      idf AS (SELECT term, CAST(COUNT(DISTINCT id) AS BIGINT) AS df
+        FROM qt GROUP BY 1),
+      idfb AS (SELECT term, ${fl2rSql("(2*n+2)", "(2*df+1)")} AS ib
+        FROM idf CROSS JOIN nd),
+      tf AS (SELECT term, id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM qt GROUP BY 1, 2),
+      lfx AS (SELECT t.term, t.id, t.tf,
+          ((1000 - 750) * avgm + 750 * 1000 * dl) // avgm AS lf
+        FROM tf t JOIN dls USING (id) CROSS JOIN am),
+      sc AS (SELECT id,
+          SUM(ib * ((1000000 * tf * (1200 + 1000)) //
+            (1000000 * tf + 1200 * lf))) AS score
+        FROM lfx JOIN idfb USING (term) GROUP BY 1),
+      lexs AS (SELECT id, CAST(score AS BIGINT) AS score FROM sc
+        ORDER BY score DESC, id LIMIT 20),
+      lex AS (SELECT id,
+          row_number() OVER (ORDER BY score DESC, id) AS r FROM lexs),
+      vbase AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+      vq AS (SELECT qv AS qqv FROM vbase WHERE vec_id = 0),
+      vscore AS (SELECT vec_id, ${cosSql("b.qv", "vq.qqv")} AS cosine
+        FROM vbase b, vq WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id LIMIT 20),
+      vec AS (SELECT vec_id AS id,
+          row_number() OVER (ORDER BY cosine DESC, vec_id) AS r FROM vscore),
+      fused AS (SELECT id, 1000000000 // (60 + r) AS contrib FROM lex
+        UNION ALL SELECT id, 1000000000 // (60 + r) FROM vec)
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+        CAST(SUM(contrib) AS BIGINT) AS rrf_ppb
+      FROM fused GROUP BY id ORDER BY rrf_ppb DESC, id LIMIT 10"""))
+
+  /** IVF VECTOR INDEX AT REST in the manifest store
+    * ([[graft.similarity.ManifestAnn]] — the vector twin of the q145
+    * stored postings index): vectors land in TWO incremental appends
+    * (the second is pure index maintenance — additive centroid-sum
+    * sidecar, no rebuild), each range-partitioned on the list id so
+    * per-file [min, max] list stats are tight, then a FILTERED probe
+    * (top-2 lists by centroid cosine, metadata predicate
+    * `vec_id % 7 <> 3` inside the pruned scan) returns the exact
+    * top-10 within the probed lists via the planner-integrated
+    * IN-pruned scan. The oracle replays list selection from raw
+    * centroid sums and the filtered in-list ranking — storage,
+    * incrementality, and pruning must all be semantics-invisible
+    * (ManifestAnnSpec pins that the probe actually skips files). */
+  val q170 = Q("q170_manifest_ivf",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q170").toString + "/ivf"
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          Similarity.quantize(col("embedding")).as("qv"))
+      val idx = base.filter(col("vec_id") =!= 0)
+      import graft.similarity.ManifestAnn
+      ManifestAnn.appendBatch(idx.filter(col("vec_id") % 3 =!= 2),
+        root, "label", "vec_id", "qv")
+      ManifestAnn.appendBatch(idx.filter(col("vec_id") % 3 === 2),
+        root, "label", "vec_id", "qv")
+      val qqv = base.filter(col("vec_id") === 0)
+        .select("qv").head().getSeq[Long](0)
+      ManifestAnn.probe(s, root, "label", "vec_id", "qv", qqv,
+        nProbe = 2, k = 10, rowFilter = col("vec_id") % 7 =!= 3)
+    },
+    Some(s"""WITH base AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        $quantSql AS qv FROM embeddings),
+      q AS (SELECT qv AS qqv FROM base WHERE vec_id = 0),
+      idx AS (SELECT * FROM base WHERE vec_id <> 0),
+      expl AS (SELECT label, unnest(qv) AS v,
+        generate_subscripts(qv, 1) AS pos FROM idx),
+      cent AS (SELECT label, list(sv ORDER BY pos) AS cvec FROM
+                 (SELECT label, pos, SUM(v) AS sv FROM expl GROUP BY label, pos)
+               GROUP BY label),
+      top2 AS (SELECT label FROM cent, q
+               ORDER BY ${cosSql("cvec", "qqv")} DESC, label ASC LIMIT 2)
+      SELECT b.vec_id, b.label, ${cosSql("b.qv", "q.qqv")} AS cosine
+      FROM idx b, q
+      WHERE b.label IN (SELECT label FROM top2) AND b.vec_id % 7 <> 3
+      ORDER BY cosine DESC, b.vec_id LIMIT 10"""))
+
+  /** Atomic slab REPLACE on the manifest store
+    * ([[graft.store.Manifest.replaceWhereBetween]] — the public Delta
+    * `replaceWhere` dynamic overwrite, the backfill primitive): orders
+    * land as four range-disjoint stat'd files, then a corrected
+    * backfill re-lands the [cut/2, 2·cut−1] key slab in ONE commit —
+    * one file fully replaced, one clipped to its out-of-range
+    * survivors, the rest carried by identity — keeping only every
+    * second key with restated price/status. The oracle replays the
+    * slab swap in plain SQL (outside-range rows ∪ revised slab), so a
+    * resurrected replaced row, a lost survivor at the clip boundary,
+    * or a dropped backfill row all hash-mismatch; `meta_rows` pins the
+    * footer-count metadata count(*) through the partial rewrite. */
+  val q171 = Q("q171_manifest_replace",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q171").toString + "/orders_rw"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = hi / 4 + 1
+      (0L to 3L).foreach { qtr =>
+        Manifest.append(
+          orders.filter(col("o_orderkey") >= qtr * cut &&
+            col("o_orderkey") < (qtr + 1) * cut).coalesce(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      val lo = cut / 2; val hiK = 2 * cut - 1
+      val backfill = orders
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hiK &&
+          col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
+        .withColumn("o_orderstatus", lit("R"))
+      Manifest.replaceWhereBetween(backfill, root, "o_orderkey", lo, hiK)
+      val metaRows = Manifest.rowCount(Manifest.current(s, root).get)
+        .getOrElse(sys.error("replaceWhere lost the footer row counts"))
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("meta_rows", lit(metaRows))
+        .orderBy("status")
+    },
+    Some(s"""WITH cut AS (SELECT MAX(o_orderkey) // 4 + 1 AS c FROM orders),
+      merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders, cut
+        WHERE o_orderkey NOT BETWEEN c // 2 AND 2 * c - 1
+        UNION ALL
+        SELECT o_orderkey, 'R', o_totalprice + 500.0 FROM orders, cut
+        WHERE o_orderkey BETWEEN c // 2 AND 2 * c - 1 AND o_orderkey % 2 = 0)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price,
+        (SELECT COUNT(*) FROM merged) AS meta_rows
+      FROM merged GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

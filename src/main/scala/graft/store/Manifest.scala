@@ -1269,6 +1269,66 @@ object Manifest {
       newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
   }
 
+  /** Atomic REPLACE of a key range — the public Delta `replaceWhere`
+    * dynamic overwrite, the backfill primitive: re-land one slab of a
+    * huge table (a date partition, a key range) in ONE commit, never
+    * touching the rest. Files whose recorded [min, max] intersects
+    * [lo, hi] are pruned via the manifest stats; their rows OUTSIDE
+    * the range are rewritten (survivors), the replacement batch lands
+    * in the same staging pass, and one atomic publish swaps both — a
+    * reader sees the old slab or the new slab, never neither, never
+    * both (delete-then-append would expose the gap between two
+    * commits). The batch must lie entirely inside [lo, hi] (loud
+    * throw — the public replaceWhere contract), match the table
+    * schema, and satisfy CHECK constraints. Same planned-parent
+    * concurrency contract as [[upsert]] (bounded auto-re-plan). */
+  def replaceWhereBetween(batch: DataFrame, root: String, colName: String,
+      lo: Any, hi: Any, maxRetries: Int = 4): Long =
+    retryingCommit(s"$root replaceWhere", maxRetries)(
+      replaceWhereBetweenPlanned(batch, root, colName, lo, hi))
+
+  private def replaceWhereBetweenPlanned(batch: DataFrame, root: String,
+      colName: String, lo: Any, hi: Any): Long = {
+    val spark = batch.sparkSession
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val fp = schemaFingerprint(batch)
+    requireSchema(spark, root, fp)
+    requireChecks(spark, root, batch)
+    val outside = batch.filter(col(colName).isNull ||
+      col(colName) < lit(lo) || col(colName) > lit(hi)).limit(1).collect()
+    require(outside.isEmpty,
+      s"replaceWhere batch has rows outside $colName in [$lo, $hi] " +
+        s"(e.g. ${outside.headOption.getOrElse("")}) — the replaced range " +
+        "and the replacement batch must coincide")
+    val touched = prunedFiles(snap, colName, lo, hi)
+    val touchedSet = touched.toSet
+    val survivorsAndBatch =
+      if (touched.isEmpty) batch
+      else applyDv(spark, root, snap, readFiles(spark, root, snap, touched))
+        .filter(!(col(colName) >= lit(lo) && col(colName) <= lit(hi)) ||
+          col(colName).isNull)
+        .unionByName(batch)
+    val staged = stage(survivorsAndBatch, root)
+    val (rows, bytesM) = footerMeta(spark, root, staged)
+    // an empty batch over a fully-covered range is a pure delete: keep
+    // the delete path's rule — publish no empty files unless nothing
+    // else would carry the schema
+    val nonEmpty = staged.filter(f => rows.getOrElse(f, 1L) > 0L)
+    val kept =
+      if (nonEmpty.nonEmpty || snap.files.exists(f => !touchedSet.contains(f)))
+        nonEmpty
+      else staged.take(1)
+    val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+    val stats = fileStats(spark, root, kept, statCols)
+    publish(spark, root, kept,
+      old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "replaceWhere"),
+      _.files.filterNot(touchedSet), stats,
+      rows.filter(kv => kept.contains(kv._1)),
+      requireVersion = Some(snap.version),
+      newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
+  }
+
   /** DELETE as a DELETION VECTOR — the public Delta DV idea: record
     * the matching rows' (file, row index) pairs in a side parquet file
     * and commit only a metadata pointer — ZERO data files rewritten,

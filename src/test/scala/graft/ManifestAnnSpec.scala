@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.similarity.ManifestAnn
+import graft.store.Manifest
+
+/** Unit coverage of the manifest-store IVF index (battery q170 checks
+  * the incremental build + filtered probe against the DuckDB oracle;
+  * here: exact rankings on a hand geometry, incremental visibility,
+  * metadata filtering, sidecar fold, and that the probe's IN-filter
+  * actually prunes files through the manifest stats). */
+class ManifestAnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // three well-separated lists on axes 0/1/2; dim 3 is a per-member
+  // bump so in-list cosines are distinct (smaller bump = closer)
+  private def mk(id: Long, l: Long, bump: Long): (Long, Long, Seq[Long]) = {
+    val v = Array.fill(4)(0L)
+    v(l.toInt) = 1000L
+    v(3) = bump
+    (id, l, v.toSeq)
+  }
+  private def batch1: DataFrame =
+    Seq(mk(1, 0, 10), mk(2, 0, 20), mk(3, 1, 10), mk(4, 1, 0), mk(5, 2, 5))
+      .toDF("vec_id", "label", "qv")
+  private def batch2: DataFrame =
+    Seq(mk(6, 0, 0), mk(7, 1, 30), mk(8, 2, 50)).toDF("vec_id", "label", "qv")
+  // nearest list 0, second-nearest list 1; never list 2
+  private val query = Seq(1000L, 300L, 0L, 0L)
+
+  private def freshRoot(): String = java.nio.file.Files
+    .createTempDirectory("graft_manifest_ann").toString + "/ivf"
+
+  private def build(root: String): Unit = {
+    ManifestAnn.appendBatch(batch1, root, "label", "vec_id", "qv",
+      listPartitions = 3)
+    ManifestAnn.appendBatch(batch2, root, "label", "vec_id", "qv",
+      listPartitions = 3)
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("vec_id").as[Long].collect().toSeq
+
+  test("probe ranks exactly within the probed lists, across batches") {
+    val root = freshRoot()
+    build(root)
+    val top = ManifestAnn.probe(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 2, k = 3)
+    // list-0 members by ascending bump (6, 1, 2) dominate list 1
+    assert(ids(top) == Seq(6L, 1L, 2L), ids(top).toString)
+    // k past the probed lists' membership: list 2 never appears
+    val all = ManifestAnn.probe(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 2, k = 100)
+    assert(ids(all).toSet == Set(1L, 2L, 3L, 4L, 6L, 7L), ids(all).toString)
+  }
+
+  test("metadata rowFilter applies inside the probe, not as a recall cut") {
+    val root = freshRoot()
+    build(root)
+    val top = ManifestAnn.probe(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 2, k = 3, rowFilter = col("vec_id") =!= 6L)
+    // 6 excluded by metadata; the next in-list-1 id (4, bump 0) enters
+    assert(ids(top) == Seq(1L, 2L, 4L), ids(top).toString)
+  }
+
+  test("incremental append is maintenance, not rebuild: new vectors appear") {
+    val root = freshRoot()
+    ManifestAnn.appendBatch(batch1, root, "label", "vec_id", "qv",
+      listPartitions = 3)
+    val before = ManifestAnn.probe(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 2, k = 3)
+    assert(ids(before) == Seq(1L, 2L, 4L), ids(before).toString)
+    ManifestAnn.appendBatch(batch2, root, "label", "vec_id", "qv",
+      listPartitions = 3)
+    val after = ManifestAnn.probe(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 2, k = 3)
+    assert(ids(after) == Seq(6L, 1L, 2L), ids(after).toString)
+  }
+
+  test("sidecar partial sums fold to the direct centroid sums") {
+    val root = freshRoot()
+    build(root)
+    val folded = ManifestAnn.centroidSums(spark, root, "label")
+      .as[(Long, Seq[Long])].collect().toMap
+    val direct = graft.similarity.Similarity.listCentroidSums(
+        batch1.unionByName(batch2), "label", "qv")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(folded == direct, s"$folded vs $direct")
+  }
+
+  test("the probe's list IN-filter prunes files through the manifest stats") {
+    val root = freshRoot()
+    build(root)
+    val total = Manifest.current(spark, root).get.files.size
+    assert(total >= 4, s"fixture expects several files, got $total")
+    val probeDf = ManifestAnn.probe(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 1, k = 100)
+    // force full evaluation (no limit short-circuit) and read the
+    // scan's planned file count
+    val agg = probeDf.agg(count(lit(1)))
+    agg.collect()
+    // AQE buries the scan inside materialized query stages: traverse
+    // stage boundaries too
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+      }.flatten
+    var plan = agg.queryExecution.executedPlan
+    plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        plan = a.executedPlan
+      case _ =>
+    }
+    val scans = allScans(plan)
+    assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    assert(scanned < total && scanned >= 1,
+      s"probe scanned $scanned of $total files")
+  }
+}

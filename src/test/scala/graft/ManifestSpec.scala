@@ -1152,4 +1152,48 @@ class ManifestSpec extends SparkTestBase {
     assert(missing.isEmpty, s"lost commits across processes: $missing")
     assert(snap.version == 2L * n, "every commit must have won exactly one version")
   }
+
+  test("replaceWhereBetween: one atomic commit re-lands a slab; untouched files carried; contract enforced") {
+    val root = newRoot("replace")
+    (0L to 3L).foreach(i => Manifest.append(
+      spark.range(i * 100, (i + 1) * 100).toDF("id")
+        .withColumn("v", col("id") * 10).coalesce(1),
+      root, statsCols = Seq("id")))
+    val before = Manifest.current(spark, root).get
+    assert(before.files.size == 4)
+    // backfill [100, 250]: file 1 fully replaced, file 2 clipped; the
+    // re-landed slab keeps only even keys, values restated
+    val backfill = spark.range(100L, 251L).toDF("id")
+      .filter(col("id") % 2 === 0)
+      .withColumn("v", col("id") * -1)
+    val v = Manifest.replaceWhereBetween(backfill, root, "id", 100L, 250L)
+    assert(v == before.version + 1, "replace must be ONE commit, not delete+append")
+    val after = Manifest.current(spark, root).get
+    val got = Manifest.read(spark, root).as[(Long, Long)].collect().toMap
+    val expected =
+      (0L until 100L).map(i => i -> i * 10).toMap ++
+      (100L to 250L by 2).map(i => i -> -i).toMap ++
+      (251L until 400L).map(i => i -> i * 10).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+    // files 0 and 3 carried through by identity
+    val keptOld = before.files.filter(after.files.contains)
+    assert(keptOld.size == 2, s"expected 2 untouched files, kept $keptOld")
+    assert(Manifest.rowCount(after).contains(expected.size.toLong))
+    assert(after.meta(Manifest.OpKey) == "replaceWhere")
+    // a batch row OUTSIDE the replaced range rejects loudly
+    intercept[IllegalArgumentException] {
+      Manifest.replaceWhereBetween(Seq((99L, 0L)).toDF("id", "v"),
+        root, "id", 100L, 250L)
+    }
+    // schema drift rejects (replace is not the schema-change path)
+    intercept[IllegalArgumentException] {
+      Manifest.replaceWhereBetween(Seq((100L, "x")).toDF("id", "v"),
+        root, "id", 100L, 250L)
+    }
+    // an empty batch is a pure slab delete through the same commit
+    Manifest.replaceWhereBetween(
+      spark.range(0L, 0L).toDF("id").withColumn("v", col("id")),
+      root, "id", 300L, 399L)
+    assert(Manifest.read(spark, root).count() == expected.size - 100L)
+  }
 }
