@@ -1301,5 +1301,64 @@ trait BatteryStoreOps extends BatteryModels {
         (SELECT COUNT(*) FROM merged) AS meta_rows
       FROM merged GROUP BY 1 ORDER BY 1"""))
 
+  /** TRAINED-list IVF at rest — the production index form over the
+    * manifest store: list ids come from the deterministic k-means
+    * assignment ([[graft.similarity.Similarity.kmeansAssign]], q77's
+    * exact-integer argmin over smallest-id seeds) instead of given
+    * labels, the index lands in two incremental appends, the centroid
+    * sidecar is FOLDED by [[graft.similarity.ManifestAnn.compactCents]]
+    * (maintenance must not move a single result), and the probe reads
+    * the top-2 data-driven lists through the pruned scan. The oracle
+    * replays assignment, summed centroids, list selection, and the
+    * in-list ranking — training, storage, incrementality, and sidecar
+    * compaction all have to be jointly semantics-exact. */
+  val q172 = Q("q172_manifest_ivf_trained",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q172").toString + "/ivf_t"
+      val emb = t(s, dir, "embeddings")
+      val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8)
+      val base = emb
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+        .join(assigned.select("vec_id", "cid"), Seq("vec_id"))
+      val idx = base.filter(col("vec_id") =!= 0)
+      import graft.similarity.ManifestAnn
+      ManifestAnn.appendBatch(idx.filter(col("vec_id") % 3 =!= 2),
+        root, "cid", "vec_id", "qv")
+      ManifestAnn.appendBatch(idx.filter(col("vec_id") % 3 === 2),
+        root, "cid", "vec_id", "qv")
+      ManifestAnn.compactCents(s, root, "cid")
+      val qqv = base.filter(col("vec_id") === 0)
+        .select("qv").head().getSeq[Long](0)
+      ManifestAnn.probe(s, root, "cid", "vec_id", "qv", qqv,
+        nProbe = 2, k = 10)
+    },
+    Some(s"""WITH base AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+      c AS (SELECT vec_id AS cid, qv AS cqv FROM base ORDER BY vec_id LIMIT 8),
+      ex AS (SELECT vec_id, CAST(i AS INT) AS pos, qv[CAST(i AS INT)] AS x
+             FROM base, range(1, 65) t(i)),
+      cx AS (SELECT cid, CAST(i AS INT) AS pos, cqv[CAST(i AS INT)] AS cv
+             FROM c, range(1, 65) t(i)),
+      d AS (SELECT vec_id, cid, CAST(SUM((x-cv)*(x-cv)) AS BIGINT) AS dist2
+            FROM ex JOIN cx USING (pos) GROUP BY vec_id, cid),
+      a AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+              FROM d) WHERE rn = 1),
+      q AS (SELECT qv AS qqv FROM base WHERE vec_id = 0),
+      idx AS (SELECT b.vec_id, a.cid, b.qv FROM base b
+              JOIN a USING (vec_id) WHERE b.vec_id <> 0),
+      expl AS (SELECT cid, unnest(qv) AS v,
+        generate_subscripts(qv, 1) AS pos FROM idx),
+      cent AS (SELECT cid, list(sv ORDER BY pos) AS cvec FROM
+                 (SELECT cid, pos, SUM(v) AS sv FROM expl GROUP BY cid, pos)
+               GROUP BY cid),
+      top2 AS (SELECT cid FROM cent, q
+               ORDER BY ${cosSql("cvec", "qqv")} DESC, cid ASC LIMIT 2)
+      SELECT b.vec_id, b.cid, ${cosSql("b.qv", "q.qqv")} AS cosine
+      FROM idx b, q
+      WHERE b.cid IN (SELECT cid FROM top2)
+      ORDER BY cosine DESC, b.vec_id LIMIT 10"""))
+
   /** All registered queries, in gate order. */
 }

@@ -64,6 +64,24 @@ object ManifestAnn {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
         s => s.getField("sv")).as("cvec"))
 
+  /** Fold the sidecar to ONE row per list (an overwrite commit of the
+    * folded sums): probe-time sidecar aggregation returns to O(lists)
+    * after any number of appended batches. Pure maintenance — the sums
+    * are unchanged, so list selection is identical before and after.
+    * Same single-maintainer contract as [[Manifest.compact]]: not
+    * concurrent-safe with an in-flight [[appendBatch]] on the same
+    * root (the fold reads then replaces; an append landing in between
+    * would be erased from the sidecar — recall loss, not
+    * incorrectness, but run it from the index's maintenance owner). */
+  def compactCents(spark: SparkSession, root: String,
+      listCol: String): Unit =
+    // safe to read-and-replace in one pass: overwrite stages the folded
+    // rows from the pinned snapshot's files, which stay on disk until a
+    // LATER gc — the commit only swaps the pointer
+    Manifest.overwrite(
+      centroidSums(spark, root, listCol).select(col(listCol), col("cvec")),
+      centsRoot(root))
+
   /** IVF probe with optional metadata filtering: rank lists by
     * centroid-sum cosine against `queryQv`, take the top `nProbe`
     * (ties to the smaller list id), then exact top-`k` cosine over

@@ -90,6 +90,26 @@ class ManifestAnnSpec extends SparkTestBase {
     assert(folded == direct, s"$folded vs $direct")
   }
 
+  test("compactCents folds the sidecar to one row per list without moving a result") {
+    val root = freshRoot()
+    build(root)
+    val beforeRows = Manifest.read(spark, ManifestAnn.centsRoot(root)).count()
+    assert(beforeRows == 6L, s"two batches x three lists, got $beforeRows")
+    val beforeTop = ids(ManifestAnn.probe(spark, root, "label", "vec_id",
+      "qv", query, nProbe = 2, k = 3))
+    ManifestAnn.compactCents(spark, root, "label")
+    assert(Manifest.read(spark, ManifestAnn.centsRoot(root)).count() == 3L)
+    val folded = ManifestAnn.centroidSums(spark, root, "label")
+      .as[(Long, Seq[Long])].collect().toMap
+    val direct = graft.similarity.Similarity.listCentroidSums(
+        batch1.unionByName(batch2), "label", "qv")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(folded == direct, s"$folded vs $direct")
+    val afterTop = ids(ManifestAnn.probe(spark, root, "label", "vec_id",
+      "qv", query, nProbe = 2, k = 3))
+    assert(afterTop == beforeTop, s"$afterTop vs $beforeTop")
+  }
+
   test("the probe's list IN-filter prunes files through the manifest stats") {
     val root = freshRoot()
     build(root)
