@@ -655,6 +655,37 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming ingest into the manifest-store IVF vector index
+    * ([[graft.similarity.ManifestAnn]] — the standing
+    * embedding-pipeline loop): each micro-batch appends its vectors
+    * (range-partitioned on the list id, list skip stats) and its
+    * additive centroid partial sums, EXACTLY ONCE each through the two
+    * tables' independent (writerId → batchId) watermarks. A replayed
+    * batch after a crash re-lands only whichever half is missing, so
+    * the pair CONVERGES under foreachBatch's replay window — and in
+    * the interim a lagging sidecar costs recall of that one batch,
+    * never correctness of what a probe returns (ManifestAnn's stated
+    * advisory-sidecar contract). Probes against a live index are
+    * snapshot-isolated like every manifest read. */
+  def manifestAnnSink(
+      stream: DataFrame, root: String, listCol: String, idCol: String,
+      qvCol: String, writerId: String, checkpoint: String,
+      listPartitions: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val base = b.toDF().select(col(idCol), col(listCol), col(qvCol))
+        graft.store.Manifest.appendOnce(
+          base.repartitionByRange(listPartitions, col(listCol)),
+          root, writerId, id, statsCols = Seq(listCol))
+        graft.store.Manifest.appendOnce(
+          graft.similarity.Similarity.listCentroidSums(base, listCol, qvCol),
+          graft.similarity.ManifestAnn.centsRoot(root), writerId, id)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** INCREMENTAL MIRROR step — the read side of [[manifestSink]]: pull
     * the source manifest table's changes since the last mirrored
     * version, apply `transform`, and commit the result to the

@@ -110,6 +110,44 @@ class ManifestAnnSpec extends SparkTestBase {
     assert(afterTop == beforeTop, s"$afterTop vs $beforeTop")
   }
 
+  test("manifestAnnSink: streamed batches build the same index; replays land nothing twice") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Seq[Long])]
+    val q = graft.streaming.StreamOps.manifestAnnSink(
+      input.toDF().toDF("vec_id", "label", "qv"),
+      root, "label", "vec_id", "qv", "annloop", root + "_ckpt",
+      listPartitions = 3)
+    input.addData(batch1.as[(Long, Long, Seq[Long])].collect().toSeq: _*)
+    q.processAllAvailable()
+    input.addData(batch2.as[(Long, Long, Seq[Long])].collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the streamed index probes identically to the batch-built one
+    val top = ids(ManifestAnn.probe(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 2, k = 3))
+    assert(top == Seq(6L, 1L, 2L), top.toString)
+    // a lagging replay of batch 0 re-lands NOTHING in either table
+    val dataV = Manifest.current(spark, root).get.version
+    val centsV = Manifest.current(spark, ManifestAnn.centsRoot(root)).get.version
+    Manifest.appendOnce(batch1.repartitionByRange(3, col("label")),
+      root, "annloop", 0L, statsCols = Seq("label"))
+    Manifest.appendOnce(
+      graft.similarity.Similarity.listCentroidSums(batch1, "label", "qv"),
+      ManifestAnn.centsRoot(root), "annloop", 0L)
+    assert(Manifest.current(spark, root).get.version == dataV)
+    assert(Manifest.current(spark, ManifestAnn.centsRoot(root)).get.version
+      == centsV)
+    // and the sidecar still folds to the direct sums
+    val folded = ManifestAnn.centroidSums(spark, root, "label")
+      .as[(Long, Seq[Long])].collect().toMap
+    val direct = graft.similarity.Similarity.listCentroidSums(
+        batch1.unionByName(batch2), "label", "qv")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(folded == direct, s"$folded vs $direct")
+  }
+
   test("the probe's list IN-filter prunes files through the manifest stats") {
     val root = freshRoot()
     build(root)
