@@ -1360,5 +1360,42 @@ trait BatteryStoreOps extends BatteryModels {
       WHERE b.cid IN (SELECT cid FROM top2)
       ORDER BY cosine DESC, b.vec_id LIMIT 10"""))
 
+  /** BLOOM-INDEXED point lookups on the manifest store
+    * ([[graft.store.Manifest.buildBloomIndex]]/`readWhereEquals` — the
+    * public Delta bloom-filter-index idea): orders land HASH-split so
+    * every file's o_orderkey [min, max] spans the whole table (the
+    * skip stats provably can't prune a point probe — the layout
+    * min/max skipping is worst-case for), then three needle lookups
+    * read through the per-file bloom sidecar. The oracle is the plain
+    * equality join — pruning must be semantics-invisible
+    * (ManifestSpec pins that the bloom actually skips files where
+    * stats keep all of them). */
+  val q173 = Q("q173_manifest_bloom",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q173").toString + "/orders_b"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      (0 to 3).foreach { b =>
+        Manifest.append(
+          orders.filter(pmod(xxhash64(col("o_orderkey")), lit(4)) === b)
+            .coalesce(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      Manifest.buildBloomIndex(s, root, "o_orderkey")
+      val keys = orders.filter(col("o_orderkey") % 997 === 0)
+        .orderBy("o_orderkey").limit(3)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      keys.map(k => Manifest.readWhereEquals(s, root, "o_orderkey", k))
+        .reduce(_ unionByName _)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH ks AS (SELECT o_orderkey AS k FROM orders
+        WHERE o_orderkey % 997 = 0 ORDER BY 1 LIMIT 3)
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders JOIN ks ON o_orderkey = k
+      ORDER BY o_orderkey"""))
+
   /** All registered queries, in gate order. */
 }

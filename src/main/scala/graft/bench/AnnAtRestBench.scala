@@ -1,0 +1,99 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.similarity.ManifestAnn
+import graft.store.Manifest
+
+/** ANN-at-rest scaling campaign: probe wall vs the brute-force exact
+  * scan as the stored vector count grows 10⁴ → 10⁵ → 10⁶ (64 dims,
+  * 64 lists, the shipped [[ManifestAnn]] layout — each append
+  * range-partitioned so files ≈ lists). The claim under test is the
+  * index's scale story: a probe of p of L lists should cost ~p/L of
+  * the full scan because the manifest stats prune the non-probed
+  * lists' FILES at planning time — at 100 TB that is the difference
+  * between touching 6 % of the corpus and all of it. The probed-list
+  * choice itself reads only the folded sidecar (L rows).
+  *
+  * Vectors are deterministic in-engine arithmetic (no RNG, no data
+  * dependency): component d of vector i is ((i·31 + d·17) mod 2000) −
+  * 1000. List assignment i mod 64 is deliberately content-blind —
+  * probe COST depends only on the probed fraction, not recall, and
+  * this campaign measures cost (recall is oracle-checked at q97/q170/
+  * q172).
+  *
+  * Usage: runMain graft.bench.AnnAtRestBench [maxVectors]
+  * Prints one JSON line per decade.
+  */
+object AnnAtRestBench {
+  def main(args: Array[String]): Unit = {
+    val maxVectors = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_annbench").toString + "/ivf"
+    val lists = 64
+    val dims = 64
+
+    def vecs(from: Long, until: Long) =
+      spark.range(from, until).select(
+        col("id").as("vec_id"),
+        pmod(col("id"), lit(lists.toLong)).as("list"),
+        expr(s"transform(sequence(0, ${dims - 1}), " +
+          "d -> (id * 31 + d * 17) % 2000 - 1000)").as("qv"))
+
+    val queryQv = (0 until dims).map(d => ((7L * 31 + d * 17) % 2000) - 1000L)
+
+    def sec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    var n = 0L
+    var next = 10000L
+    while (n < maxVectors) {
+      val until = math.min(next, maxVectors)
+      // land the decade's growth in ≤100k-row appends (a standing
+      // ingest loop's batch scale), then fold the sidecar once
+      while (n < until) {
+        val hi = math.min(n + 100000L, until)
+        ManifestAnn.appendBatch(vecs(n, hi), root, "list", "vec_id", "qv",
+          listPartitions = lists)
+        n = hi
+      }
+      ManifestAnn.compactCents(spark, root, "list")
+      val files = Manifest.current(spark, root).get.files.size
+
+      def brute(): Unit = {
+        val qlit = typedLit(queryQv)
+        Manifest.read(spark, root)
+          .select(col("vec_id"),
+            graft.similarity.Similarity.cosineQ(col("qv"), qlit).as("c"))
+          .orderBy(col("c").desc, col("vec_id").asc).limit(10)
+          .collect(); ()
+      }
+      def probe(p: Int): Unit = {
+        ManifestAnn.probe(spark, root, "list", "vec_id", "qv", queryQv,
+          nProbe = p, k = 10).collect(); ()
+      }
+      // one unmeasured warmup each, then median of 5
+      brute(); probe(4); probe(8)
+      val tB = (0 until 5).map(_ => sec(brute()))
+      val t4 = (0 until 5).map(_ => sec(probe(4)))
+      val t8 = (0 until 5).map(_ => sec(probe(8)))
+      println(s"""{"campaign":"ann_at_rest","vectors":$n,"files":$files""" +
+        f""","brute_s":${median(tB)}%.3f,"probe4_s":${median(t4)}%.3f""" +
+        f""","probe8_s":${median(t8)}%.3f""" +
+        f""","probe4_frac":${median(t4) / median(tB)}%.3f""" +
+        f""","probe8_frac":${median(t8) / median(tB)}%.3f}""")
+      next *= 10
+    }
+    spark.stop()
+  }
+}

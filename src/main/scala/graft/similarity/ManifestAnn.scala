@@ -30,7 +30,16 @@ import graft.store.Manifest
   * The sidecar is ADVISORY: it only chooses which lists to probe
   * (recall, like every IVF), never filters rows — a lagging sidecar
   * (e.g. a crash between the two appends) degrades recall of the
-  * freshest batch, not correctness of what is returned. */
+  * freshest batch, not correctness of what is returned.
+  *
+  * Exact-integer envelope: list selection squares the summed
+  * components inside [[Similarity.cosineQ]]'s int64 kernel, so a
+  * list's per-component |sum| must stay under √(2⁶³/dims) ≈ 3.8×10⁸
+  * at 64 dims — with ×1000-quantized unit-scale embeddings that is
+  * ~3.8×10⁵ vectors per list. Size L accordingly (the standard IVF
+  * sizing L ∝ √N keeps lists AT √N, i.e. the envelope binds only past
+  * ~10¹¹ vectors); an overflowed sum would silently mis-rank list
+  * CHOICE (recall), never the returned rows. */
 object ManifestAnn {
 
   /** The centroid-sum sidecar table root for an index root. */
@@ -80,6 +89,19 @@ object ManifestAnn {
     // LATER gc — the commit only swaps the pointer
     Manifest.overwrite(
       centroidSums(spark, root, listCol).select(col(listCol), col("cvec")),
+      centsRoot(root))
+
+  /** Rebuild the sidecar FROM the data table (overwrite commit): the
+    * repair tool for when the additive fold no longer reflects the
+    * rows — after a DELETE on the index root (vectors removed from a
+    * list leave its sum stale: advisory recall skew, not
+    * incorrectness) or a crash that landed data without its sidecar
+    * half. One scan of the index; same single-maintainer contract as
+    * [[compactCents]]. */
+  def refreshCents(spark: SparkSession, root: String, listCol: String,
+      qvCol: String): Unit =
+    Manifest.overwrite(
+      Similarity.listCentroidSums(Manifest.read(spark, root), listCol, qvCol),
       centsRoot(root))
 
   /** IVF probe with optional metadata filtering: rank lists by

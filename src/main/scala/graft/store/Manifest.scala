@@ -192,6 +192,17 @@ object Manifest {
     * back by [[history]], the public DESCRIBE HISTORY idea. */
   val OpKey = "graft.op"
 
+  /** Reserved metadata key prefix: per-file BLOOM index sidecars,
+    * `graft.bloom.<col> -> <root-relative parquet path>` — the public
+    * Delta bloom-filter-index idea for POINT LOOKUPS on columns whose
+    * per-file [min, max] can't prune (high-cardinality values in
+    * random layout span every file's range). Built by
+    * [[buildBloomIndex]], consumed by [[readWhereEquals]]; files
+    * ABSENT from the sidecar (appended or rewritten after the build)
+    * are conservative candidates, so a stale index degrades pruning,
+    * never correctness. */
+  val BloomKeyPrefix = "graft.bloom."
+
   /** Order-insensitive (sorted by field name): parquet reads resolve
     * columns BY NAME per file, so appends that reorder columns are
     * legitimate; renames and retypes are not. Nullability-insensitive
@@ -1032,6 +1043,93 @@ object Manifest {
     base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
+  /** Build (or refresh) the per-file BLOOM index for `colName` over
+    * the CURRENT snapshot: ONE pass groups the table's rows by source
+    * file and aggregates a bloom of the column's xxhash64 values per
+    * file (Spark's own runtime-filter sketch machinery —
+    * `BloomFilterAggregate` — reused at rest), the (file, bloom) table
+    * lands as a parquet sidecar under `bloom/`, and a metadata-only
+    * commit records the pointer. Sized at `bitsPerRow` bits per row of
+    * the largest file (10 ≈ 1 % false positives), capped at Spark's
+    * runtime-filter ceiling (64 Mbit). Rebuild after enough appends or
+    * rewrites have diluted coverage — until then the new files are
+    * simply unscreened candidates ([[readWhereEquals]]). */
+  def buildBloomIndex(spark: SparkSession, root: String, colName: String,
+      bitsPerRow: Int = 10): Long = {
+    require(bitsPerRow >= 2, s"bitsPerRow must be >= 2, got $bitsPerRow")
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    require(snap.files.nonEmpty, s"$root is empty — nothing to index")
+    import org.apache.spark.sql.functions.xxhash64
+    val maxRows =
+      if (snap.rows.nonEmpty) snap.rows.values.max else 4000000L
+    val items = math.min(math.max(maxRows, 1L), 4000000L)
+    val bits = math.min(items * bitsPerRow, 67108864L)
+    val litE = org.apache.spark.sql.catalyst.expressions.Literal
+    val bloomAgg = org.apache.spark.sql.GraftSqlBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          org.apache.spark.sql.GraftSqlBridge.expression(xxhash64(col("__v"))),
+          litE(items), litE(bits)).toAggregateExpression())
+    val rel = s"bloom/${colName}_v${snap.version}"
+    readFiles(spark, root, snap, snap.files)
+      .select(col(colName).as("__v"),
+        org.apache.spark.sql.functions
+          .expr("substring_index(_metadata.file_path, '/data/', -1)")
+          .as("file"))
+      .groupBy("file").agg(bloomAgg.as("bloom"))
+      .write.mode("overwrite").parquet(new Path(root, rel).toString)
+    publish(spark, root, Seq.empty,
+      old => old + (BloomKeyPrefix + colName -> rel) +
+        (OpKey -> s"bloomIndex($colName)"),
+      _.files)._1
+  }
+
+  /** POINT-LOOKUP read: `colName = value` with two pruning layers —
+    * the [min, max] skip stats (as every range read), then the bloom
+    * sidecar when one is recorded: a file whose bloom provably lacks
+    * the probe's hash is skipped; files absent from the sidecar stay
+    * candidates (post-build appends/rewrites — conservative, stated in
+    * [[buildBloomIndex]]). The probe hashes `value` AS THE COLUMN'S
+    * RECORDED TYPE (xxhash64 is type-sensitive) and evaluates the
+    * might-contain per sidecar row — O(files) driver booleans, no
+    * bloom bytes leave the executors. Correctness never depends on
+    * either layer: the equality predicate re-applies to every row. */
+  def readWhereEquals(spark: SparkSession, root: String, colName: String,
+      value: Any): DataFrame = {
+    require(value != null, "readWhereEquals probes a non-null value")
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val statCand = prunedFiles(snap, colName, value, value)
+    val cand = snap.meta.get(BloomKeyPrefix + colName) match {
+      case None => statCand
+      case Some(rel) =>
+        import org.apache.spark.sql.functions.{udf, xxhash64}
+        val typed = recordedSchema(snap)
+          .flatMap(_.fields.find(_.name == colName))
+          .map(f => lit(value).cast(f.dataType))
+          .getOrElse(lit(value))
+        val h = spark.range(1).select(xxhash64(typed)).head().getLong(0)
+        val mc = udf((b: Array[Byte]) =>
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(b))
+            .mightContainLong(h))
+        val entries = spark.read.parquet(new Path(root, rel).toString)
+          .select(col("file"), mc(col("bloom")).as("hit")).collect()
+        val known = entries.map(_.getString(0)).toSet
+        val pass = entries.filter(_.getBoolean(1)).map(_.getString(0)).toSet
+        statCand.filter { f =>
+          val n = dvName(f); !known.contains(n) || pass(n)
+        }
+    }
+    val base =
+      if (cand.isEmpty)
+        readSnapshot(spark, root, snap.copy(files = snap.files.take(1)))
+          .filter(org.apache.spark.sql.functions.lit(false))
+      else readSnapshot(spark, root, snap.copy(files = cand))
+    base.filter(col(colName) === lit(value))
+  }
+
   /** The file subset of `snap` whose recorded [min, max] for `colName`
     * intersects [lo, hi] (no stats → kept). */
   def prunedFiles(snap: Snapshot, colName: String, lo: Any, hi: Any): Seq[String] =
@@ -1693,6 +1791,21 @@ object Manifest {
         val rel = s"dv/${st.getPath.getName}"
         if (!retainedDv.contains(rel) &&
             (droppedDv.contains(rel) || st.getModificationTime < cutoff))
+          f.delete(st.getPath, true)
+      }
+    // bloom sidecars: same rule, keyed by the graft.bloom.* pointers
+    // (superseded builds age out; the current pointers stay)
+    val bloomOf = (s: Snapshot) => s.meta.collect {
+      case (k, v) if k.startsWith(BloomKeyPrefix) => v
+    }
+    val droppedBloom = droppedSnaps.flatMap(bloomOf).toSet
+    val retainedBloom = retainedSnaps.flatMap(bloomOf).toSet
+    val bloomDir = new Path(root, "bloom")
+    if (f.exists(bloomDir))
+      f.listStatus(bloomDir).foreach { st =>
+        val rel = s"bloom/${st.getPath.getName}"
+        if (!retainedBloom.contains(rel) &&
+            (droppedBloom.contains(rel) || st.getModificationTime < cutoff))
           f.delete(st.getPath, true)
       }
     val dd = dataDir(root)

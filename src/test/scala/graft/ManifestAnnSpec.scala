@@ -148,6 +148,25 @@ class ManifestAnnSpec extends SparkTestBase {
     assert(folded == direct, s"$folded vs $direct")
   }
 
+  test("delete + refreshCents: removal is a store op; the repaired sidecar matches the rows") {
+    val root = freshRoot()
+    build(root)
+    // the index is an ordinary manifest table: delete vectors 1 and 2
+    Manifest.deleteWhereBetween(spark, root, "vec_id", 1L, 2L)
+    // probes stay CORRECT against the live rows even with a stale sidecar
+    val top = ids(ManifestAnn.probe(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 2, k = 3))
+    assert(top == Seq(6L, 4L, 3L), top.toString)
+    // the additive sidecar is now stale by construction; refresh repairs it
+    ManifestAnn.refreshCents(spark, root, "label", "qv")
+    val folded = ManifestAnn.centroidSums(spark, root, "label")
+      .as[(Long, Seq[Long])].collect().toMap
+    val direct = graft.similarity.Similarity.listCentroidSums(
+        batch1.filter(col("vec_id") > 2L).unionByName(batch2), "label", "qv")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(folded == direct, s"$folded vs $direct")
+  }
+
   test("the probe's list IN-filter prunes files through the manifest stats") {
     val root = freshRoot()
     build(root)

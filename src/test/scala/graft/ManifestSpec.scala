@@ -1153,6 +1153,58 @@ class ManifestSpec extends SparkTestBase {
     assert(snap.version == 2L * n, "every commit must have won exactly one version")
   }
 
+  test("bloom index: point lookups skip files min/max can't prune; stale coverage stays conservative") {
+    val root = newRoot("bloom")
+    // HASH-split layout: every file's id range spans the whole table,
+    // so the [min, max] stats are useless for point lookups BY DESIGN
+    (0 to 3).foreach { b =>
+      Manifest.append(
+        spark.range(0L, 4000L).toDF("id")
+          .filter(pmod(xxhash64(col("id")), lit(4)) === b)
+          .withColumn("v", col("id") * 10).coalesce(1),
+        root, statsCols = Seq("id"))
+    }
+    Manifest.buildBloomIndex(spark, root, "id")
+
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+        }.flatten
+      var plan = df.queryExecution.executedPlan
+      plan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          plan = a.executedPlan
+        case _ =>
+      }
+      walk(plan).map(_.metrics("numFiles").value).sum
+    }
+
+    // stats alone keep all 4 files (every range intersects); the bloom
+    // prunes to the file(s) whose sketch might contain the key
+    val probe = Manifest.readWhereEquals(spark, root, "id", 1234L)
+    assert(probe.as[(Long, Long)].collect().toSeq == Seq((1234L, 12340L)))
+    val n = scanned(Manifest.readWhereEquals(spark, root, "id", 1234L))
+    assert(n < 4 && n >= 1, s"bloom should skip files, scanned $n of 4")
+    // an absent key reads no rows (usually zero files)
+    assert(Manifest.readWhereEquals(spark, root, "id", 999999L).count() == 0L)
+    // a post-build append is unscreened by the bloom but still found
+    Manifest.append(Seq((777777L, 1L)).toDF("id", "v").coalesce(1),
+      root, statsCols = Seq("id"))
+    assert(Manifest.readWhereEquals(spark, root, "id", 777777L)
+      .as[(Long, Long)].collect().toSeq == Seq((777777L, 1L)))
+    // rebuild covers it; gc sweeps the superseded sidecar, keeps the live one
+    Manifest.buildBloomIndex(spark, root, "id")
+    Manifest.gc(spark, root, keepVersions = 1, orphanMinAgeMs = 0L)
+    val f = new java.io.File(new java.net.URI(s"file:$root/bloom"))
+    assert(f.listFiles().length == 1, f.listFiles().mkString(","))
+    assert(Manifest.readWhereEquals(spark, root, "id", 777777L).count() == 1L)
+  }
+
   test("replaceWhereBetween: one atomic commit re-lands a slab; untouched files carried; contract enforced") {
     val root = newRoot("replace")
     (0L to 3L).foreach(i => Manifest.append(
