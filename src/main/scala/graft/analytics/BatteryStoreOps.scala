@@ -1397,5 +1397,45 @@ trait BatteryStoreOps extends BatteryModels {
       FROM orders JOIN ks ON o_orderkey = k
       ORDER BY o_orderkey"""))
 
+  /** INCREMENTAL MATERIALIZED VIEW over the change feed
+    * ([[graft.streaming.StreamOps.materializedAggStep]] +
+    * [[graft.store.Manifest.upsertOnce]] — the public IVM idea):
+    * orders land in the source table as three commits; the per-
+    * customer aggregate view is maintained by a bootstrap step and ONE
+    * incremental step folding two pending commits (delta aggregated,
+    * touched keys' current rows merged by kind, watermark advanced in
+    * the same atomic commit — a replayed fold would DOUBLE-COUNT, so
+    * exactly-once is load-bearing here, not hygiene); a third pump is
+    * a no-op. The oracle is the plain GROUP BY over all of orders —
+    * the view's whole contract is that no fold sequence can diverge
+    * from the full recompute. */
+  val q174 = Q("q174_manifest_matview",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q174").toString
+      val src = s"$base/orders_src"; val dst = s"$base/orders_mv"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      val aggs = Seq(
+        ("n_orders", "count", ""),
+        ("total_cents", "sum", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+        ("min_key", "min", "o_orderkey"),
+        ("max_key", "max", "o_orderkey"))
+      def pump() = graft.streaming.StreamOps.materializedAggStep(
+        s, src, dst, "mv", "o_custkey", aggs)
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 0), src)
+      pump() // bootstrap
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 1), src)
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 2), src)
+      pump() // one step, two pending commits
+      pump() // up to date: no-op
+      Manifest.read(s, dst).orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS total_cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

@@ -1278,10 +1278,43 @@ object Manifest {
     throw new IllegalStateException("unreachable")
   }
 
-  private def upsertPlanned(batch: DataFrame, root: String, keyCol: String): Long = {
+  /** EXACTLY-ONCE merge — [[upsert]] with a (writerId → txnId)
+    * watermark advanced by the SAME atomic commit as the merged rows
+    * (the [[appendOnce]] idea for read-modify-write): a replayed or
+    * lagging step whose txn is already recorded SKIPS. The skip check
+    * reads the same snapshot the commit then pins as its planned
+    * parent, so a rival step racing in between forces a re-plan that
+    * re-checks — no double-apply window. The primitive under
+    * incremental materialized-view maintenance
+    * ([[graft.streaming.StreamOps.materializedAggStep]]), where
+    * re-applying a delta would DOUBLE-COUNT (value idempotency does
+    * not hold for folds, unlike the CDC sink's latest-per-key merge). */
+  def upsertOnce(batch: DataFrame, root: String, keyCol: String,
+      writerId: String, txnId: Long, maxRetries: Int = 4): (Long, Boolean) = {
+    require(writerId.nonEmpty && !writerId.exists(c => c.isWhitespace || c == '"'),
+      s"writerId must be a simple token, got [$writerId]")
+    val spark = batch.sparkSession
+    def done(s: Snapshot): Boolean =
+      s.meta.get(txnKey(writerId)).exists(_.toLong >= txnId)
+    current(spark, root).filter(done)
+      .foreach(s => return (s.version, false))
+    val v = retryingCommit(s"$root upsertOnce", maxRetries)(
+      upsertPlanned(batch, root, keyCol,
+        extraMeta = Map(txnKey(writerId) -> txnId.toString),
+        skipIf = done))
+    (v, true)
+  }
+
+  private def upsertPlanned(batch: DataFrame, root: String, keyCol: String,
+      extraMeta: Map[String, String] = Map.empty,
+      skipIf: Snapshot => Boolean = _ => false): Long = {
     val spark = batch.sparkSession
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
+    // exactly-once guard: checked against the SAME snapshot the commit
+    // pins via requireVersion — a racing commit forces a re-plan that
+    // re-runs this check
+    if (skipIf(snap)) return snap.version
     val fp = schemaFingerprint(batch)
     requireSchema(spark, root, fp)
     requireChecks(spark, root, batch)
@@ -1320,7 +1353,8 @@ object Manifest {
     val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
     val stats = fileStats(spark, root, kept, statCols)
     publish(spark, root, kept,
-      old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "upsert"),
+      old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "upsert")
+        ++ extraMeta,
       _.files.filterNot(touchedSet), stats,
       rows.filter(kv => kept.contains(kv._1)),
       requireVersion = Some(snap.version),

@@ -686,6 +686,84 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** INCREMENTAL MATERIALIZED AGGREGATE step — view maintenance over
+    * the manifest change feed (the public materialized-view / IVM
+    * idea): the destination table holds `groupBy(keyCol).agg(...)` of
+    * everything the source has committed, and each step folds ONLY the
+    * delta in — never rescanning the history. Supported aggregate
+    * kinds are the insert-only-mergeable set (`count`, `sum`, `min`,
+    * `max`; means are derivable as sum/count): the step aggregates the
+    * delta, reads the view's CURRENT rows for the touched keys only
+    * (key-stats-pruned), merges by kind (counts/sums add, min/max
+    * fold), and lands the result through
+    * [[graft.store.Manifest.upsertOnce]] — the watermark advances in
+    * the SAME atomic commit as the merged rows, so a crashed or
+    * lagging pump replaying a delta SKIPS instead of double-counting
+    * (value idempotency does not hold for folds — this is exactly why
+    * upsertOnce exists). The bootstrap step aggregates the full first
+    * snapshot via appendOnce, which also seeds the view's key skip
+    * index.
+    *
+    * Contracts inherited from the mirror pump: one step may cover
+    * several source commits (pinned-snapshot delta read); a
+    * file-rewriting source commit throws via `changes` — re-baseline
+    * by dropping the view; the view table is OWNED by its pump
+    * (like the mirror's destination) — an unrelated writer merging
+    * into it between a step's touched-key read and its commit is a
+    * re-plan with a stale fold.
+    *
+    * `aggs`: (outputColumn, kind, sourceExprSql) triples; kind `count`
+    * ignores the expression. */
+  def materializedAggStep(
+      spark: org.apache.spark.sql.SparkSession, srcRoot: String,
+      dstRoot: String, writerId: String, keyCol: String,
+      aggs: Seq[(String, String, String)]): Option[Long] = {
+    import graft.store.Manifest
+    require(aggs.nonEmpty, "materializedAggStep needs at least one aggregate")
+    val kinds = Set("count", "sum", "min", "max")
+    aggs.foreach { case (_, kind, _) =>
+      require(kinds(kind), s"unsupported aggregate kind [$kind] — " +
+        "count/sum/min/max are the insert-only-mergeable set") }
+    val cur = Manifest.current(spark, srcRoot) match {
+      case Some(s) if s.files.nonEmpty => s
+      case _ => return None
+    }
+    def aggOf(df: DataFrame): DataFrame = {
+      val cols = aggs.map {
+        case (out, "count", _) => count(lit(1)).as(out)
+        case (out, "sum", e) => sum(expr(e)).as(out)
+        case (out, "min", e) => min(expr(e)).as(out)
+        case (out, "max", e) => max(expr(e)).as(out)
+      }
+      df.groupBy(col(keyCol)).agg(cols.head, cols.tail: _*)
+    }
+    def mergeOf(df: DataFrame): DataFrame = {
+      val cols = aggs.map {
+        case (out, "count", _) => sum(col(out)).as(out) // counts ADD
+        case (out, "sum", _) => sum(col(out)).as(out)
+        case (out, "min", _) => min(col(out)).as(out)
+        case (out, "max", _) => max(col(out)).as(out)
+      }
+      df.groupBy(col(keyCol)).agg(cols.head, cols.tail: _*)
+    }
+    Manifest.lastTxn(spark, dstRoot, writerId) match {
+      case Some(v) if v >= cur.version => None
+      case None =>
+        Manifest.appendOnce(aggOf(Manifest.readSnapshot(spark, srcRoot, cur)),
+          dstRoot, writerId, cur.version, statsCols = Seq(keyCol))
+        Some(cur.version)
+      case Some(v) =>
+        val deltaAgg = aggOf(Manifest.changes(spark, srcRoot, v, cur))
+        val existing = Manifest.read(spark, dstRoot)
+          .join(deltaAgg.select(col(keyCol)), Seq(keyCol), "left_semi")
+        // count columns come back as BIGINT from count(1) but as the
+        // sum's wider type after a merge — unify by name via unionByName
+        val combined = mergeOf(existing.unionByName(deltaAgg))
+        Manifest.upsertOnce(combined, dstRoot, keyCol, writerId, cur.version)
+        Some(cur.version)
+    }
+  }
+
   /** INCREMENTAL MIRROR step — the read side of [[manifestSink]]: pull
     * the source manifest table's changes since the last mirrored
     * version, apply `transform`, and commit the result to the

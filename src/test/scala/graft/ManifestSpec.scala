@@ -1205,6 +1205,41 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.readWhereEquals(spark, root, "id", 777777L).count() == 1L)
   }
 
+  test("materializedAggStep: bootstrap, multi-commit delta fold, replay skip — equals the full recompute") {
+    val src = newRoot("mvsrc"); val dst = newRoot("mvdst")
+    def rows(a: Long, b: Long) = spark.range(a, b).toDF("id")
+      .withColumn("k", col("id") % 7).withColumn("v", col("id") * 3)
+    val aggs = Seq(("n", "count", ""), ("sv", "sum", "v"),
+      ("mn", "min", "v"), ("mx", "max", "v"))
+    def pump() = graft.streaming.StreamOps.materializedAggStep(
+      spark, src, dst, "mv", "k", aggs)
+    assert(pump().isEmpty) // no source yet
+    Manifest.append(rows(0, 100), src)
+    assert(pump().contains(0L)) // bootstrap aggregates the full snapshot
+    Manifest.append(rows(100, 150), src)
+    Manifest.append(rows(150, 300), src)
+    assert(pump().contains(2L)) // ONE step folds both pending commits
+    assert(pump().isEmpty)      // up to date: no-op
+    def view() = Manifest.read(spark, dst).orderBy("k")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val want = rows(0, 300).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("v").as("mn"), max("v").as("mx"))
+      .orderBy("k").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(view() == want)
+    // a lagging pump re-applying the final delta must NOT double-count:
+    // the view's own rows re-merged under the already-recorded txn skip
+    val (_, committed) = Manifest.upsertOnce(
+      Manifest.read(spark, dst), dst, "k", "mv", 2L)
+    assert(!committed, "replayed txn must skip")
+    assert(view() == want)
+    // unsupported kind rejects loudly (avg is not insert-only-mergeable)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.materializedAggStep(
+        spark, src, dst, "mv", "k", Seq(("a", "avg", "v")))
+    }
+  }
+
   test("replaceWhereBetween: one atomic commit re-lands a slab; untouched files carried; contract enforced") {
     val root = newRoot("replace")
     (0L to 3L).foreach(i => Manifest.append(
