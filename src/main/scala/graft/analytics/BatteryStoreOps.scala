@@ -1437,5 +1437,95 @@ trait BatteryStoreOps extends BatteryModels {
         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** RAG RETRIEVAL STACK AT REST — the capstone composition: BOTH
+    * retrievers run against STORED indexes (the q145 bucketed postings
+    * table feeds BM25 — term filters are bucket-pruned scans of the
+    * index at rest; the q170 manifest IVF feeds the vector side — a
+    * probed, file-pruned scan of the versioned vector table), then the
+    * two bounded top-20 lists fuse by exact-integer RRF. Nothing
+    * rescans the corpus at query time: postings cost follows the query
+    * terms' lists, vector cost follows the probed lists' files, fusion
+    * moves O(k) rows — the production retrieval architecture end to
+    * end. The oracle replays the BM25 quantization chain, the IVF list
+    * selection + in-list ranking (approximate BY CONTRACT — ids
+    * outside the probed lists can't appear), and the fused floor
+    * arithmetic from the raw tables. */
+  val q175 = Q("q175_rag_at_rest",
+    (s, dir) => {
+      import graft.operators.RankFusion
+      val docs = t(s, dir, "documents")
+      graft.text.Search.writePostingsIndex(docs, "doc_id", "text",
+        "graft_q175_postings", numBuckets = 8)
+      val lex = graft.text.Search.rankByBm25Bits(
+        s.table("graft_q175_postings"),
+        query = Seq("table", "hash", "scan"), nDocs = docs.count(), k = 20)
+      val lexR = RankFusion.rankBy(lex,
+          Seq(col("score_milli_bits").desc, col("id").asc))
+        .select("id", "rank")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q175").toString + "/ivf"
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          Similarity.quantize(col("embedding")).as("qv"))
+      import graft.similarity.ManifestAnn
+      ManifestAnn.appendBatch(base.filter(col("vec_id") =!= 0),
+        root, "label", "vec_id", "qv")
+      val qqv = base.filter(col("vec_id") === 0)
+        .select("qv").head().getSeq[Long](0)
+      val vec = ManifestAnn.probe(s, root, "label", "vec_id", "qv", qqv,
+        nProbe = 2, k = 20)
+      val vecR = RankFusion.rankBy(vec,
+          Seq(col("cosine").desc, col("vec_id").asc))
+        .select(col("vec_id").as("id"), col("rank"))
+      RankFusion.rrf(Seq(lexR, vecR), "id", k = 10)
+    },
+    Some(s"""WITH $lmToksCte,
+      $postingsCte,
+      dls AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM post GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n FROM documents),
+      am AS (SELECT (1000 * (SELECT SUM(dl) FROM dls)) // n AS avgm
+        FROM nd),
+      qt AS (SELECT * FROM post WHERE term IN ('table', 'hash', 'scan')),
+      idf AS (SELECT term, CAST(COUNT(DISTINCT id) AS BIGINT) AS df
+        FROM qt GROUP BY 1),
+      idfb AS (SELECT term, ${fl2rSql("(2*n+2)", "(2*df+1)")} AS ib
+        FROM idf CROSS JOIN nd),
+      tf AS (SELECT term, id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM qt GROUP BY 1, 2),
+      lfx AS (SELECT t.term, t.id, t.tf,
+          ((1000 - 750) * avgm + 750 * 1000 * dl) // avgm AS lf
+        FROM tf t JOIN dls USING (id) CROSS JOIN am),
+      sc AS (SELECT id,
+          SUM(ib * ((1000000 * tf * (1200 + 1000)) //
+            (1000000 * tf + 1200 * lf))) AS score
+        FROM lfx JOIN idfb USING (term) GROUP BY 1),
+      lexs AS (SELECT id, CAST(score AS BIGINT) AS score FROM sc
+        ORDER BY score DESC, id LIMIT 20),
+      lex AS (SELECT id,
+          row_number() OVER (ORDER BY score DESC, id) AS r FROM lexs),
+      vbase AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        $quantSql AS qv FROM embeddings),
+      vq AS (SELECT qv AS qqv FROM vbase WHERE vec_id = 0),
+      vidx AS (SELECT * FROM vbase WHERE vec_id <> 0),
+      vexpl AS (SELECT label, unnest(qv) AS v,
+        generate_subscripts(qv, 1) AS pos FROM vidx),
+      vcent AS (SELECT label, list(sv ORDER BY pos) AS cvec FROM
+                  (SELECT label, pos, SUM(v) AS sv FROM vexpl
+                   GROUP BY label, pos)
+                GROUP BY label),
+      vtop2 AS (SELECT label FROM vcent, vq
+                ORDER BY ${cosSql("cvec", "qqv")} DESC, label ASC LIMIT 2),
+      vscore AS (SELECT b.vec_id, ${cosSql("b.qv", "vq.qqv")} AS cosine
+        FROM vidx b, vq
+        WHERE b.label IN (SELECT label FROM vtop2)
+        ORDER BY cosine DESC, b.vec_id LIMIT 20),
+      vec AS (SELECT vec_id AS id,
+          row_number() OVER (ORDER BY cosine DESC, vec_id) AS r FROM vscore),
+      fused AS (SELECT id, 1000000000 // (60 + r) AS contrib FROM lex
+        UNION ALL SELECT id, 1000000000 // (60 + r) FROM vec)
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+        CAST(SUM(contrib) AS BIGINT) AS rrf_ppb
+      FROM fused GROUP BY id ORDER BY rrf_ppb DESC, id LIMIT 10"""))
+
   /** All registered queries, in gate order. */
 }
