@@ -753,14 +753,26 @@ object StreamOps {
           dstRoot, writerId, cur.version, statsCols = Seq(keyCol))
         Some(cur.version)
       case Some(v) =>
-        val deltaAgg = aggOf(Manifest.changes(spark, srcRoot, v, cur))
-        val existing = Manifest.read(spark, dstRoot)
-          .join(deltaAgg.select(col(keyCol)), Seq(keyCol), "left_semi")
-        // count columns come back as BIGINT from count(1) but as the
-        // sum's wider type after a merge — unify by name via unionByName
-        val combined = mergeOf(existing.unionByName(deltaAgg))
-        Manifest.upsertOnce(combined, dstRoot, keyCol, writerId, cur.version)
-        Some(cur.version)
+        val deltaAgg = aggOf(Manifest.changes(spark, srcRoot, v, cur)).cache()
+        try {
+          val r = deltaAgg
+            .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi")).head()
+          if (r.isNullAt(0)) {
+            // empty delta (e.g. replayed-then-skipped source batches):
+            // still advance the watermark so the pump converges
+            Manifest.appendOnce(deltaAgg, dstRoot, writerId, cur.version)
+          } else {
+            // touched keys only, through the view's own key skip stats
+            // (bootstrap seeds them; upsert recomputes for rewrites) —
+            // a localized delta reads a slice of the view, not all of it
+            val existing = Manifest
+              .readWhereBetween(spark, dstRoot, keyCol, r.get(0), r.get(1))
+              .join(deltaAgg.select(col(keyCol)), Seq(keyCol), "left_semi")
+            val combined = mergeOf(existing.unionByName(deltaAgg))
+            Manifest.upsertOnce(combined, dstRoot, keyCol, writerId, cur.version)
+          }
+          Some(cur.version)
+        } finally { deltaAgg.unpersist(); () }
     }
   }
 
