@@ -712,6 +712,13 @@ object StreamOps {
     * into it between a step's touched-key read and its commit is a
     * re-plan with a stale fold.
     *
+    * Operating point (measured, BENCH_SCALE x170): the step's wall is
+    * FLAT in history size (~2.4 s fixed: delta read + view merge +
+    * commit) while the full recompute grows with the source — the
+    * crossover sits near 10⁶ source rows at a 100k delta; below it
+    * just recompute, above it the step wins by the history/delta
+    * ratio.
+    *
     * `aggs`: (outputColumn, kind, sourceExprSql) triples; kind `count`
     * ignores the expression. */
   def materializedAggStep(
