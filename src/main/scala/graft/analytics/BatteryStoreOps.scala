@@ -1527,5 +1527,39 @@ trait BatteryStoreOps extends BatteryModels {
         CAST(SUM(contrib) AS BIGINT) AS rrf_ppb
       FROM fused GROUP BY id ORDER BY rrf_ppb DESC, id LIMIT 10"""))
 
+  /** IN-LIST fetch through the bloom screen
+    * ([[graft.store.Manifest.readWhereIn]] — the id-list retrieval
+    * shape: fetch THESE document/order ids from a huge table): same
+    * hash-split worst-case-for-stats layout as q173, but five needles
+    * resolved in ONE scan of the union candidate set (per-value bloom
+    * screen, one job for all probe hashes). Oracle is the plain IN
+    * join; an absent id (the shifted key) must contribute nothing. */
+  val q176 = Q("q176_manifest_bloom_in",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q176").toString + "/orders_bi"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      (0 to 3).foreach { b =>
+        Manifest.append(
+          orders.filter(pmod(xxhash64(col("o_orderkey")), lit(4)) === b)
+            .coalesce(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      Manifest.buildBloomIndex(s, root, "o_orderkey")
+      val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val keys = orders.filter(col("o_orderkey") % 997 === 0)
+        .orderBy("o_orderkey").limit(4)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      Manifest.readWhereIn(s, root, "o_orderkey", keys :+ (hi + 12345L))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH ks AS (SELECT o_orderkey AS k FROM orders
+        WHERE o_orderkey % 997 = 0 ORDER BY 1 LIMIT 4)
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders JOIN ks ON o_orderkey = k
+      ORDER BY o_orderkey"""))
+
   /** All registered queries, in gate order. */
 }

@@ -1043,6 +1043,45 @@ object Manifest {
     base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
+  /** Deserialized bloom sidecars by (root, rel): a sidecar is
+    * IMMUTABLE once written (each build lands under a fresh
+    * version-stamped name), so caching is safe; bounded by whole-map
+    * eviction — at the cap a fresh probe repopulates only its own
+    * table's entry. Keeps the probe path free of Spark jobs: list
+    * screening is a driver loop over pre-parsed sketches. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(String, org.apache.spark.util.sketch.BloomFilter)]]()
+
+  private def bloomEntries(spark: SparkSession, root: String, rel: String)
+      : Array[(String, org.apache.spark.util.sketch.BloomFilter)] = {
+    if (bloomCache.size > 8) bloomCache.clear()
+    bloomCache.computeIfAbsent(s"$root#$rel", _ =>
+      spark.read.parquet(new Path(root, rel).toString)
+        .select(col("file"), col("bloom")).collect()
+        .map(r => (r.getString(0),
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))))
+  }
+
+  /** xxhash64 of a probe value, evaluated ON THE DRIVER (the
+    * expression tree under a literal probe is fully foldable — no
+    * reason to launch a job to hash one value). Built from raw
+    * catalyst Literal/Cast/XxHash64 — the exact expression the index's
+    * build pass ran on the executors — so the hash agrees
+    * bit-for-bit; the cast to the column's recorded type matters
+    * because xxhash64 is type-sensitive (an Int probe against a Long
+    * column would hash differently). */
+  private def hashProbe(value: Any,
+      dt: Option[org.apache.spark.sql.types.DataType]): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val litE = Literal(value)
+    val typed = dt.filter(_ != litE.dataType)
+      .map(t => Cast(litE, t, Some("UTC"))).getOrElse(litE)
+    new XxHash64(Seq(typed))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+  }
+
   /** Build (or refresh) the per-file BLOOM index for `colName` over
     * the CURRENT snapshot: ONE pass groups the table's rows by source
     * file and aggregates a bloom of the column's xxhash64 values per
@@ -1104,20 +1143,11 @@ object Manifest {
     val cand = snap.meta.get(BloomKeyPrefix + colName) match {
       case None => statCand
       case Some(rel) =>
-        import org.apache.spark.sql.functions.{udf, xxhash64}
-        val typed = recordedSchema(snap)
-          .flatMap(_.fields.find(_.name == colName))
-          .map(f => lit(value).cast(f.dataType))
-          .getOrElse(lit(value))
-        val h = spark.range(1).select(xxhash64(typed)).head().getLong(0)
-        val mc = udf((b: Array[Byte]) =>
-          org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(b))
-            .mightContainLong(h))
-        val entries = spark.read.parquet(new Path(root, rel).toString)
-          .select(col("file"), mc(col("bloom")).as("hit")).collect()
-        val known = entries.map(_.getString(0)).toSet
-        val pass = entries.filter(_.getBoolean(1)).map(_.getString(0)).toSet
+        val h = hashProbe(value, recordedSchema(snap)
+          .flatMap(_.fields.find(_.name == colName)).map(_.dataType))
+        val entries = bloomEntries(spark, root, rel)
+        val known = entries.map(_._1).toSet
+        val pass = entries.filter(_._2.mightContainLong(h)).map(_._1).toSet
         statCand.filter { f =>
           val n = dvName(f); !known.contains(n) || pass(n)
         }
@@ -1128,6 +1158,46 @@ object Manifest {
           .filter(org.apache.spark.sql.functions.lit(false))
       else readSnapshot(spark, root, snap.copy(files = cand))
     base.filter(col(colName) === lit(value))
+  }
+
+  /** Multi-value point lookup: `colName IN (values)` as ONE scan of
+    * the union candidate set — the id-list fetch shape. Each value
+    * screens through the [min, max] stats, then the bloom sidecar
+    * (when recorded) keeps a file only if SOME probe value might be
+    * contained; all probe hashes come from one tiny job (the values
+    * cast to the column's recorded type). Driver cost is
+    * O(values × files) set arithmetic — the operator is for BOUNDED
+    * in-lists (tens to thousands of ids), not semi-joins; join a
+    * table for those. */
+  def readWhereIn(spark: SparkSession, root: String, colName: String,
+      values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readWhereIn needs at least one value")
+    require(values.forall(_ != null), "readWhereIn probes non-null values")
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val statCand = values
+      .flatMap(v => prunedFiles(snap, colName, v, v)).distinct
+    val cand = snap.meta.get(BloomKeyPrefix + colName) match {
+      case None => statCand
+      case Some(rel) =>
+        val dt = recordedSchema(snap)
+          .flatMap(_.fields.find(_.name == colName)).map(_.dataType)
+        val hashes = values.map(hashProbe(_, dt))
+        val entries = bloomEntries(spark, root, rel)
+        val known = entries.map(_._1).toSet
+        val pass = entries
+          .filter(e => hashes.exists(e._2.mightContainLong))
+          .map(_._1).toSet
+        statCand.filter { f =>
+          val n = dvName(f); !known.contains(n) || pass(n)
+        }
+    }
+    val base =
+      if (cand.isEmpty)
+        readSnapshot(spark, root, snap.copy(files = snap.files.take(1)))
+          .filter(org.apache.spark.sql.functions.lit(false))
+      else readSnapshot(spark, root, snap.copy(files = cand))
+    base.filter(col(colName).isin(values: _*))
   }
 
   /** The file subset of `snap` whose recorded [min, max] for `colName`

@@ -1203,6 +1203,15 @@ class ManifestSpec extends SparkTestBase {
     val f = new java.io.File(new java.net.URI(s"file:$root/bloom"))
     assert(f.listFiles().length == 1, f.listFiles().mkString(","))
     assert(Manifest.readWhereEquals(spark, root, "id", 777777L).count() == 1L)
+    // multi-value lookup: ONE scan of the union candidate set, same
+    // bloom screen per value, absent values contribute nothing
+    val in = Manifest.readWhereIn(spark, root, "id",
+        Seq(1234L, 777777L, 999999L))
+      .as[(Long, Long)].collect().toSet
+    assert(in == Set((1234L, 12340L), (777777L, 1L)), in.toString)
+    val nIn = scanned(Manifest.readWhereIn(spark, root, "id",
+      Seq(1234L, 999999L)))
+    assert(nIn < 5 && nIn >= 1, s"IN probe scanned $nIn of 5")
   }
 
   test("materializedAggStep: bootstrap, multi-commit delta fold, replay skip — equals the full recompute") {
