@@ -661,10 +661,18 @@ object Manifest {
   private def fileStats(spark: SparkSession, root: String,
       staged: Seq[String], statsCols: Seq[String]): Map[String, Map[String, (Any, Any)]] = {
     if (statsCols.isEmpty || staged.isEmpty) return Map.empty
-    import org.apache.spark.sql.functions.{input_file_name, max, min, substring_index}
+    import org.apache.spark.sql.functions.{input_file_name, max, min, substring_index, sum, when}
+    // recompute paths feed recorded keys back in — normalize the
+    // null-count twins ("c#nulls") to their base columns; every stat'd
+    // column gets BOTH entries (the twin is what lets a delete prove a
+    // stats-covered file holds no null-keyed rows — min/max ignore nulls)
+    val baseCols = statsCols.map(c =>
+      if (c.endsWith(NullsSuffix)) c.dropRight(NullsSuffix.length) else c)
+      .distinct
     val byName = staged.map(rel => rel.substring(rel.indexOf('/') + 1) -> rel).toMap
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+    val aggs = baseCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c")))
     val paths = staged.map(rel => new Path(dataDir(root), rel).toString)
     spark.read.parquet(paths: _*)
       .groupBy(substring_index(input_file_name(), "/", -1).as("__f"))
@@ -672,14 +680,26 @@ object Manifest {
       .collect()
       .flatMap { r =>
         byName.get(r.getString(0)).map { rel =>
-          rel -> statsCols.flatMap { c =>
+          rel -> baseCols.flatMap { c =>
             val (lo, hi) = (r.getAs[Any](s"__lo_$c"), r.getAs[Any](s"__hi_$c"))
-            if (lo == null || hi == null) None else Some(c -> (lo, hi))
+            val nn = r.getAs[Long](s"__nn_$c")
+            val minMax =
+              if (lo == null || hi == null) None else Some(c -> ((lo, hi): (Any, Any)))
+            minMax.toSeq :+ (s"$c$NullsSuffix" -> ((nn, nn): (Any, Any)))
           }.toMap
         }
       }
       .filter(_._2.nonEmpty).toMap
   }
+
+  /** Per-file stats key suffix: `<col>#nulls -> (n, n)` — the
+    * column's null count in that file, recorded beside every min/max
+    * entry. Never matches a probe column name, so every pruning path
+    * ignores it; [[deleteWhereBetween]]/[[replaceWhereBetween]] read
+    * it to DROP stats-proven fully-covered files without scanning them
+    * (safe only when the file provably holds no null-keyed rows —
+    * nulls survive a range delete). */
+  val NullsSuffix = "#nulls"
 
   /** Per-file row counts AND byte sizes from the parquet FOOTERS —
     * driver-side metadata reads (parquet-hadoop is on Spark's
@@ -1441,6 +1461,22 @@ object Manifest {
     retryingCommit(s"$root delete", maxRetries)(
       deleteWhereBetweenPlanned(spark, root, colName, lo, hi))
 
+  /** Stats-proven FULL coverage: every row of `f` lies in [lo, hi]
+    * (recorded min/max inside the range) AND the file provably holds
+    * no null-keyed rows (the `#nulls` twin — nulls survive a range
+    * delete, and min/max are silent about them; files predating the
+    * twin stay conservative). Such a file can be dropped from the
+    * snapshot WITHOUT being read — the file-level delete that makes
+    * dropping a day's partition of a 100 TB table a metadata commit. */
+  private def fullyCovered(snap: Snapshot, f: String, colName: String,
+      lo: Any, hi: Any): Boolean =
+    snap.stats.get(f).exists { m =>
+      m.get(colName).exists { case (mn, mx) =>
+        cmp(mn, lo) >= 0 && cmp(mx, hi) <= 0 } &&
+      m.get(colName + NullsSuffix).exists { case (n, _) =>
+        String.valueOf(n) == "0" }
+    }
+
   private def deleteWhereBetweenPlanned(spark: SparkSession, root: String,
       colName: String, lo: Any, hi: Any): Long = {
     val snap = current(spark, root).getOrElse(
@@ -1448,8 +1484,22 @@ object Manifest {
     val touched = prunedFiles(snap, colName, lo, hi)
     if (touched.isEmpty) return snap.version
     val touchedSet = touched.toSet
+    // fully-covered files drop metadata-only; clipped files rewrite.
+    // If the delete would empty the table, one dropped file is demoted
+    // to clipped so its rewrite stages the schema-carrying empty file.
+    val clipped0 = touched.filterNot(f =>
+      fullyCovered(snap, f, colName, lo, hi))
+    val clipped =
+      if (clipped0.isEmpty && !snap.files.exists(f => !touchedSet.contains(f)))
+        touched.take(1)
+      else clipped0
+    if (clipped.isEmpty)
+      return publish(spark, root, Seq.empty,
+        old => old - DvRowsKey + (OpKey -> "delete"),
+        _.files.filterNot(touchedSet),
+        requireVersion = Some(snap.version))._1
     val survivors = applyDv(spark, root, snap,
-        readFiles(spark, root, snap, touched))
+        readFiles(spark, root, snap, clipped))
       .filter(!(col(colName) >= lit(lo) && col(colName) <= lit(hi)) ||
         col(colName).isNull)
     val staged = stage(survivors, root)
@@ -1505,9 +1555,15 @@ object Manifest {
         "and the replacement batch must coincide")
     val touched = prunedFiles(snap, colName, lo, hi)
     val touchedSet = touched.toSet
+    // stats-proven fully-covered files drop metadata-only (see
+    // [[fullyCovered]]); only clipped files are read for survivors.
+    // The staged batch always carries the schema, so no demotion
+    // guard is needed even when everything else vanishes.
+    val clipped = touched.filterNot(f =>
+      fullyCovered(snap, f, colName, lo, hi))
     val survivorsAndBatch =
-      if (touched.isEmpty) batch
-      else applyDv(spark, root, snap, readFiles(spark, root, snap, touched))
+      if (clipped.isEmpty) batch
+      else applyDv(spark, root, snap, readFiles(spark, root, snap, clipped))
         .filter(!(col(colName) >= lit(lo) && col(colName) <= lit(hi)) ||
           col(colName).isNull)
         .unionByName(batch)

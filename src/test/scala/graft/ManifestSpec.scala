@@ -1214,6 +1214,43 @@ class ManifestSpec extends SparkTestBase {
     assert(nIn < 5 && nIn >= 1, s"IN probe scanned $nIn of 5")
   }
 
+  test("fully-covered files drop metadata-only; null-keyed rows force the rewrite") {
+    val root = newRoot("fullcover")
+    (0L to 2L).foreach(i => Manifest.append(
+      spark.range(i * 100, (i + 1) * 100).toDF("id")
+        .withColumn("v", col("id") * 2).coalesce(1),
+      root, statsCols = Seq("id")))
+    val before = Manifest.current(spark, root).get
+    val file1 = before.files.find(f =>
+      before.stats(f)("id")._1 match { case lo: Long => lo == 100L; case _ => false }).get
+    // the range covers file 1 EXACTLY (stats-proven, zero nulls):
+    // it must vanish with NO new file staged — a pure metadata commit
+    Manifest.deleteWhereBetween(spark, root, "id", 100L, 199L)
+    val after = Manifest.current(spark, root).get
+    assert(after.files.toSet == before.files.toSet - file1,
+      s"metadata-only drop staged files: ${after.files.diff(before.files)}")
+    assert(Manifest.read(spark, root).count() == 200L)
+    assert(Manifest.rowCount(after).contains(200L))
+
+    // a file CONTAINING NULL KEYS is not provably covered — nulls
+    // survive a range delete, so the file must be rewritten, not dropped
+    val root2 = newRoot("fullcover_null")
+    Manifest.append(
+      spark.range(0L, 100L).toDF("i")
+        .select(when(col("i") === 50L, lit(null)).otherwise(col("i"))
+          .cast("long").as("id"))
+        .withColumn("v", lit(1L)).coalesce(1),
+      root2, statsCols = Seq("id"))
+    Manifest.append(
+      spark.range(100L, 200L).toDF("id").withColumn("v", lit(2L)).coalesce(1),
+      root2, statsCols = Seq("id"))
+    Manifest.deleteWhereBetween(spark, root2, "id", 0L, 99L)
+    val got = Manifest.read(spark, root2)
+    assert(got.count() == 101L)
+    assert(got.filter(col("id").isNull).count() == 1L,
+      "the null-keyed row must survive the range delete")
+  }
+
   test("materializedAggStep: bootstrap, multi-commit delta fold, replay skip — equals the full recompute") {
     val src = newRoot("mvsrc"); val dst = newRoot("mvdst")
     def rows(a: Long, b: Long) = spark.range(a, b).toDF("id")
