@@ -1388,23 +1388,28 @@ object Manifest {
       s.meta.get(txnKey(writerId)).exists(_.toLong >= txnId)
     current(spark, root).filter(done)
       .foreach(s => return (s.version, false))
+    // a racer can lose the commit and find the txn recorded only at
+    // re-plan time — the flag must come from the planned body, not be
+    // assumed from reaching this point
+    var skipped = false
     val v = retryingCommit(s"$root upsertOnce", maxRetries)(
       upsertPlanned(batch, root, keyCol,
         extraMeta = Map(txnKey(writerId) -> txnId.toString),
-        skipIf = done))
-    (v, true)
+        skipIf = done, onSkip = () => skipped = true))
+    (v, !skipped)
   }
 
   private def upsertPlanned(batch: DataFrame, root: String, keyCol: String,
       extraMeta: Map[String, String] = Map.empty,
-      skipIf: Snapshot => Boolean = _ => false): Long = {
+      skipIf: Snapshot => Boolean = _ => false,
+      onSkip: () => Unit = () => ()): Long = {
     val spark = batch.sparkSession
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
     // exactly-once guard: checked against the SAME snapshot the commit
     // pins via requireVersion — a racing commit forces a re-plan that
     // re-runs this check
-    if (skipIf(snap)) return snap.version
+    if (skipIf(snap)) { onSkip(); return snap.version }
     val fp = schemaFingerprint(batch)
     requireSchema(spark, root, fp)
     requireChecks(spark, root, batch)

@@ -1214,6 +1214,51 @@ class ManifestSpec extends SparkTestBase {
     assert(nIn < 5 && nIn >= 1, s"IN probe scanned $nIn of 5")
   }
 
+  test("upsertOnce: racing same-txn merges commit exactly once, interleaved with appends") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val root = newRoot("uponce")
+      Manifest.append(
+        spark.range(0L, 100L).toDF("id").withColumn("v", lit(0L)),
+        root, statsCols = Seq("id"))
+      // 6 threads race the SAME logical fold (writer, txn=1): exactly
+      // one commits — the skip check re-raced against the pinned parent
+      // is what stops a double-apply
+      val batch = spark.range(0L, 50L).toDF("id").withColumn("v", lit(1L))
+      val reps = (0 until 6).map(_ => Future {
+        Manifest.upsertOnce(batch, root, "id", "mv", 1L)
+      })
+      val outcomes = Await.result(Future.sequence(reps), 180.seconds)
+      assert(outcomes.count(_._2) == 1,
+        s"exactly one racing fold must commit: $outcomes")
+      val got = Manifest.read(spark, root).as[(Long, Long)].collect().toMap
+      assert(got == (0L until 100L).map(i => i -> (if (i < 50) 1L else 0L)).toMap,
+        "a double-applied fold would have produced the same rows here, " +
+          "but version history below proves single application")
+      // the txn landed once: watermark recorded, version advanced by 1
+      assert(Manifest.lastTxn(spark, root, "mv").contains(1L))
+      assert(Manifest.current(spark, root).get.version == 1L)
+      // a replay AFTER the fact skips without touching the table
+      assert(!Manifest.upsertOnce(batch, root, "id", "mv", 1L)._2)
+      assert(Manifest.current(spark, root).get.version == 1L)
+      // and an interleaved append forcing a planned-parent conflict
+      // still lets a NEWER txn re-plan and land
+      val f1 = Future { Manifest.append(
+        spark.range(200L, 220L).toDF("id").withColumn("v", lit(9L)), root) }
+      val f2 = Future { Manifest.upsertOnce(
+        spark.range(0L, 10L).toDF("id").withColumn("v", lit(2L)),
+        root, "id", "mv", 2L) }
+      Await.result(Future.sequence(Seq(f1.map(_ => ()), f2.map(_ => ()))),
+        180.seconds)
+      assert(Manifest.lastTxn(spark, root, "mv").contains(2L))
+      assert(Manifest.read(spark, root).count() == 120L)
+      assert(Manifest.read(spark, root).filter(col("v") === 2L).count() == 10L)
+    } finally { pool.shutdown(); () }
+  }
+
   test("fully-covered files drop metadata-only; null-keyed rows force the rewrite") {
     val root = newRoot("fullcover")
     (0L to 2L).foreach(i => Manifest.append(
