@@ -1561,5 +1561,47 @@ trait BatteryStoreOps extends BatteryModels {
       FROM orders JOIN ks ON o_orderkey = k
       ORDER BY o_orderkey"""))
 
+  /** GENERAL-predicate atomic replace
+    * ([[graft.store.Manifest.replaceWhere]] — the full public
+    * replaceWhere contract beyond q171's range slab): every
+    * even-keyed 'F' order is swapped for a price-restated copy in ONE
+    * commit, touched files discovered by a predicate-pushdown scan,
+    * survivors = each touched file's non-matching rows. The oracle
+    * replays the swap as NOT(pred) ∪ batch in plain SQL. */
+  val q177 = Q("q177_manifest_replace_where",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q177").toString + "/orders_rwp"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = hi / 4 + 1
+      (0L to 3L).foreach { qtr =>
+        Manifest.append(
+          orders.filter(col("o_orderkey") >= qtr * cut &&
+            col("o_orderkey") < (qtr + 1) * cut).coalesce(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      val predSql = "o_orderstatus = 'F' AND o_orderkey % 2 = 0"
+      val batch = orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(250.0))
+      Manifest.replaceWhere(batch, root, predSql)
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("status")
+    },
+    Some(s"""WITH merged AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice + 250.0 FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM merged GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

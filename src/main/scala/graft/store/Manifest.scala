@@ -1144,6 +1144,31 @@ object Manifest {
       _.files)._1
   }
 
+  /** Auto-refresh valve for standing ingest loops: rebuild the bloom
+    * index when its COVERAGE of the current snapshot decays below
+    * `minCoverage` (files appended or rewritten since the last build
+    * are unscreened candidates — correct but unpruned). The check is
+    * metadata-only (cached sidecar names vs the file list, no data
+    * scan); the rebuild is [[buildBloomIndex]]'s one pass. Returns
+    * whether a rebuild ran. */
+  def maybeRefreshBloomIndex(spark: SparkSession, root: String,
+      colName: String, minCoverage: Double = 0.7): Boolean = {
+    require(minCoverage > 0.0 && minCoverage <= 1.0,
+      s"minCoverage must be in (0, 1], got $minCoverage")
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    if (snap.files.isEmpty) return false
+    val stale = snap.meta.get(BloomKeyPrefix + colName) match {
+      case None => true
+      case Some(rel) =>
+        val known = bloomEntries(spark, root, rel).map(_._1).toSet
+        val covered = snap.files.count(f => known.contains(dvName(f)))
+        covered.toDouble / snap.files.size < minCoverage
+    }
+    if (stale) buildBloomIndex(spark, root, colName)
+    stale
+  }
+
   /** POINT-LOOKUP read: `colName = value` with two pruning layers —
     * the [min, max] skip stats (as every range read), then the bloom
     * sidecar when one is recorded: a file whose bloom provably lacks
@@ -1577,6 +1602,68 @@ object Manifest {
     // an empty batch over a fully-covered range is a pure delete: keep
     // the delete path's rule — publish no empty files unless nothing
     // else would carry the schema
+    val nonEmpty = staged.filter(f => rows.getOrElse(f, 1L) > 0L)
+    val kept =
+      if (nonEmpty.nonEmpty || snap.files.exists(f => !touchedSet.contains(f)))
+        nonEmpty
+      else staged.take(1)
+    val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+    val stats = fileStats(spark, root, kept, statCols)
+    publish(spark, root, kept,
+      old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "replaceWhere"),
+      _.files.filterNot(touchedSet), stats,
+      rows.filter(kv => kept.contains(kv._1)),
+      requireVersion = Some(snap.version),
+      newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
+  }
+
+  /** GENERAL-predicate atomic replace — [[replaceWhereBetween]]'s
+    * arbitrary-predicate form (the full public `replaceWhere`
+    * contract): rows satisfying `predicateSql` are swapped for the
+    * batch in ONE commit. Touched-file discovery is one
+    * predicate-pushdown scan (`input_file_name` distinct — parquet
+    * footer/row-group stats prune what they can; the range form stays
+    * the cheaper choice when the slab IS a recorded-stats range);
+    * survivors are each touched file's rows where the predicate is
+    * FALSE or NULL (NULL rows are not replaced — the delete-what-
+    * matches rule). Every batch row must satisfy the predicate (loud
+    * throw), schema + CHECK constraints enforced, planned-parent
+    * auto-retry inherited. */
+  def replaceWhere(batch: DataFrame, root: String, predicateSql: String,
+      maxRetries: Int = 4): Long =
+    retryingCommit(s"$root replaceWhere", maxRetries)(
+      replaceWherePlanned(batch, root, predicateSql))
+
+  private def replaceWherePlanned(batch: DataFrame, root: String,
+      predicateSql: String): Long = {
+    import org.apache.spark.sql.functions.{expr, input_file_name, substring_index}
+    val spark = batch.sparkSession
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val fp = schemaFingerprint(batch)
+    requireSchema(spark, root, fp)
+    requireChecks(spark, root, batch)
+    val pred = expr(predicateSql)
+    val outside = batch.filter(!pred || pred.isNull).limit(1).collect()
+    require(outside.isEmpty,
+      s"replaceWhere batch has rows not satisfying [$predicateSql] " +
+        s"(e.g. ${outside.headOption.getOrElse("")}) — the replaced set " +
+        "and the replacement batch must coincide")
+    val byName = snap.files.map(rel =>
+      rel.substring(rel.lastIndexOf('/') + 1) -> rel).toMap
+    val touched = readFiles(spark, root, snap, snap.files)
+      .filter(pred)
+      .select(substring_index(input_file_name(), "/", -1).as("__f"))
+      .distinct().collect()
+      .flatMap(r => byName.get(r.getString(0))).toSeq
+    val touchedSet = touched.toSet
+    val survivorsAndBatch =
+      if (touched.isEmpty) batch
+      else applyDv(spark, root, snap, readFiles(spark, root, snap, touched))
+        .filter(!pred || pred.isNull)
+        .unionByName(batch)
+    val staged = stage(survivorsAndBatch, root)
+    val (rows, bytesM) = footerMeta(spark, root, staged)
     val nonEmpty = staged.filter(f => rows.getOrElse(f, 1L) > 0L)
     val kept =
       if (nonEmpty.nonEmpty || snap.files.exists(f => !touchedSet.contains(f)))

@@ -1296,6 +1296,60 @@ class ManifestSpec extends SparkTestBase {
       "the null-keyed row must survive the range delete")
   }
 
+  test("replaceWhere (general predicate): swap matching rows in one commit; NULL rows survive") {
+    val root = newRoot("rwgen")
+    Manifest.append(
+      spark.range(0L, 100L).toDF("id")
+        .withColumn("v", when(col("id") === 7L, lit(null))
+          .otherwise(col("id") % 10L).cast("long")).coalesce(1),
+      root, statsCols = Seq("id"))
+    Manifest.append(
+      spark.range(100L, 200L).toDF("id")
+        .withColumn("v", (col("id") % 10L).cast("long")).coalesce(1),
+      root, statsCols = Seq("id"))
+    val before = Manifest.current(spark, root).get
+    val batch = spark.range(1000L, 1005L).toDF("id").withColumn("v", lit(3L))
+    val v = Manifest.replaceWhere(batch, root, "v = 3")
+    assert(v == before.version + 1, "general replace must be ONE commit")
+    val got = Manifest.read(spark, root)
+    // 20 v=3 rows swapped for the 5 batch rows; the NULL-v row is NOT
+    // replaced (NULL predicate = keep); everything else untouched
+    assert(got.count() == 185L)
+    assert(got.filter(col("v") === 3L).select("id").as[Long].collect().sorted
+      .toSeq == (1000L until 1005L))
+    assert(got.filter(col("v").isNull).select("id").as[Long].collect()
+      .toSeq == Seq(7L))
+    // a batch row violating the predicate rejects loudly
+    intercept[IllegalArgumentException] {
+      Manifest.replaceWhere(
+        spark.range(0L, 1L).toDF("id").withColumn("v", lit(4L)),
+        root, "v = 3")
+    }
+  }
+
+  test("maybeRefreshBloomIndex: rebuilds only when coverage decays") {
+    val root = newRoot("bloomauto")
+    (0 to 3).foreach { b =>
+      Manifest.append(
+        spark.range(0L, 2000L).toDF("id")
+          .filter(pmod(xxhash64(col("id")), lit(4)) === b)
+          .withColumn("v", col("id")).coalesce(1),
+        root, statsCols = Seq("id"))
+    }
+    // no index yet: the valve builds one
+    assert(Manifest.maybeRefreshBloomIndex(spark, root, "id"))
+    assert(!Manifest.maybeRefreshBloomIndex(spark, root, "id"),
+      "full coverage must not rebuild")
+    // three post-build appends: coverage 4/7 < 0.7 → rebuild
+    (0 to 2).foreach(i => Manifest.append(
+      spark.range(3000L + i, 3001L + i).toDF("id")
+        .withColumn("v", col("id")).coalesce(1),
+      root, statsCols = Seq("id")))
+    assert(Manifest.maybeRefreshBloomIndex(spark, root, "id"))
+    assert(!Manifest.maybeRefreshBloomIndex(spark, root, "id"))
+    assert(Manifest.readWhereEquals(spark, root, "id", 3001L).count() == 1L)
+  }
+
   test("materializedAggStep: bootstrap, multi-commit delta fold, replay skip — equals the full recompute") {
     val src = newRoot("mvsrc"); val dst = newRoot("mvdst")
     def rows(a: Long, b: Long) = spark.range(a, b).toDF("id")
