@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
+  GreaterThanOrEqual, In, IsNull, LessThan, LessThanOrEqual, Literal, Not,
+  Or, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
 
@@ -25,14 +26,17 @@ import org.apache.spark.sql.types.StructType
   * re-resolve via a fresh [[Manifest.table]] call.
   *
   * Pruning is conservative by construction: conjuncts of the shapes
-  * `col (=|<|<=|>|>=) literal`, null-safe equality, `col IN (…)`, and
-  * any OR-tree of those shapes over stat'd columns prune (a file
-  * survives an OR iff some disjunct might match it — the union of the
-  * disjuncts' file sets); anything else (casts, functions, NOT,
-  * unstat'd columns, type families [[Manifest.cmp]] cannot order)
-  * keeps the file. Date/timestamp literals prune via their canonical
-  * text forms. Correctness never depends on pruning — Spark re-applies
-  * every filter to the rows it reads. */
+  * `col (=|<|<=|>|>=) literal`, null-safe equality, `col IN (…)`,
+  * `col IS NULL` (via the #nulls twin), and any OR/NOT-tree of those
+  * shapes over stat'd columns prune (OR = union of the disjuncts'
+  * file sets; NOT rewrites through De Morgan and comparison
+  * complements — valid in SQL's three-valued logic because null rows
+  * satisfy neither a comparison nor its complement, null-safe
+  * equality handled with the null counts); anything else (casts,
+  * functions, unstat'd columns, type families [[Manifest.cmp]] cannot
+  * order) keeps the file. Date/timestamp literals prune via their
+  * canonical text forms. Correctness never depends on pruning — Spark
+  * re-applies every filter to the rows it reads. */
 final class ManifestFileIndex(
     spark: SparkSession, root: String,
     val snapshot: Manifest.Snapshot) extends FileIndex {
@@ -152,6 +156,50 @@ final class ManifestFileIndex(
       // it appears INSIDE an Or (top-level Ands were already split).
       case Or(l, r) => survives(file, l) || survives(file, r)
       case And(l, r) => survives(file, l) && survives(file, r)
+      // NOT-trees: SQL's three-valued logic satisfies De Morgan (Kleene),
+      // and a row SATISFIES the complement of a comparison iff it
+      // satisfies the complementary comparison (null rows satisfy
+      // neither side) — so NOT rewrites into shapes already handled,
+      // and `NOT (a BETWEEN x AND y)` prunes files fully inside the
+      // range. Null rows never satisfy a comparison, so the min/max
+      // bounds (which ignore nulls) answer exactly the right question —
+      // EXCEPT null-safe equality, whose complement IS satisfied by
+      // null rows: that case consults the #nulls twin and stays
+      // conservative without it.
+      case Not(And(l, r)) => survives(file, Or(Not(l), Not(r)))
+      case Not(Or(l, r)) => survives(file, Not(l)) && survives(file, Not(r))
+      case Not(Not(e)) => survives(file, e)
+      case Not(GreaterThanOrEqual(l, r)) => survives(file, LessThan(l, r))
+      case Not(GreaterThan(l, r)) => survives(file, LessThanOrEqual(l, r))
+      case Not(LessThanOrEqual(l, r)) => survives(file, GreaterThan(l, r))
+      case Not(LessThan(l, r)) => survives(file, GreaterThanOrEqual(l, r))
+      case Not(EqualTo(a: AttributeReference, Lit(x))) =>
+        check(a.name, { case (mn, mx) =>
+          !(Manifest.cmp(mn, x) == 0 && Manifest.cmp(mx, x) == 0) })
+      case Not(EqualTo(Lit(x), a: AttributeReference)) =>
+        check(a.name, { case (mn, mx) =>
+          !(Manifest.cmp(mn, x) == 0 && Manifest.cmp(mx, x) == 0) })
+      case Not(In(a: AttributeReference, vs))
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        val xs = vs.map { case l: Literal => Lit.unapply(l) }
+        if (xs.exists(_.isEmpty)) true
+        else check(a.name, { case (mn, mx) =>
+          !(Manifest.cmp(mn, mx) == 0 &&
+            xs.flatten.exists(x => Manifest.cmp(mn, x) == 0)) })
+      case Not(EqualNullSafe(a: AttributeReference, Lit(x))) =>
+        // a null row DOES satisfy NOT(a <=> x): prune only when the
+        // file is single-valued at x AND provably null-free
+        val nullFree = bounds(file, a.name + Manifest.NullsSuffix)
+          .exists { case (n, _) => String.valueOf(n) == "0" }
+        !nullFree || check(a.name, { case (mn, mx) =>
+          !(Manifest.cmp(mn, x) == 0 && Manifest.cmp(mx, x) == 0) })
+      // `a IS NULL` prunes null-free files through the #nulls twin
+      // (recorded beside every min/max since r14; older files keep)
+      case IsNull(a: AttributeReference) =>
+        bounds(file, a.name + Manifest.NullsSuffix) match {
+          case Some((n, _)) => String.valueOf(n) != "0"
+          case None => true
+        }
       // col LIKE 'p%' (Catalyst rewrites the trailing-wildcard LIKE to
       // StartsWith): some s in [lo, hi] has prefix p iff p <= hi (the
       // minimal prefixed string is p itself) and lo's first |p| chars

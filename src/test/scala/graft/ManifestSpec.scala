@@ -281,6 +281,37 @@ class ManifestSpec extends SparkTestBase {
     // a prefix below every file's range scans nothing but stays correct
     val likeNone = st.filter(col("s").startsWith("aaa"))
     assert(likeNone.count() == 0L)
+    // NOT-trees prune (De Morgan + comparison complements): NOT BETWEEN
+    // scans only the files not fully inside the range
+    val notBetween = t.filter(!(col("id") >= 100L && col("id") <= 199L))
+    assert(scannedFiles(notBetween) == 2L)
+    assert(notBetween.as[Long].collect().sorted.toSeq ==
+      ((0L to 99L) ++ (200L to 299L)))
+    // != keeps every multi-valued file here — and stays correct
+    assert(scannedFiles(t.filter(col("id") =!= 150L)) == 3L)
+    // a SINGLE-VALUED file is pruned by != and NOT IN
+    val oroot = newRoot("fidxnot")
+    Manifest.append(spark.range(0L, 50L).toDF("id").coalesce(1),
+      oroot, statsCols = Seq("id"))
+    Manifest.append(spark.range(0L, 10L).toDF("n")
+      .select(lit(777L).as("id")).coalesce(1), oroot, statsCols = Seq("id"))
+    val ot = Manifest.table(spark, oroot)
+    val ne = ot.filter(col("id") =!= 777L)
+    assert(scannedFiles(ne) == 1L)
+    assert(ne.count() == 50L)
+    assert(scannedFiles(ot.filter(!col("id").isin(777L, 999L))) == 1L)
+    // IS NULL prunes null-free files via the #nulls stats twin
+    val nroot = newRoot("fidxnull")
+    Manifest.append(spark.range(0L, 50L).toDF("id")
+      .withColumn("k", col("id")).coalesce(1), nroot, statsCols = Seq("k"))
+    Manifest.append(spark.range(50L, 60L).toDF("id")
+      .withColumn("k", when(col("id") === 55L, lit(null))
+        .otherwise(col("id")).cast("long")).coalesce(1),
+      nroot, statsCols = Seq("k"))
+    val nt = Manifest.table(spark, nroot)
+    val isNullProbe = nt.filter(col("k").isNull)
+    assert(scannedFiles(isNullProbe) == 1L)
+    assert(isNullProbe.select("id").as[Long].collect().toSeq == Seq(55L))
     // a stats-free append is conservatively scanned wherever it could match
     Manifest.append(spark.range(400, 410).toDF("id").coalesce(1), root)
     val t2 = Manifest.table(spark, root)
