@@ -1603,5 +1603,159 @@ trait BatteryStoreOps extends BatteryModels {
         ${dsumSql("o_totalprice")} AS total_price
       FROM merged GROUP BY 1 ORDER BY 1"""))
 
+  /** RETRACTION-CAPABLE incremental materialized view
+    * ([[graft.streaming.StreamOps.materializedAggStep]] over
+    * [[graft.store.Manifest.changesWithDeltas]] — the IVM signed-fold
+    * rule): the source table lives a full mutation lifecycle — three
+    * range appends, an UPSERT price bump on every seventh order of the
+    * top third (touched-file rewrite: remove+insert pairs in the
+    * feed), a DELETION-VECTOR slab delete by order key (remove rows on
+    * CARRIED files — the DV-diff feed path), and a DV delete of
+    * customers 1–30 wholesale (groups whose folded count hits ZERO and
+    * must be EVICTED, not kept as zeroed husks) — then ONE retracting
+    * fold covers all three mutations: count/sum fold signed deltas,
+    * min/max are recounted per touched key from the pinned source, and
+    * a final pump is a no-op. The oracle is the plain GROUP BY over
+    * the final logical source — the view's whole contract is that no
+    * fold sequence, retracting or not, can diverge from the full
+    * recompute. */
+  val q178 = Q("q178_matview_retraction",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q178").toString
+      val src = s"$base/orders_src"; val dst = s"$base/orders_mv"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      val aggs = Seq(
+        ("n_orders", "count", ""),
+        ("total_cents", "sum", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+        ("min_key", "min", "o_orderkey"),
+        ("max_key", "max", "o_orderkey"))
+      def pump() = graft.streaming.StreamOps.materializedAggStep(
+        s, src, dst, "mv", "o_custkey", aggs)
+      val stats = Seq("o_orderkey", "o_custkey")
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val t1 = mk / 3; val t2 = 2 * mk / 3
+      Manifest.append(orders.filter(col("o_orderkey") <= t1).coalesce(1),
+        src, statsCols = stats)
+      pump() // bootstrap
+      Manifest.append(orders.filter(col("o_orderkey") > t1 &&
+        col("o_orderkey") <= t2).coalesce(1), src, statsCols = stats)
+      Manifest.append(orders.filter(col("o_orderkey") > t2).coalesce(1),
+        src, statsCols = stats)
+      pump() // insert-only fold over two commits
+      // UPDATE: bump every seventh order of the top third — touched-file
+      // merge, so only the top-range file rewrites
+      Manifest.upsert(orders
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") > t2)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+        src, "o_orderkey")
+      // DELETE 1 (DV form): a mid-table slab by order key — the vector
+      // lands on files the window otherwise CARRIES
+      Manifest.deleteWhereBetweenDv(s, src, "o_orderkey", mk / 5, 2 * mk / 5)
+      // DELETE 2 (DV form): customers 1..30 wholesale — guaranteed
+      // zero-count groups the view must evict
+      Manifest.deleteWhereBetweenDv(s, src, "o_custkey", 1L, 30L)
+      pump() // ONE retracting fold over upsert + both deletes
+      pump() // up to date: no-op
+      Manifest.read(s, dst).orderBy("o_custkey")
+    },
+    Some("""WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      final AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 7 = 0 AND o_orderkey > (2 * mk) // 3
+            THEN o_totalprice + 100.0 ELSE o_totalprice END AS price
+        FROM orders, mx
+        WHERE NOT (o_orderkey BETWEEN mk // 5 AND (2 * mk) // 5)
+          AND NOT (o_custkey BETWEEN 1 AND 30))
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM final GROUP BY 1 ORDER BY 1"""))
+
+  /** PQ/ADC CODES AT REST in the manifest IVF index
+    * ([[graft.similarity.ManifestAnn.buildPq]]/`appendBatchPq`/
+    * `probePq` — the compression layer of the stored vector index,
+    * q112's IVFADC-R form moved onto versioned tables): the index is
+    * built in TWO batches — odd vec_ids appended, then the PQ layer
+    * built (floored-mean coarse centroids + residual codes against the
+    * q109 fixed codebook), then even vec_ids appended THROUGH the
+    * frozen codebook (`appendBatchPq` — streaming-encode, nothing
+    * retrained) — and probed compressed: routing by centroid-sum
+    * cosine, ADC scoring from the file-pruned CODES table
+    * (⟨q,mvec⟩ + Σ LUT), top-30 candidates, EXACT cosine re-rank of
+    * just those ids' full vectors. The oracle replays the entire
+    * chain — sums routing, first-batch-only floored means, residual
+    * argmin encode of BOTH batches, LUT, coarse+fine assembly,
+    * candidate cut, exact re-rank — so a drift in any stage, or a
+    * stale/missing code for the post-build batch, hash-mismatches. */
+  val q179 = Q("q179_manifest_ivfpq_at_rest",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q179").toString + "/ivf"
+      import graft.similarity.ManifestAnn
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          Similarity.quantize(col("embedding")).as("qv"))
+      ManifestAnn.appendBatch(base.filter(col("vec_id") % 2 === 1),
+        root, "label", "vec_id", "qv")
+      ManifestAnn.buildPq(s, root, "label", "vec_id", "qv",
+        codebook = Some(pqFixedCodebook(s)))
+      ManifestAnn.appendBatchPq(base.filter(col("vec_id") % 2 === 0),
+        root, "label", "vec_id", "qv")
+      val qqv = Seq.tabulate(64)(j => (((j * 13) % 29) - 14) * 10L)
+      ManifestAnn.probePq(s, root, "label", "vec_id", "qv", qqv,
+        nProbe = 2, k = 10, rerank = 3)
+    },
+    Some(s"""WITH qv AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        $quantSql AS v FROM embeddings),
+      q AS (SELECT list(CAST((((j*13) % 29) - 14) * 10 AS BIGINT) ORDER BY j) AS qqv
+            FROM range(0, 64) t(j)),
+      expl AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM qv),
+      cent AS (SELECT label, list(sv ORDER BY pos) AS cvec FROM
+                 (SELECT label, pos, SUM(x) AS sv FROM expl GROUP BY label, pos)
+               GROUP BY label),
+      top2 AS (SELECT label FROM cent, q
+               ORDER BY ${cosSql("cvec", "qqv")} DESC, label ASC LIMIT 2),
+      mexp AS (SELECT label, pos,
+          CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mv
+        FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+              FROM qv WHERE vec_id % 2 = 1)
+        GROUP BY label, pos),
+      mcent AS (SELECT label, list(mv ORDER BY pos) AS mvec FROM mexp GROUP BY label),
+      coarse AS (SELECT label,
+          CAST(list_sum(list_transform(list_zip(mvec, qqv), p -> p[1]*p[2])) AS BIGINT) AS coarse
+        FROM mcent, q),
+      diffs AS (SELECT b.vec_id, t.s, u.c, w.j,
+          b.v[CAST(t.s*16 + w.j + 1 AS INT)] - m.mv
+            - (((t.s*131 + u.c*17 + w.j*7) % 41) - 20) * 10 AS df
+        FROM qv b
+        CROSS JOIN range(0, 4) t(s)
+        CROSS JOIN range(0, 8) u(c)
+        CROSS JOIN range(0, 16) w(j)
+        JOIN mexp m ON m.label = b.label AND m.pos = t.s*16 + w.j + 1),
+      d AS (SELECT vec_id, s, c, CAST(SUM(df * df) AS BIGINT) AS dist
+        FROM diffs GROUP BY vec_id, s, c),
+      best AS (SELECT vec_id, s, c,
+          row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+        FROM d),
+      codes AS (SELECT vec_id, s, c FROM best WHERE rn = 1),
+      lut AS (SELECT s, c,
+          CAST(SUM((((j*13) % 29) - 14) * 10
+                   * (((s*131 + c*17 + ((j % 16))*7) % 41) - 20) * 10) AS BIGINT) AS l
+        FROM range(0, 4) t(s), range(0, 8) u(c), range(0, 64) w(j)
+        WHERE j // 16 = s
+        GROUP BY s, c),
+      adc AS (SELECT cd.vec_id, CAST(SUM(l.l) AS BIGINT) + MIN(co.coarse) AS adc
+        FROM codes cd JOIN qv b USING (vec_id)
+        JOIN coarse co ON co.label = b.label
+        JOIN lut l USING (s, c)
+        WHERE b.label IN (SELECT label FROM top2)
+        GROUP BY cd.vec_id),
+      cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 30)
+      SELECT b.vec_id, b.label, ${cosSql("b.v", "q.qqv")} AS cosine
+      FROM qv b JOIN cand USING (vec_id), q
+      ORDER BY cosine DESC, b.vec_id LIMIT 10"""))
+
   /** All registered queries, in gate order. */
 }

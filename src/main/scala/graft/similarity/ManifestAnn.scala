@@ -120,14 +120,154 @@ object ManifestAnn {
     require(nProbe >= 1, s"probe: nProbe must be >= 1, got $nProbe")
     require(k >= 1, s"probe: k must be >= 1, got $k")
     val qlit = typedLit(queryQv)
-    val probed = centroidSums(spark, root, listCol)
+    val probed = probedLists(spark, root, listCol, qlit, nProbe)
+    Manifest.table(spark, root)
+      .filter(col(listCol).isin(probed: _*) && rowFilter)
+      .select(col(idCol), col(listCol),
+        Similarity.cosineQ(col(qvCol), qlit).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Top-`nProbe` list ids by centroid-sum cosine (ties to the smaller
+    * list id) — the routing step both probe forms share; bounded
+    * driver handoff. */
+  private def probedLists(spark: SparkSession, root: String,
+      listCol: String, qlit: Column, nProbe: Int): Seq[Any] =
+    centroidSums(spark, root, listCol)
       .select(col(listCol), Similarity.cosineQ(col("cvec"), qlit).as("cscore"))
       .orderBy(col("cscore").desc, col(listCol).asc)
       .limit(nProbe)
       .select(col(listCol))
       .collect().map(_.get(0)).toSeq
+
+  // ------------------------------------------------------------------ //
+  // PQ/ADC codes AT REST — the compression layer of the stored index.  //
+  // The full-vector table answers exact reads; at 100 TB the probe's   //
+  // working set must be the CODES (m bytes-ish per vector, 64× smaller //
+  // at m=8 over 64 dims), with the full vectors touched only for the   //
+  // bounded re-rank candidate set. Layout mirrors the main table:      //
+  // codes range-partitioned on the list id with list skip stats, so    //
+  // the probed-lists IN-filter file-prunes the CODES scan the same way //
+  // it prunes the vector scan. The coarse means and the residual       //
+  // codebook are tiny versioned sidecar tables (the trained artifact — //
+  // frozen between rebuilds, the production stance; drift-gated        //
+  // rebuild is the existing [[Similarity.rebuildSemanticIndexIfDrifted]]//
+  // story).                                                            //
+  // ------------------------------------------------------------------ //
+
+  /** The floored-mean coarse-centroid sidecar of a PQ-compressed index. */
+  def meansRoot(root: String): String = root + "_means"
+  /** The residual-PQ codebook sidecar. */
+  def pqRoot(root: String): String = root + "_pq"
+  /** The PQ codes table (the compressed corpus). */
+  def codesRoot(root: String): String = root + "_codes"
+
+  /** Build (or rebuild) the PQ/ADC compression layer over the CURRENT
+    * index rows — the IVFADC-R form ([[Similarity]] §residual): per-list
+    * floored-mean coarse centroids, residuals rv = qv − mvec, a
+    * residual PQ codebook (trained with [[Similarity.pqTrainCodebookQ]]
+    * unless a deterministic `codebook` is supplied), and the codes
+    * table, range-partitioned on the list id with skip stats so probes
+    * file-prune it. Three overwrite commits (means, codebook, codes) —
+    * the build is a maintenance action with the same single-maintainer
+    * contract as [[compactCents]]. */
+  def buildPq(spark: SparkSession, root: String, listCol: String,
+      idCol: String, qvCol: String, m: Int = 4, ksub: Int = 8,
+      iters: Int = 4, codebook: Option[DataFrame] = None,
+      listPartitions: Int = 8): Unit = {
+    val rows = Manifest.read(spark, root)
+    val means = Similarity.listCentroidMeans(
+      rows.select(col(listCol), col(qvCol).as("qv")), listCol, "qv")
+    Manifest.overwrite(means, meansRoot(root))
+    val rf = rows.join(broadcast(means), Seq(listCol))
+      .select(col(idCol), col(listCol),
+        zip_with(col(qvCol), col("mvec"), (x, mv) => x - mv).as("rv"))
+    val cb = codebook.getOrElse(
+      Similarity.pqTrainCodebookQ(rf, idCol, "rv", m, ksub, iters))
+    Manifest.overwrite(cb, pqRoot(root))
+    val codes = Similarity.pqEncodeQ(rf, idCol, "rv", cb)
+      .join(rf.select(col(idCol).as("id"), col(listCol)), Seq("id"))
+    Manifest.overwrite(
+      codes.repartitionByRange(listPartitions, col(listCol)),
+      codesRoot(root), statsCols = Seq(listCol))
+  }
+
+  /** [[appendBatch]] for a PQ-compressed index: the batch lands in the
+    * main table + centroid sidecar AND is residual-encoded against the
+    * STORED means/codebook into the codes table — pure appends
+    * everywhere, nothing retrained (the frozen-codebook streaming-
+    * encode production shape). Every batch list must already have a
+    * stored coarse mean — a brand-new list id needs a [[buildPq]]
+    * rebuild to adopt it (loud throw, not silent recall loss). */
+  def appendBatchPq(emb: DataFrame, root: String, listCol: String,
+      idCol: String, qvCol: String, listPartitions: Int = 8): Unit = {
+    val spark = emb.sparkSession
+    appendBatch(emb, root, listCol, idCol, qvCol, listPartitions)
+    val means = Manifest.read(spark, meansRoot(root))
+    val novel = emb.select(col(listCol)).distinct()
+      .join(broadcast(means.select(col(listCol))), Seq(listCol), "left_anti")
+      .limit(1).collect()
+    require(novel.isEmpty,
+      s"appendBatchPq: batch carries list id ${novel.headOption.map(_.get(0))} " +
+        "with no stored coarse mean — rebuild the PQ layer (buildPq) to " +
+        "adopt new lists")
+    val cb = Manifest.read(spark, pqRoot(root))
+    val rf = emb.join(broadcast(means), Seq(listCol))
+      .select(col(idCol), col(listCol),
+        zip_with(col(qvCol), col("mvec"), (x, mv) => x - mv).as("rv"))
+    val codes = Similarity.pqEncodeQ(rf, idCol, "rv", cb)
+      .join(rf.select(col(idCol).as("id"), col(listCol)), Seq("id"))
+    Manifest.append(
+      codes.repartitionByRange(listPartitions, col(listCol)),
+      codesRoot(root), statsCols = Seq(listCol))
+  }
+
+  /** COMPRESSED probe — IVFADC-R against the stored index, with exact
+    * re-rank: route by centroid-sum cosine exactly as [[probe]], ADC-
+    * score ONLY the probed lists' members from the file-pruned CODES
+    * scan (score = ⟨q, mvec_list⟩ + Σ_sub LUT[sub][code], exact
+    * integers — [[Similarity.ivfPqResidualTopKNeighbors]]'s
+    * decomposition over the at-rest tables), keep the top k·`rerank`
+    * candidates (bounded driver handoff), then EXACT cosine over just
+    * those ids' full vectors — read through the probed lists' pruned
+    * files of the main table. Data bytes touched: the probed lists'
+    * CODES files + O(k·rerank) full vectors, never the probed lists'
+    * full-vector bulk — the memory story at 10⁹+ vectors. Returns
+    * (idCol, listCol, cosine) ordered by (cosine desc, id), ≤ k rows. */
+  def probePq(spark: SparkSession, root: String, listCol: String,
+      idCol: String, qvCol: String, queryQv: Seq[Long], nProbe: Int,
+      k: Int, rerank: Int = 4): DataFrame = {
+    require(nProbe >= 1, s"probePq: nProbe must be >= 1, got $nProbe")
+    require(k >= 1 && rerank >= 1,
+      s"probePq: k and rerank must be >= 1, got ($k, $rerank)")
+    val qlit = typedLit(queryQv)
+    val probed = probedLists(spark, root, listCol, qlit, nProbe)
+    val cb = Manifest.read(spark, pqRoot(root))
+    val subDim = cb.select(min(size(col("cvec")))).head().getInt(0)
+    val lut = cb.select(col("sub"), col("code"),
+      Similarity.dotQ(slice(qlit, col("sub") * subDim + 1, lit(subDim)),
+        col("cvec")).as("lut"))
+    val coarse = Manifest.read(spark, meansRoot(root))
+      .filter(col(listCol).isin(probed: _*))
+      .select(col(listCol), Similarity.dotQ(col("mvec"), qlit).as("coarse"))
+    val cand = Manifest.table(spark, codesRoot(root))
+      .filter(col(listCol).isin(probed: _*))
+      .join(broadcast(coarse), Seq(listCol))
+      .select(col("id"), col("coarse"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("id"))
+      .agg((sum(col("lut")) + first(col("coarse"))).as("adc"))
+      .orderBy(col("adc").desc, col("id").asc)
+      .limit(k * rerank)
+      .select(col("id"))
+      .collect().map(_.get(0)).toSeq
+    if (cand.isEmpty)
+      return Manifest.table(spark, root).filter(lit(false))
+        .select(col(idCol), col(listCol), lit(0.0).as("cosine"))
     Manifest.table(spark, root)
-      .filter(col(listCol).isin(probed: _*) && rowFilter)
+      .filter(col(listCol).isin(probed: _*) && col(idCol).isin(cand: _*))
       .select(col(idCol), col(listCol),
         Similarity.cosineQ(col(qvCol), qlit).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)

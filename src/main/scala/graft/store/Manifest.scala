@@ -105,10 +105,22 @@ object RenameArbiter extends CommitArbiter {
   * a lock FILE under `manifest/` acquired with atomic O_EXCL create
   * (java.io.File.createNewFile — atomic on POSIX), released on exit.
   * A crashed holder's lock goes stale and is taken over past
-  * `staleMs` — safe because the guarded section is milliseconds (one
-  * manifest JSON write + rename), so a lock older than tens of
-  * seconds provably has no live holder. The acquisition loop jitters
-  * and gives up loudly after `acquireTimeoutMs` rather than deadlock. */
+  * `staleMs` — the guarded section is milliseconds (one manifest JSON
+  * write + link), so a lock older than tens of seconds has no live
+  * holder under loosely-synchronized clocks. Takeover is TOCTOU-free:
+  * the stale lock is atomically RENAMED aside, so of N waiters that
+  * observed staleness exactly one clears the way (a plain delete lets
+  * waiter A's delete land AFTER waiter B already re-created the lock,
+  * victimizing a live holder). Each holder writes an OWNER TOKEN into
+  * its lock and release deletes only if the token still matches — a
+  * holder stalled past `staleMs` whose lock was usurped must not
+  * remove the usurper's live lock. Even under a double-hold (stalled
+  * holder + usurper), committed manifests cannot be lost: the commit
+  * point itself is an atomic no-overwrite hard link
+  * ([[Manifest.commitRename]]) — the fencing check at rename time —
+  * so the lock only arbitrates wasted work, never correctness. The
+  * acquisition loop jitters and gives up loudly after
+  * `acquireTimeoutMs` rather than deadlock. */
 final class LockFileArbiter(staleMs: Long = 30000L,
     acquireTimeoutMs: Long = 60000L) extends CommitArbiter {
   def withCommitLock[T](root: String)(body: => T): T = {
@@ -116,13 +128,21 @@ final class LockFileArbiter(staleMs: Long = 30000L,
       new Path(root, "manifest").toUri.getPath)
     dir.mkdirs()
     val lock = new java.io.File(dir, "_commit.lock")
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + acquireTimeoutMs
     var held = false
     while (!held) {
       held = lock.createNewFile()
-      if (!held) {
+      if (held) {
+        val w = new java.io.FileOutputStream(lock)
+        try w.write(token.getBytes("UTF-8")) finally w.close()
+      } else {
         val age = System.currentTimeMillis() - lock.lastModified()
-        if (lock.lastModified() > 0L && age > staleMs) lock.delete()
+        if (lock.lastModified() > 0L && age > staleMs) {
+          val aside = new java.io.File(dir, "_commit.lock.stale." +
+            java.util.UUID.randomUUID().toString.take(12))
+          if (lock.renameTo(aside)) { aside.delete(); () }
+        }
         if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"$root: could not acquire cross-process commit lock in " +
@@ -130,7 +150,13 @@ final class LockFileArbiter(staleMs: Long = 30000L,
         Thread.sleep(5L + scala.util.Random.nextInt(20))
       }
     }
-    try body finally { lock.delete(); () }
+    try body finally {
+      val mine =
+        try new String(java.nio.file.Files.readAllBytes(lock.toPath),
+          "UTF-8") == token
+        catch { case _: Exception => false }
+      if (mine) { lock.delete(); () }
+    }
   }
 }
 
@@ -627,12 +653,10 @@ object Manifest {
             val out = f.create(tmp, false)
             try out.write(json.getBytes("UTF-8"))
             finally out.close()
-            // rename = the atomic commit point; a false return (or the
-            // exists pre-check, for a CROSS-process committer the lock
-            // cannot see) means another committer won version v —
-            // re-resolve and retry on top of THEIR snapshot (our staged
-            // data files are already in place)
-            if (!f.exists(manifestPath(root, v)) && f.rename(tmp, manifestPath(root, v)))
+            // atomic commit point; a false return means another
+            // committer won version v — re-resolve and retry on top of
+            // THEIR snapshot (our staged data files are already in place)
+            if (commitRename(f, tmp, manifestPath(root, v)))
               Some((v, true))
             else { f.delete(tmp, false); None }
         }
@@ -643,6 +667,37 @@ object Manifest {
     }
     throw new IllegalStateException(
       s"$root: lost the commit race 64 times — a livelocked writer storm")
+  }
+
+  /** The atomic commit point: publish `tmp` as `dst` iff `dst` does
+    * not yet exist. On LOCAL filesystems this is a HARD LINK — link(2)
+    * fails EEXIST atomically — which is the fencing check at rename
+    * time: POSIX rename overwrites silently and exists+rename is
+    * check-then-act, so without this two processes that both believe
+    * they hold the commit lock (a stalled holder past the stale window
+    * plus its usurper) could silently REPLACE a committed manifest.
+    * With it, the loser's publish fails cleanly and retries on top of
+    * the winner's snapshot — no clock-synchronization assumption
+    * anywhere in the lost-update argument. Non-local filesystems keep
+    * the exists+rename pair under their arbiter's contract (HDFS
+    * rename-if-absent is itself atomic). Returns whether `dst` was
+    * published; `tmp` is consumed on success and left for the caller's
+    * cleanup on failure. */
+  private def commitRename(f: FileSystem, tmp: Path, dst: Path): Boolean = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val tmpN = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val dstN = java.nio.file.Paths.get(dst.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(dstN, tmpN)
+        java.nio.file.Files.deleteIfExists(tmpN)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          !f.exists(dst) && f.rename(tmp, dst)
+      }
+    } else !f.exists(dst) && f.rename(tmp, dst)
   }
 
   /** Per-file min/max for `statsCols` over a just-staged batch dir —
@@ -837,57 +892,113 @@ object Manifest {
       skipIf = _ => false, op = "overwrite")._1
 
   /** SCHEMA-EVOLVING append — the public mergeSchema: the batch may ADD
-    * columns (recorded in the table schema; files that predate the
-    * addition read them as NULL) and may OMIT existing columns (staged
-    * as typed NULLs, so every staged file carries the full merged
-    * schema); a TYPE change on an existing column throws loudly —
-    * that is an intentional rewrite and goes through [[overwrite]].
-    * New columns append after the existing ones, Delta's rule. CHECK
-    * constraints run against the PADDED batch, so a NOT-NULL-style
-    * check on an omitted column refuses the commit (NULLs violate). */
+    * columns, INCLUDING fields nested inside structs (recorded in the
+    * table schema; files that predate the addition read them as NULL —
+    * the parquet reader's by-name clipping resolves missing nested
+    * fields to NULL exactly as it does top-level ones), and may OMIT
+    * existing columns (staged as typed NULLs, so every staged file
+    * carries the full merged schema); a TYPE change on an existing
+    * leaf throws loudly unless it is a safe widening — anything else
+    * is an intentional rewrite and goes through [[overwrite]]. New
+    * columns/fields append after the existing ones, Delta's rule.
+    * CHECK constraints run against the PADDED batch, so a
+    * NOT-NULL-style check on an omitted column refuses the commit
+    * (NULLs violate). Concurrency: the merged schema is planned
+    * against a pinned parent and the commit REQUIRES that parent —
+    * two appendMerge calls adding different columns re-plan rather
+    * than interleave (the loser's recorded schema would otherwise
+    * silently omit the winner's new column); bounded auto-retry,
+    * loud after. */
   def appendMerge(df: DataFrame, root: String,
       meta: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil): Long =
+   retryingCommit(s"$root appendMerge", 4) {
     val spark = df.sparkSession
-    val merged: org.apache.spark.sql.types.StructType = current(spark, root) match {
+    val parent = current(spark, root)
+    val merged: org.apache.spark.sql.types.StructType = parent match {
       case None => df.schema
       case Some(snap) =>
         val table = recordedSchema(snap).getOrElse(
           readFiles(spark, root, snap, snap.files.take(1)).schema)
-        val batchByName = df.schema.fields.map(f => f.name -> f).toMap
-        val tableNames = table.fields.map(_.name).toSet
-        val evolved = table.fields.map { tf =>
-          batchByName.get(tf.name) match {
-            case Some(bf) => widened(tf.dataType, bf.dataType) match {
-              case Some(w) => tf.copy(dataType = w)
-              case None => throw new IllegalArgumentException(
-                s"$root: appendMerge cannot change column ${tf.name} from " +
-                  s"${tf.dataType.catalogString} to ${bf.dataType.catalogString} — " +
-                  "only safe widenings (byte→short→int→long, float→double, " +
-                  "same-scale decimal precision growth) merge; anything else " +
-                  "is an intentional rewrite (overwrite)")
-            }
-            case None => tf
-          }
-        }
-        val fresh = df.schema.fields.filterNot(f => tableNames.contains(f.name))
-        org.apache.spark.sql.types.StructType(evolved ++ fresh)
+        mergeStructs(table, df.schema).getOrElse(
+          throw new IllegalArgumentException(
+            s"$root: appendMerge cannot reconcile the batch schema " +
+              s"[${df.schema.catalogString}] with the table schema " +
+              s"[${table.catalogString}] — fields may be added (incl. " +
+              "nested struct fields) or safely widened " +
+              "(byte→short→int→long, float→double, same-scale decimal " +
+              "precision growth); any other type change is an " +
+              "intentional rewrite (overwrite)"))
     }
     // recorded DEEP-NULLABLE: files predating a column addition read it
     // as NULL, so nothing in an evolved table may claim non-nullability
     // (the vectorized parquet reader enforces the recorded schema)
     val mergedN = nullableDeep(merged).asInstanceOf[org.apache.spark.sql.types.StructType]
-    val have = df.columns.toSet
-    // present columns CAST to the merged (possibly wider) type — a
-    // no-op when unchanged; staged files always carry the wide form,
-    // while pre-widening files read wide through the recorded schema
-    // (the 4.x vectorized parquet reader's type-widening contract,
-    // verified for exactly the promotions `widened` admits)
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // present columns PADDED to the merged type — rebuilt field-by-field
+    // for structs (a Cast cannot add fields), a no-op when unchanged;
+    // staged files always carry the wide form, while pre-widening files
+    // read wide through the recorded schema (the 4.x vectorized parquet
+    // reader's type-widening contract, verified for exactly the
+    // promotions `widened` admits)
     val padded = df.select(mergedN.fields.toSeq.map(f =>
-      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)): _*)
+      have.get(f.name) match {
+        case Some(from) => padTo(col(f.name), from, f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }): _*)
     commitStaged(padded, root, meta + (SchemaJsonKey -> mergedN.json), statsCols,
-      _.files, enforceSchema = false, skipIf = _ => false, op = "appendMerge")._1
+      _.files, enforceSchema = false, skipIf = _ => false, op = "appendMerge",
+      requireVersion = parent.map(_.version))._1
+   }
+
+  /** Field-wise struct merge for [[appendMerge]]: table fields keep
+    * their order (each reconciled against the batch's same-named field
+    * via [[widened]], which recurses back here for nested structs),
+    * batch-only fields append after. None when any leaf fails to
+    * reconcile. */
+  private def mergeStructs(table: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType):
+      Option[org.apache.spark.sql.types.StructType] = {
+    val batchByName = batch.fields.map(f => f.name -> f).toMap
+    val tableNames = table.fields.map(_.name).toSet
+    val evolved = table.fields.map { tf =>
+      batchByName.get(tf.name) match {
+        case Some(bf) => widened(tf.dataType, bf.dataType) match {
+          case Some(w) => tf.copy(dataType = w)
+          case None => return None
+        }
+        case None => tf
+      }
+    }
+    val fresh = batch.fields.filterNot(f => tableNames.contains(f.name))
+    Some(org.apache.spark.sql.types.StructType(evolved ++ fresh))
+  }
+
+  /** Rebuild `c` (typed `from`) as the merged type `to`: structs are
+    * reconstructed field-by-field (batch-missing fields become typed
+    * NULLs, null struct VALUES stay null — a blind struct() would
+    * materialize a non-null struct of nulls), array elements pad
+    * recursively, leaves cast (safe by [[widened]]'s admission). */
+  private def padTo(c: org.apache.spark.sql.Column,
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    import org.apache.spark.sql.functions.{struct, transform, when}
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (f: StructType, t: StructType) =>
+        val fromBy = f.fields.map(x => x.name -> x.dataType).toMap
+        val sub = t.fields.toSeq.map { tf =>
+          (fromBy.get(tf.name) match {
+            case Some(fd) => padTo(c.getField(tf.name), fd, tf.dataType)
+            case None => lit(null).cast(tf.dataType)
+          }).as(tf.name)
+        }
+        when(c.isNull, lit(null).cast(t)).otherwise(struct(sub: _*)).cast(t)
+      case (f: ArrayType, t: ArrayType) =>
+        transform(c, e => padTo(e, f.elementType, t.elementType)).cast(t)
+      case (_, t) => c.cast(t)
+    }
   }
 
   /** The wider of two types when the promotion is SAFE under the
@@ -914,6 +1025,13 @@ object Manifest {
       case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
       case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
         Some(if (x.precision >= y.precision) x else y)
+      // nested evolution: a struct leaf may gain fields / widen
+      // recursively; arrays evolve through their element type. Maps
+      // and cross-family shapes stay rejected.
+      case (x: StructType, y: StructType) => mergeStructs(x, y)
+      case (x: ArrayType, y: ArrayType) =>
+        widened(x.elementType, y.elementType)
+          .map(e => ArrayType(e, x.containsNull || y.containsNull))
       case _ => None
     })
   }
@@ -991,7 +1109,8 @@ object Manifest {
   private def commitStaged(df: DataFrame, root: String,
       meta: Map[String, String], statsCols: Seq[String],
       baseFiles: Snapshot => Seq[String], enforceSchema: Boolean,
-      skipIf: Snapshot => Boolean, op: String): (Long, Boolean, Seq[String]) = {
+      skipIf: Snapshot => Boolean, op: String,
+      requireVersion: Option[Long] = None): (Long, Boolean, Seq[String]) = {
     val spark = df.sparkSession
     val fp = schemaFingerprint(df)
     if (enforceSchema) requireSchema(spark, root, fp)
@@ -1003,6 +1122,7 @@ object Manifest {
     val (v, committed) = publish(spark, root, kept,
       old => old ++ meta + (SchemaKey -> fp) + (OpKey -> op),
       baseFiles, stats, rows.filter(kv => kept.contains(kv._1)), skipIf,
+      requireVersion = requireVersion,
       newBytes = bytesM.filter(kv => kept.contains(kv._1)))
     (v, committed, staged)
   }
@@ -1088,19 +1208,49 @@ object Manifest {
     * reason to launch a job to hash one value). Built from raw
     * catalyst Literal/Cast/XxHash64 — the exact expression the index's
     * build pass ran on the executors — so the hash agrees
-    * bit-for-bit; the cast to the column's recorded type matters
-    * because xxhash64 is type-sensitive (an Int probe against a Long
-    * column would hash differently). */
+    * bit-for-bit; the cast to the column's SCAN type matters because
+    * xxhash64 is type-sensitive (an Int probe against a Long column
+    * would hash differently, and the index was built hashing the
+    * column's own type). Answers None — DON'T SCREEN — when the
+    * column's type could not be resolved or the probe doesn't cast
+    * into it: a wrongly-typed hash would silently prune files that
+    * HOLD the value, and the scaladoc contract is that correctness
+    * never depends on the bloom layer. */
   private def hashProbe(value: Any,
-      dt: Option[org.apache.spark.sql.types.DataType]): Long = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+      dt: Option[org.apache.spark.sql.types.DataType]): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, XxHash64}
     val litE = Literal(value)
-    val typed = dt.filter(_ != litE.dataType)
-      .map(t => Cast(litE, t, Some("UTC"))).getOrElse(litE)
-    new XxHash64(Seq(typed))
+    val typed: Option[Expression] = dt match {
+      case None => None
+      case Some(t) if t == litE.dataType => Some(litE)
+      case Some(t) =>
+        if (!Cast.canCast(litE.dataType, t)) None
+        else {
+          val c = Cast(litE, t, Some("UTC"))
+          val v = scala.util.Try(
+            c.eval(org.apache.spark.sql.catalyst.InternalRow.empty)).getOrElse(null)
+          if (v == null) None else Some(c)
+        }
+    }
+    typed.map(e => new XxHash64(Seq(e))
       .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-      .asInstanceOf[Long]
+      .asInstanceOf[Long])
   }
+
+  /** The column's SCAN type for bloom-probe hashing: the recorded
+    * schema when one exists, else ONE live file's parquet schema (a
+    * driver footer read, no job — cheap, and the index build read the
+    * same files). Plain-append tables never record [[SchemaJsonKey]],
+    * so without the fallback an Int probe against a Long column hashed
+    * IntegerType while the index was built hashing LongType — every
+    * mightContain answered false and matching files were silently
+    * pruned. */
+  private def bloomProbeType(spark: SparkSession, root: String,
+      snap: Snapshot, colName: String): Option[org.apache.spark.sql.types.DataType] =
+    recordedSchema(snap)
+      .orElse(scala.util.Try(
+        readFiles(spark, root, snap, snap.files.take(1)).schema).toOption)
+      .flatMap(_.fields.find(_.name == colName)).map(_.dataType)
 
   /** Build (or refresh) the per-file BLOOM index for `colName` over
     * the CURRENT snapshot: ONE pass groups the table's rows by source
@@ -1188,13 +1338,15 @@ object Manifest {
     val cand = snap.meta.get(BloomKeyPrefix + colName) match {
       case None => statCand
       case Some(rel) =>
-        val h = hashProbe(value, recordedSchema(snap)
-          .flatMap(_.fields.find(_.name == colName)).map(_.dataType))
-        val entries = bloomEntries(spark, root, rel)
-        val known = entries.map(_._1).toSet
-        val pass = entries.filter(_._2.mightContainLong(h)).map(_._1).toSet
-        statCand.filter { f =>
-          val n = dvName(f); !known.contains(n) || pass(n)
+        hashProbe(value, bloomProbeType(spark, root, snap, colName)) match {
+          case None => statCand // unresolvable/uncastable probe: stats only
+          case Some(h) =>
+            val entries = bloomEntries(spark, root, rel)
+            val known = entries.map(_._1).toSet
+            val pass = entries.filter(_._2.mightContainLong(h)).map(_._1).toSet
+            statCand.filter { f =>
+              val n = dvName(f); !known.contains(n) || pass(n)
+            }
         }
     }
     val base =
@@ -1225,16 +1377,20 @@ object Manifest {
     val cand = snap.meta.get(BloomKeyPrefix + colName) match {
       case None => statCand
       case Some(rel) =>
-        val dt = recordedSchema(snap)
-          .flatMap(_.fields.find(_.name == colName)).map(_.dataType)
-        val hashes = values.map(hashProbe(_, dt))
-        val entries = bloomEntries(spark, root, rel)
-        val known = entries.map(_._1).toSet
-        val pass = entries
-          .filter(e => hashes.exists(e._2.mightContainLong))
-          .map(_._1).toSet
-        statCand.filter { f =>
-          val n = dvName(f); !known.contains(n) || pass(n)
+        val dt = bloomProbeType(spark, root, snap, colName)
+        val hashes = values.flatMap(hashProbe(_, dt))
+        // an unhashable probe value could live in ANY file — a partial
+        // hash list must not screen (its files would be pruned wrongly)
+        if (hashes.size != values.size) statCand
+        else {
+          val entries = bloomEntries(spark, root, rel)
+          val known = entries.map(_._1).toSet
+          val pass = entries
+            .filter(e => hashes.exists(e._2.mightContainLong))
+            .map(_._1).toSet
+          statCand.filter { f =>
+            val n = dvName(f); !known.contains(n) || pass(n)
+          }
         }
     }
     val base =
@@ -1348,6 +1504,101 @@ object Manifest {
   def lastTxn(spark: SparkSession, root: String, writerId: String): Option[Long] =
     current(spark, root).flatMap(_.meta.get(txnKey(writerId))).map(_.toLong)
 
+  /** Every writerId holding a txn watermark on this table — the
+    * ownership probe for single-pump destinations (a materialized view
+    * folded by TWO pumps double-counts; the fold is not value-
+    * idempotent, so a second writer must fail loud, not corrupt). */
+  def txnWriters(spark: SparkSession, root: String): Seq[String] =
+    current(spark, root).map(_.meta.keys
+      .filter(_.startsWith("graft.txn."))
+      .map(_.stripPrefix("graft.txn.")).toSeq.sorted).getOrElse(Seq.empty)
+
+  /** The change-feed column [[changesWithDeltas]] tags each row with:
+    * `insert` (row entered the table in the window) or `remove` (row
+    * left it). */
+  val ChangeTypeCol = "_change_type"
+
+  /** Whether the lineage `sinceVersion` → `to` is append-only (every
+    * old file survives, same deletion vector) — the metadata-only test
+    * that picks between the cheap [[changes]] feed and the
+    * retraction-capable [[changesWithDeltas]]. */
+  def appendOnlySince(spark: SparkSession, root: String,
+      sinceVersion: Long, to: Snapshot): Boolean = {
+    val old = snapshot(spark, root, sinceVersion)
+    val curSet = to.files.toSet
+    old.meta.get(DvKey) == to.meta.get(DvKey) && old.files.forall(curSet)
+  }
+
+  /** GENERAL change feed — the RETRACTION-capable form of [[changes]]:
+    * the logical row delta between `sinceVersion` and the pinned `to`
+    * snapshot as a frame tagged [[ChangeTypeCol]] insert/remove.
+    * Computed at FILE granularity, which is exact for ANY commit kind:
+    * files only in `to` contribute their live rows as inserts (the
+    * pinned vector applied — a row inserted and DV-deleted inside the
+    * window nets to nothing), files only in the old snapshot
+    * contribute the rows THAT SNAPSHOT exposed as removes (its own
+    * vector applied), and carried files newly covered by `to`'s
+    * deletion vector contribute those rows as removes. A row carried
+    * through a rewrite (upsert's untouched neighbors in a rewritten
+    * file, compaction) appears as both a remove and an insert — the
+    * pair nets to zero in any sign-folding consumer, so upserts,
+    * deletes (both forms), replaceWhere, restore, and even compaction
+    * all produce a CORRECT delta; compaction's is merely large
+    * (O(table) both ways), which is a cost statement, not a
+    * correctness one. Reads resolve under `to`'s recorded schema
+    * (the merged, wider one on evolved tables). The old snapshot's
+    * files must still exist — the gc-retention caveat time travel
+    * already carries. */
+  def changesWithDeltas(spark: SparkSession, root: String,
+      sinceVersion: Long, to: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val old = snapshot(spark, root, sinceVersion)
+    val curSet = to.files.toSet
+    val oldSet = old.files.toSet
+    val fresh = to.files.filterNot(oldSet)
+    val removed = old.files.filterNot(curSet)
+    val carried = old.files.filter(curSet)
+    def empty: DataFrame = {
+      val one = if (to.files.nonEmpty) to.files.take(1) else old.files.take(1)
+      require(one.nonEmpty, s"$root: both snapshots are empty — no schema to expose")
+      readFiles(spark, root, to, one)
+        .filter(lit(false)).withColumn(ChangeTypeCol, lit(""))
+    }
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.withColumn(ChangeTypeCol, lit(t))
+    val ins =
+      if (fresh.isEmpty) None
+      else Some(tag(applyDv(spark, root, to, readFiles(spark, root, to, fresh)), "insert"))
+    val rem1 =
+      if (removed.isEmpty) None
+      else Some(tag(applyDv(spark, root, old, readFiles(spark, root, to, removed)), "remove"))
+    // carried files newly covered by to's vector: DV-only deletes in
+    // the window (same vector pointer = provably none)
+    val rem2 =
+      if (old.meta.get(DvKey) == to.meta.get(DvKey) || carried.isEmpty) None
+      else dvFrame(spark, root, to).map { toDv =>
+        val newEntries = dvFrame(spark, root, old) match {
+          case Some(oldDv) => toDv.join(oldDv, Seq("f", "ri"), "left_anti")
+          case None => toDv
+        }
+        val carriedNames = carried.map(dvName).toSet
+        val aff = newEntries.select("f").distinct().collect()
+          .map(_.getString(0)).filter(carriedNames).toSet
+        if (aff.isEmpty) empty
+        else tag(
+          readFiles(spark, root, to, carried.filter(f => aff(dvName(f))))
+            .withColumn("__graft_f",
+              expr("substring_index(_metadata.file_path, '/data/', -1)"))
+            .withColumn("__graft_ri", expr("_metadata.row_index"))
+            .join(broadcast(newEntries
+                .select(col("f").as("__graft_f"), col("ri").as("__graft_ri"))),
+              Seq("__graft_f", "__graft_ri"), "left_semi")
+            .drop("__graft_f", "__graft_ri"), "remove")
+      }
+    (ins.toSeq ++ rem1.toSeq ++ rem2.toSeq)
+      .reduceOption(_.unionByName(_)).getOrElse(empty)
+  }
+
   /** MERGE / upsert by key — the table-format point-update whose cost
     * follows TOUCHED FILES, not table size: coarse-prune candidate
     * files by the recorded [min, max] of `keyCol` against the batch's
@@ -1405,7 +1656,8 @@ object Manifest {
     * re-applying a delta would DOUBLE-COUNT (value idempotency does
     * not hold for folds, unlike the CDC sink's latest-per-key merge). */
   def upsertOnce(batch: DataFrame, root: String, keyCol: String,
-      writerId: String, txnId: Long, maxRetries: Int = 4): (Long, Boolean) = {
+      writerId: String, txnId: Long, maxRetries: Int = 4,
+      dropKeys: Option[DataFrame] = None): (Long, Boolean) = {
     require(writerId.nonEmpty && !writerId.exists(c => c.isWhitespace || c == '"'),
       s"writerId must be a simple token, got [$writerId]")
     val spark = batch.sparkSession
@@ -1420,14 +1672,23 @@ object Manifest {
     val v = retryingCommit(s"$root upsertOnce", maxRetries)(
       upsertPlanned(batch, root, keyCol,
         extraMeta = Map(txnKey(writerId) -> txnId.toString),
-        skipIf = done, onSkip = () => skipped = true))
+        skipIf = done, onSkip = () => skipped = true, drops = dropKeys))
     (v, !skipped)
   }
 
+  /** [[upsertPlanned]]'s `drops`: keys whose rows LEAVE the table in
+    * the same atomic commit the batch's rows land — MERGE's WHEN
+    * MATCHED DELETE arm. Touched-file discovery and the rewrite
+    * anti-join run over batch ∪ drop keys; a drop key absent from the
+    * table is a no-op. The consumer this exists for: a retraction-
+    * capable materialized view evicting groups whose last source row
+    * was deleted (the full recompute has no such group, so the view
+    * must not keep a zeroed husk). */
   private def upsertPlanned(batch: DataFrame, root: String, keyCol: String,
       extraMeta: Map[String, String] = Map.empty,
       skipIf: Snapshot => Boolean = _ => false,
-      onSkip: () => Unit = () => ()): Long = {
+      onSkip: () => Unit = () => (),
+      drops: Option[DataFrame] = None): Long = {
     val spark = batch.sparkSession
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
@@ -1443,10 +1704,15 @@ object Manifest {
     require(dup.isEmpty,
       s"upsert batch has duplicate $keyCol values (e.g. ${dup.head.get(0)}) — " +
         "one row per key, the merge is otherwise ambiguous")
-    val range = batch.agg(
+    val allKeys = drops match {
+      case None => batch.select(col(keyCol))
+      case Some(d) => batch.select(col(keyCol))
+        .unionByName(d.select(col(keyCol))).distinct()
+    }
+    val range = allKeys.agg(
       org.apache.spark.sql.functions.min(col(keyCol)),
       org.apache.spark.sql.functions.max(col(keyCol))).head()
-    if (range.isNullAt(0)) return snap.version // empty batch: no-op
+    if (range.isNullAt(0)) return snap.version // empty batch+drops: no-op
     val candidates = prunedFiles(snap, keyCol, range.get(0), range.get(1))
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
@@ -1457,7 +1723,7 @@ object Manifest {
         readFiles(spark, root, snap, candidates)
           .select(col(keyCol),
             substring_index(input_file_name(), "/", -1).as("__f"))
-          .join(batch.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .join(allKeys, Seq(keyCol), "left_semi")
           .select("__f").distinct().collect()
           .flatMap(r => byName.get(r.getString(0))).toSeq
       }
@@ -1465,7 +1731,7 @@ object Manifest {
     val rewritten =
       if (touched.isEmpty) batch
       else applyDv(spark, root, snap, readFiles(spark, root, snap, touched))
-        .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .join(allKeys, Seq(keyCol), "left_anti")
         .unionByName(batch)
     val staged = stage(rewritten, root)
     val (rows, bytesM) = footerMeta(spark, root, staged)

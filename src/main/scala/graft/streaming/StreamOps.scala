@@ -705,12 +705,29 @@ object StreamOps {
     * index.
     *
     * Contracts inherited from the mirror pump: one step may cover
-    * several source commits (pinned-snapshot delta read); a
-    * file-rewriting source commit throws via `changes` — re-baseline
-    * by dropping the view; the view table is OWNED by its pump
-    * (like the mirror's destination) — an unrelated writer merging
-    * into it between a step's touched-key read and its commit is a
-    * re-plan with a stale fold.
+    * several source commits (pinned-snapshot delta read); the view
+    * table is OWNED by its pump — a SECOND pump (any other writer's
+    * txn watermark on the view) throws loudly before touching
+    * anything, because interleaved folds double-count silently.
+    * Source keys must be NON-NULL: the view's touched-key read and the
+    * merge's key join are both null-blind, so a null-key group would
+    * silently fork duplicate rows — the step throws loudly instead
+    * (map nulls to a sentinel upstream if they are data).
+    *
+    * RETRACTIONS: a source that upserts/deletes (either delete form,
+    * replaceWhere, restore — any file-rewriting or DV commit) feeds
+    * the view through [[graft.store.Manifest.changesWithDeltas]]:
+    * removed rows fold NEGATIVELY into `count`/`sum` (exact — the
+    * signed fold is the textbook IVM rule), while `min`/`max` are not
+    * retraction-mergeable (removing the current max says nothing about
+    * the next one), so the step RECOUNTS exactly the touched keys'
+    * min/max from the pinned source snapshot — key-local work, never
+    * the history. A retracting delta requires a `count` aggregate in
+    * the view (loud throw otherwise): liveness is undecidable without
+    * one, and groups whose folded count reaches ZERO are EVICTED from
+    * the view in the same atomic commit (the full recompute has no
+    * such group, and the view's contract is that no fold sequence can
+    * diverge from it).
     *
     * Operating point (measured, BENCH_SCALE x170): the step's wall is
     * FLAT in history size (~2.4 s fixed: delta read + view merge +
@@ -735,6 +752,19 @@ object StreamOps {
       case Some(s) if s.files.nonEmpty => s
       case _ => return None
     }
+    // single-pump ownership: a second pump's interleaved folds
+    // double-count (the fold is not value-idempotent) — fail loud
+    val foreign = Manifest.txnWriters(spark, dstRoot).filterNot(_ == writerId)
+    require(foreign.isEmpty,
+      s"$dstRoot: view is owned by pump(s) ${foreign.mkString(", ")} — a " +
+        s"second pump [$writerId] would corrupt the fold; one writer per view")
+    def requireKeys(df: DataFrame, what: String): Unit = {
+      val nullKey = df.filter(col(keyCol).isNull).limit(1).collect()
+      require(nullKey.isEmpty,
+        s"$srcRoot: $what contains NULL $keyCol rows — the view's " +
+          "touched-key read and merge join are null-blind and would fork " +
+          "duplicate null-key rows; filter or sentinel-map nulls upstream")
+    }
     def aggOf(df: DataFrame): DataFrame = {
       val cols = aggs.map {
         case (out, "count", _) => count(lit(1)).as(out)
@@ -756,11 +786,15 @@ object StreamOps {
     Manifest.lastTxn(spark, dstRoot, writerId) match {
       case Some(v) if v >= cur.version => None
       case None =>
-        Manifest.appendOnce(aggOf(Manifest.readSnapshot(spark, srcRoot, cur)),
+        val full = Manifest.readSnapshot(spark, srcRoot, cur)
+        requireKeys(full, "the bootstrap snapshot")
+        Manifest.appendOnce(aggOf(full),
           dstRoot, writerId, cur.version, statsCols = Seq(keyCol))
         Some(cur.version)
-      case Some(v) =>
-        val deltaAgg = aggOf(Manifest.changes(spark, srcRoot, v, cur)).cache()
+      case Some(v) if Manifest.appendOnlySince(spark, srcRoot, v, cur) =>
+        val insertDelta = Manifest.changes(spark, srcRoot, v, cur)
+        requireKeys(insertDelta, s"the delta since version $v")
+        val deltaAgg = aggOf(insertDelta).cache()
         try {
           val r = deltaAgg
             .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi")).head()
@@ -780,6 +814,73 @@ object StreamOps {
           }
           Some(cur.version)
         } finally { deltaAgg.unpersist(); () }
+      case Some(v) =>
+        // RETRACTING window: signed fold for count/sum, per-key source
+        // recount for min/max, zero-count eviction
+        val countOut = aggs.collectFirst { case (out, "count", _) => out }
+          .getOrElse(throw new IllegalArgumentException(
+            s"$dstRoot: the source retracted rows since version $v but the " +
+              "view has no `count` aggregate — group liveness is " +
+              "undecidable without one; add a count column to the view"))
+        val delta = Manifest.changesWithDeltas(spark, srcRoot, v, cur)
+        requireKeys(delta, s"the retracting delta since version $v")
+        val sign = org.apache.spark.sql.functions
+          .when(col(Manifest.ChangeTypeCol) === "insert", lit(1L))
+          .otherwise(lit(-1L))
+        val csCols = aggs.collect {
+          case (out, "count", _) => sum(sign).as(out)
+          case (out, "sum", e) => sum(sign * expr(e)).as(out)
+        }
+        val deltaCS = delta.groupBy(col(keyCol))
+          .agg(csCols.head, csCols.tail: _*).cache()
+        try {
+          val r = deltaCS
+            .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi")).head()
+          if (r.isNullAt(0)) {
+            Manifest.appendOnce(
+              aggOf(delta.filter(lit(false))).limit(0),
+              dstRoot, writerId, cur.version)
+          } else {
+            val csNames = aggs.collect {
+              case (out, k, _) if k == "count" || k == "sum" => out }
+            val existing = Manifest
+              .readWhereBetween(spark, dstRoot, keyCol, r.get(0), r.get(1))
+              .join(deltaCS.select(col(keyCol)), Seq(keyCol), "left_semi")
+            val foldedCS = existing
+              .select(col(keyCol) +: csNames.map(col): _*)
+              .unionByName(deltaCS)
+              .groupBy(col(keyCol))
+              .agg(sum(col(csNames.head)).as(csNames.head),
+                csNames.tail.map(c => sum(col(c)).as(c)): _*)
+              .cache()
+            val live = foldedCS.filter(col(countOut) > 0)
+            val dead = foldedCS.filter(col(countOut) <= 0).select(col(keyCol))
+            val mmAggs = aggs.collect {
+              case (out, "min", e) => min(expr(e)).as(out)
+              case (out, "max", e) => max(expr(e)).as(out)
+            }
+            val assembled =
+              if (mmAggs.isEmpty) live
+              else {
+                // min/max are not retraction-mergeable — recount them
+                // for exactly the touched keys from the pinned source
+                val recounted = Manifest.readSnapshot(spark, srcRoot, cur)
+                  .join(foldedCS.select(col(keyCol)), Seq(keyCol), "left_semi")
+                  .groupBy(col(keyCol))
+                  .agg(mmAggs.head, mmAggs.tail: _*)
+                live.join(recounted, Seq(keyCol), "left")
+              }
+            // canonical agg types (a re-summed sum can widen — pin the
+            // schema so the view's fingerprint never drifts)
+            val canon = aggOf(delta.filter(lit(false))).schema
+            val batch = assembled.select(canon.fields.toSeq.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)): _*)
+            try Manifest.upsertOnce(batch, dstRoot, keyCol, writerId,
+              cur.version, dropKeys = Some(dead))
+            finally { foldedCS.unpersist(); () }
+          }
+          Some(cur.version)
+        } finally { deltaCS.unpersist(); () }
     }
   }
 

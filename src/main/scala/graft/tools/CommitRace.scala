@@ -15,11 +15,41 @@ import graft.store.Manifest
   * (POSIX rename overwrites, so an unarbitrated race loses manifests
   * wholesale, not occasionally).
   *
-  * Usage: runMain graft.tools.CommitRace <root> <tag> <nCommits>
+  * Usage: runMain graft.tools.CommitRace <root> <tag> <nCommits> [mode]
+  *
+  * `mode` (optional) selects the arbitration the child runs under:
+  *  - `lock` (default): the real lock-file arbiter.
+  *  - `nolock`: NO cross-process lock ([[graft.store.RenameArbiter]])
+  *    — losslessness then rests ENTIRELY on the hard-link commit
+  *    point ([[Manifest]] commitRename), the fencing-at-rename-time
+  *    proof (ManifestSpec "fencing" test).
+  *  - `stall:<ms>`: acquire the lock (500 ms stale window), then STALL
+  *    inside the critical section — the deliberately stuck holder the
+  *    parent must usurp exactly once, without either side losing a
+  *    commit or deleting the other's live lock.
   */
 object CommitRace {
   def main(args: Array[String]): Unit = {
     val Array(root, tag, n) = args.take(3)
+    val mode = args.lift(3).getOrElse("lock")
+    mode match {
+      case "nolock" =>
+        Manifest.arbiterFor = _ => graft.store.RenameArbiter
+      case s if s.startsWith("stall:") =>
+        val ms = s.stripPrefix("stall:").toLong
+        val base = new graft.store.LockFileArbiter(staleMs = 500L)
+        val stalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+        Manifest.arbiterFor = _ => new graft.store.CommitArbiter {
+          def withCommitLock[T](r: String)(body: => T): T =
+            base.withCommitLock(r) {
+              // stall ONCE, on the first commit, holding the lock well
+              // past its stale window
+              if (stalled.compareAndSet(false, true)) Thread.sleep(ms)
+              body
+            }
+        }
+      case _ => ()
+    }
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"commit-race-$tag")

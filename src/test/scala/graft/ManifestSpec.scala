@@ -1039,7 +1039,7 @@ class ManifestSpec extends SparkTestBase {
     // an unsafe type change rejects loudly
     val e = intercept[IllegalArgumentException](
       Manifest.appendMerge(Seq((6L, "oops")).toDF("k", "w"), root))
-    assert(e.getMessage.contains("cannot change column"))
+    assert(e.getMessage.contains("cannot reconcile"))
     // plain append now enforces the MERGED schema
     intercept[IllegalArgumentException](
       Manifest.append(Seq((7L, "x")).toDF("k", "v"), root))
@@ -1182,6 +1182,253 @@ class ManifestSpec extends SparkTestBase {
       .filterNot(got)
     assert(missing.isEmpty, s"lost commits across processes: $missing")
     assert(snap.version == 2L * n, "every commit must have won exactly one version")
+  }
+
+  /** Spawn the second-driver commit hammer ([[graft.tools.CommitRace]])
+    * and return (process, output buffer, reader thread). */
+  private def raceChild(root: String, tag: String, n: Int, mode: String)
+      : (Process, StringBuilder, Thread) = {
+    val cp = System.getProperty("java.class.path")
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val pb = new ProcessBuilder(javaBin, "-cp", cp,
+      "-Xmx2g", "graft.tools.CommitRace", root, tag, n.toString, mode)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new StringBuilder
+    val reader = new Thread(() => {
+      val src = scala.io.Source.fromInputStream(proc.getInputStream)
+      try src.getLines().foreach(l => out.synchronized { out.append(l).append('\n') })
+      finally src.close()
+    })
+    reader.start()
+    (proc, out, reader)
+  }
+
+  test("fencing at the commit point: cross-process commits lossless with NO lock arbiter (hard-link rename)") {
+    val root = newRoot("fence")
+    Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), root)
+    val saved = Manifest.arbiterFor
+    val n = 10
+    try {
+      // strip ALL cross-process locking from BOTH drivers: losslessness
+      // now rests entirely on the hard-link commit point — the
+      // exists+rename pair this replaced is check-then-act and LOSES
+      // manifests here (POSIX rename overwrites)
+      Manifest.arbiterFor = _ => graft.store.RenameArbiter
+      val (proc, out, reader) = raceChild(root, "nw2", n, "nolock")
+      (0 until n).foreach(i => Manifest.appendSynthetic(spark, root, Seq(s"nw1_$i")))
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "second driver did not finish")
+      reader.join(10000)
+      assert(out.synchronized(out.toString).contains(s"[commitrace] nw2 done $n"),
+        s"second driver failed:\n$out")
+    } finally Manifest.arbiterFor = saved
+    Manifest.clearSnapshotCache()
+    val snap = Manifest.current(spark, root).get
+    val got = snap.files.toSet
+    val missing = ((0 until n).map(i => s"nw1_$i") ++ (0 until n).map(i => s"nw2_$i"))
+      .filterNot(got)
+    assert(missing.isEmpty, s"lost commits without a lock: $missing")
+    assert(snap.version == 2L * n, "every commit must have won exactly one version")
+  }
+
+  test("stale-lock takeover: a deliberately stalled holder is usurped; no lost update, no lock debris") {
+    val root = newRoot("stall")
+    Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), root)
+    val saved = Manifest.arbiterFor
+    try {
+      // parent waits only 500 ms before usurping a stale lock; the
+      // child stalls 2.5 s INSIDE its first commit's critical section
+      Manifest.arbiterFor = _ => new graft.store.LockFileArbiter(staleMs = 500L)
+      val (proc, out, reader) = raceChild(root, "sw2", 3, "stall:2500")
+      // wait until the child actually holds the lock (JVM+Spark startup)
+      val lock = new java.io.File(s"$root/manifest/_commit.lock")
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!lock.exists() && System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
+      assert(lock.exists(), "child never acquired the commit lock")
+      // commit THROUGH the stall: the parent must take over the stale
+      // lock exactly once; the child's later release must not delete
+      // the parent's live lock (owner-token check); the child's own
+      // stalled commit must still land (hard-link commit point)
+      (0 until 6).foreach(i => Manifest.appendSynthetic(spark, root, Seq(s"sw1_$i")))
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "second driver did not finish")
+      reader.join(10000)
+      assert(out.synchronized(out.toString).contains("[commitrace] sw2 done 3"),
+        s"second driver failed:\n$out")
+    } finally Manifest.arbiterFor = saved
+    Manifest.clearSnapshotCache()
+    val snap = Manifest.current(spark, root).get
+    val got = snap.files.toSet
+    val missing = ((0 until 6).map(i => s"sw1_$i") ++ (0 until 3).map(i => s"sw2_$i"))
+      .filterNot(got)
+    assert(missing.isEmpty, s"lost commits across the takeover: $missing")
+    assert(snap.version == 9L, "every commit must have won exactly one version")
+    val debris = new java.io.File(s"$root/manifest").listFiles()
+      .filter(_.getName.startsWith("_commit.lock"))
+    assert(debris.isEmpty, s"lock debris left behind: ${debris.map(_.getName).toSeq}")
+  }
+
+  test("bloom probe hashes the column's SCAN type on plain-append tables (no recorded schema)") {
+    val root = newRoot("bloomtype")
+    // plain appends never record SchemaJsonKey; hash-split layout so
+    // min/max stats can't prune a point probe — the bloom screen is
+    // the only pruning layer, and it must hash LongType (the scan
+    // type), not the probe literal's IntegerType
+    (0 to 1).foreach { b =>
+      Manifest.append(
+        spark.range(0L, 2000L).toDF("id")
+          .filter(pmod(xxhash64(col("id")), lit(2)) === b).coalesce(1),
+        root, statsCols = Seq("id"))
+    }
+    Manifest.buildBloomIndex(spark, root, "id")
+    assert(Manifest.current(spark, root).get.meta.get(Manifest.SchemaJsonKey).isEmpty,
+      "fixture must be a plain-append table (no recorded schema)")
+    assert(Manifest.readWhereEquals(spark, root, "id", 42).count() == 1L,
+      "Int probe against the Long column silently lost the row")
+    assert(Manifest.readWhereEquals(spark, root, "id", 42L).count() == 1L)
+    assert(Manifest.readWhereIn(spark, root, "id", Seq(7, 9L, 4000)).count() == 2L,
+      "mixed-width IN probe silently lost rows")
+  }
+
+  test("appendMerge: concurrent column additions both land (planned-parent re-merge)") {
+    val root = newRoot("mergerace")
+    Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def adder(c: String): Thread = new Thread(() => {
+      try {
+        barrier.await()
+        Manifest.appendMerge(
+          spark.range(10, 15).toDF("id")
+            .withColumn(c, concat(lit(c), col("id"))).coalesce(1), root)
+        ()
+      } catch { case t: Throwable => errs.add(t); () }
+    })
+    val (t1, t2) = (adder("a"), adder("b"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"concurrent appendMerge failed: ${errs.peek()}")
+    Manifest.clearSnapshotCache()
+    // the LOSER re-planned against the winner's snapshot, so the final
+    // recorded schema carries BOTH new columns — the pre-fix interleave
+    // recorded only the loser's, silently hiding the winner's data
+    val df = Manifest.read(spark, root)
+    assert(df.schema.fieldNames.toSet == Set("id", "a", "b"))
+    assert(df.filter(col("a").isNotNull).count() == 5L)
+    assert(df.filter(col("b").isNotNull).count() == 5L)
+    assert(df.count() == 20L)
+  }
+
+  test("appendMerge: nested struct fields add/omit/widen; old files read nested NULL everywhere; cross-type rejects") {
+    val root = newRoot("nested")
+    val s0 = spark.range(0, 5).toDF("id")
+      .withColumn("meta", struct(col("id").cast("int").as("a")))
+    Manifest.appendMerge(s0, root, statsCols = Seq("id"))
+    // ADD meta.b (string) and WIDEN meta.a int→long in one batch
+    val s1 = spark.range(5, 10).toDF("id")
+      .withColumn("meta", struct(col("id").as("a"),
+        concat(lit("x"), col("id")).as("b")))
+    Manifest.appendMerge(s1, root, statsCols = Seq("id"))
+    val df = Manifest.read(spark, root)
+    val metaT = df.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaT.fieldNames.toSeq == Seq("a", "b"))
+    assert(metaT("a").dataType == org.apache.spark.sql.types.LongType,
+      "nested int→long widening must be recorded")
+    // old files (ids 0–4) read meta.b as NULL through the plain read
+    val got = df.select(col("id"), col("meta.a").as("a"), col("meta.b").as("b"))
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(got == (0L until 5L).map(i => (i, i, null)) ++
+      (5L until 10L).map(i => (i, i, s"x$i")))
+    // OMIT the nested field again: padded as typed NULL
+    Manifest.appendMerge(
+      spark.range(10, 12).toDF("id")
+        .withColumn("meta", struct(col("id").cast("int").as("a"))), root)
+    assert(Manifest.read(spark, root)
+      .filter(col("id") >= 10 && col("meta.b").isNull).count() == 2L)
+    // ... and through the planner-integrated scan
+    val viaPlanner = Manifest.table(spark, root)
+      .filter(col("id") < 5).select("meta.b").collect()
+    assert(viaPlanner.forall(_.isNullAt(0)),
+      "planner scan must read pre-evolution nested field as NULL")
+    // ... and through an upsert's touched-file rewrite across
+    // heterogeneous files
+    Manifest.upsert(
+      spark.range(0, 1).toDF("id")
+        .withColumn("meta", struct(lit(99L).as("a"), lit("z").as("b"))),
+      root, "id")
+    val after = Manifest.read(spark, root)
+      .select(col("id"), col("meta.a").as("a"), col("meta.b").as("b"))
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(after.head == ((0L, 99L, "z")))
+    assert(after.size == 12)
+    // a nested cross-family type change still rejects loudly
+    intercept[IllegalArgumentException] {
+      Manifest.appendMerge(
+        spark.range(12, 13).toDF("id")
+          .withColumn("meta", struct(lit("oops").as("a"))), root)
+    }
+  }
+
+  test("materializedAggStep: retracting source — signed fold, min/max recount, zero-count eviction, guards") {
+    val src = newRoot("rvsrc"); val dst = newRoot("rvdst")
+    def rows(a: Long, b: Long) = spark.range(a, b).toDF("id")
+      .withColumn("k", expr("CAST(id DIV 25 AS BIGINT)"))
+      .withColumn("v", col("id") * 3)
+    val aggs = Seq(("n", "count", ""), ("sv", "sum", "v"),
+      ("mn", "min", "v"), ("mx", "max", "v"))
+    def pump() = graft.streaming.StreamOps.materializedAggStep(
+      spark, src, dst, "mv", "k", aggs)
+    Manifest.append(rows(0, 100).coalesce(1), src, statsCols = Seq("id"))
+    assert(pump().contains(0L)) // bootstrap
+    // UPDATE (touched-file merge): v doubled for ids 10..19
+    Manifest.upsert(rows(10, 20).withColumn("v", col("v") * 2), src, "id")
+    // DELETE (deletion-vector form): ids 50..59
+    Manifest.deleteWhereBetweenDv(spark, src, "id", 50L, 59L)
+    // DELETE (rewrite form): ids 0..24 — group k=0 vanishes ENTIRELY
+    Manifest.deleteWhereBetween(spark, src, "id", 0L, 24L)
+    assert(pump().isDefined) // ONE retracting fold over all three
+    assert(pump().isEmpty)   // no-op
+    def view() = Manifest.read(spark, dst).orderBy("k")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val want = Manifest.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("v").as("mn"), max("v").as("mx"))
+      .orderBy("k").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(view() == want, "retracting fold diverged from the full recompute")
+    assert(!view().exists(_._1 == 0L),
+      "zero-count group must be EVICTED, not kept as a zeroed husk")
+    // multi-pump guard: a second writer id on the same view fails loud
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.materializedAggStep(
+        spark, src, dst, "mv2", "k", aggs)
+    }
+    assert(e.getMessage.contains("owned by pump"))
+    // a retracting delta against a view WITHOUT a count aggregate
+    // rejects loudly (liveness undecidable)
+    val src2 = newRoot("rvsrc2"); val dst2 = newRoot("rvdst2")
+    Manifest.append(rows(0, 50).coalesce(1), src2, statsCols = Seq("id"))
+    val sumOnly = Seq(("sv", "sum", "v"))
+    graft.streaming.StreamOps.materializedAggStep(
+      spark, src2, dst2, "mv", "k", sumOnly)
+    Manifest.deleteWhereBetween(spark, src2, "id", 0L, 9L)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.materializedAggStep(
+        spark, src2, dst2, "mv", "k", sumOnly)
+    }
+    assert(e2.getMessage.contains("count"))
+    // NULL source keys reject loudly instead of forking duplicate rows
+    val src3 = newRoot("rvsrc3"); val dst3 = newRoot("rvdst3")
+    Manifest.append(rows(0, 10)
+      .withColumn("k", when(col("id") === 5L, lit(null)).otherwise(col("k")))
+      .coalesce(1), src3)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.materializedAggStep(
+        spark, src3, dst3, "mv", "k", aggs)
+    }
+    assert(e3.getMessage.contains("NULL"))
   }
 
   test("bloom index: point lookups skip files min/max can't prune; stale coverage stays conservative") {
