@@ -92,6 +92,39 @@ object AnnAtRestBench {
         f""","probe8_s":${median(t8)}%.3f""" +
         f""","probe4_frac":${median(t4) / median(tB)}%.3f""" +
         f""","probe8_frac":${median(t8) / median(tB)}%.3f}""")
+
+      // PQ/ADC compression point: rebuild the codes layer over the
+      // decade's rows (the offline maintenance action), then compare
+      // the COMPRESSED probe against the full-vector probe — wall and,
+      // the 100 TB story, planner-equivalent bytes of the probed lists'
+      // files (union of the stats-pruned file sets, exactly what the
+      // scan's IN-filter admits) on the codes table vs the main table.
+      ManifestAnn.buildPq(spark, root, "list", "vec_id", "qv",
+        listPartitions = lists)
+      def probePq(p: Int): Unit = {
+        ManifestAnn.probePq(spark, root, "list", "vec_id", "qv", queryQv,
+          nProbe = p, k = 10, rerank = 4).collect(); ()
+      }
+      probePq(4) // warmup
+      val tP4 = (0 until 5).map(_ => sec(probePq(4)))
+      // routing as the probe does it: top-4 lists by centroid-sum cosine
+      val qlit = typedLit(queryQv)
+      val probed = ManifestAnn.centroidSums(spark, root, "list")
+        .select(col("list"),
+          graft.similarity.Similarity.cosineQ(col("cvec"), qlit).as("c"))
+        .orderBy(col("c").desc, col("list").asc).limit(4)
+        .select("list").collect().map(_.getLong(0)).toSeq
+      def probedBytes(tableRoot: String): Long = {
+        val snap = Manifest.current(spark, tableRoot).get
+        probed.flatMap(l => Manifest.prunedFiles(snap, "list", l, l))
+          .distinct.map(f => snap.bytes.getOrElse(f, 0L)).sum
+      }
+      val mainB = probedBytes(root)
+      val codesB = probedBytes(ManifestAnn.codesRoot(root))
+      println(s"""{"campaign":"ann_pq_at_rest","vectors":$n""" +
+        f""","probe4_s":${median(t4)}%.3f,"probepq4_s":${median(tP4)}%.3f""" +
+        s""","main_probe_bytes":$mainB,"codes_probe_bytes":$codesB""" +
+        f""","bytes_shrink":${mainB.toDouble / math.max(codesB, 1L)}%.1f}""")
       next *= 10
     }
     spark.stop()

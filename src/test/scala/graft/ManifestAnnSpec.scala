@@ -167,6 +167,55 @@ class ManifestAnnSpec extends SparkTestBase {
     assert(folded == direct, s"$folded vs $direct")
   }
 
+  test("PQ layer: compressed probe with exact re-rank returns the exact top-k") {
+    val root = freshRoot()
+    build(root)
+    ManifestAnn.buildPq(spark, root, "label", "vec_id", "qv",
+      m = 2, ksub = 4, listPartitions = 3)
+    // codes cover every stored vector
+    assert(Manifest.read(spark, ManifestAnn.codesRoot(root)).count() ==
+      Manifest.read(spark, root).count())
+    // generous rerank: the ADC candidate set contains the true top-k,
+    // so the exact re-rank reproduces the uncompressed probe verbatim
+    val exact = ids(ManifestAnn.probe(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 2, k = 3))
+    val viaPq = ids(ManifestAnn.probePq(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 2, k = 3, rerank = 10))
+    assert(viaPq == exact, s"$viaPq vs $exact")
+  }
+
+  test("PQ layer: appendBatchPq encodes through the frozen codebook; novel lists reject loudly") {
+    val root = freshRoot()
+    ManifestAnn.appendBatch(batch1, root, "label", "vec_id", "qv",
+      listPartitions = 3)
+    ManifestAnn.buildPq(spark, root, "label", "vec_id", "qv",
+      m = 2, ksub = 4, listPartitions = 3)
+    val cbBefore = Manifest.read(spark, ManifestAnn.pqRoot(root))
+      .orderBy("sub", "code").collect().toSeq
+    ManifestAnn.appendBatchPq(batch2, root, "label", "vec_id", "qv",
+      listPartitions = 3)
+    // nothing retrained: the stored codebook is byte-identical
+    val cbAfter = Manifest.read(spark, ManifestAnn.pqRoot(root))
+      .orderBy("sub", "code").collect().toSeq
+    assert(cbAfter == cbBefore)
+    // both batches' codes are present and the compressed probe sees
+    // the post-build batch (vector 6 tops list 0)
+    assert(Manifest.read(spark, ManifestAnn.codesRoot(root)).count() == 8L)
+    val top = ids(ManifestAnn.probePq(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 2, k = 3, rerank = 10))
+    assert(top == Seq(6L, 1L, 2L), top.toString)
+    // a batch on a list with no stored coarse mean must throw, not
+    // silently degrade — and must not land codes for a half-indexed batch
+    val novel = Seq((9L, 3L, Seq(0L, 0L, 0L, 1000L)))
+      .toDF("vec_id", "label", "qv")
+    val e = intercept[IllegalArgumentException] {
+      ManifestAnn.appendBatchPq(novel, root, "label", "vec_id", "qv",
+        listPartitions = 3)
+    }
+    assert(e.getMessage.contains("no stored coarse mean"), e.getMessage)
+    assert(Manifest.read(spark, ManifestAnn.codesRoot(root)).count() == 8L)
+  }
+
   test("the probe's list IN-filter prunes files through the manifest stats") {
     val root = freshRoot()
     build(root)
