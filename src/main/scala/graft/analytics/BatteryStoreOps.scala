@@ -1757,5 +1757,113 @@ trait BatteryStoreOps extends BatteryModels {
       FROM qv b JOIN cand USING (vec_id), q
       ORDER BY cosine DESC, b.vec_id LIMIT 10"""))
 
+  /** COLUMN MAPPING lifecycle ([[graft.store.Manifest.renameColumn]] /
+    * `dropColumn` — the public Delta column-mapping idea as
+    * metadata-only commits): orders land as two stat-indexed appends,
+    * then the schema is reshaped WITHOUT touching a data file —
+    * o_totalprice renamed to price, o_orderdate dropped, o_orderkey
+    * renamed to okey — an upsert merges price bumps THROUGH the
+    * renamed key (batch authored entirely in post-surgery logical
+    * names), and the final aggregate runs on the planner scan with a
+    * filter on the renamed key (the alias rewrites into the physical
+    * attribute, so the manifest stats still file-prune). The oracle
+    * replays the same data under the ORIGINAL names — any leak of
+    * physical names into results, a dropped-column resurrection, or a
+    * rename that moved data hash-mismatches. */
+  val q180 = Q("q180_manifest_column_mapping",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q180").toString + "/orders_cm"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderdate")
+      val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+      Manifest.append(orders.filter(col("o_orderkey") <= mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))
+      Manifest.append(orders.filter(col("o_orderkey") > mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))
+      Manifest.renameColumn(s, root, "o_totalprice", "price")
+      Manifest.dropColumn(s, root, "o_orderdate")
+      Manifest.renameColumn(s, root, "o_orderkey", "okey")
+      Manifest.upsert(orders.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey").as("okey"), col("o_custkey"),
+          (col("o_totalprice") + lit(100.0)).as("price"),
+          col("o_orderstatus")),
+        root, "okey")
+      Manifest.table(s, root)
+        .filter(col("okey") <= mk / 4)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(price * 100) AS BIGINT)")).as("cents"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      cur AS (SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 100.0
+               ELSE o_totalprice END AS price
+        FROM orders)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM cur, mx WHERE o_orderkey <= mk // 4
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** INCREMENTAL CLUSTERING lifecycle
+    * ([[graft.store.Manifest.compactClusteredIncremental]] — liquid-
+    * style OPTIMIZE with ZCube provenance): orders land, the table is
+    * curve-clustered (one stable cube), then TWO fresh append waves
+    * pollute the skip index (each spans the whole (custkey, price)
+    * space), and ONE incremental pass re-clusters only the polluting
+    * files (the cube's tiles carry by identity). The final read is the
+    * same conjunctive box probe as q161, over base + both waves with
+    * their price bumps — a selection bug (a dropped polluter, a
+    * double-counted cube file, rows lost in the rewrite) changes the
+    * aggregate and hash-mismatches. */
+  val q181 = Q("q181_manifest_inc_cluster",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q181").toString + "/orders_lc"
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      import graft.store.Manifest
+      Manifest.append(orders.filter(col("o_orderkey") % 3 =!= 0), root,
+        statsCols = Seq("o_custkey", "o_totalprice"))
+      Manifest.compactClustered(s, root, Seq("o_custkey", "o_totalprice"),
+        targetBytes = 256 * 1024, curve = "hilbert")
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 0 &&
+          col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+          .coalesce(1),
+        root, statsCols = Seq("o_custkey", "o_totalprice"))
+      Manifest.append(orders.filter(col("o_orderkey") % 3 === 0 &&
+          col("o_orderkey") % 2 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(20.0))
+          .coalesce(1),
+        root, statsCols = Seq("o_custkey", "o_totalprice"))
+      Manifest.compactClusteredIncremental(s, root,
+        Seq("o_custkey", "o_totalprice"), targetBytes = 64 * 1024,
+        curve = "hilbert", cubeMinBytes = 32 * 1024)
+      Manifest.readWhere(s, root,
+        Seq(("o_custkey", 100L, 500L), ("o_totalprice", 50000.0, 150000.0)))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"))
+        .orderBy("status")
+    },
+    Some(s"""WITH cur AS (SELECT o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice
+             WHEN o_orderkey % 2 = 0 THEN o_totalprice + 10.0
+             ELSE o_totalprice + 20.0 END AS o_totalprice
+      FROM orders)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price,
+        MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust
+      FROM cur
+      WHERE o_custkey BETWEEN 100 AND 500
+        AND o_totalprice BETWEEN 50000.0 AND 150000.0
+      GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

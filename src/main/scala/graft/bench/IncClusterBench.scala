@@ -1,0 +1,102 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.Manifest
+
+/** Incremental-clustering campaign: a standing ingest loop appends
+  * batches between maintenance cycles; compare paying a FULL
+  * `compactClustered` every cycle against the ZCube-provenance
+  * `compactClusteredIncremental`. The claims under test are the two
+  * sides of the liquid-clustering trade:
+  *
+  *  1. maintenance COST: the full rewrite is O(table) per cycle —
+  *     total bytes rewritten across k cycles grows ~k·table; the
+  *     incremental pass rewrites O(new batch) per cycle (plus bounded
+  *     cube-merge amortization), so the total is ~k·batch.
+  *  2. read QUALITY: the surviving-bytes fraction of a 2-D box probe
+  *     on the incremental layout must stay within ~2x of the
+  *     fully-rewritten layout's, not drift toward the unmaintained
+  *     one.
+  *
+  * Keys are multiplicative-hash pseudo-random (high cardinality — no
+  * dictionary collapse), deterministic, no RNG.
+  *
+  * Usage: runMain graft.bench.IncClusterBench [baseRows] [cycles]
+  * Prints one JSON line per strategy.
+  */
+object IncClusterBench {
+  def main(args: Array[String]): Unit = {
+    val baseRows = if (args.length > 0) args(0).toLong else 2000000L
+    val cycles = if (args.length > 1) args(1).toInt else 8
+    val batchRows = baseRows / 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incbench").toString
+    val keySpace = 1000000L
+
+    def rows(from: Long, until: Long): DataFrame =
+      spark.range(from, until).select(
+        pmod(col("id") * 2654435761L, lit(keySpace)).as("x"),
+        pmod(col("id") * 40503L + 7919L, lit(keySpace)).as("y"))
+
+    val targetBytes = 1L * 1024 * 1024
+    val lo = 250000L
+    val hi = 499999L
+    def boxFrac(root: String): Double = {
+      val snap = Manifest.current(spark, root).get
+      val fx = Manifest.prunedFiles(snap, "x", lo, hi)
+      val kept = Manifest.prunedFiles(snap.copy(files = fx), "y", lo, hi)
+      val total = snap.files.flatMap(snap.bytes.get).sum
+      if (total == 0) 1.0
+      else kept.flatMap(snap.bytes.get).sum.toDouble / total
+    }
+
+    def campaign(tag: String)(maintain: String => Long): Unit = {
+      val root = s"$dir/$tag"
+      Manifest.append(rows(0, baseRows), root, statsCols = Seq("x", "y"))
+      Manifest.compactClustered(spark, root, Seq("x", "y"),
+        targetBytes = targetBytes)
+      var rewritten = 0L
+      val t0 = System.nanoTime()
+      var n = baseRows
+      for (_ <- 0 until cycles) {
+        Manifest.append(rows(n, n + batchRows).coalesce(2), root,
+          statsCols = Seq("x", "y"))
+        n += batchRows
+        rewritten += maintain(root)
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val snap = Manifest.current(spark, root).get
+      val tableBytes = snap.files.flatMap(snap.bytes.get).sum
+      println(s"""{"campaign":"inc_cluster","strategy":"$tag"""" +
+        s""","base_rows":$baseRows,"cycles":$cycles""" +
+        s""","rewritten_bytes":$rewritten,"table_bytes":$tableBytes""" +
+        f""","box_frac":${boxFrac(root)}%.4f,"wall_s":$wall%.1f""" +
+        s""","files":${snap.files.size}}""")
+    }
+
+    // no maintenance at all: the drift floor the others must beat
+    campaign("none")(_ => 0L)
+    campaign("full") { root =>
+      val pre = Manifest.current(spark, root).get
+      val preBytes = pre.files.flatMap(pre.bytes.get).sum
+      Manifest.compactClustered(spark, root, Seq("x", "y"),
+        targetBytes = targetBytes)
+      preBytes // the full rewrite rewrites the whole table
+    }
+    campaign("incremental") { root =>
+      Manifest.compactClusteredIncremental(spark, root, Seq("x", "y"),
+        targetBytes = targetBytes, cubeMinBytes = 4L * 1024 * 1024)
+        .rewrittenBytes
+    }
+    spark.stop()
+  }
+}

@@ -175,13 +175,49 @@ object Similarity {
     assigned
   }
 
+  /** ENVELOPE GUARD for the scaled-assignment numerator: the exact
+    * form n²(x·x) − 2n(x·s) + s·s overflows int64 once cluster counts
+    * pass the scaladoc's dims·n²·2²⁶ bound (measured: the 1M-vector
+    * decade of AnnAtRestBench's PQ build threw ARITHMETIC_OVERFLOW in
+    * training). When the worst case — computed from the ACTUAL frames:
+    * max n and max |s| from the k-row centroid frame, max |x| from the
+    * member frame — can exceed 2⁶², the summed centroids are demoted
+    * to floored MEANS (n = 1): the numerator becomes x·x − 2(x·c) + c·c
+    * with |c| ≤ max|x|+1, trivially in range at any cluster size.
+    * Rounding the mean moves each component by < 1 — an assignment
+    * perturbation far below the quantization grain, and deterministic
+    * (same data ⇒ same path), so battery-scale runs stay byte-identical
+    * on the exact path while corpus-scale training no longer throws. */
+  private def envelopeSafe(base: DataFrame, cent: DataFrame): DataFrame = {
+    def maxAbs(df: DataFrame, c: String) = df.select(
+      max(aggregate(col(c), lit(0L), (a, v) => greatest(a, abs(v)))),
+      min(size(col(c))))
+    val cr = cent.agg(max(col("n")).as("n")).head()
+    val maxN = if (cr.isNullAt(0)) 1L else cr.getLong(0)
+    if (maxN <= 1L) return cent // data-vector seeds: always in range
+    val sr = maxAbs(cent, "s").head()
+    val xr = maxAbs(base, "qv").head()
+    val maxS = if (sr.isNullAt(0)) 0L else sr.getLong(0)
+    val maxX = if (xr.isNullAt(0)) 0L else xr.getLong(0)
+    val dims = BigInt(if (sr.isNullAt(1)) 0 else sr.getInt(1))
+    val (n, s, x) = (BigInt(maxN), BigInt(maxS), BigInt(maxX))
+    val worst = n * n * dims * x * x + 2 * n * dims * x * s + dims * s * s
+    if (worst < (BigInt(1) << 62)) cent
+    else cent
+      .withColumn("s", transform(col("s"),
+        v => floor(v.cast("double") / col("n").cast("double")).cast(LongType)))
+      .withColumn("n", lit(1L))
+  }
+
   /** One scaled-assignment round against (cid, s = Σ-vector, n = count)
     * centroids: argmin over cid of ‖n·x − s‖²/n² (exact BIGINT
     * numerator, one IEEE division), ties to the smaller cid. The
     * winning numerator rides along as `dist_num` (it never affects the
-    * argmin — (dev2, cid) is already a total order per row). */
+    * argmin — (dev2, cid) is already a total order per row). Centroids
+    * pass the [[envelopeSafe]] overflow gate first. */
   private def assignToSummedCentroids(
-      base: DataFrame, idCol: String, cent: DataFrame): DataFrame = {
+      base: DataFrame, idCol: String, cent0: DataFrame): DataFrame = {
+    val cent = envelopeSafe(base, cent0)
     // ‖n·x − s‖² = n²(x·x) − 2n(x·s) + s·s — native dot kernel, exact-
     // integer-identical to the zip_with form (same BIGINT bound: the
     // n² (x·x) term is the scaladoc's dims·n²·2²⁶ envelope)
@@ -271,9 +307,11 @@ object Similarity {
   /** [[assignToSummedCentroids]] restricted to each vector's coarse
     * list: the (lcid-keyed) equi-join replaces the broadcast
     * nested-loop, so each member scores only its own list's centroids.
-    * Same exact scaled-integer argmin and (dev2, cid) tie rule. */
+    * Same exact scaled-integer argmin and (dev2, cid) tie rule, same
+    * [[envelopeSafe]] overflow gate. */
   private def assignWithinLists(
-      baseL: DataFrame, idCol: String, cent: DataFrame): DataFrame = {
+      baseL: DataFrame, idCol: String, cent0: DataFrame): DataFrame = {
+    val cent = envelopeSafe(baseL, cent0)
     val num = col("n") * col("n") * dotQ(col("qv"), col("qv")) -
       lit(2L) * col("n") * dotQ(col("qv"), col("s")) +
       dotQ(col("s"), col("s"))

@@ -471,7 +471,15 @@ object Manifest {
     * The ONE reader choke point: the snapshot's deletion vector (if
     * any) is anti-joined out here, so no path through the store can
     * resurrect deleted rows. */
-  def readSnapshot(spark: SparkSession, root: String, snap: Snapshot): DataFrame = {
+  def readSnapshot(spark: SparkSession, root: String, snap: Snapshot): DataFrame =
+    logicalize(readSnapshotRaw(spark, root, snap), snap)
+
+  /** [[readSnapshot]] in PHYSICAL (file) column names — the form every
+    * file-REWRITING maintenance op stages from, so data files keep
+    * their physical names across compactions regardless of any column
+    * mapping. Identical to [[readSnapshot]] on unmapped tables. */
+  private def readSnapshotRaw(spark: SparkSession, root: String,
+      snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty,
       s"$root version ${snap.version} is an empty snapshot — nothing to read")
     applyDv(spark, root, snap, readFiles(spark, root, snap, snap.files))
@@ -824,6 +832,187 @@ object Manifest {
       old => old - (CheckKeyPrefix + name) + (OpKey -> s"dropCheck($name)"),
       _.files)._1
 
+  // ------------------------------------------------------------------ //
+  // COLUMN MAPPING — rename/drop as METADATA-ONLY commits (the public  //
+  // Delta column-mapping idea): data files keep their original         //
+  // PHYSICAL column names forever; the manifest carries a logical →    //
+  // physical map ([[ColMapKey]]) plus the list of retired physical     //
+  // names ([[DroppedKey]]). Every read path resolves through the map   //
+  // (rename + drop-projection at the reader boundary — including the   //
+  // planner scan, where filters push through the aliases into the      //
+  // physical attributes, so the stats/bloom skip layers, which are     //
+  // keyed physical, keep pruning); every write path maps the batch's   //
+  // logical names back to physical before staging. A table with no     //
+  // mapping takes the identity fast path everywhere.                   //
+  // ------------------------------------------------------------------ //
+
+  /** Reserved metadata key: JSON object {logicalName: physicalName}
+    * for RENAMED columns (identity implied for everything else). */
+  val ColMapKey = "graft.colmap"
+  /** Reserved metadata key: JSON array of PHYSICAL names dropped from
+    * the logical schema (their data stays in old files, projected away
+    * on read; a rewrite naturally sheds them). */
+  val DroppedKey = "graft.dropped"
+
+  private def renderStringMap(m: Map[String, String]): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(JObject(
+      m.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) })))
+  }
+  private def parseStringMap(s: String): Map[String, String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(s) match {
+      case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+  }
+  private def renderStringList(xs: Seq[String]): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(
+      JArray(xs.map(x => JString(x): JValue).toList)))
+  }
+  private def parseStringList(s: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(s) match {
+      case JArray(xs) => xs.collect { case JString(v) => v }
+      case _ => Seq.empty
+    }
+  }
+
+  private def colMapOf(snap: Snapshot): Map[String, String] =
+    snap.meta.get(ColMapKey).map(parseStringMap).getOrElse(Map.empty)
+  private def droppedOf(snap: Snapshot): Seq[String] =
+    snap.meta.get(DroppedKey).map(parseStringList).getOrElse(Seq.empty)
+  private def hasMapping(snap: Snapshot): Boolean =
+    snap.meta.contains(ColMapKey) || snap.meta.contains(DroppedKey)
+
+  /** The physical (file) column name behind a logical name — identity
+    * when un-renamed. Skip-stat, bloom, and key probes translate
+    * through this before touching the physical layers. */
+  private[store] def toPhysical(snap: Snapshot, name: String): String =
+    colMapOf(snap).getOrElse(name, name)
+
+  /** Physical frame → the table's LOGICAL view: dropped physicals
+    * projected away, renamed physicals aliased to their logical names.
+    * Identity (no projection node at all) on unmapped tables. */
+  private def logicalize(df: DataFrame, snap: Snapshot): DataFrame =
+    if (!hasMapping(snap)) df
+    else {
+      val dropSet = droppedOf(snap).toSet
+      val p2l = colMapOf(snap).map(_.swap)
+      df.select(df.columns.filterNot(dropSet)
+        .map(p => col(p).as(p2l.getOrElse(p, p))).toSeq: _*)
+    }
+
+  /** Logical batch → physical staging names (inverse of
+    * [[logicalize]]); identity on unmapped or brand-new tables. */
+  private def physicalize(df: DataFrame, snap: Option[Snapshot]): DataFrame =
+    snap.filter(hasMapping) match {
+      case None => df
+      case Some(s) =>
+        val m = colMapOf(s)
+        df.select(df.columns.map(l => col(l).as(m.getOrElse(l, l))).toSeq: _*)
+    }
+
+  /** The table's logical column names (physical schema resolved
+    * through the map) — validation surface for rename/drop. */
+  private def logicalSchemaNames(spark: SparkSession, root: String,
+      snap: Snapshot): Seq[String] = {
+    val phys = recordedSchema(snap).getOrElse(
+      readFiles(spark, root, snap, snap.files.take(1)).schema)
+      .fields.map(_.name).toSeq
+    val dropSet = droppedOf(snap).toSet
+    val p2l = colMapOf(snap).map(_.swap)
+    phys.filterNot(dropSet).map(p => p2l.getOrElse(p, p))
+  }
+
+  /** Reject mapping mutations on columns a CHECK constraint references
+    * (a stored predicate keeps the AUTHORED name; silently breaking it
+    * would turn every future commit into a confusing failure). */
+  private def requireNoCheckOn(snap: Snapshot, root: String,
+      name: String, what: String): Unit = {
+    val word = ("(?<![A-Za-z0-9_`])" +
+      java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_`])").r
+    snap.meta.filter(_._1.startsWith(CheckKeyPrefix)).foreach {
+      case (k, sql) => require(word.findFirstIn(sql).isEmpty,
+        s"$root: cannot $what column [$name] — CHECK " +
+          s"${k.stripPrefix(CheckKeyPrefix)} ($sql) references it; " +
+          "drop the constraint first, re-add it against the new name")
+    }
+  }
+
+  /** RENAME a column — one metadata-only commit, zero data files
+    * touched. Old snapshots time-travel with their own mapping; a
+    * pinned reader is unaffected. The logical name must exist, the
+    * target must not, and no CHECK may reference the old name. */
+  def renameColumn(spark: SparkSession, root: String,
+      from: String, to: String): Long = {
+    require(from != to, s"renameColumn: [$from] -> itself is a no-op")
+    require(to.nonEmpty && !to.startsWith("__"),
+      s"renameColumn: [$to] is not a legal column name")
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val names = logicalSchemaNames(spark, root, snap)
+    require(names.contains(from),
+      s"$root: no column [$from] to rename (have ${names.mkString(", ")})")
+    require(!names.contains(to),
+      s"$root: cannot rename [$from] to [$to] — the name is taken")
+    requireNoCheckOn(snap, root, from, "rename")
+    val phys = toPhysical(snap, from)
+    val m2 = (colMapOf(snap) - from) ++
+      (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+    publish(spark, root, Seq.empty,
+      old => (if (m2.isEmpty) old - ColMapKey
+              else old + (ColMapKey -> renderStringMap(m2))) +
+        (OpKey -> s"renameColumn($from->$to)"),
+      _.files)._1
+  }
+
+  /** DROP a column — one metadata-only commit; the physical bytes stay
+    * in existing files (projected away on every read) and disappear
+    * naturally as rewrites churn them. The retired PHYSICAL name stays
+    * reserved: [[appendMerge]] refuses to add a new column whose name
+    * collides with it — by-name parquet resolution would otherwise
+    * resurrect the dropped column's old values into the new one. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val names = logicalSchemaNames(spark, root, snap)
+    require(names.contains(name),
+      s"$root: no column [$name] to drop (have ${names.mkString(", ")})")
+    require(names.size > 1, s"$root: cannot drop the last column [$name]")
+    requireNoCheckOn(snap, root, name, "drop")
+    val phys = toPhysical(snap, name)
+    val m2 = colMapOf(snap) - name
+    val d2 = (droppedOf(snap) :+ phys).distinct
+    // future batches arrive WITHOUT the dropped column: re-record the
+    // schema fingerprint (and the reader schema, when one is recorded)
+    // as the post-drop physical shape, so plain appends keep enforcing.
+    // Old files still carry the column's bytes; a recorded schema that
+    // omits it means by-name resolution simply never reads them.
+    val physSchema = recordedSchema(snap).getOrElse(
+      readFiles(spark, root, snap, snap.files.take(1)).schema)
+    val kept = org.apache.spark.sql.types.StructType(
+      physSchema.fields.filterNot(f => d2.contains(f.name)))
+    val fp2 = kept.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
+      .sorted.mkString(",")
+    publish(spark, root, Seq.empty,
+      old => (if (m2.isEmpty) old - ColMapKey
+              else old + (ColMapKey -> renderStringMap(m2))) +
+        (DroppedKey -> renderStringList(d2)) +
+        // ALWAYS record the reader schema: post-drop appends stage
+        // files WITHOUT the column, and a heterogeneous file mix needs
+        // the recorded-schema read path (exactly like appendMerge)
+        (SchemaKey -> fp2) + (SchemaJsonKey -> nullableDeep(kept)
+          .asInstanceOf[org.apache.spark.sql.types.StructType].json) +
+        (OpKey -> s"dropColumn($name)"),
+      _.files)._1
+  }
+
   /** Violation counts per registered check over `df` — ONE aggregate
     * pass for all constraints; NULL predicate results count as
     * violations. */
@@ -876,9 +1065,13 @@ object Manifest {
     * from the parquet footers (no job). */
   def append(df: DataFrame, root: String,
       meta: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Long =
-    commitStaged(df, root, meta, statsCols, _.files, enforceSchema = true,
+      statsCols: Seq[String] = Nil): Long = {
+    val cur = current(df.sparkSession, root)
+    commitStaged(physicalize(df, cur), root, meta,
+      statsCols.map(c => cur.map(toPhysical(_, c)).getOrElse(c)),
+      _.files, enforceSchema = true,
       skipIf = _ => false, op = "append")._1
+  }
 
   /** Atomic table replace: stage, publish ONLY the new files. The
     * schema fingerprint AND the full schema JSON are RE-recorded
@@ -887,9 +1080,12 @@ object Manifest {
   def overwrite(df: DataFrame, root: String,
       meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil): Long =
+    // overwrite REPLACES the table wholesale under the batch's own
+    // names — any column mapping resets (logical = physical again)
     commitStaged(df, root, meta + (SchemaJsonKey -> df.schema.json), statsCols,
       _ => Seq.empty, enforceSchema = false,
-      skipIf = _ => false, op = "overwrite")._1
+      skipIf = _ => false, op = "overwrite",
+      clearMeta = Seq(ColMapKey, DroppedKey))._1
 
   /** SCHEMA-EVOLVING append — the public mergeSchema: the batch may ADD
     * columns, INCLUDING fields nested inside structs (recorded in the
@@ -915,15 +1111,31 @@ object Manifest {
    retryingCommit(s"$root appendMerge", 4) {
     val spark = df.sparkSession
     val parent = current(spark, root)
+    // column mapping: batch arrives LOGICAL; merge runs on PHYSICAL
+    // names. A batch-only (new) column keeps its name as physical —
+    // unless that name is retired (dropped) or already claimed as the
+    // physical of a renamed column, where by-name parquet resolution
+    // would resurrect the wrong bytes: reject loudly.
+    val dfP = physicalize(df, parent)
+    parent.filter(hasMapping).foreach { snap =>
+      val live = logicalSchemaNames(spark, root, snap).toSet
+      val reserved = droppedOf(snap).toSet ++ colMapOf(snap).values
+      val bad = df.schema.fields.map(_.name)
+        .filterNot(live).filter(reserved)
+      require(bad.isEmpty,
+        s"$root: appendMerge cannot add column(s) ${bad.mkString(", ")} — " +
+          "the physical name is retired by a dropped/renamed column; " +
+          "pick a different name or rewrite through overwrite")
+    }
     val merged: org.apache.spark.sql.types.StructType = parent match {
-      case None => df.schema
+      case None => dfP.schema
       case Some(snap) =>
         val table = recordedSchema(snap).getOrElse(
           readFiles(spark, root, snap, snap.files.take(1)).schema)
-        mergeStructs(table, df.schema).getOrElse(
+        mergeStructs(table, dfP.schema).getOrElse(
           throw new IllegalArgumentException(
             s"$root: appendMerge cannot reconcile the batch schema " +
-              s"[${df.schema.catalogString}] with the table schema " +
+              s"[${dfP.schema.catalogString}] with the table schema " +
               s"[${table.catalogString}] — fields may be added (incl. " +
               "nested struct fields) or safely widened " +
               "(byte→short→int→long, float→double, same-scale decimal " +
@@ -934,19 +1146,20 @@ object Manifest {
     // as NULL, so nothing in an evolved table may claim non-nullability
     // (the vectorized parquet reader enforces the recorded schema)
     val mergedN = nullableDeep(merged).asInstanceOf[org.apache.spark.sql.types.StructType]
-    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val have = dfP.schema.fields.map(f => f.name -> f.dataType).toMap
     // present columns PADDED to the merged type — rebuilt field-by-field
     // for structs (a Cast cannot add fields), a no-op when unchanged;
     // staged files always carry the wide form, while pre-widening files
     // read wide through the recorded schema (the 4.x vectorized parquet
     // reader's type-widening contract, verified for exactly the
     // promotions `widened` admits)
-    val padded = df.select(mergedN.fields.toSeq.map(f =>
+    val padded = dfP.select(mergedN.fields.toSeq.map(f =>
       have.get(f.name) match {
         case Some(from) => padTo(col(f.name), from, f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }): _*)
-    commitStaged(padded, root, meta + (SchemaJsonKey -> mergedN.json), statsCols,
+    commitStaged(padded, root, meta + (SchemaJsonKey -> mergedN.json),
+      statsCols.map(c => parent.map(toPhysical(_, c)).getOrElse(c)),
       _.files, enforceSchema = false, skipIf = _ => false, op = "appendMerge",
       requireVersion = parent.map(_.version))._1
    }
@@ -1070,9 +1283,11 @@ object Manifest {
     def done(s: Snapshot): Boolean =
       s.meta.get(txnKey(writerId)).exists(_.toLong >= txnId)
     // fast path: no staging work when the txn is already in
-    current(spark, root).filter(done).foreach(s => return (s.version, false))
-    val (v, committed, staged) = commitStaged(df, root,
-      meta + (txnKey(writerId) -> txnId.toString), statsCols, _.files,
+    val cur = current(spark, root)
+    cur.filter(done).foreach(s => return (s.version, false))
+    val (v, committed, staged) = commitStaged(physicalize(df, cur), root,
+      meta + (txnKey(writerId) -> txnId.toString),
+      statsCols.map(c => cur.map(toPhysical(_, c)).getOrElse(c)), _.files,
       enforceSchema = true, skipIf = done, op = "appendOnce")
     // abandoned commit: sweep ONLY our own staged batch dir (another
     // writer's staged-but-uncommitted batch must survive; [[gc]] is the
@@ -1110,7 +1325,8 @@ object Manifest {
       meta: Map[String, String], statsCols: Seq[String],
       baseFiles: Snapshot => Seq[String], enforceSchema: Boolean,
       skipIf: Snapshot => Boolean, op: String,
-      requireVersion: Option[Long] = None): (Long, Boolean, Seq[String]) = {
+      requireVersion: Option[Long] = None,
+      clearMeta: Seq[String] = Nil): (Long, Boolean, Seq[String]) = {
     val spark = df.sparkSession
     val fp = schemaFingerprint(df)
     if (enforceSchema) requireSchema(spark, root, fp)
@@ -1120,7 +1336,7 @@ object Manifest {
     val kept = withoutEmpty(staged, rows)
     val stats = fileStats(spark, root, kept, statsCols)
     val (v, committed) = publish(spark, root, kept,
-      old => old ++ meta + (SchemaKey -> fp) + (OpKey -> op),
+      old => (old -- clearMeta) ++ meta + (SchemaKey -> fp) + (OpKey -> op),
       baseFiles, stats, rows.filter(kv => kept.contains(kv._1)), skipIf,
       requireVersion = requireVersion,
       newBytes = bytesM.filter(kv => kept.contains(kv._1)))
@@ -1172,7 +1388,7 @@ object Manifest {
       colName: String, lo: Any, hi: Any): DataFrame = {
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
-    val keep = prunedFiles(snap, colName, lo, hi)
+    val keep = prunedFiles(snap, toPhysical(snap, colName), lo, hi)
     val base =
       if (keep.isEmpty)
         // every file pruned: read one file for the SCHEMA, emit no rows
@@ -1269,6 +1485,7 @@ object Manifest {
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
     require(snap.files.nonEmpty, s"$root is empty — nothing to index")
+    val pcol = toPhysical(snap, colName)
     import org.apache.spark.sql.functions.xxhash64
     val maxRows =
       if (snap.rows.nonEmpty) snap.rows.values.max else 4000000L
@@ -1280,17 +1497,17 @@ object Manifest {
         .BloomFilterAggregate(
           org.apache.spark.sql.GraftSqlBridge.expression(xxhash64(col("__v"))),
           litE(items), litE(bits)).toAggregateExpression())
-    val rel = s"bloom/${colName}_v${snap.version}"
+    val rel = s"bloom/${pcol}_v${snap.version}"
     readFiles(spark, root, snap, snap.files)
-      .select(col(colName).as("__v"),
+      .select(col(pcol).as("__v"),
         org.apache.spark.sql.functions
           .expr("substring_index(_metadata.file_path, '/data/', -1)")
           .as("file"))
       .groupBy("file").agg(bloomAgg.as("bloom"))
       .write.mode("overwrite").parquet(new Path(root, rel).toString)
     publish(spark, root, Seq.empty,
-      old => old + (BloomKeyPrefix + colName -> rel) +
-        (OpKey -> s"bloomIndex($colName)"),
+      old => old + (BloomKeyPrefix + pcol -> rel) +
+        (OpKey -> s"bloomIndex($pcol)"),
       _.files)._1
   }
 
@@ -1308,7 +1525,7 @@ object Manifest {
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
     if (snap.files.isEmpty) return false
-    val stale = snap.meta.get(BloomKeyPrefix + colName) match {
+    val stale = snap.meta.get(BloomKeyPrefix + toPhysical(snap, colName)) match {
       case None => true
       case Some(rel) =>
         val known = bloomEntries(spark, root, rel).map(_._1).toSet
@@ -1334,11 +1551,12 @@ object Manifest {
     require(value != null, "readWhereEquals probes a non-null value")
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
-    val statCand = prunedFiles(snap, colName, value, value)
-    val cand = snap.meta.get(BloomKeyPrefix + colName) match {
+    val pcol = toPhysical(snap, colName)
+    val statCand = prunedFiles(snap, pcol, value, value)
+    val cand = snap.meta.get(BloomKeyPrefix + pcol) match {
       case None => statCand
       case Some(rel) =>
-        hashProbe(value, bloomProbeType(spark, root, snap, colName)) match {
+        hashProbe(value, bloomProbeType(spark, root, snap, pcol)) match {
           case None => statCand // unresolvable/uncastable probe: stats only
           case Some(h) =>
             val entries = bloomEntries(spark, root, rel)
@@ -1372,12 +1590,13 @@ object Manifest {
     require(values.forall(_ != null), "readWhereIn probes non-null values")
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
+    val pcol = toPhysical(snap, colName)
     val statCand = values
-      .flatMap(v => prunedFiles(snap, colName, v, v)).distinct
-    val cand = snap.meta.get(BloomKeyPrefix + colName) match {
+      .flatMap(v => prunedFiles(snap, pcol, v, v)).distinct
+    val cand = snap.meta.get(BloomKeyPrefix + pcol) match {
       case None => statCand
       case Some(rel) =>
-        val dt = bloomProbeType(spark, root, snap, colName)
+        val dt = bloomProbeType(spark, root, snap, pcol)
         val hashes = values.flatMap(hashProbe(_, dt))
         // an unhashable probe value could live in ANY file — a partial
         // hash list must not screen (its files would be pruned wrongly)
@@ -1595,8 +1814,8 @@ object Manifest {
               Seq("__graft_f", "__graft_ri"), "left_semi")
             .drop("__graft_f", "__graft_ri"), "remove")
       }
-    (ins.toSeq ++ rem1.toSeq ++ rem2.toSeq)
-      .reduceOption(_.unionByName(_)).getOrElse(empty)
+    logicalize((ins.toSeq ++ rem1.toSeq ++ rem2.toSeq)
+      .reduceOption(_.unionByName(_)).getOrElse(empty), to)
   }
 
   /** MERGE / upsert by key — the table-format point-update whose cost
@@ -1696,24 +1915,29 @@ object Manifest {
     // pins via requireVersion — a racing commit forces a re-plan that
     // re-runs this check
     if (skipIf(snap)) { onSkip(); return snap.version }
-    val fp = schemaFingerprint(batch)
+    // column mapping: the batch arrives LOGICAL; everything below —
+    // touched-file discovery, rewrite union, staging — runs PHYSICAL
+    val batchP = physicalize(batch, Some(snap))
+    val dropsP = drops.map(physicalize(_, Some(snap)))
+    val keyP = toPhysical(snap, keyCol)
+    val fp = schemaFingerprint(batchP)
     requireSchema(spark, root, fp)
-    requireChecks(spark, root, batch)
-    val dup = batch.groupBy(col(keyCol)).count()
+    requireChecks(spark, root, batchP)
+    val dup = batchP.groupBy(col(keyP)).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"upsert batch has duplicate $keyCol values (e.g. ${dup.head.get(0)}) — " +
         "one row per key, the merge is otherwise ambiguous")
-    val allKeys = drops match {
-      case None => batch.select(col(keyCol))
-      case Some(d) => batch.select(col(keyCol))
-        .unionByName(d.select(col(keyCol))).distinct()
+    val allKeys = dropsP match {
+      case None => batchP.select(col(keyP))
+      case Some(d) => batchP.select(col(keyP))
+        .unionByName(d.select(col(keyP))).distinct()
     }
     val range = allKeys.agg(
-      org.apache.spark.sql.functions.min(col(keyCol)),
-      org.apache.spark.sql.functions.max(col(keyCol))).head()
+      org.apache.spark.sql.functions.min(col(keyP)),
+      org.apache.spark.sql.functions.max(col(keyP))).head()
     if (range.isNullAt(0)) return snap.version // empty batch+drops: no-op
-    val candidates = prunedFiles(snap, keyCol, range.get(0), range.get(1))
+    val candidates = prunedFiles(snap, keyP, range.get(0), range.get(1))
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
       else {
@@ -1721,22 +1945,22 @@ object Manifest {
         val byName = candidates.map(rel =>
           rel.substring(rel.lastIndexOf('/') + 1) -> rel).toMap
         readFiles(spark, root, snap, candidates)
-          .select(col(keyCol),
+          .select(col(keyP),
             substring_index(input_file_name(), "/", -1).as("__f"))
-          .join(allKeys, Seq(keyCol), "left_semi")
+          .join(allKeys, Seq(keyP), "left_semi")
           .select("__f").distinct().collect()
           .flatMap(r => byName.get(r.getString(0))).toSeq
       }
     val touchedSet = touched.toSet
     val rewritten =
-      if (touched.isEmpty) batch
+      if (touched.isEmpty) batchP
       else applyDv(spark, root, snap, readFiles(spark, root, snap, touched))
-        .join(allKeys, Seq(keyCol), "left_anti")
-        .unionByName(batch)
+        .join(allKeys, Seq(keyP), "left_anti")
+        .unionByName(batchP)
     val staged = stage(rewritten, root)
     val (rows, bytesM) = footerMeta(spark, root, staged)
     val kept = withoutEmpty(staged, rows)
-    val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+    val statCols = inheritedStatCols(snap)
     val stats = fileStats(spark, root, kept, statCols)
     publish(spark, root, kept,
       old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "upsert")
@@ -1774,9 +1998,10 @@ object Manifest {
     }
 
   private def deleteWhereBetweenPlanned(spark: SparkSession, root: String,
-      colName: String, lo: Any, hi: Any): Long = {
+      colName0: String, lo: Any, hi: Any): Long = {
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
+    val colName = toPhysical(snap, colName0) // raw-file row filters below
     val touched = prunedFiles(snap, colName, lo, hi)
     if (touched.isEmpty) return snap.version
     val touchedSet = touched.toSet
@@ -1808,7 +2033,7 @@ object Manifest {
     val kept =
       if (nonEmpty.nonEmpty || snap.files.exists(f => !touchedSet.contains(f))) nonEmpty
       else staged.take(1)
-    val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+    val statCols = inheritedStatCols(snap)
     val stats = fileStats(spark, root, kept, statCols)
     publish(spark, root, kept, old => old - DvRowsKey + (OpKey -> "delete"),
       _.files.filterNot(touchedSet), stats,
@@ -1836,17 +2061,21 @@ object Manifest {
       replaceWhereBetweenPlanned(batch, root, colName, lo, hi))
 
   private def replaceWhereBetweenPlanned(batch: DataFrame, root: String,
-      colName: String, lo: Any, hi: Any): Long = {
+      colName0: String, lo: Any, hi: Any): Long = {
     val spark = batch.sparkSession
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
-    val fp = schemaFingerprint(batch)
+    // column mapping: the batch-range guard runs on the LOGICAL batch;
+    // everything against files (stats, survivors, staging) is physical
+    val batchP = physicalize(batch, Some(snap))
+    val colName = toPhysical(snap, colName0)
+    val fp = schemaFingerprint(batchP)
     requireSchema(spark, root, fp)
-    requireChecks(spark, root, batch)
-    val outside = batch.filter(col(colName).isNull ||
-      col(colName) < lit(lo) || col(colName) > lit(hi)).limit(1).collect()
+    requireChecks(spark, root, batchP)
+    val outside = batch.filter(col(colName0).isNull ||
+      col(colName0) < lit(lo) || col(colName0) > lit(hi)).limit(1).collect()
     require(outside.isEmpty,
-      s"replaceWhere batch has rows outside $colName in [$lo, $hi] " +
+      s"replaceWhere batch has rows outside $colName0 in [$lo, $hi] " +
         s"(e.g. ${outside.headOption.getOrElse("")}) — the replaced range " +
         "and the replacement batch must coincide")
     val touched = prunedFiles(snap, colName, lo, hi)
@@ -1858,11 +2087,11 @@ object Manifest {
     val clipped = touched.filterNot(f =>
       fullyCovered(snap, f, colName, lo, hi))
     val survivorsAndBatch =
-      if (clipped.isEmpty) batch
+      if (clipped.isEmpty) batchP
       else applyDv(spark, root, snap, readFiles(spark, root, snap, clipped))
         .filter(!(col(colName) >= lit(lo) && col(colName) <= lit(hi)) ||
           col(colName).isNull)
-        .unionByName(batch)
+        .unionByName(batchP)
     val staged = stage(survivorsAndBatch, root)
     val (rows, bytesM) = footerMeta(spark, root, staged)
     // an empty batch over a fully-covered range is a pure delete: keep
@@ -1873,7 +2102,7 @@ object Manifest {
       if (nonEmpty.nonEmpty || snap.files.exists(f => !touchedSet.contains(f)))
         nonEmpty
       else staged.take(1)
-    val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+    val statCols = inheritedStatCols(snap)
     val stats = fileStats(spark, root, kept, statCols)
     publish(spark, root, kept,
       old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "replaceWhere"),
@@ -1906,9 +2135,13 @@ object Manifest {
     val spark = batch.sparkSession
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
-    val fp = schemaFingerprint(batch)
+    // column mapping: the predicate is authored in LOGICAL names, so
+    // it evaluates against logicalized frames (batch + corpus); the
+    // staged rewrite is physicalized back for the files
+    val batchP = physicalize(batch, Some(snap))
+    val fp = schemaFingerprint(batchP)
     requireSchema(spark, root, fp)
-    requireChecks(spark, root, batch)
+    requireChecks(spark, root, batchP)
     val pred = expr(predicateSql)
     val outside = batch.filter(!pred || pred.isNull).limit(1).collect()
     require(outside.isEmpty,
@@ -1917,17 +2150,20 @@ object Manifest {
         "and the replacement batch must coincide")
     val byName = snap.files.map(rel =>
       rel.substring(rel.lastIndexOf('/') + 1) -> rel).toMap
-    val touched = readFiles(spark, root, snap, snap.files)
+    val touched = logicalize(readFiles(spark, root, snap, snap.files)
+        .withColumn("__f", substring_index(input_file_name(), "/", -1)), snap)
       .filter(pred)
-      .select(substring_index(input_file_name(), "/", -1).as("__f"))
+      .select("__f")
       .distinct().collect()
       .flatMap(r => byName.get(r.getString(0))).toSeq
     val touchedSet = touched.toSet
     val survivorsAndBatch =
-      if (touched.isEmpty) batch
-      else applyDv(spark, root, snap, readFiles(spark, root, snap, touched))
-        .filter(!pred || pred.isNull)
-        .unionByName(batch)
+      if (touched.isEmpty) batchP
+      else physicalize(
+        logicalize(applyDv(spark, root, snap,
+            readFiles(spark, root, snap, touched)), snap)
+          .filter(!pred || pred.isNull), Some(snap))
+        .unionByName(batchP)
     val staged = stage(survivorsAndBatch, root)
     val (rows, bytesM) = footerMeta(spark, root, staged)
     val nonEmpty = staged.filter(f => rows.getOrElse(f, 1L) > 0L)
@@ -1935,7 +2171,7 @@ object Manifest {
       if (nonEmpty.nonEmpty || snap.files.exists(f => !touchedSet.contains(f)))
         nonEmpty
       else staged.take(1)
-    val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+    val statCols = inheritedStatCols(snap)
     val stats = fileStats(spark, root, kept, statCols)
     publish(spark, root, kept,
       old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "replaceWhere"),
@@ -1966,9 +2202,10 @@ object Manifest {
       deleteWhereBetweenDvPlanned(spark, root, colName, lo, hi))
 
   private def deleteWhereBetweenDvPlanned(spark: SparkSession, root: String,
-      colName: String, lo: Any, hi: Any): Long = {
+      colName0: String, lo: Any, hi: Any): Long = {
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
+    val colName = toPhysical(snap, colName0) // raw-file row filter below
     val candidates = prunedFiles(snap, colName, lo, hi)
     if (candidates.isEmpty) return snap.version
     import org.apache.spark.sql.functions.expr
@@ -2029,17 +2266,18 @@ object Manifest {
     if (small.size < 2) return snap.version
     val smallSet = small.toSet
     val df = applyDv(spark, root, snap, readFiles(spark, root, snap, small))
+    val rangeByP = rangeBy.map(toPhysical(snap, _))
     val bytes = small.flatMap(snap.bytes.get).sum.max(1L)
     val target = ((bytes + targetBytes - 1) / targetBytes).max(1).min(1L << 20).toInt
     val repart =
-      if (rangeBy.nonEmpty) df.repartitionByRange(target, rangeBy.map(col): _*)
+      if (rangeByP.nonEmpty) df.repartitionByRange(target, rangeByP.map(col): _*)
       else df.repartition(target)
     val staged = repart.localCheckpoint()
     try {
       val stagedFiles = stage(staged, root)
       val (rows, bytesM) = footerMeta(spark, root, stagedFiles)
       val kept = withoutEmpty(stagedFiles, rows)
-      val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+      val statCols = inheritedStatCols(snap)
       val stats = fileStats(spark, root, kept, statCols)
       publish(spark, root, kept,
         old => old - DvRowsKey + (OpKey -> "compactSmall"),
@@ -2055,7 +2293,8 @@ object Manifest {
       rangeBy: Seq[String] = Nil): Long = {
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
-    val df = readSnapshot(spark, root, snap)
+    val df = readSnapshotRaw(spark, root, snap)
+    val rangeByP = rangeBy.map(toPhysical(snap, _))
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = ((bytes + targetBytes - 1) / targetBytes).max(1).min(1L << 20).toInt
     // `rangeBy` keeps the skip index SHARP through compaction: a hash
@@ -2066,7 +2305,7 @@ object Manifest {
     // files a racing gc of a PREVIOUS compaction round might be
     // clearing.
     val repart =
-      if (rangeBy.nonEmpty) df.repartitionByRange(target, rangeBy.map(col): _*)
+      if (rangeByP.nonEmpty) df.repartitionByRange(target, rangeByP.map(col): _*)
       else df.repartition(target)
     val staged = repart.localCheckpoint()
     try {
@@ -2075,7 +2314,7 @@ object Manifest {
       val kept = withoutEmpty(stagedFiles, rows)
       // the skip index survives compaction: recompute stats for every
       // column any pre-compaction file carried stats for
-      val statCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+      val statCols = inheritedStatCols(snap)
       val stats = fileStats(spark, root, kept, statCols)
       // a clean rewrite APPLIES any outstanding deletion vector (the
       // read above went through it) — clear the pointer
@@ -2101,23 +2340,182 @@ object Manifest {
     require(cols.nonEmpty, "compactClustered needs at least one layout column")
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
-    val df = readSnapshot(spark, root, snap)
+    val df = readSnapshotRaw(spark, root, snap)
+    val colsP = cols.map(toPhysical(snap, _))
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = ((bytes + targetBytes - 1) / targetBytes).max(1).min(1L << 20).toInt
-    val staged = Layout.cluster(df, Layout.boundariesFor(df, cols, bits),
+    val staged = Layout.cluster(df, Layout.boundariesFor(df, colsP, bits),
       target, bits, curve).localCheckpoint()
     try {
       val stagedFiles = stage(staged, root)
       val (rows, bytesM) = footerMeta(spark, root, stagedFiles)
       val kept = withoutEmpty(stagedFiles, rows)
-      val statCols = (snap.stats.values.flatMap(_.keys).toSeq ++ cols).distinct
-      val stats = fileStats(spark, root, kept, statCols)
+      val statCols = (inheritedStatCols(snap) ++ colsP).distinct
+      // the whole table becomes ONE stable cube — the provenance
+      // baseline [[compactClusteredIncremental]] builds on
+      val stats = stampCube(kept, fileStats(spark, root, kept, statCols),
+        java.util.UUID.randomUUID().toString)
       // a clean rewrite APPLIES any outstanding deletion vector (the
       // read above went through it) — clear the pointer
       publish(spark, root, kept,
         old => old - DvKey - DvRowsKey + (OpKey -> "compact"),
         _ => Seq.empty, stats, rows.filter(kv => kept.contains(kv._1)),
         newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
+    } finally { staged.unpersist(); () }
+  }
+
+  /** Reserved PSEUDO-STAT key: ZCube provenance (the public Delta
+    * OPTIMIZE ZORDER design) — files written by a clustering pass carry
+    * their cube id as a degenerate (id, id) stats entry, so provenance
+    * rides the existing per-file stats map with no format change. The
+    * key never names a data column (readers prune by query-attribute
+    * lookup, which can't match it) and is excluded from every
+    * stat-recompute list ([[inheritedStatCols]]). A file rewritten by
+    * any non-clustering commit (upsert, compact, compactSmall) loses
+    * the marker — correct, since the rewrite destroyed its layout. */
+  val ZCubeStatKey = "__zcube"
+
+  /** Stat columns to RECOMPUTE on a file-rewriting commit: every data
+    * column any current file indexes, excluding reserved pseudo-stats
+    * (leading `__`) — those are provenance, not data. */
+  private def inheritedStatCols(snap: Snapshot): Seq[String] =
+    snap.stats.values.flatMap(_.keys).toSeq.distinct.filterNot(_.startsWith("__"))
+
+  /** Stamp every kept file's stats with a cube id (creating entries
+    * for stats-less files, so provenance never silently drops). */
+  private def stampCube(kept: Seq[String],
+      stats: Map[String, Map[String, (Any, Any)]], cube: String)
+      : Map[String, Map[String, (Any, Any)]] =
+    kept.map(f => f ->
+      (stats.getOrElse(f, Map.empty[String, (Any, Any)]) +
+        (ZCubeStatKey -> ((cube: Any, cube: Any))))).toMap
+
+  /** Outcome of [[compactClusteredIncremental]] — the bench-visible
+    * accounting of what the incremental pass actually paid. */
+  final case class ClusterIncResult(version: Long, rewrittenFiles: Int,
+      carriedFiles: Int, rewrittenBytes: Long, carriedBytes: Long)
+
+  /** INCREMENTAL clustered compaction — the liquid-clustering stance:
+    * [[compactClustered]] is O(table) per invocation (q161's measured
+    * cost), which a standing ingest loop cannot pay every cycle. Files
+    * are partitioned by ZCube PROVENANCE (the public Delta OPTIMIZE
+    * design — [[ZCubeStatKey]]):
+    *
+    *  - files a previous clustering pass wrote (marked) are STABLE —
+    *    carried by identity, never re-selected — unless their whole
+    *    cube totals under `cubeMinBytes`, in which case the cube
+    *    DISSOLVES into the selection to merge with new material
+    *    (and only when there IS new material or a second undersized
+    *    cube — a lone fragment cube rewriting itself forever would be
+    *    pure churn);
+    *  - unmarked files (plain appends since the last pass) are
+    *    selected when they POLLUTE the skip index: normalized
+    *    [min, max] box volume over `cols` above `volumeFactor` times
+    *    the ideal per-file share (1/#files — what a curve tile covers,
+    *    up to curve slack), or stats missing on a layout column. A
+    *    pre-sorted append with a tight box stays carried.
+    *
+    * Selected rows are re-clustered along the curve into ~`targetBytes`
+    * files with boundaries derived from THEM (each new file's box is
+    * tight in absolute value space — grid agreement across passes is
+    * not needed) and stamped as one new cube. Cost is O(selected) per
+    * pass, each byte rewritten O(log(cubeMinBytes/batch)) times across
+    * its lifetime — the LSM amortization. Pruning quality is within
+    * the curve slack of a full rewrite (MEASURED in BENCH_SCALE's
+    * incremental-clustering campaign, pinned by ManifestSpec).
+    *
+    * The deletion vector is PRESERVED like [[compactSmall]]: rewritten
+    * files read through it (their entries go stale-but-harmless),
+    * carried files' entries stay load-bearing — only the full
+    * [[compact]]/[[compactClustered]] clears the pointer. Commit is
+    * pinned to the planned snapshot (concurrent appends throw
+    * [[ConcurrentCommitException]] — retry). Returns the accounting;
+    * `version` is unchanged when nothing needed rewriting. */
+  def compactClusteredIncremental(spark: SparkSession, root: String,
+      cols: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 8, curve: String = "z", volumeFactor: Double = 4.0,
+      cubeMinBytes: Long = 16L * 1024 * 1024): ClusterIncResult = {
+    require(cols.nonEmpty,
+      "compactClusteredIncremental needs at least one layout column")
+    require(volumeFactor > 0, s"volumeFactor must be positive ($volumeFactor)")
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val colsP = cols.map(toPhysical(snap, _))
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def cubeOf(f: String): Option[String] =
+      snap.stats.get(f).flatMap(_.get(ZCubeStatKey)).map(_._1.toString)
+    val (marked, unmarked) = snap.files.partition(cubeOf(_).isDefined)
+    // per-file numeric box on every layout column (None = can't prune)
+    val boxes: Map[String, Option[Seq[(Double, Double)]]] =
+      unmarked.map { f =>
+        val box = colsP.map { c =>
+          snap.stats.get(f).flatMap(_.get(c)).flatMap { case (mn, mx) =>
+            for (a <- num(mn); b <- num(mx)) yield (a, b)
+          }
+        }
+        f -> (if (box.forall(_.isDefined)) Some(box.map(_.get)) else None)
+      }.toMap
+    // global extent per column over EVERY file's recorded stats
+    val globals = colsP.map { c =>
+      val known = snap.files.flatMap(f =>
+        snap.stats.get(f).flatMap(_.get(c)).flatMap { case (mn, mx) =>
+          for (a <- num(mn); b <- num(mx)) yield (a, b)
+        })
+      if (known.isEmpty) (0.0, 0.0)
+      else (known.map(_._1).min, known.map(_._2).max)
+    }
+    val ideal = 1.0 / math.max(snap.files.size, 1)
+    val unmarkedSel = unmarked.filter { f =>
+      boxes(f) match {
+        case None => true // stats-blind file: rewrite to gain a box
+        case Some(box) =>
+          val vol = box.zip(globals).map { case ((lo, hi), (glo, ghi)) =>
+            val extent = ghi - glo
+            if (extent <= 0) 1.0 else ((hi - lo) / extent).min(1.0).max(0.0)
+          }.product
+          vol > volumeFactor * ideal
+      }
+    }
+    // undersized cubes dissolve — but only into a merge that has other
+    // material (fresh selection or a sibling fragment cube)
+    val byCube = marked.groupBy(f => cubeOf(f).get)
+    val undersized = byCube.filter { case (_, fs) =>
+      fs.flatMap(snap.bytes.get).sum < cubeMinBytes
+    }
+    val dissolving =
+      if (unmarkedSel.nonEmpty || undersized.size >= 2)
+        undersized.values.flatten.toSeq
+      else Seq.empty
+    val selected = unmarkedSel ++ dissolving
+    val carried = snap.files.size - selected.size
+    val carriedB = (snap.files.toSet -- selected)
+      .toSeq.flatMap(snap.bytes.get).sum
+    if (selected.isEmpty)
+      return ClusterIncResult(snap.version, 0, carried, 0L, carriedB)
+    val selectedSet = selected.toSet
+    val selBytes = selected.flatMap(snap.bytes.get).sum.max(1L)
+    val df = applyDv(spark, root, snap, readFiles(spark, root, snap, selected))
+    val target = ((selBytes + targetBytes - 1) / targetBytes)
+      .max(1).min(1L << 20).toInt
+    val staged = Layout.cluster(df, Layout.boundariesFor(df, colsP, bits),
+      target, bits, curve).localCheckpoint()
+    try {
+      val stagedFiles = stage(staged, root)
+      val (rows, bytesM) = footerMeta(spark, root, stagedFiles)
+      val kept = withoutEmpty(stagedFiles, rows)
+      val statCols = (inheritedStatCols(snap) ++ colsP).distinct
+      val stats = stampCube(kept, fileStats(spark, root, kept, statCols),
+        java.util.UUID.randomUUID().toString)
+      val v = publish(spark, root, kept,
+        old => old - DvRowsKey + (OpKey -> "compactClusteredInc"),
+        _.files.filterNot(selectedSet), stats,
+        rows.filter(kv => kept.contains(kv._1)),
+        requireVersion = Some(snap.version),
+        newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
+      ClusterIncResult(v, selected.size, carried, selBytes, carriedB)
     } finally { staged.unpersist(); () }
   }
 
@@ -2132,7 +2530,8 @@ object Manifest {
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
     val keep = preds.foldLeft(snap.files) { case (files, (c, lo, hi)) =>
-      val surviving = prunedFiles(snap.copy(files = files), c, lo, hi)
+      val surviving = prunedFiles(snap.copy(files = files),
+        toPhysical(snap, c), lo, hi)
       surviving
     }
     val base =
@@ -2178,8 +2577,13 @@ object Manifest {
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty[String, String])(spark)
     // outstanding deletion vector: same anti-join wrap as readSnapshot
-    // (the FileIndex prunes files underneath either way)
-    applyDv(spark, root, snap, spark.baseRelationToDataFrame(relation))
+    // (the FileIndex prunes files underneath either way). Column
+    // mapping resolves LAST: the projection's aliases sit above the
+    // physical scan, so pushed filters rewrite through them into
+    // physical attributes — exactly what the stats prune against.
+    logicalize(
+      applyDv(spark, root, snap, spark.baseRelationToDataFrame(relation)),
+      snap)
   }
 
   /** The table's commit history as a frame — the public DESCRIBE

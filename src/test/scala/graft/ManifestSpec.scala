@@ -619,6 +619,182 @@ class ManifestSpec extends SparkTestBase {
     assert(boxRead(hRoot) == expect)
   }
 
+  test("compactClusteredIncremental: rewrites only polluting files; pruning near the full rewrite") {
+    val grid = spark.range(0, 128L * 128L)
+      .select(expr("id % 128").as("x"), expr("id div 128").as("y"))
+    // fresh appends STRIDE the whole key space — each landed file's
+    // box covers ~everything, the exact skip-index pollution a
+    // standing ingest loop produces between maintenance cycles
+    val fresh = spark.range(0, 2048L)
+      .select(expr("id * 7 % 128").as("x"), expr("id * 13 % 128").as("y"))
+    // pruning quality in BYTES SURVIVING the 2-D box probe — the
+    // honest metric once maintenance changes file granularity (file
+    // counts compare a few wide polluters against many tiles)
+    def boxBytes(root: String): (Long, Long) = {
+      val snap = Manifest.current(spark, root).get
+      val fx = Manifest.prunedFiles(snap, "x", 32L, 63L)
+      val kept = Manifest.prunedFiles(snap.copy(files = fx), "y", 32L, 63L)
+      (kept.flatMap(snap.bytes.get).sum,
+        snap.files.flatMap(snap.bytes.get).sum)
+    }
+    val expect = (grid +: Seq.fill(4)(fresh)).reduce(_ unionByName _)
+      .filter(col("x").between(32, 63) && col("y").between(32, 63))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val incRoot = newRoot("inc_cluster")
+    val fullRoot = newRoot("inc_cluster_full")
+    for (root <- Seq(incRoot, fullRoot)) {
+      Manifest.append(grid, root, statsCols = Seq("x", "y"))
+      Manifest.compactClustered(spark, root, Seq("x", "y"), targetBytes = 64)
+      for (_ <- 0 until 4)
+        Manifest.append(fresh.coalesce(1), root, statsCols = Seq("x", "y"))
+    }
+    val before = Manifest.current(spark, incRoot).get
+    val (dirtyBoxBytes, _) = boxBytes(incRoot)
+
+    val res = Manifest.compactClusteredIncremental(spark, incRoot,
+      Seq("x", "y"), targetBytes = 2048, cubeMinBytes = 1024)
+    // O(selected), not O(table): exactly the four polluting appends
+    // are rewritten; the settled cube's tiles are carried by identity
+    assert(res.rewrittenFiles == 4,
+      s"incremental rewrote ${res.rewrittenFiles} of ${before.files.size}")
+    assert(res.carriedFiles > before.files.size / 2)
+    assert(res.rewrittenBytes < (res.rewrittenBytes + res.carriedBytes) / 3,
+      s"rewrote ${res.rewrittenBytes} of ${res.rewrittenBytes + res.carriedBytes} bytes")
+    // rows are untouched
+    val got = Manifest.read(spark, incRoot)
+      .filter(col("x").between(32, 63) && col("y").between(32, 63))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == expect)
+
+    // pruning quality: within 2x of paying the FULL rewrite, and
+    // strictly better than leaving the pollution in place
+    Manifest.compactClustered(spark, fullRoot, Seq("x", "y"), targetBytes = 2048)
+    val (incBoxBytes, incTotalBytes) = boxBytes(incRoot)
+    val (fullBoxBytes, _) = boxBytes(fullRoot)
+    assert(incBoxBytes <= 2 * fullBoxBytes,
+      s"incremental box probe reads $incBoxBytes of $incTotalBytes bytes " +
+        s"vs full rewrite $fullBoxBytes")
+    assert(incBoxBytes < dirtyBoxBytes,
+      s"incremental should beat the unmaintained layout: $incBoxBytes vs $dirtyBoxBytes")
+
+    // converged: both cubes are stable provenance — a second pass with
+    // nothing new finds ZERO work (no geometry churn across passes)
+    val res2 = Manifest.compactClusteredIncremental(spark, incRoot,
+      Seq("x", "y"), targetBytes = 2048, cubeMinBytes = 1024)
+    assert(res2.rewrittenBytes == 0L && res2.version == res.version,
+      s"second pass should be a no-op: $res2")
+
+    // generation stability: one more polluting append selects ONLY
+    // itself — neither the base cube nor the incremental cube re-joins
+    Manifest.append(fresh.coalesce(1), incRoot, statsCols = Seq("x", "y"))
+    val res3 = Manifest.compactClusteredIncremental(spark, incRoot,
+      Seq("x", "y"), targetBytes = 2048, cubeMinBytes = 1024)
+    assert(res3.rewrittenFiles == 1, s"third pass: $res3")
+  }
+
+  test("column mapping: rename/drop are metadata-only; every path resolves the map") {
+    val root = newRoot("colmap")
+    Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("k", "v", "w").repartition(1)
+    match { case df => Manifest.append(df, root, statsCols = Seq("k", "v")) }
+    val filesBefore = Manifest.current(spark, root).get.files
+
+    // RENAME is one metadata-only commit: zero data files move
+    Manifest.renameColumn(spark, root, "v", "score")
+    val afterRename = Manifest.current(spark, root).get
+    assert(afterRename.files == filesBefore, "rename moved data files")
+    assert(Manifest.read(spark, root).columns.toSeq == Seq("k", "score", "w"))
+
+    // the PLANNER scan resolves the map and still file-prunes: filters
+    // on the logical name push through the alias into the physical
+    // attribute the stats are keyed by
+    val viaTable = Manifest.table(spark, root)
+      .filter(col("score") >= 20L).select("k", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaTable == Seq((2L, 20L), (3L, 30L)))
+
+    // the skip-read probes translate: stats are keyed physical
+    val skip = Manifest.readWhereBetween(spark, root, "score", 20L, 30L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(skip == Seq(2L, 3L))
+
+    // APPEND after the rename arrives in LOGICAL names, lands physical
+    Manifest.append(Seq((4L, 40L, "d")).toDF("k", "score", "w"), root,
+      statsCols = Seq("k", "score"))
+    assert(Manifest.read(spark, root).count() == 4L)
+
+    // UPSERT by a renamed key merges, not duplicates
+    Manifest.renameColumn(spark, root, "k", "id")
+    Manifest.upsert(Seq((2L, 21L, "B"), (5L, 50L, "e"))
+      .toDF("id", "score", "w"), root, "id")
+    val merged = Manifest.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(merged == Seq((1L, 10L, "a"), (2L, 21L, "B"), (3L, 30L, "c"),
+      (4L, 40L, "d"), (5L, 50L, "e")), merged.toString)
+
+    // DROP is metadata-only; the column vanishes from every read
+    val filesPreDrop = Manifest.current(spark, root).get.files
+    Manifest.dropColumn(spark, root, "w")
+    assert(Manifest.current(spark, root).get.files == filesPreDrop)
+    assert(Manifest.read(spark, root).columns.toSeq == Seq("id", "score"))
+    assert(Manifest.table(spark, root).columns.toSeq == Seq("id", "score"))
+
+    // plain APPEND and UPSERT after the drop: batches arrive in the
+    // post-drop logical shape; the re-recorded fingerprint + reader
+    // schema keep enforcement and the heterogeneous file mix readable
+    Manifest.append(Seq((7L, 70L)).toDF("id", "score"), root)
+    Manifest.upsert(Seq((7L, 71L), (8L, 80L)).toDF("id", "score"), root, "id")
+    val post = Manifest.read(spark, root).filter(col("id") >= 7L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(post == Seq((7L, 71L), (8L, 80L)), post.toString)
+
+    // the retired PHYSICAL name stays reserved: a new column "w" would
+    // resurrect the dropped bytes via by-name resolution — loud reject
+    val e = intercept[IllegalArgumentException] {
+      Manifest.appendMerge(Seq((6L, 60L, "zz")).toDF("id", "score", "w"), root)
+    }
+    assert(e.getMessage.contains("retired"), e.getMessage)
+    // a differently-named addition evolves normally; old files read NULL
+    Manifest.appendMerge(Seq((6L, 60L, "fresh"))
+      .toDF("id", "score", "w2"), root)
+    val w2s = Manifest.read(spark, root).orderBy("id").select("w2")
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(w2s == Seq(None, None, None, None, None, Some("fresh"), None, None),
+      w2s.toString)
+
+    // REWRITES stage physical names: the mapping survives a compact
+    Manifest.compact(spark, root)
+    assert(Manifest.read(spark, root).columns.toSeq == Seq("id", "score", "w2"))
+    assert(Manifest.readWhereBetween(spark, root, "id", 2L, 3L).count() == 2L)
+
+    // TIME TRAVEL: a pre-rename snapshot reads with its OWN names
+    val old = Manifest.tableAsOf(spark, root, 0L)
+    assert(old.columns.toSeq == Seq("k", "v", "w"))
+
+    // guards: taken target name; rename/drop under a CHECK reference
+    intercept[IllegalArgumentException] {
+      Manifest.renameColumn(spark, root, "score", "id")
+    }
+    Manifest.addCheck(spark, root, "score_pos", "score >= 0")
+    intercept[IllegalArgumentException] {
+      Manifest.renameColumn(spark, root, "score", "points")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.dropColumn(spark, root, "score")
+    }
+    Manifest.dropCheck(spark, root, "score_pos")
+    Manifest.renameColumn(spark, root, "score", "points")
+    assert(Manifest.read(spark, root).columns.toSeq == Seq("id", "points", "w2"))
+
+    // OVERWRITE is the mapping reset: logical = physical again
+    Manifest.overwrite(Seq((9L, 90L)).toDF("id", "points"), root)
+    val cur = Manifest.current(spark, root).get
+    assert(!cur.meta.contains(Manifest.ColMapKey) &&
+      !cur.meta.contains(Manifest.DroppedKey))
+    assert(Manifest.read(spark, root).columns.toSeq == Seq("id", "points"))
+  }
+
   test("appendOnce: exactly-once per (writer, txn) — replays and raced duplicates skip") {
     val root = newRoot("txn")
     val (v0, c0) = Manifest.appendOnce(spark.range(0, 10).toDF("id"), root, "w1", 0L)
