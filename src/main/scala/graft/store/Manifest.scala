@@ -950,7 +950,8 @@ object Manifest {
     * pinned reader is unaffected. The logical name must exist, the
     * target must not, and no CHECK may reference the old name. */
   def renameColumn(spark: SparkSession, root: String,
-      from: String, to: String): Long = {
+      from: String, to: String): Long =
+   retryingCommit(s"$root renameColumn", 4) {
     require(from != to, s"renameColumn: [$from] -> itself is a no-op")
     require(to.nonEmpty && !to.startsWith("__"),
       s"renameColumn: [$to] is not a legal column name")
@@ -965,12 +966,15 @@ object Manifest {
     val phys = toPhysical(snap, from)
     val m2 = (colMapOf(snap) - from) ++
       (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+    // pinned to the planned parent: a concurrent schema-touching commit
+    // (another rename/drop/appendMerge) forces a re-plan, never a
+    // lost-update merge of stale map state
     publish(spark, root, Seq.empty,
       old => (if (m2.isEmpty) old - ColMapKey
               else old + (ColMapKey -> renderStringMap(m2))) +
         (OpKey -> s"renameColumn($from->$to)"),
-      _.files)._1
-  }
+      _.files, requireVersion = Some(snap.version))._1
+   }
 
   /** DROP a column — one metadata-only commit; the physical bytes stay
     * in existing files (projected away on every read) and disappear
@@ -978,7 +982,8 @@ object Manifest {
     * reserved: [[appendMerge]] refuses to add a new column whose name
     * collides with it — by-name parquet resolution would otherwise
     * resurrect the dropped column's old values into the new one. */
-  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+  def dropColumn(spark: SparkSession, root: String, name: String): Long =
+   retryingCommit(s"$root dropColumn", 4) {
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
     val names = logicalSchemaNames(spark, root, snap)
@@ -1010,8 +1015,8 @@ object Manifest {
         (SchemaKey -> fp2) + (SchemaJsonKey -> nullableDeep(kept)
           .asInstanceOf[org.apache.spark.sql.types.StructType].json) +
         (OpKey -> s"dropColumn($name)"),
-      _.files)._1
-  }
+      _.files, requireVersion = Some(snap.version))._1
+   }
 
   /** Violation counts per registered check over `df` — ONE aggregate
     * pass for all constraints; NULL predicate results count as
@@ -2468,6 +2473,10 @@ object Manifest {
       else (known.map(_._1).min, known.map(_._2).max)
     }
     val ideal = 1.0 / math.max(snap.files.size, 1)
+    // capped at 1/2: a file covering more than half the key space is a
+    // polluter at ANY file count (volumeFactor/F alone exceeds 1 for
+    // tiny F, which would exempt full-space appends on small tables)
+    val thresh = math.min(volumeFactor * ideal, 0.5)
     val unmarkedSel = unmarked.filter { f =>
       boxes(f) match {
         case None => true // stats-blind file: rewrite to gain a box
@@ -2476,7 +2485,7 @@ object Manifest {
             val extent = ghi - glo
             if (extent <= 0) 1.0 else ((hi - lo) / extent).min(1.0).max(0.0)
           }.product
-          vol > volumeFactor * ideal
+          vol > thresh
       }
     }
     // undersized cubes dissolve — but only into a merge that has other

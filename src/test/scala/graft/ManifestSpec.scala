@@ -693,6 +693,24 @@ class ManifestSpec extends SparkTestBase {
     assert(res3.rewrittenFiles == 1, s"third pass: $res3")
   }
 
+  test("compactClusteredIncremental: full-space polluters select even at tiny file counts") {
+    val grid = spark.range(0, 4096L)
+      .select(expr("id % 64").as("x"), expr("id div 64").as("y"))
+    val fresh = spark.range(0, 512L)
+      .select(expr("id * 7 % 64").as("x"), expr("id * 13 % 64").as("y"))
+    val root = newRoot("inc_tiny")
+    Manifest.append(grid, root, statsCols = Seq("x", "y"))
+    Manifest.compactClustered(spark, root, Seq("x", "y")) // one cube file
+    Manifest.append(fresh.coalesce(1), root, statsCols = Seq("x", "y"))
+    Manifest.append(fresh.coalesce(1), root, statsCols = Seq("x", "y"))
+    // F = 3: volumeFactor/F > 1 would exempt the whole-space polluters;
+    // the 1/2-cap keeps them selected, the cube file still carries
+    val res = Manifest.compactClusteredIncremental(spark, root,
+      Seq("x", "y"), targetBytes = 2048, cubeMinBytes = 512)
+    assert(res.rewrittenFiles == 2, res.toString)
+    assert(Manifest.read(spark, root).count() == 4096L + 1024L)
+  }
+
   test("column mapping: rename/drop are metadata-only; every path resolves the map") {
     val root = newRoot("colmap")
     Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
