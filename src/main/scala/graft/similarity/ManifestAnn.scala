@@ -234,7 +234,15 @@ object ManifestAnn {
     * files of the main table. Data bytes touched: the probed lists'
     * CODES files + O(k·rerank) full vectors, never the probed lists'
     * full-vector bulk — the memory story at 10⁹+ vectors. Returns
-    * (idCol, listCol, cosine) ordered by (cosine desc, id), ≤ k rows. */
+    * (idCol, listCol, cosine) ordered by (cosine desc, id), ≤ k rows.
+    *
+    * DELETES on the index root: the exact re-rank reads the MAIN
+    * table (deletion-vector-filtered), so removed vectors can never
+    * be returned; their codes go stale-but-harmless — wasted
+    * candidate slots that can shorten the result below k under heavy
+    * deletion (recall, not correctness — the sidecar-advisory
+    * stance). A [[buildPq]] rebuild re-derives codes from the live
+    * rows, the same repair cadence as [[refreshCents]]. */
   def probePq(spark: SparkSession, root: String, listCol: String,
       idCol: String, qvCol: String, queryQv: Seq[Long], nProbe: Int,
       k: Int, rerank: Int = 4): DataFrame = {
