@@ -979,9 +979,10 @@ object Manifest {
   /** DROP a column — one metadata-only commit; the physical bytes stay
     * in existing files (projected away on every read) and disappear
     * naturally as rewrites churn them. The retired PHYSICAL name stays
-    * reserved: [[appendMerge]] refuses to add a new column whose name
-    * collides with it — by-name parquet resolution would otherwise
-    * resurrect the dropped column's old values into the new one. */
+    * reserved: [[appendMerge]] re-adding the same LOGICAL name assigns
+    * a fresh version-stamped physical name and a map entry (by-name
+    * parquet resolution would otherwise resurrect the dropped
+    * column's old values into the new one). */
   def dropColumn(spark: SparkSession, root: String, name: String): Long =
    retryingCommit(s"$root dropColumn", 4) {
     val snap = current(spark, root).getOrElse(
@@ -1120,18 +1121,36 @@ object Manifest {
     // names. A batch-only (new) column keeps its name as physical —
     // unless that name is retired (dropped) or already claimed as the
     // physical of a renamed column, where by-name parquet resolution
-    // would resurrect the wrong bytes: reject loudly.
-    val dfP = physicalize(df, parent)
-    parent.filter(hasMapping).foreach { snap =>
-      val live = logicalSchemaNames(spark, root, snap).toSet
-      val reserved = droppedOf(snap).toSet ++ colMapOf(snap).values
-      val bad = df.schema.fields.map(_.name)
-        .filterNot(live).filter(reserved)
-      require(bad.isEmpty,
-        s"$root: appendMerge cannot add column(s) ${bad.mkString(", ")} — " +
-          "the physical name is retired by a dropped/renamed column; " +
-          "pick a different name or rewrite through overwrite")
+    // would resurrect the wrong bytes. Those columns get a FRESH
+    // version-stamped physical name and a colmap entry instead (the
+    // public id-based column mapping's re-add semantics): the new
+    // logical column starts NULL for old rows, never inheriting the
+    // retired column's bytes.
+    val remap: Map[String, String] = parent.filter(hasMapping) match {
+      case None => Map.empty
+      case Some(snap) =>
+        val live = logicalSchemaNames(spark, root, snap).toSet
+        val tablePhys = recordedSchema(snap).getOrElse(
+          readFiles(spark, root, snap, snap.files.take(1)).schema)
+          .fields.map(_.name).toSet
+        val reserved = droppedOf(snap).toSet ++ colMapOf(snap).values ++
+          tablePhys
+        df.schema.fields.map(_.name).filterNot(live)
+          .filter(reserved).map { l =>
+            var p = s"${l}__c${snap.version + 1}"
+            while (reserved.contains(p)) p = p + "x"
+            l -> p
+          }.toMap
     }
+    val dfP0 = physicalize(df, parent)
+    val dfP =
+      if (remap.isEmpty) dfP0
+      else dfP0.select(dfP0.columns.map(c =>
+        col(c).as(remap.getOrElse(c, c))).toSeq: _*)
+    val mapMeta: Map[String, String] =
+      if (remap.isEmpty) Map.empty
+      else Map(ColMapKey -> renderStringMap(
+        colMapOf(parent.get) ++ remap))
     val merged: org.apache.spark.sql.types.StructType = parent match {
       case None => dfP.schema
       case Some(snap) =>
@@ -1163,8 +1182,10 @@ object Manifest {
         case Some(from) => padTo(col(f.name), from, f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }): _*)
-    commitStaged(padded, root, meta + (SchemaJsonKey -> mergedN.json),
-      statsCols.map(c => parent.map(toPhysical(_, c)).getOrElse(c)),
+    commitStaged(padded, root,
+      meta ++ mapMeta + (SchemaJsonKey -> mergedN.json),
+      statsCols.map(c => parent.map(s =>
+        remap.getOrElse(c, toPhysical(s, c))).getOrElse(c)),
       _.files, enforceSchema = false, skipIf = _ => false, op = "appendMerge",
       requireVersion = parent.map(_.version))._1
    }

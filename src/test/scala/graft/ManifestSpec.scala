@@ -767,19 +767,26 @@ class ManifestSpec extends SparkTestBase {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(post == Seq((7L, 71L), (8L, 80L)), post.toString)
 
-    // the retired PHYSICAL name stays reserved: a new column "w" would
-    // resurrect the dropped bytes via by-name resolution — loud reject
-    val e = intercept[IllegalArgumentException] {
-      Manifest.appendMerge(Seq((6L, 60L, "zz")).toDF("id", "score", "w"), root)
-    }
-    assert(e.getMessage.contains("retired"), e.getMessage)
+    // re-adding the dropped LOGICAL name gets a FRESH physical name
+    // (id-mapping re-add semantics): old rows read NULL — the retired
+    // column's bytes are never resurrected into the new column
+    Manifest.appendMerge(Seq((6L, 60L, "zz")).toDF("id", "score", "w"), root)
+    val ws = Manifest.read(spark, root).orderBy("id").select("w")
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(ws == Seq(None, None, None, None, None, Some("zz"), None, None),
+      ws.toString)
+    // ...and the fresh physical column round-trips through later ops
+    Manifest.upsert(Seq((6L, 61L, "zz2")).toDF("id", "score", "w"), root, "id")
+    assert(Manifest.read(spark, root).filter(col("id") === 6L)
+      .select("w").head().getString(0) == "zz2")
+    Manifest.dropColumn(spark, root, "w")
     // a differently-named addition evolves normally; old files read NULL
-    Manifest.appendMerge(Seq((6L, 60L, "fresh"))
+    Manifest.appendMerge(Seq((10L, 100L, "fresh"))
       .toDF("id", "score", "w2"), root)
     val w2s = Manifest.read(spark, root).orderBy("id").select("w2")
       .collect().map(r => Option(r.getString(0))).toSeq
-    assert(w2s == Seq(None, None, None, None, None, Some("fresh"), None, None),
-      w2s.toString)
+    assert(w2s == Seq(None, None, None, None, None, None, None, None,
+      Some("fresh")), w2s.toString)
 
     // REWRITES stage physical names: the mapping survives a compact
     Manifest.compact(spark, root)
