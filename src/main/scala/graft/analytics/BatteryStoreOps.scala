@@ -1865,5 +1865,62 @@ trait BatteryStoreOps extends BatteryModels {
         AND o_totalprice BETWEEN 50000.0 AND 150000.0
       GROUP BY 1 ORDER BY 1"""))
 
+  /** HARD-NEGATIVE MINING ([[graft.similarity.Similarity.hardNegatives]]
+    * — the contrastive-training data op, DPR/ANCE recipe): three
+    * queries, each with three labeled positives, mine their top-8
+    * negatives through the IVF probe (top-2 lists by centroid-sum
+    * cosine) with the false-negative guard ON — candidates scoring at
+    * or above the query's weakest positive are presumed unlabeled
+    * positives and dropped. The oracle replays routing, scoring, the
+    * positive anti-join, the per-query positive floor, and the k-cut;
+    * a candidate leaking through the guard, a positive surviving the
+    * anti-join, or a routing drift hash-mismatches. */
+  val q182 = Q("q182_hard_negatives",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("label").cast(LongType).as("label"),
+          Similarity.quantize(col("embedding")).as("qv"))
+      val queries = base.filter(col("id").isin(10L, 20L, 30L))
+        .select(col("id").as("qid"), col("qv").as("qqv"))
+      val positives = queries.select(col("qid"))
+        .crossJoin(broadcast(Seq(1L, 2L, 3L).toDF("d")))
+        .select(col("qid"), (col("qid") + col("d")).as("id"))
+      Similarity.hardNegatives(base, "label", queries, positives,
+        k = 8, nprobe = 2, skipAbovePositive = true)
+        .orderBy("qid", "id")
+    },
+    Some(s"""WITH base AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+        $quantSql AS qv FROM embeddings),
+      q AS (SELECT id AS qid, qv AS qqv FROM base WHERE id IN (10, 20, 30)),
+      pos AS (SELECT qid, qid + d AS id FROM q, (SELECT unnest([1,2,3]) AS d)),
+      expl AS (SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos
+               FROM base),
+      cent AS (SELECT label, list(sv ORDER BY pos) AS cvec FROM
+                 (SELECT label, pos, SUM(v) AS sv FROM expl GROUP BY label, pos)
+               GROUP BY label),
+      routed AS (SELECT qid, label,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY ${cosSql("cvec", "qqv")} DESC, label) AS rn
+        FROM cent, q),
+      probed AS (SELECT qid, label FROM routed WHERE rn <= 2),
+      cand AS (SELECT p.qid, b.id, ${cosSql("b.qv", "q.qqv")} AS cosine
+        FROM base b JOIN probed p ON b.label = p.label
+        JOIN q ON q.qid = p.qid
+        WHERE b.id <> p.qid),
+      negs AS (SELECT c.* FROM cand c WHERE NOT EXISTS
+        (SELECT 1 FROM pos WHERE pos.qid = c.qid AND pos.id = c.id)),
+      pmin AS (SELECT pos.qid, MIN(${cosSql("b.qv", "q.qqv")}) AS pm
+        FROM pos JOIN base b ON b.id = pos.id
+        JOIN q ON q.qid = pos.qid GROUP BY pos.qid),
+      kept AS (SELECT a.qid, a.id, a.cosine FROM negs a
+        LEFT JOIN pmin m ON m.qid = a.qid
+        WHERE m.pm IS NULL OR a.cosine < m.pm),
+      cut AS (SELECT qid, id,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, id) AS rn
+        FROM kept)
+      SELECT qid, id FROM cut WHERE rn <= 8 ORDER BY qid, id"""))
+
   /** All registered queries, in gate order. */
 }

@@ -673,6 +673,60 @@ object Similarity {
           lit(k).cast("double")).as("recall"))
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data op (the
+    * public DPR/ANCE recipe): for each query, the top-`k` most-similar
+    * corpus items that are NOT its labeled positives, mined through
+    * the IVF probe (same routing/scoring as [[ivfTopKNeighbors]] — the
+    * corpus side is touched once, filtered to probed lists before any
+    * scoring). `positives` is (qid, id); the anti-join runs BEFORE the
+    * k-cut, so every returned slot is a real negative, and it
+    * broadcasts (|queries|·few rows).
+    *
+    * `skipAbovePositive`: the standard false-negative guard — ALSO
+    * drop candidates scoring at or above the query's weakest labeled
+    * positive (an unlabeled item more similar than a known positive is
+    * presumed a missed positive, and training on it as a negative
+    * poisons the loss). Positive scores come from one broadcast join
+    * of the positive ids against the corpus. Queries with no scored
+    * positive keep all candidates (nothing to compare against).
+    *
+    * Returns (qid, id) like the sibling probes — deterministic
+    * (cosine desc, id asc) tie rule; re-attach scores by joining the
+    * corpus if the consumer needs them. */
+  def hardNegatives(base: DataFrame, labelCol: String, queries: DataFrame,
+      positives: DataFrame, k: Int, nprobe: Int,
+      skipAbovePositive: Boolean = false): DataFrame = {
+    requireIntegralId(base, "id", "hardNegatives")
+    val cents = listCentroidSums(base, labelCol, "qv")
+    val probed = cents.crossJoin(broadcast(queries))
+      .select(col("qid"), col(labelCol),
+        cosineQ(col("cvec"), col("qqv")).as("cscore"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("cscore"), col(labelCol), nprobe).as("__ls"))
+      .select(col("qid"), explode(col("__ls")).as(labelCol))
+    val scored = base.join(broadcast(probed), Seq(labelCol))
+      .filter(col("id") =!= col("qid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("id"), cosineQ(col("qv"), col("qqv")).as("cosine"))
+      .join(broadcast(positives.select(col("qid"), col("id"))),
+        Seq("qid", "id"), "left_anti")
+    val kept =
+      if (!skipAbovePositive) scored
+      else {
+        val posMin = positives.select(col("qid"), col("id"))
+          .join(base.select(col("id"), col("qv")), Seq("id"))
+          .join(queries, Seq("qid"))
+          .groupBy("qid")
+          .agg(min(cosineQ(col("qv"), col("qqv"))).as("__pmin"))
+        scored.join(broadcast(posMin), Seq("qid"), "left")
+          .filter(col("__pmin").isNull || col("cosine") < col("__pmin"))
+          .drop("__pmin")
+      }
+    kept.groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("cosine"), col("id"), k).as("__ids"))
+      .select(col("qid"), explode(col("__ids")).as("id"))
+  }
+
   /** Per-(cid, pos) integer component sums + member counts of a
     * semantic index frame carrying (cid, qv) — the codebook in its
     * MAINTAINABLE form. Because the entries are exact integer sums,
