@@ -1922,5 +1922,60 @@ trait BatteryStoreOps extends BatteryModels {
         FROM kept)
       SELECT qid, id FROM cut WHERE rn <= 8 ORDER BY qid, id"""))
 
+  /** CONDITIONAL MERGE ([[graft.store.Manifest.mergeInto]] — the
+    * public Delta MERGE INTO's UPDATE-SET arm, where upsert is
+    * whole-row replace): every 13th order is matched by a source row
+    * and updates ONLY price (t.price + s.price/10 — an expression over
+    * BOTH sides) and status (t || '+'); the source also carries
+    * key-shifted NEW orders that insert in the same atomic commit.
+    * Cost follows touched files (stats-pruned + semi-join discovery);
+    * the oracle replays update arithmetic and the insert union — a
+    * column clobbered by the SET, a lost carry column, or an insert
+    * that double-landed hash-mismatches. */
+  val q183 = Q("q183_manifest_merge_into",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q183").toString + "/orders_mi"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+      Manifest.append(orders.filter(col("o_orderkey") <= mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))
+      Manifest.append(orders.filter(col("o_orderkey") > mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))
+      val matchedSrc = orders.filter(col("o_orderkey") % 13 === 0)
+      val insertSrc = matchedSrc
+        .select((col("o_orderkey") + lit(mk + 1)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit("N").as("o_orderstatus"))
+      Manifest.mergeInto(matchedSrc.unionByName(insertSrc), root,
+        "o_orderkey",
+        Map("o_totalprice" -> "t.o_totalprice + s.o_totalprice / 10",
+          "o_orderstatus" -> "concat(t.o_orderstatus, '+')"))
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("status")
+    },
+    Some("""WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      final AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 13 = 0
+            THEN o_totalprice + o_totalprice / 10 ELSE o_totalprice END AS price,
+          CASE WHEN o_orderkey % 13 = 0
+            THEN o_orderstatus || '+' ELSE o_orderstatus END AS status
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + mk + 1, o_totalprice, 'N'
+        FROM orders, mx WHERE o_orderkey % 13 = 0)
+      SELECT status, COUNT(*) AS n,
+        CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM final GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

@@ -1921,6 +1921,132 @@ object Manifest {
     (v, !skipped)
   }
 
+  /** CONDITIONAL MERGE — the public Delta `MERGE INTO t USING s`
+    * UPDATE-SET arm, where [[upsert]] is the whole-row-replace form:
+    * matched rows update ONLY the named columns, each set to a SQL
+    * expression over BOTH sides (`t.<col>` = the table's current row,
+    * `s.<col>` = the source row — the increment / partial-update /
+    * conditional-merge shapes whole-row replace cannot express);
+    * unmatched source rows insert when `insertUnmatched` (the source
+    * must then carry the full table schema). Cost follows touched
+    * files exactly like [[upsert]] (stats-pruned candidates, ONE
+    * `input_file_name` semi-join discovery, only matching files
+    * rewritten, everything else carried by identity); same atomic
+    * planned-parent commit, duplicate-source-key rejection, CHECK
+    * enforcement on the written rows, bounded auto-re-plan, and
+    * column-mapping resolution (expressions are authored in LOGICAL
+    * names; staging maps back to physical). */
+  def mergeInto(source: DataFrame, root: String, keyCol: String,
+      matchedSetSql: Map[String, String], insertUnmatched: Boolean = true,
+      maxRetries: Int = 4): Long =
+    retryingCommit(s"$root mergeInto", maxRetries)(
+      mergeIntoPlanned(source, root, keyCol, matchedSetSql, insertUnmatched))
+
+  private def mergeIntoPlanned(source: DataFrame, root: String,
+      keyCol: String, matchedSetSql: Map[String, String],
+      insertUnmatched: Boolean): Long = {
+    import org.apache.spark.sql.functions.{expr, input_file_name, substring_index, when}
+    require(matchedSetSql.nonEmpty, "mergeInto needs at least one SET column")
+    require(!matchedSetSql.contains(keyCol),
+      s"mergeInto cannot SET the merge key [$keyCol]")
+    val spark = source.sparkSession
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val keyP = toPhysical(snap, keyCol)
+    val dup = source.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"mergeInto source has duplicate $keyCol values " +
+        s"(e.g. ${dup.head.get(0)}) — one row per key")
+    val nullKey = source.filter(col(keyCol).isNull).limit(1).collect()
+    require(nullKey.isEmpty, "mergeInto source keys must be non-null")
+    // logical table columns (the expression surface)
+    val tCols = logicalize(
+      readFiles(spark, root, snap, snap.files.take(1)), snap).columns.toSeq
+    val unknown = matchedSetSql.keys.filterNot(tCols.contains)
+    require(unknown.isEmpty,
+      s"mergeInto SET names unknown column(s) ${unknown.mkString(", ")} " +
+        s"(table has ${tCols.mkString(", ")})")
+    // touched-file discovery: stats-pruned candidates, one semi-join
+    val srcKeys = source.select(col(keyCol).as(keyP)).distinct()
+      .localCheckpoint(false)
+    val range = srcKeys.agg(
+      org.apache.spark.sql.functions.min(col(keyP)),
+      org.apache.spark.sql.functions.max(col(keyP))).head()
+    if (range.isNullAt(0)) return snap.version
+    val candidates = prunedFiles(snap, keyP, range.get(0), range.get(1))
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else {
+        val byName = candidates.map(rel =>
+          rel.substring(rel.lastIndexOf('/') + 1) -> rel).toMap
+        readFiles(spark, root, snap, candidates)
+          .select(col(keyP),
+            substring_index(input_file_name(), "/", -1).as("__f"))
+          .join(srcKeys, Seq(keyP), "left_semi")
+          .select("__f").distinct().collect()
+          .flatMap(r => byName.get(r.getString(0))).toSeq
+      }
+    val touchedSet = touched.toSet
+    // matched rewrite: t LEFT JOIN s on the key; SET columns take
+    // their expression where a source row matched, else carry
+    val updated: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val t = logicalize(applyDv(spark, root, snap,
+          readFiles(spark, root, snap, touched)), snap).alias("t")
+        val sSide = source.alias("s")
+        val matched = col(s"s.$keyCol").isNotNull
+        val joined = t.join(sSide,
+          col(s"t.$keyCol") === col(s"s.$keyCol"), "left")
+        Some(joined.select(tCols.map { c =>
+          (matchedSetSql.get(c) match {
+            case Some(sql) => when(matched, expr(sql)
+                .cast(joined.select(col(s"t.`$c`")).schema.head.dataType))
+              .otherwise(col(s"t.`$c`"))
+            case None => col(s"t.`$c`")
+          }).as(c)
+        }: _*))
+      }
+    // unmatched inserts: source keys absent from every touched file
+    // (an untouched file provably holds no source key)
+    val inserts: Option[DataFrame] =
+      if (!insertUnmatched) None
+      else {
+        val missing = tCols.filterNot(source.columns.contains)
+        require(missing.isEmpty,
+          s"mergeInto(insertUnmatched): source lacks column(s) " +
+            s"${missing.mkString(", ")} of the table schema")
+        val existing =
+          if (touched.isEmpty) srcKeys.filter(lit(false))
+          else readFiles(spark, root, snap, touched)
+            .select(col(keyP)).distinct()
+        Some(source.select(tCols.map(c => col(s"`$c`")): _*)
+          .join(existing.select(col(keyP).as(keyCol)), Seq(keyCol), "left_anti"))
+      }
+    val outcome = (updated, inserts) match {
+      case (Some(u), Some(i)) => u.unionByName(i)
+      case (Some(u), None) => u
+      case (None, Some(i)) => i
+      case (None, None) => return snap.version
+    }
+    val rewritten = physicalize(outcome, Some(snap))
+    val fp = schemaFingerprint(rewritten)
+    requireSchema(spark, root, fp)
+    requireChecks(spark, root, rewritten)
+    val staged = stage(rewritten, root)
+    val (rows, bytesM) = footerMeta(spark, root, staged)
+    val kept = withoutEmpty(staged, rows)
+    val statCols = inheritedStatCols(snap)
+    val stats = fileStats(spark, root, kept, statCols)
+    publish(spark, root, kept,
+      old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "mergeInto"),
+      _.files.filterNot(touchedSet), stats,
+      rows.filter(kv => kept.contains(kv._1)),
+      requireVersion = Some(snap.version),
+      newBytes = bytesM.filter(kv => kept.contains(kv._1)))._1
+  }
+
   /** [[upsertPlanned]]'s `drops`: keys whose rows LEAVE the table in
     * the same atomic commit the batch's rows land — MERGE's WHEN
     * MATCHED DELETE arm. Touched-file discovery and the rewrite

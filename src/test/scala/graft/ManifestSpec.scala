@@ -711,6 +711,59 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.read(spark, root).count() == 4096L + 1024L)
   }
 
+  test("mergeInto: SET expressions over both sides; inserts; identity carry; guards") {
+    val root = newRoot("merge_into")
+    Manifest.append(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "x", "tag")
+      .coalesce(1), root, statsCols = Seq("k"))
+    Manifest.append(Seq((3L, 30L, "c"), (4L, 40L, "d")).toDF("k", "x", "tag")
+      .coalesce(1), root, statsCols = Seq("k"))
+    val before = Manifest.current(spark, root).get
+
+    // source matches keys 3 and 4 (second file only) and brings key 9
+    val src = Seq((3L, 5L, "S3"), (4L, 7L, "S4"), (9L, 90L, "new"))
+      .toDF("k", "x", "tag")
+    Manifest.mergeInto(src, root, "k",
+      Map("x" -> "t.x + s.x", "tag" -> "concat(t.tag, '|', s.tag)"))
+    val got = Manifest.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 10L, "a"), (2L, 20L, "b"),
+      (3L, 35L, "c|S3"), (4L, 47L, "d|S4"), (9L, 90L, "new")), got.toString)
+    // the first file held no source key: carried by IDENTITY
+    val after = Manifest.current(spark, root).get
+    assert(before.files.count(after.files.toSet) == 1,
+      "exactly the untouched file should carry")
+
+    // insertUnmatched=false: update-only merge
+    Manifest.mergeInto(Seq((1L, 1L, "u"), (99L, 0L, "zz"))
+      .toDF("k", "x", "tag"), root, "k",
+      Map("x" -> "t.x + s.x"), insertUnmatched = false)
+    val got2 = Manifest.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((1L, 11L), (2L, 20L), (3L, 35L), (4L, 47L), (9L, 90L)),
+      got2.toString)
+
+    // guards: duplicate source keys, SET on the key, unknown column
+    intercept[IllegalArgumentException] {
+      Manifest.mergeInto(Seq((1L, 1L, "u"), (1L, 2L, "v"))
+        .toDF("k", "x", "tag"), root, "k", Map("x" -> "s.x"))
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.mergeInto(src, root, "k", Map("k" -> "s.k"))
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.mergeInto(src, root, "k", Map("nope" -> "s.x"))
+    }
+
+    // column-mapping composition: the SET expression is authored in
+    // the RENAMED logical name and resolves through the map
+    Manifest.renameColumn(spark, root, "x", "score")
+    Manifest.mergeInto(Seq((2L, 100L, "zz")).toDF("k", "score", "tag"),
+      root, "k", Map("score" -> "t.score + s.score"),
+      insertUnmatched = false)
+    assert(Manifest.read(spark, root).filter(col("k") === 2L)
+      .select("score").head().getLong(0) == 120L)
+  }
+
   test("column mapping: rename/drop are metadata-only; every path resolves the map") {
     val root = newRoot("colmap")
     Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
