@@ -1938,15 +1938,17 @@ object Manifest {
     * names; staging maps back to physical). */
   def mergeInto(source: DataFrame, root: String, keyCol: String,
       matchedSetSql: Map[String, String], insertUnmatched: Boolean = true,
-      maxRetries: Int = 4): Long =
+      maxRetries: Int = 4, matchedDeleteSql: Option[String] = None): Long =
     retryingCommit(s"$root mergeInto", maxRetries)(
-      mergeIntoPlanned(source, root, keyCol, matchedSetSql, insertUnmatched))
+      mergeIntoPlanned(source, root, keyCol, matchedSetSql, insertUnmatched,
+        matchedDeleteSql))
 
   private def mergeIntoPlanned(source: DataFrame, root: String,
       keyCol: String, matchedSetSql: Map[String, String],
-      insertUnmatched: Boolean): Long = {
-    import org.apache.spark.sql.functions.{expr, input_file_name, substring_index, when}
-    require(matchedSetSql.nonEmpty, "mergeInto needs at least one SET column")
+      insertUnmatched: Boolean, matchedDeleteSql: Option[String]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, substring_index, when}
+    require(matchedSetSql.nonEmpty || matchedDeleteSql.nonEmpty,
+      "mergeInto needs at least one SET column or a matched-delete predicate")
     require(!matchedSetSql.contains(keyCol),
       s"mergeInto cannot SET the merge key [$keyCol]")
     val spark = source.sparkSession
@@ -1999,7 +2001,15 @@ object Manifest {
         val matched = col(s"s.$keyCol").isNotNull
         val joined = t.join(sSide,
           col(s"t.$keyCol") === col(s"s.$keyCol"), "left")
-        Some(joined.select(tCols.map { c =>
+        // WHEN MATCHED AND <pred> THEN DELETE: the row leaves the
+        // table in the same atomic rewrite (NULL predicate = keep,
+        // the SQL 3VL delete-what-matches rule)
+        val kept = matchedDeleteSql match {
+          case None => joined
+          case Some(d) =>
+            joined.filter(!matched || !coalesce(expr(d), lit(false)))
+        }
+        Some(kept.select(tCols.map { c =>
           (matchedSetSql.get(c) match {
             case Some(sql) => when(matched, expr(sql)
                 .cast(joined.select(col(s"t.`$c`")).schema.head.dataType))

@@ -655,6 +655,44 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming CLUSTERED ingest — the standing loop incremental
+    * clustering exists for ([[graft.store.Manifest.compactClusteredIncremental]]):
+    * each micro-batch appends exactly once (the batch's files span the
+    * key space — skip-index pollution by construction), and every
+    * `maintainEvery` batches ONE incremental clustering pass
+    * re-tiles just the pollution (ZCube provenance keeps settled tiles
+    * carried; cost O(since-last-pass), never O(table)). Maintenance is
+    * IDEMPOTENT-SAFE under foreachBatch replay: a replayed batch skips
+    * via the txn watermark, and a re-run maintenance pass re-selects
+    * only whatever is still unclustered (a no-op after a completed
+    * pass) — layout maintenance is advisory state, so exactly-once is
+    * not load-bearing for it. A concurrent-commit conflict inside the
+    * maintenance (another writer landing between plan and publish)
+    * re-plans via the op's own bounded retry. */
+  def clusteredIngestSink(
+      stream: DataFrame, root: String, cols: Seq[String], writerId: String,
+      checkpoint: String, maintainEvery: Int = 4,
+      targetBytes: Long = 128L * 1024 * 1024,
+      cubeMinBytes: Long = 16L * 1024 * 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maintainEvery >= 1, s"maintainEvery must be >= 1 ($maintainEvery)")
+    stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.store.Manifest.appendOnce(b.toDF(), root, writerId, id,
+          statsCols = cols)
+        if ((id + 1) % maintainEvery == 0) {
+          graft.store.Manifest.compactClusteredIncremental(
+            b.sparkSession, root, cols, targetBytes = targetBytes,
+            cubeMinBytes = cubeMinBytes)
+          ()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Streaming ingest into the manifest-store IVF vector index
     * ([[graft.similarity.ManifestAnn]] — the standing
     * embedding-pipeline loop): each micro-batch appends its vectors

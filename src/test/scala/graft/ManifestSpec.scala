@@ -754,6 +754,18 @@ class ManifestSpec extends SparkTestBase {
       Manifest.mergeInto(src, root, "k", Map("nope" -> "s.x"))
     }
 
+    // WHEN MATCHED AND <pred> THEN DELETE: a matched row satisfying
+    // the predicate leaves in the same commit; non-matching matched
+    // rows still take their SET; a NULL predicate keeps the row
+    Manifest.mergeInto(Seq((3L, 1L, "del"), (4L, 1L, "keep"))
+      .toDF("k", "x", "tag"), root, "k",
+      Map("x" -> "t.x + s.x"), insertUnmatched = false,
+      matchedDeleteSql = Some("s.tag = 'del'"))
+    val got3 = Manifest.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got3 == Seq((1L, 11L), (2L, 20L), (4L, 48L), (9L, 90L)),
+      got3.toString)
+
     // column-mapping composition: the SET expression is authored in
     // the RENAMED logical name and resolves through the map
     Manifest.renameColumn(spark, root, "x", "score")

@@ -15,6 +15,34 @@ class StreamOpsSpec extends SparkTestBase {
 
   private def ts(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
 
+  test("clusteredIngestSink: appends exactly once, maintains layout every N batches") {
+    import graft.store.Manifest
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_clustered_sink").toString + "/t"
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.clusteredIngestSink(
+      input.toDF().toDF("x", "y"), root, Seq("x", "y"), "cluster_loop",
+      root + "_ckpt", maintainEvery = 2, targetBytes = 2048,
+      cubeMinBytes = 512)
+    def wave(seed: Long): Seq[(Long, Long)] =
+      (0L until 512L).map(i => ((i * 7 + seed) % 64, (i * 13 + seed) % 64))
+    // four micro-batches -> maintenance fires after batches 1 and 3
+    (0 until 4).foreach { b => input.addData(wave(b): _*); q.processAllAvailable() }
+    q.stop()
+    assert(Manifest.read(spark, root).count() == 4 * 512L)
+    // every batch is clustered: a manual follow-up pass finds nothing
+    val res = Manifest.compactClusteredIncremental(spark, root,
+      Seq("x", "y"), targetBytes = 2048, cubeMinBytes = 512)
+    assert(res.rewrittenBytes == 0L, res.toString)
+    // layout survived with cube provenance: the op history shows the
+    // maintenance commits interleaved with the appends
+    val ops = Manifest.history(spark, root).select("operation")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.count(_ == "compactClusteredInc") == 2, ops.toString)
+    assert(ops.count(_ == "appendOnce") == 4, ops.toString)
+  }
+
   test("dedupEvents drops duplicate event_ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
