@@ -1977,5 +1977,51 @@ trait BatteryStoreOps extends BatteryModels {
         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       FROM final GROUP BY 1 ORDER BY 1"""))
 
+  /** QUARANTINE APPEND ([[graft.store.Manifest.appendQuarantine]] —
+    * the dead-letter shape of CHECK enforcement: plain append refuses
+    * the whole batch on one bad row, the standing loop routes bad rows
+    * aside and keeps moving): a table of modest orders is constrained
+    * (price cap + non-negative key), then the REST of the orders
+    * append through the quarantine — violators land in the DLQ with
+    * the first failed constraint's name, clean rows land in the table.
+    * The result unions both tables with their provenance; the oracle
+    * replays the split — one bad row leaking into the table, a lost
+    * good row, or a wrong violation tag hash-mismatches. */
+  val q184 = Q("q184_manifest_quarantine",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q184").toString + "/orders_q"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      Manifest.append(orders.filter(col("o_totalprice") <= 150000.0), root,
+        statsCols = Seq("o_orderkey"))
+      Manifest.addCheck(s, root, "price_cap", "o_totalprice <= 150000.0")
+      Manifest.addCheck(s, root, "a_extreme", "o_totalprice <= 400000.0")
+      Manifest.appendQuarantine(
+        orders.filter(col("o_totalprice") > 150000.0), root, root + "_dlq")
+      val main = Manifest.read(s, root)
+        .select(col("o_orderstatus"), lit("table").as("dest"),
+          lit(null).cast("string").as("violated"), col("o_totalprice"))
+      val dlq = Manifest.read(s, root + "_dlq")
+        .select(col("o_orderstatus"), lit("dlq").as("dest"),
+          col("__violated").as("violated"), col("o_totalprice"))
+      main.unionByName(dlq)
+        .groupBy("dest", "violated", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .orderBy("dest", "violated", "o_orderstatus")
+    },
+    Some("""WITH tagged AS (
+        SELECT o_orderstatus, o_totalprice,
+          CASE WHEN o_totalprice <= 150000.0 THEN 'table' ELSE 'dlq' END AS dest,
+          CASE WHEN o_totalprice <= 150000.0 THEN NULL
+               WHEN o_totalprice > 400000.0 THEN 'a_extreme'
+               ELSE 'price_cap' END AS violated
+        FROM orders)
+      SELECT dest, violated, o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM tagged GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   /** All registered queries, in gate order. */
 }

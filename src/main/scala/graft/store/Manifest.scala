@@ -217,6 +217,12 @@ object Manifest {
     * stamped fresh on every commit (it never merges forward), read
     * back by [[history]], the public DESCRIBE HISTORY idea. */
   val OpKey = "graft.op"
+  /** Reserved metadata key: the commit's wall-clock time (epoch
+    * millis), stamped by [[publish]] on every commit — the resolution
+    * surface of timestamp time travel ([[tableAsOfTimestamp]]). Driver
+    * clock; ordering across versions is by VERSION, the time is an
+    * annotation (the public formats' own caveat). */
+  val CommitTimeKey = "graft.commitTime"
 
   /** Reserved metadata key prefix: per-file BLOOM index sidecars,
     * `graft.bloom.<col> -> <root-relative parquet path>` — the public
@@ -630,7 +636,8 @@ object Manifest {
             // cost that curves at 100 TB file counts
             val inheritedSet = inherited.toSet
             val removeList = cur.map(_.files.filterNot(inheritedSet)).getOrElse(Seq.empty)
-            val meta = metaFn(cur.map(_.meta).getOrElse(Map.empty))
+            val meta = metaFn(cur.map(_.meta).getOrElse(Map.empty)) +
+              (CommitTimeKey -> System.currentTimeMillis().toString)
             // INCREMENTAL LOG: when the change is small relative to the
             // table and the parent's chain is shorter than
             // [[checkpointEvery]], write a DELTA manifest — O(batch)
@@ -831,6 +838,51 @@ object Manifest {
     publish(spark, root, Seq.empty,
       old => old - (CheckKeyPrefix + name) + (OpKey -> s"dropCheck($name)"),
       _.files)._1
+
+  /** Append with QUARANTINE — the dead-letter shape a standing ingest
+    * loop actually needs (plain [[append]] REFUSES the whole batch on
+    * one violating row, which is correct for a transactional write and
+    * wrong for a pipeline that must keep moving): rows passing every
+    * registered CHECK land in the table; violating rows land in
+    * `quarantineRoot` with a `__violated` column naming the FIRST
+    * failed constraint (alphabetical), for triage and replay. Returns
+    * (table version, good rows, quarantined rows).
+    *
+    * The two commits are NOT one atomic unit (they are different
+    * tables): good rows land FIRST, so a crash between them loses only
+    * quarantine visibility — re-running the batch re-quarantines; it
+    * can never land bad rows in the table. With no checks registered
+    * the whole batch is good and no quarantine commit happens. */
+  def appendQuarantine(df: DataFrame, root: String, quarantineRoot: String,
+      statsCols: Seq[String] = Nil): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, when}
+    val spark = df.sparkSession
+    val checks = current(spark, root)
+      .map(_.meta.filter(_._1.startsWith(CheckKeyPrefix))).getOrElse(Map.empty)
+    if (checks.isEmpty) {
+      val v = append(df, root, statsCols = statsCols)
+      return (v, countRows(spark, root), 0L)
+    }
+    val ordered = checks.toSeq.sortBy(_._1)
+    val violated = coalesce(ordered.map { case (k, pred) =>
+      when(!expr(pred) || expr(pred).isNull,
+        lit(k.stripPrefix(CheckKeyPrefix)))
+    }: _*)
+    val tagged = df.withColumn("__violated", violated).localCheckpoint()
+    try {
+      val good = tagged.filter(col("__violated").isNull).drop("__violated")
+      val bad = tagged.filter(col("__violated").isNotNull)
+      val nBad = bad.count()
+      val nGood = tagged.count() - nBad
+      val v =
+        if (nGood > 0) append(good, root, statsCols = statsCols)
+        else current(spark, root).map(_.version).getOrElse(
+          throw new IllegalArgumentException(
+            s"$root has no committed version and the whole batch quarantined"))
+      if (nBad > 0) append(bad, quarantineRoot)
+      (v, nGood, nBad)
+    } finally { tagged.unpersist(); () }
+  }
 
   // ------------------------------------------------------------------ //
   // COLUMN MAPPING — rename/drop as METADATA-ONLY commits (the public  //
@@ -2731,6 +2783,27 @@ object Manifest {
   def tableAsOf(spark: SparkSession, root: String, version: Long): DataFrame =
     tableSnapshot(spark, root, snapshot(spark, root, version))
 
+  /** The newest retained version whose commit time ([[CommitTimeKey]],
+    * stamped at publish) is ≤ `millis` — the public TIMESTAMP AS OF
+    * resolution. Versions predating commit-time stamping are skipped;
+    * a timestamp before every stamped commit throws (the table did not
+    * exist yet, as far as time travel can prove). */
+  def versionAsOfTimestamp(spark: SparkSession, root: String,
+      millis: Long): Long = {
+    val hit = versions(spark, root).reverse.iterator
+      .map(v => v -> snapshot(spark, root, v).meta.get(CommitTimeKey))
+      .collectFirst { case (v, Some(t)) if t.toLong <= millis => v }
+    hit.getOrElse(throw new IllegalArgumentException(
+      s"$root: no retained commit at or before $millis " +
+        "(gc retention passed, or the table is younger)"))
+  }
+
+  /** `TIMESTAMP AS OF` — [[tableAsOf]] resolved through the commit
+    * clock. */
+  def tableAsOfTimestamp(spark: SparkSession, root: String,
+      millis: Long): DataFrame =
+    tableAsOf(spark, root, versionAsOfTimestamp(spark, root, millis))
+
   private def tableSnapshot(spark: SparkSession, root: String,
       snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty,
@@ -2767,10 +2840,12 @@ object Manifest {
         rowCount(s).map(Long.box).orNull.asInstanceOf[java.lang.Long],
         if (s.files.forall(s.bytes.contains)) Long.box(s.files.map(s.bytes).sum)
         else null.asInstanceOf[java.lang.Long],
-        s.meta.contains(DvKey), s.meta.getOrElse(SchemaKey, null))
+        s.meta.contains(DvKey), s.meta.getOrElse(SchemaKey, null),
+        s.meta.get(CommitTimeKey).map(t => Long.box(t.toLong))
+          .orNull.asInstanceOf[java.lang.Long])
     }.sortBy(-_._1)
       .toDF("version", "operation", "n_files", "n_rows", "n_bytes",
-        "has_deletion_vector", "schema")
+        "has_deletion_vector", "schema", "commit_time_ms")
   }
 
   /** ZERO-COPY shallow clone — the public Delta SHALLOW CLONE: publish

@@ -711,6 +711,54 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.read(spark, root).count() == 4096L + 1024L)
   }
 
+  test("appendQuarantine: violating rows dead-letter with the constraint name") {
+    val root = newRoot("quarantine")
+    val qRoot = root + "_dlq"
+    Manifest.append(Seq((1L, 50L)).toDF("k", "x"), root)
+    Manifest.addCheck(spark, root, "pos", "x >= 0")
+    Manifest.addCheck(spark, root, "cap", "x <= 100")
+    val (v, good, bad) = Manifest.appendQuarantine(
+      Seq((2L, 60L), (3L, -5L), (4L, 200L)).toDF("k", "x"), root, qRoot)
+    assert((good, bad) == (1L, 2L), s"($good, $bad)")
+    assert(Manifest.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    val dlq = Manifest.read(spark, qRoot).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(dlq == Seq((3L, "pos"), (4L, "cap")), dlq.toString)
+    assert(Manifest.current(spark, root).get.version == v)
+    // a fully-good batch quarantines nothing (no commit on the DLQ)
+    val dlqV = Manifest.current(spark, qRoot).get.version
+    val (_, g2, b2) = Manifest.appendQuarantine(
+      Seq((5L, 70L)).toDF("k", "x"), root, qRoot)
+    assert((g2, b2) == (1L, 0L))
+    assert(Manifest.current(spark, qRoot).get.version == dlqV)
+  }
+
+  test("timestamp time travel: versions resolve through the commit clock") {
+    val root = newRoot("ts_travel")
+    Manifest.append(Seq((1L, "a")).toDF("k", "v"), root)
+    val t0 = Manifest.current(spark, root).get
+      .meta(Manifest.CommitTimeKey).toLong
+    Thread.sleep(15)
+    Manifest.append(Seq((2L, "b")).toDF("k", "v"), root)
+    val t1 = Manifest.current(spark, root).get
+      .meta(Manifest.CommitTimeKey).toLong
+    assert(t1 > t0, s"commit clock must advance: $t0 -> $t1")
+    // between the commits -> the FIRST version; at/after the second -> it
+    assert(Manifest.versionAsOfTimestamp(spark, root, t1 - 1) == 0L)
+    assert(Manifest.versionAsOfTimestamp(spark, root, t1) == 1L)
+    assert(Manifest.tableAsOfTimestamp(spark, root, t1 - 1).count() == 1L)
+    assert(Manifest.tableAsOfTimestamp(spark, root, t1 + 1000).count() == 2L)
+    // before the table existed: loud
+    intercept[IllegalArgumentException] {
+      Manifest.versionAsOfTimestamp(spark, root, t0 - 1)
+    }
+    // history surfaces the clock
+    val times = Manifest.history(spark, root).select("commit_time_ms")
+      .collect().map(_.getLong(0)).toSeq
+    assert(times == Seq(t1, t0), times.toString)
+  }
+
   test("mergeInto: SET expressions over both sides; inserts; identity carry; guards") {
     val root = newRoot("merge_into")
     Manifest.append(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "x", "tag")
