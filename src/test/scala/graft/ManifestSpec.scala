@@ -1121,9 +1121,11 @@ class ManifestSpec extends SparkTestBase {
     assert(m0("graft.sig.family") == "perm")
     assert(m0("note") == "with \"quotes\" and \\slash")
     Manifest.compact(spark, root)
-    // user metadata survives wholesale; the operation stamp is the one
-    // key that is deliberately per-commit ("overwrite" → "compact")
-    assert(Manifest.current(spark, root).get.meta - Manifest.OpKey == m0 - Manifest.OpKey)
+    // user metadata survives wholesale; the operation stamp and the
+    // commit clock are the two keys that are deliberately per-commit
+    val perCommit = Seq(Manifest.OpKey, Manifest.CommitTimeKey)
+    assert(Manifest.current(spark, root).get.meta -- perCommit ==
+      m0 -- perCommit)
     assert(Manifest.current(spark, root).get.meta(Manifest.OpKey) == "compact")
   }
 
