@@ -216,6 +216,22 @@ class ManifestAnnSpec extends SparkTestBase {
     assert(Manifest.read(spark, ManifestAnn.codesRoot(root)).count() == 8L)
   }
 
+  test("PQ layer: deletes can never surface through the compressed probe") {
+    val root = freshRoot()
+    build(root)
+    ManifestAnn.buildPq(spark, root, "label", "vec_id", "qv",
+      m = 2, ksub = 4, listPartitions = 3)
+    // delete the two best list-0 vectors (6 and 1); their codes go
+    // stale, but the exact re-rank reads the DV/rewrite-filtered main
+    // table — the probe returns only LIVE rows, k fills from the rest
+    Manifest.deleteWhereBetween(spark, root, "vec_id", 6L, 6L)
+    Manifest.deleteWhereBetweenDv(spark, root, "vec_id", 1L, 1L)
+    val top = ids(ManifestAnn.probePq(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 2, k = 3, rerank = 10))
+    assert(!top.contains(6L) && !top.contains(1L), top.toString)
+    assert(top == Seq(2L, 4L, 3L), top.toString)
+  }
+
   test("the probe's list IN-filter prunes files through the manifest stats") {
     val root = freshRoot()
     build(root)

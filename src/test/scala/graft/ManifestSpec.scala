@@ -693,6 +693,33 @@ class ManifestSpec extends SparkTestBase {
     assert(res3.rewrittenFiles == 1, s"third pass: $res3")
   }
 
+  test("compactClusteredIncremental preserves an outstanding deletion vector") {
+    val grid = spark.range(0, 4096L)
+      .select(expr("id % 64").as("x"), expr("id div 64").as("y"),
+        col("id").as("rid"))
+    val fresh = spark.range(4096L, 4608L)
+      .select(expr("id * 7 % 64").as("x"), expr("id * 13 % 64").as("y"),
+        col("id").as("rid"))
+    val root = newRoot("inc_dv")
+    Manifest.append(grid, root, statsCols = Seq("x", "y", "rid"))
+    Manifest.compactClustered(spark, root, Seq("x", "y"), targetBytes = 2048)
+    Manifest.append(fresh.coalesce(1), root, statsCols = Seq("x", "y", "rid"))
+    // DV rows land on BOTH a carried tile's range and the polluter
+    Manifest.deleteWhereBetweenDv(spark, root, "rid", 100L, 110L)
+    Manifest.deleteWhereBetweenDv(spark, root, "rid", 4100L, 4110L)
+    val res = Manifest.compactClusteredIncremental(spark, root,
+      Seq("x", "y"), targetBytes = 2048, cubeMinBytes = 512)
+    assert(res.rewrittenFiles >= 1 && res.carriedFiles >= 1, res.toString)
+    // the vector survives for carried files; rewritten files read
+    // through it — NO deleted row resurrects on any path
+    val ids = Manifest.read(spark, root).select("rid").as[Long].collect().toSet
+    assert(!(100L to 110L).exists(ids), "carried-file DV entries lost")
+    assert(!(4100L to 4110L).exists(ids), "rewritten rows resurrected DV'd rows")
+    assert(ids.size == 4096 + 512 - 22, ids.size.toString)
+    val t = Manifest.table(spark, root).select("rid").as[Long].collect().toSet
+    assert(t == ids, "planner scan disagrees with plain read under the DV")
+  }
+
   test("compactClusteredIncremental: full-space polluters select even at tiny file counts") {
     val grid = spark.range(0, 4096L)
       .select(expr("id % 64").as("x"), expr("id div 64").as("y"))
