@@ -1087,12 +1087,19 @@ object Manifest {
     }
   }
 
-  /** Enforce every registered CHECK against a batch BEFORE staging. */
+  /** Enforce every registered CHECK against a batch BEFORE staging.
+    * `df` arrives in PHYSICAL (staging) names; predicates are authored
+    * in LOGICAL names (addCheck validates against the logical view),
+    * so evaluation resolves the column map first — a check on a
+    * renamed column keeps enforcing (renameColumn separately rejects
+    * renames of check-referenced names, so the two can't drift). */
   private def requireChecks(spark: SparkSession, root: String, df: DataFrame): Unit = {
-    val checks = current(spark, root)
+    val cur = current(spark, root)
+    val checks = cur
       .map(_.meta.filter(_._1.startsWith(CheckKeyPrefix))).getOrElse(Map.empty)
     if (checks.isEmpty) return
-    violations(df, checks).foreach { case (k, bad) =>
+    val logical = cur.map(logicalize(df, _)).getOrElse(df)
+    violations(logical, checks).foreach { case (k, bad) =>
       require(bad == 0L,
         s"$root: $bad batch rows violate CHECK ${k.stripPrefix(CheckKeyPrefix)} " +
           s"(${checks(k)}) — commit refused")

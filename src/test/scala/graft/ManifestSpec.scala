@@ -761,6 +761,53 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.current(spark, qRoot).get.version == dlqV)
   }
 
+  test("appendQuarantine composes with column mapping and renamed checks") {
+    val root = newRoot("quarantine_cm")
+    val qRoot = root + "_dlq"
+    Manifest.append(Seq((1L, 50L)).toDF("k", "x"), root)
+    // rename FIRST, author the check against the new logical name —
+    // the enforcement surface is the logical view throughout
+    Manifest.renameColumn(spark, root, "x", "score")
+    Manifest.addCheck(spark, root, "cap", "score <= 100")
+    val (_, good, bad) = Manifest.appendQuarantine(
+      Seq((2L, 60L), (3L, 500L)).toDF("k", "score"), root, qRoot)
+    assert((good, bad) == (1L, 1L), s"($good, $bad)")
+    assert(Manifest.read(spark, root).columns.toSeq == Seq("k", "score"))
+    assert(Manifest.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    val dlq = Manifest.read(spark, qRoot).head()
+    assert(dlq.getLong(0) == 3L && dlq.getString(2) == "cap", dlq.toString)
+  }
+
+  test("mergeInto re-plans around a concurrent append and loses nothing") {
+    val root = newRoot("merge_race")
+    Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), root,
+      statsCols = Seq("k"))
+    // a rival append lands BETWEEN the merge's plan and its publish:
+    // forced deterministically — the source's FIRST evaluation (the
+    // merge's duplicate-key check, which runs AFTER the planned parent
+    // resolves) runs the rival commit to completion, so the merge's
+    // first publish must conflict and re-plan. The hook lives in a
+    // static holder (a UDF closure must stay serializable).
+    MergeRaceHolder.raced.set(false)
+    MergeRaceHolder.fire = () => {
+      Manifest.append(Seq((100L, 1000L)).toDF("k", "x"), root,
+        statsCols = Seq("k"))
+      ()
+    }
+    val sneaky = udf { (v: Long) =>
+      if (MergeRaceHolder.raced.compareAndSet(false, true))
+        MergeRaceHolder.fire()
+      v
+    }
+    Manifest.mergeInto(
+      Seq((2L, 5L)).toDF("k", "x").withColumn("x", sneaky(col("x"))),
+      root, "k", Map("x" -> "t.x + s.x"))
+    val got = Manifest.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 25L), (100L, 1000L)), got.toString)
+  }
+
   test("timestamp time travel: versions resolve through the commit clock") {
     val root = newRoot("ts_travel")
     Manifest.append(Seq((1L, "a")).toDF("k", "v"), root)
@@ -2059,4 +2106,12 @@ class ManifestSpec extends SparkTestBase {
       root, "id", 300L, 399L)
     assert(Manifest.read(spark, root).count() == expected.size - 100L)
   }
+}
+
+/** Static hook for the mergeInto race test — a UDF closure must not
+  * capture non-serializable latches/threads, so the rival-commit
+  * action routes through module state. */
+object MergeRaceHolder {
+  val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var fire: () => Unit = () => ()
 }
