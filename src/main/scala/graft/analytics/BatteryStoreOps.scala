@@ -2023,5 +2023,181 @@ trait BatteryStoreOps extends BatteryModels {
         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM tagged GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  /** PER-COMMIT CHANGE DATA FEED ([[graft.store.Manifest.changeFeed]]
+    * — the public Delta `table_changes` surface over the manifest
+    * store's file-granularity deltas): the table lives four commits —
+    * genesis append (lower half), second append (upper half), an
+    * UPSERT price bump on every tenth upper-half order (the touched
+    * file's rows appear as a remove+insert pair AT version 2), and a
+    * DELETION-VECTOR slab delete in the lower half (remove rows on a
+    * CARRIED file at version 3) — and the feed attributes every row
+    * delta to its commit. The oracle replays the per-commit ledger
+    * (genesis inserts, append inserts, the upsert's full
+    * remove+reinsert of the rewritten file, the DV slab's removes), so
+    * a delta landing at the wrong version, a lost retraction, or a
+    * pre/post-image value swap hash-mismatches. */
+  val q185 = Q("q185_manifest_change_feed",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q185").toString + "/orders_cdf"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+      Manifest.append(orders.filter(col("o_orderkey") <= mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))                       // v0
+      Manifest.append(orders.filter(col("o_orderkey") > mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))                       // v1
+      Manifest.upsert(orders
+        .filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") > mk / 2)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(50.0)),
+        root, "o_orderkey")                                        // v2
+      Manifest.deleteWhereBetweenDv(s, root, "o_orderkey",
+        mk / 8, mk / 4)                                            // v3
+      Manifest.changeFeed(s, root, -1L, 3L)
+        .groupBy(col(Manifest.CommitVersionCol).as("v"),
+          col(Manifest.ChangeTypeCol).as("ct"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("v", "ct")
+    },
+    Some("""WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      lower_h AS (SELECT o_orderkey, o_totalprice FROM orders, mx
+        WHERE o_orderkey <= mk // 2),
+      upper_h AS (SELECT o_orderkey, o_totalprice FROM orders, mx
+        WHERE o_orderkey > mk // 2),
+      feed AS (
+        SELECT 0 AS v, 'insert' AS ct, o_orderkey, o_totalprice FROM lower_h
+        UNION ALL
+        SELECT 1, 'insert', o_orderkey, o_totalprice FROM upper_h
+        UNION ALL
+        SELECT 2, 'remove', o_orderkey, o_totalprice FROM upper_h
+        UNION ALL
+        SELECT 2, 'insert', o_orderkey,
+          CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 50.0
+               ELSE o_totalprice END
+        FROM upper_h
+        UNION ALL
+        SELECT 3, 'remove', o_orderkey, o_totalprice FROM lower_h, mx
+        WHERE o_orderkey BETWEEN mk // 8 AND mk // 4)
+      SELECT v, ct, COUNT(*) AS n,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM feed GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** MERGE's WHEN NOT MATCHED BY SOURCE THEN DELETE arm
+    * ([[graft.store.Manifest.mergeInto]] — the sync-to-source shape
+    * completing the public MERGE triple): the source carries only the
+    * orders that still exist upstream (keys not divisible by 9), with
+    * a price restatement on every 13th; one merge then UPDATES matched
+    * rows, and DELETES table rows the source no longer carries — but
+    * only 'F'-status ones (the arm's own predicate; non-F orphans
+    * survive). The oracle replays both arms row by row — a
+    * non-F orphan deleted, an F orphan kept, or an update leaking onto
+    * an orphan hash-mismatches. */
+  val q186 = Q("q186_manifest_merge_nmbs",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q186").toString + "/orders_nmbs"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+      Manifest.append(orders.filter(col("o_orderkey") <= mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))
+      Manifest.append(orders.filter(col("o_orderkey") > mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))
+      val sourceNow = orders.filter(col("o_orderkey") % 9 =!= 0)
+      Manifest.mergeInto(sourceNow, root, "o_orderkey",
+        Map("o_totalprice" ->
+          "CASE WHEN s.o_orderkey % 13 = 0 THEN t.o_totalprice + 25.0 ELSE t.o_totalprice END"),
+        insertUnmatched = false,
+        notMatchedBySourceDeleteSql = Some("t.o_orderstatus = 'F'"))
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("status")
+    },
+    Some("""WITH final AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 9 <> 0 AND o_orderkey % 13 = 0
+            THEN o_totalprice + 25.0 ELSE o_totalprice END AS price
+        FROM orders
+        WHERE NOT (o_orderkey % 9 = 0 AND o_orderstatus = 'F'))
+      SELECT o_orderstatus AS status, COUNT(*) AS n,
+        CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM final GROUP BY 1 ORDER BY 1"""))
+
+  /** RETRACTION-CAPABLE CDC MIRROR
+    * ([[graft.streaming.StreamOps.manifestCdcMirrorStep]] — the mirror
+    * twin of q178's retracting matview: a downstream row-for-row copy
+    * of a table the engine itself MUTATES, maintained by per-window
+    * net-delta collapse into upsert + drop-keys, cursor and rows in
+    * one atomic exactly-once commit): the source replays q178's full
+    * lifecycle — three range appends, an upsert price bump, two
+    * deletion-vector deletes — with mirror steps interleaved
+    * (bootstrap, insert-only window, one RETRACTING window covering
+    * all three mutations), then a no-op step, then a COMPACTION whose
+    * window nets to zero rows (the cursor advances metadata-only).
+    * The result digests the MIRROR table; the oracle is the final
+    * source state — any lost retraction, double-applied update, or
+    * resurrected deleted key hash-mismatches. */
+  val q187 = Q("q187_manifest_cdc_mirror",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q187").toString
+      val src = s"$base/orders_src"; val dst = s"$base/orders_mirror"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      def step() = graft.streaming.StreamOps.manifestCdcMirrorStep(
+        s, src, dst, "cdc", "o_orderkey")
+      val stats = Seq("o_orderkey", "o_custkey")
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val t1 = mk / 3; val t2 = 2 * mk / 3
+      Manifest.append(orders.filter(col("o_orderkey") <= t1).coalesce(1),
+        src, statsCols = stats)
+      step() // bootstrap
+      Manifest.append(orders.filter(col("o_orderkey") > t1 &&
+        col("o_orderkey") <= t2).coalesce(1), src, statsCols = stats)
+      Manifest.append(orders.filter(col("o_orderkey") > t2).coalesce(1),
+        src, statsCols = stats)
+      step() // insert-only window over two commits
+      Manifest.upsert(orders
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") > t2)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+        src, "o_orderkey")
+      Manifest.deleteWhereBetweenDv(s, src, "o_orderkey", mk / 5, 2 * mk / 5)
+      Manifest.deleteWhereBetweenDv(s, src, "o_custkey", 1L, 30L)
+      step() // ONE retracting window over upsert + both deletes
+      step() // up to date: no-op
+      Manifest.compact(s, src)
+      step() // net-zero window: cursor advances metadata-only
+      Manifest.read(s, dst)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      final AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 7 = 0 AND o_orderkey > (2 * mk) // 3
+            THEN o_totalprice + 100.0 ELSE o_totalprice END AS price
+        FROM orders, mx
+        WHERE NOT (o_orderkey BETWEEN mk // 5 AND (2 * mk) // 5)
+          AND NOT (o_custkey BETWEEN 1 AND 30))
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM final GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

@@ -36,10 +36,20 @@ import graft.store.Manifest
   * components inside [[Similarity.cosineQ]]'s int64 kernel, so a
   * list's per-component |sum| must stay under √(2⁶³/dims) ≈ 3.8×10⁸
   * at 64 dims — with ×1000-quantized unit-scale embeddings that is
-  * ~3.8×10⁵ vectors per list. Size L accordingly (the standard IVF
-  * sizing L ∝ √N keeps lists AT √N, i.e. the envelope binds only past
-  * ~10¹¹ vectors); an overflowed sum would silently mis-rank list
-  * CHOICE (recall), never the returned rows. */
+  * ~3.8×10⁵ vectors per list (the standard IVF sizing L ∝ √N keeps
+  * lists AT √N, i.e. the bound would bind only past ~10¹¹ vectors).
+  * Routing is GATED on that envelope ([[routingEnvelopeOk]], the
+  * [[Similarity]] kmeans `envelopeSafe` pattern): the worst-case
+  * dot/norm terms are computed from the ACTUAL sums; in-envelope
+  * tables — everything at battery scale — take the exact int64 kernel
+  * byte-identically, and only past the envelope does scoring switch
+  * to an IEEE-double fold, which cannot overflow at any magnitude and
+  * ranks within ~1e-16 relative error — a vanishing perturbation of
+  * an ADVISORY choice, vs the sign-flipping garbage of silent wrap
+  * (a uniform integer down-shift was rejected: it zeroes SMALL lists'
+  * sums next to a giant one, losing their routing entirely). An
+  * overflowed sum could only ever mis-rank list CHOICE (recall),
+  * never the returned rows; now it cannot even do that. */
 object ManifestAnn {
 
   /** The centroid-sum sidecar table root for an index root. */
@@ -120,7 +130,7 @@ object ManifestAnn {
     require(nProbe >= 1, s"probe: nProbe must be >= 1, got $nProbe")
     require(k >= 1, s"probe: k must be >= 1, got $k")
     val qlit = typedLit(queryQv)
-    val probed = probedLists(spark, root, listCol, qlit, nProbe)
+    val probed = probedLists(spark, root, listCol, queryQv, nProbe)
     Manifest.table(spark, root)
       .filter(col(listCol).isin(probed: _*) && rowFilter)
       .select(col(idCol), col(listCol),
@@ -131,15 +141,57 @@ object ManifestAnn {
 
   /** Top-`nProbe` list ids by centroid-sum cosine (ties to the smaller
     * list id) — the routing step both probe forms share; bounded
-    * driver handoff. */
+    * driver handoff. Sums pass the [[routingSafeCents]] overflow gate
+    * first, so list choice never rides a wrapped int64. */
   private def probedLists(spark: SparkSession, root: String,
-      listCol: String, qlit: Column, nProbe: Int): Seq[Any] =
-    centroidSums(spark, root, listCol)
-      .select(col(listCol), Similarity.cosineQ(col("cvec"), qlit).as("cscore"))
+      listCol: String, queryQv: Seq[Long], nProbe: Int): Seq[Any] = {
+    val cents = centroidSums(spark, root, listCol)
+    val qlit = typedLit(queryQv)
+    val score = routingScore(col("cvec"), qlit,
+      exact = routingEnvelopeOk(cents, queryQv))
+    cents
+      .select(col(listCol), score.as("cscore"))
       .orderBy(col("cscore").desc, col(listCol).asc)
       .limit(nProbe)
       .select(col(listCol))
       .collect().map(_.get(0)).toSeq
+  }
+
+  /** The routing overflow gate (the header's exact-integer envelope):
+    * [[Similarity.cosineQ]] folds exact int64 multiply-adds, so the
+    * worst-case terms dims·maxS² (the sum's own norm), dims·maxS·maxQ
+    * (the dot) and dims·maxQ² must stay under 2⁶². Computed from the
+    * ACTUAL folded sums (one tiny O(lists) aggregate); true for every
+    * realistically-sized table. */
+  private[graft] def routingEnvelopeOk(cents: DataFrame,
+      queryQv: Seq[Long]): Boolean = {
+    val r = cents.agg(
+      max(aggregate(col("cvec"), lit(0L), (a, v) => greatest(a, abs(v)))),
+      max(size(col("cvec")))).head()
+    if (r.isNullAt(0)) return true // empty sidecar: nothing to score
+    val maxS = BigInt(r.getLong(0))
+    val dims = BigInt(math.max(r.getInt(1), queryQv.length))
+    val maxQ = BigInt(if (queryQv.isEmpty) 0L else queryQv.map(v => math.abs(v)).max)
+    val lim = BigInt(1) << 62
+    dims * maxS * maxS < lim && dims * maxS * maxQ < lim &&
+      dims * maxQ * maxQ < lim
+  }
+
+  /** List-routing score: the exact int64 cosine kernel in-envelope
+    * (byte-identical to every pre-gate release), the IEEE-double fold
+    * past it (overflow-free at any magnitude; zero-norm sums — either
+    * side degenerate — rank LAST rather than dividing by zero). */
+  private[graft] def routingScore(cvec: Column, qlit: Column,
+      exact: Boolean): Column =
+    if (exact) Similarity.cosineQ(cvec, qlit)
+    else {
+      def dotD(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val (na, nb) = (dotD(cvec, cvec), dotD(qlit, qlit))
+      when(na === 0.0 || nb === 0.0, lit(-2.0))
+        .otherwise(dotD(cvec, qlit) / (sqrt(na) * sqrt(nb)))
+    }
 
   // ------------------------------------------------------------------ //
   // PQ/ADC codes AT REST — the compression layer of the stored index.  //
@@ -250,7 +302,7 @@ object ManifestAnn {
     require(k >= 1 && rerank >= 1,
       s"probePq: k and rerank must be >= 1, got ($k, $rerank)")
     val qlit = typedLit(queryQv)
-    val probed = probedLists(spark, root, listCol, qlit, nProbe)
+    val probed = probedLists(spark, root, listCol, queryQv, nProbe)
     val cb = Manifest.read(spark, pqRoot(root))
     val subDim = cb.select(min(size(col("cvec")))).head().getInt(0)
     val lut = cb.select(col("sub"), col("code"),

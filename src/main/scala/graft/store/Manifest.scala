@@ -120,7 +120,20 @@ object RenameArbiter extends CommitArbiter {
   * ([[Manifest.commitRename]]) — the fencing check at rename time —
   * so the lock only arbitrates wasted work, never correctness. The
   * acquisition loop jitters and gives up loudly after
-  * `acquireTimeoutMs` rather than deadlock. */
+  * `acquireTimeoutMs` rather than deadlock.
+  *
+  * HEARTBEAT: while the guarded body runs, a daemon thread re-touches
+  * the lock's mtime every `staleMs / 4`, so "stale" no longer means
+  * "held longer than a wall-clock guess at the body's duration" — it
+  * means the HOLDER PROCESS is gone or frozen (crash, kill -9, a GC
+  * pause long enough to silence the heartbeat — exactly the states a
+  * takeover should cover). A merely SLOW body (a big staged write, a
+  * saturated disk) keeps its lock for as long as it is alive, closing
+  * the §7.5 clock-assumption seam: takeover now requires heartbeat
+  * silence, not loose clock agreement about a fixed budget. The
+  * touch is the holder's own lock file only, and release still
+  * token-checks, so a usurper after a real freeze is never
+  * victimized by the woken holder. */
 final class LockFileArbiter(staleMs: Long = 30000L,
     acquireTimeoutMs: Long = 60000L) extends CommitArbiter {
   def withCommitLock[T](root: String)(body: => T): T = {
@@ -150,7 +163,30 @@ final class LockFileArbiter(staleMs: Long = 30000L,
         Thread.sleep(5L + scala.util.Random.nextInt(20))
       }
     }
+    // heartbeat: keep the lock visibly alive while the body runs. The
+    // token re-check before each touch means a usurped lock (we froze
+    // past staleMs anyway) is never re-animated out from under its
+    // new holder.
+    val beating = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val beat = new Thread(() => {
+      val period = math.max(staleMs / 4, 1L)
+      var run = true
+      while (run && beating.get()) {
+        try {
+          val still =
+            try new String(java.nio.file.Files.readAllBytes(lock.toPath),
+              "UTF-8") == token
+            catch { case _: Exception => false }
+          if (still) { lock.setLastModified(System.currentTimeMillis()); () }
+          Thread.sleep(period)
+        } catch { case _: InterruptedException => run = false }
+      }
+    }, s"graft-lock-heartbeat-${token.take(8)}")
+    beat.setDaemon(true)
+    beat.start()
     try body finally {
+      beating.set(false)
+      beat.interrupt()
       val mine =
         try new String(java.nio.file.Files.readAllBytes(lock.toPath),
           "UTF-8") == token
@@ -832,6 +868,21 @@ object Manifest {
         (OpKey -> s"addCheck($name)"),
       _.files)._1
   }
+
+  /** Metadata-only transaction watermark advance — the exactly-once
+    * cursor commit for a consumer step whose window carried NO row
+    * changes (e.g. a CDC mirror over a span of metadata-only source
+    * commits): the (writerId → txnId) watermark moves without staging
+    * a byte, through the same atomic commit path as every data commit.
+    * Monotonic: a stale or replayed advance (txnId already covered)
+    * SKIPS rather than regressing the cursor. */
+  def recordTxn(spark: SparkSession, root: String, writerId: String,
+      txnId: Long): Long =
+    publish(spark, root, Seq.empty,
+      old => old + (txnKey(writerId) -> txnId.toString) +
+        (OpKey -> "recordTxn"),
+      _.files,
+      skipIf = s => s.meta.get(txnKey(writerId)).exists(_.toLong >= txnId))._1
 
   /** Drop a CHECK constraint (no-op commit if absent). */
   def dropCheck(spark: SparkSession, root: String, name: String): Long =
@@ -1903,6 +1954,56 @@ object Manifest {
       .reduceOption(_.unionByName(_)).getOrElse(empty), to)
   }
 
+  /** The change-feed column [[changeFeed]] adds beside
+    * [[ChangeTypeCol]]: which commit produced the row's delta. */
+  val CommitVersionCol = "_commit_version"
+
+  /** PER-COMMIT change data feed — the user-facing CDF table (the
+    * public Delta `table_changes(...)` surface): every logical row
+    * delta in `(fromVersion, toVersion]`, tagged [[ChangeTypeCol]]
+    * insert/remove AND [[CommitVersionCol]] = the commit that produced
+    * it. [[changesWithDeltas]] is the NET delta over a window (a
+    * carried rewrite nets out); this form ATTRIBUTES deltas commit by
+    * commit, so a consumer sees an upsert as its remove+insert pair AT
+    * its version, an audit query can ask "what did commit v change",
+    * and a downstream sync can replay history in order. Exactness is
+    * inherited stepwise: each step is [[changesWithDeltas]](v-1, v),
+    * correct for ANY commit kind. Cost is O(commits in the window)
+    * scan branches — a consumer folding a LONG history should either
+    * checkpoint (short windows) or take the net form; a compaction
+    * inside the window contributes its full remove+insert volume,
+    * which is the honest accounting of what that commit did. Every
+    * step reads under ITS OWN snapshot's mapping/schema, so a rename
+    * or evolution inside the window is replayed faithfully; all
+    * steps' frames are unioned BY NAME with missing columns as NULL
+    * (the widened reader contract). Old versions' files must still
+    * exist — the gc-retention caveat every time-travel read carries. */
+  def changeFeed(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(toVersion > fromVersion,
+      s"changeFeed needs an open window, got ($fromVersion, $toVersion]")
+    require(fromVersion >= -1L,
+      s"changeFeed fromVersion is exclusive; -1 starts at genesis, got $fromVersion")
+    val steps = ((fromVersion + 1) to toVersion).map { v =>
+      val step =
+        if (v == 0L) {
+          // genesis: no predecessor — version 0's live rows ARE its delta
+          val s0 = snapshot(spark, root, 0L)
+          logicalize(
+            applyDv(spark, root, s0, readFiles(spark, root, s0, s0.files)), s0)
+            .withColumn(ChangeTypeCol, lit("insert"))
+        } else changesWithDeltas(spark, root, v - 1, snapshot(spark, root, v))
+      step.withColumn(CommitVersionCol, lit(v))
+    }
+    // schema can widen inside the window: align every step's frame on
+    // the union of columns, padding absences with NULL
+    val allCols = steps.flatMap(_.columns).distinct
+    steps.map { df =>
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(s"`$c`") else lit(null).as(c)): _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** MERGE / upsert by key — the table-format point-update whose cost
     * follows TOUCHED FILES, not table size: coarse-prune candidate
     * files by the recorded [min, max] of `keyCol` against the batch's
@@ -1987,27 +2088,43 @@ object Manifest {
     * `s.<col>` = the source row — the increment / partial-update /
     * conditional-merge shapes whole-row replace cannot express);
     * unmatched source rows insert when `insertUnmatched` (the source
-    * must then carry the full table schema). Cost follows touched
-    * files exactly like [[upsert]] (stats-pruned candidates, ONE
-    * `input_file_name` semi-join discovery, only matching files
-    * rewritten, everything else carried by identity); same atomic
-    * planned-parent commit, duplicate-source-key rejection, CHECK
-    * enforcement on the written rows, bounded auto-re-plan, and
-    * column-mapping resolution (expressions are authored in LOGICAL
-    * names; staging maps back to physical). */
+    * must then carry the full table schema); `matchedDeleteSql` is the
+    * WHEN MATCHED AND pred THEN DELETE arm, and
+    * `notMatchedBySourceDeleteSql` the WHEN NOT MATCHED BY SOURCE AND
+    * pred THEN DELETE arm — the sync-to-source shape (table rows whose
+    * key the source no longer carries are retired when the predicate
+    * holds; NULL = keep, the SQL 3VL rule; authored over the table's
+    * logical columns, `t.` qualifier accepted; a source of just the
+    * key column with `insertUnmatched = false` gives pure
+    * prune-to-source). Cost follows touched files exactly like
+    * [[upsert]] (stats-pruned candidates, ONE `input_file_name`
+    * semi-join discovery, only matching files rewritten, everything
+    * else carried by identity) — EXCEPT the not-matched-by-source arm,
+    * whose rows can live anywhere: its discovery is one predicate +
+    * key-anti-join scan of the table ([[replaceWhere]]'s shape, the
+    * same full-scan cost the public MERGE implementations pay when
+    * the clause is present), though still only files actually HOLDING
+    * a deleted row are rewritten. Same atomic planned-parent commit,
+    * duplicate-source-key rejection, CHECK enforcement on the written
+    * rows, bounded auto-re-plan, and column-mapping resolution
+    * (expressions are authored in LOGICAL names; staging maps back to
+    * physical). */
   def mergeInto(source: DataFrame, root: String, keyCol: String,
       matchedSetSql: Map[String, String], insertUnmatched: Boolean = true,
-      maxRetries: Int = 4, matchedDeleteSql: Option[String] = None): Long =
+      maxRetries: Int = 4, matchedDeleteSql: Option[String] = None,
+      notMatchedBySourceDeleteSql: Option[String] = None): Long =
     retryingCommit(s"$root mergeInto", maxRetries)(
       mergeIntoPlanned(source, root, keyCol, matchedSetSql, insertUnmatched,
-        matchedDeleteSql))
+        matchedDeleteSql, notMatchedBySourceDeleteSql))
 
   private def mergeIntoPlanned(source: DataFrame, root: String,
       keyCol: String, matchedSetSql: Map[String, String],
-      insertUnmatched: Boolean, matchedDeleteSql: Option[String]): Long = {
+      insertUnmatched: Boolean, matchedDeleteSql: Option[String],
+      notMatchedBySourceDeleteSql: Option[String]): Long = {
     import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, substring_index, when}
-    require(matchedSetSql.nonEmpty || matchedDeleteSql.nonEmpty,
-      "mergeInto needs at least one SET column or a matched-delete predicate")
+    require(matchedSetSql.nonEmpty || matchedDeleteSql.nonEmpty ||
+      notMatchedBySourceDeleteSql.nonEmpty,
+      "mergeInto needs at least one SET column or a delete predicate")
     require(!matchedSetSql.contains(keyCol),
       s"mergeInto cannot SET the merge key [$keyCol]")
     val spark = source.sparkSession
@@ -2034,9 +2151,12 @@ object Manifest {
     val range = srcKeys.agg(
       org.apache.spark.sql.functions.min(col(keyP)),
       org.apache.spark.sql.functions.max(col(keyP))).head()
-    if (range.isNullAt(0)) return snap.version
-    val candidates = prunedFiles(snap, keyP, range.get(0), range.get(1))
-    val touched: Seq[String] =
+    if (range.isNullAt(0) && notMatchedBySourceDeleteSql.isEmpty)
+      return snap.version
+    val candidates =
+      if (range.isNullAt(0)) Seq.empty
+      else prunedFiles(snap, keyP, range.get(0), range.get(1))
+    val touchedByKey: Seq[String] =
       if (candidates.isEmpty) Seq.empty
       else {
         val byName = candidates.map(rel =>
@@ -2048,6 +2168,27 @@ object Manifest {
           .select("__f").distinct().collect()
           .flatMap(r => byName.get(r.getString(0))).toSeq
       }
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE discovery: the arm's
+    // rows can live in ANY file (absence from the source is not a
+    // key-range property), so like [[replaceWhere]] it is one
+    // predicate + anti-join scan over the table — the honest cost of
+    // the clause (the public MERGE implementations pay the same full
+    // scan when it is present); files with no such row are untouched
+    val touchedNmbs: Seq[String] = notMatchedBySourceDeleteSql match {
+      case None => Seq.empty
+      case Some(d) =>
+        val byName = snap.files.map(rel =>
+          rel.substring(rel.lastIndexOf('/') + 1) -> rel).toMap
+        logicalize(readFiles(spark, root, snap, snap.files)
+            .withColumn("__f", substring_index(input_file_name(), "/", -1)),
+          snap).alias("t")
+          .join(source.select(col(keyCol)).distinct().alias("s"),
+            col(s"t.$keyCol") === col(s"s.$keyCol"), "left_anti")
+          .filter(coalesce(expr(d), lit(false)))
+          .select("__f").distinct().collect()
+          .flatMap(r => byName.get(r.getString(0))).toSeq
+    }
+    val touched = (touchedByKey ++ touchedNmbs).distinct
     val touchedSet = touched.toSet
     // matched rewrite: t LEFT JOIN s on the key; SET columns take
     // their expression where a source row matched, else carry
@@ -2063,10 +2204,17 @@ object Manifest {
         // WHEN MATCHED AND <pred> THEN DELETE: the row leaves the
         // table in the same atomic rewrite (NULL predicate = keep,
         // the SQL 3VL delete-what-matches rule)
-        val kept = matchedDeleteSql match {
+        val kept0 = matchedDeleteSql match {
           case None => joined
           case Some(d) =>
             joined.filter(!matched || !coalesce(expr(d), lit(false)))
+        }
+        // WHEN NOT MATCHED BY SOURCE AND <pred> THEN DELETE: same 3VL
+        // rule on the complementary side of the join
+        val kept = notMatchedBySourceDeleteSql match {
+          case None => kept0
+          case Some(d) =>
+            kept0.filter(matched || !coalesce(expr(d), lit(false)))
         }
         Some(kept.select(tCols.map { c =>
           (matchedSetSql.get(c) match {
@@ -2633,8 +2781,13 @@ object Manifest {
     *    selected when they POLLUTE the skip index: normalized
     *    [min, max] box volume over `cols` above `volumeFactor` times
     *    the ideal per-file share (1/#files — what a curve tile covers,
-    *    up to curve slack), or stats missing on a layout column. A
-    *    pre-sorted append with a tight box stays carried.
+    *    up to curve slack), stats missing on a layout column, or —
+    *    the DENSITY rule — their primary-column interval sits in a
+    *    stack of more than `overlapDegree` unmarked intervals (N
+    *    same-box appends each pass the volume test, yet a point probe
+    *    there opens all N; the stabbing-depth sweep catches what
+    *    volume alone cannot). A pre-sorted append with a tight,
+    *    UNCONTESTED box stays carried.
     *
     * Selected rows are re-clustered along the curve into ~`targetBytes`
     * files with boundaries derived from THEM (each new file's box is
@@ -2655,7 +2808,8 @@ object Manifest {
   def compactClusteredIncremental(spark: SparkSession, root: String,
       cols: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
       bits: Int = 8, curve: String = "z", volumeFactor: Double = 4.0,
-      cubeMinBytes: Long = 16L * 1024 * 1024): ClusterIncResult = {
+      cubeMinBytes: Long = 16L * 1024 * 1024,
+      overlapDegree: Int = 8): ClusterIncResult = {
     require(cols.nonEmpty,
       "compactClusteredIncremental needs at least one layout column")
     require(volumeFactor > 0, s"volumeFactor must be positive ($volumeFactor)")
@@ -2693,7 +2847,7 @@ object Manifest {
     // polluter at ANY file count (volumeFactor/F alone exceeds 1 for
     // tiny F, which would exempt full-space appends on small tables)
     val thresh = math.min(volumeFactor * ideal, 0.5)
-    val unmarkedSel = unmarked.filter { f =>
+    val volumeSel = unmarked.filter { f =>
       boxes(f) match {
         case None => true // stats-blind file: rewrite to gain a box
         case Some(box) =>
@@ -2704,6 +2858,48 @@ object Manifest {
           vol > thresh
       }
     }
+    // DENSITY rule: volume alone misses same-box STACKING — N tight
+    // appends over one key region each pass the volume test
+    // individually, yet a point probe in that region must open all N
+    // files forever. Sweep the PRIMARY layout column's per-file
+    // [lo, hi] intervals for stabbing depth (O(U log U) over this
+    // pass's unmarked backlog, driver-side over metadata already in
+    // hand): any file whose interval covers a point where more than
+    // `overlapDegree` unmarked intervals stack is selected, so the
+    // stack merges into one cube with disjoint curve tiles. Depth at
+    // point p = #{lo_i <= p} − #{hi_i < p}; depth maxima occur at
+    // interval starts, so sweeping the lo values finds every hot
+    // point. overlapDegree <= 0 disables the rule.
+    val overlapSel: Seq[String] =
+      if (overlapDegree <= 0) Seq.empty
+      else {
+        val prim = unmarked.flatMap(f =>
+          boxes(f).flatMap(_.headOption.map { case (lo, hi) => (f, lo, hi) }))
+        if (prim.size <= overlapDegree) Seq.empty
+        else {
+          val los = prim.map(_._2).sorted.toArray
+          val his = prim.map(_._3).sorted.toArray
+          def countLe(a: Array[Double], p: Double): Int = {
+            // upper bound: #elements <= p
+            var l = 0; var r = a.length
+            while (l < r) { val m = (l + r) >>> 1; if (a(m) <= p) l = m + 1 else r = m }
+            l
+          }
+          def countLt(a: Array[Double], p: Double): Int = {
+            var l = 0; var r = a.length
+            while (l < r) { val m = (l + r) >>> 1; if (a(m) < p) l = m + 1 else r = m }
+            l
+          }
+          val hot = los.distinct.filter(p =>
+            countLe(los, p) - countLt(his, p) > overlapDegree)
+          if (hot.isEmpty) Seq.empty
+          else prim.collect { case (f, lo, hi)
+            // hot is sorted (sorted los stay sorted through distinct):
+            // any hot point inside [lo, hi] ⇔ the first hot >= lo is <= hi
+            if countLt(hot, lo) < hot.length && hot(countLt(hot, lo)) <= hi => f }
+        }
+      }
+    val unmarkedSel = (volumeSel ++ overlapSel).distinct
     // undersized cubes dissolve — but only into a merge that has other
     // material (fresh selection or a sibling fragment cube)
     val byCube = marked.groupBy(f => cubeOf(f).get)

@@ -966,6 +966,62 @@ object StreamOps {
     Some(cur.version)
   }
 
+  /** RETRACTION-capable mirror step — [[manifestMirrorStep]] for a
+    * source the engine itself MUTATES (upsert / DV or rewrite deletes /
+    * replaceWhere / mergeInto / compaction): the window's NET row delta
+    * ([[graft.store.Manifest.changesWithDeltas]], exact for ANY commit
+    * kind — no append-only throw) is collapsed to one ACTION per key —
+    * the key's surviving row (upsert) or its disappearance (drop) — and
+    * applied through [[graft.store.Manifest.upsertOnce]] with
+    * drop-keys, so the mirrored rows, the dropped keys, and the txn
+    * watermark land in ONE atomic commit (a crashed or raced step
+    * replays into the skip; a window whose delta nets to NOTHING — a
+    * pure compaction, say — advances the cursor metadata-only via
+    * [[graft.store.Manifest.recordTxn]]). The collapse: signed-fold the
+    * feed per full row, keep net≠0; net>0 rows are the keys' current
+    * values (a source with unique keys yields at most one per key —
+    * enforced downstream by upsert's duplicate check), keys with ONLY
+    * net<0 rows were deleted. Requires unique non-null source keys; the
+    * mirror is the source's row-for-row twin (no transform — a
+    * transformed retraction would need the transform inverted to
+    * identify victim keys). Bootstrap mirrors the full snapshot.
+    * Returns the mirrored source version, or None when up to date. */
+  def manifestCdcMirrorStep(
+      spark: org.apache.spark.sql.SparkSession, srcRoot: String,
+      dstRoot: String, writerId: String, keyCol: String,
+      statsCols: Seq[String] = Nil): Option[Long] = {
+    import graft.store.Manifest
+    val cur = Manifest.current(spark, srcRoot) match {
+      case Some(s) if s.files.nonEmpty => s
+      case _ => return None
+    }
+    val last = Manifest.lastTxn(spark, dstRoot, writerId)
+    if (last.exists(_ >= cur.version)) return None
+    last match {
+      case None => // bootstrap: the full (DV-filtered) snapshot
+        Manifest.appendOnce(Manifest.readSnapshot(spark, srcRoot, cur),
+          dstRoot, writerId, cur.version,
+          statsCols = if (statsCols.nonEmpty) statsCols else Seq(keyCol))
+      case Some(v) =>
+        val feed = Manifest.changesWithDeltas(spark, srcRoot, v, cur)
+        val dataCols = feed.columns.filterNot(_ == Manifest.ChangeTypeCol)
+        val net = feed.groupBy(dataCols.map(col): _*)
+          .agg(sum(when(col(Manifest.ChangeTypeCol) === "insert", 1L)
+            .otherwise(-1L)).as("__net"))
+          .filter(col("__net") =!= 0L)
+          .localCheckpoint(false)
+        val ups = net.filter(col("__net") > 0L).drop("__net")
+        val dropKeys = net.filter(col("__net") < 0L).select(col(keyCol))
+          .join(ups.select(col(keyCol)), Seq(keyCol), "left_anti").distinct()
+        if (ups.isEmpty && dropKeys.isEmpty)
+          Manifest.recordTxn(spark, dstRoot, writerId, cur.version)
+        else
+          Manifest.upsertOnce(ups, dstRoot, keyCol, writerId, cur.version,
+            dropKeys = Some(dropKeys))
+    }
+    Some(cur.version)
+  }
+
   /** Streaming CDC APPLY into a manifest table: each micro-batch
     * carries the latest row per key (collapse upstream —
     * [[graft.dedup.Dedup]] latest-per-key; duplicate keys in one batch

@@ -24,9 +24,10 @@ import graft.store.Manifest
   *    point ([[Manifest]] commitRename), the fencing-at-rename-time
   *    proof (ManifestSpec "fencing" test).
   *  - `stall:<ms>`: acquire the lock (500 ms stale window), then STALL
-  *    inside the critical section — the deliberately stuck holder the
-  *    parent must usurp exactly once, without either side losing a
-  *    commit or deleting the other's live lock.
+  *    inside the critical section — the deliberately SLOW holder. Its
+  *    heartbeat keeps the lock alive, so the parent must WAIT through
+  *    the stall (slow ≠ dead) without either side losing a commit or
+  *    deleting the other's live lock.
   */
 object CommitRace {
   def main(args: Array[String]): Unit = {

@@ -264,4 +264,48 @@ class ManifestAnnSpec extends SparkTestBase {
     assert(scanned < total && scanned >= 1,
       s"probe scanned $scanned of $total files")
   }
+
+  test("routing gate: in-envelope sums keep the exact integer kernel") {
+    val root = freshRoot()
+    build(root)
+    val cents = ManifestAnn.centroidSums(spark, root, "label")
+    assert(ManifestAnn.routingEnvelopeOk(cents, query),
+      "a battery-scale table must stay on the exact path")
+  }
+
+  test("routing gate: sums past the int64 envelope route on doubles, not wrap") {
+    val root = freshRoot()
+    build(root)
+    // a giant partial sum lands in the sidecar for list 1 — the shape
+    // a ~10¹² member list would fold to. Its TRUE direction is exactly
+    // the query's (cosine 1.0 > every other list), but cosineQ's int64
+    // norm of the raw sum wraps (4·(4e18)² >> 2⁶³). The gate must
+    // switch routing to the overflow-free double fold, under which the
+    // aligned list wins AND the small lists keep their direction (a
+    // uniform down-shift would zero them).
+    Manifest.append(
+      Seq((1L, Seq(4000000000000000000L, 1200000000000000000L, 0L, 0L)))
+        .toDF("label", "cvec"),
+      ManifestAnn.centsRoot(root))
+    val cents = ManifestAnn.centroidSums(spark, root, "label")
+    assert(!ManifestAnn.routingEnvelopeOk(cents, query))
+    val qlit = typedLit(query)
+    val scored = cents.select(col("label"),
+        ManifestAnn.routingScore(col("cvec"), qlit, exact = false).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the giant list scores ~1.0; list 0 keeps its real ~0.95; list 2
+    // stays near 0 — nobody wrapped, nobody zeroed
+    assert(math.abs(scored(1L) - 1.0) < 1e-6, scored.toString)
+    assert(scored(0L) > 0.9 && scored(0L) < scored(1L), scored.toString)
+    assert(scored(2L) < 0.1, scored.toString)
+    // end-to-end: routing picks list 1 first — its members return
+    val top = ManifestAnn.probe(spark, root, "label", "vec_id", "qv",
+      query, nProbe = 1, k = 2)
+    val lists = top.select("label").as[Long].collect().toSet
+    assert(lists == Set(1L), s"routing picked lists $lists, wanted {1}")
+    // a zero-norm sum ranks last instead of dividing by zero
+    val z = ManifestAnn.routingScore(typedLit(Seq(0L, 0L, 0L, 0L)),
+      qlit, exact = false)
+    assert(spark.range(1).select(z).head().getDouble(0) == -2.0)
+  }
 }

@@ -738,6 +738,46 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.read(spark, root).count() == 4096L + 1024L)
   }
 
+  test("compactClusteredIncremental: density rule catches same-box stacking volume misses") {
+    val grid = spark.range(0, 128L * 128L)
+      .select(expr("id % 128").as("x"), expr("id div 128").as("y"))
+    val root = newRoot("inc_stack")
+    Manifest.append(grid, root, statsCols = Seq("x", "y"))
+    Manifest.compactClustered(spark, root, Seq("x", "y"), targetBytes = 2048)
+    // 12 appends land EXACTLY the same tight box — per-file volume is
+    // ~(2/128)², far under any volume threshold, yet a point probe in
+    // that box must open all 12 files
+    val hot = spark.range(0, 64L)
+      .select((col("id") % 2 + 10).as("x"), (expr("id div 2") % 2 + 10).as("y"))
+      .coalesce(1)
+    for (_ <- 0 until 12) Manifest.append(hot, root, statsCols = Seq("x", "y"))
+    def boxFiles(): Int = {
+      val snap = Manifest.current(spark, root).get
+      val fx = Manifest.prunedFiles(snap, "x", 10L, 11L)
+      Manifest.prunedFiles(snap.copy(files = fx), "y", 10L, 11L).size
+    }
+    val dirty = boxFiles()
+    assert(dirty >= 13, s"fixture should stack the probe box, got $dirty files")
+    // volume rule alone (density disabled) leaves the stack in place
+    val off = Manifest.compactClusteredIncremental(spark, root,
+      Seq("x", "y"), targetBytes = 1 << 20, cubeMinBytes = 1024,
+      overlapDegree = 0)
+    assert(off.rewrittenFiles == 0, s"volume rule should miss the stack: $off")
+    // the stabbing-depth sweep selects exactly the 12-deep stack and
+    // merges it into one cube; the settled grid cubes are carried
+    val res = Manifest.compactClusteredIncremental(spark, root,
+      Seq("x", "y"), targetBytes = 1 << 20, cubeMinBytes = 1024)
+    assert(res.rewrittenFiles == 12, s"density pass: $res")
+    val clean = boxFiles()
+    assert(clean <= dirty - 10,
+      s"probe box should collapse: $dirty files before, $clean after")
+    assert(Manifest.read(spark, root).count() == 128L * 128L + 12L * 64L)
+    // converged: the new cube is stable provenance
+    val res2 = Manifest.compactClusteredIncremental(spark, root,
+      Seq("x", "y"), targetBytes = 1 << 20, cubeMinBytes = 1024)
+    assert(res2.rewrittenBytes == 0L, s"second pass should be a no-op: $res2")
+  }
+
   test("appendQuarantine: violating rows dead-letter with the constraint name") {
     val root = newRoot("quarantine")
     val qRoot = root + "_dlq"
@@ -896,6 +936,96 @@ class ManifestSpec extends SparkTestBase {
       insertUnmatched = false)
     assert(Manifest.read(spark, root).filter(col("k") === 2L)
       .select("score").head().getLong(0) == 120L)
+  }
+
+  test("mergeInto: WHEN NOT MATCHED BY SOURCE THEN DELETE syncs the table to its source") {
+    val root = newRoot("merge_nmbs")
+    Manifest.append(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "x", "tag")
+      .coalesce(1), root, statsCols = Seq("k"))
+    Manifest.append(Seq((3L, 30L, "c"), (4L, 40L, "d")).toDF("k", "x", "tag")
+      .coalesce(1), root, statsCols = Seq("k"))
+    Manifest.append(Seq((5L, 50L, "e"), (6L, 60L, "f")).toDF("k", "x", "tag")
+      .coalesce(1), root, statsCols = Seq("k"))
+    // pure-orphan file whose rows the predicate PROTECTS: untouched,
+    // carried by identity
+    Manifest.append(Seq((7L, 70L, "e"), (8L, 80L, "e")).toDF("k", "x", "tag")
+      .coalesce(1), root, statsCols = Seq("k"))
+    val before = Manifest.current(spark, root).get
+    // source still carries 1, 2, 3; orphans 4..8 delete only when
+    // tag <> 'e' (4 and 6 go; 5, 7, 8 survive the arm's predicate)
+    Manifest.mergeInto(
+      Seq((1L, 1L, "s"), (2L, 2L, "s"), (3L, 3L, "s")).toDF("k", "x", "tag"),
+      root, "k", Map("x" -> "t.x + s.x"), insertUnmatched = false,
+      notMatchedBySourceDeleteSql = Some("t.tag <> 'e'"))
+    val got = Manifest.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 11L, "a"), (2L, 22L, "b"), (3L, 33L, "c"),
+      (5L, 50L, "e"), (7L, 70L, "e"), (8L, 80L, "e")), got.toString)
+    val after = Manifest.current(spark, root).get
+    assert(before.files.count(after.files.toSet) == 1,
+      "the protected-orphan file should carry by identity")
+
+    // prune-to-source: a KEY-ONLY source with an unconditional arm
+    Manifest.mergeInto(Seq(Tuple1(1L), Tuple1(3L), Tuple1(7L)).toDF("k"),
+      root, "k", Map.empty, insertUnmatched = false,
+      notMatchedBySourceDeleteSql = Some("true"))
+    val got2 = Manifest.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(got2 == Seq(1L, 3L, 7L), got2.toString)
+
+    // an EMPTY source makes every row not-matched-by-source
+    Manifest.mergeInto(Seq.empty[Tuple1[Long]].toDF("k"), root, "k",
+      Map.empty, insertUnmatched = false,
+      notMatchedBySourceDeleteSql = Some("t.k > 1"))
+    val got3 = Manifest.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(got3 == Seq(1L), got3.toString)
+  }
+
+  test("changeFeed: per-commit deltas, genesis included; signed fold equals the table") {
+    val root = newRoot("cdf")
+    Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
+      root, statsCols = Seq("k"))                                  // v0
+    Manifest.append(Seq((3L, 30L), (4L, 40L)).toDF("k", "x").coalesce(1),
+      root, statsCols = Seq("k"))                                  // v1
+    Manifest.upsert(Seq((3L, 99L), (5L, 50L)).toDF("k", "x"),
+      root, "k")                                                   // v2
+    Manifest.deleteWhereBetweenDv(spark, root, "k", 1L, 1L)        // v3
+    val feed = Manifest.changeFeed(spark, root, -1L, 3L)
+      .collect().map(r => (r.getAs[Long]("_commit_version"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("k"), r.getAs[Long]("x")))
+      .toSeq
+    def at(v: Long, ct: String) =
+      feed.filter(e => e._1 == v && e._2 == ct).map(e => (e._3, e._4)).sorted
+    assert(at(0, "insert") == Seq((1L, 10L), (2L, 20L)), feed.toString)
+    assert(at(0, "remove").isEmpty)
+    assert(at(1, "insert") == Seq((3L, 30L), (4L, 40L)))
+    // the upsert rewrote the second file: its rows pair remove+insert
+    // AT v2, with the pre/post images on the right sides
+    assert(at(2, "remove") == Seq((3L, 30L), (4L, 40L)))
+    assert(at(2, "insert") == Seq((3L, 99L), (4L, 40L), (5L, 50L)))
+    // the DV delete retracts from a CARRIED file
+    assert(at(3, "remove") == Seq((1L, 10L)))
+    assert(at(3, "insert").isEmpty)
+    // signed fold of the feed reproduces the live table exactly
+    val folded = feed.groupBy(e => (e._3, e._4))
+      .map { case (kx, es) =>
+        kx -> es.map(e => if (e._2 == "insert") 1 else -1).sum }
+      .filter(_._2 > 0)
+    assert(folded.values.forall(_ == 1), folded.toString)
+    val live = Manifest.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded.keySet == live, s"${folded.keySet} vs $live")
+    // a metadata-only commit (rename) is an EMPTY step under the
+    // renamed schema — present in the window, contributing no rows
+    Manifest.renameColumn(spark, root, "x", "score")               // v4
+    val step4 = Manifest.changeFeed(spark, root, 3L, 4L)
+    assert(step4.count() == 0L)
+    assert(step4.columns.contains("score") && !step4.columns.contains("x"))
+    // windows are bounded by existing versions
+    intercept[IllegalArgumentException] {
+      Manifest.changeFeed(spark, root, 2L, 2L)
+    }
   }
 
   test("column mapping: rename/drop are metadata-only; every path resolves the map") {
@@ -1633,13 +1763,17 @@ class ManifestSpec extends SparkTestBase {
     assert(snap.version == 2L * n, "every commit must have won exactly one version")
   }
 
-  test("stale-lock takeover: a deliberately stalled holder is usurped; no lost update, no lock debris") {
+  test("slow-but-alive holder keeps its lock (heartbeat); commits serialize losslessly") {
     val root = newRoot("stall")
     Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), root)
     val saved = Manifest.arbiterFor
     try {
-      // parent waits only 500 ms before usurping a stale lock; the
-      // child stalls 2.5 s INSIDE its first commit's critical section
+      // the child stalls 2.5 s INSIDE its first commit's critical
+      // section — well past the parent's 500 ms stale window. Its
+      // HEARTBEAT keeps the lock's mtime fresh, so the parent must
+      // WAIT (slow ≠ dead), not usurp; every commit from both sides
+      // still lands, exactly once, with no lock debris. (The
+      // dead-holder takeover path is the orphan-lock test below.)
       Manifest.arbiterFor = _ => new graft.store.LockFileArbiter(staleMs = 500L)
       val (proc, out, reader) = raceChild(root, "sw2", 3, "stall:2500")
       // wait until the child actually holds the lock (JVM+Spark startup)
@@ -1648,10 +1782,6 @@ class ManifestSpec extends SparkTestBase {
       while (!lock.exists() && System.currentTimeMillis() < deadline)
         Thread.sleep(50L)
       assert(lock.exists(), "child never acquired the commit lock")
-      // commit THROUGH the stall: the parent must take over the stale
-      // lock exactly once; the child's later release must not delete
-      // the parent's live lock (owner-token check); the child's own
-      // stalled commit must still land (hard-link commit point)
       (0 until 6).foreach(i => Manifest.appendSynthetic(spark, root, Seq(s"sw1_$i")))
       assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
         "second driver did not finish")
@@ -1669,6 +1799,54 @@ class ManifestSpec extends SparkTestBase {
     val debris = new java.io.File(s"$root/manifest").listFiles()
       .filter(_.getName.startsWith("_commit.lock"))
     assert(debris.isEmpty, s"lock debris left behind: ${debris.map(_.getName).toSeq}")
+  }
+
+  test("orphan lock (dead holder, no heartbeat) is taken over after staleMs") {
+    val root = newRoot("orphan")
+    Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), root)
+    val saved = Manifest.arbiterFor
+    try {
+      Manifest.arbiterFor = _ => new graft.store.LockFileArbiter(staleMs = 500L)
+      // a crashed holder's leftovers: a lock file nobody heartbeats,
+      // mtime 10 s in the past
+      val lock = new java.io.File(s"$root/manifest/_commit.lock")
+      assert(lock.createNewFile())
+      val w = new java.io.FileOutputStream(lock)
+      try w.write("dead-holder-token".getBytes("UTF-8")) finally w.close()
+      assert(lock.setLastModified(System.currentTimeMillis() - 10000L))
+      val t0 = System.currentTimeMillis()
+      Manifest.appendSynthetic(spark, root, Seq("after_crash"))
+      val took = System.currentTimeMillis() - t0
+      assert(took < 30000L, s"takeover should beat the acquire timeout, took ${took}ms")
+      assert(Manifest.current(spark, root).get.files.contains("after_crash"))
+      val debris = new java.io.File(s"$root/manifest").listFiles()
+        .filter(_.getName.startsWith("_commit.lock"))
+      assert(debris.isEmpty, s"lock debris left behind: ${debris.map(_.getName).toSeq}")
+    } finally Manifest.arbiterFor = saved
+  }
+
+  test("heartbeat: a live holder past staleMs is never usurped (no critical-section overlap)") {
+    val root = newRoot("beat")
+    new java.io.File(root).mkdirs()
+    val arb = new graft.store.LockFileArbiter(staleMs = 300L,
+      acquireTimeoutMs = 30000L)
+    val inside = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var overlap = false
+    def guarded(holdMs: Long): Unit = arb.withCommitLock(root) {
+      if (!inside.compareAndSet(false, true)) overlap = true
+      Thread.sleep(holdMs)
+      inside.set(false)
+    }
+    // A holds 4× the stale window; B arrives mid-hold. Pre-heartbeat,
+    // B usurps at ~300 ms and the sections overlap.
+    val a = new Thread(() => guarded(1200L))
+    a.start()
+    Thread.sleep(150L)
+    val b = new Thread(() => guarded(50L))
+    b.start()
+    a.join(15000L); b.join(15000L)
+    assert(!a.isAlive && !b.isAlive, "lock holders did not finish")
+    assert(!overlap, "a live holder was usurped despite its heartbeat")
   }
 
   test("bloom probe hashes the column's SCAN type on plain-append tables (no recorded schema)") {

@@ -666,6 +666,56 @@ class StreamOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("not append-only"))
   }
 
+  test("manifestCdcMirrorStep: a MUTATING source mirrors exactly; net-zero windows advance the cursor") {
+    import graft.store.Manifest
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-mirror").toString
+    val src = s"$dir/src"
+    val dst = s"$dir/dst"
+    def step(): Option[Long] = StreamOps.manifestCdcMirrorStep(
+      spark, src, dst, "cdc", "k")
+    def mirror(): Set[(Long, Long)] = Manifest.read(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(step().isEmpty) // source absent → no-op
+
+    Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
+      src, statsCols = Seq("k"))                                   // v0
+    assert(step().contains(0L)) // bootstrap
+    assert(mirror() == Set((1L, 10L), (2L, 20L)))
+    assert(step().isEmpty) // up to date
+
+    // ONE window covering an update, an insert, and a DV delete —
+    // exactly what the append-only mirror cannot survive
+    Manifest.upsert(Seq((2L, 99L), (3L, 30L)).toDF("k", "x"), src, "k") // v1
+    Manifest.deleteWhereBetweenDv(spark, src, "k", 1L, 1L)              // v2
+    assert(step().contains(2L))
+    assert(mirror() == Set((2L, 99L), (3L, 30L)))
+
+    // a replayed step (crashed pump, second pump) lands NOTHING twice:
+    // the destination's txn watermark is the only cursor
+    val (_, committed) = Manifest.upsertOnce(
+      Seq((2L, 99L)).toDF("k", "x"), dst, "k", "cdc", 2L)
+    assert(!committed)
+    assert(mirror() == Set((2L, 99L), (3L, 30L)))
+
+    // a COMPACTION nets to zero rows: the cursor advances through a
+    // metadata-only commit, the mirror's rows untouched
+    val dstFilesBefore = Manifest.current(spark, dst).get.files
+    Manifest.compact(spark, src, targetBytes = 1L << 20)           // v3
+    assert(step().contains(3L))
+    assert(Manifest.lastTxn(spark, dst, "cdc").contains(3L))
+    assert(Manifest.current(spark, dst).get.files == dstFilesBefore,
+      "a net-zero window must not stage destination bytes")
+    assert(mirror() == Set((2L, 99L), (3L, 30L)))
+
+    // a delete that empties a whole key: the mirror drops it, never
+    // keeps a husk
+    Manifest.deleteWhereBetweenDv(spark, src, "k", 3L, 3L)         // v4
+    assert(step().contains(4L))
+    assert(mirror() == Set((2L, 99L)))
+    assert(step().isEmpty)
+  }
+
   test("sessionize: in-batch gap close and event-time timeout close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
