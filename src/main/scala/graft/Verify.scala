@@ -60,5 +60,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // every artifact is on disk and the session is stopped — force the
+    // JVM down so a stray non-daemon thread from a battery query's
+    // lifecycle (observed once at sf0.1) can never hang the driver gate
+    System.exit(0)
   }
 }

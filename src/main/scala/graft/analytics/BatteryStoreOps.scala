@@ -2199,5 +2199,98 @@ trait BatteryStoreOps extends BatteryModels {
         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       FROM final GROUP BY 1 ORDER BY 1"""))
 
+  /** GENERAL-PREDICATE DELETE as a deletion vector
+    * ([[graft.store.Manifest.deleteWhereDv]] — DELETE WHERE pred as a
+    * pure metadata commit, completing the delete matrix: range/
+    * predicate × rewrite/vector): a four-file orders table takes one
+    * predicate delete (every third 'F' order) with ZERO files
+    * rewritten, then a second, OVERLAPPING predicate delete (every
+    * third order below the key median — the shared keys must dedup in
+    * the vector, not double-count), and the result digests the
+    * survivors THROUGH the planner scan plus the metadata row count.
+    * The oracle replays both predicates; a resurrected row, a lost
+    * 3VL edge, or a double-counted overlap hash-mismatches. */
+  val q188 = Q("q188_manifest_delete_where",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q188").toString + "/orders_dwp"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = mk / 4 + 1
+      (0L to 3L).foreach { qtr =>
+        Manifest.append(
+          orders.filter(col("o_orderkey") >= qtr * cut &&
+            col("o_orderkey") < (qtr + 1) * cut).coalesce(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      val filesBefore = Manifest.current(s, root).get.files
+      Manifest.deleteWhereDv(s, root,
+        "o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+      Manifest.deleteWhereDv(s, root,
+        s"o_orderkey % 3 = 0 AND o_orderkey <= ${mk / 2}")
+      val snap = Manifest.current(s, root).get
+      require(snap.files == filesBefore, "DV delete moved data files")
+      val metaCount = Manifest.rowCount(snap).getOrElse(
+        sys.error("metadata count lost under the vector"))
+      Manifest.table(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .withColumn("meta_count", lit(metaCount))
+        .orderBy("status")
+    },
+    Some("""WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      survivors AS (
+        SELECT o_orderstatus, o_totalprice FROM orders, mx
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+          AND NOT (o_orderkey % 3 = 0 AND o_orderkey <= mk // 2)),
+      total AS (SELECT COUNT(*) AS meta_count FROM survivors)
+      SELECT o_orderstatus AS status, COUNT(*) AS n,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        meta_count
+      FROM survivors, total GROUP BY 1, 4 ORDER BY 1"""))
+
+  /** STRING layout columns in clustered compaction
+    * ([[graft.store.Layout.bucketOfString]]/`stringBoundariesFor`
+    * through [[graft.store.Manifest.compactClustered]] — the common
+    * 100 TB curation keys (lang, source, status) are strings, and
+    * `approxQuantile` is numeric-only): orders land unsorted, the
+    * table is curve-clustered on (status, key) — string buckets rank
+    * under the same binary order the manifest stats prune with — and
+    * the probe is a conjunctive (string, numeric) box through the
+    * stats-pruned [[graft.store.Manifest.readWhere]]. The oracle is
+    * the plain filter: a bucket misorder, a boundary off-by-one, or a
+    * row lost in the rewrite hash-mismatches. */
+  val q189 = Q("q189_manifest_string_cluster",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q189").toString + "/orders_sc"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      Manifest.append(orders.repartition(4), root,
+        statsCols = Seq("o_orderstatus", "o_orderkey"))
+      Manifest.compactClustered(s, root,
+        Seq("o_orderstatus", "o_orderkey"), targetBytes = 64 * 1024)
+      Manifest.readWhere(s, root,
+          Seq(("o_orderstatus", "F", "F"), ("o_orderkey", 0L, mk / 2)))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("status")
+    },
+    Some("""WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders)
+      SELECT o_orderstatus AS status, COUNT(*) AS n,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders, mx
+      WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 0 AND mk // 2
+      GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

@@ -94,6 +94,64 @@ object Layout {
     }.toMap
   }
 
+  /** [[bucketOf]] for STRING layout columns: the same #{b : c >= b}
+    * rank under Spark's binary string order — the order the manifest's
+    * min/max stats prune with, so string-clustered files' boxes are
+    * tight in exactly the comparison pruning uses. Same codegen'd
+    * `aggregate` over a literal array, no UDF. */
+  def bucketOfString(c: Column, boundaries: Seq[String]): Column = {
+    require(boundaries.nonEmpty, "bucketOfString needs at least one boundary")
+    require(boundaries == boundaries.sorted, "boundaries must be ascending")
+    aggregate(
+      typedLit(boundaries),
+      lit(0L),
+      (acc, b) => acc + when(c >= b, 1L).otherwise(0L))
+  }
+
+  /** Boundary derivation for STRING layout columns (`approxQuantile`
+    * is numeric-only): evenly-spaced split points over a
+    * deterministic (fixed-seed) sample of the column's DISTINCT
+    * values — the same sampling contract a RangePartitioner accepts,
+    * and boundaries steer LAYOUT only, never correctness. Driver
+    * holds ≤ `sampleCap` strings per column while deriving, ≤
+    * 2^bits − 1 after. Low-cardinality keys (lang, source, status —
+    * the common string clustering keys) are exact: every distinct
+    * value below the cap is seen. */
+  def stringBoundariesFor(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      sampleCap: Int = 1 << 16): Map[String, Seq[String]] = {
+    require(bits >= 1 && bits <= 16, s"bits out of range ($bits)")
+    cols.map { c =>
+      val distinct = df.select(col(c)).na.drop().distinct()
+      val n = distinct.count()
+      val frac = math.min(1.0, sampleCap.toDouble / math.max(n, 1L))
+      val sampled = (if (frac >= 1.0) distinct else distinct.sample(frac, 42L))
+        .collect().map(_.getString(0)).sorted
+      val want = (1 << bits) - 1
+      val bnds: Seq[String] =
+        if (sampled.length <= want) sampled.toSeq
+        else (1 to want).map(i => sampled((i * sampled.length) / (want + 1)))
+      c -> bnds.distinct
+    }.toMap
+  }
+
+  /** Type-dispatched [[boundariesFor]]: numeric columns through the
+    * quantile sketch, string columns through the sampled-distinct
+    * path — the form [[graft.store.Manifest.compactClustered]] feeds
+    * [[cluster]] with, so layout keys like (lang, doc_length) or
+    * (status, order_key) mix freely. */
+  def mixedBoundariesFor(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      relativeError: Double = 0.001): Map[String, Seq[Any]] = {
+    val (strCols, numCols) = cols.partition(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val s: Map[String, Seq[Any]] =
+      stringBoundariesFor(df, strCols, bits)
+        .view.mapValues(_.map(v => v: Any)).toMap
+    val n: Map[String, Seq[Any]] =
+      boundariesFor(df, numCols, bits, relativeError)
+        .view.mapValues(_.map(v => v: Any)).toMap
+    s ++ n
+  }
+
   /** Rewrite `df` into `partitions` curve-clustered ranges: bucket
     * each layout column by its boundaries, linearize the bucket tuple
     * on a space-filling curve, ONE range shuffle on the curve value,
@@ -110,22 +168,42 @@ object Layout {
     * jumps Z-order pays; BENCH_SCALE's sixth campaign quantifies the
     * difference. */
   def cluster(
-      df: DataFrame, boundaries: Map[String, Seq[Double]],
+      df: DataFrame, boundaries: Map[String, Seq[Any]],
       partitions: Int, bits: Int = 8, curve: String = "z"): DataFrame = {
     require(boundaries.nonEmpty, "cluster needs at least one layout column")
     require(partitions >= 1, s"partitions must be positive ($partitions)")
     boundaries.foreach { case (c, b) =>
       require(b.length < (1 << bits), s"column $c has too many boundaries for $bits bits")
     }
-    val bucketCols = boundaries.toSeq.sortBy(_._1) // deterministic dimension order
-      .map { case (c, b) => bucketOf(col(c), b) }
+    val dims = boundaries.toSeq.sortBy(_._1) // deterministic dimension order
+    val bucketCols = dims
+      .map { case (c, b) =>
+        b.headOption match { // per-column type dispatch (strings rank
+          // under the same binary order the stats prune with)
+          case Some(_: String) => bucketOfString(col(c), b.map(_.asInstanceOf[String]))
+          case _ => bucketOf(col(c), b.map(_.asInstanceOf[Number].doubleValue()))
+        }
+      }
+    // NORMALIZE each dimension's rank to the full 2^bits − 1 range: a
+    // low-cardinality column (8 langs → ranks 0..8) otherwise occupies
+    // only the LOW interleave positions, its high bits constant zero —
+    // the curve degenerates to other-column-major order and that
+    // column's file boxes span everything (no pruning). Scaling is a
+    // monotone map, so in-column order — and with it box tightness —
+    // is preserved; full-range columns pass through untouched.
+    val full = (1L << bits) - 1L
+    val scaledCols = bucketCols.zip(dims).map { case (bc, (_, b)) =>
+      val maxRank = b.length.toLong // ranks run 0..maxRank
+      if (maxRank >= full) bc
+      else (bc * lit(full) / lit(maxRank)).cast("long")
+    }
     val curveVal = curve match {
-      case "z" => zValue(bucketCols, bits)
+      case "z" => zValue(scaledCols, bits)
       case "hilbert" =>
-        require(bucketCols.length == 2,
-          s"hilbert curve is 2-D; got ${bucketCols.length} layout columns (use curve=\"z\")")
+        require(scaledCols.length == 2,
+          s"hilbert curve is 2-D; got ${scaledCols.length} layout columns (use curve=\"z\")")
         graft.functions.HilbertIndexExpression.hilbertIndex(
-          bucketCols.head, bucketCols(1), bits)
+          scaledCols.head, scaledCols(1), bits)
       case other => throw new IllegalArgumentException(
         s"unknown curve '$other' (supported: z, hilbert)")
     }
@@ -135,15 +213,16 @@ object Layout {
       .drop("__z")
   }
 
-  /** One-call convenience: derive boundaries, then [[cluster]]. */
+  /** One-call convenience: derive boundaries (numeric or string
+    * columns), then [[cluster]]. */
   def zOrder(
       df: DataFrame, cols: Seq[String], partitions: Int, bits: Int = 8): DataFrame =
-    cluster(df, boundariesFor(df, cols, bits), partitions, bits)
+    cluster(df, mixedBoundariesFor(df, cols, bits), partitions, bits)
 
   /** [[zOrder]]'s 2-D Hilbert twin — tighter boxes, same cost. */
   def hilbertOrder(
       df: DataFrame, cols: Seq[String], partitions: Int, bits: Int = 8): DataFrame = {
     require(cols.length == 2, s"hilbertOrder is 2-D; got ${cols.length} columns")
-    cluster(df, boundariesFor(df, cols, bits), partitions, bits, curve = "hilbert")
+    cluster(df, mixedBoundariesFor(df, cols, bits), partitions, bits, curve = "hilbert")
   }
 }

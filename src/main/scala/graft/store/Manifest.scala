@@ -2585,15 +2585,56 @@ object Manifest {
     val newDel = cand
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
       .select(col("__graft_f").as("f"), col("__graft_ri").as("ri"))
+    publishDvDelete(spark, root, snap, newDel)
+  }
+
+  /** [[deleteWhereBetweenDv]] for a GENERAL SQL predicate — DELETE
+    * WHERE pred as a pure metadata commit: ONE predicate scan over the
+    * table collects the matching rows' (file, row index) pairs into
+    * the deletion vector; zero data files rewritten. The predicate is
+    * authored in LOGICAL column names (column mapping resolves) and
+    * follows SQL 3VL — only rows where it is TRUE are deleted, NULL
+    * keeps. Same vector accumulation, dedup, live-count recording, and
+    * planned-parent concurrency contract as the range form — which
+    * stays the cheaper choice when the predicate IS a recorded-stats
+    * range (its candidate scan is file-pruned; arbitrary SQL cannot
+    * prune, the cost every public format pays for DELETE WHERE). */
+  def deleteWhereDv(spark: SparkSession, root: String,
+      predicateSql: String, maxRetries: Int = 4): Long =
+    retryingCommit(s"$root deleteDv", maxRetries)(
+      deleteWhereDvPlanned(spark, root, predicateSql))
+
+  private def deleteWhereDvPlanned(spark: SparkSession, root: String,
+      predicateSql: String): Long = {
+    val snap = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    if (snap.files.isEmpty) return snap.version
+    import org.apache.spark.sql.functions.{coalesce, expr}
+    val cand = logicalize(readFiles(spark, root, snap, snap.files)
+        .withColumn("__graft_f",
+          expr("substring_index(_metadata.file_path, '/data/', -1)"))
+        .withColumn("__graft_ri", expr("_metadata.row_index")), snap)
+    val newDel = cand
+      .filter(coalesce(expr(predicateSql), lit(false)))
+      .select(col("__graft_f").as("f"), col("__graft_ri").as("ri"))
+    publishDvDelete(spark, root, snap, newDel)
+  }
+
+  /** Shared tail of the DV delete forms: fold the new (f, ri) pairs
+    * into the outstanding vector (stale entries for no-longer-live
+    * files dropped), dedup — an overlapping earlier delete re-derives
+    * the same pairs from the raw candidate read, and the recorded live
+    * count must not double them — write the vector sidecar, commit the
+    * pointer. No-op (current version) when nothing matched. */
+  private def publishDvDelete(spark: SparkSession, root: String,
+      snap: Snapshot, newDel: DataFrame): Long = {
+    if (newDel.isEmpty) return snap.version // nothing matched: no commit
     val liveFiles = snap.files.map(dvName).toSet
     val combined = dvFrame(spark, root, snap) match {
       case None => newDel
       case Some(old) => // drop stale entries for files no longer live
         old.filter(col("f").isInCollection(liveFiles)).unionByName(newDel)
     }
-    // distinct: a range overlapping an earlier DV delete re-derives the
-    // same (f, ri) pairs (the candidate read is raw, pre-vector) — the
-    // anti-join doesn't care, but the recorded live count must
     val staged = combined.distinct().localCheckpoint()
     try {
       val nDeleted = staged.count()
@@ -2713,7 +2754,7 @@ object Manifest {
     val colsP = cols.map(toPhysical(snap, _))
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = ((bytes + targetBytes - 1) / targetBytes).max(1).min(1L << 20).toInt
-    val staged = Layout.cluster(df, Layout.boundariesFor(df, colsP, bits),
+    val staged = Layout.cluster(df, Layout.mixedBoundariesFor(df, colsP, bits),
       target, bits, curve).localCheckpoint()
     try {
       val stagedFiles = stage(staged, root)
@@ -2921,7 +2962,7 @@ object Manifest {
     val df = applyDv(spark, root, snap, readFiles(spark, root, snap, selected))
     val target = ((selBytes + targetBytes - 1) / targetBytes)
       .max(1).min(1L << 20).toInt
-    val staged = Layout.cluster(df, Layout.boundariesFor(df, colsP, bits),
+    val staged = Layout.cluster(df, Layout.mixedBoundariesFor(df, colsP, bits),
       target, bits, curve).localCheckpoint()
     try {
       val stagedFiles = stage(staged, root)

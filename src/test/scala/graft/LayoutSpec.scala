@@ -36,6 +36,46 @@ class LayoutSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Layout.zValue(Seq(col("v")), bits = 64))
   }
 
+  test("bucketOfString: rank under binary string order; NULLs rank 0; guards fire") {
+    val df = Seq(Some("aa"), Some("en"), Some("es"), Some("fr"), Some("zz"), None)
+      .toDF("s")
+    val got = df.select(
+        Layout.bucketOfString(col("s"), Seq("en", "fr", "zh")).as("b"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 1L, 2L, 3L, 0L), got.toString)
+    intercept[IllegalArgumentException](Layout.bucketOfString(col("s"), Seq.empty))
+    intercept[IllegalArgumentException](
+      Layout.bucketOfString(col("s"), Seq("b", "a")))
+  }
+
+  test("stringBoundariesFor: low-cardinality keys exact; bounded, ascending, deduped") {
+    val langs = Seq("de", "en", "es", "fr", "it", "ja", "pt", "zh")
+    val df = (1 to 1000).map(i => langs(i % 8)).toDF("lang")
+    val b = Layout.stringBoundariesFor(df, Seq("lang"), bits = 4)("lang")
+    assert(b == langs, b.toString) // every distinct value seen, sorted
+    // high cardinality: evenly-spaced cut at 2^bits − 1
+    val wide = (1 to 5000).map(i => f"k$i%05d").toDF("k")
+    val bw = Layout.stringBoundariesFor(wide, Seq("k"), bits = 4)("k")
+    assert(bw.length <= 15 && bw == bw.sorted && bw.distinct == bw, bw.toString)
+  }
+
+  test("mixed (string, numeric) clustering: rows preserved, string boxes tight per partition") {
+    val langs = Seq("de", "en", "es", "fr", "it", "ja", "pt", "zh")
+    val df = (1 to 4000).map(i => (langs(i % 8), (i * 17) % 101, s"r$i"))
+      .toDF("lang", "y", "s")
+    val out = Layout.zOrder(df, Seq("lang", "y"), partitions = 16, bits = 3)
+    assert(out.columns.toSeq == Seq("lang", "y", "s"))
+    val a = df.orderBy("s").collect().map(_.toSeq)
+    val b = out.orderBy("s").collect().map(_.toSeq)
+    assert(a.sameElements(b), "clustering must preserve the row multiset")
+    // the pruning property on the STRING dimension: partitions cover
+    // few distinct langs each, vs all 8 in the unclustered layout
+    val nl = out.withColumn("p", spark_partition_id())
+      .groupBy("p").agg(countDistinct(col("lang")).as("nl"))
+      .agg(avg(col("nl"))).head().getDouble(0)
+    assert(nl < 4.0, s"string boxes not tight: avg $nl distinct langs/partition")
+  }
+
   test("boundariesFor: ≤ 2^bits − 1 ascending boundaries, deduped under skew") {
     val df = (1 to 1000).map(i => i % 7).toDF("v") // heavy ties
     val b = Layout.boundariesFor(df, Seq("v"), bits = 4)("v")

@@ -738,6 +738,34 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.read(spark, root).count() == 4096L + 1024L)
   }
 
+  test("compactClustered on a (string, numeric) key: string-dimension probes prune files") {
+    val langs = Seq("de", "en", "es", "fr", "it", "ja", "pt", "zh")
+    val rows = (0 until 8192).map(i => (langs(i % 8), i.toLong))
+    val root = newRoot("str_cluster")
+    Manifest.append(rows.toDF("lang", "k").repartition(4), root,
+      statsCols = Seq("lang", "k"))
+    Manifest.compactClustered(spark, root, Seq("lang", "k"), targetBytes = 4096)
+    val snap = Manifest.current(spark, root).get
+    assert(snap.files.size > 4, s"need file sprawl, got ${snap.files.size}")
+    assert(snap.stats.values.forall(_.contains("lang")),
+      "string layout column lost its skip stats")
+    // a single-language probe keeps a strict file subset
+    val keep = Manifest.prunedFiles(snap, "lang", "es", "es")
+    assert(keep.nonEmpty && keep.size < snap.files.size,
+      s"string probe kept ${keep.size} of ${snap.files.size}")
+    // conjunctive (string, numeric) box reads exactly the right rows
+    val got = Manifest.readWhere(spark, root,
+        Seq(("lang", "es", "es"), ("k", 100L, 4000L)))
+      .select("k").as[Long].collect().sorted.toSeq
+    val expect = rows.filter(r => r._1 == "es" && r._2 >= 100L && r._2 <= 4000L)
+      .map(_._2).sorted
+    assert(got == expect, s"${got.size} vs ${expect.size}")
+    // the planner scan agrees under the same filters
+    assert(Manifest.table(spark, root)
+      .filter(col("lang") === "es" && col("k").between(100L, 4000L))
+      .count() == expect.size.toLong)
+  }
+
   test("compactClusteredIncremental: density rule catches same-box stacking volume misses") {
     val grid = spark.range(0, 128L * 128L)
       .select(expr("id % 128").as("x"), expr("id div 128").as("y"))
@@ -936,6 +964,44 @@ class ManifestSpec extends SparkTestBase {
       insertUnmatched = false)
     assert(Manifest.read(spark, root).filter(col("k") === 2L)
       .select("score").head().getLong(0) == 120L)
+  }
+
+  test("deleteWhereDv: general-predicate delete is a pure metadata commit; 3VL; maps; accumulates") {
+    val root = newRoot("dv_pred")
+    Manifest.append(Seq((1L, 5L, "ok"), (2L, 20L, "bad"), (3L, 30L, null))
+      .toDF("k", "x", "tag").coalesce(1), root, statsCols = Seq("k"))
+    Manifest.append(Seq((4L, 40L, "bad"), (5L, 50L, "ok"))
+      .toDF("k", "x", "tag").coalesce(1), root, statsCols = Seq("k"))
+    val before = Manifest.current(spark, root).get
+
+    // only rows where the predicate is TRUE leave; the NULL-tag row
+    // survives (3VL), and ZERO data files move
+    Manifest.deleteWhereDv(spark, root, "tag = 'bad' AND x > 10")
+    val after = Manifest.current(spark, root).get
+    assert(after.files == before.files, "DV delete must not move data files")
+    val keys = Manifest.read(spark, root).select("k").as[Long].collect().sorted
+    assert(keys.toSeq == Seq(1L, 3L, 5L), keys.mkString(","))
+    // metadata count survives (live vector count recorded)
+    assert(Manifest.rowCount(after).contains(3L))
+    // planner scan agrees
+    assert(Manifest.table(spark, root).count() == 3L)
+
+    // accumulates over an earlier vector; overlap dedups in the count
+    Manifest.deleteWhereBetweenDv(spark, root, "k", 1L, 1L)
+    Manifest.deleteWhereDv(spark, root, "k <= 1 OR k = 5")
+    val keys2 = Manifest.read(spark, root).select("k").as[Long].collect().sorted
+    assert(keys2.toSeq == Seq(3L), keys2.mkString(","))
+    assert(Manifest.rowCount(Manifest.current(spark, root).get).contains(1L))
+
+    // nothing-matched is a no-op, not a version bump
+    val v = Manifest.current(spark, root).get.version
+    Manifest.deleteWhereDv(spark, root, "k = 999")
+    assert(Manifest.current(spark, root).get.version == v)
+
+    // column mapping: predicate authored in the RENAMED logical name
+    Manifest.renameColumn(spark, root, "tag", "label")
+    Manifest.deleteWhereDv(spark, root, "label IS NULL")
+    assert(Manifest.read(spark, root).count() == 0L)
   }
 
   test("mergeInto: WHEN NOT MATCHED BY SOURCE THEN DELETE syncs the table to its source") {
