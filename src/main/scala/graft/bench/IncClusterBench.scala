@@ -97,6 +97,50 @@ object IncClusterBench {
         targetBytes = targetBytes, cubeMinBytes = 4L * 1024 * 1024)
         .rewrittenBytes
     }
+
+    // SAME-BOX STACKING campaign (the density rule's reason to exist):
+    // every batch lands the IDENTICAL tight box — per-file volume
+    // passes any volume threshold, so a volume-only selector carries
+    // the stack forever and a point probe in the box opens every
+    // stacked file; the stabbing-depth rule merges the stack once it
+    // exceeds overlapDegree. Metric: files a hot-box probe must open,
+    // and the bounded rewrite the merges cost.
+    val hotLo = 100000L
+    val hotSpan = 2000L
+    def hotRows(from: Long, until: Long): DataFrame =
+      spark.range(from, until).select(
+        (pmod(col("id") * 2654435761L, lit(hotSpan)) + hotLo).as("x"),
+        (pmod(col("id") * 40503L, lit(hotSpan)) + hotLo).as("y"))
+    val stackCycles = 12
+    def stackCampaign(tag: String, degree: Int): Unit = {
+      val root = s"$dir/stack_$tag"
+      Manifest.append(rows(0, baseRows / 2), root, statsCols = Seq("x", "y"))
+      Manifest.compactClustered(spark, root, Seq("x", "y"),
+        targetBytes = targetBytes)
+      var rewritten = 0L
+      val t0 = System.nanoTime()
+      var n = 0L
+      for (_ <- 0 until stackCycles) {
+        Manifest.append(hotRows(n, n + batchRows / 10).coalesce(1), root,
+          statsCols = Seq("x", "y"))
+        n += batchRows / 10
+        rewritten += Manifest.compactClusteredIncremental(spark, root,
+          Seq("x", "y"), targetBytes = targetBytes,
+          cubeMinBytes = 4L * 1024 * 1024, overlapDegree = degree)
+          .rewrittenBytes
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val snap = Manifest.current(spark, root).get
+      val fx = Manifest.prunedFiles(snap, "x", hotLo, hotLo + hotSpan - 1)
+      val hot = Manifest.prunedFiles(snap.copy(files = fx), "y",
+        hotLo, hotLo + hotSpan - 1)
+      println(s"""{"campaign":"inc_cluster_stack","strategy":"$tag"""" +
+        s""","degree":$degree,"cycles":$stackCycles""" +
+        s""","hot_probe_files":${hot.size},"files":${snap.files.size}""" +
+        f""","rewritten_bytes":$rewritten,"wall_s":$wall%.1f}""")
+    }
+    stackCampaign("volume_only", 0)
+    stackCampaign("density", 4)
     spark.stop()
   }
 }

@@ -790,12 +790,41 @@ object Manifest {
             val (lo, hi) = (r.getAs[Any](s"__lo_$c"), r.getAs[Any](s"__hi_$c"))
             val nn = r.getAs[Long](s"__nn_$c")
             val minMax =
-              if (lo == null || hi == null) None else Some(c -> ((lo, hi): (Any, Any)))
+              if (lo == null || hi == null) None
+              else Some(c -> ((boundStat(lo, isMax = false),
+                boundStat(hi, isMax = true)): (Any, Any)))
             minMax.toSeq :+ (s"$c$NullsSuffix" -> ((nn, nn): (Any, Any)))
           }.toMap
         }
       }
       .filter(_._2.nonEmpty).toMap
+  }
+
+  /** Recorded-stat cap for long strings (the public Delta
+    * 32-char-truncation idea, at 64): a TEXT column's min/max would
+    * otherwise carry whole documents into EVERY manifest version —
+    * at corpus scale the log would dwarf its own checkpoints. */
+  val StatStringCap = 64
+
+  /** Bound a recorded string stat while keeping pruning CORRECT:
+    * min truncates to a prefix (any string starting with it compares
+    * ≥ the prefix — a valid lower bound), max truncates and INCREMENTS
+    * the last retained char (strictly above every string sharing the
+    * prefix — a valid upper bound); a retained run of already-maximal
+    * chars backs off to the nearest incrementable one, and the
+    * pathological all-max prefix keeps the exact value. Both sides
+    * only WIDEN the recorded range, so file pruning and
+    * fully-covered proofs stay conservative, never wrong. */
+  private def boundStat(v: Any, isMax: Boolean): Any = v match {
+    case s: String if s.length > StatStringCap =>
+      if (!isMax) s.substring(0, StatStringCap)
+      else {
+        var i = StatStringCap - 1
+        while (i >= 0 && s.charAt(i) == Char.MaxValue) i -= 1
+        if (i < 0) s // cannot bound above a max-char prefix: keep exact
+        else s.substring(0, i) + (s.charAt(i) + 1).toChar
+      }
+    case other => other
   }
 
   /** Per-file stats key suffix: `<col>#nulls -> (n, n)` — the

@@ -738,6 +738,29 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.read(spark, root).count() == 4096L + 1024L)
   }
 
+  test("long-string stats truncate at the cap; pruning stays conservative") {
+    val longA = "a" * 500
+    val longZ = "z" * 500
+    val root = newRoot("stat_trunc")
+    Manifest.append(Seq((1L, longA), (2L, longZ)).toDF("k", "txt").coalesce(1),
+      root, statsCols = Seq("k", "txt"))
+    val snap = Manifest.current(spark, root).get
+    val (mn, mx) = snap.stats.values.head("txt")
+    // min = 64-char prefix (valid lower bound); max = 64 chars with the
+    // last retained char incremented (strictly above every 'z'… string)
+    assert(mn == "a" * 64, s"min: [$mn]")
+    assert(mx == "z" * 63 + ('z' + 1).toChar, s"max: [$mx]")
+    // a point probe on the FULL long value still finds its row — the
+    // widened box is conservative, never wrong
+    assert(Manifest.readWhereBetween(spark, root, "txt", longZ, longZ)
+      .count() == 1L)
+    // a probe strictly above the incremented bound still prunes
+    assert(Manifest.prunedFiles(snap, "txt", "|", "|").isEmpty,
+      "probe above the bounded max should prune the file")
+    // short strings record exactly
+    assert(snap.stats.values.head.contains("k"))
+  }
+
   test("compactClustered on a (string, numeric) key: string-dimension probes prune files") {
     val langs = Seq("de", "en", "es", "fr", "it", "ja", "pt", "zh")
     val rows = (0 until 8192).map(i => (langs(i % 8), i.toLong))
