@@ -2292,5 +2292,51 @@ trait BatteryStoreOps extends BatteryModels {
       WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 0 AND mk // 2
       GROUP BY 1 ORDER BY 1"""))
 
+  /** ONE-CALL TABLE MAINTENANCE ([[graft.store.Maintenance]] — the
+    * policy loop the public formats ship as a managed service, here a
+    * library call a standing ingest loop owns): four append cycles
+    * each followed by `Maintenance.run` under a clustering + gc
+    * policy (incremental clustering with density selection, retention
+    * sweep), then a predicate DV delete and one more maintenance
+    * cycle. The whole contract under test is that maintenance NEVER
+    * changes the table's logical contents while it rewrites layout
+    * and sweeps history — the digest reads through the planner scan
+    * and the oracle replays only the DATA operations. */
+  val q190 = Q("q190_manifest_maintenance",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q190").toString + "/orders_mx"
+      import graft.store.{Maintenance, MaintenancePolicy, Manifest}
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = mk / 4 + 1
+      val policy = MaintenancePolicy(
+        layoutCols = Seq("o_orderkey", "o_custkey"),
+        targetBytes = 64 * 1024, cubeMinBytes = 16 * 1024,
+        keepVersions = 3)
+      (0L to 3L).foreach { qtr =>
+        Manifest.append(
+          orders.filter(col("o_orderkey") >= qtr * cut &&
+            col("o_orderkey") < (qtr + 1) * cut).coalesce(1),
+          root, statsCols = Seq("o_orderkey", "o_custkey"))
+        Maintenance.run(s, root, policy)
+      }
+      Manifest.deleteWhereDv(s, root, "o_orderkey % 5 = 0")
+      Maintenance.run(s, root, policy)
+      Manifest.table(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("status")
+    },
+    Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders WHERE o_orderkey % 5 <> 0
+      GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

@@ -177,21 +177,10 @@ object ManifestAnn {
       dims * maxQ * maxQ < lim
   }
 
-  /** List-routing score: the exact int64 cosine kernel in-envelope
-    * (byte-identical to every pre-gate release), the IEEE-double fold
-    * past it (overflow-free at any magnitude; zero-norm sums — either
-    * side degenerate — rank LAST rather than dividing by zero). */
+  /** List-routing score under the gate — [[Similarity.routingCosine]],
+    * the same kernel pair the in-memory IVF routers run. */
   private[graft] def routingScore(cvec: Column, qlit: Column,
-      exact: Boolean): Column =
-    if (exact) Similarity.cosineQ(cvec, qlit)
-    else {
-      def dotD(a: Column, b: Column): Column = aggregate(
-        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      val (na, nb) = (dotD(cvec, cvec), dotD(qlit, qlit))
-      when(na === 0.0 || nb === 0.0, lit(-2.0))
-        .otherwise(dotD(cvec, qlit) / (sqrt(na) * sqrt(nb)))
-    }
+      exact: Boolean): Column = Similarity.routingCosine(cvec, qlit, exact)
 
   // ------------------------------------------------------------------ //
   // PQ/ADC codes AT REST — the compression layer of the stored index.  //

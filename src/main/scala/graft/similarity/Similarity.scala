@@ -59,6 +59,58 @@ object Similarity {
     * quantized vectors. Sums, not means: cosine is scale-invariant, and
     * integer sums stay exact and order-independent (a float mean would
     * be neither). One shuffle on (label, pos), then regroup. */
+  /** Routing overflow gate shared by every IVF router (in-memory and
+    * at-rest — [[graft.similarity.ManifestAnn]] runs the same check on
+    * its stored sidecar): [[cosineQ]] folds exact int64 multiply-adds
+    * over the per-list SUMS, so dims·maxS², dims·maxS·maxQ and
+    * dims·maxQ² must stay under 2⁶², computed from the ACTUAL sums and
+    * queries (two tiny aggregates). True for every realistically-sized
+    * list; a ~10¹²-member list (or a giant hand-fed sum) trips it. */
+  def routingEnvelopeOk(cents: DataFrame, queries: DataFrame,
+      qCol: String = "qqv"): Boolean = {
+    def maxAbsDims(df: DataFrame, c: String): (BigInt, Int) = {
+      val r = df.agg(
+        max(aggregate(col(c), lit(0L), (a, v) => greatest(a, abs(v)))),
+        max(size(col(c)))).head()
+      if (r.isNullAt(0)) (BigInt(0), 0) else (BigInt(r.getLong(0)), r.getInt(1))
+    }
+    val (s, d1) = maxAbsDims(cents, "cvec")
+    val (q, d2) = maxAbsDims(queries, qCol)
+    val dims = BigInt(math.max(d1, d2))
+    val lim = BigInt(1) << 62
+    dims * s * s < lim && dims * s * q < lim && dims * q * q < lim
+  }
+
+  /** List-routing score under the gate: the exact int64 cosine kernel
+    * in-envelope (byte-identical to every pre-gate release), the
+    * IEEE-double fold past it — overflow-free at any magnitude, within
+    * ~1e-16 relative error of the true cosine (an ADVISORY choice
+    * perturbation, vs the sign-flipping garbage of silent wrap), with
+    * zero-norm sums ranked LAST rather than dividing by zero. */
+  def routingCosine(a: Column, b: Column, exact: Boolean): Column =
+    if (exact) cosineQ(a, b)
+    else {
+      def dotD(x: Column, y: Column): Column = aggregate(
+        zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val (na, nb) = (dotD(a, a), dotD(b, b))
+      when(na === 0.0 || nb === 0.0, lit(-2.0))
+        .otherwise(dotD(a, b) / (sqrt(na) * sqrt(nb)))
+    }
+
+  /** Top-`nprobe` probed lists per query — the routing step every IVF
+    * router shares, envelope-gated. */
+  private def probedListsByQuery(cents: DataFrame, labelCol: String,
+      queries: DataFrame, nprobe: Int): DataFrame = {
+    val exact = routingEnvelopeOk(cents, queries)
+    cents.crossJoin(broadcast(queries))
+      .select(col("qid"), col(labelCol),
+        routingCosine(col("cvec"), col("qqv"), exact).as("cscore"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKBy.topkBy(col("cscore"), col(labelCol), nprobe).as("__ls"))
+      .select(col("qid"), explode(col("__ls")).as(labelCol))
+  }
+
   def listCentroidSums(base: DataFrame, labelCol: String, qvCol: String): DataFrame =
     base.select(col(labelCol), posexplode(col(qvCol)).as(Seq("pos", "v")))
       .groupBy(labelCol, "pos").agg(sum("v").as("sv"))
@@ -636,12 +688,7 @@ object Similarity {
       k: Int, nprobe: Int): DataFrame = {
     requireIntegralId(base, "id", "ivfTopKNeighbors")
     val cents = listCentroidSums(base, labelCol, "qv")
-    val probed = cents.crossJoin(broadcast(queries))
-      .select(col("qid"), col(labelCol),
-        cosineQ(col("cvec"), col("qqv")).as("cscore"))
-      .groupBy("qid")
-      .agg(graft.functions.TopKBy.topkBy(col("cscore"), col(labelCol), nprobe).as("__ls"))
-      .select(col("qid"), explode(col("__ls")).as(labelCol))
+    val probed = probedListsByQuery(cents, labelCol, queries, nprobe)
     base.join(broadcast(probed), Seq(labelCol))
       .filter(col("id") =!= col("qid"))
       .join(broadcast(queries), Seq("qid"))
@@ -698,12 +745,7 @@ object Similarity {
       skipAbovePositive: Boolean = false): DataFrame = {
     requireIntegralId(base, "id", "hardNegatives")
     val cents = listCentroidSums(base, labelCol, "qv")
-    val probed = cents.crossJoin(broadcast(queries))
-      .select(col("qid"), col(labelCol),
-        cosineQ(col("cvec"), col("qqv")).as("cscore"))
-      .groupBy("qid")
-      .agg(graft.functions.TopKBy.topkBy(col("cscore"), col(labelCol), nprobe).as("__ls"))
-      .select(col("qid"), explode(col("__ls")).as(labelCol))
+    val probed = probedListsByQuery(cents, labelCol, queries, nprobe)
     val scored = base.join(broadcast(probed), Seq(labelCol))
       .filter(col("id") =!= col("qid"))
       .join(broadcast(queries), Seq("qid"))
@@ -840,12 +882,7 @@ object Similarity {
       codes: DataFrame, labelCol: String, base: DataFrame,
       codebook: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val cents = listCentroidSums(base, labelCol, "qv")
-    val probed = cents.crossJoin(broadcast(queries))
-      .select(col("qid"), col(labelCol),
-        cosineQ(col("cvec"), col("qqv")).as("cscore"))
-      .groupBy("qid")
-      .agg(graft.functions.TopKBy.topkBy(col("cscore"), col(labelCol), nprobe).as("__ls"))
-      .select(col("qid"), explode(col("__ls")).as(labelCol))
+    val probed = probedListsByQuery(cents, labelCol, queries, nprobe)
     val subDim = codebook.select(min(size(col("cvec")))).head().getInt(0)
     val lut = codebook.crossJoin(broadcast(queries))
       .select(col("qid"), col("sub"), col("code"),

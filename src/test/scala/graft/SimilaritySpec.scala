@@ -935,4 +935,29 @@ class SimilaritySpec extends SparkTestBase {
     // separate", not perfection at the coarsest code budget.
     assert(resRecall >= 0.6, s"residual recall implausibly low: $resRecall")
   }
+
+  test("shared IVF routing gate: envelope detection, double-fold ranking, zero-norm floor") {
+    // list 0's sum is the shape a ~10¹²-member list folds to — its raw
+    // int64 norm wraps (4·(4e18)² >> 2⁶³) yet its TRUE direction is the
+    // query's; list 1 is modest and anti-aligned
+    val cents = Seq(
+      (0L, Seq(4000000000000000000L, 1200000000000000000L, 0L, 0L)),
+      (1L, Seq(-1000L, 0L, 0L, 1L))).toDF("label", "cvec")
+    val queries = Seq((7L, Seq(1000L, 300L, 0L, 0L))).toDF("qid", "qqv")
+    assert(!Similarity.routingEnvelopeOk(cents, queries),
+      "a wrapping sum must trip the envelope")
+    val small = Seq((0L, Seq(3000L, 30L, 0L, 0L))).toDF("label", "cvec")
+    assert(Similarity.routingEnvelopeOk(small, queries),
+      "battery-scale sums must stay on the exact path")
+    val scored = cents.crossJoin(queries)
+      .select(col("label"),
+        Similarity.routingCosine(col("cvec"), col("qqv"), exact = false).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(scored(0L) - 1.0) < 1e-6, scored.toString)
+    assert(scored(1L) < 0.0, scored.toString)
+    // zero-norm sums rank last instead of dividing by zero
+    val z = spark.range(1).select(Similarity.routingCosine(
+      typedLit(Seq(0L, 0L)), typedLit(Seq(5L, 5L)), exact = false))
+    assert(z.head().getDouble(0) == -2.0)
+  }
 }
