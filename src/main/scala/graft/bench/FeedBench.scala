@@ -72,19 +72,77 @@ object FeedBench {
     System.err.println(f"[feed] first10=$first10%.2fs last10=$last10%.2fs " +
       f"maxFiles=$maxFiles rows=$total")
 
-    val jsonFile = java.nio.file.Paths.get("BENCH_SCALE.json")
-    val existing: Map[String, String] = if (java.nio.file.Files.exists(jsonFile)) {
-      val txt = new String(java.nio.file.Files.readAllBytes(jsonFile), "UTF-8")
-      """"([qx]\d+\w*)"\s*:\s*(\{[^}]*\})""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2)).toMap
-    } else Map.empty
-    val merged = existing +
-      ("x165_mirror_loop" ->
-        s"""{"first10":${fmt(first10)},"last10":${fmt(last10)},"max_files":$maxFiles,"batches":$nBatches,"rows":$total}""")
-    val json = merged.toSeq.sortBy(_._1)
-      .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
-    java.nio.file.Files.write(jsonFile, (json + "\n").getBytes("UTF-8"))
+    upsertLedger("x165_mirror_loop",
+      s"""{"first10":${fmt(first10)},"last10":${fmt(last10)},"max_files":$maxFiles,"batches":$nBatches,"rows":$total}""")
     println(s"x165_mirror_loop first10=${fmt(first10)} last10=${fmt(last10)} maxFiles=$maxFiles")
+
+    // -------------------------------------------------------------- //
+    // CDC campaign: the RETRACTION-capable mirror over a MUTATING    //
+    // source. Each cycle appends one key-RANGE batch, bumps every    //
+    // 10th key of it (touched-file upsert), DV-deletes a small slab  //
+    // of it, then pumps ONE manifestCdcMirrorStep over the 3-commit  //
+    // window. Claim: per-step wall follows the WINDOW (the rewritten //
+    // file + the slab), never the accumulated table.                 //
+    // -------------------------------------------------------------- //
+    val cdcBatches = 20
+    val cdcRows = 100000L
+    val cdcPool = ScaleGen.orders(spark, cdcBatches * cdcRows)
+      .localCheckpoint()
+    val cbase = java.nio.file.Files.createTempDirectory("graft_cdcfeed").toString
+    val (csrc, cdst) = (s"$cbase/src", s"$cbase/dst")
+    val maxKey = cdcPool.agg(max(col("o_orderkey"))).head().getLong(0)
+    val span = maxKey / cdcBatches + 1
+    val claps = new scala.collection.mutable.ArrayBuffer[Double](cdcBatches)
+    (0 until cdcBatches).foreach { b =>
+      val lo = b * span; val hi = (b + 1) * span - 1
+      Manifest.append(
+        cdcPool.filter(col("o_orderkey").between(lo, hi)), csrc,
+        statsCols = Seq("o_orderkey"))
+      Manifest.upsert(
+        cdcPool.filter(col("o_orderkey").between(lo, hi) &&
+            col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(5.0)),
+        csrc, "o_orderkey")
+      Manifest.deleteWhereBetweenDv(spark, csrc, "o_orderkey",
+        lo, lo + span / 100)
+      val t0 = System.nanoTime()
+      val stepped = graft.streaming.StreamOps.manifestCdcMirrorStep(
+        spark, csrc, cdst, "cdc", "o_orderkey")
+      claps += (System.nanoTime() - t0) / 1e9
+      require(stepped.nonEmpty, s"cdc step $b mirrored nothing")
+    }
+    val srcRows = Manifest.read(spark, csrc).count()
+    val dstRows = Manifest.countRows(spark, cdst)
+    require(srcRows == dstRows,
+      s"cdc mirror diverged: src $srcRows vs dst $dstRows")
+    val cFirst = claps.take(5).sum / 5
+    val cLast = claps.takeRight(5).sum / 5
+    upsertLedger("x191_cdc_mirror_loop",
+      s"""{"first5":${fmt(cFirst)},"last5":${fmt(cLast)},"batches":$cdcBatches,"rows":$dstRows}""")
+    println(s"x191_cdc_mirror_loop first5=${fmt(cFirst)} last5=${fmt(cLast)} rows=$dstRows")
     spark.stop()
+  }
+
+  /** Insert-or-replace ONE ledger entry in BENCH_SCALE.json WITHOUT
+    * reparsing the rest — the previous regex-extract merge silently
+    * DROPPED nested entries (x172/x173/...) whose objects it could not
+    * match. The entry's own object must be flat (no nested braces). */
+  private def upsertLedger(key: String, flatObj: String): Unit = {
+    val jsonFile = java.nio.file.Paths.get("BENCH_SCALE.json")
+    val txt =
+      if (java.nio.file.Files.exists(jsonFile))
+        new String(java.nio.file.Files.readAllBytes(jsonFile), "UTF-8").trim
+      else "{}"
+    val entry = s""""$key": $flatObj"""
+    val updated =
+      if (txt.contains(s""""$key""""))
+        txt.replaceAll(s""""$key"\\s*:\\s*\\{[^{}]*\\}""", java.util.regex.Matcher.quoteReplacement(entry))
+      else {
+        val i = txt.lastIndexOf('}')
+        val body = txt.substring(0, i).trim
+        if (body == "{") s"{\n $entry\n}"
+        else body.stripSuffix(",") + s",\n $entry\n}"
+      }
+    java.nio.file.Files.write(jsonFile, (updated + "\n").getBytes("UTF-8"))
   }
 }

@@ -693,6 +693,37 @@ object StreamOps {
       .start()
   }
 
+  /** [[clusteredIngestSink]] generalized to a full
+    * [[graft.store.MaintenancePolicy]]: each micro-batch appends
+    * EXACTLY ONCE (batch-id txn watermark — a replayed batch after a
+    * crash skips), and every `maintainEvery` batches one
+    * [[graft.store.Maintenance.run]] enforces the whole policy —
+    * clustering or packing, bloom refresh, sidecar folds, gc — so the
+    * ingest job OWNS its table's upkeep instead of deferring to an
+    * out-of-band OPTIMIZE someone has to remember to schedule. Stats
+    * columns default to the policy's layout columns. */
+  def maintainedIngestSink(
+      stream: DataFrame, root: String, writerId: String,
+      checkpoint: String, policy: graft.store.MaintenancePolicy,
+      statsCols: Seq[String] = Nil, maintainEvery: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maintainEvery >= 1, s"maintainEvery must be >= 1 ($maintainEvery)")
+    stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val stats = if (statsCols.nonEmpty) statsCols else policy.layoutCols
+        graft.store.Manifest.appendOnce(b.toDF(), root, writerId, id,
+          statsCols = stats)
+        if ((id + 1) % maintainEvery == 0) {
+          graft.store.Maintenance.run(b.sparkSession, root, policy)
+          ()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Streaming ingest into the manifest-store IVF vector index
     * ([[graft.similarity.ManifestAnn]] — the standing
     * embedding-pipeline loop): each micro-batch appends its vectors

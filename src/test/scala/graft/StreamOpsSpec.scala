@@ -43,6 +43,30 @@ class StreamOpsSpec extends SparkTestBase {
     assert(ops.count(_ == "appendOnce") == 4, ops.toString)
   }
 
+  test("maintainedIngestSink: the policy loop rides the stream — cluster, gc, exactly once") {
+    import graft.store.{Maintenance, MaintenancePolicy, Manifest}
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_maint_sink").toString + "/t"
+    val input = MemoryStream[(Long, Long)]
+    val policy = MaintenancePolicy(layoutCols = Seq("x", "y"),
+      targetBytes = 2048, cubeMinBytes = 512, keepVersions = 2)
+    val q = StreamOps.maintainedIngestSink(
+      input.toDF().toDF("x", "y"), root, "maint_loop", root + "_ckpt",
+      policy, maintainEvery = 2)
+    def wave(seed: Long): Seq[(Long, Long)] =
+      (0L until 512L).map(i => ((i * 7 + seed) % 64, (i * 13 + seed) % 64))
+    (0 until 4).foreach { b => input.addData(wave(b): _*); q.processAllAvailable() }
+    q.stop()
+    assert(Manifest.read(spark, root).count() == 4 * 512L)
+    // the loop's own maintenance converged: a manual pass finds nothing
+    val r = Maintenance.run(spark, root, policy)
+    assert(r.clustered.exists(_.rewrittenBytes == 0L), r.toString)
+    // gc enforced the retention depth as it went
+    assert(Manifest.versions(spark, root).size <= 3,
+      Manifest.versions(spark, root).toString)
+  }
+
   test("dedupEvents drops duplicate event_ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
