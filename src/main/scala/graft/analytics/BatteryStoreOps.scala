@@ -2338,5 +2338,49 @@ trait BatteryStoreOps extends BatteryModels {
       FROM orders WHERE o_orderkey % 5 <> 0
       GROUP BY 1 ORDER BY 1"""))
 
+  /** IMMUTABLE VERSION TAGS ([[graft.store.Manifest.tagVersion]] /
+    * `tableAtTag` — the public Iceberg tag idea: pin "dataset-v1" for
+    * a reproducible training run and hold it outside gc retention):
+    * the lower half of orders lands and is TAGGED; the table then
+    * lives on — upper-half append, an upsert price bump across BOTH
+    * halves, a DV delete slab, and a gc whose retention depth would
+    * sweep the tagged version (the tag protects it, checkpointed
+    * self-contained). The digest reads THROUGH THE TAG; the oracle is
+    * the tagged-time state — any post-tag mutation leaking through, or
+    * a gc-broken resolution, hash-mismatches. */
+  val q191 = Q("q191_manifest_dataset_tag",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q191").toString + "/orders_tag"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      Manifest.append(orders.filter(col("o_orderkey") <= mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))                       // v0
+      Manifest.tagVersion(s, root, "train-v1")                     // v1
+      Manifest.append(orders.filter(col("o_orderkey") > mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))                       // v2
+      Manifest.upsert(orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(9.0)),
+        root, "o_orderkey")                                        // v3
+      Manifest.deleteWhereBetweenDv(s, root, "o_orderkey",
+        mk / 8, mk / 4)                                            // v4
+      Manifest.gc(s, root, keepVersions = 2, orphanMinAgeMs = 0L)
+      Manifest.tableAtTag(s, root, "train-v1")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("status")
+    },
+    Some("""WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders)
+      SELECT o_orderstatus AS status, COUNT(*) AS n,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders, mx WHERE o_orderkey <= mk // 2
+      GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

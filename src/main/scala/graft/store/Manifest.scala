@@ -913,6 +913,62 @@ object Manifest {
       _.files,
       skipIf = s => s.meta.get(txnKey(writerId)).exists(_.toLong >= txnId))._1
 
+  /** Reserved metadata key prefix: named, immutable version TAGS —
+    * `graft.tag.<name> -> version` (the public Iceberg tag idea). A
+    * tag pins a snapshot under a name a consumer can hold forever
+    * ("dataset-v3" for a reproducible training run): [[tableAtTag]]
+    * reads it, and [[gc]] PROTECTS the tagged snapshot — its manifest,
+    * files, deletion vector, and bloom sidecars — regardless of the
+    * retention depth, writing the tagged version a resolved checkpoint
+    * sidecar first when history between it and the live tail is about
+    * to drop. Tags are immutable ([[tagVersion]] rejects an existing
+    * name — [[dropTag]] releases it); like the txn watermark, the tag
+    * SET lives in table metadata, so [[restore]] restores the tag set
+    * of the restored version (which is what a rollback means). */
+  val TagKeyPrefix = "graft.tag."
+
+  /** Pin `version` (default: the current one) under an immutable tag
+    * name — one metadata commit. The version must be retained (its
+    * snapshot must still resolve); the name must be a simple token and
+    * must not already exist. */
+  def tagVersion(spark: SparkSession, root: String, name: String,
+      version: Option[Long] = None): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"tag name must be a simple token, got [$name]")
+    val cur = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val v = version.getOrElse(cur.version)
+    snapshot(spark, root, v) // loud throw if not retained
+    require(!cur.meta.contains(TagKeyPrefix + name),
+      s"$root: tag [$name] already exists (tags are immutable — dropTag first)")
+    publish(spark, root, Seq.empty,
+      old => old + (TagKeyPrefix + name -> v.toString) +
+        (OpKey -> s"tag($name)"),
+      _.files)._1
+  }
+
+  /** Release a tag (no-op commit if absent); the version becomes
+    * sweepable by the next [[gc]] unless retention still covers it. */
+  def dropTag(spark: SparkSession, root: String, name: String): Long =
+    publish(spark, root, Seq.empty,
+      old => old - (TagKeyPrefix + name) + (OpKey -> s"dropTag($name)"),
+      _.files)._1
+
+  /** Every live tag, name → pinned version. */
+  def tags(spark: SparkSession, root: String): Map[String, Long] =
+    current(spark, root).map(_.meta.collect {
+      case (k, v) if k.startsWith(TagKeyPrefix) =>
+        k.stripPrefix(TagKeyPrefix) -> v.toLong
+    }.toMap).getOrElse(Map.empty)
+
+  /** The planner-integrated scan of a TAGGED snapshot — [[tableAsOf]]
+    * resolved through the tag registry. */
+  def tableAtTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val v = tags(spark, root).getOrElse(name,
+      throw new IllegalArgumentException(s"$root: no tag [$name]"))
+    tableAsOf(spark, root, v)
+  }
+
   /** Drop a CHECK constraint (no-op commit if absent). */
   def dropCheck(spark: SparkSession, root: String, name: String): Long =
     publish(spark, root, Seq.empty,
@@ -3180,33 +3236,44 @@ object Manifest {
     val f = fs(spark, root)
     val all = versions(spark, root)
     if (all.isEmpty) return Seq.empty
-    val dropped = all.dropRight(keepVersions)
+    // TAGGED versions are pinned outside the retention depth: their
+    // manifests never drop, so the file/dv/bloom retention passes
+    // below (which walk the RETAINED manifests) keep their bytes too
+    val taggedVs = tags(spark, root).values.toSet
+    val dropped = all.dropRight(keepVersions).filterNot(taggedVs)
     // resolve the expired snapshots BEFORE unlinking their manifests —
     // afterwards "expired history" and "orphan" are indistinguishable
     val droppedSnaps = dropped.map(v => snapshot(spark, root, v))
     val droppedRefs = droppedSnaps.flatMap(_.files).toSet
     val droppedDv = droppedSnaps.flatMap(_.meta.get(DvKey)).toSet
     val cutoff = System.currentTimeMillis() - orphanMinAgeMs
-    // incremental log: if the oldest RETAINED version is a delta, its
-    // resolution chains through manifests about to be dropped — write
+    // incremental log: if a RETAINED version is a delta whose
+    // resolution chains through manifests about to be dropped, write
     // its fully-resolved CHECKPOINT SIDECAR first (idempotent: content
     // is the immutable resolved snapshot; rename-if-absent arbitrates).
-    // Every newer retained version's chain stops there too (bases are
-    // contiguous v → v-1). A crash between sidecar write and the drops
-    // below just re-runs.
+    // That covers the oldest tail-retained version (every newer tail
+    // version's chain stops there — bases are contiguous v → v-1) AND
+    // every tagged version stranded in a retention hole (its own
+    // checkpoint makes it self-contained). A crash between sidecar
+    // write and the drops below just re-runs.
     if (dropped.nonEmpty) {
-      val oldestRetained = all.takeRight(keepVersions).head
-      val snap = snapshot(spark, root, oldestRetained)
-      if (snap.chainLen > 0) {
-        val tmp = new Path(manifestDir(root),
-          s"_tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
-        val out = f.create(tmp, false)
-        try out.write(render(snap.files, snap.meta, snap.stats, snap.rows,
-          snap.bytes).getBytes("UTF-8"))
-        finally out.close()
-        val cp = checkpointPath(root, oldestRetained)
-        if (f.exists(cp) || !f.rename(tmp, cp)) f.delete(tmp, false)
+      def ensureCheckpoint(v: Long): Unit = {
+        val snap = snapshot(spark, root, v)
+        if (snap.chainLen > 0) {
+          val tmp = new Path(manifestDir(root),
+            s"_tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
+          val out = f.create(tmp, false)
+          try out.write(render(snap.files, snap.meta, snap.stats, snap.rows,
+            snap.bytes).getBytes("UTF-8"))
+          finally out.close()
+          val cp = checkpointPath(root, v)
+          if (f.exists(cp) || !f.rename(tmp, cp)) f.delete(tmp, false)
+        }
       }
+      val tail = all.takeRight(keepVersions)
+      if (tail.nonEmpty) ensureCheckpoint(tail.head)
+      taggedVs.filterNot(tail.contains).filter(all.contains)
+        .toSeq.sorted.foreach(ensureCheckpoint)
     }
     dropped.foreach { v =>
       f.delete(manifestPath(root, v), false)

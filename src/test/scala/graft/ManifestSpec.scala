@@ -989,6 +989,46 @@ class ManifestSpec extends SparkTestBase {
       .select("score").head().getLong(0) == 120L)
   }
 
+  test("version tags: pinned outside retention, gc-protected, immutable, releasable") {
+    val root = newRoot("tags")
+    // six content-distinct versions; tag v1 as the training pin
+    for (i <- 0 until 6)
+      Manifest.append(Seq((i.toLong, s"batch$i")).toDF("k", "v").coalesce(1),
+        root, statsCols = Seq("k"))
+    Manifest.tagVersion(spark, root, "train-v1", Some(1L))
+    val taggedRows = Set((0L, "batch0"), (1L, "batch1"))
+    // guards: immutable names, simple tokens, retained versions only
+    intercept[IllegalArgumentException] {
+      Manifest.tagVersion(spark, root, "train-v1", Some(2L))
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.tagVersion(spark, root, "bad name", Some(2L))
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.tagVersion(spark, root, "ghost", Some(99L))
+    }
+    assert(Manifest.tags(spark, root) == Map("train-v1" -> 1L))
+    // gc to a depth that would sweep v1 — the tag protects it (and the
+    // checkpoint sidecar keeps a delta-logged version self-contained)
+    Manifest.gc(spark, root, keepVersions = 2, orphanMinAgeMs = 0L)
+    val vs = Manifest.versions(spark, root)
+    assert(vs.contains(1L), s"tagged version swept: $vs")
+    assert(!vs.contains(2L) && !vs.contains(3L), s"retention hole not swept: $vs")
+    val got = Manifest.tableAtTag(spark, root, "train-v1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == taggedRows, got.toString)
+    // live table unaffected
+    assert(Manifest.read(spark, root).count() == 6L)
+    // release: the next gc sweeps the version
+    Manifest.dropTag(spark, root, "train-v1")
+    assert(Manifest.tags(spark, root).isEmpty)
+    Manifest.gc(spark, root, keepVersions = 2, orphanMinAgeMs = 0L)
+    assert(!Manifest.versions(spark, root).contains(1L))
+    intercept[IllegalArgumentException] {
+      Manifest.tableAtTag(spark, root, "train-v1")
+    }
+  }
+
   test("deleteWhereDv: general-predicate delete is a pure metadata commit; 3VL; maps; accumulates") {
     val root = newRoot("dv_pred")
     Manifest.append(Seq((1L, 5L, "ok"), (2L, 20L, "bad"), (3L, 30L, null))
