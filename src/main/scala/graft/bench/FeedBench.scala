@@ -129,15 +129,27 @@ object FeedBench {
     * match. The entry's own object must be flat (no nested braces). */
   private def upsertLedger(key: String, flatObj: String): Unit = {
     val jsonFile = java.nio.file.Paths.get("BENCH_SCALE.json")
-    val txt =
+    val txt0 =
       if (java.nio.file.Files.exists(jsonFile))
         new String(java.nio.file.Files.readAllBytes(jsonFile), "UTF-8").trim
-      else "{}"
+      else ""
+    // a truncated/empty file from a crashed prior run must not lose
+    // THIS run's numbers at the finish line
+    val txt = if (txt0.isEmpty || txt0.lastIndexOf('}') < 0) "{}" else txt0
     val entry = s""""$key": $flatObj"""
+    if (txt.contains(entry)) return // identical numbers: already current
     val updated =
-      if (txt.contains(s""""$key""""))
-        txt.replaceAll(s""""$key"\\s*:\\s*\\{[^{}]*\\}""", java.util.regex.Matcher.quoteReplacement(entry))
-      else {
+      if (txt.contains(s""""$key"""")) {
+        val r = txt.replaceAll(s""""$key"\\s*:\\s*\\{[^{}]*\\}""",
+          java.util.regex.Matcher.quoteReplacement(entry))
+        // a no-op replace means the existing entry isn't flat (hand-
+        // edited/nested) — fail LOUDLY rather than print new numbers
+        // while the ledger silently keeps the old ones
+        require(r != txt,
+          s"BENCH_SCALE.json: entry [$key] exists but is not a flat " +
+            "object — update it by hand")
+        r
+      } else {
         val i = txt.lastIndexOf('}')
         val body = txt.substring(0, i).trim
         if (body == "{") s"{\n $entry\n}"

@@ -145,7 +145,10 @@ object ManifestAnn {
     * first, so list choice never rides a wrapped int64. */
   private def probedLists(spark: SparkSession, root: String,
       listCol: String, queryQv: Seq[Long], nProbe: Int): Seq[Any] = {
-    val cents = centroidSums(spark, root, listCol)
+    // materialized once (tiny: one row per list) — the envelope gate
+    // and the scoring pass are separate actions, and each would
+    // otherwise re-fold the sidecar
+    val cents = centroidSums(spark, root, listCol).localCheckpoint()
     val qlit = typedLit(queryQv)
     val score = routingScore(col("cvec"), qlit,
       exact = routingEnvelopeOk(cents, queryQv))

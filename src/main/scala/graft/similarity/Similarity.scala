@@ -99,9 +99,14 @@ object Similarity {
     }
 
   /** Top-`nprobe` probed lists per query — the routing step every IVF
-    * router shares, envelope-gated. */
-  private def probedListsByQuery(cents: DataFrame, labelCol: String,
+    * router shares, envelope-gated. The sums are MATERIALIZED once
+    * (localCheckpoint — one row per list, tiny): the gate's aggregate
+    * and the scoring pass are separate Spark actions, and without the
+    * checkpoint each would re-run the full base-table centroid-sum
+    * shuffle. */
+  private def probedListsByQuery(cents0: DataFrame, labelCol: String,
       queries: DataFrame, nprobe: Int): DataFrame = {
+    val cents = cents0.localCheckpoint()
     val exact = routingEnvelopeOk(cents, queries)
     cents.crossJoin(broadcast(queries))
       .select(col("qid"), col(labelCol),

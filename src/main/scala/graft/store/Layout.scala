@@ -129,7 +129,10 @@ object Layout {
       val want = (1 << bits) - 1
       val bnds: Seq[String] =
         if (sampled.length <= want) sampled.toSeq
-        else (1 to want).map(i => sampled((i * sampled.length) / (want + 1)))
+        // Long arithmetic: i * length overflows Int at bits=16 with a
+        // near-cap sample (65k × 65k), wrapping to a negative index
+        else (1 to want).map(i =>
+          sampled((i.toLong * sampled.length / (want + 1)).toInt))
       c -> bnds.distinct
     }.toMap
   }
@@ -173,6 +176,9 @@ object Layout {
     require(boundaries.nonEmpty, "cluster needs at least one layout column")
     require(partitions >= 1, s"partitions must be positive ($partitions)")
     boundaries.foreach { case (c, b) =>
+      require(b.nonEmpty,
+        s"column $c has no derivable boundaries (all NULL in the input?) — " +
+          "drop it from the layout columns or backfill it first")
       require(b.length < (1 << bits), s"column $c has too many boundaries for $bits bits")
     }
     val dims = boundaries.toSeq.sortBy(_._1) // deterministic dimension order

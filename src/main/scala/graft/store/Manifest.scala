@@ -808,20 +808,34 @@ object Manifest {
 
   /** Bound a recorded string stat while keeping pruning CORRECT:
     * min truncates to a prefix (any string starting with it compares
-    * ≥ the prefix — a valid lower bound), max truncates and INCREMENTS
-    * the last retained char (strictly above every string sharing the
-    * prefix — a valid upper bound); a retained run of already-maximal
-    * chars backs off to the nearest incrementable one, and the
-    * pathological all-max prefix keeps the exact value. Both sides
-    * only WIDEN the recorded range, so file pruning and
-    * fully-covered proofs stay conservative, never wrong. */
+    * ≥ the prefix — a valid lower bound; a cut that would strand a
+    * high surrogate backs off one char so the prefix stays valid
+    * UTF-16), max truncates and INCREMENTS the last retained char
+    * (strictly above every string sharing the prefix — a valid upper
+    * bound); the increment backs off past chars whose successor would
+    * be an UNPAIRED SURROGATE — the UTF-8 serialization of the
+    * manifest would mangle one to '?', collapsing the recorded max
+    * BELOW real values (anti-conservative, wrong pruning) — as well
+    * as past already-maximal chars; a prefix with nothing
+    * incrementable keeps the exact value. Both sides only WIDEN the
+    * recorded range, so file pruning and fully-covered proofs stay
+    * conservative, never wrong. */
   private def boundStat(v: Any, isMax: Boolean): Any = v match {
     case s: String if s.length > StatStringCap =>
-      if (!isMax) s.substring(0, StatStringCap)
-      else {
+      if (!isMax) {
+        // don't split a surrogate pair at the cap
+        val cut =
+          if (Character.isHighSurrogate(s.charAt(StatStringCap - 1)))
+            StatStringCap - 1
+          else StatStringCap
+        s.substring(0, cut)
+      } else {
+        // c is incrementable iff c+1 is a real, non-surrogate char
+        def incrementable(c: Char): Boolean =
+          c < 0xD7FF.toChar || (c >= 0xE000.toChar && c < 0xFFFF.toChar)
         var i = StatStringCap - 1
-        while (i >= 0 && s.charAt(i) == Char.MaxValue) i -= 1
-        if (i < 0) s // cannot bound above a max-char prefix: keep exact
+        while (i >= 0 && !incrementable(s.charAt(i))) i -= 1
+        if (i < 0) s // cannot bound above this prefix: keep exact
         else s.substring(0, i) + (s.charAt(i) + 1).toChar
       }
     case other => other
@@ -942,8 +956,14 @@ object Manifest {
     require(!cur.meta.contains(TagKeyPrefix + name),
       s"$root: tag [$name] already exists (tags are immutable — dropTag first)")
     publish(spark, root, Seq.empty,
-      old => old + (TagKeyPrefix + name -> v.toString) +
-        (OpKey -> s"tag($name)"),
+      old => {
+        // re-checked against the WINNING parent inside the commit loop:
+        // two racing tagVersion calls must not both land (the loser
+        // would silently re-pin an "immutable" name)
+        require(!old.contains(TagKeyPrefix + name),
+          s"$root: tag [$name] already exists (tags are immutable — dropTag first)")
+        old + (TagKeyPrefix + name -> v.toString) + (OpKey -> s"tag($name)")
+      },
       _.files)._1
   }
 
@@ -2319,9 +2339,14 @@ object Manifest {
         require(missing.isEmpty,
           s"mergeInto(insertUnmatched): source lacks column(s) " +
             s"${missing.mkString(", ")} of the table schema")
+        // LIVE keys only: the raw file still holds DV-deleted rows,
+        // and a key deleted through the vector must INSERT here (the
+        // update side reads through the vector too, so without this
+        // the source row would vanish instead of landing)
         val existing =
           if (touched.isEmpty) srcKeys.filter(lit(false))
-          else readFiles(spark, root, snap, touched)
+          else applyDv(spark, root, snap,
+              readFiles(spark, root, snap, touched))
             .select(col(keyP)).distinct()
         Some(source.select(tCols.map(c => col(s"`$c`")): _*)
           .join(existing.select(col(keyP).as(keyCol)), Seq(keyCol), "left_anti"))

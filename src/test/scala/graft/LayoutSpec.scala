@@ -57,6 +57,13 @@ class LayoutSpec extends SparkTestBase {
     val wide = (1 to 5000).map(i => f"k$i%05d").toDF("k")
     val bw = Layout.stringBoundariesFor(wide, Seq("k"), bits = 4)("k")
     assert(bw.length <= 15 && bw == bw.sorted && bw.distinct == bw, bw.toString)
+    // bits=16 with a sample past 2^16 − 1: the split-point product
+    // i * length overflowed Int and indexed negative
+    val huge = (1 to 70000).map(i => f"k$i%06d").toDF("k")
+    val bh = Layout.stringBoundariesFor(huge, Seq("k"), bits = 16,
+      sampleCap = 70000)("k")
+    assert(bh.length <= 65535 && bh == bh.sorted && bh.distinct == bh,
+      s"${bh.length} boundaries")
   }
 
   test("mixed (string, numeric) clustering: rows preserved, string boxes tight per partition") {

@@ -989,6 +989,52 @@ class ManifestSpec extends SparkTestBase {
       .select("score").head().getLong(0) == 120L)
   }
 
+  test("mergeInto inserts a source row whose key was DV-deleted (live-keys existing set)") {
+    val root = newRoot("merge_dv_ins")
+    Manifest.append(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "x")
+      .coalesce(1), root, statsCols = Seq("k"))
+    Manifest.deleteWhereBetweenDv(spark, root, "k", 2L, 2L)
+    // k=2 is logically GONE; a merge carrying it must INSERT it — the
+    // raw touched file still holds the DV'd row, and reading the
+    // existing-keys set without the vector made the source row vanish
+    Manifest.mergeInto(Seq((2L, 99L), (4L, 40L)).toDF("k", "x"), root,
+      "k", Map("x" -> "s.x"))
+    val got = Manifest.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 99L), (3L, 30L), (4L, 40L)),
+      got.toString)
+  }
+
+  test("surrogate pairs at the stat cap: bounds stay valid UTF-16 and conservative") {
+    // an emoji (surrogate pair) straddles the 64-char truncation point
+    val tricky = "a" * 63 + new String(Character.toChars(0x1F600)) + "b" * 10
+    val root = newRoot("stat_surrogate")
+    Manifest.append(Seq((1L, tricky)).toDF("k", "txt").coalesce(1),
+      root, statsCols = Seq("txt"))
+    val snap = Manifest.current(spark, root).get
+    val (mn, mx) = snap.stats.values.head("txt")
+    def unpaired(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        if (Character.isHighSurrogate(s.charAt(i))) {
+          if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1)))
+            return true
+          i += 2
+        } else if (Character.isLowSurrogate(s.charAt(i))) return true
+        else i += 1
+      }
+      false
+    }
+    assert(!unpaired(mn.toString), s"min carries an unpaired surrogate: [$mn]")
+    assert(!unpaired(mx.toString), s"max carries an unpaired surrogate: [$mx]")
+    // conservative after the manifest's UTF-8 round trip: the widened
+    // box still admits the real value
+    assert(mn.toString <= tricky && tricky <= mx.toString,
+      s"bounds exclude the real value: [$mn] .. [$mx]")
+    assert(Manifest.readWhereBetween(spark, root, "txt", tricky, tricky)
+      .count() == 1L)
+  }
+
   test("version tags: pinned outside retention, gc-protected, immutable, releasable") {
     val root = newRoot("tags")
     // six content-distinct versions; tag v1 as the training pin
