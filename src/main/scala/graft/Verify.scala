@@ -5,6 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    run(args)
+    // every artifact is on disk and the session is stopped — force the
+    // JVM down so a stray non-daemon thread from a battery query's
+    // lifecycle (observed once at sf0.1) can never hang the driver
+    // gate. Programmatic callers (tests, embedded harnesses) use
+    // [[run]] directly or set GRAFT_VERIFY_NO_EXIT=1.
+    if (!sys.env.get("GRAFT_VERIFY_NO_EXIT").contains("1")) System.exit(0)
+  }
+
+  /** The verify body without the CLI's System.exit — embeddable. */
+  def run(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd+ args: run only the named queries (local iteration;
     // the driver always passes exactly two args → full battery)
@@ -60,9 +71,5 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
-    // every artifact is on disk and the session is stopped — force the
-    // JVM down so a stray non-daemon thread from a battery query's
-    // lifecycle (observed once at sf0.1) can never hang the driver gate
-    System.exit(0)
   }
 }

@@ -2382,5 +2382,81 @@ trait BatteryStoreOps extends BatteryModels {
       FROM orders, mx WHERE o_orderkey <= mk // 2
       GROUP BY 1 ORDER BY 1"""))
 
+  /** CDC MIRROR SURVIVING GC ([[graft.store.Manifest.changeFeedResync]]
+    * / [[graft.streaming.StreamOps.manifestCdcMirrorStep]]'s
+    * re-baseline — the lagging-consumer story every CDC system needs:
+    * when retention outpaces a consumer's cursor, the exact delta is
+    * unrecoverable, and the pump RE-BASELINES with one atomic
+    * [[graft.store.Manifest.overwriteOnce]] — mirror contents and
+    * cursor move together — instead of stranding forever): the source
+    * takes three range appends (only the first mirrored), an upsert
+    * price bump, and a DV delete slab; a gc at retention depth 1 then
+    * DROPS the consumer's watermark version (required loudly). The
+    * next pump re-baselines; exact incremental folding RESUMES over a
+    * further upsert + DV delete window. The digest reads the MIRROR;
+    * the oracle is the final source state — a resync that loses the
+    * lost-window mutations, resurrects deleted keys, or double-applies
+    * the post-resync window hash-mismatches. */
+  val q192 = Q("q192_manifest_cdc_resync",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q192").toString
+      val src = s"$base/orders_src"; val dst = s"$base/orders_mirror"
+      val orders = t(s, dir, "orders")
+      import graft.store.Manifest
+      def step() = graft.streaming.StreamOps.manifestCdcMirrorStep(
+        s, src, dst, "cdc", "o_orderkey")
+      val stats = Seq("o_orderkey", "o_custkey")
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val t1 = mk / 3; val t2 = 2 * mk / 3
+      Manifest.append(orders.filter(col("o_orderkey") <= t1).coalesce(1),
+        src, statsCols = stats)                                    // v0
+      step() // bootstrap: watermark = 0
+      Manifest.append(orders.filter(col("o_orderkey") > t1 &&
+        col("o_orderkey") <= t2).coalesce(1), src, statsCols = stats) // v1
+      Manifest.append(orders.filter(col("o_orderkey") > t2).coalesce(1),
+        src, statsCols = stats)                                    // v2
+      Manifest.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+        src, "o_orderkey")                                         // v3
+      Manifest.deleteWhereBetweenDv(s, src, "o_orderkey",
+        mk / 5, 2 * mk / 5)                                        // v4
+      // retention outpaces the lagging consumer: the watermark drops
+      Manifest.gc(s, src, keepVersions = 1, orphanMinAgeMs = 0L)
+      require(!Manifest.versions(s, src).contains(0L),
+        "gc must drop the watermark version to exercise the resync path")
+      step() // RE-BASELINE: wholesale replace + cursor, one commit
+      // exact incremental folding resumes from the new baseline
+      // (the batch stays above the deleted slab — an upsert would
+      // re-insert unmatched keys, which is not this scenario)
+      Manifest.upsert(orders.filter(col("o_orderkey") % 9 === 0 &&
+          col("o_orderkey") > 2 * mk / 5)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(50.0)),
+        src, "o_orderkey")                                         // v5
+      Manifest.deleteWhereBetweenDv(s, src, "o_custkey", 1L, 30L)  // v6
+      step() // one retracting window over upsert + delete
+      Manifest.read(s, dst)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      final AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 9 = 0 AND o_orderkey > (2 * mk) // 5
+            THEN o_totalprice + 50.0
+          WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+          ELSE o_totalprice END AS price
+        FROM orders, mx
+        WHERE NOT (o_orderkey BETWEEN mk // 5 AND (2 * mk) // 5)
+          AND NOT (o_custkey BETWEEN 1 AND 30))
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM final GROUP BY 1 ORDER BY 1"""))
+
   /** All registered queries, in gate order. */
 }

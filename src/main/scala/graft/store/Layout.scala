@@ -99,9 +99,30 @@ object Layout {
     * min/max stats prune with, so string-clustered files' boxes are
     * tight in exactly the comparison pruning uses. Same codegen'd
     * `aggregate` over a literal array, no UDF. */
+  /** Spark compares strings as UTF-8 BINARY (UTF8String.compareTo);
+    * Java's String ordering is UTF-16 code units. They disagree when
+    * supplementary characters (surrogate pairs, UTF-16 0xD800+) mix
+    * with U+E000..U+FFFF chars — boundary ordering must follow the
+    * comparator the ranks are actually computed under. */
+  private[graft] val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   def bucketOfString(c: Column, boundaries: Seq[String]): Column = {
     require(boundaries.nonEmpty, "bucketOfString needs at least one boundary")
-    require(boundaries == boundaries.sorted, "boundaries must be ascending")
+    require(boundaries == boundaries.sorted(utf8Order),
+      "boundaries must be ascending in UTF-8 byte order")
     aggregate(
       typedLit(boundaries),
       lit(0L),
@@ -125,7 +146,7 @@ object Layout {
       val n = distinct.count()
       val frac = math.min(1.0, sampleCap.toDouble / math.max(n, 1L))
       val sampled = (if (frac >= 1.0) distinct else distinct.sample(frac, 42L))
-        .collect().map(_.getString(0)).sorted
+        .collect().map(_.getString(0)).sorted(utf8Order)
       val want = (1 << bits) - 1
       val bnds: Seq[String] =
         if (sampled.length <= want) sampled.toSeq

@@ -173,12 +173,21 @@ final class LockFileArbiter(staleMs: Long = 30000L,
       var run = true
       while (run && beating.get()) {
         try {
-          val still =
-            try new String(java.nio.file.Files.readAllBytes(lock.toPath),
-              "UTF-8") == token
-            catch { case _: Exception => false }
-          if (still) { lock.setLastModified(System.currentTimeMillis()); () }
-          Thread.sleep(period)
+          // an unexpected throwable from the touch (SecurityException,
+          // disk error) must NOT kill the heartbeat: a silent death
+          // here makes a slow-but-alive holder look stale — the exact
+          // usurpation state the heartbeat exists to prevent
+          try {
+            val still =
+              try new String(java.nio.file.Files.readAllBytes(lock.toPath),
+                "UTF-8") == token
+              catch { case _: Exception => false }
+            if (still) { lock.setLastModified(System.currentTimeMillis()); () }
+          } catch {
+            case _: InterruptedException => run = false
+            case _: Throwable => ()
+          }
+          if (run) Thread.sleep(period)
         } catch { case _: InterruptedException => run = false }
       }
     }, s"graft-lock-heartbeat-${token.take(8)}")
@@ -1303,10 +1312,47 @@ object Manifest {
       statsCols: Seq[String] = Nil): Long =
     // overwrite REPLACES the table wholesale under the batch's own
     // names — any column mapping resets (logical = physical again)
+    // ... and the deletion-vector pointer drops with the old files: a
+    // carried stale vector would be harmless (fresh file names never
+    // match) but every read would pay its broadcast anti-join for free
     commitStaged(df, root, meta + (SchemaJsonKey -> df.schema.json), statsCols,
       _ => Seq.empty, enforceSchema = false,
       skipIf = _ => false, op = "overwrite",
-      clearMeta = Seq(ColMapKey, DroppedKey))._1
+      clearMeta = Seq(ColMapKey, DroppedKey, DvKey, DvRowsKey))._1
+
+  /** EXACTLY-ONCE overwrite — [[overwrite]] carrying a (writerId →
+    * txnId) watermark in the same atomic commit, the wholesale-replace
+    * sibling of [[appendOnce]]: a replayed or lagging writer whose txn
+    * is already recorded SKIPS (current version returned, nothing
+    * staged kept). The re-baseline commit of a RESYNCING change-feed
+    * consumer ([[changeFeedResync]]) — the mirror's contents and its
+    * cursor move together, so there is no window where the mirror
+    * holds the new state but would replay the old delta or vice
+    * versa. Resets column mapping and the deletion-vector pointer
+    * like any overwrite. */
+  def overwriteOnce(df: DataFrame, root: String, writerId: String,
+      txnId: Long, meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): (Long, Boolean) = {
+    require(writerId.nonEmpty && !writerId.exists(c => c.isWhitespace || c == '"'),
+      s"writerId must be a simple token, got [$writerId]")
+    val spark = df.sparkSession
+    def done(s: Snapshot): Boolean =
+      s.meta.get(txnKey(writerId)).exists(_.toLong >= txnId)
+    val cur = current(spark, root)
+    cur.filter(done).foreach(s => return (s.version, false))
+    val (v, committed, staged) = commitStaged(df, root,
+      meta + (SchemaJsonKey -> df.schema.json) +
+        (txnKey(writerId) -> txnId.toString),
+      statsCols, _ => Seq.empty, enforceSchema = false,
+      skipIf = done, op = "overwriteOnce",
+      clearMeta = Seq(ColMapKey, DroppedKey, DvKey, DvRowsKey))
+    if (!committed) staged.headOption.foreach { rel =>
+      val f = fs(spark, root)
+      f.delete(new Path(dataDir(root), rel.substring(0, rel.indexOf('/'))), true)
+      ()
+    }
+    (v, committed)
+  }
 
   /** SCHEMA-EVOLVING append — the public mergeSchema: the batch may ADD
     * columns, INCLUDING fields nested inside structs (recorded in the
@@ -2109,6 +2155,72 @@ object Manifest {
     }.reduce(_.unionByName(_))
   }
 
+  /** The resync flag column [[changeFeedResync]] adds beside
+    * [[ChangeTypeCol]] / [[CommitVersionCol]]: true on the rows of a
+    * full-state re-baseline window, false on exact delta rows. */
+  val ResyncCol = "_resync"
+
+  /** [[changeFeed]] that SURVIVES a gc'd left edge — the lagging-CDC-
+    * consumer contract every public change feed needs: when retention
+    * outpaces a consumer (the manifests for part of `(fromVersion,
+    * toVersion]` are gone), the exact per-commit replay is
+    * unrecoverable, and throwing (what [[changeFeed]] does) strands
+    * the consumer forever. This form instead finds the OLDEST version
+    * `r` from which the remaining feed is exact (the contiguous
+    * retained run ending at `toVersion` — gc keeps a resolved
+    * checkpoint for the oldest retained version, so `r` always
+    * resolves), emits the FULL live state at `r` as one insert-only
+    * window tagged [[ResyncCol]] = true and [[CommitVersionCol]] = r
+    * (the consumer's cue to TRUNCATE-AND-RELOAD rather than fold),
+    * then the exact per-commit deltas of `(r, toVersion]` with
+    * [[ResyncCol]] = false. A fully-retained window degrades to
+    * [[changeFeed]] plus a constant-false [[ResyncCol]] — same rows,
+    * same attribution. Caveat: a resync whose snapshot is EMPTY (all
+    * rows deleted before the gc) emits zero rows, so a row-folding
+    * consumer cannot see the flag — track `_commit_version` gaps, or
+    * use [[graft.streaming.StreamOps.manifestCdcMirrorStep]], whose
+    * re-baseline is version-driven, not row-driven. */
+  def changeFeedResync(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(toVersion > fromVersion,
+      s"changeFeedResync needs an open window, got ($fromVersion, $toVersion]")
+    val have = versions(spark, root).toSet
+    require(have.contains(toVersion),
+      s"$root: version $toVersion does not exist")
+    val needFrom = math.max(fromVersion, 0L)
+    if ((needFrom to toVersion).forall(have))
+      return changeFeed(spark, root, fromVersion, toVersion)
+        .withColumn(ResyncCol, lit(false))
+    // left edge gc'd: oldest r with [r, toVersion] fully retained
+    var r = toVersion
+    while (have.contains(r - 1)) r -= 1
+    val snapR = snapshot(spark, root, r)
+    val state =
+      if (snapR.files.nonEmpty)
+        logicalize(applyDv(spark, root, snapR,
+          readFiles(spark, root, snapR, snapR.files)), snapR)
+      else recordedSchema(snapR) match {
+        case Some(st) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        case None => throw new IllegalStateException(
+          s"$root: resync version $r is empty with no recorded schema")
+      }
+    val base = state
+      .withColumn(ChangeTypeCol, lit("insert"))
+      .withColumn(CommitVersionCol, lit(r))
+      .withColumn(ResyncCol, lit(true))
+    val frames = Seq(base) ++ (if (r < toVersion)
+      Some(changeFeed(spark, root, r, toVersion)
+        .withColumn(ResyncCol, lit(false)))
+      else None)
+    // schema can widen across the window: align on the column union
+    val allCols = frames.flatMap(_.columns).distinct
+    frames.map { df =>
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(s"`$c`") else lit(null).as(c)): _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** MERGE / upsert by key — the table-format point-update whose cost
     * follows TOUCHED FILES, not table size: coarse-prune candidate
     * files by the recorded [min, max] of `keyCol` against the batch's
@@ -2284,8 +2396,12 @@ object Manifest {
       case Some(d) =>
         val byName = snap.files.map(rel =>
           rel.substring(rel.lastIndexOf('/') + 1) -> rel).toMap
-        logicalize(readFiles(spark, root, snap, snap.files)
-            .withColumn("__f", substring_index(input_file_name(), "/", -1)),
+        // discovery reads THROUGH the deletion vector like the rewrite
+        // side — a file whose only NMBS-matching rows are already
+        // DV-deleted must not be selected and needlessly rewritten
+        logicalize(applyDv(spark, root, snap,
+            readFiles(spark, root, snap, snap.files)
+              .withColumn("__f", substring_index(input_file_name(), "/", -1))),
           snap).alias("t")
           .join(source.select(col(keyCol)).distinct().alias("s"),
             col(s"t.$keyCol") === col(s"s.$keyCol"), "left_anti")
@@ -2737,6 +2853,15 @@ object Manifest {
     * count must not double them — write the vector sidecar, commit the
     * pointer. No-op (current version) when nothing matched. */
   private def publishDvDelete(spark: SparkSession, root: String,
+      snap: Snapshot, newDel0: DataFrame): Long = {
+    // materialize the candidate scan ONCE: the emptiness probe and the
+    // vector fold below must not each pay a full predicate table scan
+    val newDel = newDel0.localCheckpoint()
+    try publishDvDeleteStaged(spark, root, snap, newDel)
+    finally { newDel.unpersist(); () }
+  }
+
+  private def publishDvDeleteStaged(spark: SparkSession, root: String,
       snap: Snapshot, newDel: DataFrame): Long = {
     if (newDel.isEmpty) return snap.version // nothing matched: no commit
     val liveFiles = snap.files.map(dvName).toSet

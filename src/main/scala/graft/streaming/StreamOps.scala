@@ -988,12 +988,25 @@ object StreamOps {
     }
     val last = Manifest.lastTxn(spark, dstRoot, writerId)
     if (last.exists(_ >= cur.version)) return None
-    val delta = last match {
-      case None => Manifest.readSnapshot(spark, srcRoot, cur) // bootstrap: full snapshot
-      case Some(v) => Manifest.changes(spark, srcRoot, v, cur)
+    last match {
+      case Some(v) if !Manifest.versions(spark, srcRoot).contains(v) =>
+        // gc outpaced this consumer: the exact delta from v is
+        // unrecoverable (the watermark version's manifest is gone).
+        // RE-BASELINE — one atomic exactly-once commit replaces the
+        // mirror wholesale with the source's pinned current state AND
+        // advances the watermark (the resync contract of
+        // [[graft.store.Manifest.changeFeedResync]]).
+        Manifest.overwriteOnce(
+          transform(Manifest.readSnapshot(spark, srcRoot, cur)),
+          dstRoot, writerId, cur.version, statsCols = statsCols)
+      case last0 =>
+        val delta = last0 match {
+          case None => Manifest.readSnapshot(spark, srcRoot, cur) // bootstrap
+          case Some(v) => Manifest.changes(spark, srcRoot, v, cur)
+        }
+        Manifest.appendOnce(transform(delta), dstRoot, writerId, cur.version,
+          statsCols = statsCols)
     }
-    Manifest.appendOnce(transform(delta), dstRoot, writerId, cur.version,
-      statsCols = statsCols)
     Some(cur.version)
   }
 
@@ -1031,6 +1044,18 @@ object StreamOps {
     last match {
       case None => // bootstrap: the full (DV-filtered) snapshot
         Manifest.appendOnce(Manifest.readSnapshot(spark, srcRoot, cur),
+          dstRoot, writerId, cur.version,
+          statsCols = if (statsCols.nonEmpty) statsCols else Seq(keyCol))
+      case Some(v) if !Manifest.versions(spark, srcRoot).contains(v) =>
+        // gc outpaced this consumer (the watermark version's manifest
+        // is gone — the exact net delta is unrecoverable). RE-BASELINE:
+        // one atomic exactly-once commit replaces the mirror wholesale
+        // with the source's pinned current state and advances the
+        // watermark — deleted keys drop with the overwrite, so the
+        // mirror converges to the source without replaying the lost
+        // window (the [[graft.store.Manifest.changeFeedResync]]
+        // contract, version-driven so an empty source still truncates).
+        Manifest.overwriteOnce(Manifest.readSnapshot(spark, srcRoot, cur),
           dstRoot, writerId, cur.version,
           statsCols = if (statsCols.nonEmpty) statsCols else Seq(keyCol))
       case Some(v) =>

@@ -48,6 +48,25 @@ class LayoutSpec extends SparkTestBase {
       Layout.bucketOfString(col("s"), Seq("b", "a")))
   }
 
+  test("bucketOfString: boundary validation follows UTF-8 byte order, not UTF-16") {
+    // U+FFFD = EF BF BD; U+1F600 (surrogate pair, UTF-16 0xD83D...) =
+    // F0 9F 98 80. UTF-8 binary (Spark's comparator): FFFD < 1F600.
+    // Java UTF-16 code units: D83D < FFFD — the OPPOSITE. A boundary
+    // set legal under Spark's order must validate; ranks must match.
+    val lo = "�"
+    val hi = "😀"
+    assert(Layout.utf8Order.compare(lo, hi) < 0)
+    assert(lo.compareTo(hi) > 0) // Java order disagrees — the trap
+    val df = Seq("", lo, hi).toDF("s")
+    val got = df.select(
+        Layout.bucketOfString(col("s"), Seq(lo, hi)).as("b"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 2L), got.toString)
+    // descending in UTF-8 order still rejects
+    intercept[IllegalArgumentException](
+      Layout.bucketOfString(col("s"), Seq(hi, lo)))
+  }
+
   test("stringBoundariesFor: low-cardinality keys exact; bounded, ascending, deduped") {
     val langs = Seq("de", "en", "es", "fr", "it", "ja", "pt", "zh")
     val df = (1 to 1000).map(i => langs(i % 8)).toDF("lang")

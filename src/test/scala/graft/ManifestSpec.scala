@@ -1203,6 +1203,75 @@ class ManifestSpec extends SparkTestBase {
     }
   }
 
+  test("changeFeedResync: exact when retained; truncate-and-reload window past a gc'd edge") {
+    val root = newRoot("cdfresync")
+    Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
+      root, statsCols = Seq("k"))                                  // v0
+    Manifest.append(Seq((3L, 30L), (4L, 40L)).toDF("k", "x").coalesce(1),
+      root, statsCols = Seq("k"))                                  // v1
+    Manifest.upsert(Seq((3L, 99L), (5L, 50L)).toDF("k", "x"),
+      root, "k")                                                   // v2
+    Manifest.deleteWhereBetweenDv(spark, root, "k", 1L, 1L)        // v3
+    // fully retained: degrades to changeFeed + constant-false flag
+    val exact = Manifest.changeFeedResync(spark, root, -1L, 3L)
+    assert(exact.filter(col(Manifest.ResyncCol)).count() == 0L)
+    assert(exact.count() == Manifest.changeFeed(spark, root, -1L, 3L).count())
+    Manifest.gc(spark, root, keepVersions = 2)     // drops v0, v1
+    assert(Manifest.versions(spark, root) == Seq(2L, 3L))
+    // the exact form strands the lagging consumer
+    intercept[Exception] {
+      Manifest.changeFeed(spark, root, 0L, 3L).collect()
+    }
+    val feed = Manifest.changeFeedResync(spark, root, 0L, 3L)
+      .collect().map(r => (r.getAs[Long]("_commit_version"),
+        r.getAs[String]("_change_type"), r.getAs[Boolean](Manifest.ResyncCol),
+        r.getAs[Long]("k"), r.getAs[Long]("x"))).toSeq
+    // resync window: the FULL live state at the oldest retained
+    // version (v2), insert-only, flagged true
+    val base = feed.filter(_._3)
+    assert(base.forall(e => e._1 == 2L && e._2 == "insert"), feed.toString)
+    assert(base.map(e => (e._4, e._5)).sorted ==
+      Seq((1L, 10L), (2L, 20L), (3L, 99L), (4L, 40L), (5L, 50L)))
+    // then the exact delta of (2, 3]: the DV delete's remove
+    val rest = feed.filterNot(_._3)
+    assert(rest == Seq((3L, "remove", false, 1L, 10L)), rest.toString)
+    // truncate-and-reload + fold reproduces the live table
+    val reloaded = base.map(e => (e._4, e._5)).toSet
+    val folded = rest.foldLeft(reloaded) { (s, e) =>
+      if (e._2 == "insert") s + ((e._4, e._5)) else s - ((e._4, e._5)) }
+    val live = Manifest.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == live, s"$folded vs $live")
+  }
+
+  test("overwriteOnce: wholesale replace and txn watermark in ONE commit; replay skips") {
+    val root = newRoot("ow_once")
+    Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
+      root, statsCols = Seq("k"))
+    Manifest.deleteWhereBetweenDv(spark, root, "k", 1L, 1L) // DV pointer set
+    assert(Manifest.current(spark, root).get.meta.contains(Manifest.DvKey))
+    val (v1, c1) = Manifest.overwriteOnce(
+      Seq((7L, 70L)).toDF("k", "x"), root, "w", 5L)
+    assert(c1)
+    def rows(): Set[(Long, Long)] = Manifest.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows() == Set((7L, 70L)))
+    assert(Manifest.lastTxn(spark, root, "w").contains(5L))
+    // the overwrite drops the stale deletion-vector pointer
+    assert(!Manifest.current(spark, root).get.meta.contains(Manifest.DvKey))
+    // replayed txn (same id): skipped, rows untouched
+    val (v2, c2) = Manifest.overwriteOnce(
+      Seq((9L, 90L)).toDF("k", "x"), root, "w", 5L)
+    assert(!c2 && v2 == v1)
+    assert(rows() == Set((7L, 70L)))
+    // a NEWER txn applies
+    val (_, c3) = Manifest.overwriteOnce(
+      Seq((9L, 90L)).toDF("k", "x"), root, "w", 6L)
+    assert(c3)
+    assert(rows() == Set((9L, 90L)))
+    assert(Manifest.lastTxn(spark, root, "w").contains(6L))
+  }
+
   test("column mapping: rename/drop are metadata-only; every path resolves the map") {
     val root = newRoot("colmap")
     Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))

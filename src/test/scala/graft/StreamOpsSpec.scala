@@ -740,6 +740,61 @@ class StreamOpsSpec extends SparkTestBase {
     assert(step().isEmpty)
   }
 
+  test("cdc mirror survives gc outpacing its cursor: version-driven re-baseline") {
+    import graft.store.Manifest
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-resync").toString
+    val src = s"$dir/src"
+    val dst = s"$dir/dst"
+    def step(): Option[Long] = StreamOps.manifestCdcMirrorStep(
+      spark, src, dst, "cdc", "k")
+    def mirror(): Set[(Long, Long)] = Manifest.read(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
+      src, statsCols = Seq("k"))                                   // v0
+    assert(step().contains(0L)) // bootstrap: watermark = 0
+    // the source races ahead while the consumer lags...
+    Manifest.upsert(Seq((2L, 99L), (3L, 30L)).toDF("k", "x"), src, "k") // v1
+    Manifest.deleteWhereBetweenDv(spark, src, "k", 1L, 1L)              // v2
+    Manifest.append(Seq((4L, 40L)).toDF("k", "x").coalesce(1),
+      src, statsCols = Seq("k"))                                        // v3
+    // ...and retention outpaces the watermark: v0's manifest is gone
+    Manifest.gc(spark, src, keepVersions = 1)
+    assert(Manifest.versions(spark, src) == Seq(3L))
+    // the pump RE-BASELINES instead of throwing: one atomic commit
+    // replaces the mirror with the source's current state AND moves
+    // the cursor — deleted key 1 drops, update to key 2 lands
+    assert(step().contains(3L))
+    assert(mirror() == Set((2L, 99L), (3L, 30L), (4L, 40L)))
+    assert(Manifest.lastTxn(spark, dst, "cdc").contains(3L))
+    assert(step().isEmpty) // up to date after the resync
+    // exact incremental folding RESUMES from the new baseline
+    Manifest.upsert(Seq((4L, 41L)).toDF("k", "x"), src, "k")       // v4
+    Manifest.deleteWhereBetweenDv(spark, src, "k", 3L, 3L)         // v5
+    assert(step().contains(5L))
+    assert(mirror() == Set((2L, 99L), (4L, 41L)))
+  }
+
+  test("append-only mirror survives gc outpacing its cursor: transformed re-baseline") {
+    import graft.store.Manifest
+    val dir = java.nio.file.Files.createTempDirectory("graft-mirror-resync").toString
+    val src = s"$dir/src"
+    val dst = s"$dir/dst"
+    def step(): Option[Long] = StreamOps.manifestMirrorStep(
+      spark, src, dst, "mirror",
+      transform = _.filter(col("id") % 2 === 0), statsCols = Seq("id"))
+    Manifest.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src) // v0
+    assert(step().contains(0L))
+    Manifest.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), src) // v1
+    Manifest.append(Seq((5L, "e"), (6L, "f")).toDF("id", "v"), src) // v2
+    Manifest.gc(spark, src, keepVersions = 1) // watermark version 0 dropped
+    assert(step().contains(2L)) // re-baseline THROUGH the transform
+    val got = Manifest.read(spark, dst)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 4L, 6L), got.toString)
+    assert(step().isEmpty)
+  }
+
   test("sessionize: in-batch gap close and event-time timeout close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
