@@ -81,6 +81,40 @@ object Bench {
     * not shadow the full record. */
   private[graft] val LocalRecord = "BENCH_LOCAL.json"
 
+  /** Host-speed CANARY: a fixed, single-thread, allocation-free
+    * integer hash loop (the SplitMix64 finalizer over 2^28 steps),
+    * reported in seconds. Pure ALU work — no memory traffic, no
+    * syscalls — so the number tracks the core's effective frequency
+    * class and nothing else. Stamped into every bench record as
+    * `host_speed`: when it sits outside the healthy band recorded in
+    * BENCH_NOTES.md, the window is degraded and cross-round per-query
+    * deltas are window artifacts, not code — the r9–r15
+    * adjudication-by-essay replaced by one number. Min of 3 timed
+    * runs after one discarded JIT-warm run; sampled before AND after
+    * the battery (a window can degrade mid-run), the min reported. */
+  private[graft] def hostSpeed(): Double = {
+    def once(): Double = {
+      val n = 1 << 28
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < n) {
+        h += 0x9E3779B97F4A7C15L
+        var z = h
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        h ^= z ^ (z >>> 31)
+        i += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // consume h so the JIT cannot eliminate the loop
+      if (h == 0x1234L) System.err.println("[bench] canary sentinel")
+      sec
+    }
+    once() // JIT warm, discarded
+    Seq(once(), once(), once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -93,6 +127,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val hostStart = hostSpeed()
+    System.err.println(f"[bench] host_speed(start): $hostStart%.3fs")
 
     // Warm pass on the TARGET dir: first execution of each plan pays
     // 10-35s of one-time JVM cost (JIT, whole-stage-codegen compile,
@@ -156,6 +193,21 @@ object Bench {
     // so a crash never *reduces* the reported bench time
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
+    // SECTION SPLIT: multi-commit lifecycle scenarios vs single-plan
+    // queries. The scenarios' wall measures commit orchestration at
+    // deliberately tiny file sizes; totalled together with query
+    // plans, the battery total stops meaning anything and a real
+    // query-plan regression hides inside scenario noise. Each section
+    // gets its own total and worst-5; the regression gate diffs per
+    // section.
+    val scenNames = graft.analytics.Battery.scenarioNames
+    val (scenR, queryR) = results.partition { case (k, _) => scenNames(k) }
+    val querySec = queryR.map(_._2).filter(_ >= 0).sum
+    val scenarioSec = scenR.map(_._2).filter(_ >= 0).sum
+    def worst5Of(rs: Seq[(String, Double)]): String =
+      rs.filter(_._2 >= 0).sortBy(-_._2).take(5)
+        .map { case (k, v) => "{\"q\":\"" + k + "\",\"sec\":" + fmt(v) + "}" }
+        .mkString("[", ",", "]")
 
     // End-to-end pipeline throughput at the reference's published scale
     // (BASELINE.md: 418,676 rows × 215 cols, 6.55-9.67 min on local[1]
@@ -222,8 +274,16 @@ object Bench {
         ",\"pipeline_sec\":-1.0"
       }
     } else ""
+    val hostEnd = hostSpeed()
+    System.err.println(f"[bench] host_speed(end): $hostEnd%.3fs")
+    val host = math.min(hostStart, hostEnd)
+    val sections =
+      s""","host_speed":${fmt(host)},"query_sec":${fmt(querySec)}""" +
+      s""","scenario_sec":${fmt(scenarioSec)}""" +
+      s""","worst5_queries":${worst5Of(queryR)}""" +
+      s""","worst5_scenarios":${worst5Of(scenR)}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFailed$pipeline,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFailed$pipeline$sections,"sf":"$sfDir"}"""
     if (args.isEmpty) try {
       java.nio.file.Files.write(java.nio.file.Paths.get(LocalRecord),
         (line + "\n").getBytes("UTF-8"))
@@ -251,7 +311,8 @@ object Bench {
         .map(m => s""""pipeline_sec":${m.group(1)},""").getOrElse("")
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,""" +
-      s"""$pipelineSec"worst5":$worst5,"sf":"$sfDir"}""")
+      s"""$pipelineSec"host_speed":${fmt(host)},"query_sec":${fmt(querySec)},""" +
+      s""""scenario_sec":${fmt(scenarioSec)},"worst5":$worst5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2458,5 +2458,20 @@ trait BatteryStoreOps extends BatteryModels {
         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       FROM final GROUP BY 1 ORDER BY 1"""))
 
+  /** Multi-commit lifecycle SCENARIOS, as distinct from single-plan
+    * queries: each of these builds a manifest-store (or streaming)
+    * lifecycle — appends, upserts, deletes, maintenance, gc, index
+    * builds, pump steps — and digests the result. Their wall time
+    * measures COMMIT ORCHESTRATION (per-job scheduling at deliberately
+    * tiny file sizes), not query-plan quality, so the bench ledger
+    * totals them in a separate section: a regression gate mixing the
+    * two would drown real query-plan regressions in scenario noise
+    * (VERDICT r15 watch item 2). Self-maintaining: a new lifecycle
+    * query belongs HERE the day it lands. */
+  val scenarioQs: Seq[Q] = Seq(q152, q153, q155, q156, q157, q158, q159,
+    q160, q161, q162, q163, q164, q165, q166, q167, q168, q170, q171,
+    q172, q173, q174, q176, q177, q178, q179, q180, q181, q183, q184,
+    q185, q186, q187, q188, q189, q190, q191, q192)
+
   /** All registered queries, in gate order. */
 }

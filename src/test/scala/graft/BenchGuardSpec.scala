@@ -17,6 +17,21 @@ class BenchGuardSpec extends AnyFunSuite {
     d
   }
 
+  test("scenario section: every scenario name is a registered battery query") {
+    val all = graft.analytics.Battery.all.map(_.name).toSet
+    val scen = graft.analytics.Battery.scenarioNames
+    assert(scen.nonEmpty && scen.subsetOf(all), (scen -- all).toString)
+    // spot pins: the heaviest lifecycle is a scenario, the flagship
+    // single-plan query is not
+    assert(scen.contains("q190_manifest_maintenance"))
+    assert(!scen.contains("q01_pricing_summary"))
+  }
+
+  test("host-speed canary: positive bounded seconds, deterministic work") {
+    val s = Bench.hostSpeed()
+    assert(s > 0.0 && s < 60.0, s.toString)
+  }
+
   test("picks the newest BENCH_r file and parses per-query seconds") {
     val d = tmpDirWith(
       "BENCH_r04.json" -> """{"queries":{"q01_x":9.0}}""",
