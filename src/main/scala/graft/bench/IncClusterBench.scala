@@ -141,6 +141,52 @@ object IncClusterBench {
     }
     stackCampaign("volume_only", 0)
     stackCampaign("density", 4)
+
+    // CROSS-GENERATION stacking campaign (the r16 cube-interval rule):
+    // a standing loop that re-clusters its fresh batch every cycle
+    // stacks one WELL-FORMED CUBE generation per cycle on the hot box
+    // — the unmarked sweep never sees them. Without the cube sweep
+    // (cubeStackFactor = 0 disables the merge arm) a hot-box probe
+    // opens one cube per generation forever; with it the stack merges
+    // every ~overlapDegree cycles, bounding probe cost at ~degree
+    // cubes for an amortized rewrite of cycles/degree batches — the
+    // L0-compaction trade, same-box-forever being the adversarial
+    // case where extent-based finalization cannot kick in.
+    def genCampaign(tag: String, factor: Double): Unit = {
+      val root = s"$dir/gen_$tag"
+      Manifest.append(rows(0, baseRows / 2), root, statsCols = Seq("x", "y"))
+      Manifest.compactClustered(spark, root, Seq("x", "y"),
+        targetBytes = targetBytes)
+      var rewritten = 0L
+      val t0 = System.nanoTime()
+      var n = 0L
+      for (_ <- 0 until stackCycles) {
+        Manifest.append(hotRows(n, n + batchRows / 10).coalesce(1), root,
+          statsCols = Seq("x", "y"))
+        n += batchRows / 10
+        // volumeFactor ~0: the fresh batch re-clusters into its own
+        // cube every cycle (the generation generator)
+        rewritten += Manifest.compactClusteredIncremental(spark, root,
+          Seq("x", "y"), targetBytes = targetBytes, cubeMinBytes = 1024,
+          volumeFactor = 1e-9, overlapDegree = 4, cubeStackFactor = factor)
+          .rewrittenBytes
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val snap = Manifest.current(spark, root).get
+      val fx = Manifest.prunedFiles(snap, "x", hotLo, hotLo + hotSpan - 1)
+      val hot = Manifest.prunedFiles(snap.copy(files = fx), "y",
+        hotLo, hotLo + hotSpan - 1)
+      val hotCubes = hot.flatMap(f =>
+        snap.stats.get(f).flatMap(_.get(Manifest.ZCubeStatKey)))
+        .map(_._1.toString).distinct.size
+      println(s"""{"campaign":"inc_cluster_generations","strategy":"$tag"""" +
+        s""","stack_factor":$factor,"cycles":$stackCycles""" +
+        s""","hot_probe_files":${hot.size},"hot_probe_cubes":$hotCubes""" +
+        s""","files":${snap.files.size}""" +
+        f""","rewritten_bytes":$rewritten,"wall_s":$wall%.1f}""")
+    }
+    genCampaign("stack_off", 0.0)
+    genCampaign("merge", 4.0)
     spark.stop()
   }
 }

@@ -3052,7 +3052,13 @@ object Manifest {
     *    DISSOLVES into the selection to merge with new material
     *    (and only when there IS new material or a second undersized
     *    cube — a lone fragment cube rewriting itself forever would be
-    *    pure churn);
+    *    pure churn), or the cube sits in a CROSS-GENERATION stack:
+    *    more than `overlapDegree` cubes covering one primary-column
+    *    point merge into one cube, excluding any cube wider than
+    *    `cubeStackFactor` x the narrowest covering cube (a settled
+    *    base must not pay O(table) for an additive one-probe saving;
+    *    the same exclusion finalizes merged generations, keeping each
+    *    byte's lifetime rewrites O(log));
     *  - unmarked files (plain appends since the last pass) are
     *    selected when they POLLUTE the skip index: normalized
     *    [min, max] box volume over `cols` above `volumeFactor` times
@@ -3085,7 +3091,8 @@ object Manifest {
       cols: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
       bits: Int = 8, curve: String = "z", volumeFactor: Double = 4.0,
       cubeMinBytes: Long = 16L * 1024 * 1024,
-      overlapDegree: Int = 8): ClusterIncResult = {
+      overlapDegree: Int = 8,
+      cubeStackFactor: Double = 4.0): ClusterIncResult = {
     require(cols.nonEmpty,
       "compactClusteredIncremental needs at least one layout column")
     require(volumeFactor > 0, s"volumeFactor must be positive ($volumeFactor)")
@@ -3146,6 +3153,17 @@ object Manifest {
     // point p = #{lo_i <= p} − #{hi_i < p}; depth maxima occur at
     // interval starts, so sweeping the lo values finds every hot
     // point. overlapDegree <= 0 disables the rule.
+    def countLe(a: Array[Double], p: Double): Int = {
+      // upper bound: #elements <= p
+      var l = 0; var r = a.length
+      while (l < r) { val m = (l + r) >>> 1; if (a(m) <= p) l = m + 1 else r = m }
+      l
+    }
+    def countLt(a: Array[Double], p: Double): Int = {
+      var l = 0; var r = a.length
+      while (l < r) { val m = (l + r) >>> 1; if (a(m) < p) l = m + 1 else r = m }
+      l
+    }
     val overlapSel: Seq[String] =
       if (overlapDegree <= 0) Seq.empty
       else {
@@ -3155,17 +3173,6 @@ object Manifest {
         else {
           val los = prim.map(_._2).sorted.toArray
           val his = prim.map(_._3).sorted.toArray
-          def countLe(a: Array[Double], p: Double): Int = {
-            // upper bound: #elements <= p
-            var l = 0; var r = a.length
-            while (l < r) { val m = (l + r) >>> 1; if (a(m) <= p) l = m + 1 else r = m }
-            l
-          }
-          def countLt(a: Array[Double], p: Double): Int = {
-            var l = 0; var r = a.length
-            while (l < r) { val m = (l + r) >>> 1; if (a(m) < p) l = m + 1 else r = m }
-            l
-          }
           val hot = los.distinct.filter(p =>
             countLe(los, p) - countLt(his, p) > overlapDegree)
           if (hot.isEmpty) Seq.empty
@@ -3175,10 +3182,67 @@ object Manifest {
             if countLt(hot, lo) < hot.length && hot(countLt(hot, lo)) <= hi => f }
         }
       }
-    val unmarkedSel = (volumeSel ++ overlapSel).distinct
+    val byCube = marked.groupBy(f => cubeOf(f).get)
+    // CROSS-GENERATION density: the sweep above sees only unmarked
+    // appends, so N maintenance passes over one hot key range would
+    // leave N stacked cube GENERATIONS that never re-merge — each
+    // generation internally tight, yet a point probe there opens one
+    // file per generation forever. Sweep CUBE intervals the same way:
+    // one unit per cube spanning its whole primary extent (intra-cube
+    // overlap is the curve's tiling, not stacking — per-file counting
+    // would re-select a fresh multi-column cube forever). Where more
+    // than `overlapDegree` cubes stack, the covering cubes merge into
+    // one — EXCEPT cubes whose extent dwarfs the narrowest covering
+    // cube (> cubeStackFactor x): merging a settled base cube into a
+    // hot corner would pay O(table) for an additive one-probe saving.
+    // The exclusion also FINALIZES merged generations naturally: once
+    // the union cube is much wider than the fresh stacks landing on
+    // it, it stops re-merging, so each byte still moves only O(log)
+    // times up the generations — the LSM shape, no extra parameter
+    // for "final".
+    val cubeSel: Seq[String] =
+      if (overlapDegree <= 0 || byCube.size <= overlapDegree) Seq.empty
+      else {
+        val cubes = byCube.toSeq.flatMap { case (id, fs) =>
+          val ivs = fs.flatMap(f =>
+            snap.stats.get(f).flatMap(_.get(colsP.head)).flatMap {
+              case (mn, mx) => for (a <- num(mn); b <- num(mx)) yield (a, b)
+            })
+          if (ivs.isEmpty) None
+          else Some((id, fs, ivs.map(_._1).min, ivs.map(_._2).max))
+        }
+        if (cubes.size <= overlapDegree) Seq.empty
+        else {
+          val los = cubes.map(_._3).sorted.toArray
+          val his = cubes.map(_._4).sorted.toArray
+          val hot = los.distinct.filter(p =>
+            countLe(los, p) - countLt(his, p) > overlapDegree)
+          if (hot.isEmpty) Seq.empty
+          else {
+            val ids = scala.collection.mutable.LinkedHashSet[String]()
+            hot.foreach { p =>
+              val covering = cubes.filter(c => c._3 <= p && p <= c._4)
+              val exts = covering.map(c => c._4 - c._3).filter(_ > 0)
+              val minExt = if (exts.isEmpty) 0.0 else exts.min
+              covering.foreach { c =>
+                if (minExt <= 0 || (c._4 - c._3) <= cubeStackFactor * minExt)
+                  ids += c._1
+              }
+            }
+            cubes.filter(c => ids(c._1)).flatMap(_._2)
+          }
+        }
+      }
+    // churn guard: a cube-stack merge needs a PARTNER — a selection
+    // that is exactly one whole cube and nothing else would re-tile
+    // the same bytes for no depth gain
+    val cubeSelEff =
+      if (cubeSel.nonEmpty && (volumeSel ++ overlapSel).isEmpty &&
+          cubeSel.flatMap(cubeOf(_)).distinct.size == 1) Seq.empty
+      else cubeSel
+    val unmarkedSel = (volumeSel ++ overlapSel ++ cubeSelEff).distinct
     // undersized cubes dissolve — but only into a merge that has other
     // material (fresh selection or a sibling fragment cube)
-    val byCube = marked.groupBy(f => cubeOf(f).get)
     val undersized = byCube.filter { case (_, fs) =>
       fs.flatMap(snap.bytes.get).sum < cubeMinBytes
     }
@@ -3186,7 +3250,9 @@ object Manifest {
       if (unmarkedSel.nonEmpty || undersized.size >= 2)
         undersized.values.flatten.toSeq
       else Seq.empty
-    val selected = unmarkedSel ++ dissolving
+    // distinct: a stack-selected cube can ALSO be undersized — a
+    // duplicated file entry would double-read its rows
+    val selected = (unmarkedSel ++ dissolving).distinct
     val carried = snap.files.size - selected.size
     val carriedB = (snap.files.toSet -- selected)
       .toSeq.flatMap(snap.bytes.get).sum

@@ -829,6 +829,65 @@ class ManifestSpec extends SparkTestBase {
     assert(res2.rewrittenBytes == 0L, s"second pass should be a no-op: $res2")
   }
 
+  test("compactClusteredIncremental: cross-GENERATION stacking merges cubes; the wide base carries") {
+    val grid = spark.range(0, 128L * 128L)
+      .select(expr("id % 128").as("x"), expr("id div 128").as("y"))
+    val root = newRoot("inc_gen_stack")
+    Manifest.append(grid, root, statsCols = Seq("x", "y"))
+    Manifest.compactClustered(spark, root, Seq("x", "y"), targetBytes = 2048)
+    val baseCubes = {
+      val s = Manifest.current(spark, root).get
+      s.files.flatMap(f => s.stats.get(f).flatMap(_.get(Manifest.ZCubeStatKey)))
+        .map(_._1.toString).distinct
+    }
+    assert(baseCubes.size == 1)
+    // 12 GENERATIONS: each cycle appends the same tight box and runs
+    // maintenance with the density rule high enough that the fresh
+    // append merges alone into its own cube — the standing loop that
+    // stacks one well-formed cube per cycle on the same key range
+    val hot = spark.range(0, 256L)
+      .select((col("id") % 2 + 10).as("x"), (expr("id div 2") % 2 + 10).as("y"))
+      .coalesce(1)
+    for (_ <- 0 until 12) {
+      Manifest.append(hot, root, statsCols = Seq("x", "y"))
+      // volumeFactor tiny => the fresh tight append re-clusters into a
+      // cube of its own each cycle (generation-stacking generator)
+      Manifest.compactClusteredIncremental(spark, root, Seq("x", "y"),
+        targetBytes = 1 << 20, cubeMinBytes = 16, volumeFactor = 1e-9,
+        overlapDegree = 100)
+    }
+    def cubesCovering(): Int = {
+      val s = Manifest.current(spark, root).get
+      val fx = Manifest.prunedFiles(s, "x", 10L, 11L)
+      val kept = Manifest.prunedFiles(s.copy(files = fx), "y", 10L, 11L)
+      kept.flatMap(f => s.stats.get(f).flatMap(_.get(Manifest.ZCubeStatKey)))
+        .map(_._1.toString).distinct.size
+    }
+    assert(cubesCovering() >= 12, s"fixture should stack generations, got ${cubesCovering()}")
+    // the cross-generation sweep merges the 12 stacked generations
+    // into ONE cube; the 64x-wider base grid cube is excluded by the
+    // extent-similarity guard and carried by identity
+    val res = Manifest.compactClusteredIncremental(spark, root,
+      Seq("x", "y"), targetBytes = 1 << 20, cubeMinBytes = 16,
+      volumeFactor = 1e9, overlapDegree = 8)
+    assert(res.rewrittenFiles >= 12, s"generation merge: $res")
+    val after = Manifest.current(spark, root).get
+    val baseKept = after.files.flatMap(f =>
+      after.stats.get(f).flatMap(_.get(Manifest.ZCubeStatKey)))
+      .map(_._1.toString).distinct
+    assert(baseKept.contains(baseCubes.head), "the settled base cube must carry")
+    assert(cubesCovering() <= 2, s"stack should converge, got ${cubesCovering()} cubes")
+    // rows intact
+    assert(Manifest.read(spark, root).count() == 128L * 128L + 12L * 256L)
+    // CONVERGED: nothing new => no churn (the merged cube + wide base
+    // never re-merge with each other)
+    val res2 = Manifest.compactClusteredIncremental(spark, root,
+      Seq("x", "y"), targetBytes = 1 << 20, cubeMinBytes = 16,
+      volumeFactor = 1e9, overlapDegree = 8)
+    assert(res2.rewrittenBytes == 0L && res2.version == res.version,
+      s"post-merge pass should be a no-op: $res2")
+  }
+
   test("appendQuarantine: violating rows dead-letter with the constraint name") {
     val root = newRoot("quarantine")
     val qRoot = root + "_dlq"
