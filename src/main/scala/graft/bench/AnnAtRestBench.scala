@@ -125,6 +125,40 @@ object AnnAtRestBench {
         f""","probe4_s":${median(t4)}%.3f,"probepq4_s":${median(tP4)}%.3f""" +
         s""","main_probe_bytes":$mainB,"codes_probe_bytes":$codesB""" +
         f""","bytes_shrink":${mainB.toDouble / math.max(codesB, 1L)}%.1f}""")
+
+      // id-bloom point-lookup delta on the CODES table: the codes
+      // layout is range-partitioned on the LIST id, so a lookup BY
+      // VECTOR id survives every file's stats — without the bloom
+      // sidecar (built by buildPq above) it scans the whole codes
+      // table; with it, the file(s) whose sketch might contain the id
+      val lookupId = n / 2
+      val codesSnap = Manifest.current(spark,
+        ManifestAnn.codesRoot(root)).get
+      val bloomFiles = {
+        // candidate count the bloom admits = files the lookup scans
+        val got = ManifestAnn.codesById(spark, root, lookupId)
+        got.collect()
+        var plan = got.queryExecution.executedPlan
+        plan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            plan = a.executedPlan
+          case _ =>
+        }
+        def walk(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+          p.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk(q.plan)
+          }.flatten
+        walk(plan).map(_.metrics("numFiles").value).sum
+      }
+      ManifestAnn.codesById(spark, root, lookupId).collect() // warm
+      val tLk = (0 until 5).map(_ =>
+        sec { ManifestAnn.codesById(spark, root, lookupId).collect(); () })
+      println(s"""{"campaign":"ann_pq_id_lookup","vectors":$n""" +
+        s""","codes_files":${codesSnap.files.size},"bloom_files":$bloomFiles""" +
+        f""","lookup_s":${median(tLk)}%.3f}""")
       next *= 10
     }
     spark.stop()

@@ -235,6 +235,12 @@ object ManifestAnn {
     Manifest.overwrite(
       codes.repartitionByRange(listPartitions, col(listCol)),
       codesRoot(root), statsCols = Seq(listCol))
+    // id BLOOM sidecar over the fresh codes: the codes layout is
+    // range-partitioned on the LIST id, so every file's vector-id
+    // range spans the corpus and [min, max] stats cannot prune a
+    // point lookup BY id ("which list/code does vector x carry") —
+    // without the bloom it scans every codes file
+    Manifest.buildBloomIndex(spark, codesRoot(root), "id")
   }
 
   /** [[appendBatch]] for a PQ-compressed index: the batch lands in the
@@ -265,7 +271,22 @@ object ManifestAnn {
     Manifest.append(
       codes.repartitionByRange(listPartitions, col(listCol)),
       codesRoot(root), statsCols = Seq(listCol))
+    // keep the id bloom's coverage from decaying under the standing
+    // append loop (metadata-only check; rebuild only past the valve)
+    Manifest.maybeRefreshBloomIndex(spark, codesRoot(root), "id")
+    ()
   }
+
+  /** Point lookup INTO THE CODES TABLE by vector id — "which list and
+    * code word does vector `id` carry": the codes files are range-
+    * partitioned on the LIST id, so every file's vector-id range spans
+    * the corpus and [min, max] stats keep all of them; the id bloom
+    * sidecar ([[buildPq]] builds it, [[appendBatchPq]] refreshes its
+    * coverage) prunes to the file(s) whose sketch might contain the
+    * id. Post-refresh appends are unscreened-but-found (the bloom
+    * contract — conservative, never wrong). */
+  def codesById(spark: SparkSession, root: String, id: Any): DataFrame =
+    Manifest.readWhereEquals(spark, codesRoot(root), "id", id)
 
   /** COMPRESSED probe — IVFADC-R against the stored index, with exact
     * re-rank: route by centroid-sum cosine exactly as [[probe]], ADC-

@@ -216,6 +216,51 @@ class ManifestAnnSpec extends SparkTestBase {
     assert(Manifest.read(spark, ManifestAnn.codesRoot(root)).count() == 8L)
   }
 
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+      }.flatten
+    var plan = df.queryExecution.executedPlan
+    plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        plan = a.executedPlan
+      case _ =>
+    }
+    walk(plan).map(_.metrics("numFiles").value).sum
+  }
+
+  test("PQ layer: id bloom prunes codes point lookups; the append loop keeps coverage") {
+    val root = freshRoot()
+    ManifestAnn.appendBatch(batch1, root, "label", "vec_id", "qv",
+      listPartitions = 3)
+    ManifestAnn.buildPq(spark, root, "label", "vec_id", "qv",
+      m = 2, ksub = 4, listPartitions = 3)
+    val cRoot = ManifestAnn.codesRoot(root)
+    // buildPq records the id bloom pointer on the codes table
+    assert(Manifest.current(spark, cRoot).get.meta
+      .contains(Manifest.BloomKeyPrefix + "id"), "id bloom missing after buildPq")
+    // the append loop decays coverage below the valve -> auto-refresh
+    ManifestAnn.appendBatchPq(batch2, root, "label", "vec_id", "qv",
+      listPartitions = 3)
+    val snap = Manifest.current(spark, cRoot).get
+    assert(snap.files.size >= 2, s"fixture needs file sprawl: ${snap.files.size}")
+    // a build-time id AND a post-build id both prune: the codes layout
+    // is range-partitioned on the LIST id, so vector-id stats span the
+    // corpus in every file and only the bloom can skip
+    for (probe <- Seq(5L, 7L)) {
+      val got = ManifestAnn.codesById(spark, root, probe)
+      assert(got.select("id").as[Long].collect().toSeq == Seq(probe))
+      val n = scannedFiles(ManifestAnn.codesById(spark, root, probe))
+      assert(n < snap.files.size && n >= 1,
+        s"id $probe: bloom should prune, scanned $n of ${snap.files.size}")
+    }
+  }
+
   test("PQ layer: deletes can never surface through the compressed probe") {
     val root = freshRoot()
     build(root)
