@@ -2458,6 +2458,83 @@ trait BatteryStoreOps extends BatteryModels {
         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       FROM final GROUP BY 1 ORDER BY 1"""))
 
+  /** NAMED MUTABLE BRANCHES ([[graft.store.Manifest.createBranch]] /
+    * `branchRoot` / `publishBranch` — the public Iceberg ref surface
+    * beside q191's immutable tags, and the write-audit-publish
+    * pattern's backbone): orders land on main in two appends; a
+    * branch "audit" is cut and takes an upsert price bump plus a DV
+    * delete slab COPY-ON-WRITE — main never sees them; the digest
+    * captures the DIVERGENCE (main vs branch, both refs readable
+    * concurrently), then the branch fast-forwards into main in ONE
+    * atomic commit ([[graft.store.Manifest.publishBranch]]) and the
+    * published state is digested again. The oracle recomputes all
+    * three states from the raw table — a branch edit leaking into
+    * pre-publish main, a lost branch mutation, or a non-atomic
+    * publish hash-mismatches. */
+  val q193 = Q("q193_manifest_branch",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q193").toString + "/orders_br"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      Manifest.append(orders.filter(col("o_orderkey") <= mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))                       // v0
+      Manifest.append(orders.filter(col("o_orderkey") > mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))                       // v1 = fork
+      Manifest.createBranch(s, root, "audit")
+      val br = Manifest.branchRoot(root, "audit")
+      Manifest.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+        br, "o_orderkey")
+      Manifest.deleteWhereBetweenDv(s, br, "o_custkey", 1L, 30L)
+      def digest(r: String, tag: String) = Manifest.read(s, r)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("ref", lit(tag))
+      val pre = digest(root, "main_pre")
+      val audited = digest(br, "branch")
+      // force the divergence digests BEFORE the publish consumes the
+      // branch (lazy frames would read post-publish state)
+      val preR = pre.collect(); val audR = audited.collect()
+      Manifest.publishBranch(s, root, "audit")
+      val post = digest(root, "published")
+      val sch = post.schema
+      val pinned = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      (preR ++ audR).foreach(pinned.add)
+      s.createDataFrame(pinned, sch)
+        .unionByName(post)
+        .orderBy("ref", "status")
+    },
+    Some("""WITH branch AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+            ELSE o_totalprice END AS price
+        FROM orders WHERE NOT (o_custkey BETWEEN 1 AND 30)),
+      pre AS (
+        SELECT 'main_pre' AS ref, o_orderstatus AS status, COUNT(*) AS n,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+          MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM orders GROUP BY 2),
+      aud AS (
+        SELECT 'branch' AS ref, o_orderstatus AS status, COUNT(*) AS n,
+          CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents,
+          MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM branch GROUP BY 2),
+      post AS (
+        SELECT 'published' AS ref, o_orderstatus AS status, COUNT(*) AS n,
+          CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents,
+          MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM branch GROUP BY 2)
+      SELECT status, n, cents, min_key, max_key, ref FROM (
+        SELECT * FROM pre UNION ALL SELECT * FROM aud
+        UNION ALL SELECT * FROM post)
+      ORDER BY ref, status"""))
+
   /** Multi-commit lifecycle SCENARIOS, as distinct from single-plan
     * queries: each of these builds a manifest-store (or streaming)
     * lifecycle — appends, upserts, deletes, maintenance, gc, index
@@ -2471,7 +2548,7 @@ trait BatteryStoreOps extends BatteryModels {
   val scenarioQs: Seq[Q] = Seq(q152, q153, q155, q156, q157, q158, q159,
     q160, q161, q162, q163, q164, q165, q166, q167, q168, q170, q171,
     q172, q173, q174, q176, q177, q178, q179, q180, q181, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193)
 
   /** All registered queries, in gate order. */
 }

@@ -3407,7 +3407,8 @@ object Manifest {
     * SOURCE does not know about clones — sweeping a source version a
     * clone still references breaks the clone. Keep clone lifetimes
     * inside source retention, or compact the clone to materialize. */
-  def shallowClone(spark: SparkSession, srcRoot: String, dstRoot: String): Long = {
+  def shallowClone(spark: SparkSession, srcRoot: String, dstRoot: String,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val snap = current(spark, srcRoot).getOrElse(
       throw new IllegalArgumentException(s"$srcRoot has no committed version"))
     require(current(spark, dstRoot).isEmpty,
@@ -3415,14 +3416,168 @@ object Manifest {
     def abs(rel: String): String = new Path(dataDir(srcRoot), rel).toString
     val files = snap.files.map(abs)
     val rename = snap.files.zip(files).toMap
-    val meta = snap.meta.get(DvKey) match {
-      case Some(dvRel) => snap.meta + (DvKey -> new Path(srcRoot, dvRel).toString)
-      case None => snap.meta
+    // sidecar pointers resolve against the CLONE root after this —
+    // absolutize the deletion vector AND every bloom pointer (a
+    // relative bloom pointer would dangle and crash the clone's first
+    // point lookup)
+    val meta = snap.meta.map {
+      case (DvKey, rel) => DvKey -> new Path(srcRoot, rel).toString
+      case (k, rel) if k.startsWith(BloomKeyPrefix) =>
+        k -> new Path(srcRoot, rel).toString
+      case kv => kv
     }
-    publish(spark, dstRoot, files, _ => meta + (OpKey -> "clone"), _ => Seq.empty,
+    publish(spark, dstRoot, files,
+      _ => meta ++ extraMeta + (OpKey -> "clone"), _ => Seq.empty,
       snap.stats.map { case (k, v) => rename(k) -> v },
       snap.rows.map { case (k, v) => rename(k) -> v },
       newBytes = snap.bytes.map { case (k, v) => rename(k) -> v })._1
+  }
+
+  // ------------------------------------------------------------------ //
+  // NAMED MUTABLE BRANCHES — the public Iceberg ref surface beside the  //
+  // immutable tags: a branch is an IN-ROOT shallow clone living under   //
+  // `<root>/refs/<name>`, which makes it a full manifest root of its    //
+  // own — EVERY existing write path (append/upsert/merge/deletes/       //
+  // replaceWhere/compactions/matviews/ANN builds) works on a branch by  //
+  // addressing [[branchRoot]], no per-op ref plumbing. Branch-local     //
+  // commits stage copy-on-write into the branch's own data dir; carried //
+  // parent files are referenced absolutely (the clone contract). The    //
+  // parent's [[gc]] walks every branch ref and keeps parent bytes any   //
+  // branch manifest still pins (unlike a detached clone, a branch is a  //
+  // REF the parent honors); a branch's own gc sweeps only its local     //
+  // debris. [[publishBranch]] is the write-audit-publish terminal step: //
+  // fast-forward main to the branch head in one atomic commit.          //
+  // ------------------------------------------------------------------ //
+
+  /** Fork bookkeeping on a branch's manifests: the parent version the
+    * branch was cut from ([[publishBranch]]'s fast-forward guard). */
+  val BranchForkKey = "graft.branch.forkVersion"
+
+  /** The manifest root a branch's commits address. */
+  def branchRoot(root: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9._-]{1,64}") && name != "main",
+      s"branch name must be [A-Za-z0-9._-]{1,64} and not 'main', got [$name]")
+    s"$root/refs/$name"
+  }
+
+  /** All branch names with a committed version, ascending. */
+  def branches(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val dir = new Path(root, "refs")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => versions(spark, s"$root/refs/$n").nonEmpty)
+      .sorted.toSeq
+  }
+
+  /** Create branch `name` at the parent's CURRENT version — a zero-copy
+    * in-root clone stamped with [[BranchForkKey]]. The branch starts as
+    * the parent's exact state and diverges copy-on-write from there. */
+  def createBranch(spark: SparkSession, root: String, name: String): Long = {
+    val br = branchRoot(root, name)
+    require(versions(spark, br).isEmpty,
+      s"$root: branch '$name' already exists")
+    val parent = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    shallowClone(spark, root, br,
+      extraMeta = Map(BranchForkKey -> parent.version.toString))
+  }
+
+  /** Read a branch's current state (sugar over [[read]] at
+    * [[branchRoot]] — any reader API works there directly). */
+  def readBranch(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, branchRoot(root, name))
+
+  /** Drop branch `name` — its manifests AND its copy-on-write local
+    * data; parent bytes it referenced are untouched (they were never
+    * the branch's to delete). Idempotent on a missing branch. */
+  def deleteBranch(spark: SparkSession, root: String, name: String): Unit = {
+    val br = branchRoot(root, name)
+    val f = fs(spark, root)
+    if (f.exists(new Path(br))) { f.delete(new Path(br), true); () }
+  }
+
+  /** PUBLISH a branch back to main — the Iceberg fast-forward, the
+    * terminal step of write-audit-publish: requires the parent has NOT
+    * advanced past the branch's fork version (a diverged parent throws
+    * loudly — re-branch and replay, there is no merge), moves the
+    * branch's copy-on-write data/dv/bloom files into the parent's
+    * dirs (immutable files, rename-only — no bytes copied), and lands
+    * the branch's exact state as ONE parent commit pinned to the fork
+    * version ([[ConcurrentCommitException]] if a writer races the
+    * publish). The branch is CONSUMED: its lineage ends at
+    * publication (its manifests reference moved files), so the branch
+    * dir is dropped in the same call. Crash between move and commit
+    * leaves only age-sweepable orphans in the parent (the branch is
+    * sacrificed, the parent never corrupts). Returns the new parent
+    * version. */
+  def publishBranch(spark: SparkSession, root: String, name: String): Long = {
+    val br = branchRoot(root, name)
+    val snapB = current(spark, br).getOrElse(
+      throw new IllegalArgumentException(s"$root: branch '$name' does not exist"))
+    val fork = snapB.meta.getOrElse(BranchForkKey,
+      throw new IllegalStateException(
+        s"$root: branch '$name' carries no fork version")).toLong
+    val parentV = current(spark, root).map(_.version).getOrElse(-1L)
+    require(parentV == fork,
+      s"$root: cannot fast-forward branch '$name' — main advanced " +
+        s"(fork $fork, main $parentV); re-branch and replay the audit")
+    val f = fs(spark, root)
+    val dataPrefix = dataDir(root).toString + "/"
+    val brData = dataDir(br)
+    // entry mapping: parent-absolute -> parent-relative; branch-local
+    // relative entries keep their names, their batch dirs MOVE below
+    def toParentRel(e: String): String =
+      if (e.startsWith(dataPrefix)) e.substring(dataPrefix.length) else e
+    val localBatches = snapB.files.filterNot(_.startsWith(dataPrefix))
+      .map(e => e.substring(0, e.indexOf('/'))).distinct
+    localBatches.foreach { b =>
+      val src = new Path(brData, b)
+      val dst = new Path(dataDir(root), b)
+      if (f.exists(src) && !f.rename(src, dst))
+        throw new IllegalStateException(
+          s"$root: publishBranch could not move $src to $dst")
+    }
+    // sidecars: branch-local dv/bloom files move; inherited absolute
+    // pointers (still parent paths) map back to parent-relative
+    val rootPrefix = root + "/"
+    val brPrefix = br + "/"
+    def moveSidecar(rel: String): String = {
+      // rel is either branch-relative ("dv/x"), branch-absolute, or
+      // parent-absolute (inherited at the fork)
+      val brRel =
+        if (rel.startsWith(brPrefix)) Some(rel.substring(brPrefix.length))
+        else if (!rel.startsWith("/") && !rel.contains(":/")) Some(rel)
+        else None
+      brRel match {
+        case Some(r) =>
+          val src = new Path(br, r)
+          val dst = new Path(root, r)
+          f.mkdirs(dst.getParent)
+          if (f.exists(src) && !f.rename(src, dst))
+            throw new IllegalStateException(
+              s"$root: publishBranch could not move $src to $dst")
+          r
+        case None =>
+          if (rel.startsWith(rootPrefix)) rel.substring(rootPrefix.length)
+          else rel // foreign absolute (clone-of-clone): keep as-is
+      }
+    }
+    val meta = (snapB.meta - BranchForkKey).map {
+      case (DvKey, rel) => DvKey -> moveSidecar(rel)
+      case (k, rel) if k.startsWith(BloomKeyPrefix) => k -> moveSidecar(rel)
+      case kv => kv
+    }
+    val files = snapB.files.map(toParentRel)
+    val rename = snapB.files.zip(files).toMap
+    val v = publish(spark, root, files,
+      _ => meta + (OpKey -> s"publishBranch($name)"), _ => Seq.empty,
+      snapB.stats.map { case (k, s) => rename(k) -> s },
+      snapB.rows.map { case (k, n) => rename(k) -> n },
+      requireVersion = Some(fork),
+      newBytes = snapB.bytes.map { case (k, n) => rename(k) -> n })._1
+    deleteBranch(spark, root, name)
+    v
   }
 
   /** Garbage collection: drop all but the newest `keepVersions`
@@ -3501,9 +3656,30 @@ object Manifest {
           st.getModificationTime < cutoff)
         .foreach(st => f.delete(st.getPath, false))
     val retainedSnaps = versions(spark, root).map(v => snapshot(spark, root, v))
-    val retained = retainedSnaps.flatMap(_.files).toSet
+    // BRANCH refs pin parent bytes: a branch is a REF this root honors
+    // (unlike a detached clone) — every branch manifest's absolute
+    // entries under THIS root's data/dv/bloom dirs stay retained.
+    // Recursive: a branch may itself carry branches.
+    def branchSnapsOf(r: String): Seq[Snapshot] =
+      branches(spark, r).flatMap { b =>
+        val brr = s"$r/refs/$b"
+        versions(spark, brr).map(v => snapshot(spark, brr, v)) ++
+          branchSnapsOf(brr)
+      }
+    val branchSnaps = branchSnapsOf(root)
+    val dataPrefix = dataDir(root).toString + "/"
+    val rootPrefix = root + "/"
+    val branchRefs = branchSnaps.flatMap(_.files)
+      .filter(_.startsWith(dataPrefix))
+      .map(_.substring(dataPrefix.length)).toSet
+    def branchSidecars(get: Snapshot => Iterable[String]): Set[String] =
+      branchSnaps.flatMap(get)
+        .filter(_.startsWith(rootPrefix))
+        .map(_.substring(rootPrefix.length)).toSet
+    val retained = retainedSnaps.flatMap(_.files).toSet ++ branchRefs
     // deletion vectors: keep every dv file a retained manifest points at
-    val retainedDv = retainedSnaps.flatMap(_.meta.get(DvKey)).toSet
+    val retainedDv = retainedSnaps.flatMap(_.meta.get(DvKey)).toSet ++
+      branchSidecars(_.meta.get(DvKey))
     val dvDir = new Path(root, "dv")
     if (f.exists(dvDir))
       f.listStatus(dvDir).foreach { st =>
@@ -3518,7 +3694,8 @@ object Manifest {
       case (k, v) if k.startsWith(BloomKeyPrefix) => v
     }
     val droppedBloom = droppedSnaps.flatMap(bloomOf).toSet
-    val retainedBloom = retainedSnaps.flatMap(bloomOf).toSet
+    val retainedBloom = retainedSnaps.flatMap(bloomOf).toSet ++
+      branchSidecars(s => bloomOf(s))
     val bloomDir = new Path(root, "bloom")
     if (f.exists(bloomDir))
       f.listStatus(bloomDir).foreach { st =>

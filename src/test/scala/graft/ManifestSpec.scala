@@ -1262,6 +1262,89 @@ class ManifestSpec extends SparkTestBase {
     }
   }
 
+  test("branches: copy-on-write divergence, writes to both refs, gc honors branch pins") {
+    val root = newRoot("branch")
+    Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
+      root, statsCols = Seq("k"))                                  // v0
+    Manifest.append(Seq((3L, 30L)).toDF("k", "x").coalesce(1),
+      root, statsCols = Seq("k"))                                  // v1 = fork
+    Manifest.createBranch(spark, root, "audit")
+    assert(Manifest.branches(spark, root) == Seq("audit"))
+    intercept[IllegalArgumentException] {
+      Manifest.createBranch(spark, root, "audit") // already exists
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.branchRoot(root, "main") // reserved
+    }
+    val br = Manifest.branchRoot(root, "audit")
+    def rows(r: String): Set[(Long, Long)] = Manifest.read(spark, r)
+      .collect().map(t => (t.getLong(0), t.getLong(1))).toSet
+    // the branch takes the FULL write surface: upsert, DV delete, append
+    Manifest.upsert(Seq((2L, 99L)).toDF("k", "x"), br, "k")
+    Manifest.deleteWhereBetweenDv(spark, br, "k", 1L, 1L)
+    Manifest.append(Seq((4L, 40L)).toDF("k", "x").coalesce(1),
+      br, statsCols = Seq("k"))
+    // main diverges independently: a full compact REWRITES main's
+    // files, so the fork-era bytes leave main's own lineage entirely
+    Manifest.compact(spark, root)
+    Manifest.append(Seq((5L, 50L)).toDF("k", "x").coalesce(1),
+      root, statsCols = Seq("k"))
+    assert(rows(br) == Set((2L, 99L), (3L, 30L), (4L, 40L)))
+    assert(rows(root) == Set((1L, 10L), (2L, 20L), (3L, 30L), (5L, 50L)))
+    // gc on main at depth 1: without the branch ref the fork-era files
+    // (referenced by NO retained main manifest after the compact)
+    // would sweep — the branch ref pins them
+    Manifest.gc(spark, root, keepVersions = 1, orphanMinAgeMs = 0L)
+    assert(rows(br) == Set((2L, 99L), (3L, 30L), (4L, 40L)),
+      "branch must survive parent gc")
+    // the branch's own gc sweeps only local debris
+    Manifest.gc(spark, br, keepVersions = 1, orphanMinAgeMs = 0L)
+    assert(rows(br) == Set((2L, 99L), (3L, 30L), (4L, 40L)))
+    assert(rows(root) == Set((1L, 10L), (2L, 20L), (3L, 30L), (5L, 50L)))
+    // main advanced past the fork: fast-forward refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Manifest.publishBranch(spark, root, "audit")
+    }
+    assert(e.getMessage.contains("advanced"), e.getMessage)
+    Manifest.deleteBranch(spark, root, "audit")
+    assert(Manifest.branches(spark, root).isEmpty)
+    assert(rows(root) == Set((1L, 10L), (2L, 20L), (3L, 30L), (5L, 50L)))
+  }
+
+  test("branches: write-audit-publish fast-forwards main in one commit; branch consumed") {
+    val root = newRoot("branch_pub")
+    Manifest.append(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "x")
+      .coalesce(1), root, statsCols = Seq("k"))                    // v0 = fork
+    Manifest.createBranch(spark, root, "staging")
+    val br = Manifest.branchRoot(root, "staging")
+    def rows(r: String): Set[(Long, Long)] = Manifest.read(spark, r)
+      .collect().map(t => (t.getLong(0), t.getLong(1))).toSet
+    // audit the candidate state on the branch; main never sees it
+    Manifest.upsert(Seq((2L, 99L), (4L, 40L)).toDF("k", "x"), br, "k")
+    Manifest.deleteWhereBetweenDv(spark, br, "k", 1L, 1L)
+    assert(rows(root) == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(rows(br) == Set((2L, 99L), (3L, 30L), (4L, 40L)))
+    val v = Manifest.publishBranch(spark, root, "staging")
+    // main fast-forwarded to the branch head in ONE commit
+    assert(v == 1L)
+    assert(rows(root) == Set((2L, 99L), (3L, 30L), (4L, 40L)))
+    assert(Manifest.branches(spark, root).isEmpty)
+    // the published state is durable through further writes and gc
+    // (the moved copy-on-write files are main's own now)
+    Manifest.append(Seq((5L, 50L)).toDF("k", "x").coalesce(1),
+      root, statsCols = Seq("k"))
+    Manifest.gc(spark, root, keepVersions = 1, orphanMinAgeMs = 0L)
+    assert(rows(root) == Set((2L, 99L), (3L, 30L), (4L, 40L), (5L, 50L)))
+    // skip stats survived the move: a key probe prunes files
+    val snap = Manifest.current(spark, root).get
+    assert(snap.stats.size == snap.files.size,
+      s"stats lost in the move: ${snap.stats.size} of ${snap.files.size}")
+    // a consumed branch cannot publish twice
+    intercept[IllegalArgumentException] {
+      Manifest.publishBranch(spark, root, "staging")
+    }
+  }
+
   test("changeFeedResync: exact when retained; truncate-and-reload window past a gc'd edge") {
     val root = newRoot("cdfresync")
     Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
