@@ -2535,6 +2535,78 @@ trait BatteryStoreOps extends BatteryModels {
         UNION ALL SELECT * FROM post)
       ORDER BY ref, status"""))
 
+  /** MULTI-VIEW MATVIEW DAG ([[graft.streaming.StreamOps.matviewDagStep]]
+    * — one change feed fanning into TWO views plus a view OVER a view,
+    * each with its own exactly-once watermark, evaluated producer-
+    * first so upstream commits cascade downstream in the same call):
+    * orders land in two appends with dag pumps interleaved, then an
+    * upsert price bump + a DV delete slab retract through ALL THREE
+    * views in one pump (the source retraction evicts customers from
+    * the per-customer view, whose upsert cascades as a signed fold
+    * into the order-count-distribution rollup view). The digest unions
+    * the by-status view and the rollup view; the oracle recomputes
+    * both from the final source state — a lost cascade, double fold,
+    * or stale downstream watermark hash-mismatches. */
+  val q194 = Q("q194_matview_dag",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q194").toString
+      val src = s"$base/orders_src"
+      val v1 = s"$base/by_cust"; val v2 = s"$base/by_status"
+      val v3 = s"$base/count_rollup"
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      import graft.store.Manifest
+      import graft.streaming.StreamOps
+      val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+      val views = Seq(
+        StreamOps.MatView(src, v1, "p1", "o_custkey",
+          Seq(("n", "count", ""), ("cents", "sum", cents))),
+        StreamOps.MatView(src, v2, "p2", "o_orderstatus",
+          Seq(("n", "count", ""), ("cents", "sum", cents))),
+        StreamOps.MatView(v1, v3, "p3", "n",
+          Seq(("m", "count", ""), ("cents", "sum", "cents"))))
+      def pump() = StreamOps.matviewDagStep(s, views)
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      Manifest.append(orders.filter(col("o_orderkey") <= mk / 2).coalesce(1),
+        src, statsCols = Seq("o_orderkey"))
+      pump() // bootstrap all three
+      Manifest.append(orders.filter(col("o_orderkey") > mk / 2).coalesce(1),
+        src, statsCols = Seq("o_orderkey"))
+      pump() // insert window upstream, cascaded upsert downstream
+      Manifest.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+        src, "o_orderkey")
+      Manifest.deleteWhereBetweenDv(s, src, "o_custkey", 1L, 30L)
+      pump() // ONE retracting window cascading through all views
+      pump() // converged: no-op
+      val v2d = Manifest.read(s, v2).select(lit("by_status").as("ref"),
+        col("o_orderstatus").cast("string").as("grp"), col("n"), col("cents"))
+      val v3d = Manifest.read(s, v3).select(lit("rollup").as("ref"),
+        col("n").cast("string").as("grp"), col("m").as("n"), col("cents"))
+      v2d.unionByName(v3d).orderBy("ref", "grp")
+    },
+    Some("""WITH final AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+            ELSE o_totalprice END AS price
+        FROM orders WHERE NOT (o_custkey BETWEEN 1 AND 30)),
+      v1 AS (
+        SELECT o_custkey, COUNT(*) AS n,
+          CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM final GROUP BY 1),
+      v2 AS (
+        SELECT 'by_status' AS ref, o_orderstatus AS grp, COUNT(*) AS n,
+          CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM final GROUP BY 2),
+      v3 AS (
+        SELECT 'rollup' AS ref, CAST(n AS VARCHAR) AS grp, COUNT(*) AS n,
+          CAST(SUM(cents) AS BIGINT) AS cents
+        FROM v1 GROUP BY 2)
+      SELECT ref, grp, n, cents FROM (
+        SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+      ORDER BY ref, grp"""))
+
   /** Multi-commit lifecycle SCENARIOS, as distinct from single-plan
     * queries: each of these builds a manifest-store (or streaming)
     * lifecycle — appends, upserts, deletes, maintenance, gc, index
@@ -2548,7 +2620,7 @@ trait BatteryStoreOps extends BatteryModels {
   val scenarioQs: Seq[Q] = Seq(q152, q153, q155, q156, q157, q158, q159,
     q160, q161, q162, q163, q164, q165, q166, q167, q168, q170, q171,
     q172, q173, q174, q176, q177, q178, q179, q180, q181, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194)
 
   /** All registered queries, in gate order. */
 }

@@ -953,6 +953,44 @@ object StreamOps {
     }
   }
 
+  /** One materialized view of a [[matviewDagStep]] DAG: `srcRoot` may
+    * be a base table OR another view's `dstRoot` (view-over-view). */
+  final case class MatView(srcRoot: String, dstRoot: String,
+      writerId: String, keyCol: String, aggs: Seq[(String, String, String)])
+
+  /** One pump step over a MULTI-VIEW DAG — one change feed fanning
+    * into several views, and views stacked over views: each view is a
+    * [[materializedAggStep]] with its OWN (writerId → txn) watermark
+    * on its OWN destination, evaluated in DECLARATION order, so a view
+    * whose source is an earlier view's destination folds the
+    * upstream's fresh commits in the SAME call (an upstream upsert
+    * reaches the downstream view through the retracting window — the
+    * remove+insert pair of the changed group folds signed, exactly the
+    * cascade rule). Per-view watermarks make the DAG crash-exact: a
+    * step that dies mid-fan leaves the finished views ahead and the
+    * rest behind; the next call replays the finished views into their
+    * exactly-once skip and completes the rest — no DAG-level
+    * coordinator state exists to corrupt. Ordering is VALIDATED, not
+    * trusted: a view reading a destination declared after it would
+    * silently lag one pump cycle forever (loud require instead);
+    * duplicate destinations reject (two views folding into one table
+    * double-count). Returns one entry per view in order. */
+  def matviewDagStep(spark: org.apache.spark.sql.SparkSession,
+      views: Seq[MatView]): Seq[Option[Long]] = {
+    require(views.nonEmpty, "matviewDagStep needs at least one view")
+    val dsts = views.map(_.dstRoot)
+    require(dsts.distinct.size == dsts.size,
+      s"matviewDagStep: duplicate view destinations ${dsts.diff(dsts.distinct).distinct.mkString(", ")}")
+    views.zipWithIndex.foreach { case (v, i) =>
+      val laterDsts = views.drop(i + 1).map(_.dstRoot).toSet
+      require(!laterDsts.contains(v.srcRoot),
+        s"matviewDagStep: view over ${v.srcRoot} is declared before its " +
+          "producer — order views so every producer precedes its consumers")
+    }
+    views.map(v => materializedAggStep(
+      spark, v.srcRoot, v.dstRoot, v.writerId, v.keyCol, v.aggs))
+  }
+
   /** INCREMENTAL MIRROR step — the read side of [[manifestSink]]: pull
     * the source manifest table's changes since the last mirrored
     * version, apply `transform`, and commit the result to the

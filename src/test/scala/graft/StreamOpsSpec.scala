@@ -775,6 +775,57 @@ class StreamOpsSpec extends SparkTestBase {
     assert(mirror() == Set((2L, 99L), (4L, 41L)))
   }
 
+  test("matview DAG: fan-out + view-over-view, per-view watermarks, cascaded retraction") {
+    import graft.store.Manifest
+    import StreamOps.MatView
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-dag").toString
+    val src = s"$dir/src"
+    val v1 = s"$dir/v1"; val v2 = s"$dir/v2"; val v3 = s"$dir/v3"
+    val views = Seq(
+      MatView(src, v1, "p1", "k", Seq(("n", "count", ""), ("s", "sum", "x"))),
+      MatView(src, v2, "p2", "grp", Seq(("n", "count", ""), ("s", "sum", "x"))),
+      // view OVER view: distribution of keys by their order count
+      MatView(v1, v3, "p3", "n", Seq(("m", "count", ""), ("st", "sum", "s"))))
+    def step() = StreamOps.matviewDagStep(spark, views)
+    def rows3(r: String): Set[(Long, Long, Long)] = Manifest.read(spark, r)
+      .collect().map(t => (t.getLong(0), t.getLong(1), t.getLong(2))).toSet
+
+    Manifest.append(Seq((1L, "a", 10L), (1L, "a", 5L), (2L, "b", 20L))
+      .toDF("k", "grp", "x").coalesce(1), src, statsCols = Seq("k"))
+    step() // bootstrap all three in one call
+    assert(rows3(v1) == Set((1L, 2L, 15L), (2L, 1L, 20L)))
+    assert(Manifest.read(spark, v2).collect()
+      .map(t => (t.getString(0), t.getLong(1), t.getLong(2))).toSet ==
+      Set(("a", 2L, 15L), ("b", 1L, 20L)))
+    assert(rows3(v3) == Set((2L, 1L, 15L), (1L, 1L, 20L)))
+    // inserts cascade: the downstream view folds the upstream's
+    // UPSERT through its retracting window in the SAME dag call
+    Manifest.append(Seq((2L, "b", 7L), (3L, "a", 1L))
+      .toDF("k", "grp", "x").coalesce(1), src, statsCols = Seq("k"))
+    step()
+    assert(rows3(v1) == Set((1L, 2L, 15L), (2L, 2L, 27L), (3L, 1L, 1L)))
+    assert(rows3(v3) == Set((2L, 2L, 42L), (1L, 1L, 1L)))
+    // retraction cascades two levels: a source DV delete evicts k=1
+    // from v1, whose remove retracts customer 1 from v3's n=2 group
+    Manifest.deleteWhereBetweenDv(spark, src, "k", 1L, 1L)
+    step()
+    assert(rows3(v1) == Set((2L, 2L, 27L), (3L, 1L, 1L)))
+    assert(Manifest.read(spark, v2).collect()
+      .map(t => (t.getString(0), t.getLong(1), t.getLong(2))).toSet ==
+      Set(("a", 1L, 1L), ("b", 2L, 27L)))
+    assert(rows3(v3) == Set((2L, 1L, 27L), (1L, 1L, 1L)))
+    // convergence: a replayed call no-ops on every view
+    assert(step().forall(_.isEmpty))
+    // ordering is validated: a consumer before its producer rejects
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.matviewDagStep(spark, views.reverse)
+    }
+    assert(e.getMessage.contains("producer"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      StreamOps.matviewDagStep(spark, Seq(views.head, views.head))
+    }
+  }
+
   test("append-only mirror survives gc outpacing its cursor: transformed re-baseline") {
     import graft.store.Manifest
     val dir = java.nio.file.Files.createTempDirectory("graft-mirror-resync").toString
