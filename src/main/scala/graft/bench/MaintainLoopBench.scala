@@ -50,7 +50,7 @@ object MaintainLoopBench {
     val policy = MaintenancePolicy(
       layoutCols = Seq("x", "y"),
       targetBytes = 4L * 1024 * 1024,
-      cubeMinBytes = 16L * 1024 * 1024,
+      cubeMinBytes = sys.env.get("GRAFT_CUBE_MIN").map(_.toLong).getOrElse(16L * 1024 * 1024),
       keepVersions = 2)
 
     val lo = keySpace / 4
@@ -100,7 +100,8 @@ object MaintainLoopBench {
     val snap = Manifest.current(spark, root).get
     val tableBytes = snap.files.flatMap(snap.bytes.get).sum
     println(s"""{"campaign":"maintain_loop_summary","cycles":$cycles""" +
-      s""","batch_rows":$batchRows,"table_bytes":$tableBytes""" +
+      s""","batch_rows":$batchRows,"cube_min_bytes":${policy.cubeMinBytes}""" +
+      s""","table_bytes":$tableBytes""" +
       s""","ingested_bytes":$ingested,"rewritten_bytes":$rewritten""" +
       f""","write_amp":${rewritten.toDouble / math.max(ingested, 1L)}%.2f""" +
       f""","maintain_s_first5":$first5%.2f,"maintain_s_last5":$last5%.2f""" +

@@ -3495,6 +3495,13 @@ object Manifest {
     val br = branchRoot(root, name)
     val f = fs(spark, root)
     if (f.exists(new Path(br))) { f.delete(new Path(br), true); () }
+    // purge the snapshot cache under the deleted root: a RECREATED
+    // branch of the same name restarts at version 0, and a stale
+    // (root, version) hit would resurrect the old branch's file list
+    // (temp-dir roots never reuse paths; branch roots are the first
+    // API where path reuse is the normal lifecycle)
+    val it = snapCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.startsWith(br)) it.remove()
   }
 
   /** PUBLISH a branch back to main — the Iceberg fast-forward, the

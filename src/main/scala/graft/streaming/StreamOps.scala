@@ -860,6 +860,19 @@ object StreamOps {
         Manifest.appendOnce(aggOf(full),
           dstRoot, writerId, cur.version, statsCols = Seq(keyCol))
         Some(cur.version)
+      case Some(v) if !Manifest.versions(spark, srcRoot).contains(v) =>
+        // gc outpaced the view's cursor (the watermark version's
+        // manifest is gone — no delta to fold). RE-BASELINE: the
+        // view's contract IS the full recompute, so recompute the
+        // aggregate from the pinned current snapshot and replace the
+        // view wholesale — rows and cursor in one atomic exactly-once
+        // commit ([[graft.store.Manifest.overwriteOnce]], the
+        // changeFeedResync stance).
+        val full = Manifest.readSnapshot(spark, srcRoot, cur)
+        requireKeys(full, "the resync snapshot")
+        Manifest.overwriteOnce(aggOf(full),
+          dstRoot, writerId, cur.version, statsCols = Seq(keyCol))
+        Some(cur.version)
       case Some(v) if Manifest.appendOnlySince(spark, srcRoot, v, cur) =>
         val insertDelta = Manifest.changes(spark, srcRoot, v, cur)
         requireKeys(insertDelta, s"the delta since version $v")

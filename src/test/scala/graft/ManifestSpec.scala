@@ -1309,6 +1309,13 @@ class ManifestSpec extends SparkTestBase {
     Manifest.deleteBranch(spark, root, "audit")
     assert(Manifest.branches(spark, root).isEmpty)
     assert(rows(root) == Set((1L, 10L), (2L, 20L), (3L, 30L), (5L, 50L)))
+    // recreate after delete: branch roots are the first API where path
+    // reuse is the NORMAL lifecycle — the new branch must reflect
+    // current main, never a stale cached lineage of the deleted one
+    Manifest.createBranch(spark, root, "audit")
+    assert(rows(Manifest.branchRoot(root, "audit")) == rows(root),
+      "recreated branch must start from current main")
+    Manifest.deleteBranch(spark, root, "audit")
   }
 
   test("branches: write-audit-publish fast-forwards main in one commit; branch consumed") {
@@ -2334,6 +2341,42 @@ class ManifestSpec extends SparkTestBase {
         spark.range(12, 13).toDF("id")
           .withColumn("meta", struct(lit("oops").as("a"))), root)
     }
+  }
+
+  test("materializedAggStep survives gc outpacing its cursor: full-recompute re-baseline") {
+    val src = newRoot("mvgc_src"); val dst = newRoot("mvgc_dst")
+    def rows(a: Long, b: Long) = spark.range(a, b).toDF("id")
+      .withColumn("k", expr("CAST(id DIV 25 AS BIGINT)"))
+      .withColumn("v", col("id") * 3)
+    val aggs = Seq(("n", "count", ""), ("sv", "sum", "v"))
+    def pump() = graft.streaming.StreamOps.materializedAggStep(
+      spark, src, dst, "mv", "k", aggs)
+    Manifest.append(rows(0, 50).coalesce(1), src, statsCols = Seq("id"))
+    assert(pump().contains(0L)) // bootstrap, watermark = 0
+    // the source races ahead: append + upsert + DV delete...
+    Manifest.append(rows(50, 100).coalesce(1), src, statsCols = Seq("id"))
+    Manifest.upsert(rows(10, 20).withColumn("v", col("v") * 2), src, "id")
+    Manifest.deleteWhereBetweenDv(spark, src, "id", 50L, 59L)
+    // ...and retention outpaces the watermark
+    Manifest.gc(spark, src, keepVersions = 1, orphanMinAgeMs = 0L)
+    assert(Manifest.versions(spark, src) == Seq(3L))
+    // the pump RE-BASELINES (full recompute, the view's own contract)
+    // instead of throwing; watermark and rows move in one commit
+    assert(pump().contains(3L))
+    val expect = Manifest.read(spark, src)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def view(): Set[(Long, Long, Long)] = Manifest.read(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(view() == expect)
+    assert(pump().isEmpty) // converged
+    // exact incremental folding resumes from the new baseline
+    Manifest.append(rows(100, 125).coalesce(1), src, statsCols = Seq("id"))
+    assert(pump().contains(4L))
+    val expect2 = Manifest.read(spark, src)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(view() == expect2)
   }
 
   test("materializedAggStep: retracting source — signed fold, min/max recount, zero-count eviction, guards") {
