@@ -3054,11 +3054,13 @@ object Manifest {
     *    cube — a lone fragment cube rewriting itself forever would be
     *    pure churn), or the cube sits in a CROSS-GENERATION stack:
     *    more than `overlapDegree` cubes covering one primary-column
-    *    point merge into one cube, excluding any cube wider than
-    *    `cubeStackFactor` x the narrowest covering cube (a settled
-    *    base must not pay O(table) for an additive one-probe saving;
-    *    the same exclusion finalizes merged generations, keeping each
-    *    byte's lifetime rewrites O(log));
+    *    point (under [[cmp]], so string-primary layouts participate)
+    *    merge into one cube, excluding any cube heavier than
+    *    `cubeStackFactor` x the lightest covering cube in BYTES —
+    *    rewrite cost IS bytes, so a settled base never pays O(table)
+    *    for an additive one-probe saving, and the same exclusion
+    *    finalizes merged generations, keeping each byte's lifetime
+    *    rewrites O(log);
     *  - unmarked files (plain appends since the last pass) are
     *    selected when they POLLUTE the skip index: normalized
     *    [min, max] box volume over `cols` above `volumeFactor` times
@@ -3190,42 +3192,58 @@ object Manifest {
     // file per generation forever. Sweep CUBE intervals the same way:
     // one unit per cube spanning its whole primary extent (intra-cube
     // overlap is the curve's tiling, not stacking — per-file counting
-    // would re-select a fresh multi-column cube forever). Where more
-    // than `overlapDegree` cubes stack, the covering cubes merge into
-    // one — EXCEPT cubes whose extent dwarfs the narrowest covering
-    // cube (> cubeStackFactor x): merging a settled base cube into a
-    // hot corner would pay O(table) for an additive one-probe saving.
-    // The exclusion also FINALIZES merged generations naturally: once
-    // the union cube is much wider than the fresh stacks landing on
-    // it, it stops re-merging, so each byte still moves only O(log)
-    // times up the generations — the LSM shape, no extra parameter
-    // for "final".
+    // would re-select a fresh multi-column cube forever). Intervals
+    // compare under [[cmp]] — the SAME total order the stats prune
+    // with — so string-primary layouts (lang/source/status, the
+    // common curation keys) stack-merge exactly like numeric ones.
+    // Where more than `overlapDegree` cubes stack, the covering cubes
+    // merge into one — EXCEPT cubes whose BYTES dwarf the lightest
+    // covering cube (> cubeStackFactor x): rewrite cost is bytes, so
+    // merging a settled base cube into a hot corner would pay
+    // O(table) for an additive one-probe saving. The exclusion also
+    // FINALIZES merged generations naturally: once the union cube far
+    // outweighs the fresh stacks landing on it, it stops re-merging,
+    // so each byte still moves only O(log) times up the generations —
+    // the LSM shape, no extra parameter for "final".
     val cubeSel: Seq[String] =
       if (overlapDegree <= 0 || byCube.size <= overlapDegree) Seq.empty
       else {
         val cubes = byCube.toSeq.flatMap { case (id, fs) =>
           val ivs = fs.flatMap(f =>
-            snap.stats.get(f).flatMap(_.get(colsP.head)).flatMap {
-              case (mn, mx) => for (a <- num(mn); b <- num(mx)) yield (a, b)
-            })
+            snap.stats.get(f).flatMap(_.get(colsP.head)))
           if (ivs.isEmpty) None
-          else Some((id, fs, ivs.map(_._1).min, ivs.map(_._2).max))
+          else Some((id, fs,
+            ivs.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+            ivs.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
         }
         if (cubes.size <= overlapDegree) Seq.empty
         else {
-          val los = cubes.map(_._3).sorted.toArray
-          val his = cubes.map(_._4).sorted.toArray
+          val ord = new Ordering[Any] { def compare(a: Any, b: Any) = cmp(a, b) }
+          def countLeA(a: Array[Any], p: Any): Int = {
+            var l = 0; var r = a.length
+            while (l < r) { val m = (l + r) >>> 1; if (cmp(a(m), p) <= 0) l = m + 1 else r = m }
+            l
+          }
+          def countLtA(a: Array[Any], p: Any): Int = {
+            var l = 0; var r = a.length
+            while (l < r) { val m = (l + r) >>> 1; if (cmp(a(m), p) < 0) l = m + 1 else r = m }
+            l
+          }
+          val los: Array[Any] = cubes.map(_._3).sorted(ord).toArray
+          val his: Array[Any] = cubes.map(_._4).sorted(ord).toArray
           val hot = los.distinct.filter(p =>
-            countLe(los, p) - countLt(his, p) > overlapDegree)
+            countLeA(los, p) - countLtA(his, p) > overlapDegree)
           if (hot.isEmpty) Seq.empty
           else {
+            def bytesOf(fs: Seq[String]): Long = fs.flatMap(snap.bytes.get).sum
             val ids = scala.collection.mutable.LinkedHashSet[String]()
             hot.foreach { p =>
-              val covering = cubes.filter(c => c._3 <= p && p <= c._4)
-              val exts = covering.map(c => c._4 - c._3).filter(_ > 0)
-              val minExt = if (exts.isEmpty) 0.0 else exts.min
+              val covering = cubes.filter(c =>
+                cmp(c._3, p) <= 0 && cmp(p, c._4) <= 0)
+              val weights = covering.map(c => bytesOf(c._2)).filter(_ > 0)
+              val minB = if (weights.isEmpty) 0L else weights.min
               covering.foreach { c =>
-                if (minExt <= 0 || (c._4 - c._3) <= cubeStackFactor * minExt)
+                if (minB <= 0L || bytesOf(c._2) <= cubeStackFactor * minB)
                   ids += c._1
               }
             }

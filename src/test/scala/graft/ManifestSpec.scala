@@ -888,6 +888,56 @@ class ManifestSpec extends SparkTestBase {
       s"post-merge pass should be a no-op: $res2")
   }
 
+  test("compactClusteredIncremental: generation merge works on STRING-primary layouts") {
+    val langs = Seq("de", "en", "es", "fr")
+    val base = (0 until 8192).map(i => (langs(i % 4), i.toLong)).toDF("lang", "k")
+    val root = newRoot("inc_str_gen")
+    Manifest.append(base.repartition(2), root, statsCols = Seq("lang", "k"))
+    Manifest.compactClustered(spark, root, Seq("lang", "k"), targetBytes = 4096)
+    val baseCubes = {
+      val s = Manifest.current(spark, root).get
+      s.files.flatMap(f => s.stats.get(f).flatMap(_.get(Manifest.ZCubeStatKey)))
+        .map(_._1.toString).distinct
+    }
+    // 12 generations: every fresh string-layout append is stats-blind
+    // to the volume test (string boxes have no numeric volume), so
+    // each maintenance cycle re-clusters it into a cube of its own —
+    // the stacking generator needs no knobs here
+    val hot = (0 until 64).map(i => (langs(i % 4), (i % 8).toLong + 100L))
+      .toDF("lang", "k").coalesce(1)
+    for (_ <- 0 until 12) {
+      Manifest.append(hot, root, statsCols = Seq("lang", "k"))
+      Manifest.compactClusteredIncremental(spark, root, Seq("lang", "k"),
+        targetBytes = 1 << 20, cubeMinBytes = 16, overlapDegree = 100)
+    }
+    def cubesCovering(): Int = {
+      val s = Manifest.current(spark, root).get
+      val fx = Manifest.prunedFiles(s, "lang", "es", "es")
+      val kept = Manifest.prunedFiles(s.copy(files = fx), "k", 100L, 107L)
+      kept.flatMap(f => s.stats.get(f).flatMap(_.get(Manifest.ZCubeStatKey)))
+        .map(_._1.toString).distinct.size
+    }
+    assert(cubesCovering() >= 12, s"fixture should stack, got ${cubesCovering()}")
+    // the cmp-ordered cube sweep merges the string-keyed generations;
+    // the much HEAVIER base cube is excluded by the bytes guard
+    val res = Manifest.compactClusteredIncremental(spark, root,
+      Seq("lang", "k"), targetBytes = 1 << 20, cubeMinBytes = 16,
+      overlapDegree = 8)
+    assert(res.rewrittenFiles >= 12, s"string generation merge: $res")
+    val after = Manifest.current(spark, root).get
+    val kept = after.files.flatMap(f =>
+      after.stats.get(f).flatMap(_.get(Manifest.ZCubeStatKey)))
+      .map(_._1.toString).distinct
+    assert(baseCubes.forall(kept.contains), "the heavy base cube must carry")
+    assert(cubesCovering() <= 2, s"stack should converge, got ${cubesCovering()}")
+    assert(Manifest.read(spark, root).count() == 8192L + 12L * 64L)
+    // converged: no churn
+    val res2 = Manifest.compactClusteredIncremental(spark, root,
+      Seq("lang", "k"), targetBytes = 1 << 20, cubeMinBytes = 16,
+      overlapDegree = 8)
+    assert(res2.rewrittenBytes == 0L, s"post-merge pass should no-op: $res2")
+  }
+
   test("appendQuarantine: violating rows dead-letter with the constraint name") {
     val root = newRoot("quarantine")
     val qRoot = root + "_dlq"
