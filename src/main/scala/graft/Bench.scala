@@ -115,6 +115,38 @@ object Bench {
     Seq(once(), once(), once()).min
   }
 
+  /** Filesystem-speed CANARY, the host_speed sibling for the SCENARIO
+    * section: scenario walls are dominated by tiny-file commits,
+    * renames, and listings — fs-side degradation the CPU canary
+    * cannot see (the r16 ledger found untouched scenarios ~15% slower
+    * in a CPU-healthy window). One run = create 1000 small files,
+    * rename each, list the dir, delete everything; reported in
+    * seconds, min of 3 runs. Compare scenario-section deltas only
+    * when BOTH canaries sit in their healthy bands. */
+  private[graft] def fsSpeed(): Double = {
+    def once(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fs_canary")
+      val t0 = System.nanoTime()
+      val payload = ("x" * 256).getBytes("UTF-8")
+      var i = 0
+      while (i < 1000) {
+        val p = dir.resolve(s"f$i")
+        java.nio.file.Files.write(p, payload)
+        java.nio.file.Files.move(p, dir.resolve(s"g$i"))
+        i += 1
+      }
+      val n = java.nio.file.Files.list(dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (n != 1000L) System.err.println(s"[bench] fs canary anomaly: $n files")
+      // cleanup outside the timed span
+      java.nio.file.Files.list(dir).forEach(p => { java.nio.file.Files.delete(p); () })
+      java.nio.file.Files.delete(dir)
+      sec
+    }
+    once() // warm (dentry caches, JIT), discarded
+    Seq(once(), once(), once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -130,6 +162,8 @@ object Bench {
 
     val hostStart = hostSpeed()
     System.err.println(f"[bench] host_speed(start): $hostStart%.3fs")
+    val fsStart = fsSpeed()
+    System.err.println(f"[bench] fs_speed(start): $fsStart%.3fs")
 
     // Warm pass on the TARGET dir: first execution of each plan pays
     // 10-35s of one-time JVM cost (JIT, whole-stage-codegen compile,
@@ -277,8 +311,12 @@ object Bench {
     val hostEnd = hostSpeed()
     System.err.println(f"[bench] host_speed(end): $hostEnd%.3fs")
     val host = math.min(hostStart, hostEnd)
+    val fsEnd = fsSpeed()
+    System.err.println(f"[bench] fs_speed(end): $fsEnd%.3fs")
+    val fsS = math.min(fsStart, fsEnd)
     val sections =
-      s""","host_speed":${fmt(host)},"query_sec":${fmt(querySec)}""" +
+      s""","host_speed":${fmt(host)},"fs_speed":${fmt(fsS)}""" +
+      s""","query_sec":${fmt(querySec)}""" +
       s""","scenario_sec":${fmt(scenarioSec)}""" +
       s""","worst5_queries":${worst5Of(queryR)}""" +
       s""","worst5_scenarios":${worst5Of(scenR)}"""
@@ -311,7 +349,8 @@ object Bench {
         .map(m => s""""pipeline_sec":${m.group(1)},""").getOrElse("")
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,""" +
-      s"""$pipelineSec"host_speed":${fmt(host)},"query_sec":${fmt(querySec)},""" +
+      s"""$pipelineSec"host_speed":${fmt(host)},"fs_speed":${fmt(fsS)},""" +
+      s""""query_sec":${fmt(querySec)},""" +
       s""""scenario_sec":${fmt(scenarioSec)},"worst5":$worst5,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -2607,6 +2607,64 @@ trait BatteryStoreOps extends BatteryModels {
         SELECT * FROM v2 UNION ALL SELECT * FROM v3)
       ORDER BY ref, grp"""))
 
+  /** BRANCH MERGE ONTO A DIVERGED MAIN
+    * ([[graft.store.Manifest.mergeBranch]] — the rebase-style 3-way
+    * merge completing q193's ref story: ingest keeps landing on main
+    * DURING the audit, so fast-forward refuses and the branch's net
+    * per-key delta replays onto current main, branch-wins per key):
+    * orders land in two appends; branch "audit" takes an upsert price
+    * bump (+100 on key%7) and a DV delete slab (custkey 1..30); main
+    * MEANWHILE takes its own upsert (+50 on key%5 — keys%35 conflict,
+    * branch must win; custkeys 1..30 among them must still drop). The
+    * merge lands as one atomic upsert+drop commit and the digest reads
+    * merged main; the oracle composes the branch-wins rule directly —
+    * a lost branch edit, a resurrected deleted key, or main's
+    * concurrent ingest being clobbered all hash-mismatch. */
+  val q195 = Q("q195_manifest_branch_merge",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q195").toString + "/orders_bm"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      Manifest.append(orders.filter(col("o_orderkey") <= mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))                       // v0
+      Manifest.append(orders.filter(col("o_orderkey") > mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))                       // v1 = fork
+      Manifest.createBranch(s, root, "audit")
+      val br = Manifest.branchRoot(root, "audit")
+      // the audit edits the branch...
+      Manifest.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+        br, "o_orderkey")
+      Manifest.deleteWhereBetweenDv(s, br, "o_custkey", 1L, 30L)
+      // ...while ingest keeps landing on main (diverged: %35 keys
+      // collide with the branch bump, and some bumped keys belong to
+      // custkeys the branch deleted)
+      Manifest.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(50.0)),
+        root, "o_orderkey")
+      Manifest.mergeBranch(s, root, "audit", "o_orderkey")
+      Manifest.read(s, root)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH merged AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+            WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50.0
+            ELSE o_totalprice END AS price
+        FROM orders WHERE NOT (o_custkey BETWEEN 1 AND 30))
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM merged GROUP BY 1 ORDER BY 1"""))
+
   /** Multi-commit lifecycle SCENARIOS, as distinct from single-plan
     * queries: each of these builds a manifest-store (or streaming)
     * lifecycle — appends, upserts, deletes, maintenance, gc, index
@@ -2620,7 +2678,7 @@ trait BatteryStoreOps extends BatteryModels {
   val scenarioQs: Seq[Q] = Seq(q152, q153, q155, q156, q157, q158, q159,
     q160, q161, q162, q163, q164, q165, q166, q167, q168, q170, q171,
     q172, q173, q174, q176, q177, q178, q179, q180, q181, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195)
 
   /** All registered queries, in gate order. */
 }

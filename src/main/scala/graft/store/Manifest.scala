@@ -3605,6 +3605,61 @@ object Manifest {
     v
   }
 
+  /** MERGE a branch whose parent has ADVANCED — the diverged half of
+    * the ref story ([[publishBranch]] is the fast-forward half; this
+    * is the rebase-style 3-way merge a write-audit-publish pipeline
+    * needs when ingest kept landing on main during the audit): the
+    * branch's NET per-key delta vs its fork (its own version 0 — the
+    * clone IS the fork state) is computed exactly for ANY commit mix
+    * ([[changesWithDeltas]]), collapsed to per-key actions (surviving
+    * row = upsert, disappeared key = drop — the CDC-mirror collapse),
+    * and applied to CURRENT main as ONE atomic upsert+drop commit.
+    * Conflict rule is per-key BRANCH-WINS: a key both refs touched
+    * takes the branch's final row (deleted-on-branch beats
+    * updated-on-main); keys the branch never touched keep main's
+    * current value — audit edits override, unrelated ingest survives.
+    * Value-idempotent: re-applying the same delta reproduces the same
+    * table, so a crash between the commit and the branch drop re-runs
+    * safely. The branch is CONSUMED like [[publishBranch]]. Requires
+    * unique non-null keys on both refs, and the branch must still
+    * hold its version 0 (a branch you intend to MERGE must not gc its
+    * own fork snapshot away). Returns the new main version. */
+  def mergeBranch(spark: SparkSession, root: String, name: String,
+      keyCol: String): Long = {
+    val br = branchRoot(root, name)
+    val snapB = current(spark, br).getOrElse(
+      throw new IllegalArgumentException(s"$root: branch '$name' does not exist"))
+    require(versions(spark, br).contains(0L),
+      s"$root: branch '$name' gc'd its fork snapshot (version 0) — " +
+        "the merge baseline is gone; keep the branch's full history " +
+        "or use publishBranch before main diverges")
+    val cur0 = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    if (snapB.version == 0L) { // no branch commits: nothing to merge
+      deleteBranch(spark, root, name)
+      return cur0.version
+    }
+    import org.apache.spark.sql.functions.{sum, when}
+    val feed = changesWithDeltas(spark, br, 0L, snapB)
+    val dataCols = feed.columns.filterNot(_ == ChangeTypeCol)
+    val net = feed.groupBy(dataCols.map(col): _*)
+      .agg(sum(when(col(ChangeTypeCol) === "insert", 1L)
+        .otherwise(-1L)).as("__net"))
+      .filter(col("__net") =!= 0L)
+      .localCheckpoint(false)
+    try {
+      val ups = net.filter(col("__net") > 0L).drop("__net")
+      val dropKeys = net.filter(col("__net") < 0L).select(col(keyCol))
+        .join(ups.select(col(keyCol)), Seq(keyCol), "left_anti").distinct()
+      val v =
+        if (ups.isEmpty && dropKeys.isEmpty) cur0.version
+        else retryingCommit(s"$root mergeBranch($name)", 4)(
+          upsertPlanned(ups, root, keyCol, drops = Some(dropKeys)))
+      deleteBranch(spark, root, name)
+      v
+    } finally { net.unpersist(); () }
+  }
+
   /** Garbage collection: drop all but the newest `keepVersions`
     * manifests, then delete expired data files. Two deletion regimes,
     * because a file referenced by NO manifest at all is

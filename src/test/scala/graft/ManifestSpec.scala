@@ -1402,6 +1402,50 @@ class ManifestSpec extends SparkTestBase {
     }
   }
 
+  test("branches: mergeBranch rebases a diverged main — branch wins per key, untouched keys keep main") {
+    val root = newRoot("branch_merge")
+    Manifest.append(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("k", "x").coalesce(1), root, statsCols = Seq("k"))      // v0 = fork
+    Manifest.createBranch(spark, root, "audit")
+    val br = Manifest.branchRoot(root, "audit")
+    def rows(r: String): Set[(Long, Long)] = Manifest.read(spark, r)
+      .collect().map(t => (t.getLong(0), t.getLong(1))).toSet
+    // branch edits: update k=2, delete k=3 AND k=4, insert k=5
+    Manifest.upsert(Seq((2L, 99L), (5L, 50L)).toDF("k", "x"), br, "k")
+    Manifest.deleteWhereBetweenDv(spark, br, "k", 3L, 4L)
+    // main ADVANCES meanwhile: updates k=2 (conflict) and k=4
+    // (deleted on branch — branch must still win), inserts k=6
+    Manifest.upsert(Seq((2L, 21L), (4L, 41L), (6L, 60L)).toDF("k", "x"),
+      root, "k")
+    // fast-forward refuses the divergence; merge is the recovery
+    intercept[IllegalArgumentException] {
+      Manifest.publishBranch(spark, root, "audit")
+    }
+    Manifest.mergeBranch(spark, root, "audit", "k")
+    // branch wins on touched keys (2 updated, 3+4 deleted, 5 inserted);
+    // untouched keys keep main's CURRENT value (1 original, 6 new)
+    assert(rows(root) == Set((1L, 10L), (2L, 99L), (5L, 50L), (6L, 60L)),
+      rows(root).toString)
+    assert(Manifest.branches(spark, root).isEmpty) // consumed
+    // a no-op branch merges to the current version and is consumed
+    Manifest.createBranch(spark, root, "quiet")
+    val vBefore = Manifest.current(spark, root).get.version
+    assert(Manifest.mergeBranch(spark, root, "quiet", "k") == vBefore)
+    assert(Manifest.branches(spark, root).isEmpty)
+    // a branch that gc'd its own fork snapshot refuses the merge loudly
+    Manifest.createBranch(spark, root, "trunc")
+    val tbr = Manifest.branchRoot(root, "trunc")
+    Manifest.append(Seq((7L, 70L)).toDF("k", "x").coalesce(1), tbr,
+      statsCols = Seq("k"))
+    Manifest.append(Seq((8L, 80L)).toDF("k", "x").coalesce(1), tbr,
+      statsCols = Seq("k"))
+    Manifest.gc(spark, tbr, keepVersions = 1, orphanMinAgeMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      Manifest.mergeBranch(spark, root, "trunc", "k")
+    }
+    assert(e.getMessage.contains("fork snapshot"), e.getMessage)
+  }
+
   test("changeFeedResync: exact when retained; truncate-and-reload window past a gc'd edge") {
     val root = newRoot("cdfresync")
     Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
