@@ -2665,6 +2665,122 @@ trait BatteryStoreOps extends BatteryModels {
         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       FROM merged GROUP BY 1 ORDER BY 1"""))
 
+  /** COLUMN-LEVEL BRANCH MERGE ([[graft.store.Manifest.mergeBranch]]
+    * `columnLevel = true` — the cell-wise refinement of q195's
+    * whole-row rule): the audit branch edits ONE column (price +100 on
+    * key%7) while main concurrently edits ANOTHER (status 'X' on
+    * key%5) — on the %35 conflict keys BOTH edits must survive the
+    * merge (whole-row branch-wins would resurrect the fork status);
+    * the branch's DV delete slab (custkey 1..30) still beats main's
+    * column edits whole-row. The digest groups merged main by status;
+    * the oracle applies the two column edits INDEPENDENTLY — a
+    * clobbered main column, a lost branch column, or a resurrected
+    * deleted key all hash-mismatch. */
+  val q196 = Q("q196_manifest_branch_merge_cols",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q196").toString + "/orders_bmc"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      Manifest.append(orders.filter(col("o_orderkey") <= mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))                       // v0
+      Manifest.append(orders.filter(col("o_orderkey") > mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))                       // v1 = fork
+      Manifest.createBranch(s, root, "audit")
+      val br = Manifest.branchRoot(root, "audit")
+      // the audit edits ONE column on the branch...
+      Manifest.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+        br, "o_orderkey")
+      Manifest.deleteWhereBetweenDv(s, br, "o_custkey", 1L, 30L)
+      // ...while main edits a DIFFERENT column of overlapping rows
+      Manifest.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("X")),
+        root, "o_orderkey")
+      Manifest.mergeBranch(s, root, "audit", "o_orderkey",
+        columnLevel = true)
+      Manifest.read(s, root)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("status")
+    },
+    Some("""WITH merged AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+            ELSE o_totalprice END AS price,
+          CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+            ELSE o_orderstatus END AS status
+        FROM orders WHERE NOT (o_custkey BETWEEN 1 AND 30))
+      SELECT status, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM merged GROUP BY 1 ORDER BY 1"""))
+
+  /** CDC WINDOW SPANNING A BRANCH PUBLISH ([[graft.store.Manifest
+    * .publishBranch]] + [[graft.store.Manifest.changesWithDeltas]] +
+    * [[graft.streaming.StreamOps.manifestCdcMirrorStep]]): a mirror
+    * bootstraps on main, a branch stages an APPEND batch (new keys,
+    * price +25) and publishes, and the lagging consumer's next window
+    * spans the publish commit. Because publish maps inherited entries
+    * back to their parent-relative names, the window's file diff
+    * CARRIES every inherited file — its measured row volume must be
+    * exactly the branch's churn (the appended batch), not the table
+    * (the "wholesale replace" failure mode). The digest pins BOTH the
+    * mirrored state and the measured feed volume; a volume equal to
+    * table+batch, a missed batch, or a duplicated carry all
+    * hash-mismatch. */
+  val q197 = Q("q197_manifest_publish_feed",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q197").toString
+      val src = s"$base/orders_src"; val dst = s"$base/orders_mirror"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      Manifest.append(orders.filter(col("o_orderkey") <= mk / 2).coalesce(1),
+        src, statsCols = Seq("o_orderkey"))                        // v0
+      Manifest.append(orders.filter(col("o_orderkey") > mk / 2).coalesce(1),
+        src, statsCols = Seq("o_orderkey"))                        // v1 = fork
+      def pump() = graft.streaming.StreamOps.manifestCdcMirrorStep(
+        s, src, dst, "cdc", "o_orderkey")
+      pump() // bootstrap at the fork
+      val fork = Manifest.current(s, src).get.version
+      Manifest.createBranch(s, src, "stage")
+      val br = Manifest.branchRoot(src, "stage")
+      // the staged batch: NEW keys only (no rewrites — churn is the
+      // batch itself), written on the branch, audited, published
+      Manifest.append(orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(mk + 1L))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(25.0))
+        .coalesce(1), br, statsCols = Seq("o_orderkey"))
+      Manifest.publishBranch(s, src, "stage")
+      val cur = Manifest.current(s, src).get
+      // the lagging consumer's window spans the publish: measure it
+      val feedRows = Manifest.changesWithDeltas(s, src, fork, cur).count()
+      pump() // mirror folds the same window exactly-once
+      Manifest.read(s, dst)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"))
+        .withColumn("feed_rows", lit(feedRows))
+        .orderBy("status")
+    },
+    Some("""WITH published AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice + 25.0 FROM orders
+        WHERE o_orderkey % 11 = 0)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 0) AS feed_rows
+      FROM published GROUP BY 1 ORDER BY 1"""))
+
   /** Multi-commit lifecycle SCENARIOS, as distinct from single-plan
     * queries: each of these builds a manifest-store (or streaming)
     * lifecycle — appends, upserts, deletes, maintenance, gc, index
@@ -2678,7 +2794,8 @@ trait BatteryStoreOps extends BatteryModels {
   val scenarioQs: Seq[Q] = Seq(q152, q153, q155, q156, q157, q158, q159,
     q160, q161, q162, q163, q164, q165, q166, q167, q168, q170, q171,
     q172, q173, q174, q176, q177, q178, q179, q180, q181, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195,
+    q196, q197)
 
   /** All registered queries, in gate order. */
 }

@@ -1654,9 +1654,19 @@ object Manifest {
     case t: java.time.Instant => String.valueOf(java.sql.Timestamp.from(t))
     case other => other
   }
+  /** String bounds order by UTF-8 BINARY (= Unicode code-point) order
+    * — the order Spark's min/max computed the recorded stats under
+    * (UTF8String.compareTo). Java's String.compareTo is UTF-16 code
+    * units, which disagrees when supplementary characters mix with
+    * U+E000..U+FFFF: under UTF-16 a surrogate pair sorts BELOW U+E000,
+    * so a file whose Spark-recorded max is a supplementary char would
+    * be wrongly pruned for a U+E000-range probe. One comparator now
+    * serves stats recording, pruning, and the cube sweeps
+    * ([[graft.store.Layout.utf8Order]] is the same order on the
+    * clustering side). */
   private[store] def cmp(a0: Any, b0: Any): Int = (temporalText(a0), temporalText(b0)) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) => Layout.utf8Order.compare(x, y)
     case (x: Number, y: Number) =>
       new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString))
     case (a, b) => throw new IllegalArgumentException(
@@ -2175,11 +2185,15 @@ object Manifest {
     * then the exact per-commit deltas of `(r, toVersion]` with
     * [[ResyncCol]] = false. A fully-retained window degrades to
     * [[changeFeed]] plus a constant-false [[ResyncCol]] — same rows,
-    * same attribution. Caveat: a resync whose snapshot is EMPTY (all
-    * rows deleted before the gc) emits zero rows, so a row-folding
-    * consumer cannot see the flag — track `_commit_version` gaps, or
-    * use [[graft.streaming.StreamOps.manifestCdcMirrorStep]], whose
-    * re-baseline is version-driven, not row-driven. */
+    * same attribution. A resync whose snapshot is EMPTY (all rows
+    * deleted before the gc) emits ONE synthetic marker row instead —
+    * [[ChangeTypeCol]] = `truncate`, every data column NULL,
+    * [[ResyncCol]] = true — so a row-folding consumer still SEES the
+    * truncation event it must act on (zero rows would be
+    * indistinguishable from "nothing happened"); version-driven
+    * consumers ([[graft.streaming.StreamOps.manifestCdcMirrorStep]])
+    * never needed the flag and ignore the marker like any unknown
+    * change type. */
   def changeFeedResync(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(toVersion > fromVersion,
@@ -2205,8 +2219,18 @@ object Manifest {
         case None => throw new IllegalStateException(
           s"$root: resync version $r is empty with no recorded schema")
       }
-    val base = state
-      .withColumn(ChangeTypeCol, lit("insert"))
+    // an EMPTY resync state (no files, or a vector covering every
+    // row) must still be VISIBLE to row-folding consumers: emit one
+    // all-NULL `truncate` marker in its place (metadata-level event
+    // as a row — the cue to clear state and await deltas)
+    val stateEmpty = snapR.files.isEmpty || state.isEmpty
+    val base = (if (!stateEmpty) state else {
+      val st = state.schema
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(st.fields.map(_ => null).toSeq)), st)
+    })
+      .withColumn(ChangeTypeCol, lit(if (stateEmpty) "truncate" else "insert"))
       .withColumn(CommitVersionCol, lit(r))
       .withColumn(ResyncCol, lit(true))
     val frames = Seq(base) ++ (if (r < toVersion)
@@ -3242,9 +3266,14 @@ object Manifest {
                 cmp(c._3, p) <= 0 && cmp(p, c._4) <= 0)
               val weights = covering.map(c => bytesOf(c._2)).filter(_ > 0)
               val minB = if (weights.isEmpty) 0L else weights.min
-              covering.foreach { c =>
-                if (minB <= 0L || bytesOf(c._2) <= cubeStackFactor * minB)
-                  ids += c._1
+              // no byte stats at all for this hot point: the
+              // cubeStackFactor exclusion cannot run, and selecting
+              // everything would pull an arbitrarily heavy settled base
+              // into an O(table) rewrite — skip the point instead
+              // (stats-free cubes are synthetic/test-only; real commits
+              // record footer bytes)
+              if (minB > 0L) covering.foreach { c =>
+                if (bytesOf(c._2) <= cubeStackFactor * minB) ids += c._1
               }
             }
             cubes.filter(c => ids(c._1)).flatMap(_._2)
@@ -3554,7 +3583,14 @@ object Manifest {
     // relative entries keep their names, their batch dirs MOVE below
     def toParentRel(e: String): String =
       if (e.startsWith(dataPrefix)) e.substring(dataPrefix.length) else e
-    val localBatches = snapB.files.filterNot(_.startsWith(dataPrefix))
+    // branch-LOCAL entries are the truly relative ones (same test
+    // moveSidecar applies): a branch cut from a table that is itself a
+    // shallow clone also carries FOREIGN-absolute entries (the
+    // grandparent's data paths) — those are not under this parent's
+    // prefix either, but they are not the branch's to move, and
+    // toParentRel already passes them through unchanged
+    val localBatches = snapB.files
+      .filter(e => !e.startsWith(dataPrefix) && !e.startsWith("/") && !e.contains(":/"))
       .map(e => e.substring(0, e.indexOf('/'))).distinct
     localBatches.foreach { b =>
       val src = new Path(brData, b)
@@ -3614,50 +3650,145 @@ object Manifest {
     * ([[changesWithDeltas]]), collapsed to per-key actions (surviving
     * row = upsert, disappeared key = drop — the CDC-mirror collapse),
     * and applied to CURRENT main as ONE atomic upsert+drop commit.
-    * Conflict rule is per-key BRANCH-WINS: a key both refs touched
-    * takes the branch's final row (deleted-on-branch beats
-    * updated-on-main); keys the branch never touched keep main's
-    * current value — audit edits override, unrelated ingest survives.
+    * Conflict rule is per-key BRANCH-WINS over TOUCHED keys: a key
+    * ANY branch commit touched takes the branch's final state — its
+    * final row (even when that row equals the fork value: an audit
+    * that reverted a key back still claims it, so main's concurrent
+    * update does not resurrect the audited-away value), or its
+    * absence (deleted-on-branch beats updated-on-main, and a key the
+    * branch created then deleted drops main's concurrent insert of
+    * the same key). Keys the branch never touched keep main's current
+    * value — audit edits override, unrelated ingest survives.
+    * Touched-ness is judged from the per-commit feed netted WITHIN
+    * each commit, so a compaction inside the branch (whose carried
+    * rewrites net to zero per commit) claims nothing; the LAST commit
+    * that logically touched a key decides its fate. Cost follows
+    * branch churn commit-by-commit (a branch-side compaction adds
+    * scan volume that then nets out), never main's table size.
+    *
+    * `columnLevel = true` refines the both-updated case CELL-wise:
+    * for a touched surviving key, each column takes the branch's
+    * value only where the branch CHANGED it vs the fork (null-safe
+    * compare); columns the branch left alone take main's CURRENT
+    * value, so branch and main editing DIFFERENT columns of one row
+    * both survive. A branch-created key, or a key main dropped, takes
+    * the branch row wholesale; deletes stay whole-row branch-wins.
+    * Requires branch and main to agree on the column set (no schema
+    * evolution across a column-level merge). Costs two extra
+    * key-pruned semi-joined reads (fork + main state of the touched
+    * keys); the commit stays O(touched keys).
+    *
     * Value-idempotent: re-applying the same delta reproduces the same
     * table, so a crash between the commit and the branch drop re-runs
     * safely. The branch is CONSUMED like [[publishBranch]]. Requires
     * unique non-null keys on both refs, and the branch must still
-    * hold its version 0 (a branch you intend to MERGE must not gc its
-    * own fork snapshot away). Returns the new main version. */
+    * hold its FULL history (version 0 is the merge baseline and the
+    * per-commit replay needs every step — a branch you intend to
+    * MERGE must not gc its own snapshots). Returns the new main
+    * version. */
   def mergeBranch(spark: SparkSession, root: String, name: String,
-      keyCol: String): Long = {
+      keyCol: String, columnLevel: Boolean = false): Long = {
     val br = branchRoot(root, name)
     val snapB = current(spark, br).getOrElse(
       throw new IllegalArgumentException(s"$root: branch '$name' does not exist"))
-    require(versions(spark, br).contains(0L),
-      s"$root: branch '$name' gc'd its fork snapshot (version 0) — " +
-        "the merge baseline is gone; keep the branch's full history " +
-        "or use publishBranch before main diverges")
+    val have = versions(spark, br).toSet
+    require((0L to snapB.version).forall(have),
+      s"$root: branch '$name' gc'd its fork snapshot or part of its " +
+        "history — the merge baseline/per-commit replay is gone; keep " +
+        "the branch's full history or use publishBranch before main " +
+        "diverges")
     val cur0 = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
     if (snapB.version == 0L) { // no branch commits: nothing to merge
       deleteBranch(spark, root, name)
       return cur0.version
     }
-    import org.apache.spark.sql.functions.{sum, when}
-    val feed = changesWithDeltas(spark, br, 0L, snapB)
-    val dataCols = feed.columns.filterNot(_ == ChangeTypeCol)
-    val net = feed.groupBy(dataCols.map(col): _*)
+    import org.apache.spark.sql.functions.{row_number, sum, when}
+    val feed = changeFeed(spark, br, 0L, snapB.version)
+    val dataCols = feed.columns
+      .filterNot(c => c == ChangeTypeCol || c == CommitVersionCol)
+    // net within each commit: carried rewrites (branch-side
+    // compaction) vanish; true updates keep their remove/insert pair
+    val perCommit = feed
+      .groupBy((col(CommitVersionCol) +: dataCols.map(col)): _*)
       .agg(sum(when(col(ChangeTypeCol) === "insert", 1L)
         .otherwise(-1L)).as("__net"))
       .filter(col("__net") =!= 0L)
+    // the key's LAST touching commit decides: an insert there is the
+    // branch's final row, a remove-only commit means deleted-on-branch
+    // (within one commit an update carries both — the insert wins)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(CommitVersionCol).desc, col("__net").desc)
+    val last = perCommit.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .localCheckpoint(false)
     try {
-      val ups = net.filter(col("__net") > 0L).drop("__net")
-      val dropKeys = net.filter(col("__net") < 0L).select(col(keyCol))
-        .join(ups.select(col(keyCol)), Seq(keyCol), "left_anti").distinct()
+      val upsBranch = last.filter(col("__net") > 0L)
+        .select(dataCols.map(col): _*)
+      val dropKeys = last.filter(col("__net") < 0L).select(col(keyCol))
+      val ups =
+        if (!columnLevel) upsBranch
+        else mergeColumnsVsFork(spark, root, br, upsBranch, keyCol, dataCols)
       val v =
         if (ups.isEmpty && dropKeys.isEmpty) cur0.version
         else retryingCommit(s"$root mergeBranch($name)", 4)(
           upsertPlanned(ups, root, keyCol, drops = Some(dropKeys)))
       deleteBranch(spark, root, name)
       v
-    } finally { net.unpersist(); () }
+    } finally { last.unpersist(); () }
+  }
+
+  /** The cell-wise 3-way resolve of [[mergeBranch]]`(columnLevel =
+    * true)`: for each touched surviving key, branch value where the
+    * branch changed the cell vs the fork, main's current value where
+    * it did not (main may have concurrently edited OTHER columns of
+    * the row), branch row wholesale when the key has no fork row
+    * (branch-created) or no main row (main dropped it — branch-wins
+    * resurrection). */
+  private def mergeColumnsVsFork(spark: SparkSession, root: String,
+      br: String, upsBranch: DataFrame, keyCol: String,
+      dataCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val mainCols = read(spark, root).columns.toSeq
+    require(mainCols.sorted == dataCols.sorted,
+      s"$root: column-level merge needs branch and main to agree on " +
+        s"columns (main ${mainCols.sorted.mkString(",")} vs branch " +
+        s"${dataCols.sorted.mkString(",")}) — no schema evolution " +
+        "across a column-level merge")
+    val keys = upsBranch.select(col(keyCol)).distinct()
+    val snap0 = snapshot(spark, br, 0L)
+    val forkRows =
+      if (snap0.files.isEmpty) None
+      else Some(readSnapshot(spark, br, snap0)
+        .join(keys, Seq(keyCol), "left_semi")
+        .select(col(keyCol) +: dataCols.filterNot(_ == keyCol)
+          .map(c => col(c).as(s"__f_$c")): _*)
+        .withColumn("__f_has", lit(true)))
+    val mainRows = read(spark, root)
+      .join(keys, Seq(keyCol), "left_semi")
+      .select(col(keyCol) +: dataCols.filterNot(_ == keyCol)
+        .map(c => col(c).as(s"__m_$c")): _*)
+      .withColumn("__m_has", lit(true))
+    val joined = forkRows
+      .map(f => upsBranch.join(f, Seq(keyCol), "left"))
+      .getOrElse(upsBranch
+        .withColumn("__f_has", lit(null).cast("boolean")))
+      .join(mainRows, Seq(keyCol), "left")
+    joined.select(dataCols.map { c =>
+      if (c == keyCol) col(c)
+      else {
+        val branchV = col(c)
+        val forkV =
+          if (forkRows.isDefined) col(s"__f_$c")
+          else lit(null)
+        when(col("__f_has").isNull, branchV) // branch-created key
+          .when(!(branchV <=> forkV), branchV) // branch changed the cell
+          .when(col("__m_has").isNotNull, col(s"__m_$c")) // main's concurrent value
+          .otherwise(branchV) // main dropped the key: branch resurrects
+          .as(c)
+      }
+    }: _*)
   }
 
   /** Garbage collection: drop all but the newest `keepVersions`

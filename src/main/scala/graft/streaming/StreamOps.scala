@@ -995,6 +995,9 @@ object StreamOps {
     require(dsts.distinct.size == dsts.size,
       s"matviewDagStep: duplicate view destinations ${dsts.diff(dsts.distinct).distinct.mkString(", ")}")
     views.zipWithIndex.foreach { case (v, i) =>
+      require(v.srcRoot != v.dstRoot,
+        s"matviewDagStep: view over ${v.srcRoot} folds into itself — " +
+          "a self-loop would re-aggregate the view's own output")
       val laterDsts = views.drop(i + 1).map(_.dstRoot).toSet
       require(!laterDsts.contains(v.srcRoot),
         s"matviewDagStep: view over ${v.srcRoot} is declared before its " +

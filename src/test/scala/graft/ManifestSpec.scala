@@ -1446,6 +1446,162 @@ class ManifestSpec extends SparkTestBase {
     assert(e.getMessage.contains("fork snapshot"), e.getMessage)
   }
 
+  test("branches: mergeBranch claims TOUCHED keys — reverted-to-fork and created-then-deleted both branch-win") {
+    val root = newRoot("branch_touch")
+    Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
+      root, statsCols = Seq("k"))                                  // fork
+    Manifest.createBranch(spark, root, "audit")
+    val br = Manifest.branchRoot(root, "audit")
+    // branch: k=2 updated then REVERTED to its fork value; k=7
+    // created then deleted — both keys are TOUCHED with zero net
+    // value change over the whole window
+    Manifest.upsert(Seq((2L, 99L), (7L, 70L)).toDF("k", "x"), br, "k")
+    Manifest.upsert(Seq((2L, 20L)).toDF("k", "x"), br, "k")
+    Manifest.deleteWhereBetweenDv(spark, br, "k", 7L, 7L)
+    // main advances concurrently on BOTH keys
+    Manifest.upsert(Seq((2L, 21L), (7L, 71L)).toDF("k", "x"), root, "k")
+    Manifest.mergeBranch(spark, root, "audit", "k")
+    val got = Manifest.read(spark, root).as[(Long, Long)].collect().toSet
+    // the audit claimed k=2 (reverting it IS an audit decision — main's
+    // concurrent 21 must not survive) and k=7's absence (the branch's
+    // final state for a key it created and deleted)
+    assert(got == Set((1L, 10L), (2L, 20L)), got.toString)
+  }
+
+  test("branches: mergeBranch survives a branch-side compaction — carried rewrites claim nothing") {
+    val root = newRoot("branch_compact")
+    Manifest.append(Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("k", "x").coalesce(1), root, statsCols = Seq("k"))
+    Manifest.createBranch(spark, root, "audit")
+    val br = Manifest.branchRoot(root, "audit")
+    Manifest.upsert(Seq((2L, 99L)).toDF("k", "x"), br, "k")
+    Manifest.compact(spark, br) // rewrites EVERY branch file
+    Manifest.upsert(Seq((1L, 21L)).toDF("k", "x"), root, "k") // main: k=1
+    Manifest.mergeBranch(spark, root, "audit", "k")
+    val got = Manifest.read(spark, root).as[(Long, Long)].collect().toSet
+    // k=3 was only CARRIED through the branch compaction — not touched,
+    // so main's untouched copy survives; k=1 keeps main's concurrent
+    // update (the compaction must not have claimed it for the branch)
+    assert(got == Set((1L, 21L), (2L, 99L), (3L, 30L)), got.toString)
+  }
+
+  test("branches: columnLevel mergeBranch — different columns of one row merge cell-wise") {
+    val root = newRoot("branch_cols")
+    Manifest.append(Seq(
+      (1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L),
+      (5L, 50L, 500L)).toDF("k", "a", "b").coalesce(1),
+      root, statsCols = Seq("k"))                                  // fork
+    Manifest.createBranch(spark, root, "audit")
+    val br = Manifest.branchRoot(root, "audit")
+    // branch: k=1 edits column a only; k=3 deleted; k=5 edits a;
+    // k=6 created
+    Manifest.upsert(Seq((1L, 11L, 100L), (5L, 55L, 500L),
+      (6L, 60L, 600L)).toDF("k", "a", "b"), br, "k")
+    Manifest.deleteWhereBetweenDv(spark, br, "k", 3L, 3L)
+    // main concurrently: k=1 edits column b only; k=3 edits a (loses
+    // to the branch delete); k=5 edits BOTH a and b; k=6 inserted
+    // with different values (branch-created key wins wholesale);
+    // k=4 brand new (untouched by branch — survives)
+    Manifest.upsert(Seq((1L, 10L, 101L), (3L, 31L, 300L),
+      (5L, 51L, 501L), (6L, 61L, 601L), (4L, 40L, 400L))
+      .toDF("k", "a", "b"), root, "k")
+    Manifest.mergeBranch(spark, root, "audit", "k", columnLevel = true)
+    val got = Manifest.read(spark, root).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 11L, 101L), // branch's a, main's b — both edits survive
+      (2L, 20L, 200L), // untouched everywhere
+      (4L, 40L, 400L), // main's concurrent insert survives
+      (5L, 55L, 501L), // same-column conflict: branch a wins; main b kept
+      (6L, 60L, 600L)  // branch-created key: branch row wholesale
+    ), got.toString)
+  }
+
+  test("branches: publishBranch from a SHALLOW CLONE parent leaves foreign-absolute entries intact") {
+    val gp = newRoot("branch_gp")
+    Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
+      gp, statsCols = Seq("k"))
+    val parent = newRoot("branch_clone_parent")
+    Manifest.shallowClone(spark, gp, parent)
+    Manifest.append(Seq((3L, 30L)).toDF("k", "x").coalesce(1),
+      parent, statsCols = Seq("k"))
+    Manifest.createBranch(spark, parent, "b")
+    val br = Manifest.branchRoot(parent, "b")
+    Manifest.append(Seq((4L, 40L)).toDF("k", "x").coalesce(1), br,
+      statsCols = Seq("k"))
+    // pre-fix this threw mid-foreach on the grandparent's absolute
+    // entries (substring of a foreign path is not a local batch dir)
+    Manifest.publishBranch(spark, parent, "b")
+    val got = Manifest.read(spark, parent).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)),
+      got.toString)
+    // the grandparent is untouched — its bytes were never the branch's
+    assert(Manifest.read(spark, gp).count() == 2L)
+  }
+
+  test("branches: a change-feed window spanning publishBranch pays O(branch churn), not table volume") {
+    val root = newRoot("branch_feed")
+    // four single-row files so carried-vs-touched is visible per file
+    (1L to 4L).foreach(k => Manifest.append(
+      Seq((k, k * 10L)).toDF("k", "x").coalesce(1), root,
+      statsCols = Seq("k")))
+    val fork = Manifest.current(spark, root).get.version
+    Manifest.createBranch(spark, root, "stage")
+    val br = Manifest.branchRoot(root, "stage")
+    Manifest.upsert(Seq((2L, 99L)).toDF("k", "x"), br, "k")
+    Manifest.publishBranch(spark, root, "stage")
+    val cur = Manifest.current(spark, root).get
+    val feed = Manifest.changesWithDeltas(spark, root, fork, cur)
+      .select(col(Manifest.ChangeTypeCol), col("k"), col("x"))
+      .as[(String, Long, Long)].collect().toSet
+    // inherited files kept their parent-relative names through the
+    // publish, so they are CARRIED in the file diff: the window's
+    // volume is exactly the touched file's remove+insert pair
+    assert(feed == Set(("remove", 2L, 20L), ("insert", 2L, 99L)),
+      feed.toString)
+  }
+
+  test("changeFeedResync: an EMPTY resync snapshot emits one truncate marker row") {
+    val root = newRoot("cdfresync_empty")
+    Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
+      root, statsCols = Seq("k"))                                  // v0
+    Manifest.deleteWhereBetweenDv(spark, root, "k", 1L, 2L)        // v1: all rows gone
+    Manifest.append(Seq((3L, 30L)).toDF("k", "x").coalesce(1),
+      root, statsCols = Seq("k"))                                  // v2
+    Manifest.gc(spark, root, keepVersions = 2)                     // drops v0
+    assert(Manifest.versions(spark, root) == Seq(1L, 2L))
+    val feed = Manifest.changeFeedResync(spark, root, 0L, 2L)
+      .collect().map(r => (r.getAs[String](Manifest.ChangeTypeCol),
+        r.getAs[Long](Manifest.CommitVersionCol),
+        r.getAs[Boolean](Manifest.ResyncCol),
+        Option(r.getAs[java.lang.Long]("k")).map(_.toLong))).toSet
+    // the resync version (v1) exposes ZERO live rows — without the
+    // marker a row-folding consumer would read "nothing happened";
+    // with it the truncation event is a visible row
+    assert(feed == Set(
+      ("truncate", 1L, true, None),
+      ("insert", 2L, false, Some(3L))), feed.toString)
+  }
+
+  test("skipping: UTF-8 binary stat order — supplementary-character max must not prune a BMP-range probe") {
+    val root = newRoot("utf8stats")
+    // one file whose Spark-recorded max is a SUPPLEMENTARY character
+    // (U+10000): under UTF-16 code-unit order that max sorts BELOW
+    // U+E000, so the old comparator pruned the file for a
+    // U+E000-range probe it actually matches
+    val supp = "\uD800\uDC00"  // U+10000
+    Manifest.append(Seq(("a", 1L), ("\uE000x", 2L), (supp, 3L))
+      .toDF("s", "x").coalesce(1), root, statsCols = Seq("s"))
+    val got = Manifest.readWhereBetween(spark, root, "s",
+      "\uE000", "\uEFFF").as[(String, Long)].collect().toSet
+    assert(got == Set(("\uE000x", 2L)), got.toString)
+    // and the boundary direction: a probe ABOVE every BMP char still
+    // finds the supplementary row (max bound honored, not inverted)
+    val hi = Manifest.readWhereBetween(spark, root, "s",
+      "\uF000", "\uD800\uDC01").as[(String, Long)].collect().toSet
+    assert(hi == Set((supp, 3L)), hi.toString)
+  }
+
   test("changeFeedResync: exact when retained; truncate-and-reload window past a gc'd edge") {
     val root = newRoot("cdfresync")
     Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),

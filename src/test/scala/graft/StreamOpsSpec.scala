@@ -824,6 +824,13 @@ class StreamOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       StreamOps.matviewDagStep(spark, Seq(views.head, views.head))
     }
+    // a self-loop (view folding into its own source) rejects loudly —
+    // it would re-aggregate its own output every pump
+    val loop = intercept[IllegalArgumentException] {
+      StreamOps.matviewDagStep(spark,
+        Seq(views.head.copy(dstRoot = views.head.srcRoot)))
+    }
+    assert(loop.getMessage.contains("itself"), loop.getMessage)
   }
 
   test("append-only mirror survives gc outpacing its cursor: transformed re-baseline") {
