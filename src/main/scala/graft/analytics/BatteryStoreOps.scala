@@ -845,7 +845,14 @@ trait BatteryStoreOps extends BatteryModels {
         input.toDF().toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
         root, "o_orderkey", root + "_ckpt")
       Seq(orders, b1, b2).foreach { b =>
-        input.addData(rows(b): _*)
+        // one addData call = one MemoryStream block = one input
+        // partition = one serialized task; the full bootstrap wave is
+        // ~9.5 MB at sf0.1, so feed it in slices to keep every task
+        // under the 1 MB task-size guidance (the batch boundary is
+        // processAllAvailable, unchanged — same rows, same batch)
+        val all = rows(b)
+        all.grouped(math.max(1, (all.size + 15) / 16))
+          .foreach(g => input.addData(g: _*))
         q.processAllAvailable()
       }
       q.stop()

@@ -773,9 +773,113 @@ object Manifest {
     * stat-less file is conservatively scanned by every
     * [[readWhereBetween]] forever — so callers drop zero-row files from
     * the published list instead (they contribute no rows to any read). */
+  /** Per-file min/max/null-count stats lifted from the parquet
+    * FOOTERS the commit just wrote — ZERO Spark jobs (the scan-based
+    * pass below re-read every staged file as a full Spark job per
+    * commit; at 100 TB that is a second pass over every written byte,
+    * and on commit-dense scenario lifecycles it was the single
+    * largest fixed cost). The footer values are exactly what the scan
+    * would compute: parquet-mr records exact min/max per row group
+    * (strings in UTF-8 unsigned byte order — the SAME order [[cmp]]
+    * prunes with), and exact null counts; [[boundStat]] caps long
+    * strings identically on both paths. Conservative bail-out (None →
+    * caller falls back to the scan) whenever any column's footer
+    * can't serve the contract: missing/legacy statistics, unsupported
+    * physical/logical type (timestamps-µs, decimals, nested), NaN
+    * float bounds (writer NaN handling differs), or unset null
+    * counts. */
+  private def footerStats(spark: SparkSession, root: String,
+      staged: Seq[String], statsCols: Seq[String])
+      : Option[Map[String, Map[String, (Any, Any)]]] = try {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val baseCols = statsCols.map(c =>
+      if (c.endsWith(NullsSuffix)) c.dropRight(NullsSuffix.length) else c)
+      .distinct
+    val conf = spark.sessionState.newHadoopConf()
+    def convert(chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+        v: AnyRef): Option[Any] = {
+      val pt = chunk.getPrimitiveType
+      val ann = pt.getLogicalTypeAnnotation
+      (pt.getPrimitiveTypeName, ann) match {
+        case (INT64, null) => Some(v.asInstanceOf[java.lang.Long].longValue)
+        case (INT64, a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+            if a.isSigned => Some(v.asInstanceOf[java.lang.Long].longValue)
+        case (INT64, a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+            if a.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+          // read as Long under spark.sql.legacy.parquet.nanosAsLong —
+          // the session contract this store runs with (TESTDATA events)
+          Some(v.asInstanceOf[java.lang.Long].longValue)
+        case (INT32, null) => Some(v.asInstanceOf[java.lang.Integer].intValue)
+        case (INT32, a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+            if a.isSigned => Some(v.asInstanceOf[java.lang.Integer].intValue)
+        case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+          Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+            v.asInstanceOf[java.lang.Integer].longValue)))
+        case (DOUBLE, _) =>
+          val d = v.asInstanceOf[java.lang.Double].doubleValue
+          if (d.isNaN) None else Some(d)
+        case (FLOAT, _) =>
+          val f = v.asInstanceOf[java.lang.Float].floatValue
+          if (f.isNaN) None else Some(f)
+        case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+          Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+        case _ => None
+      }
+    }
+    // one entry per (file, col): None anywhere → bail to the scan pass
+    def colEntries(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+        c: String): Option[Seq[(String, (Any, Any))]] = {
+      val chunks = blocks.flatMap(_.getColumns.asScala
+        .filter(_.getPath.toDotString == c))
+      if (chunks.size != blocks.size) return None // missing / nested
+      val sts = chunks.map(_.getStatistics)
+      if (sts.exists(s => s == null || s.getNumNulls < 0)) return None
+      val nn = sts.map(_.getNumNulls).sum
+      val withVals = chunks.zip(sts).filter(_._2.hasNonNullValue)
+      val nullsEntry = s"$c$NullsSuffix" -> ((nn, nn): (Any, Any))
+      if (withVals.isEmpty) Some(Seq(nullsEntry)) // all-null: no bounds
+      else {
+        val los = withVals.map { case (ch, s) =>
+          convert(ch, s.genericGetMin.asInstanceOf[AnyRef]) }
+        val his = withVals.map { case (ch, s) =>
+          convert(ch, s.genericGetMax.asInstanceOf[AnyRef]) }
+        if (los.exists(_.isEmpty) || his.exists(_.isEmpty)) None
+        else Some(Seq(
+          c -> ((boundStat(los.flatten.reduce((a, b) =>
+              if (cmp(a, b) <= 0) a else b), isMax = false),
+            boundStat(his.flatten.reduce((a, b) =>
+              if (cmp(a, b) >= 0) a else b), isMax = true)): (Any, Any)),
+          nullsEntry))
+      }
+    }
+    val perFile = staged.map { rel =>
+      val p = new Path(dataDir(root), rel)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        if (blocks.map(_.getRowCount).sum == 0L)
+          Some(None) // empty file: carries no stats (matches the scan pass)
+        else {
+          val cols = baseCols.map(colEntries(blocks, _))
+          if (cols.exists(_.isEmpty)) None // unsupported → bail whole pass
+          else Some(Some(rel -> cols.flatten.flatten.toMap))
+        }
+      } finally rd.close()
+    }
+    if (perFile.exists(_.isEmpty)) None
+    else Some(perFile.flatten.flatten.filter(_._2.nonEmpty).toMap)
+  } catch { case _: Throwable => None } // any surprise → the scan pass
+
   private def fileStats(spark: SparkSession, root: String,
       staged: Seq[String], statsCols: Seq[String]): Map[String, Map[String, (Any, Any)]] = {
     if (statsCols.isEmpty || staged.isEmpty) return Map.empty
+    footerStats(spark, root, staged, statsCols) match {
+      case Some(m) => return m
+      case None => () // fall through to the scan-based pass
+    }
     import org.apache.spark.sql.functions.{input_file_name, max, min, substring_index, sum, when}
     // recompute paths feed recorded keys back in — normalize the
     // null-count twins ("c#nulls") to their base columns; every stat'd
@@ -2542,19 +2646,29 @@ object Manifest {
     val fp = schemaFingerprint(batchP)
     requireSchema(spark, root, fp)
     requireChecks(spark, root, batchP)
-    val dup = batchP.groupBy(col(keyP)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"upsert batch has duplicate $keyCol values (e.g. ${dup.head.get(0)}) — " +
+    // ONE aggregation serves both the duplicate-key guard and the
+    // batch key range (previously two jobs per upsert — on commit-
+    // dense lifecycles the fixed per-job cost was the wall)
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit,
+      max => fmax, max_by => fmaxBy, min => fmin}
+    val kstats = batchP.groupBy(col(keyP)).agg(fcount(flit(1)).as("__n"))
+      .agg(fmin(col(keyP)).as("__lo"), fmax(col(keyP)).as("__hi"),
+        fmax(col("__n")).as("__maxn"),
+        fmaxBy(col(keyP), col("__n")).as("__dupk")).head()
+    require(kstats.isNullAt(2) || kstats.getLong(2) <= 1L,
+      s"upsert batch has duplicate $keyCol values (e.g. ${kstats.get(3)}) — " +
         "one row per key, the merge is otherwise ambiguous")
     val allKeys = dropsP match {
       case None => batchP.select(col(keyP))
       case Some(d) => batchP.select(col(keyP))
         .unionByName(d.select(col(keyP))).distinct()
     }
-    val range = allKeys.agg(
-      org.apache.spark.sql.functions.min(col(keyP)),
-      org.apache.spark.sql.functions.max(col(keyP))).head()
+    val range = dropsP match {
+      case None => org.apache.spark.sql.Row(kstats.get(0), kstats.get(1))
+      case Some(_) => allKeys.agg(
+        org.apache.spark.sql.functions.min(col(keyP)),
+        org.apache.spark.sql.functions.max(col(keyP))).head()
+    }
     if (range.isNullAt(0)) return snap.version // empty batch+drops: no-op
     val candidates = prunedFiles(snap, keyP, range.get(0), range.get(1))
     val touched: Seq[String] =

@@ -827,13 +827,18 @@ object StreamOps {
     require(foreign.isEmpty,
       s"$dstRoot: view is owned by pump(s) ${foreign.mkString(", ")} — a " +
         s"second pump [$writerId] would corrupt the fold; one writer per view")
+    // the null-key guard reads the (small, cached/grouped) AGGREGATE,
+    // never the source: a null source key surfaces as a null-key GROUP,
+    // so checking post-agg is equivalent and costs no extra source scan
+    // (the pre-fusion form burned one full-scan job per pump)
     def requireKeys(df: DataFrame, what: String): Unit = {
       val nullKey = df.filter(col(keyCol).isNull).limit(1).collect()
-      require(nullKey.isEmpty,
-        s"$srcRoot: $what contains NULL $keyCol rows — the view's " +
-          "touched-key read and merge join are null-blind and would fork " +
-          "duplicate null-key rows; filter or sentinel-map nulls upstream")
+      require(nullKey.isEmpty, nullKeyMsg(what))
     }
+    def nullKeyMsg(what: String): String =
+      s"$srcRoot: $what contains NULL $keyCol rows — the view's " +
+        "touched-key read and merge join are null-blind and would fork " +
+        "duplicate null-key rows; filter or sentinel-map nulls upstream"
     def aggOf(df: DataFrame): DataFrame = {
       val cols = aggs.map {
         case (out, "count", _) => count(lit(1)).as(out)
@@ -856,9 +861,12 @@ object StreamOps {
       case Some(v) if v >= cur.version => None
       case None =>
         val full = Manifest.readSnapshot(spark, srcRoot, cur)
-        requireKeys(full, "the bootstrap snapshot")
-        Manifest.appendOnce(aggOf(full),
-          dstRoot, writerId, cur.version, statsCols = Seq(keyCol))
+        val aggB = aggOf(full).cache()
+        try {
+          requireKeys(aggB, "the bootstrap snapshot")
+          Manifest.appendOnce(aggB,
+            dstRoot, writerId, cur.version, statsCols = Seq(keyCol))
+        } finally { aggB.unpersist(); () }
         Some(cur.version)
       case Some(v) if !Manifest.versions(spark, srcRoot).contains(v) =>
         // gc outpaced the view's cursor (the watermark version's
@@ -869,17 +877,23 @@ object StreamOps {
         // commit ([[graft.store.Manifest.overwriteOnce]], the
         // changeFeedResync stance).
         val full = Manifest.readSnapshot(spark, srcRoot, cur)
-        requireKeys(full, "the resync snapshot")
-        Manifest.overwriteOnce(aggOf(full),
-          dstRoot, writerId, cur.version, statsCols = Seq(keyCol))
+        val aggR = aggOf(full).cache()
+        try {
+          requireKeys(aggR, "the resync snapshot")
+          Manifest.overwriteOnce(aggR,
+            dstRoot, writerId, cur.version, statsCols = Seq(keyCol))
+        } finally { aggR.unpersist(); () }
         Some(cur.version)
       case Some(v) if Manifest.appendOnlySince(spark, srcRoot, v, cur) =>
         val insertDelta = Manifest.changes(spark, srcRoot, v, cur)
-        requireKeys(insertDelta, s"the delta since version $v")
         val deltaAgg = aggOf(insertDelta).cache()
         try {
+          // range + null-key guard in ONE pass over the cached delta
           val r = deltaAgg
-            .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi")).head()
+            .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
+              max(when(col(keyCol).isNull, 1).otherwise(0)).as("nk")).head()
+          require(r.isNullAt(2) || r.getInt(2) == 0,
+            nullKeyMsg(s"the delta since version $v"))
           if (r.isNullAt(0)) {
             // empty delta (e.g. replayed-then-skipped source batches):
             // still advance the watermark so the pump converges
@@ -905,7 +919,6 @@ object StreamOps {
               "view has no `count` aggregate — group liveness is " +
               "undecidable without one; add a count column to the view"))
         val delta = Manifest.changesWithDeltas(spark, srcRoot, v, cur)
-        requireKeys(delta, s"the retracting delta since version $v")
         val sign = org.apache.spark.sql.functions
           .when(col(Manifest.ChangeTypeCol) === "insert", lit(1L))
           .otherwise(lit(-1L))
@@ -916,8 +929,12 @@ object StreamOps {
         val deltaCS = delta.groupBy(col(keyCol))
           .agg(csCols.head, csCols.tail: _*).cache()
         try {
+          // range + null-key guard in ONE pass over the cached fold
           val r = deltaCS
-            .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi")).head()
+            .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
+              max(when(col(keyCol).isNull, 1).otherwise(0)).as("nk")).head()
+          require(r.isNullAt(2) || r.getInt(2) == 0,
+            nullKeyMsg(s"the retracting delta since version $v"))
           if (r.isNullAt(0)) {
             Manifest.appendOnce(
               aggOf(delta.filter(lit(false))).limit(0),

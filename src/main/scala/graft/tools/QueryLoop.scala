@@ -18,22 +18,59 @@ object QueryLoop {
     // an A/B timed under a different parallelism than the benchmark it
     // explains would mislead
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // A/B a conf hypothesis in the same harness: semicolon-separated
+    // key=value overrides, e.g. SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false"
+    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split("=", 2))
+      .collect { case Array(k, v) => (k.trim, v.trim) }
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job/stage counters: a scenario whose wall is fixed per-job
+    // scheduling shows a job count in the hundreds — the lever is
+    // then FEWER jobs, not faster ones
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val taskTime = new java.util.concurrent.atomic.AtomicLong
+    val heavy = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobs.incrementAndGet(); () }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          val rt = s.stageInfo.taskMetrics.executorRunTime
+          taskTime.addAndGet(rt)
+          heavy.add((s.stageInfo.name.takeWhile(_ != '\n').take(90), rt)); ()
+        }
+      })
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val samples = (1 to reps).map { _ =>
         graft.CacheReset(spark)
+        val (j0, s0, t0m) = (jobs.get(), stages.get(), taskTime.get())
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[loop] $name sample=$sec%.3f " +
+          s"jobs=${jobs.get() - j0} stages=${stages.get() - s0} " +
+          f"task_sec=${(taskTime.get() - t0m) / 1e3}%.1f")
+        if (sys.env.contains("GRAFT_LOOP_STAGES")) {
+          import scala.jdk.CollectionConverters._
+          heavy.asScala.toSeq.sortBy(-_._2).take(8).foreach { case (n, rt) =>
+            System.err.println(f"[loop]   stage ${rt / 1e3}%7.1fs  $n") }
+          heavy.clear()
+        }
+        sec
       }
       println(f"[loop] $name min=${samples.min}%.3f samples=" +
         samples.map(s => f"$s%.3f").mkString(","))
