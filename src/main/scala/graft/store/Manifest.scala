@@ -811,6 +811,25 @@ object Manifest {
           // read as Long under spark.sql.legacy.parquet.nanosAsLong —
           // the session contract this store runs with (TESTDATA events)
           Some(v.asInstanceOf[java.lang.Long].longValue)
+        case (INT64, a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+            if a.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS &&
+              a.isAdjustedToUTC => // NTZ reads as LocalDateTime: fallback
+          // same epoch-micros -> java.sql.Timestamp split Spark's
+          // collect performs, so the canonical stat text agrees
+          val us = v.asInstanceOf[java.lang.Long].longValue
+          val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+          Some(ts)
+        case (INT64, a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+            if a.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS &&
+              a.isAdjustedToUTC =>
+          Some(new java.sql.Timestamp(v.asInstanceOf[java.lang.Long].longValue))
+        case (INT64, a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          Some(java.math.BigDecimal.valueOf(
+            v.asInstanceOf[java.lang.Long].longValue, a.getScale))
+        case (INT32, a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          Some(java.math.BigDecimal.valueOf(
+            v.asInstanceOf[java.lang.Integer].longValue, a.getScale))
         case (INT32, null) => Some(v.asInstanceOf[java.lang.Integer].intValue)
         case (INT32, a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
             if a.isSigned => Some(v.asInstanceOf[java.lang.Integer].intValue)
@@ -839,7 +858,14 @@ object Manifest {
       val nn = sts.map(_.getNumNulls).sum
       val withVals = chunks.zip(sts).filter(_._2.hasNonNullValue)
       val nullsEntry = s"$c$NullsSuffix" -> ((nn, nn): (Any, Any))
-      if (withVals.isEmpty) Some(Seq(nullsEntry)) // all-null: no bounds
+      if (withVals.isEmpty) {
+        // no bounds exposed: ALL-NULL only if the null count proves it
+        // (INT96 timestamps and legacy-writer binaries expose numNulls
+        // but suppress min/max — those must fall back to the scan, not
+        // masquerade as an all-null column)
+        if (nn == blocks.map(_.getRowCount).sum) Some(Seq(nullsEntry))
+        else None
+      }
       else {
         val los = withVals.map { case (ch, s) =>
           convert(ch, s.genericGetMin.asInstanceOf[AnyRef]) }

@@ -1561,6 +1561,69 @@ class ManifestSpec extends SparkTestBase {
       feed.toString)
   }
 
+  test("skipping: footer-lifted stats are job-free and prune timestamp/decimal/date ranges") {
+    val root = newRoot("footerstats")
+    // Spark's default parquet timestamp encoding is INT96, whose
+    // footer statistics parquet-mr suppresses (legacy sort-order) —
+    // the job-free lift needs the modern MICROS encoding; INT96
+    // tables still work, they just pay the scan pass
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def mk(lo: Long) = (lo until lo + 10).map(i => (i,
+      f"s$i%04d", ts(f"2026-01-${(i % 27) + 1}%02d 00:00:${i % 60}%02d"),
+      BigDecimal(i) * BigDecimal("1.25"),
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(20000 + i))))
+      .toDF("k", "s", "t", "d", "dt")
+      .withColumn("d", col("d").cast("decimal(12,2)"))
+    val statCols = Seq("k", "s", "t", "d", "dt")
+    // job counter: footer-lifted stats must add ZERO Spark jobs over
+    // the identical stats-free append (the scan-based pass added one)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobs.incrementAndGet(); () }
+      })
+    Manifest.append(mk(0L).coalesce(1), root, statsCols = statCols) // warm
+    Thread.sleep(800) // listener bus is async; let job-start events drain
+    val j0 = jobs.get()
+    val plainRoot = newRoot("footerstats_plain")
+    Manifest.append(mk(100L).coalesce(1), plainRoot)
+    Thread.sleep(800) // listener bus is async; let job-start events drain
+    val plainJobs = jobs.get() - j0
+    val j1 = jobs.get()
+    Manifest.append(mk(100L).coalesce(1), root, statsCols = statCols)
+    Thread.sleep(800) // listener bus is async; let job-start events drain
+    val statJobs = jobs.get() - j1
+    assert(statJobs == plainJobs,
+      s"stats pass launched ${statJobs - plainJobs} extra job(s) — " +
+        "footer lift regressed to the scan pass")
+    // and the lifted bounds PRUNE, per family, down to the one
+    // matching file (two files: ids 0..9 and 100..109)
+    val snap = Manifest.current(spark, root).get
+    assert(Manifest.prunedFiles(snap, "k", 100L, 105L).size == 1)
+    assert(Manifest.prunedFiles(snap, "s", "s0100", "s0105").size == 1)
+    assert(Manifest.prunedFiles(snap, "t",
+      ts("2026-01-20 00:00:00"), ts("2026-01-27 23:59:59")).size == 1,
+      snap.stats.map { case (f, m) => f.take(8) -> m.get("t") }.toString)
+    assert(Manifest.prunedFiles(snap, "d",
+      new java.math.BigDecimal("125.00"),
+      new java.math.BigDecimal("136.25")).size == 1)
+    assert(Manifest.prunedFiles(snap, "dt",
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(20100)),
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(20109))).size == 1)
+    // row-exactness through a pruned read (timestamp family)
+    val got = Manifest.readWhereBetween(spark, root, "k", 104L, 106L)
+      .select("s").as[String].collect().toSet
+    assert(got == Set("s0104", "s0105", "s0106"), got.toString)
+    } finally {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+    }
+  }
+
   test("changeFeedResync: an EMPTY resync snapshot emits one truncate marker row") {
     val root = newRoot("cdfresync_empty")
     Manifest.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
