@@ -283,15 +283,14 @@ object Bench {
     // consecutive runs of one query both land inside the window, while
     // the same query in a second full pass lands minutes away from it.
     // Same total cost as min-of-2-consecutive, far better isolation.
-    // The warm pass SKIPS the multi-commit scenarios (VERDICT r16
-    // item 1b — the sweep must fit the driver envelope with headroom):
-    // a scenario's wall is commit orchestration on fresh temp trees,
-    // not JIT or page cache, so a third execution buys no fidelity;
-    // the shared manifest code paths are JIT-warmed by the first
-    // timed pass and min-of-2 keeps the contention-window immunity.
-    // Cuts a full scenario-section execution (~240 s at sf0.1) from
-    // every sweep.
-    pass("warm", skip = graft.analytics.Battery.scenarioNames)
+    // Scenarios STAY in the warm pass: an A/B sweep without it showed
+    // their multi-commit plans carry 20-50% JIT/codegen residue into
+    // pass2 (q161 21.7 s vs 9.4 s converged), which would poison every
+    // cross-round scenario comparison. Envelope safety against a
+    // driver timeout comes from BENCH_PROGRESS.jsonl instead: every
+    // completed measurement survives a kill, so a degraded-window
+    // timeout no longer yields a null record (the r16 failure).
+    pass("warm")
     val (p1, p2) = (pass("pass1"), pass("pass2"))
     // Outlier guard: a contention window can still straddle BOTH passes
     // of one query (observed: q27 16s in BENCH_r05, 2.4s in isolation —

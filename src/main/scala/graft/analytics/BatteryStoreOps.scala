@@ -844,16 +844,22 @@ trait BatteryStoreOps extends BatteryModels {
       val q = graft.streaming.StreamOps.manifestUpsertSink(
         input.toDF().toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
         root, "o_orderkey", root + "_ckpt")
-      Seq(orders, b1, b2).foreach { b =>
+      Seq(orders, b1, b2).zipWithIndex.foreach { case (b, i) =>
         // one addData call = one MemoryStream block = one input
         // partition = one serialized task; the full bootstrap wave is
-        // ~9.5 MB at sf0.1, so feed it in slices to keep every task
-        // under the 1 MB task-size guidance (the batch boundary is
-        // processAllAvailable, unchanged — same rows, same batch)
+        // ~9.5 MB at sf0.1, so feed it in FIXED-SIZE slices (~12k rows
+        // ≈ 0.75 MB) to keep every task under the 1 MB guidance
+        // without shredding the small waves into empty-ish blocks
+        // (the batch boundary is processAllAvailable, unchanged —
+        // same rows, same batch)
         val all = rows(b)
-        all.grouped(math.max(1, (all.size + 15) / 16))
-          .foreach(g => input.addData(g: _*))
+        all.grouped(12000).foreach(g => input.addData(g: _*))
         q.processAllAvailable()
+        // the sliced bootstrap lands as ~13 small files; compact once
+        // before the update waves so their touched-file discovery and
+        // rewrite work one file, not thirteen (value-neutral commit —
+        // the realistic seed-then-compact CDC shape)
+        if (i == 0) Manifest.compact(s, root)
       }
       q.stop()
       // recovery-window replay: re-merging the final batch is a no-op

@@ -791,6 +791,7 @@ object Manifest {
   private def footerStats(spark: SparkSession, root: String,
       staged: Seq[String], statsCols: Seq[String])
       : Option[Map[String, Map[String, (Any, Any)]]] = try {
+    if (sys.env.contains("GRAFT_NO_FOOTER_STATS")) return None // A/B valve
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
