@@ -53,7 +53,7 @@ object Battery extends BatteryStoreOps {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
     q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
     q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195,
-    q196, q197)
+    q196, q197, q198)
 
   /** Names of the multi-commit lifecycle scenarios ([[scenarioQs]]):
     * the bench ledger splits their wall from the single-plan query

@@ -2794,6 +2794,77 @@ trait BatteryStoreOps extends BatteryModels {
         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 0) AS feed_rows
       FROM published GROUP BY 1 ORDER BY 1"""))
 
+  /** COLUMN-LEVEL BRANCH MERGE ACROSS SCHEMA EVOLUTION
+    * ([[graft.store.Manifest.mergeBranch]]`(columnLevel = true)` when
+    * the branch ADDED a column since the fork — VERDICT r17 frontier
+    * 1): the audit branch appendMerges NEW rows carrying a fresh
+    * `o_note` column (evolving the branch schema), then upserts a
+    * price bump + note on existing %7 keys, while main concurrently
+    * flips status on %5 keys. The merge must land `o_note` into
+    * main's schema in the same atomic commit: branch-written notes
+    * survive, every row the branch never touched reads o_note as
+    * NULL, the %35 conflict keys keep BOTH main's status and the
+    * branch's price+note, and the branch-created rows arrive whole.
+    * The digest groups by (note, status); a lost note column, a
+    * clobbered status, or a non-null note on untouched rows all
+    * hash-mismatch. */
+  val q198 = Q("q198_manifest_branch_merge_evolve",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q198").toString + "/orders_bme"
+      import graft.store.Manifest
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      Manifest.append(orders.filter(col("o_orderkey") <= mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))                       // v0
+      Manifest.append(orders.filter(col("o_orderkey") > mk / 2).coalesce(1),
+        root, statsCols = Seq("o_orderkey"))                       // v1 = fork
+      Manifest.createBranch(s, root, "audit")
+      val br = Manifest.branchRoot(root, "audit")
+      // the branch EVOLVES: new rows under new keys carry o_note
+      Manifest.appendMerge(orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(mk + 1L))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(25.0))
+        .withColumn("o_note", lit("new"))
+        .coalesce(1), br, statsCols = Seq("o_orderkey"))
+      // ...and edits existing keys under the evolved schema
+      Manifest.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("o_note", lit("bump")),
+        br, "o_orderkey")
+      // main concurrently edits a DIFFERENT column (no evolution here)
+      Manifest.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("X")),
+        root, "o_orderkey")
+      Manifest.mergeBranch(s, root, "audit", "o_orderkey",
+        columnLevel = true)
+      Manifest.read(s, root)
+        .groupBy(coalesce(col("o_note"), lit("-")).as("note"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("note", "status")
+    },
+    Some("""WITH merged AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+            ELSE o_totalprice END AS price,
+          CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+            ELSE o_orderstatus END AS status,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'bump' END AS note
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders) + 1,
+          o_totalprice + 25.0, o_orderstatus, 'new'
+        FROM orders WHERE o_orderkey % 11 = 0)
+      SELECT COALESCE(note, '-') AS note, status, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM merged GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Multi-commit lifecycle SCENARIOS, as distinct from single-plan
     * queries: each of these builds a manifest-store (or streaming)
     * lifecycle — appends, upserts, deletes, maintenance, gc, index
@@ -2808,7 +2879,7 @@ trait BatteryStoreOps extends BatteryModels {
     q160, q161, q162, q163, q164, q165, q166, q167, q168, q170, q171,
     q172, q173, q174, q176, q177, q178, q179, q180, q181, q183, q184,
     q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195,
-    q196, q197)
+    q196, q197, q198)
 
   /** All registered queries, in gate order. */
 }

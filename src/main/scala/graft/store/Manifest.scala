@@ -322,7 +322,11 @@ object Manifest {
     case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
     case d: BigDecimal => JDecimal(d)
     case s: String => JString(s)
-    case other => JString(String.valueOf(other)) // dates/timestamps via canonical text
+    // dates/timestamps via the SAME canonical text [[cmp]] normalizes
+    // probes to — java.time values (LocalDateTime from an NTZ column's
+    // collect or footer lift) would otherwise serialize with a 'T'
+    // separator that lexically disagrees with probe text
+    case other => JString(String.valueOf(temporalText(other)))
   }
   private def statValue(j: JValue): Option[Any] = j match {
     case JLong(l) => Some(l)
@@ -388,7 +392,13 @@ object Manifest {
       rows: Map[String, Long], bytes: Map[String, Long]) extends Doc
 
   private def parse(txt: String): Doc = {
-    val j = JsonMethods.parse(txt)
+    // useBigDecimalForDouble: stat bounds must round-trip LOSSLESSLY —
+    // jackson's default double parse truncates DECIMAL(38,x) bounds to
+    // ~16 significant digits, and a recorded max rounded BELOW the true
+    // max would prune files anti-conservatively (wrong results, not
+    // slow ones). Double/float stats still compare fine as BigDecimal
+    // through [[cmp]]'s Number arm.
+    val j = JsonMethods.parse(txt, useBigDecimalForDouble = true)
     val files = (j \ "files") match {
       case JArray(xs) => xs.collect { case JString(s) => s }
       case _ => Seq.empty
@@ -774,22 +784,24 @@ object Manifest {
     * [[readWhereBetween]] forever — so callers drop zero-row files from
     * the published list instead (they contribute no rows to any read). */
   /** Per-file min/max/null-count stats lifted from the parquet
-    * FOOTERS the commit just wrote — ZERO Spark jobs (the scan-based
-    * pass below re-read every staged file as a full Spark job per
-    * commit; at 100 TB that is a second pass over every written byte,
-    * and on commit-dense scenario lifecycles it was the single
-    * largest fixed cost). The footer values are exactly what the scan
-    * would compute: parquet-mr records exact min/max per row group
-    * (strings in UTF-8 unsigned byte order — the SAME order [[cmp]]
-    * prunes with), and exact null counts; [[boundStat]] caps long
-    * strings identically on both paths. Conservative bail-out (None →
-    * caller falls back to the scan) whenever any column's footer
-    * can't serve the contract: missing/legacy statistics, unsupported
-    * physical/logical type (timestamps-µs, decimals, nested), NaN
-    * float bounds (writer NaN handling differs), or unset null
-    * counts. */
-  private def footerStats(spark: SparkSession, root: String,
-      staged: Seq[String], statsCols: Seq[String])
+    * FOOTERS the commit just wrote — ZERO Spark jobs and, since r18,
+    * zero extra footer reads (the blocks arrive from the single
+    * [[footerMeta]] open; this function is pure metadata crunching.
+    * The scan-based pass below re-read every staged file as a full
+    * Spark job per commit; at 100 TB that is a second pass over every
+    * written byte, and on commit-dense scenario lifecycles it was the
+    * single largest fixed cost). The footer values are exactly what
+    * the scan would compute: parquet-mr records exact min/max per row
+    * group (strings in UTF-8 unsigned byte order — the SAME order
+    * [[cmp]] prunes with), and exact null counts; [[boundStat]] caps
+    * long strings identically on both paths. Conservative bail-out
+    * (None → caller falls back to the scan) whenever any column's
+    * footer can't serve the contract: missing/legacy statistics,
+    * unsupported physical/logical type (INT96 timestamps, nested),
+    * NaN float bounds (writer NaN handling differs), unset null
+    * counts, or a value-less chunk that is not provably all-null. */
+  private def footerStats(staged: Seq[String], statsCols: Seq[String],
+      footers: Map[String, Seq[org.apache.parquet.hadoop.metadata.BlockMetaData]])
       : Option[Map[String, Map[String, (Any, Any)]]] = try {
     if (sys.env.contains("GRAFT_NO_FOOTER_STATS")) return None // A/B valve
     import scala.jdk.CollectionConverters._
@@ -798,7 +810,6 @@ object Manifest {
     val baseCols = statsCols.map(c =>
       if (c.endsWith(NullsSuffix)) c.dropRight(NullsSuffix.length) else c)
       .distinct
-    val conf = spark.sessionState.newHadoopConf()
     def convert(chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
         v: AnyRef): Option[Any] = {
       val pt = chunk.getPrimitiveType
@@ -814,13 +825,24 @@ object Manifest {
           Some(v.asInstanceOf[java.lang.Long].longValue)
         case (INT64, a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
             if a.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS &&
-              a.isAdjustedToUTC => // NTZ reads as LocalDateTime: fallback
+              a.isAdjustedToUTC =>
           // same epoch-micros -> java.sql.Timestamp split Spark's
           // collect performs, so the canonical stat text agrees
           val us = v.asInstanceOf[java.lang.Long].longValue
           val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
           ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
           Some(ts)
+        case (INT64, a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+            if a.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS &&
+              !a.isAdjustedToUTC =>
+          // NTZ: the micros are LOCAL datetime field values — the same
+          // LocalDateTime Spark's collect surfaces for TimestampNTZType;
+          // statJson/temporalText canonicalize both paths identically
+          val us = v.asInstanceOf[java.lang.Long].longValue
+          Some(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC))
         case (INT64, a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
             if a.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS &&
               a.isAdjustedToUTC =>
@@ -845,6 +867,17 @@ object Manifest {
           if (f.isNaN) None else Some(f)
         case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
           Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+        case (FIXED_LEN_BYTE_ARRAY,
+            a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          // DECIMAL(>18,x): big-endian two's-complement unscaled value —
+          // the same java.math.BigDecimal Spark's collect surfaces
+          Some(new java.math.BigDecimal(new java.math.BigInteger(
+            v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes),
+            a.getScale))
+        case (BINARY, a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          Some(new java.math.BigDecimal(new java.math.BigInteger(
+            v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes),
+            a.getScale))
         case _ => None
       }
     }
@@ -857,13 +890,20 @@ object Manifest {
       val sts = chunks.map(_.getStatistics)
       if (sts.exists(s => s == null || s.getNumNulls < 0)) return None
       val nn = sts.map(_.getNumNulls).sum
-      val withVals = chunks.zip(sts).filter(_._2.hasNonNullValue)
+      val (withVals, noVals) = chunks.zip(sts).partition(_._2.hasNonNullValue)
+      // EVERY value-less chunk must be provably all-null (its null count
+      // equals its value count) — a chunk holding non-null rows whose
+      // writer suppressed min/max (INT96 timestamps, legacy-stat
+      // binaries, sort-order-ignored reads) would otherwise be silently
+      // excluded from the file bounds, and the under-covering min/max
+      // would let fullyCovered() drop the file metadata-only on a range
+      // delete (data loss) or wrongly prune reads. Bail to the scan.
+      if (noVals.exists { case (ch, s) => s.getNumNulls != ch.getValueCount })
+        return None
       val nullsEntry = s"$c$NullsSuffix" -> ((nn, nn): (Any, Any))
       if (withVals.isEmpty) {
-        // no bounds exposed: ALL-NULL only if the null count proves it
-        // (INT96 timestamps and legacy-writer binaries expose numNulls
-        // but suppress min/max — those must fall back to the scan, not
-        // masquerade as an all-null column)
+        // no bounds exposed anywhere: all chunks proved all-null above,
+        // so the column is all-null in this file — nulls-only entry
         if (nn == blocks.map(_.getRowCount).sum) Some(Seq(nullsEntry))
         else None
       }
@@ -882,28 +922,28 @@ object Manifest {
       }
     }
     val perFile = staged.map { rel =>
-      val p = new Path(dataDir(root), rel)
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val blocks = rd.getFooter.getBlocks.asScala.toSeq
-        if (blocks.map(_.getRowCount).sum == 0L)
-          Some(None) // empty file: carries no stats (matches the scan pass)
-        else {
-          val cols = baseCols.map(colEntries(blocks, _))
-          if (cols.exists(_.isEmpty)) None // unsupported → bail whole pass
-          else Some(Some(rel -> cols.flatten.flatten.toMap))
-        }
-      } finally rd.close()
+      footers.get(rel) match {
+        case None => None // no cached footer for this file → bail whole pass
+        case Some(blocks) =>
+          if (blocks.map(_.getRowCount).sum == 0L)
+            Some(None) // empty file: carries no stats (matches the scan pass)
+          else {
+            val cols = baseCols.map(colEntries(blocks, _))
+            if (cols.exists(_.isEmpty)) None // unsupported → bail whole pass
+            else Some(Some(rel -> cols.flatten.flatten.toMap))
+          }
+      }
     }
     if (perFile.exists(_.isEmpty)) None
     else Some(perFile.flatten.flatten.filter(_._2.nonEmpty).toMap)
   } catch { case _: Throwable => None } // any surprise → the scan pass
 
   private def fileStats(spark: SparkSession, root: String,
-      staged: Seq[String], statsCols: Seq[String]): Map[String, Map[String, (Any, Any)]] = {
+      staged: Seq[String], statsCols: Seq[String],
+      footers: Map[String, Seq[org.apache.parquet.hadoop.metadata.BlockMetaData]] = Map.empty)
+      : Map[String, Map[String, (Any, Any)]] = {
     if (statsCols.isEmpty || staged.isEmpty) return Map.empty
-    footerStats(spark, root, staged, statsCols) match {
+    footerStats(staged, statsCols, footers) match {
       case Some(m) => return m
       case None => () // fall through to the scan-based pass
     }
@@ -990,26 +1030,51 @@ object Manifest {
     * nulls survive a range delete). */
   val NullsSuffix = "#nulls"
 
-  /** Per-file row counts AND byte sizes from the parquet FOOTERS —
-    * driver-side metadata reads (parquet-hadoop is on Spark's
-    * classpath), no Spark job, so EVERY commit records both:
-    * [[rowCount]] answers count(*) from the manifest alone, and
+  /** Per-file row counts, byte sizes AND row-group metadata from the
+    * parquet FOOTERS — driver-side metadata reads (parquet-hadoop is
+    * on Spark's classpath), no Spark job, so EVERY commit records
+    * both: [[rowCount]] answers count(*) from the manifest alone, and
     * [[ManifestFileIndex]] plans scans with ZERO per-file status RPCs
     * (the public formats record sizes in the log for the same reason).
-    * Returns (rows, bytes). */
+    * Each staged footer is opened exactly ONCE per commit — the block
+    * metadata returned here also feeds [[footerStats]], which used to
+    * re-open the same footers (two driver-side footer round trips per
+    * file per commit; the latency that matters on object stores).
+    * Opens run on a bounded thread pool: footer reads are tiny
+    * independent IO waits, and a 1000-file commit must not pay 1000
+    * SERIAL opens on the driver. Returns (rows, bytes, blocks). */
   private def footerMeta(spark: SparkSession, root: String,
-      staged: Seq[String]): (Map[String, Long], Map[String, Long]) = {
+      staged: Seq[String]): (Map[String, Long], Map[String, Long],
+        Map[String, Seq[org.apache.parquet.hadoop.metadata.BlockMetaData]]) = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
-    val both = staged.map { rel =>
+    def readOne(rel: String) = {
       val p = new Path(dataDir(root), rel)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val n = try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally rd.close()
-      (rel, n, in.getLength)
+      val blocks = try rd.getFooter.getBlocks.asScala.toSeq finally rd.close()
+      (rel, blocks.map(_.getRowCount).sum, in.getLength, blocks)
     }
-    (both.map(t => t._1 -> t._2).toMap, both.map(t => t._1 -> t._3).toMap)
+    val both: Seq[(String, Long, Long,
+        Seq[org.apache.parquet.hadoop.metadata.BlockMetaData])] =
+      // GRAFT_FOOTER_SERIAL: A/B valve — pool of 1 reproduces the old
+      // serial open cost for measurement
+      if (staged.size <= 1) staged.map(readOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          if (sys.env.contains("GRAFT_FOOTER_SERIAL")) 1
+          else math.min(16, staged.size))
+        try {
+          val futs = staged.map(rel => pool.submit(
+            new java.util.concurrent.Callable[(String, Long, Long,
+                Seq[org.apache.parquet.hadoop.metadata.BlockMetaData])] {
+              def call() = readOne(rel)
+            }))
+          futs.map(_.get())
+        } finally { pool.shutdown(); () }
+      }
+    (both.map(t => (t._1, t._2)).toMap, both.map(t => (t._1, t._3)).toMap,
+      both.map(t => (t._1, t._4)).toMap)
   }
 
   /** Drop the staged files the footers prove empty (Spark writes a
@@ -1750,9 +1815,9 @@ object Manifest {
     if (enforceSchema) requireSchema(spark, root, fp)
     requireChecks(spark, root, df)
     val staged = stage(df, root)
-    val (rows, bytesM) = footerMeta(spark, root, staged)
+    val (rows, bytesM, fts) = footerMeta(spark, root, staged)
     val kept = withoutEmpty(staged, rows)
-    val stats = fileStats(spark, root, kept, statsCols)
+    val stats = fileStats(spark, root, kept, statsCols, fts)
     val (v, committed) = publish(spark, root, kept,
       old => (old -- clearMeta) ++ meta + (SchemaKey -> fp) + (OpKey -> op),
       baseFiles, stats, rows.filter(kv => kept.contains(kv._1)), skipIf,
@@ -2353,8 +2418,13 @@ object Manifest {
     // an EMPTY resync state (no files, or a vector covering every
     // row) must still be VISIBLE to row-folding consumers: emit one
     // all-NULL `truncate` marker in its place (metadata-level event
-    // as a row — the cue to clear state and await deltas)
-    val stateEmpty = snapR.files.isEmpty || state.isEmpty
+    // as a row — the cue to clear state and await deltas). Emptiness
+    // is decided from manifest metadata (footer row counts minus the
+    // recorded DV count) — JOB-FREE; only a snapshot predating
+    // row-count recording (or with a stranded DV pointer) pays the
+    // state.isEmpty action over the resync frame
+    val stateEmpty = snapR.files.isEmpty ||
+      rowCount(snapR).map(_ == 0L).getOrElse(state.isEmpty)
     val base = (if (!stateEmpty) state else {
       val st = state.schema
       spark.createDataFrame(
@@ -2633,10 +2703,10 @@ object Manifest {
     requireSchema(spark, root, fp)
     requireChecks(spark, root, rewritten)
     val staged = stage(rewritten, root)
-    val (rows, bytesM) = footerMeta(spark, root, staged)
+    val (rows, bytesM, fts) = footerMeta(spark, root, staged)
     val kept = withoutEmpty(staged, rows)
     val statCols = inheritedStatCols(snap)
-    val stats = fileStats(spark, root, kept, statCols)
+    val stats = fileStats(spark, root, kept, statCols, fts)
     publish(spark, root, kept,
       old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "mergeInto"),
       _.files.filterNot(touchedSet), stats,
@@ -2657,7 +2727,8 @@ object Manifest {
       extraMeta: Map[String, String] = Map.empty,
       skipIf: Snapshot => Boolean = _ => false,
       onSkip: () => Unit = () => (),
-      drops: Option[DataFrame] = None): Long = {
+      drops: Option[DataFrame] = None,
+      evolveSchema: Boolean = false): Long = {
     val spark = batch.sparkSession
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
@@ -2667,11 +2738,37 @@ object Manifest {
     if (skipIf(snap)) { onSkip(); return snap.version }
     // column mapping: the batch arrives LOGICAL; everything below —
     // touched-file discovery, rewrite union, staging — runs PHYSICAL
-    val batchP = physicalize(batch, Some(snap))
+    val batchP0 = physicalize(batch, Some(snap))
     val dropsP = drops.map(physicalize(_, Some(snap)))
     val keyP = toPhysical(snap, keyCol)
+    // evolveSchema (the [[mergeBranch]] path): a batch may ADD columns
+    // (or safely widen) vs the table — [[appendMerge]]'s reconcile+pad
+    // applied to the upsert commit; the recorded schema evolves in the
+    // SAME atomic commit, untouched files read the new columns as NULL
+    // through [[readFiles]]'s recorded-schema contract
+    val (batchP, schemaMeta) =
+      if (!evolveSchema) (batchP0, Map.empty[String, String])
+      else {
+        val table = recordedSchema(snap).getOrElse(
+          readFiles(spark, root, snap, snap.files.take(1)).schema)
+        val merged = mergeStructs(table, batchP0.schema).getOrElse(
+          throw new IllegalArgumentException(
+            s"$root: upsert cannot reconcile the batch schema " +
+              s"[${batchP0.schema.catalogString}] with the table schema " +
+              s"[${table.catalogString}] — fields may be added or safely " +
+              "widened; any other type change is an intentional rewrite"))
+        val mergedN = nullableDeep(merged)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val have = batchP0.schema.fields.map(f => f.name -> f.dataType).toMap
+        val padded = batchP0.select(mergedN.fields.toSeq.map(f =>
+          have.get(f.name) match {
+            case Some(from) => padTo(col(f.name), from, f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }): _*)
+        (padded, Map(SchemaJsonKey -> mergedN.json))
+      }
     val fp = schemaFingerprint(batchP)
-    requireSchema(spark, root, fp)
+    if (!evolveSchema) requireSchema(spark, root, fp)
     requireChecks(spark, root, batchP)
     // ONE aggregation serves both the duplicate-key guard and the
     // batch key range (previously two jobs per upsert — on commit-
@@ -2716,15 +2813,17 @@ object Manifest {
       if (touched.isEmpty) batchP
       else applyDv(spark, root, snap, readFiles(spark, root, snap, touched))
         .join(allKeys, Seq(keyP), "left_anti")
-        .unionByName(batchP)
+        // rewritten old rows read under the OLD recorded schema — an
+        // evolving batch's added columns fill as NULL there
+        .unionByName(batchP, allowMissingColumns = evolveSchema)
     val staged = stage(rewritten, root)
-    val (rows, bytesM) = footerMeta(spark, root, staged)
+    val (rows, bytesM, fts) = footerMeta(spark, root, staged)
     val kept = withoutEmpty(staged, rows)
     val statCols = inheritedStatCols(snap)
-    val stats = fileStats(spark, root, kept, statCols)
+    val stats = fileStats(spark, root, kept, statCols, fts)
     publish(spark, root, kept,
       old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "upsert")
-        ++ extraMeta,
+        ++ schemaMeta ++ extraMeta,
       _.files.filterNot(touchedSet), stats,
       rows.filter(kv => kept.contains(kv._1)),
       requireVersion = Some(snap.version),
@@ -2784,7 +2883,7 @@ object Manifest {
       .filter(!(col(colName) >= lit(lo) && col(colName) <= lit(hi)) ||
         col(colName).isNull)
     val staged = stage(survivors, root)
-    val (rows, bytesM) = footerMeta(spark, root, staged)
+    val (rows, bytesM, fts) = footerMeta(spark, root, staged)
     // unlike a commit of fresh data, an all-empty rewrite publishes NO
     // files here — the untouched remainder of the table still carries
     // the schema (and a fully-emptied table keeps its newest staged
@@ -2794,7 +2893,7 @@ object Manifest {
       if (nonEmpty.nonEmpty || snap.files.exists(f => !touchedSet.contains(f))) nonEmpty
       else staged.take(1)
     val statCols = inheritedStatCols(snap)
-    val stats = fileStats(spark, root, kept, statCols)
+    val stats = fileStats(spark, root, kept, statCols, fts)
     publish(spark, root, kept, old => old - DvRowsKey + (OpKey -> "delete"),
       _.files.filterNot(touchedSet), stats,
       rows.filter(kv => kept.contains(kv._1)),
@@ -2853,7 +2952,7 @@ object Manifest {
           col(colName).isNull)
         .unionByName(batchP)
     val staged = stage(survivorsAndBatch, root)
-    val (rows, bytesM) = footerMeta(spark, root, staged)
+    val (rows, bytesM, fts) = footerMeta(spark, root, staged)
     // an empty batch over a fully-covered range is a pure delete: keep
     // the delete path's rule — publish no empty files unless nothing
     // else would carry the schema
@@ -2863,7 +2962,7 @@ object Manifest {
         nonEmpty
       else staged.take(1)
     val statCols = inheritedStatCols(snap)
-    val stats = fileStats(spark, root, kept, statCols)
+    val stats = fileStats(spark, root, kept, statCols, fts)
     publish(spark, root, kept,
       old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "replaceWhere"),
       _.files.filterNot(touchedSet), stats,
@@ -2925,14 +3024,14 @@ object Manifest {
           .filter(!pred || pred.isNull), Some(snap))
         .unionByName(batchP)
     val staged = stage(survivorsAndBatch, root)
-    val (rows, bytesM) = footerMeta(spark, root, staged)
+    val (rows, bytesM, fts) = footerMeta(spark, root, staged)
     val nonEmpty = staged.filter(f => rows.getOrElse(f, 1L) > 0L)
     val kept =
       if (nonEmpty.nonEmpty || snap.files.exists(f => !touchedSet.contains(f)))
         nonEmpty
       else staged.take(1)
     val statCols = inheritedStatCols(snap)
-    val stats = fileStats(spark, root, kept, statCols)
+    val stats = fileStats(spark, root, kept, statCols, fts)
     publish(spark, root, kept,
       old => old - DvRowsKey + (SchemaKey -> fp) + (OpKey -> "replaceWhere"),
       _.files.filterNot(touchedSet), stats,
@@ -3085,10 +3184,10 @@ object Manifest {
     val staged = repart.localCheckpoint()
     try {
       val stagedFiles = stage(staged, root)
-      val (rows, bytesM) = footerMeta(spark, root, stagedFiles)
+      val (rows, bytesM, fts) = footerMeta(spark, root, stagedFiles)
       val kept = withoutEmpty(stagedFiles, rows)
       val statCols = inheritedStatCols(snap)
-      val stats = fileStats(spark, root, kept, statCols)
+      val stats = fileStats(spark, root, kept, statCols, fts)
       publish(spark, root, kept,
         old => old - DvRowsKey + (OpKey -> "compactSmall"),
         _.files.filterNot(smallSet), stats,
@@ -3120,12 +3219,12 @@ object Manifest {
     val staged = repart.localCheckpoint()
     try {
       val stagedFiles = stage(staged, root)
-      val (rows, bytesM) = footerMeta(spark, root, stagedFiles)
+      val (rows, bytesM, fts) = footerMeta(spark, root, stagedFiles)
       val kept = withoutEmpty(stagedFiles, rows)
       // the skip index survives compaction: recompute stats for every
       // column any pre-compaction file carried stats for
       val statCols = inheritedStatCols(snap)
-      val stats = fileStats(spark, root, kept, statCols)
+      val stats = fileStats(spark, root, kept, statCols, fts)
       // a clean rewrite APPLIES any outstanding deletion vector (the
       // read above went through it) — clear the pointer
       publish(spark, root, kept,
@@ -3158,12 +3257,12 @@ object Manifest {
       target, bits, curve).localCheckpoint()
     try {
       val stagedFiles = stage(staged, root)
-      val (rows, bytesM) = footerMeta(spark, root, stagedFiles)
+      val (rows, bytesM, fts) = footerMeta(spark, root, stagedFiles)
       val kept = withoutEmpty(stagedFiles, rows)
       val statCols = (inheritedStatCols(snap) ++ colsP).distinct
       // the whole table becomes ONE stable cube — the provenance
       // baseline [[compactClusteredIncremental]] builds on
-      val stats = stampCube(kept, fileStats(spark, root, kept, statCols),
+      val stats = stampCube(kept, fileStats(spark, root, kept, statCols, fts),
         java.util.UUID.randomUUID().toString)
       // a clean rewrite APPLIES any outstanding deletion vector (the
       // read above went through it) — clear the pointer
@@ -3455,10 +3554,10 @@ object Manifest {
       target, bits, curve).localCheckpoint()
     try {
       val stagedFiles = stage(staged, root)
-      val (rows, bytesM) = footerMeta(spark, root, stagedFiles)
+      val (rows, bytesM, fts) = footerMeta(spark, root, stagedFiles)
       val kept = withoutEmpty(stagedFiles, rows)
       val statCols = (inheritedStatCols(snap) ++ colsP).distinct
-      val stats = stampCube(kept, fileStats(spark, root, kept, statCols),
+      val stats = stampCube(kept, fileStats(spark, root, kept, statCols, fts),
         java.util.UUID.randomUUID().toString)
       val v = publish(spark, root, kept,
         old => old - DvRowsKey + (OpKey -> "compactClusteredInc"),
@@ -3814,10 +3913,13 @@ object Manifest {
     * value, so branch and main editing DIFFERENT columns of one row
     * both survive. A branch-created key, or a key main dropped, takes
     * the branch row wholesale; deletes stay whole-row branch-wins.
-    * Requires branch and main to agree on the column set (no schema
-    * evolution across a column-level merge). Costs two extra
-    * key-pruned semi-joined reads (fork + main state of the touched
-    * keys); the commit stays O(touched keys).
+    * Columns ADDED on either ref since the fork merge per the
+    * 3-way-vs-fork rule ([[mergeColumnsVsFork]]: added-on-branch
+    * lands as the branch's values with NULL elsewhere, added-on-main
+    * keeps main's values; the schema evolves in the same atomic
+    * commit); a column DROPPED on one ref refuses loudly. Costs two
+    * extra key-pruned semi-joined reads (fork + main state of the
+    * touched keys); the commit stays O(touched keys).
     *
     * Value-idempotent: re-applying the same delta reproduces the same
     * table, so a crash between the commit and the branch drop re-runs
@@ -3870,11 +3972,16 @@ object Manifest {
       val dropKeys = last.filter(col("__net") < 0L).select(col(keyCol))
       val ups =
         if (!columnLevel) upsBranch
-        else mergeColumnsVsFork(spark, root, br, upsBranch, keyCol, dataCols)
+        else mergeColumnsVsFork(spark, root, br, upsBranch, keyCol)
       val v =
         if (ups.isEmpty && dropKeys.isEmpty) cur0.version
+        // evolveSchema: a branch that ADDED columns since the fork
+        // merges them into main's schema in the same atomic commit
+        // (cell rules in [[mergeColumnsVsFork]]; whole-row mode takes
+        // the branch row under the union schema)
         else retryingCommit(s"$root mergeBranch($name)", 4)(
-          upsertPlanned(ups, root, keyCol, drops = Some(dropKeys)))
+          upsertPlanned(ups, root, keyCol, drops = Some(dropKeys),
+            evolveSchema = true))
       deleteBranch(spark, root, name)
       v
     } finally { last.unpersist(); () }
@@ -3886,29 +3993,63 @@ object Manifest {
     * it did not (main may have concurrently edited OTHER columns of
     * the row), branch row wholesale when the key has no fork row
     * (branch-created) or no main row (main dropped it — branch-wins
-    * resurrection). */
+    * resurrection).
+    *
+    * SCHEMA EVOLUTION across the merge (columns ADDED on either ref
+    * since the fork) resolves per column — the fork schema is the
+    * 3-way baseline exactly like the fork rows are for cells:
+    *  - added on BRANCH (∉ fork, ∉ main): merges as the branch's
+    *    value (a null branch cell stays null); untouched main rows
+    *    read it as NULL once the upsert commit evolves the schema;
+    *  - added on MAIN (∉ fork, ∉ branch): touched surviving keys keep
+    *    main's current value; branch-created keys get NULL.
+    * A column DROPPED on one ref since the fork (present at fork and
+    * on the other ref) still refuses loudly: an upsert cannot drop a
+    * column table-wide, and silently resurrecting or half-dropping it
+    * would corrupt the merge — run dropColumn on main (or re-add on
+    * the branch) first. */
   private def mergeColumnsVsFork(spark: SparkSession, root: String,
-      br: String, upsBranch: DataFrame, keyCol: String,
-      dataCols: Seq[String]): DataFrame = {
+      br: String, upsBranch: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{lit, when}
     val mainCols = read(spark, root).columns.toSeq
-    require(mainCols.sorted == dataCols.sorted,
-      s"$root: column-level merge needs branch and main to agree on " +
-        s"columns (main ${mainCols.sorted.mkString(",")} vs branch " +
-        s"${dataCols.sorted.mkString(",")}) — no schema evolution " +
-        "across a column-level merge")
-    val keys = upsBranch.select(col(keyCol)).distinct()
+    // the branch's CURRENT logical columns — NOT the feed's column
+    // union (the feed pads every step to the union, so a column the
+    // branch dropped mid-history would still appear there and mask
+    // the drop from the refuse rule below)
+    val branchCols = read(spark, br).columns.toSeq
     val snap0 = snapshot(spark, br, 0L)
+    // the fork-time column set: from the fork's live rows when any
+    // exist, else the clone's recorded schema (physical == logical on
+    // a fresh clone — renames inside an evolving branch are refused
+    // below by the dropped-column rule they'd manifest as)
+    val forkCols: Seq[String] =
+      if (snap0.files.nonEmpty) readSnapshot(spark, br, snap0).columns.toSeq
+      else recordedSchema(snap0).map(_.fieldNames.toSeq).getOrElse(branchCols)
+    val (bSet, mSet, fSet) = (branchCols.toSet, mainCols.toSet, forkCols.toSet)
+    require(bSet.contains(keyCol) && mSet.contains(keyCol),
+      s"$root: merge key $keyCol must exist on both branch and main")
+    val droppedOnBranch = ((fSet & mSet) -- bSet).toSeq.sorted
+    val droppedOnMain = ((fSet & bSet) -- mSet).toSeq.sorted
+    require(droppedOnBranch.isEmpty && droppedOnMain.isEmpty,
+      s"$root: column-level merge cannot cross a column DROP " +
+        s"(dropped on branch: ${droppedOnBranch.mkString(",")}; " +
+        s"dropped on main: ${droppedOnMain.mkString(",")}) — " +
+        "drop the column on main too (dropColumn) or re-add it " +
+        "before merging")
+    // output order: main's columns first, branch-added appended (the
+    // same order the upsert's mergeStructs evolution records)
+    val outCols = mainCols ++ branchCols.filterNot(mSet)
+    val keys = upsBranch.select(col(keyCol)).distinct()
     val forkRows =
       if (snap0.files.isEmpty) None
       else Some(readSnapshot(spark, br, snap0)
         .join(keys, Seq(keyCol), "left_semi")
-        .select(col(keyCol) +: dataCols.filterNot(_ == keyCol)
+        .select(col(keyCol) +: forkCols.filterNot(_ == keyCol)
           .map(c => col(c).as(s"__f_$c")): _*)
         .withColumn("__f_has", lit(true)))
     val mainRows = read(spark, root)
       .join(keys, Seq(keyCol), "left_semi")
-      .select(col(keyCol) +: dataCols.filterNot(_ == keyCol)
+      .select(col(keyCol) +: mainCols.filterNot(_ == keyCol)
         .map(c => col(c).as(s"__m_$c")): _*)
       .withColumn("__m_has", lit(true))
     val joined = forkRows
@@ -3916,16 +4057,23 @@ object Manifest {
       .getOrElse(upsBranch
         .withColumn("__f_has", lit(null).cast("boolean")))
       .join(mainRows, Seq(keyCol), "left")
-    joined.select(dataCols.map { c =>
+    joined.select(outCols.map { c =>
       if (c == keyCol) col(c)
+      else if (!bSet.contains(c))
+        // added on main: main's concurrent value; branch-created (or
+        // main-dropped) keys have no main row — NULL
+        when(col("__m_has").isNotNull, col(s"__m_$c")).otherwise(lit(null)).as(c)
       else {
         val branchV = col(c)
         val forkV =
-          if (forkRows.isDefined) col(s"__f_$c")
-          else lit(null)
+          if (forkRows.isDefined && fSet.contains(c)) col(s"__f_$c")
+          else lit(null) // added on branch: fork never had the cell
+        val mainV =
+          if (mSet.contains(c)) col(s"__m_$c")
+          else lit(null) // added on branch: main has no cell yet
         when(col("__f_has").isNull, branchV) // branch-created key
           .when(!(branchV <=> forkV), branchV) // branch changed the cell
-          .when(col("__m_has").isNotNull, col(s"__m_$c")) // main's concurrent value
+          .when(col("__m_has").isNotNull, mainV) // main's concurrent value
           .otherwise(branchV) // main dropped the key: branch resurrects
           .as(c)
       }
@@ -3952,9 +4100,20 @@ object Manifest {
     * can never pin a snapshot whose files are about to vanish; readers
     * pinned BEFORE gc to an expired snapshot are the documented
     * retention trade (the public formats' VACUUM caveat). Returns
-    * deleted data paths. */
+    * deleted data paths.
+    *
+    * BRANCH roots ([[BranchForkKey]] present) auto-skip depth trimming
+    * by default: [[mergeBranch]] needs the branch's FULL history
+    * (version 0 is the 3-way baseline, the per-commit replay needs
+    * every step), so a routine gc — e.g. a [[Maintenance]] policy
+    * applied uniformly — must not silently brick a pending merge.
+    * Orphan/dv/tmp sweeps still run (they never touch committed
+    * history). `branchTrim = true` is the explicit policy knob that
+    * restores trimming on a branch whose history you have decided not
+    * to merge (publishBranch-only or abandoned refs). */
   def gc(spark: SparkSession, root: String, keepVersions: Int = 2,
-      orphanMinAgeMs: Long = 10L * 60 * 1000): Seq[String] = {
+      orphanMinAgeMs: Long = 10L * 60 * 1000,
+      branchTrim: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, "gc must retain at least the current version")
     val f = fs(spark, root)
     val all = versions(spark, root)
@@ -3963,7 +4122,19 @@ object Manifest {
     // manifests never drop, so the file/dv/bloom retention passes
     // below (which walk the RETAINED manifests) keep their bytes too
     val taggedVs = tags(spark, root).values.toSet
-    val dropped = all.dropRight(keepVersions).filterNot(taggedVs)
+    val isBranch = !branchTrim &&
+      current(spark, root).exists(_.meta.contains(BranchForkKey))
+    val dropped = {
+      val d = all.dropRight(keepVersions).filterNot(taggedVs)
+      if (d.isEmpty || !isBranch) d
+      else {
+        System.err.println(s"[manifest] gc($root): branch ref — depth " +
+          s"trimming of ${d.size} version(s) skipped to keep the merge " +
+          "baseline (pass branchTrim=true to trim a branch you will " +
+          "not merge)")
+        Seq.empty
+      }
+    }
     // resolve the expired snapshots BEFORE unlinking their manifests —
     // afterwards "expired history" and "orphan" are indistinguishable
     val droppedSnaps = dropped.map(v => snapshot(spark, root, v))

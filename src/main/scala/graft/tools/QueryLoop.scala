@@ -57,6 +57,10 @@ object QueryLoop {
       val fn = graft.SparkEntry.queries(name)
       val samples = (1 to reps).map { _ =>
         graft.CacheReset(spark)
+        // unconditional: without this a session without GRAFT_LOOP_STAGES
+        // grows the queue forever, and with it the first sample's top-8
+        // mixes in stages from prior queries/warm-up
+        heavy.clear()
         val (j0, s0, t0m) = (jobs.get(), stages.get(), taskTime.get())
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -68,7 +72,6 @@ object QueryLoop {
           import scala.jdk.CollectionConverters._
           heavy.asScala.toSeq.sortBy(-_._2).take(8).foreach { case (n, rt) =>
             System.err.println(f"[loop]   stage ${rt / 1e3}%7.1fs  $n") }
-          heavy.clear()
         }
         sec
       }

@@ -1439,7 +1439,15 @@ class ManifestSpec extends SparkTestBase {
       statsCols = Seq("k"))
     Manifest.append(Seq((8L, 80L)).toDF("k", "x").coalesce(1), tbr,
       statsCols = Seq("k"))
+    // a ROUTINE gc on a branch auto-skips depth trimming — the merge
+    // baseline (version 0) survives and the merge still works...
     Manifest.gc(spark, tbr, keepVersions = 1, orphanMinAgeMs = 0L)
+    assert(Manifest.versions(spark, tbr).head == 0L,
+      "routine gc on a branch must preserve the merge baseline")
+    // ...only the EXPLICIT policy knob bricks it, and the merge then
+    // refuses loudly
+    Manifest.gc(spark, tbr, keepVersions = 1, orphanMinAgeMs = 0L,
+      branchTrim = true)
     val e = intercept[IllegalArgumentException] {
       Manifest.mergeBranch(spark, root, "trunc", "k")
     }
@@ -1515,6 +1523,107 @@ class ManifestSpec extends SparkTestBase {
       (5L, 55L, 501L), // same-column conflict: branch a wins; main b kept
       (6L, 60L, 600L)  // branch-created key: branch row wholesale
     ), got.toString)
+  }
+
+  test("branches: columnLevel mergeBranch across schema evolution — the add/drop matrix") {
+    import org.apache.spark.sql.Row
+    // ADDED ON BRANCH: the merge evolves main's schema; branch-written
+    // cells land, every untouched row reads the new column as NULL,
+    // and a concurrent main edit on ANOTHER column still survives
+    locally {
+      val root = newRoot("bme_addbranch")
+      Manifest.append(Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+        .toDF("k", "a", "b").coalesce(1), root, statsCols = Seq("k")) // fork
+      Manifest.createBranch(spark, root, "audit")
+      val br = Manifest.branchRoot(root, "audit")
+      // branch evolves: new row k=6 carries new column c...
+      Manifest.appendMerge(Seq((6L, 60L, 600L, "bn"))
+        .toDF("k", "a", "b", "c").coalesce(1), br)
+      // ...and k=2 gets a c value under the evolved schema (a, b kept)
+      Manifest.upsert(Seq((2L, 20L, 200L, "bc")).toDF("k", "a", "b", "c"),
+        br, "k")
+      // main concurrently edits b of the same row (no evolution here)
+      Manifest.upsert(Seq((2L, 20L, 201L)).toDF("k", "a", "b"), root, "k")
+      Manifest.mergeBranch(spark, root, "audit", "k", columnLevel = true)
+      val got = Manifest.read(spark, root)
+        .select("k", "a", "b", "c").collect().toSet
+      assert(got == Set(
+        Row(1L, 10L, 100L, null), // untouched: new column reads NULL
+        Row(2L, 20L, 201L, "bc"), // main's b edit + branch's c both live
+        Row(3L, 30L, 300L, null),
+        Row(6L, 60L, 600L, "bn")  // branch-created row arrives whole
+      ), got.toString)
+    }
+    // ADDED ON MAIN: touched surviving keys keep main's current value
+    // in the main-only column; a branch-created key reads it as NULL
+    locally {
+      val root = newRoot("bme_addmain")
+      Manifest.append(Seq((1L, 10L, 100L), (2L, 20L, 200L))
+        .toDF("k", "a", "b").coalesce(1), root, statsCols = Seq("k")) // fork
+      Manifest.createBranch(spark, root, "audit")
+      val br = Manifest.branchRoot(root, "audit")
+      Manifest.upsert(Seq((1L, 11L, 100L), (7L, 70L, 700L))
+        .toDF("k", "a", "b"), br, "k") // branch edits a; creates k=7
+      // main evolves: new column d, set on k=1 (the conflict key)
+      Manifest.appendMerge(Seq((9L, 90L, 900L, "m9"))
+        .toDF("k", "a", "b", "d").coalesce(1), root)
+      Manifest.upsert(Seq((1L, 10L, 100L, "m1")).toDF("k", "a", "b", "d"),
+        root, "k")
+      Manifest.mergeBranch(spark, root, "audit", "k", columnLevel = true)
+      val got = Manifest.read(spark, root)
+        .select("k", "a", "b", "d").collect().toSet
+      assert(got == Set(
+        Row(1L, 11L, 100L, "m1"), // branch's a; main's d KEPT
+        Row(2L, 20L, 200L, null),
+        Row(7L, 70L, 700L, null), // branch-created: main-only column NULL
+        Row(9L, 90L, 900L, "m9")
+      ), got.toString)
+    }
+    // DROPPED ON BRANCH: refuse loudly, naming the column
+    locally {
+      val root = newRoot("bme_dropbranch")
+      Manifest.append(Seq((1L, 10L, 100L), (2L, 20L, 200L))
+        .toDF("k", "a", "b").coalesce(1), root, statsCols = Seq("k"))
+      Manifest.createBranch(spark, root, "audit")
+      val br = Manifest.branchRoot(root, "audit")
+      Manifest.dropColumn(spark, br, "b")
+      Manifest.upsert(Seq((1L, 11L)).toDF("k", "a"), br, "k")
+      val e = intercept[IllegalArgumentException] {
+        Manifest.mergeBranch(spark, root, "audit", "k", columnLevel = true)
+      }
+      assert(e.getMessage.contains("dropped on branch: b"), e.getMessage)
+    }
+    // DROPPED ON MAIN: refuse loudly too
+    locally {
+      val root = newRoot("bme_dropmain")
+      Manifest.append(Seq((1L, 10L, 100L), (2L, 20L, 200L))
+        .toDF("k", "a", "b").coalesce(1), root, statsCols = Seq("k"))
+      Manifest.createBranch(spark, root, "audit")
+      val br = Manifest.branchRoot(root, "audit")
+      Manifest.upsert(Seq((1L, 11L, 100L)).toDF("k", "a", "b"), br, "k")
+      Manifest.dropColumn(spark, root, "b")
+      val e = intercept[IllegalArgumentException] {
+        Manifest.mergeBranch(spark, root, "audit", "k", columnLevel = true)
+      }
+      assert(e.getMessage.contains("dropped on main: b"), e.getMessage)
+    }
+    // WHOLE-ROW mode under branch evolution also lands the new column
+    // (branch rows under the union schema; untouched rows NULL)
+    locally {
+      val root = newRoot("bme_wholerow")
+      Manifest.append(Seq((1L, 10L, 100L), (2L, 20L, 200L))
+        .toDF("k", "a", "b").coalesce(1), root, statsCols = Seq("k"))
+      Manifest.createBranch(spark, root, "audit")
+      val br = Manifest.branchRoot(root, "audit")
+      Manifest.appendMerge(Seq((6L, 60L, 600L, "w6"))
+        .toDF("k", "a", "b", "c").coalesce(1), br)
+      Manifest.mergeBranch(spark, root, "audit", "k")
+      val got = Manifest.read(spark, root)
+        .select("k", "a", "b", "c").collect().toSet
+      assert(got == Set(
+        Row(1L, 10L, 100L, null), Row(2L, 20L, 200L, null),
+        Row(6L, 60L, 600L, "w6")), got.toString)
+    }
   }
 
   test("branches: publishBranch from a SHALLOW CLONE parent leaves foreign-absolute entries intact") {
@@ -1622,6 +1731,95 @@ class ManifestSpec extends SparkTestBase {
     } finally {
       spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
     }
+  }
+
+  test("skipping: footer stats cover DECIMAL(38,x) and timestamp_ntz, equivalent to the scan pass") {
+    // DECIMAL(38,6) lands as FIXED_LEN_BYTE_ARRAY(16) and timestamp_ntz
+    // as TIMESTAMP(MICROS, isAdjustedToUTC=false) — the two stat
+    // families real lakes write that used to bail the footer lift.
+    // Footer-vs-scan equivalence: the SAME rows committed through the
+    // footer path (MICROS encoding) and through the scan path (INT96
+    // encoding bails the whole footer pass via its suppressed stats)
+    // must record IDENTICAL read-back bounds for the shared columns.
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    def ldt(s: String) = java.time.LocalDateTime.parse(s)
+    // negatives exercise two's-complement FLBA decoding; the 20-digit
+    // base exceeds Double's ~16 significant digits, so these bounds
+    // only survive the manifest round trip because stats parse with
+    // useBigDecimalForDouble (the lossless-decimal guarantee)
+    def mk(lo: Int) = (lo until lo + 10).map(i => (i.toLong,
+      BigDecimal("12345678901234.567891") * (if (i % 3 == 0) -1 else 1)
+        + BigDecimal(i) * (if (i % 3 == 0) -1 else 1),
+      ldt(f"2026-02-${(i % 27) + 1}%02dT08:30:${i % 60}%02d.25"),
+      java.sql.Timestamp.valueOf(f"2026-03-01 00:00:${i % 60}%02d")))
+      .toDF("k", "d38", "tn", "t")
+      .withColumn("d38", col("d38").cast("decimal(38,6)"))
+    val statCols = Seq("k", "d38", "tn", "t")
+    val rootF = newRoot("footer_d38")
+    val rootS = newRoot("scan_d38")
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobs.incrementAndGet(); () }
+      })
+    def jobsFor(body: => Unit): Long = {
+      Thread.sleep(800) // listener bus is async; drain prior job starts
+      val j0 = jobs.get()
+      body
+      Thread.sleep(800)
+      jobs.get() - j0
+    }
+    val (footerJobs, scanJobs) = try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      Manifest.append(mk(0).coalesce(1), rootF, statsCols = statCols) // warm
+      val fj = jobsFor {
+        Manifest.append(mk(100).coalesce(1), rootF, statsCols = statCols)
+      }
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      Manifest.append(mk(0).coalesce(1), rootS, statsCols = statCols)
+      val sj = jobsFor {
+        Manifest.append(mk(100).coalesce(1), rootS, statsCols = statCols)
+      }
+      (fj, sj)
+    } finally {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+    }
+    // INT96's suppressed footer stats must bail the whole pass to the
+    // scan (one extra Spark job) while MICROS lifts job-free — this is
+    // what proves the equivalence below compares footer AGAINST scan,
+    // not footer against footer
+    assert(scanJobs > footerJobs,
+      s"INT96 append launched $scanJobs job(s) vs MICROS $footerJobs — " +
+        "expected the scan pass to add at least one")
+    def readBack(root: String): Seq[Map[String, (Any, Any)]] = {
+      val snap = Manifest.current(spark, root).get
+      // "t" differs by design (INT96 vs MICROS encodings of the same
+      // instants still yield the same bounds, but keep the comparison
+      // on the two target families)
+      snap.files.map(f => snap.stats(f) - "t" - s"t${Manifest.NullsSuffix}")
+        .sortBy(m => m("k")._1.toString.toLong) // random file names ≠ commit order
+    }
+    val (fromFooter, fromScan) = (readBack(rootF), readBack(rootS))
+    assert(fromFooter == fromScan,
+      s"footer:\n$fromFooter\nscan:\n$fromScan")
+    // and the lifted bounds PRUNE, per family, down to the one
+    // matching file (two files: ids 0..9 and 100..109)
+    val snap = Manifest.current(spark, rootF).get
+    // file1 spans [-(base+9), base+8], file2 [-(base+108), base+109]:
+    // [base+50, base+120] intersects only file2
+    assert(Manifest.prunedFiles(snap, "d38",
+      new java.math.BigDecimal("12345678901284.567891"),
+      new java.math.BigDecimal("12345678901354.567891")).size == 1,
+      snap.stats.map { case (f, m) => f.take(8) -> m.get("d38") }.toString)
+    assert(Manifest.prunedFiles(snap, "tn",
+      ldt("2026-02-20T08:30:00"), ldt("2026-02-27T23:59:59")).size == 1,
+      snap.stats.map { case (f, m) => f.take(8) -> m.get("tn") }.toString)
+    // row-exactness through an ntz-pruned read
+    val got = Manifest.readWhereBetween(spark, rootF, "k", 104L, 106L)
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(104L, 105L, 106L), got.toString)
   }
 
   test("changeFeedResync: an EMPTY resync snapshot emits one truncate marker row") {
