@@ -87,11 +87,13 @@ object Layout {
       df: DataFrame, cols: Seq[String], bits: Int = 8,
       relativeError: Double = 0.001): Map[String, Seq[Double]] = {
     require(bits >= 1 && bits <= 16, s"bits out of range ($bits)")
+    if (cols.isEmpty) return Map.empty
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
-    cols.map { c =>
-      val q = df.stat.approxQuantile(c, probs, relativeError)
-      c -> q.toSeq.distinct.sorted
-    }.toMap
+    // ONE multi-column approxQuantile pass (the per-column form cost
+    // one full scan job per layout column — on maintenance-cycle
+    // clustering the fixed per-job cost, not the sketch, was the wall)
+    val qs = df.stat.approxQuantile(cols.toArray, probs, relativeError)
+    cols.zip(qs).map { case (c, q) => c -> q.toSeq.distinct.sorted }.toMap
   }
 
   /** [[bucketOf]] for STRING layout columns: the same #{b : c >= b}

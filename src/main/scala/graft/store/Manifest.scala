@@ -1055,6 +1055,7 @@ object Manifest {
       val blocks = try rd.getFooter.getBlocks.asScala.toSeq finally rd.close()
       (rel, blocks.map(_.getRowCount).sum, in.getLength, blocks)
     }
+    val t0 = System.nanoTime()
     val both: Seq[(String, Long, Long,
         Seq[org.apache.parquet.hadoop.metadata.BlockMetaData])] =
       // GRAFT_FOOTER_SERIAL: A/B valve — pool of 1 reproduces the old
@@ -1073,6 +1074,9 @@ object Manifest {
           futs.map(_.get())
         } finally { pool.shutdown(); () }
       }
+    if (sys.env.contains("GRAFT_FOOTER_TIMING"))
+      System.err.println(f"[manifest] footerMeta: ${staged.size} file(s) in " +
+        f"${(System.nanoTime() - t0) / 1e6}%.1f ms")
     (both.map(t => (t._1, t._2)).toMap, both.map(t => (t._1, t._3)).toMap,
       both.map(t => (t._1, t._4)).toMap)
   }
@@ -2770,12 +2774,19 @@ object Manifest {
     val fp = schemaFingerprint(batchP)
     if (!evolveSchema) requireSchema(spark, root, fp)
     requireChecks(spark, root, batchP)
-    // ONE aggregation serves both the duplicate-key guard and the
-    // batch key range (previously two jobs per upsert — on commit-
-    // dense lifecycles the fixed per-job cost was the wall)
-    import org.apache.spark.sql.functions.{count => fcount, lit => flit,
-      max => fmax, max_by => fmaxBy, min => fmin}
-    val kstats = batchP.groupBy(col(keyP)).agg(fcount(flit(1)).as("__n"))
+    // ONE aggregation serves the duplicate-key guard AND the key range
+    // of batch ∪ drops (previously two jobs per upsert, and a THIRD
+    // when drop-keys were present — on commit-dense lifecycles the
+    // fixed per-job cost was the wall). Drop keys enter with weight 0:
+    // they widen the range without tripping the batch-duplicate count.
+    import org.apache.spark.sql.functions.{lit => flit,
+      max => fmax, max_by => fmaxBy, min => fmin, sum => fsum}
+    val tagged = dropsP match {
+      case None => batchP.select(col(keyP), flit(1L).as("__b"))
+      case Some(d) => batchP.select(col(keyP), flit(1L).as("__b"))
+        .unionByName(d.select(col(keyP), flit(0L).as("__b")))
+    }
+    val kstats = tagged.groupBy(col(keyP)).agg(fsum(col("__b")).as("__n"))
       .agg(fmin(col(keyP)).as("__lo"), fmax(col(keyP)).as("__hi"),
         fmax(col("__n")).as("__maxn"),
         fmaxBy(col(keyP), col("__n")).as("__dupk")).head()
@@ -2787,12 +2798,7 @@ object Manifest {
       case Some(d) => batchP.select(col(keyP))
         .unionByName(d.select(col(keyP))).distinct()
     }
-    val range = dropsP match {
-      case None => org.apache.spark.sql.Row(kstats.get(0), kstats.get(1))
-      case Some(_) => allKeys.agg(
-        org.apache.spark.sql.functions.min(col(keyP)),
-        org.apache.spark.sql.functions.max(col(keyP))).head()
-    }
+    val range = org.apache.spark.sql.Row(kstats.get(0), kstats.get(1))
     if (range.isNullAt(0)) return snap.version // empty batch+drops: no-op
     val candidates = prunedFiles(snap, keyP, range.get(0), range.get(1))
     val touched: Seq[String] =

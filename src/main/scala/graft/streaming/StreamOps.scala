@@ -806,12 +806,28 @@ object StreamOps {
     * ratio.
     *
     * `aggs`: (outputColumn, kind, sourceExprSql) triples; kind `count`
-    * ignores the expression. */
+    * ignores the expression.
+    *
+    * `deltaCache` (the [[matviewDagStep]] fusion): several views over
+    * ONE source each re-read the same change window — with a cache
+    * the first view's window scan materializes once (Spark cache) and
+    * every sibling folds from it, N views costing ONE source scan per
+    * pump instead of N. Keyed by (kind, src, from, to) so views at
+    * different watermarks never share a frame; the DAG step owns the
+    * unpersist. */
   def materializedAggStep(
       spark: org.apache.spark.sql.SparkSession, srcRoot: String,
       dstRoot: String, writerId: String, keyCol: String,
-      aggs: Seq[(String, String, String)]): Option[Long] = {
+      aggs: Seq[(String, String, String)],
+      deltaCache: Option[scala.collection.mutable.Map[
+        (String, String, Long, Long), DataFrame]] = None): Option[Long] = {
     import graft.store.Manifest
+    def windowed(kind: String, from: Long, to: Long)
+        (build: => DataFrame): DataFrame = deltaCache match {
+      case None => build
+      case Some(m) => m.getOrElseUpdate((kind, srcRoot, from, to),
+        build.cache())
+    }
     require(aggs.nonEmpty, "materializedAggStep needs at least one aggregate")
     val kinds = Set("count", "sum", "min", "max")
     aggs.foreach { case (_, kind, _) =>
@@ -860,7 +876,8 @@ object StreamOps {
     Manifest.lastTxn(spark, dstRoot, writerId) match {
       case Some(v) if v >= cur.version => None
       case None =>
-        val full = Manifest.readSnapshot(spark, srcRoot, cur)
+        val full = windowed("snap", -1L, cur.version)(
+          Manifest.readSnapshot(spark, srcRoot, cur))
         val aggB = aggOf(full).cache()
         try {
           requireKeys(aggB, "the bootstrap snapshot")
@@ -876,7 +893,8 @@ object StreamOps {
         // view wholesale — rows and cursor in one atomic exactly-once
         // commit ([[graft.store.Manifest.overwriteOnce]], the
         // changeFeedResync stance).
-        val full = Manifest.readSnapshot(spark, srcRoot, cur)
+        val full = windowed("snap", -1L, cur.version)(
+          Manifest.readSnapshot(spark, srcRoot, cur))
         val aggR = aggOf(full).cache()
         try {
           requireKeys(aggR, "the resync snapshot")
@@ -885,7 +903,8 @@ object StreamOps {
         } finally { aggR.unpersist(); () }
         Some(cur.version)
       case Some(v) if Manifest.appendOnlySince(spark, srcRoot, v, cur) =>
-        val insertDelta = Manifest.changes(spark, srcRoot, v, cur)
+        val insertDelta = windowed("chg", v, cur.version)(
+          Manifest.changes(spark, srcRoot, v, cur))
         val deltaAgg = aggOf(insertDelta).cache()
         try {
           // range + null-key guard in ONE pass over the cached delta
@@ -918,7 +937,8 @@ object StreamOps {
             s"$dstRoot: the source retracted rows since version $v but the " +
               "view has no `count` aggregate — group liveness is " +
               "undecidable without one; add a count column to the view"))
-        val delta = Manifest.changesWithDeltas(spark, srcRoot, v, cur)
+        val delta = windowed("cwd", v, cur.version)(
+          Manifest.changesWithDeltas(spark, srcRoot, v, cur))
         val sign = org.apache.spark.sql.functions
           .when(col(Manifest.ChangeTypeCol) === "insert", lit(1L))
           .otherwise(lit(-1L))
@@ -963,7 +983,8 @@ object StreamOps {
               else {
                 // min/max are not retraction-mergeable — recount them
                 // for exactly the touched keys from the pinned source
-                val recounted = Manifest.readSnapshot(spark, srcRoot, cur)
+                val recounted = windowed("snap", -1L, cur.version)(
+                  Manifest.readSnapshot(spark, srcRoot, cur))
                   .join(foldedCS.select(col(keyCol)), Seq(keyCol), "left_semi")
                   .groupBy(col(keyCol))
                   .agg(mmAggs.head, mmAggs.tail: _*)
@@ -1020,8 +1041,20 @@ object StreamOps {
         s"matviewDagStep: view over ${v.srcRoot} is declared before its " +
           "producer — order views so every producer precedes its consumers")
     }
-    views.map(v => materializedAggStep(
-      spark, v.srcRoot, v.dstRoot, v.writerId, v.keyCol, v.aggs))
+    // FUSED window reads: views fanning out of one source (the common
+    // DAG shape) share each (window, kind) frame through a Spark cache
+    // — one source scan per pump feeds every sibling view. Only
+    // sources with ≥2 consumers get the cache (a single consumer's
+    // cache would be pure materialization overhead); the DAG step owns
+    // the unpersist so no storage leaks across pumps.
+    val sharedSrcs = views.groupBy(_.srcRoot)
+      .filter(_._2.size > 1).keySet
+    val cache = scala.collection.mutable.Map
+      .empty[(String, String, Long, Long), DataFrame]
+    try views.map(v => materializedAggStep(
+      spark, v.srcRoot, v.dstRoot, v.writerId, v.keyCol, v.aggs,
+      deltaCache = if (sharedSrcs(v.srcRoot)) Some(cache) else None))
+    finally { cache.values.foreach(_.unpersist()); () }
   }
 
   /** INCREMENTAL MIRROR step — the read side of [[manifestSink]]: pull
