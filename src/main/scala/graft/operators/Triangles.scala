@@ -54,26 +54,55 @@ object Triangles {
       when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
   }
 
+  /** Oriented out-neighbor lists `(src, nbrs)` — the compact-forward
+    * adjacency the intersection counter probes. Orientation bounds
+    * every list at O(√m) elements (the hub skew cap), so the whole
+    * relation is ~|E| longs — a few bytes per edge, broadcastable for
+    * small graphs and an ordinary equi-join build side otherwise. */
+  private def adjacency(o: DataFrame): DataFrame =
+    o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+
+  /** Each oriented edge `(u, v)` paired with its closing corners
+    * `ws = N⁺(u) ∩ N⁺(v)`: a triangle a ≺ b ≺ c (orientation order) is
+    * found EXACTLY once, at edge (a, b) with corner c — `(a, c)` and
+    * `(b, c)` both orient toward c, and no other edge of the triangle
+    * sees both remaining corners downstream. This is the edge-iterator
+    * / compact-forward form of the same degree-oriented algorithm: the
+    * O(Σ out-deg²) wedge set is never MATERIALIZED or shuffled — each
+    * edge carries two O(√m)-bounded neighbor arrays through an
+    * equi-join and intersects them in-stage, so the only rows crossing
+    * the wire are |E| edges + 2·|E| adjacency-list fetches (vs the
+    * wedge enumeration's |wedges| rows, 60× |E| on the battery's
+    * co-order graph). */
+  private def withCorners(o: DataFrame, adj: DataFrame): DataFrame =
+    o.join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")),
+        Seq("dst"), "left")
+      .select(col("src"), col("dst"),
+        array_intersect(col("__nu"),
+          coalesce(col("__nv"), array_repeat(col("dst"), 0))).as("ws"))
+
   /** Per-node triangle membership + degree — the local-clustering
     * ingredients `(node, degree, n_triangles)` as exact integers (the
     * coefficient itself, `2t/(d(d−1))`, is one IEEE division of exact
     * operands away — left to the caller so rankings can stay pure
-    * integer). Each closed triangle (src, y, z) credits all three
-    * corners; nodes in no triangle report 0. Same two-shuffle
-    * orientation machinery as [[countsRow]] plus one explode +
-    * node-keyed aggregate. */
+    * integer). Each closed triangle credits all three corners; nodes
+    * in no triangle report 0. Built on [[withCorners]]: the credit
+    * stream is 2 rows per triangle-carrying edge plus one per closed
+    * corner — O(|E| + |Δ|), never the wedge set. */
   def perNode(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val edges = canonicalEdges(pairs, aCol, bCol).localCheckpoint(false)
     val o = orient(edges).localCheckpoint(false)
-    val tri = o.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
-      .join(o.select(col("src"), col("dst").as("z"), col("ddst").as("dz")),
-        Seq("src"))
-      .filter((col("dy") < col("dz")) ||
-        (col("dy") === col("dz") && col("y") < col("z")))
-      .join(o.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
-    val perCorner = tri
-      .select(explode(array(col("src"), col("y"), col("z"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val perCorner = withCorners(o, adjacency(o))
+      .filter(size(col("ws")) > 0)
+      .select(explode(expr(
+        """concat(
+             array(named_struct('node', src, 'c', cast(size(ws) as bigint)),
+                   named_struct('node', dst, 'c', cast(size(ws) as bigint))),
+             transform(ws, w -> named_struct('node', w, 'c', cast(1 as bigint))))"""))
+        .as("x"))
+      .select(col("x.node").as("node"), col("x.c").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("n_triangles"))
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -84,23 +113,23 @@ object Triangles {
 
   /** (n_edges, n_wedges, n_triangles) as one row — wedges counted in
     * the oriented order (each unordered open/closed pair-of-edges at
-    * a common apex once), triangles exactly once each. */
+    * a common apex once), triangles exactly once each. The wedge COUNT
+    * is Σ C(out-deg, 2) straight off the out-degree aggregate — the
+    * wedge set itself is never enumerated — and edges + triangles come
+    * from ONE pass over [[withCorners]] (the r17 form ran the wedge
+    * self-join twice: once for the wedge count, again under the close
+    * join). */
   def countsRow(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val edges = canonicalEdges(pairs, aCol, bCol).localCheckpoint(false)
     val o = orient(edges).localCheckpoint(false)
-    // wedge (apex src; y ≺ z in the orientation order) — the skew-
-    // bounded self-join
-    val wedges = o.select(col("src"), col("dst").as("y"),
-        col("ddst").as("dy"))
-      .join(o.select(col("src"), col("dst").as("z"), col("ddst").as("dz")),
-        Seq("src"))
-      .filter((col("dy") < col("dz")) ||
-        (col("dy") === col("dz") && col("y") < col("z")))
-    val tri = wedges.join(
-      o.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
-    val nE = edges.count()
-    val nW = wedges.count()
-    val nT = tri.count()
+    val et = withCorners(o, adjacency(o))
+      .agg(count(lit(1)).as("ne"), sum(size(col("ws")).cast("long")).as("nt"))
+      .head()
+    val nE = et.getLong(0)
+    val nT = if (et.isNullAt(1)) 0L else et.getLong(1)
+    val wr = o.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) div 2")).as("nw")).head()
+    val nW = if (wr.isNullAt(0)) 0L else wr.getLong(0)
     val spark = pairs.sparkSession
     import spark.implicits._
     Seq((nE, nW, nT)).toDF("n_edges", "n_wedges", "n_triangles")
@@ -181,15 +210,13 @@ object Triangles {
     val sampled = sampledCanonicalEdges(pairs, aCol, bCol, k, seed)
       .localCheckpoint(false)
     val o = orient(sampled).localCheckpoint(false)
-    val wedges = o.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
-      .join(o.select(col("src"), col("dst").as("z"), col("ddst").as("dz")),
-        Seq("src"))
-      .filter((col("dy") < col("dz")) ||
-        (col("dy") === col("dz") && col("y") < col("z")))
-    val tri = wedges.join(
-      o.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
-    val nE = sampled.count()
-    val nT = tri.count()
+    // one pass: sampled-edge count (withCorners keeps one row per
+    // edge) and exact sparsified triangle count together
+    val et = withCorners(o, adjacency(o))
+      .agg(count(lit(1)).as("ne"), sum(size(col("ws")).cast("long")).as("nt"))
+      .head()
+    val nE = et.getLong(0)
+    val nT = if (et.isNullAt(1)) 0L else et.getLong(1)
     val est = BigInt(nT) * BigInt(k).pow(3)
     require(est.isValidLong,
       s"approxCountsRow: estimate $est (n_triangles_sampled=$nT, k=$k) " +

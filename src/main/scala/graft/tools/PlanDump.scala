@@ -79,7 +79,7 @@ object PlanDump {
     "q131_phrase_search" ->
       "Phrase search: each phrase term's posting list is a filtered narrow pass (against the STORED index: a pushed EqualTo(term) scan over term-sorted buckets — SearchSpec pins it), chained by (id, pos) equi-joins; cost follows the PHRASE terms' posting sizes, never the corpus. No window functions, no per-doc rescan.",
     "q134_triangle_count" ->
-      "Triangle counting: degree-oriented node-iterator — canonicalize, one degree aggregate, orient, wedge SELF-join on the source (out-degrees bounded O(√m) by orientation — the hub skew cap), close with an (y, z) equi-join; every stage an equi-join or partial aggregate, no product anywhere (PlanSpec pins it).",
+      "Triangle counting: degree-oriented EDGE-iterator (compact-forward) — canonicalize, one degree aggregate, orient, then each oriented edge equi-joins its two O(√m)-bounded out-neighbor lists and intersects them IN-STAGE; the O(Σ out-deg²) wedge set is never materialized or shuffled (the wedge count is Σ C(out-deg,2) off the degree aggregate), and edges+triangles reduce in ONE pass; every stage an equi-join or partial aggregate, no product anywhere (PlanSpec pins it).",
     "q136_kcore" ->
       "k-core peeling: per round one degree aggregate + two LEFT SEMI joins over the monotonically shrinking live edge set, localCheckpoint barriers so round plans never stack; round count = the graph's cascade depth (5 here), not a data-sized loop.",
     "q140_fs_linkage" ->
