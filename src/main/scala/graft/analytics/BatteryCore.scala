@@ -44,6 +44,29 @@ trait BatteryCore {
   protected def discRevenueSql: String =
     s"CAST(SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS DOUBLE) / 10000.0"
 
+  /** The parts-co-ordered-together pair list feeding the graph family
+    * (q134/q135/q136/q154): one canonical (pa ≤ pb) row per unordered
+    * row pair of lineitems sharing an order. Built as ONE hash
+    * aggregate (collect the order's parts) + in-stage index-pair
+    * expansion — the r17 form self-joined lineitem on the order key,
+    * paying two sorts and a merge join for the same multiset. Order
+    * groups are tiny (≤7 lineitems), so the collected arrays and the
+    * i<j expansion are a few elements each; equal-part pairs (pa = pb)
+    * are emitted and dropped by the canonicalizers' u ≠ v filter,
+    * exactly as the join's a.pk < b.pk predicate dropped them. The
+    * downstream DISTINCT sees the identical pair multiset, so every
+    * oracle result is bit-identical. */
+  protected def coOrderPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_list(col("pk")).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks, (x, i) ->
+             transform(slice(pks, i + 2, size(pks)), y ->
+               named_struct('pa', least(x, y), 'pb', greatest(x, y)))))"""))
+        .as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+
   // ---------------------------------------------------------------- //
   // A. Aggregation / join / window parity block (SURVEY §2.C, §2.D)  //
   // ---------------------------------------------------------------- //

@@ -363,14 +363,8 @@ trait BatteryModels extends BatteryMultimodal {
     * canonicalization, degrees, orientation, the wedge self-join, and
     * the closing join. */
   val q134 = Q("q134_triangle_count",
-    (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      graft.operators.Triangles.countsRow(pairs, "pa", "pb")
-    },
+    (s, dir) =>
+      graft.operators.Triangles.countsRow(coOrderPairs(s, dir), "pa", "pb"),
     Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
@@ -396,16 +390,10 @@ trait BatteryModels extends BatteryMultimodal {
     * corner explode and the (count desc, node) cut on top of q134's
     * chain. */
   val q135 = Q("q135_local_clustering",
-    (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      graft.operators.Triangles.perNode(pairs, "pa", "pb")
+    (s, dir) =>
+      graft.operators.Triangles.perNode(coOrderPairs(s, dir), "pa", "pb")
         .orderBy(col("n_triangles").desc, col("node"))
-        .limit(50)
-    },
+        .limit(50),
     Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
@@ -437,15 +425,9 @@ trait BatteryModels extends BatteryMultimodal {
     * whenever the unroll reaches the fixpoint — the same
     * bounded-unroll pattern as the q87 PageRank oracle. */
   val q136 = Q("q136_kcore",
-    (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      graft.operators.KCore.kCore(pairs, "pa", "pb", k = 80)
-        .orderBy("node")
-    },
+    (s, dir) =>
+      graft.operators.KCore.kCore(coOrderPairs(s, dir), "pa", "pb", k = 80)
+        .orderBy("node"),
     Some {
       val stages = (1 to 10).map { i =>
         s"""kp$i AS MATERIALIZED (SELECT n FROM (SELECT n, COUNT(*) AS d FROM (

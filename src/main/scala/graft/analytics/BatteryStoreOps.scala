@@ -496,14 +496,8 @@ trait BatteryStoreOps extends BatteryModels {
     * the oracle re-derives the identical sample in SQL and replays the
     * same orient/wedge/close chain over it. */
   val q154 = Q("q154_triangle_approx",
-    (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      graft.operators.Triangles.approxCountsRow(pairs, "pa", "pb", k = 3, seed = 7L)
-    },
+    (s, dir) => graft.operators.Triangles.approxCountsRow(
+      coOrderPairs(s, dir), "pa", "pb", k = 3, seed = 7L),
     Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
