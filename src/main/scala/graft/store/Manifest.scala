@@ -605,6 +605,35 @@ object Manifest {
           .drop("__graft_f", "__graft_ri")
     }
 
+  /** Target bytes per staged file for REWRITE commits (upsert /
+    * mergeInto / delete / replaceWhere rewrites and the matview fold
+    * frames). Rewrites inherit the session's shuffle partitioning, so
+    * a 15k-row view fold staged 32 near-empty files PER COMMIT — and
+    * every later commit re-opened, re-stat'd, and re-rewrote all of
+    * them (q194's by_cust view reached 97 files in 3 commits). Output
+    * sizing derives from the PLAN'S BYTE ESTIMATE, never a constant
+    * partition count, so it is scale-adaptive: a 10 GB rewrite keeps
+    * ~160 parallel writers at the default, a 100 KB fold lands as one
+    * file. Env-overridable for cluster tuning (production: align with
+    * the table's target file size, e.g. 128–512 MB / guide §6). */
+  private[graft] val rewriteTargetBytes: Long =
+    sys.env.get("GRAFT_REWRITE_TARGET_BYTES").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
+  /** `df` coalesced to ~[[rewriteTargetBytes]]-sized output files from
+    * the optimizer's size estimate — driver-side, no job. Estimates
+    * for rewrite plans are grounded in real parquet scan bytes (the
+    * touched files), so they are accurate where it matters; an
+    * inflated estimate (joins without CBO multiply) just leaves the
+    * partitioning alone, which is the pre-this-change behavior.
+    * `coalesce` never increases partition count, so a target above
+    * the current partitioning is a no-op by construction. */
+  private[graft] def rightSized(df: DataFrame): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (est + rewriteTargetBytes - 1) / rewriteTargetBytes
+    if (target.isValidInt) df.coalesce(target.toInt.max(1)) else df
+  }
+
   /** Stage `df` as new immutable parquet files under data/; returns
     * their manifest-relative paths. */
   private def stage(df: DataFrame, root: String): Seq[String] = {
@@ -2508,7 +2537,8 @@ object Manifest {
     * not hold for folds, unlike the CDC sink's latest-per-key merge). */
   def upsertOnce(batch: DataFrame, root: String, keyCol: String,
       writerId: String, txnId: Long, maxRetries: Int = 4,
-      dropKeys: Option[DataFrame] = None): (Long, Boolean) = {
+      dropKeys: Option[DataFrame] = None,
+      keyedRange: Option[(Any, Any)] = None): (Long, Boolean) = {
     require(writerId.nonEmpty && !writerId.exists(c => c.isWhitespace || c == '"'),
       s"writerId must be a simple token, got [$writerId]")
     val spark = batch.sparkSession
@@ -2523,7 +2553,8 @@ object Manifest {
     val v = retryingCommit(s"$root upsertOnce", maxRetries)(
       upsertPlanned(batch, root, keyCol,
         extraMeta = Map(txnKey(writerId) -> txnId.toString),
-        skipIf = done, onSkip = () => skipped = true, drops = dropKeys))
+        skipIf = done, onSkip = () => skipped = true, drops = dropKeys,
+        keyedRange = keyedRange))
     (v, !skipped)
   }
 
@@ -2706,7 +2737,7 @@ object Manifest {
     val fp = schemaFingerprint(rewritten)
     requireSchema(spark, root, fp)
     requireChecks(spark, root, rewritten)
-    val staged = stage(rewritten, root)
+    val staged = stage(rightSized(rewritten), root)
     val (rows, bytesM, fts) = footerMeta(spark, root, staged)
     val kept = withoutEmpty(staged, rows)
     val statCols = inheritedStatCols(snap)
@@ -2732,7 +2763,8 @@ object Manifest {
       skipIf: Snapshot => Boolean = _ => false,
       onSkip: () => Unit = () => (),
       drops: Option[DataFrame] = None,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false,
+      keyedRange: Option[(Any, Any)] = None): Long = {
     val spark = batch.sparkSession
     val snap = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed version"))
@@ -2779,26 +2811,34 @@ object Manifest {
     // when drop-keys were present — on commit-dense lifecycles the
     // fixed per-job cost was the wall). Drop keys enter with weight 0:
     // they widen the range without tripping the batch-duplicate count.
+    // `keyedRange` (private callers only — the matview fold, whose
+    // batch is a groupBy(key) output, keys unique BY CONSTRUCTION and
+    // the exact range already computed by the step's own delta
+    // aggregate) skips the whole job.
     import org.apache.spark.sql.functions.{lit => flit,
       max => fmax, max_by => fmaxBy, min => fmin, sum => fsum}
-    val tagged = dropsP match {
-      case None => batchP.select(col(keyP), flit(1L).as("__b"))
-      case Some(d) => batchP.select(col(keyP), flit(1L).as("__b"))
-        .unionByName(d.select(col(keyP), flit(0L).as("__b")))
+    val range = keyedRange.map { case (lo, hi) =>
+      org.apache.spark.sql.Row(lo, hi)
+    }.getOrElse {
+      val tagged = dropsP match {
+        case None => batchP.select(col(keyP), flit(1L).as("__b"))
+        case Some(d) => batchP.select(col(keyP), flit(1L).as("__b"))
+          .unionByName(d.select(col(keyP), flit(0L).as("__b")))
+      }
+      val kstats = tagged.groupBy(col(keyP)).agg(fsum(col("__b")).as("__n"))
+        .agg(fmin(col(keyP)).as("__lo"), fmax(col(keyP)).as("__hi"),
+          fmax(col("__n")).as("__maxn"),
+          fmaxBy(col(keyP), col("__n")).as("__dupk")).head()
+      require(kstats.isNullAt(2) || kstats.getLong(2) <= 1L,
+        s"upsert batch has duplicate $keyCol values (e.g. ${kstats.get(3)}) — " +
+          "one row per key, the merge is otherwise ambiguous")
+      org.apache.spark.sql.Row(kstats.get(0), kstats.get(1))
     }
-    val kstats = tagged.groupBy(col(keyP)).agg(fsum(col("__b")).as("__n"))
-      .agg(fmin(col(keyP)).as("__lo"), fmax(col(keyP)).as("__hi"),
-        fmax(col("__n")).as("__maxn"),
-        fmaxBy(col(keyP), col("__n")).as("__dupk")).head()
-    require(kstats.isNullAt(2) || kstats.getLong(2) <= 1L,
-      s"upsert batch has duplicate $keyCol values (e.g. ${kstats.get(3)}) — " +
-        "one row per key, the merge is otherwise ambiguous")
     val allKeys = dropsP match {
       case None => batchP.select(col(keyP))
       case Some(d) => batchP.select(col(keyP))
         .unionByName(d.select(col(keyP))).distinct()
     }
-    val range = org.apache.spark.sql.Row(kstats.get(0), kstats.get(1))
     if (range.isNullAt(0)) return snap.version // empty batch+drops: no-op
     val candidates = prunedFiles(snap, keyP, range.get(0), range.get(1))
     val touched: Seq[String] =
@@ -2822,7 +2862,7 @@ object Manifest {
         // rewritten old rows read under the OLD recorded schema — an
         // evolving batch's added columns fill as NULL there
         .unionByName(batchP, allowMissingColumns = evolveSchema)
-    val staged = stage(rewritten, root)
+    val staged = stage(rightSized(rewritten), root)
     val (rows, bytesM, fts) = footerMeta(spark, root, staged)
     val kept = withoutEmpty(staged, rows)
     val statCols = inheritedStatCols(snap)
@@ -2888,7 +2928,7 @@ object Manifest {
         readFiles(spark, root, snap, clipped))
       .filter(!(col(colName) >= lit(lo) && col(colName) <= lit(hi)) ||
         col(colName).isNull)
-    val staged = stage(survivors, root)
+    val staged = stage(rightSized(survivors), root)
     val (rows, bytesM, fts) = footerMeta(spark, root, staged)
     // unlike a commit of fresh data, an all-empty rewrite publishes NO
     // files here — the untouched remainder of the table still carries
@@ -2957,7 +2997,7 @@ object Manifest {
         .filter(!(col(colName) >= lit(lo) && col(colName) <= lit(hi)) ||
           col(colName).isNull)
         .unionByName(batchP)
-    val staged = stage(survivorsAndBatch, root)
+    val staged = stage(rightSized(survivorsAndBatch), root)
     val (rows, bytesM, fts) = footerMeta(spark, root, staged)
     // an empty batch over a fully-covered range is a pure delete: keep
     // the delete path's rule — publish no empty files unless nothing
@@ -3029,7 +3069,7 @@ object Manifest {
             readFiles(spark, root, snap, touched)), snap)
           .filter(!pred || pred.isNull), Some(snap))
         .unionByName(batchP)
-    val staged = stage(survivorsAndBatch, root)
+    val staged = stage(rightSized(survivorsAndBatch), root)
     val (rows, bytesM, fts) = footerMeta(spark, root, staged)
     val nonEmpty = staged.filter(f => rows.getOrElse(f, 1L) > 0L)
     val kept =

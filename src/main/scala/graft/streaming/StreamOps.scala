@@ -881,7 +881,7 @@ object StreamOps {
         val aggB = aggOf(full).cache()
         try {
           requireKeys(aggB, "the bootstrap snapshot")
-          Manifest.appendOnce(aggB,
+          Manifest.appendOnce(graft.store.Manifest.rightSized(aggB),
             dstRoot, writerId, cur.version, statsCols = Seq(keyCol))
         } finally { aggB.unpersist(); () }
         Some(cur.version)
@@ -898,7 +898,7 @@ object StreamOps {
         val aggR = aggOf(full).cache()
         try {
           requireKeys(aggR, "the resync snapshot")
-          Manifest.overwriteOnce(aggR,
+          Manifest.overwriteOnce(graft.store.Manifest.rightSized(aggR),
             dstRoot, writerId, cur.version, statsCols = Seq(keyCol))
         } finally { aggR.unpersist(); () }
         Some(cur.version)
@@ -916,7 +916,8 @@ object StreamOps {
           if (r.isNullAt(0)) {
             // empty delta (e.g. replayed-then-skipped source batches):
             // still advance the watermark so the pump converges
-            Manifest.appendOnce(deltaAgg, dstRoot, writerId, cur.version)
+            Manifest.appendOnce(graft.store.Manifest.rightSized(deltaAgg),
+              dstRoot, writerId, cur.version)
           } else {
             // touched keys only, through the view's own key skip stats
             // (bootstrap seeds them; upsert recomputes for rewrites) —
@@ -924,8 +925,16 @@ object StreamOps {
             val existing = Manifest
               .readWhereBetween(spark, dstRoot, keyCol, r.get(0), r.get(1))
               .join(deltaAgg.select(col(keyCol)), Seq(keyCol), "left_semi")
+            // checkpoint: the upsert evaluates its batch for discovery,
+            // rewrite, and staging — without this the view read + merge
+            // join re-ran for each. keyedRange: combined's keys are
+            // exactly the delta's (semi-joined, then grouped), so the
+            // step's own [lo, hi] replaces the upsert's kstats job.
             val combined = mergeOf(existing.unionByName(deltaAgg))
-            Manifest.upsertOnce(combined, dstRoot, keyCol, writerId, cur.version)
+              .localCheckpoint(false)
+            try Manifest.upsertOnce(combined, dstRoot, keyCol, writerId,
+              cur.version, keyedRange = Some((r.get(0), r.get(1))))
+            finally { combined.unpersist(); () }
           }
           Some(cur.version)
         } finally { deltaAgg.unpersist(); () }
@@ -957,7 +966,7 @@ object StreamOps {
             nullKeyMsg(s"the retracting delta since version $v"))
           if (r.isNullAt(0)) {
             Manifest.appendOnce(
-              aggOf(delta.filter(lit(false))).limit(0),
+              graft.store.Manifest.rightSized(aggOf(delta.filter(lit(false))).limit(0)),
               dstRoot, writerId, cur.version)
           } else {
             val csNames = aggs.collect {
@@ -995,8 +1004,11 @@ object StreamOps {
             val canon = aggOf(delta.filter(lit(false))).schema
             val batch = assembled.select(canon.fields.toSeq.map(f =>
               col(f.name).cast(f.dataType).as(f.name)): _*)
+            // batch ∪ dead keys are exactly the folded delta's keys —
+            // the fold's own [lo, hi] replaces the upsert's kstats job
             try Manifest.upsertOnce(batch, dstRoot, keyCol, writerId,
-              cur.version, dropKeys = Some(dead))
+              cur.version, dropKeys = Some(dead),
+              keyedRange = Some((r.get(0), r.get(1))))
             finally { foldedCS.unpersist(); () }
           }
           Some(cur.version)

@@ -43,8 +43,22 @@ object QueryLoop {
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          { jobs.incrementAndGet(); () }
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          // GRAFT_LOOP_JOBS: one line per job with its call site — the
+          // scenario queries' wall is often fixed per-job scheduling,
+          // and this attributes each job to the engine call that ran it
+          if (sys.env.contains("GRAFT_LOOP_JOBS")) {
+            val site = j.stageInfos.lastOption.map { si =>
+              si.details.linesIterator
+                .filter(_.contains("graft."))
+                .take(2).mkString(" <- ").take(160)
+            }.filter(_.nonEmpty).getOrElse(
+              j.stageInfos.lastOption.map(_.name.take(80)).getOrElse("?"))
+            System.err.println(s"[loop] job ${j.jobId} stages=${j.stageInfos.size} $site")
+          }
+          ()
+        }
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           stages.incrementAndGet()
