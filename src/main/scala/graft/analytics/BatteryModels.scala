@@ -659,7 +659,14 @@ trait BatteryModels extends BatteryMultimodal {
       val entOk = graft.text.LmQuality.tokenEntropyBits("doc_id", "text")(kept1)
         .filter(col("entropy_bits") * 10 >= lit(38L) * col("n_tokens"))
         .select("doc_id")
+      // survivors materialized ONCE: dsirResample evaluates its raw
+      // frame in three subtrees (bucket histogram, scored transitions,
+      // attach join) — un-checkpointed, the whole perplexity ⋈ LM ⋈
+      // entropy funnel re-ran under each (the before plan carried 98
+      // parquet scans / 214 exchanges). Only (doc_id, text) flows into
+      // DSIR, so the checkpoint carries exactly those two columns.
       val kept2 = kept1.join(entOk, Seq("doc_id"), "left_semi")
+        .select("doc_id", "text").localCheckpoint()
       graft.text.LmQuality.dsirResample("doc_id", "text",
           target = docs.filter(col("lang") === "en"), k = 100, buckets = 512)(kept2)
         .select(col("doc_id"), col("n_feats"), col("weight_bits"))

@@ -295,21 +295,24 @@ object LmQuality {
     transitions(df, idCol, textCol)
       .groupBy(bucketOf(buckets).as("f")).agg(count(lit(1)).as("c"))
 
-  /** DSIR importance weights: for each raw document,
-    * `weight_bits = Σ_occurrences [⌊log2((tot_raw+B)/(c_raw(f)+1))⌋ −
-    * ⌊log2((tot_target+B)/(c_target(f)+1))⌋]` — the exact-integer form
-    * of `Σ log p_target(f) − log p_raw(f)`; higher = more
-    * target-like. Returns `(id, n_feats, weight_bits)` for every raw
-    * doc. The two B-row histograms broadcast; the corpus never
-    * shuffles except the final per-doc aggregate. */
-  def dsirWeights(idCol: String, textCol: String,
-      target: DataFrame, buckets: Int = 4096)(raw: DataFrame): DataFrame = {
+  /** The DSIR scoring core shared by [[dsirWeights]] and
+    * [[dsirResample]]: the per-doc inner aggregate `(id, n_feats,
+    * weight_bits)` over docs with ≥ 1 transition (absent docs are the
+    * callers' left-join + coalesce-to-zero, same contract as
+    * [[surprisalAgg]]). The two B-row histograms are materialized ONCE
+    * (`localCheckpoint`): each previously re-derived its full corpus
+    * scan inside the final plan AND a second time for its total — with
+    * both histogram totals read off the checkpointed B rows, the raw
+    * corpus is scanned once for its histogram and once for scoring,
+    * never per-consumer. */
+  private def dsirScored(idCol: String, textCol: String,
+      target: DataFrame, buckets: Int)(raw: DataFrame): DataFrame = {
     require(buckets >= 2, s"dsirWeights: buckets must be >= 2, got $buckets")
-    val tc = bucketCounts(target, idCol, textCol, buckets)
+    val tc = bucketCounts(target, idCol, textCol, buckets).localCheckpoint()
     val totT = tc.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
-    val rc = bucketCounts(raw, idCol, textCol, buckets)
+    val rc = bucketCounts(raw, idCol, textCol, buckets).localCheckpoint()
     val totR = rc.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
-    val scored = transitions(raw, idCol, textCol)
+    transitions(raw, idCol, textCol)
       .select(col(idCol), bucketOf(buckets).as("f"))
       .join(broadcast(rc.withColumnRenamed("c", "c_raw")), Seq("f"), "left")
       .join(broadcast(tc.withColumnRenamed("c", "c_tgt")), Seq("f"), "left")
@@ -320,11 +323,22 @@ object LmQuality {
             coalesce(col("c_tgt"), lit(0L)) + lit(1L)).cast(LongType)).as("bits"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"), sum("bits").as("weight_bits"))
-    raw.select(col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
+  /** DSIR importance weights: for each raw document,
+    * `weight_bits = Σ_occurrences [⌊log2((tot_raw+B)/(c_raw(f)+1))⌋ −
+    * ⌊log2((tot_target+B)/(c_target(f)+1))⌋]` — the exact-integer form
+    * of `Σ log p_target(f) − log p_raw(f)`; higher = more
+    * target-like. Returns `(id, n_feats, weight_bits)` for every raw
+    * doc. The two B-row histograms broadcast; the corpus never
+    * shuffles except the final per-doc aggregate. */
+  def dsirWeights(idCol: String, textCol: String,
+      target: DataFrame, buckets: Int = 4096)(raw: DataFrame): DataFrame =
+    raw.select(col(idCol))
+      .join(dsirScored(idCol, textCol, target, buckets)(raw), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("weight_bits"), lit(0L)).as("weight_bits"))
-  }
 
   /** Resample the `k` most target-like raw documents by DSIR weight
     * (deterministic top-k: weight desc, id asc — the reproducible
@@ -335,7 +349,14 @@ object LmQuality {
     * deterministic is the shipped default. */
   def dsirResample(idCol: String, textCol: String, target: DataFrame,
       k: Int, buckets: Int = 4096)(raw: DataFrame): DataFrame =
-    raw.join(dsirWeights(idCol, textCol, target, buckets)(raw), Seq(idCol))
+    // one attach join: `dsirWeights` covers every raw id (left join +
+    // coalesce over the scored core), so `raw ⋈inner weights` ≡
+    // `raw ⋈left scored` with the same zero-fill — this form skips the
+    // weights frame's extra id-only pass over `raw`
+    raw.join(dsirScored(idCol, textCol, target, buckets)(raw), Seq(idCol), "left")
+      .select((col(idCol) +: raw.columns.filter(_ != idCol).map(col) :+
+        coalesce(col("n_feats"), lit(0L)).as("n_feats") :+
+        coalesce(col("weight_bits"), lit(0L)).as("weight_bits")): _*)
       .orderBy(col("weight_bits").desc, col(idCol))
       .limit(k)
 }
