@@ -49,13 +49,31 @@ object QueryLoop {
           // scenario queries' wall is often fixed per-job scheduling,
           // and this attributes each job to the engine call that ran it
           if (sys.env.contains("GRAFT_LOOP_JOBS")) {
-            val site = j.stageInfos.lastOption.map { si =>
+            // search EVERY stage of the job for a graft frame —
+            // broadcast-exchange builds run under a future whose last
+            // stage has no user frames, but an upstream stage usually
+            // does
+            val site = j.stageInfos.reverseIterator.map { si =>
               si.details.linesIterator
                 .filter(_.contains("graft."))
                 .take(2).mkString(" <- ").take(160)
-            }.filter(_.nonEmpty).getOrElse(
-              j.stageInfos.lastOption.map(_.name.take(80)).getOrElse("?"))
-            System.err.println(s"[loop] job ${j.jobId} stages=${j.stageInfos.size} $site")
+            }.find(_.nonEmpty).orElse(
+              // broadcast-exchange builds run under a future with no
+              // user frames in any stage — fall back to the parent
+              // action's callSite carried in the job properties
+              Option(j.properties).flatMap(p =>
+                Option(p.getProperty("callSite.long")).flatMap(
+                  _.linesIterator.find(_.contains("graft.")).map(s =>
+                    s.trim.take(160) + " [bcast]"))
+                .orElse(Option(p.getProperty("callSite.short"))
+                  .map(_ + " [bcast]"))))
+              .getOrElse(
+                j.stageInfos.lastOption.map(_.name.take(80)).getOrElse("?"))
+            val exec = Option(j.properties)
+              .map(p => p.getProperty("spark.sql.execution.id", "-"))
+              .getOrElse("-")
+            System.err.println(
+              s"[loop] job ${j.jobId} exec=$exec stages=${j.stageInfos.size} $site")
           }
           ()
         }
