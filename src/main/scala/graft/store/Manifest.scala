@@ -554,20 +554,79 @@ object Manifest {
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** Schema of a data file, read from its FOOTER on the driver — the
+    * job-free twin of Spark's parquet schema inference, which schedules
+    * a full Spark job (mergeSchemasInParallel) for EVERY fresh path
+    * set even when one footer decides the answer. A pump cycle doing
+    * ~30 manifest reads paid ~30 scheduling round-trips for schemas
+    * the footers already carry. Spark-written files (every file the
+    * store stages) hold the exact serialized StructType in the footer
+    * key-value metadata — returning it verbatim (asNullable, as
+    * inference does) is bit-identical to the inferred schema; foreign
+    * files without the key fall back to one real single-file
+    * inference. Cached per immutable file path (bounded). */
+  private val fileSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]
+  private val SparkSchemaMetaKey = "org.apache.spark.sql.parquet.row.metadata"
+  /** Spark's inference nullable-izes the inferred schema (files can't
+    * prove absence of nulls across future appends) — mirror it exactly,
+    * recursing like StructType.asNullable (private[spark]). */
+  private def deepNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(deepNullable(a.elementType), containsNull = true)
+      case m: MapType => MapType(deepNullable(m.keyType),
+        deepNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+  private def deepNullable(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    deepNullable(st: org.apache.spark.sql.types.DataType)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  private def fileSchema(spark: SparkSession, root: String,
+      rel: String): org.apache.spark.sql.types.StructType = {
+    val p = new Path(dataDir(root), rel).toString
+    var st = fileSchemaCache.get(p)
+    if (st == null) {
+      val conf = spark.sessionState.newHadoopConf()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(p), conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val json = try Option(
+        rd.getFooter.getFileMetaData.getKeyValueMetaData.get(SparkSchemaMetaKey))
+      finally rd.close()
+      st = json.map(j => deepNullable(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        .getOrElse(spark.read.parquet(p).schema)
+      if (fileSchemaCache.size >= 256) fileSchemaCache.clear()
+      fileSchemaCache.put(p, st)
+    }
+    st
+  }
+
   /** Raw parquet scan of a FILE SUBSET of `snap`, under the table's
     * recorded schema when one exists — the single place every
     * subset-read (upsert touch rewrite, delete rewrite, DV candidates,
     * partial compaction) goes through, so evolved tables (files with
     * heterogeneous column sets) read uniformly: absent columns resolve
     * to NULL by name. Does NOT apply the deletion vector — callers
-    * that need live rows wrap with [[applyDv]]. */
+    * that need live rows wrap with [[applyDv]]. Pre-evolution tables
+    * (no recorded schema, uniform files) read under the first file's
+    * footer schema — same answer Spark's inference job would return,
+    * without the job. */
   private def readFiles(spark: SparkSession, root: String, snap: Snapshot,
       files: Seq[String]): DataFrame = {
-    val reader = recordedSchema(snap) match {
-      case Some(st) => spark.read.schema(st)
-      case None => spark.read
-    }
-    reader.parquet(files.map(rel => new Path(dataDir(root), rel).toString): _*)
+    val st = recordedSchema(snap).getOrElse(
+      fileSchema(spark, root, files.head))
+    spark.read.schema(st)
+      .parquet(files.map(rel => new Path(dataDir(root), rel).toString): _*)
   }
 
   /** A snapshot file entry as the deletion vector's key domain: the
@@ -3687,8 +3746,8 @@ object Manifest {
     require(snap.files.nonEmpty,
       s"$root version ${snap.version} is an empty snapshot — nothing to read")
     val index = new ManifestFileIndex(spark, root, snap)
-    val schema = recordedSchema(snap).getOrElse(spark.read
-      .parquet(new Path(dataDir(root), snap.files.head).toString).schema)
+    val schema = recordedSchema(snap).getOrElse(
+      fileSchema(spark, root, snap.files.head))
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, new org.apache.spark.sql.types.StructType(), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
