@@ -239,6 +239,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE right-size CACHED plan output too: the matview/commit
+      // paths cache small delta frames, and without this every cached
+      // frame materializes at the raw shuffle-partition count — 32
+      // near-empty tasks per downstream read at any scale. Byte-based
+      // coalescing keeps big caches wide; this is scale-adaptive, not
+      // a local tuning (q194: 1557 -> 125 tasks, task_sec 35 -> 3).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -24,6 +24,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE may right-size cached plan output (see Bench.scala) —
+      // verify under the same partitioning rules the bench runs
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); read as LongType
       // (nanos since epoch) instead of failing — ordering semantics

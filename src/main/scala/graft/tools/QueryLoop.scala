@@ -22,6 +22,14 @@ object QueryLoop {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE right-size CACHED plan output too: the matview/commit
+      // paths cache small delta frames, and without this every cached
+      // frame materializes at the raw shuffle-partition count — 32
+      // near-empty tasks per downstream read at any scale. Byte-based
+      // coalescing keeps big caches wide; this is scale-adaptive, not
+      // a local tuning (q194: 1557 -> 125 tasks, task_sec 35 -> 3).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -38,6 +46,7 @@ object QueryLoop {
     // then FEWER jobs, not faster ones
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
     val taskTime = new java.util.concurrent.atomic.AtomicLong
     val heavy = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]
     spark.sparkContext.addSparkListener(
@@ -80,9 +89,11 @@ object QueryLoop {
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           stages.incrementAndGet()
+          tasks.addAndGet(s.stageInfo.numTasks)
           val rt = s.stageInfo.taskMetrics.executorRunTime
           taskTime.addAndGet(rt)
-          heavy.add((s.stageInfo.name.takeWhile(_ != '\n').take(90), rt)); ()
+          heavy.add((s"${s.stageInfo.name.takeWhile(_ != '\n').take(90)} " +
+            s"tasks=${s.stageInfo.numTasks}", rt)); ()
         }
       })
     names.foreach { name =>
@@ -93,12 +104,14 @@ object QueryLoop {
         // grows the queue forever, and with it the first sample's top-8
         // mixes in stages from prior queries/warm-up
         heavy.clear()
-        val (j0, s0, t0m) = (jobs.get(), stages.get(), taskTime.get())
+        val (j0, s0, k0, t0m) =
+          (jobs.get(), stages.get(), tasks.get(), taskTime.get())
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[loop] $name sample=$sec%.3f " +
           s"jobs=${jobs.get() - j0} stages=${stages.get() - s0} " +
+          s"tasks=${tasks.get() - k0} " +
           f"task_sec=${(taskTime.get() - t0m) / 1e3}%.1f")
         if (sys.env.contains("GRAFT_LOOP_STAGES")) {
           import scala.jdk.CollectionConverters._
